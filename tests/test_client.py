@@ -1,0 +1,228 @@
+"""Client API parity tests — the reference's golden assertions, ported.
+
+Sources: AthenaClientTests.cs, QueryScalarTests.cs,
+TrinoClientIntegrationTests.cs, TrinoAdoNetIntegrationTests.cs (see
+SURVEY.md §5 and FIXTURES.md for the exact goldens).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime as dt
+import uuid
+from decimal import Decimal
+from typing import Optional
+
+import pytest
+
+from trino_iceberg_spark.client import AthenaSparkClient
+from trino_iceberg_spark.errors import QueryError
+from trino_iceberg_spark.mapping import MappingError
+
+
+@dataclasses.dataclass
+class SharedData:
+    id: int
+    name: Optional[str]
+    age: Optional[int]
+    active: Optional[bool]
+
+
+@dataclasses.dataclass
+class Employee:
+    employee_id: int
+    first_name: str
+    last_name: str
+    hire_date: dt.date
+
+
+@pytest.fixture()
+def client(spark):
+    return AthenaSparkClient(spark)
+
+
+# --- A1 typed query (AthenaClientTests.cs:25-62) -------------------------
+
+
+def test_typed_query_maps_rows(client):
+    rows = client.query_typed(
+        SharedData,
+        "SELECT id, name, age, active FROM common_test_data.shared_data WHERE id <= 3 ORDER BY id",
+    )
+    assert [r.id for r in rows] == [1, 2, 3]
+    assert rows[0] == SharedData(1, "Alice", 30, True)
+    assert rows[1].active is False
+    assert rows[2].name == "Charlie"
+
+
+def test_empty_result(client):
+    rows = client.query_typed(
+        SharedData,
+        "SELECT id, name, age, active FROM common_test_data.shared_data WHERE id > 999",
+    )
+    assert rows == []
+
+
+def test_snake_case_binding(client):
+    rows = client.query_typed(
+        Employee,
+        "SELECT employee_id, first_name, last_name, hire_date FROM common_test_data.employee_data ORDER BY employee_id",
+    )
+    assert rows[0].first_name == "John"
+    assert rows[1].hire_date == dt.date(2019, 3, 22)
+
+
+def test_null_fields(client):
+    rows = client.query(
+        "SELECT email, phone FROM common_test_data.shared_data WHERE id IN (2, 3) ORDER BY id"
+    )
+    assert rows[0]["email"] is None  # Bob
+    assert rows[1]["phone"] is None  # Charlie
+
+
+def test_numeric_extremes(client):
+    row = client.query(
+        "SELECT value_int, value_double, value_decimal FROM common_test_data.shared_data WHERE id = 100"
+    )[0]
+    assert row["value_int"] == 9223372036854775807
+    assert row["value_double"] == pytest.approx(3.14159)
+    assert row["value_decimal"] == Decimal("99.99")
+
+
+# --- A4/A5 parameterization (AthenaClientTests.cs:64-96) -----------------
+
+
+def test_parameterized_string_with_quotes(client):
+    rows = client.query(
+        "SELECT id FROM common_test_data.shared_data WHERE content = {0}", "It's a test"
+    )
+    assert [r["id"] for r in rows] == [2]
+
+
+def test_parameterized_timestamp_lookbehind(client):
+    # TIMESTAMP keyword + datetime arg must not double the keyword
+    val = client.query_scalar(
+        "SELECT count(*) FROM common_test_data.scalar_test WHERE datetime_value < TIMESTAMP {0}",
+        dt.datetime(2024, 2, 1),
+    )
+    assert val == 1
+
+
+# --- A2 scalar matrix (QueryScalarTests.cs:14-132) -----------------------
+
+
+def test_scalar_int(client):
+    assert client.query_scalar("SELECT max(int_value) FROM common_test_data.scalar_test") == 30
+    assert client.query_scalar("SELECT min(int_value) FROM common_test_data.scalar_test") == 10
+
+
+def test_scalar_string(client):
+    assert (
+        client.query_scalar("SELECT min(string_value) FROM common_test_data.scalar_test")
+        == "apple"
+    )
+
+
+def test_scalar_decimal_exact(client):
+    v = client.query_scalar(
+        "SELECT sum(decimal_value) FROM common_test_data.scalar_test", type_=Decimal
+    )
+    assert v == Decimal("351.00")
+    assert isinstance(v, Decimal)
+
+
+def test_scalar_null_returns_none(client):
+    v = client.query_scalar(
+        "SELECT max(int_value) FROM common_test_data.scalar_test WHERE id > 100"
+    )
+    assert v is None  # None, not 0 (AthenaClient.cs:77-86)
+
+
+def test_scalar_no_rows_returns_none(client):
+    v = client.query_scalar("SELECT int_value FROM common_test_data.scalar_test WHERE id > 100")
+    assert v is None
+
+
+def test_scalar_uuid(client):
+    v = client.query_scalar(
+        "SELECT guid_value FROM common_test_data.scalar_test WHERE id = 1", type_=uuid.UUID
+    )
+    assert v == uuid.UUID("a1b2c3d4-e5f6-7890-abcd-ef1234567890")
+
+
+def test_scalar_bool_datetime(client):
+    assert client.query_scalar(
+        "SELECT bool_value FROM common_test_data.scalar_test WHERE id = 2"
+    ) is False
+    assert client.query_scalar(
+        "SELECT datetime_value FROM common_test_data.scalar_test WHERE id = 1"
+    ) == dt.datetime(2024, 1, 15, 10, 30)
+
+
+def test_scalar_parameterized_sum(client):
+    assert (
+        client.query_scalar(
+            "SELECT sum(int_value) FROM common_test_data.scalar_test WHERE category = {0}", "A"
+        )
+        == 30
+    )
+
+
+# --- raw queries (TrinoClientIntegrationTests.cs:49-123) -----------------
+
+
+def test_count_filter(client):
+    assert (
+        client.query_scalar("SELECT COUNT(*) FROM common_test_data.shared_data WHERE id >= 100")
+        == 2
+    )
+
+
+def test_sum_avg(client):
+    assert (
+        client.query_scalar("SELECT SUM(id) FROM common_test_data.shared_data WHERE id >= 100")
+        == 300
+    )
+    assert client.query_scalar(
+        "SELECT AVG(CAST(id AS DOUBLE)) FROM common_test_data.shared_data WHERE id >= 100"
+    ) == pytest.approx(150.0)
+
+
+def test_group_by_golden(client):
+    rows = client.query(
+        "SELECT category, SUM(amount) AS total FROM common_test_data.category_data "
+        "GROUP BY category ORDER BY category"
+    )
+    assert [(r["category"], r["total"]) for r in rows] == [("A", 250), ("B", 500)]
+
+
+def test_invalid_relation_raises(client):
+    with pytest.raises(QueryError):
+        client.query("SELECT * FROM nonexistent.invalid.table")
+
+
+def test_missing_column_mapping_error(client):
+    @dataclasses.dataclass
+    class Wrong:
+        nonexistent_col: str
+
+    with pytest.raises(MappingError):
+        client.query_typed(Wrong, "SELECT id FROM common_test_data.shared_data LIMIT 1")
+
+
+# --- B10/B11 literals & concat ------------------------------------------
+
+
+def test_scalar_literals_no_from(client):
+    row = client.query("SELECT 1 as id, 'Test User' as name, true as is_active")[0]
+    assert (row["id"], row["name"], row["is_active"]) == (1, "Test User", True)
+
+
+def test_concat_version(client):
+    v = client.query_scalar("SELECT 'Hello from Spark ' || version()")
+    assert v.startswith("Hello from Spark ")
+
+
+def test_iter_query_streams(client):
+    it = client.iter_query("SELECT id FROM common_test_data.shared_data ORDER BY id")
+    assert next(it)["id"] == 1

@@ -1,0 +1,174 @@
+"""Athena-style typed SQL client over Spark.
+
+Port of ``AthenaClient`` (/root/reference/src/AthenaTrinoClient/AthenaClient.cs:12-226)
+and the stack's non-query executors (TrinoIcebergStack.cs:206-257). The engine
+half of the reference (Trino's HTTP statement protocol + distributed
+execution) is replaced by Catalyst: every statement goes through
+``spark.sql`` and executes distributed; this class is only the client
+surface — parameter rendering, typed materialization, scalar coercion, and
+the UNLOAD export contract.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import shutil
+import uuid
+from typing import Any, Callable, Iterable, Iterator, Type, TypeVar
+
+from pyspark.sql import DataFrame, Observation, Row, SparkSession
+from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
+
+from .errors import QueryError, UnloadError
+from .fs import FsClient
+from .formatting import format_sql
+from .mapping import bind_rows, coerce_scalar
+
+__all__ = ["AthenaSparkClient", "UnloadResponse"]
+
+T = TypeVar("T")
+
+
+@dataclasses.dataclass(frozen=True)
+class UnloadResponse:
+    """(/root/reference/src/AthenaTrinoClient/Models/UnloadResponse.cs:3)."""
+
+    row_count: int
+    output_path: str
+
+
+class AthenaSparkClient:
+    """Typed query client: the reference's A1-A8 operator surface."""
+
+    def __init__(self, spark: SparkSession, fs_client: FsClient | None = None):
+        self.spark = spark
+        self.fs = fs_client
+
+    # -- core ------------------------------------------------------------
+    def sql_df(self, sql: str, *params: Any) -> DataFrame:
+        """Render params and hand the statement to Catalyst (lazy)."""
+        rendered = format_sql(sql, *params) if params else sql
+        try:
+            return self.spark.sql(rendered)
+        except AnalysisException as exc:
+            # Invalid-relation and analysis errors surface as engine errors
+            # (TrinoClientIntegrationTests.cs:126-132).
+            raise QueryError(str(exc), sql=rendered) from exc
+
+    def query(self, sql: str, *params: Any) -> list[Row]:
+        """A1 minus the DTO step: run SQL, materialize rows."""
+        return self.sql_df(sql, *params).collect()
+
+    def query_typed(self, cls: Type[T], sql: str, *params: Any) -> list[T]:
+        """A1 ``QueryAsync<T>`` (AthenaClient.cs:58-63): rows → dataclasses."""
+        return bind_rows(cls, self.query(sql, *params))
+
+    def iter_query(self, sql: str, *params: Any) -> Iterator[Row]:
+        """Streamed consumption — the paged-iteration analog
+        (AthenaClient.cs:77, result streaming in SURVEY.md §4)."""
+        return self.sql_df(sql, *params).toLocalIterator()
+
+    def query_scalar(self, sql: str, *params: Any, type_: Type[T] | None = None) -> T | None:
+        """A2 ``QueryScalarAsync<T>`` (AthenaClient.cs:72-104): first column of
+        the first row, coerced; ``None`` when no rows or NULL — never 0."""
+        row = self.sql_df(sql, *params).first()  # limit-1 short circuit
+        if row is None or len(row) == 0:
+            return None
+        return coerce_scalar(row[0], type_)
+
+    # -- DDL / DML -------------------------------------------------------
+    def execute(self, sql: str, *params: Any) -> int:
+        """A7 ``ExecuteNonQuery`` (TrinoIcebergStack.cs:206-224). Returns the
+        affected-row count when the command reports one (INSERT/DELETE on v2
+        sources return ``num_affected_rows``), else 0."""
+        df = self.sql_df(sql, *params)
+        try:
+            rows = df.collect()
+        except AnalysisException as exc:
+            raise QueryError(str(exc), sql=sql) from exc
+        if rows and len(rows[0]) == 1 and rows[0][0] is not None and "num_affected_rows" in df.columns:
+            return int(rows[0][0])
+        return 0
+
+    def execute_batch(self, statements: Iterable[str]) -> None:
+        """A8 ``ExecuteBatch`` (TrinoIcebergStack.cs:232-257). The reference
+        runs statements concurrently over one connection; Spark statements
+        share one session and each executes distributed, so sequential
+        submission keeps DDL ordering deterministic while the cluster is
+        already saturated per-statement."""
+        for stmt in statements:
+            self.execute(stmt)
+
+    # -- UNLOAD ----------------------------------------------------------
+    def unload(
+        self,
+        sql: str,
+        *params: Any,
+        bucket: str | None = None,
+        path: str = "",
+        compression: str | None = None,
+    ) -> UnloadResponse:
+        """A3 ``UnloadAsync`` (AthenaClient.cs:116-208): query → parquet files
+        placed *flat* at the target path.
+
+        Observable contract (AthenaClientTests.cs:98-345):
+        - result files are ``*.parquet`` directly at ``{bucket}/{path}`` —
+          no ``data/``/``metadata/`` segments, no ``_SUCCESS``/CRC droppings;
+        - returns (row_count, absolute output path);
+        - temp area is removed afterwards;
+        - cross-bucket targets work;
+        - raises when no fs client is configured (AthenaClientTests.cs:210-229).
+
+        Spark-first: instead of the reference's CTAS-into-Iceberg detour
+        (AthenaClient.cs:143-149 — a workaround for Trino lacking UNLOAD),
+        we write parquet directly and take the row count from an
+        ``Observation`` on the same job — a single pass over the data, no
+        second count() scan.
+        """
+        if self.fs is None:
+            raise UnloadError(
+                "no filesystem client configured for UNLOAD", target_path=path
+            )  # AthenaClientTests.cs:210-229
+        bucket = bucket or self.fs.bucket
+        self.fs.create_bucket(bucket)
+        target_dir = os.path.join(self.fs.bucket_dir(bucket), path.strip("/"))
+        run_id = uuid.uuid4().hex
+        temp_dir = os.path.join(
+            self.fs.bucket_dir(bucket), "_unload_temp", run_id
+        )  # temp-table convention, AthenaClient.cs:133-138
+        try:
+            df = self.sql_df(sql, *params)
+            obs = Observation("unload_rowcount")
+            observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
+            writer = observed.write.mode("errorifexists")
+            if compression:
+                writer = writer.option("compression", compression)
+            writer.parquet(temp_dir)
+            row_count = int(obs.get["n"])
+            os.makedirs(target_dir, exist_ok=True)
+            moved = 0
+            for fn in sorted(os.listdir(temp_dir)):
+                if fn.endswith(".parquet"):
+                    # flat layout: data files only (AthenaClient.cs:162-172).
+                    # Names carry the run id so repeated unloads to one target
+                    # ADD files (S3-copy semantics) instead of clobbering.
+                    shutil.move(
+                        os.path.join(temp_dir, fn),
+                        os.path.join(target_dir, f"part-{run_id[:8]}-{moved:05d}.parquet"),
+                    )
+                    moved += 1
+            return UnloadResponse(row_count=row_count, output_path=target_dir)
+        except UnloadError:
+            raise
+        except Exception as exc:  # noqa: BLE001 — wrap with target context
+            raise UnloadError(
+                f"UNLOAD failed for target {target_dir}: {exc}", target_path=target_dir
+            ) from exc  # AthenaClient.cs:200-207
+        finally:
+            # best-effort temp cleanup (AthenaClient.cs:184-196)
+            shutil.rmtree(temp_dir, ignore_errors=True)
+            parent = os.path.dirname(temp_dir)
+            if os.path.isdir(parent) and not os.listdir(parent):
+                os.rmdir(parent)

@@ -1,0 +1,182 @@
+"""SQL parameter rendering — injection-safe literal inlining.
+
+Port of the reference's ``SqlParameterFormatter``
+(/root/reference/src/AthenaTrinoClient/Formatting/SqlParameterFormatter.cs:14-62):
+host values are rendered as typed SQL literals with escaping, including the
+TIMESTAMP-lookbehind special case (SqlParameterFormatter.cs:27-36): when a
+datetime argument directly follows the ``TIMESTAMP`` keyword, only the quoted
+literal is emitted so the SQL doesn't become ``TIMESTAMP TIMESTAMP '...'``.
+
+The template syntax is Python ``str.format`` positional placeholders
+(``{0}``, ``{1}``, or bare ``{}``), the Python analog of C#'s
+``FormattableString``.
+
+Literal rules (SqlParameterFormatter.cs:47-62):
+- None        → NULL
+- str         → '...' with '' escaping
+- bool        → true / false
+- datetime    → TIMESTAMP 'yyyy-MM-dd HH:mm:ss.ffffff' (µs precision)
+- date        → DATE 'yyyy-MM-dd'
+- Decimal     → invariant-culture plain decimal string
+- int / float → invariant repr
+- uuid.UUID   → quoted string (reference stores GUIDs as varchar,
+  Scripts/create/02-tables.sql:49)
+- list/tuple  → parenthesized comma list (for IN (...))
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import re
+import uuid
+from decimal import Decimal
+from typing import Any, Sequence
+
+__all__ = ["render_literal", "format_sql", "split_statements"]
+
+_TIMESTAMP_TAIL = re.compile(r"(?i)\btimestamp\s*$")
+
+
+def render_literal(value: Any, *, after_timestamp_keyword: bool = False) -> str:
+    """Render one host value as a SQL literal (SqlParameterFormatter.cs:47-62)."""
+    if value is None:
+        return "NULL"
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, dt.datetime):
+        lit = value.strftime("%Y-%m-%d %H:%M:%S.%f")
+        if after_timestamp_keyword:
+            # TIMESTAMP-context detection (SqlParameterFormatter.cs:27-36).
+            return f"'{lit}'"
+        return f"TIMESTAMP '{lit}'"
+    if isinstance(value, dt.date):
+        lit = value.isoformat()
+        return f"'{lit}'" if after_timestamp_keyword else f"DATE '{lit}'"
+    if isinstance(value, uuid.UUID):
+        return f"'{value}'"
+    if isinstance(value, str):
+        escaped = value.replace("'", "''")
+        return f"'{escaped}'"
+    if isinstance(value, Decimal):
+        return format(value, "f")
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "nan()"
+        if math.isinf(value):
+            return "infinity()" if value > 0 else "-infinity()"
+        return repr(value)
+    if isinstance(value, int):
+        return str(value)
+    if isinstance(value, (list, tuple, set, frozenset)):
+        inner = ", ".join(render_literal(v) for v in value)
+        return f"({inner})"
+    if isinstance(value, (bytes, bytearray)):
+        return "X'" + value.hex() + "'"
+    raise TypeError(f"unsupported SQL parameter type: {type(value).__name__}")
+
+
+def format_sql(template: str, *args: Any) -> str:
+    """Render a template with positional placeholders into executable SQL.
+
+    Equivalent of ``ConvertFormattableStringToParameterizedQuery``
+    (SqlParameterFormatter.cs:14-40): each ``{i}`` (or bare ``{}``) is
+    replaced by the escaped literal of ``args[i]``, with the TIMESTAMP
+    lookbehind applied per placeholder position.
+    """
+    out: list[str] = []
+    auto_idx = 0
+    i = 0
+    n = len(template)
+    while i < n:
+        ch = template[i]
+        if ch == "{":
+            if i + 1 < n and template[i + 1] == "{":  # escaped brace
+                out.append("{")
+                i += 2
+                continue
+            end = template.find("}", i)
+            if end == -1:
+                raise ValueError(f"unbalanced '{{' in SQL template: {template!r}")
+            spec = template[i + 1 : end].strip()
+            if spec == "":
+                idx = auto_idx
+                auto_idx += 1
+            else:
+                idx = int(spec)
+            if idx >= len(args):
+                raise IndexError(f"SQL template references arg {idx} but only {len(args)} given")
+            prefix = "".join(out)
+            after_ts = bool(_TIMESTAMP_TAIL.search(prefix))
+            out.append(render_literal(args[idx], after_timestamp_keyword=after_ts))
+            i = end + 1
+        elif ch == "}":
+            if i + 1 < n and template[i + 1] == "}":
+                out.append("}")
+                i += 2
+                continue
+            raise ValueError(f"unbalanced '}}' in SQL template: {template!r}")
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def split_statements(script: str) -> list[str]:
+    """Split a multi-statement SQL script on ``;`` respecting quotes and
+    comments (B19: multi-statement scripts, validate.sh:13-18 and the
+    container script runner TrinoIcebergStack.cs:152-197)."""
+    statements: list[str] = []
+    buf: list[str] = []
+    i = 0
+    n = len(script)
+    in_squote = in_dquote = in_line_comment = in_block_comment = False
+    while i < n:
+        ch = script[i]
+        nxt = script[i + 1] if i + 1 < n else ""
+        if in_line_comment:
+            buf.append(ch)
+            if ch == "\n":
+                in_line_comment = False
+        elif in_block_comment:
+            buf.append(ch)
+            if ch == "*" and nxt == "/":
+                buf.append(nxt)
+                i += 1
+                in_block_comment = False
+        elif in_squote:
+            buf.append(ch)
+            if ch == "'":
+                if nxt == "'":  # escaped quote
+                    buf.append(nxt)
+                    i += 1
+                else:
+                    in_squote = False
+        elif in_dquote:
+            buf.append(ch)
+            if ch == '"':
+                in_dquote = False
+        elif ch == "-" and nxt == "-":
+            in_line_comment = True
+            buf.append(ch)
+        elif ch == "/" and nxt == "*":
+            in_block_comment = True
+            buf.append(ch)
+        elif ch == "'":
+            in_squote = True
+            buf.append(ch)
+        elif ch == '"':
+            in_dquote = True
+            buf.append(ch)
+        elif ch == ";":
+            stmt = "".join(buf).strip()
+            if stmt:
+                statements.append(stmt)
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    tail = "".join(buf).strip()
+    if tail:
+        statements.append(tail)
+    return statements
