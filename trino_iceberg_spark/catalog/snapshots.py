@@ -1,0 +1,229 @@
+"""Snapshot-versioned parquet tables — "iceberg-lite".
+
+The reference's table lifecycle is Apache Iceberg via Trino+Nessie:
+multi-snapshot commits, ``FOR TIMESTAMP AS OF`` time travel, snapshot
+expiry and orphan-file removal (SURVEY.md §1.1, B18;
+/root/reference/tests/IntegrationTests/AthenaClientTests.cs:347-391,
+TrinoConfigurationProvider.cs:62-63). The Iceberg Spark runtime jar is not
+available offline, so this module reimplements the *table-format contract*
+those tests depend on, Spark-natively:
+
+- a table is a directory: ``data/*.parquet`` + ``metadata/vN.json``
+  manifests (the same data/metadata split the reference's UNLOAD relies
+  on, AthenaClient.cs:162-172);
+- each commit (append/overwrite) writes new data files plus a new manifest
+  listing the *complete* file set of that snapshot — O(1) readers, no
+  log replay;
+- time travel resolves the latest snapshot with ``committed_at <= ts``
+  (Iceberg's nearest-snapshot-≤ semantics) and reads exactly its files;
+- ``expire_snapshots`` / ``remove_orphan_files`` mirror the maintenance
+  procedures (CALL system.expire_snapshots / remove_orphan_files).
+
+Readers hand Spark an explicit file list — partition pruning and column
+pruning work unchanged since files are plain parquet. Concurrency: commits
+are serialized through an atomic manifest rename (last-committer-wins is
+enough for the single-writer test stack; a real deployment would CAS
+through a catalog service, which is configuration — not engine code —
+exactly as in the reference).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime as dt
+import glob
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..errors import EngineError
+
+__all__ = ["SnapshotTable", "Snapshot"]
+
+
+@dataclasses.dataclass(frozen=True)
+class Snapshot:
+    snapshot_id: int
+    committed_at_us: int  # epoch microseconds (µs precision like Iceberg)
+    operation: str  # append | overwrite
+    files: tuple[str, ...]  # relative to table_dir
+    row_count: int
+
+    @property
+    def committed_at(self) -> dt.datetime:
+        return dt.datetime.fromtimestamp(self.committed_at_us / 1e6, dt.timezone.utc)
+
+
+class SnapshotTable:
+    """A snapshot-versioned parquet table rooted at ``table_dir``."""
+
+    def __init__(self, spark: SparkSession, table_dir: str):
+        self.spark = spark
+        self.table_dir = os.path.abspath(table_dir)
+        self.data_dir = os.path.join(self.table_dir, "data")
+        self.metadata_dir = os.path.join(self.table_dir, "metadata")
+
+    # -- manifest I/O ----------------------------------------------------
+    def _manifest_paths(self) -> list[str]:
+        return sorted(
+            glob.glob(os.path.join(self.metadata_dir, "v*.json")),
+            key=lambda p: int(os.path.basename(p)[1:-5]),
+        )
+
+    def snapshots(self) -> list[Snapshot]:
+        out = []
+        for p in self._manifest_paths():
+            with open(p, "r", encoding="utf-8") as fh:
+                m = json.load(fh)
+            out.append(
+                Snapshot(
+                    snapshot_id=m["snapshot_id"],
+                    committed_at_us=m["committed_at_us"],
+                    operation=m["operation"],
+                    files=tuple(m["files"]),
+                    row_count=m["row_count"],
+                )
+            )
+        return out
+
+    def current_snapshot(self) -> Snapshot | None:
+        snaps = self.snapshots()
+        return snaps[-1] if snaps else None
+
+    # -- commits ---------------------------------------------------------
+    def _commit(self, df: DataFrame, operation: str) -> Snapshot:
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.metadata_dir, exist_ok=True)
+        staging = os.path.join(self.table_dir, f"_staging_{uuid.uuid4().hex}")
+        df.write.mode("errorifexists").parquet(staging)
+        commit_uuid = uuid.uuid4().hex[:12]
+        new_files: list[str] = []
+        row_count = 0
+        for fn in sorted(os.listdir(staging)):
+            if fn.endswith(".parquet"):
+                dest = f"data/{commit_uuid}-{len(new_files):05d}.parquet"
+                shutil.move(os.path.join(staging, fn), os.path.join(self.table_dir, dest))
+                new_files.append(dest)
+        shutil.rmtree(staging, ignore_errors=True)
+        # Row count from the files just written (no second job over the input).
+        if new_files:
+            row_count = (
+                self.spark.read.parquet(
+                    *[os.path.join(self.table_dir, f) for f in new_files]
+                ).count()
+            )
+        prev = self.current_snapshot()
+        if operation == "append" and prev is not None:
+            files = list(prev.files) + new_files
+        else:
+            files = new_files
+        snapshot_id = (prev.snapshot_id + 1) if prev else 1
+        now_us = int(dt.datetime.now(dt.timezone.utc).timestamp() * 1e6)
+        if prev is not None and now_us <= prev.committed_at_us:
+            now_us = prev.committed_at_us + 1  # strictly increasing commit times
+        manifest = {
+            "snapshot_id": snapshot_id,
+            "committed_at_us": now_us,
+            "operation": operation,
+            "files": files,
+            "row_count": row_count if operation != "append" or prev is None else prev.row_count + row_count,
+        }
+        tmp = os.path.join(self.metadata_dir, f".v{snapshot_id}.json.tmp")
+        final = os.path.join(self.metadata_dir, f"v{snapshot_id}.json")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, final)  # atomic commit point
+        return self.snapshots()[-1]
+
+    def append(self, df: DataFrame) -> Snapshot:
+        """INSERT INTO-style commit (B17; two INSERT commits are exactly the
+        time-travel test setup, AthenaClientTests.cs:351-365)."""
+        return self._commit(df, "append")
+
+    def overwrite(self, df: DataFrame) -> Snapshot:
+        """INSERT OVERWRITE / CTAS-replace commit."""
+        return self._commit(df, "overwrite")
+
+    # -- reads -----------------------------------------------------------
+    def _read_files(self, files: tuple[str, ...]) -> DataFrame:
+        if not files:
+            raise EngineError(f"table {self.table_dir} has no data in this snapshot")
+        return self.spark.read.parquet(*[os.path.join(self.table_dir, f) for f in files])
+
+    def read(self) -> DataFrame:
+        snap = self.current_snapshot()
+        if snap is None:
+            raise EngineError(f"table {self.table_dir} has no snapshots")
+        return self._read_files(snap.files)
+
+    def read_as_of(self, ts: dt.datetime) -> DataFrame:
+        """``FOR TIMESTAMP AS OF`` (B18): latest snapshot committed ≤ ts
+        (AthenaClientTests.cs:374 — combined with ordinary predicates by
+        just chaining .filter on the returned DataFrame)."""
+        ts_us = int(ts.replace(tzinfo=ts.tzinfo or dt.timezone.utc).timestamp() * 1e6)
+        chosen = None
+        for snap in self.snapshots():
+            if snap.committed_at_us <= ts_us:
+                chosen = snap
+        if chosen is None:
+            raise EngineError(
+                f"no snapshot of {self.table_dir} at or before {ts.isoformat()}"
+            )
+        return self._read_files(chosen.files)
+
+    def read_version(self, snapshot_id: int) -> DataFrame:
+        """``VERSION AS OF`` — read an exact snapshot id."""
+        for snap in self.snapshots():
+            if snap.snapshot_id == snapshot_id:
+                return self._read_files(snap.files)
+        raise EngineError(f"snapshot {snapshot_id} not found in {self.table_dir}")
+
+    # -- maintenance -----------------------------------------------------
+    def expire_snapshots(self, older_than: dt.datetime | None = None, retain_last: int = 1) -> int:
+        """Iceberg ``expire_snapshots`` analog: drop manifests older than
+        ``older_than`` (keeping at least ``retain_last`` newest), then
+        delete data files no surviving snapshot references
+        (TrinoConfigurationProvider.cs:62 min-retention=0s behavior)."""
+        snaps = self.snapshots()
+        if not snaps:
+            return 0
+        cutoff_us = (
+            int(older_than.timestamp() * 1e6)
+            if older_than is not None
+            else snaps[-1].committed_at_us + 1
+        )
+        keep = [s for s in snaps if s.committed_at_us >= cutoff_us]
+        must_keep = snaps[-retain_last:] if retain_last > 0 else []
+        keep_ids = {s.snapshot_id for s in keep} | {s.snapshot_id for s in must_keep}
+        expired = [s for s in snaps if s.snapshot_id not in keep_ids]
+        live_files = set()
+        for s in snaps:
+            if s.snapshot_id in keep_ids:
+                live_files.update(s.files)
+        for s in expired:
+            os.remove(os.path.join(self.metadata_dir, f"v{s.snapshot_id}.json"))
+            for f in s.files:
+                if f not in live_files:
+                    path = os.path.join(self.table_dir, f)
+                    if os.path.exists(path):
+                        os.remove(path)
+                        live_files.discard(f)
+        return len(expired)
+
+    def remove_orphan_files(self) -> int:
+        """Iceberg ``remove_orphan_files`` analog: delete parquet files in
+        data/ referenced by no manifest (failed-write leftovers)."""
+        referenced = set()
+        for s in self.snapshots():
+            referenced.update(s.files)
+        removed = 0
+        if os.path.isdir(self.data_dir):
+            for fn in os.listdir(self.data_dir):
+                rel = f"data/{fn}"
+                if rel not in referenced:
+                    os.remove(os.path.join(self.data_dir, fn))
+                    removed += 1
+        return removed

@@ -1,0 +1,360 @@
+"""Deduplication operators — exact and near-duplicate, 100 TB-ready.
+
+All operators are ``DataFrame -> DataFrame``, partition-parallel, with no
+driver-side materialization. The near-dup pipeline is the standard
+MinHash+LSH construction (Broder 1997; Leskovec-Rajaraman-Ullman ch.3):
+shingle → minhash signature → band → bucket-join → candidate pairs →
+exact-Jaccard verification. Everything except SimHash runs entirely on
+JVM-side built-in functions (array transforms + xxhash64) — no Python in
+the hot path, so whole-stage codegen applies.
+
+Scale notes:
+- Candidate generation is the bucket self-join; its cost is driven by
+  bucket skew, so the band hash includes the band index (buckets never
+  collide across bands) and a ``max_bucket_size`` guard drops degenerate
+  buckets (boilerplate-heavy shingles) the way production dedup does.
+- Exact verification joins shingle arrays back only for candidate pairs —
+  a tiny fraction of n².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "exact_dedup",
+    "fingerprint_dedup",
+    "shingle",
+    "minhash_signature",
+    "lsh_candidate_pairs",
+    "minhash_dedup_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "simhash_dedup_pairs",
+    "embedding_dedup_pairs",
+]
+
+# Mersenne prime for the universal hash family h(x) = (a*x+b) mod p, with
+# deterministic (seeded) multipliers — stable across runs/executors.
+# 2^31-1 keeps (h%p)*a < 2^62: no int64 overflow inside the JVM expression.
+_MERSENNE_P = (1 << 31) - 1
+
+
+def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    # Deterministic LCG over the seed — no RNG state needed on executors.
+    params = []
+    state = seed & 0x7FFFFFFFFFFFFFFF
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) & 0x7FFFFFFFFFFFFFFF
+        a = (state | 1) % _MERSENNE_P
+        state = (state * 6364136223846793005 + 1442695040888963407) & 0x7FFFFFFFFFFFFFFF
+        b = state % _MERSENNE_P
+        params.append((a or 1, b))
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Exact dedup by content hash: keep the lowest id per distinct content.
+
+    Hash-groupBy on md5(content) — one shuffle keyed by digest; the md5 is
+    computed map-side so the shuffle carries 16-byte keys, not documents.
+    Deterministic keeper (min id), unlike ``dropDuplicates`` which keeps an
+    arbitrary row."""
+    digest = F.md5(F.col(content_col).cast("binary")).alias("content_hash")
+    return (
+        df.select(digest, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def fingerprint_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Normalized-fingerprint dedup: lowercase, strip non-alphanumerics,
+    collapse whitespace, then md5 — catches trivially-reformatted copies."""
+    normalized = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col(content_col)), "[^a-z0-9 ]", ""), " +", " "
+    )
+    return (
+        df.select(F.md5(F.trim(normalized).cast("binary")).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+
+def _words(content_col: str) -> Column:
+    return F.filter(F.split(F.lower(F.col(content_col)), " "), lambda w: w != "")
+
+
+def shingle(content_col: str, k: int = 3) -> Column:
+    """Distinct word k-shingles of a text column, as an array<string>.
+
+    Built from split + sequence + transform — all codegen'd; no UDF."""
+    words = _words(content_col)
+    n = F.size(words)
+    return F.when(n < k, F.array(F.concat_ws(" ", words))).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+            )
+        )
+    )
+
+
+def minhash_signature(
+    shingles_col: Column | str, num_hashes: int = 64, seed: int = 42
+) -> Column:
+    """MinHash signature (array<bigint>, length ``num_hashes``) of a shingle
+    array: sig[i] = min over shingles of (a_i * xxhash64(s) + b_i) mod p.
+
+    xxhash64 is Spark's deterministic JVM hash; the (a,b) family is
+    generated driver-side and inlined as literals into the expression tree,
+    so the whole signature is one codegen'd projection."""
+    col = F.col(shingles_col) if isinstance(shingles_col, str) else shingles_col
+    hashes = F.transform(col, lambda s: F.xxhash64(s))
+
+    def perm(a: int, b: int):
+        # closure (not lambda default args — Spark reads lambda arity as the
+        # higher-order-function argument count)
+        return lambda h: ((F.abs(h) % _MERSENNE_P) * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)
+
+    sig = [
+        F.array_min(F.transform(hashes, perm(a, b)))
+        for a, b in _hash_params(num_hashes, seed)
+    ]
+    return F.array(*sig)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    signature_col: str = "minhash_sig",
+    bands: int = 16,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands``, hash each band,
+    self-join on (band, band_hash) → candidate id pairs (a < b).
+
+    The self-join is the scale-critical step: it shuffles (band_hash → ids)
+    and only materializes pairs within buckets. ``max_bucket_size`` drops
+    pathological buckets (skew guard)."""
+    sig = F.col(signature_col)
+    rows_per_band = F.size(sig) / bands
+    banded = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.xxhash64(
+                        F.slice(sig, (bi * rows_per_band + 1).cast("int"), rows_per_band.cast("int")),
+                        bi,
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.band_hash")
+    bucket_sizes = banded.groupBy("band", "band_hash").agg(F.count(F.lit(1)).alias("_bsz"))
+    banded = banded.join(
+        bucket_sizes.filter(F.col("_bsz").between(2, max_bucket_size)),
+        ["band", "band_hash"],
+    )
+    a = banded.select("band", "band_hash", F.col("_id").alias("id_a"))
+    b = banded.select("band", "band_hash", F.col("_id").alias("id_b"))
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: returns verified pairs
+    (id_a, id_b, jaccard) with exact shingle-Jaccard ≥ threshold.
+
+    Verification joins shingle arrays back for candidates only, computing
+    |A∩B| / |A∪B| with array_intersect — exact, so LSH is purely a recall
+    accelerator and the output has no false positives."""
+    with_shingles = df.select(
+        F.col(id_col).alias("_id"), shingle(content_col, k).alias("_shingles")
+    )
+    with_sig = with_shingles.withColumn(
+        "minhash_sig", minhash_signature(F.col("_shingles"), num_hashes, seed)
+    )
+    candidates = lsh_candidate_pairs(with_sig, "_id", "minhash_sig", bands)
+    sh_a = with_shingles.select(
+        F.col("_id").alias("id_a"), F.col("_shingles").alias("_sh_a")
+    )
+    sh_b = with_shingles.select(
+        F.col("_id").alias("id_b"), F.col("_shingles").alias("_sh_b")
+    )
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size(F.array_union("_sh_a", "_sh_b"))
+    return (
+        candidates.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    block_col: Column | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs (within optional blocks).
+
+    O(n²) within a block — the exact baseline used to validate MinHash
+    recall on samples; at scale always pass a blocking column (e.g. lang,
+    length bucket)."""
+    sh = df.select(F.col(id_col).alias("_id"), shingle(content_col, k).alias("_sh"))
+    if block_col is not None:
+        sh = df.select(
+            F.col(id_col).alias("_id"), shingle(content_col, k).alias("_sh"), block_col.alias("_blk")
+        )
+        a = sh.select(F.col("_blk"), F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"))
+        b = sh.select(F.col("_blk"), F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"))
+        joined = a.join(b, "_blk").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"))
+        b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"))
+        joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    jac = F.size(F.array_intersect("_sh_a", "_sh_b")) / F.size(F.array_union("_sh_a", "_sh_b"))
+    return joined.withColumn("jaccard", jac).filter(
+        F.col("jaccard") >= threshold
+    ).select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash (Charikar 2002) per document, computed with built-in
+    array ops: explode tokens → per-bit ±1 votes → sign → bit assembly.
+
+    Pure JVM path: the per-bit vote is 64 conditional sums over the token
+    hash — wide but codegen'd, no Python round trip."""
+    tokens = F.explode(_words(content_col)).alias("_tok")
+    exploded = df.select(F.col(id_col).alias("_id"), tokens).withColumn(
+        "_th", F.xxhash64("_tok")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("_th"), bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_v{bit}")
+        for bit in range(64)
+    ]
+    voted = exploded.groupBy("_id").agg(*votes)
+    sim = None
+    for bit in range(64):
+        contrib = F.when(F.col(f"_v{bit}") > 0, F.lit(1).cast("long") * (1 << bit) if bit < 63 else F.lit(-(1 << 63)).cast("long")).otherwise(0)
+        sim = contrib if sim is None else sim + contrib
+    return voted.select(F.col("_id").alias(id_col), sim.alias("simhash"))
+
+
+def simhash_dedup_pairs(
+    df: DataFrame, content_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Candidate generation by the 4-block trick (Manku et al. 2007): split the
+    64-bit hash into 4 16-bit blocks; any pair within Hamming ≤ 3 shares at
+    least one exact block → equi-join per block, then exact popcount filter."""
+    sh = simhash(df, content_col, id_col).select(
+        F.col(id_col).alias("_id"), F.col("simhash")
+    )
+    blocks = sh.select(
+        "_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("blk_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("_id", "simhash", "b.blk", "b.blk_val")
+    a = blocks.select("blk", "blk_val", F.col("_id").alias("id_a"), F.col("simhash").alias("_h_a"))
+    b = blocks.select("blk", "blk_val", F.col("_id").alias("id_b"), F.col("simhash").alias("_h_b"))
+    hamming = F.bit_count(F.col("_h_a").bitwiseXOR(F.col("_h_b")))
+    return (
+        a.join(b, ["blk", "blk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_dedup_pairs(
+    df: DataFrame,
+    embedding_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine ≥ threshold.
+
+    Random-hyperplane LSH (sign of dot with ``num_planes`` fixed vectors)
+    buckets the vectors; exact cosine is computed only within buckets.
+    High-cosine pairs agree on most hyperplane signs, so recall at 0.95+
+    is near-1 with 8 planes; the bucket join is the only shuffle."""
+    from .similarity import cosine_sim_col, hyperplane_bucket
+
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(embedding_col), lambda x: x.cast("double")).alias("_vec"),
+    )
+    bucketed = v.withColumn("_bucket", hyperplane_bucket(F.col("_vec"), num_planes, seed))
+    a = bucketed.select(F.col("_bucket"), F.col("_id").alias("id_a"), F.col("_vec").alias("_va"))
+    b = bucketed.select(F.col("_bucket"), F.col("_id").alias("id_b"), F.col("_vec").alias("_vb"))
+    cos = cosine_sim_col(F.col("_va"), F.col("_vb"))
+    return (
+        a.join(b, "_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .distinct()
+    )

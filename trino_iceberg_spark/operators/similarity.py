@@ -1,0 +1,208 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per SURVEY.md §2.D:
+- :func:`cosine_topk` — brute-force exact top-k: broadcast the query set,
+  score every (query, candidate) pair with a codegen'd dot product, take
+  top-k per query with a rank-limited window. Exact; cost n_queries × n.
+- :func:`lsh_topk` — the scale path: random-hyperplane buckets shrink the
+  candidate set per query; same exact scoring within buckets
+  (recall < 1, tunable with num_planes/probes).
+- :func:`ivf_topk` — IVF-style: k-means-lite centroids (deterministic
+  seeded sample), route each vector to nearest centroid, search only the
+  query's nprobe nearest cells.
+
+All vector math is ``zip_with`` + ``aggregate`` over double arrays —
+JVM-side, no Python. At 100 TB the embedding table is the big side and is
+never shuffled by these operators: queries broadcast, buckets/cells are
+computed map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+__all__ = [
+    "dot_col",
+    "norm_col",
+    "cosine_sim_col",
+    "hyperplane_bucket",
+    "cosine_topk",
+    "lsh_topk",
+    "ivf_topk",
+]
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    """Dot product of two array<double> columns — zip_with + left-fold sum
+    (sequential fold: deterministic summation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_sim_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _plane_literals(dim: int, num_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (no numpy RNG state on
+    executors — generated driver-side, inlined as literals)."""
+    planes: list[list[float]] = []
+    state = seed & 0x7FFFFFFFFFFFFFFF
+    for _ in range(num_planes):
+        plane = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) & 0x7FFFFFFFFFFFFFFF
+            plane.append(((state >> 16) % 2000001) / 1000000.0 - 1.0)  # [-1, 1]
+        planes.append(plane)
+    return planes
+
+
+def hyperplane_bucket(vec: Column, num_planes: int = 8, seed: int = 42, dim: int = 64) -> Column:
+    """Random-hyperplane LSH bucket id: one bit per plane = sign(v·p)."""
+    planes = _plane_literals(dim, num_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot_col(vec, plane_col) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + bit * (1 << i)
+    return bucket
+
+
+def cosine_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    embedding_col: str,
+    id_col: str,
+    query_id_col: str | None = None,
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact brute-force top-k cosine neighbors for each query vector.
+
+    queries is expected to be small (it is broadcast); candidates can be
+    arbitrarily large — scoring is map-side only, and the per-query top-k
+    window runs after a shuffle on query id (bounded by n_queries·k with
+    WindowGroupLimit pushdown)."""
+    qid = query_id_col or id_col
+    q = queries.select(
+        F.col(qid).alias("query_id"), _as_double(F.col(embedding_col)).alias("_qvec")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(embedding_col)).alias("_cvec")
+    )
+    scored = c.crossJoin(F.broadcast(q)).withColumn(
+        "cosine", cosine_sim_col(F.col("_qvec"), F.col("_cvec"))
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def lsh_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    embedding_col: str,
+    id_col: str,
+    k: int = 10,
+    num_planes: int = 6,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k: hyperplane-bucket both sides, score only bucket
+    collisions. One equi-join shuffle on bucket id instead of a full cross
+    product — the 1000-executor path for large query sets."""
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(embedding_col)).alias("_cvec")
+    ).withColumn("_bucket", hyperplane_bucket(F.col("_cvec"), num_planes, seed))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(embedding_col)).alias("_qvec")
+    ).withColumn("_bucket", hyperplane_bucket(F.col("_qvec"), num_planes, seed))
+    scored = c.join(q, "_bucket").withColumn(
+        "cosine", cosine_sim_col(F.col("_qvec"), F.col("_cvec"))
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivf_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    embedding_col: str,
+    id_col: str,
+    k: int = 10,
+    num_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-flat approximate top-k: partition vectors into Voronoi cells
+    around deterministic sampled centroids; probe the query's ``nprobe``
+    nearest cells.
+
+    Centroids are a seeded deterministic sample (id-hash order) collected
+    once — centroid count is tiny and broadcast; the big table is scored
+    map-side against 16 centroids, then shuffled once on cell id."""
+    cvec = _as_double(F.col(embedding_col))
+    # Deterministic "training": take num_cells vectors by hash order.
+    cents = (
+        candidates.select(F.col(id_col).alias("cid"), cvec.alias("cv"))
+        .orderBy(F.xxhash64(F.col("cid") + seed))
+        .limit(num_cells)
+        .collect()
+    )
+    cent_arrays = [F.array(*[F.lit(float(x)) for x in row["cv"]]) for row in cents]
+
+    def nearest_cells(vec: Column, n: int) -> Column:
+        dists = F.array(
+            *[
+                F.struct(
+                    (-dot_col(vec, ca) / norm_col(ca)).alias("d"), F.lit(i).alias("cell")
+                )
+                for i, ca in enumerate(cent_arrays)
+            ]
+        )
+        return F.slice(F.array_sort(dists), 1, n)
+
+    c = candidates.select(F.col(id_col).alias("neighbor_id"), cvec.alias("_cvec")).withColumn(
+        "_cell", nearest_cells(F.col("_cvec"), 1)[0]["cell"]
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), cvec.alias("_qvec"))
+        .withColumn("_cells", nearest_cells(F.col("_qvec"), nprobe))
+        .select("query_id", "_qvec", F.explode(F.col("_cells")["cell"]).alias("_cell"))
+    )
+    scored = c.join(q, "_cell").withColumn(
+        "cosine", cosine_sim_col(F.col("_qvec"), F.col("_cvec"))
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .distinct()
+    )

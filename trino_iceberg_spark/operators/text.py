@@ -1,0 +1,152 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2.D).
+
+Language ID, quality scoring, token counting, and document fingerprinting —
+all as codegen'd column expressions (no UDFs): at 100 TB these run inside
+the parquet scan stage with zero extra shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "token_count_col",
+    "word_tokens_col",
+    "bpe_ish_token_count_col",
+    "quality_features",
+    "language_id_col",
+    "rolling_fingerprint_col",
+    "text_profile",
+]
+
+# Tiny per-language stopword marker lists for the n-gram/stopword heuristic
+# language ID. Public knowledge (most-frequent function words).
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "se", "del", "las"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "une"],
+    "de": ["der", "die", "und", "das", "von", "den", "im", "ein", "mit", "des"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "他", "这", "不"],
+}
+
+
+def word_tokens_col(text: Column | str) -> Column:
+    """Whitespace tokenization (empty-safe)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, r"\s+"), lambda w: w != "")
+
+
+def token_count_col(text: Column | str) -> Column:
+    return F.size(word_tokens_col(text)).cast("long")
+
+
+def bpe_ish_token_count_col(text: Column | str) -> Column:
+    """BPE-ish token estimate: count word pieces plus punctuation/digit
+    runs — a regex proxy for subword tokenizers (≈ tokens, no vocab).
+
+    regexp splits words into ≤4-char chunks the way byte-pair merges
+    typically bottom out; purely a deterministic column expression."""
+    c = F.col(text) if isinstance(text, str) else text
+    pieces = F.filter(
+        F.split(
+            F.regexp_replace(F.lower(c), r"([^a-z0-9\s])", r" $1 "), r"\s+"
+        ),
+        lambda w: w != "",
+    )
+    # each word contributes ceil(len/4) subword units
+    return F.aggregate(
+        pieces,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("long"),
+    )
+
+
+def quality_features(text: Column | str) -> dict[str, Column]:
+    """Quality-score features: length, token stats, punctuation/upper/digit
+    ratios, stopword ratio (en), mean word length. Combine downstream into
+    a score; returned as named columns for transparency."""
+    c = F.col(text) if isinstance(text, str) else text
+    tokens = word_tokens_col(c)
+    n_chars = F.length(c).cast("long")
+    n_tokens = F.size(tokens).cast("long")
+    n_punct = F.length(F.regexp_replace(c, r"[^.,;:!?'\"()-]", "")).cast("long")
+    n_upper = F.length(F.regexp_replace(c, "[^A-Z]", "")).cast("long")
+    n_digit = F.length(F.regexp_replace(c, "[^0-9]", "")).cast("long")
+    en_stop = F.array(*[F.lit(w) for w in _LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(tokens, lambda t: F.array_contains(en_stop, F.lower(t)))).cast("long")
+    safe_tokens = F.greatest(n_tokens, F.lit(1).cast("long"))
+    safe_chars = F.greatest(n_chars, F.lit(1).cast("long"))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": n_punct / safe_chars,
+        "upper_ratio": n_upper / safe_chars,
+        "digit_ratio": n_digit / safe_chars,
+        "stopword_ratio": n_stop / safe_tokens,
+        "mean_word_len": (n_chars - (n_tokens - 1)) / safe_tokens,
+    }
+
+
+def language_id_col(text: Column | str) -> Column:
+    """Heuristic language ID: count marker-word hits per language, pick the
+    argmax (ties → lexicographically first language code, 'und' when no
+    marker hits). Pure array expressions — codegen'd, no UDF."""
+    c = F.col(text) if isinstance(text, str) else text
+    tokens = F.transform(word_tokens_col(c), lambda t: F.lower(t))
+    def contains_any(marker_arr):
+        return lambda t: F.array_contains(marker_arr, t)
+
+    scores = []
+    for lang, markers in sorted(_LANG_MARKERS.items()):
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        hits = F.size(F.filter(tokens, contains_any(marker_arr)))
+        # zh has no spaces: also substring-count the markers
+        if lang == "zh":
+            sub_hits = sum(
+                (F.length(c) - F.length(F.regexp_replace(c, m, ""))) for m in markers
+            )
+            hits = hits + sub_hits.cast("int")
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_sort(
+        F.array(*scores),
+        lambda l, r: F.when(l["hits"] > r["hits"], -1)
+        .when(l["hits"] < r["hits"], 1)
+        .when(l["lang"] < r["lang"], -1)
+        .when(l["lang"] > r["lang"], 1)
+        .otherwise(0),
+    )[0]
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def rolling_fingerprint_col(text: Column | str, window: int = 8) -> Column:
+    """Winnowing-style document fingerprint: xxhash64 of each ``window``-gram
+    of words, keep the minimum — a compact locality-sensitive id
+    (Schleimer et al., winnowing; single min kept for compactness)."""
+    tokens = word_tokens_col(text)
+    n = F.size(tokens)
+    grams = F.when(n < window, F.array(F.concat_ws(" ", tokens))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - window),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, window)),
+        )
+    )
+    return F.array_min(F.transform(grams, lambda g: F.xxhash64(g)))
+
+
+def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One-pass text profile: tokens, quality features, language guess,
+    fingerprint. All expressions share the single scan projection."""
+    feats = quality_features(text_col)
+    return df.select(
+        F.col(id_col),
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["upper_ratio"].alias("upper_ratio"),
+        feats["digit_ratio"].alias("digit_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["mean_word_len"].alias("mean_word_len"),
+        language_id_col(text_col).alias("lang_guess"),
+        rolling_fingerprint_col(text_col).alias("fingerprint"),
+    )

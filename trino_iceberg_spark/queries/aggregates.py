@@ -1,0 +1,475 @@
+"""Advanced aggregation surface (SURVEY.md §2.C: DISTINCT aggregation,
+HAVING, ROLLUP/CUBE/GROUPING SETS, set operations, CTEs, subqueries,
+pivot-style conditional aggregation, exact variance).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.testdata import load_table
+from .compat import dec, dsum_col, dsum_sql, isum_col, isum_sql
+from .registry import register
+
+
+@register(
+    "a01_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS suppliers,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS parts,
+           COUNT(*) AS line_cnt
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def a01_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) in one aggregate — Catalyst plans an expand
+    + two-phase aggregate; exact, unlike approx_count_distinct (which the
+    engine also exposes for the 100 TB path — see a07)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("suppliers"),
+            F.countDistinct("l_partkey").alias("parts"),
+            F.count(F.lit(1)).alias("line_cnt"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "a02_having",
+    oracle=f"""
+    SELECT o_custkey, COUNT(*) AS order_cnt, {dsum_sql('o_totalprice')} AS spend
+    FROM orders GROUP BY o_custkey
+    HAVING COUNT(*) >= 15
+    ORDER BY o_custkey
+    """,
+)
+def a02_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... HAVING (post-aggregation filter)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("order_cnt"), dsum_col("o_totalprice").alias("spend"))
+        .filter(F.col("order_cnt") >= 15)
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "a03_rollup",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+           {dsum_sql('o_totalprice')} AS revenue
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def a03_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: hierarchical subtotals + grand total."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum_col("o_totalprice").alias("revenue"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first()
+        )
+    )
+
+
+@register(
+    "a04_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def a04_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping combinations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+@register(
+    "a05_grouping_sets",
+    oracle=f"""
+    SELECT n_regionkey, c_mktsegment, COUNT(*) AS cnt
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_regionkey), (c_mktsegment))
+    ORDER BY n_regionkey NULLS FIRST, c_mktsegment NULLS FIRST
+    """,
+)
+def a05_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS over a dim join (SQL API — identical plan to
+    the DataFrame cube/rollup path)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_gs_customer")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("_gs_nation")
+    return spark.sql(
+        """
+        SELECT n_regionkey, c_mktsegment, COUNT(*) AS cnt
+        FROM _gs_customer JOIN _gs_nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_regionkey), (c_mktsegment))
+        ORDER BY n_regionkey NULLS FIRST, c_mktsegment NULLS FIRST
+        """
+    )
+
+
+@register(
+    "a06_pivot_conditional",
+    oracle=f"""
+    SELECT l_returnflag,
+           {isum_sql("CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END")} AS status_o,
+           {isum_sql("CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END")} AS status_f,
+           {dsum_sql("CASE WHEN l_linestatus = 'O' THEN l_extendedprice ELSE 0 END")} AS revenue_o,
+           {dsum_sql("CASE WHEN l_linestatus = 'F' THEN l_extendedprice ELSE 0 END")} AS revenue_f
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def a06_pivot_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot via DataFrame ``.pivot`` with explicit values (no extra pass to
+    discover them — required at scale); oracle is the equivalent
+    conditional aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pivoted = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("rev"),
+        )
+    )
+    return pivoted.select(
+        "l_returnflag",
+        F.coalesce(F.col("O_cnt"), F.lit(0)).cast("long").alias("status_o"),
+        F.coalesce(F.col("F_cnt"), F.lit(0)).cast("long").alias("status_f"),
+        F.coalesce(F.col("O_rev"), F.lit(0.0)).alias("revenue_o"),
+        F.coalesce(F.col("F_rev"), F.lit(0.0)).alias("revenue_f"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "a07_approx_and_exact_stats",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(o_custkey AS BIGINT) * CAST(o_custkey AS BIGINT)) AS BIGINT) AS sum_key_sq
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def a07_approx_and_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct + integer moment sums (the building blocks for exact
+    cross-engine variance — float stddev differs across engines, so variance
+    is derived from exact integer sums instead; see test_operators for the
+    derived check). approx_count_distinct is exposed via operators.sketches."""
+    o = load_table(spark, sf_dir, "orders")
+    key = F.col("o_custkey").cast("long")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("exact_customers"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(key * key).cast("long").alias("sum_key_sq"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "s01_union_all",
+    oracle="""
+    SELECT k, name, src FROM (
+        SELECT c_custkey AS k, c_name AS name, 'customer' AS src FROM customer WHERE c_custkey <= 50
+        UNION ALL
+        SELECT s_suppkey AS k, s_name AS name, 'supplier' AS src FROM supplier WHERE s_suppkey <= 50
+    ) ORDER BY src, k
+    """,
+)
+def s01_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two heterogeneous sources unified to one schema."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 50)
+        .select(F.col("c_custkey").alias("k"), F.col("c_name").alias("name"), F.lit("customer").alias("src"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") <= 50)
+        .select(F.col("s_suppkey").alias("k"), F.col("s_name").alias("name"), F.lit("supplier").alias("src"))
+    )
+    return c.unionAll(s).orderBy("src", "k")
+
+
+@register(
+    "s02_union_distinct",
+    oracle="""
+    SELECT k FROM (
+        SELECT c_nationkey AS k FROM customer
+        UNION
+        SELECT s_nationkey AS k FROM supplier
+    ) ORDER BY k
+    """,
+)
+def s02_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) — dedup across sources."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.union(s).distinct().orderBy("k")
+
+
+@register(
+    "s03_intersect",
+    oracle="""
+    SELECT c_nationkey AS k FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    ORDER BY k
+    """,
+)
+def s03_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (nations having both customers and suppliers)."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.intersect(s).orderBy("k")
+
+
+@register(
+    "s04_except",
+    oracle="""
+    SELECT c_nationkey AS k FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    ORDER BY k
+    """,
+)
+def s04_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (nations with customers but no suppliers). ``subtract`` is
+    set-EXCEPT (distinct); ``exceptAll`` would be bag semantics."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.subtract(s).orderBy("k")
+
+
+@register(
+    "c01_cte",
+    oracle=f"""
+    WITH nation_orders AS (
+        SELECT n.n_name, o.o_totalprice
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT n_name, COUNT(*) AS order_cnt, {dsum_sql('o_totalprice')} AS revenue
+    FROM nation_orders GROUP BY n_name ORDER BY n_name
+    """,
+)
+def c01_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE (WITH) via the SQL API over registered views."""
+    for t in ("orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"_cte_{t}")
+    return spark.sql(
+        f"""
+        WITH nation_orders AS (
+            SELECT n.n_name, o.o_totalprice
+            FROM _cte_orders o
+            JOIN _cte_customer c ON o.o_custkey = c.c_custkey
+            JOIN _cte_nation n ON c.c_nationkey = n.n_nationkey
+        )
+        SELECT n_name, COUNT(*) AS order_cnt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM nation_orders GROUP BY n_name ORDER BY n_name
+        """
+    )
+
+
+@register(
+    "c02_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) * 2
+                          FROM orders)
+    ORDER BY o_orderkey
+    """,
+)
+def c02_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate (orders > 2× average price).
+
+    The decimal AVG is exact, and the comparison threshold is identical in
+    both engines, so the selected set matches exactly."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_sq_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM _sq_orders
+        WHERE o_totalprice > (SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) * 2
+                              FROM _sq_orders)
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@register(
+    "c03_in_subquery",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+    ORDER BY s_suppkey
+    """,
+)
+def c03_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (subquery) — planned as a left-semi join."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("_in_supplier")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("_in_nation")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM _in_supplier
+        WHERE s_nationkey IN (SELECT n_nationkey FROM _in_nation WHERE n_regionkey = 0)
+        ORDER BY s_suppkey
+        """
+    )
+
+
+@register(
+    "f01_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name) AS upper_name,
+           LOWER(p_brand) AS lower_brand,
+           CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+           SUBSTR(p_name, 1, 5) AS name_prefix,
+           REPLACE(p_type, 'PROMO', 'PROMOTIONAL') AS long_type,
+           TRIM('  ' || p_brand || ' ') AS trimmed,
+           CAST(STRPOS(p_name, 'a') AS INTEGER) AS first_a
+    FROM part WHERE p_partkey <= 100 ORDER BY p_partkey
+    """,
+)
+def f01_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string library: upper/lower/length/substr/replace/trim/instr
+    (§2.C — Spark's function library supersets the exercised Trino surface)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 100)
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("upper_name"),
+        F.lower("p_brand").alias("lower_brand"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.replace(F.col("p_type"), F.lit("PROMO"), F.lit("PROMOTIONAL")).alias("long_type"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit(" "))).alias("trimmed"),
+        F.instr(F.col("p_name"), "a").alias("first_a"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "f02_date_functions",
+    oracle="""
+    SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
+           CAST(MONTH(o_orderdate) AS INTEGER) AS order_month,
+           CAST(DAY(o_orderdate) AS INTEGER) AS order_day,
+           CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           o_orderdate + INTERVAL 30 DAY AS due_ts,
+           COUNT(*) AS cnt
+    FROM orders WHERE o_orderkey <= 1000
+    GROUP BY 1, 2, 3, 4, 5 ORDER BY 1, 2, 3
+    """,
+)
+def f02_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time library: year/month/day, date_trunc, interval arithmetic."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    return (
+        o.select(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            F.dayofmonth("o_orderdate").alias("order_day"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_ts"),
+        )
+        .groupBy("order_year", "order_month", "order_day", "month_start", "due_ts")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("order_year", "order_month", "order_day")
+    )
+
+
+@register(
+    "f03_math_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_discount - 0.05) AS abs_disc,
+           CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+           SQRT(l_quantity) AS qty_sqrt,
+           CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
+           CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS disc_sign
+    FROM lineitem WHERE l_orderkey <= 300 ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def f03_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math library: abs/ceil/floor/sqrt/mod/sign. sqrt is IEEE-exact so it
+    cross-checks bit-identically; transcendentals (ln/exp) are deliberately
+    not hash-gated (libm differs across engines)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 300)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_disc"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.signum(F.col("l_discount") - 0.05).cast("double").alias("disc_sign"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "f04_conditional_functions",
+    oracle="""
+    SELECT s_suppkey,
+           GREATEST(s_acctbal, 0.0) AS pos_balance,
+           LEAST(CAST(s_nationkey AS INTEGER), 10) AS capped_nation,
+           CASE WHEN s_acctbal < 0 THEN 'debt'
+                WHEN s_acctbal < 5000 THEN 'low' ELSE 'high' END AS balance_band,
+           IFNULL(NULLIF(s_name, ''), '<unnamed>') AS safe_name
+    FROM supplier ORDER BY s_suppkey
+    """,
+)
+def f04_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional library: greatest/least/multi-branch CASE/ifnull."""
+    s = load_table(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.greatest(F.col("s_acctbal"), F.lit(0.0)).alias("pos_balance"),
+        F.least(F.col("s_nationkey").cast("int"), F.lit(10)).alias("capped_nation"),
+        F.when(F.col("s_acctbal") < 0, "debt")
+        .when(F.col("s_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("balance_band"),
+        F.ifnull(F.nullif(F.col("s_name"), F.lit("")), F.lit("<unnamed>")).alias("safe_name"),
+    ).orderBy("s_suppkey")
+
+
+@register(
+    "f05_hash_functions",
+    oracle="""
+    SELECT doc_id, MD5(text) AS text_md5, CAST(LENGTH(text) AS BIGINT) AS text_len
+    FROM documents WHERE doc_id < 100 ORDER BY doc_id
+    """,
+)
+def f05_hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MD5 content hashing — identical hex digests across engines; the
+    foundation of exact dedup (operators.dedup.exact_dedup)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+        F.length("text").cast("long").alias("text_len"),
+    ).orderBy("doc_id")

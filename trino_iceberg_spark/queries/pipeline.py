@@ -1,0 +1,349 @@
+"""Training-data-pipeline query entries (SURVEY.md §2.D): dedup, similarity
+search, text analysis, multimodal — each wired to the operator library with
+a DuckDB oracle where the semantics are SQL-expressible; the
+LSH/signature-based operators get rows-only entries (driver's weaker check)
+plus their own pytest invariants against exact baselines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import text as TX
+from ..operators.multimodal import attach_media, decode_image_stub, media_stats
+from ..sources.testdata import load_table
+from .registry import register
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dd01_exact_dedup",
+    oracle="""
+    SELECT content_hash, CAST(MIN(doc_id) AS BIGINT) AS doc_id, COUNT(*) AS dup_count
+    FROM (SELECT doc_id, MD5(text) AS content_hash FROM documents)
+    GROUP BY content_hash ORDER BY doc_id
+    """,
+)
+def dd01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash (operators.dedup.exact_dedup)."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(d, "text", "doc_id").orderBy("doc_id")
+
+
+@register(
+    "dd02_fingerprint_dedup",
+    oracle="""
+    SELECT fingerprint, CAST(MIN(doc_id) AS BIGINT) AS doc_id, COUNT(*) AS dup_count
+    FROM (
+        SELECT doc_id,
+               MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
+        FROM documents
+    ) GROUP BY fingerprint ORDER BY doc_id
+    """,
+)
+def dd02_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-fingerprint dedup (operators.dedup.fingerprint_dedup)."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.fingerprint_dedup(d, "text", "doc_id").orderBy("doc_id")
+
+
+@register("dd03_minhash_lsh_pairs")  # rows-only: signature hashing not SQL-expressible
+def dd03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified ≥ 0.35
+    (operators.dedup.minhash_dedup_pairs). Correctness is pinned by
+    tests/test_dedup.py against the exact all-pairs baseline."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        D.minhash_dedup_pairs(d, "text", "doc_id", threshold=0.35)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "dd04_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(
+                   range(len(toks) - 2),
+                   i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+               )) AS shingles
+        FROM (SELECT doc_id, lang,
+                     list_filter(string_split(lower(text), ' '), w -> w <> '') AS toks
+              FROM documents)
+        WHERE len(toks) >= 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.3
+    ORDER BY id_a, id_b
+    """,
+)
+def dd04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs blocked by language
+    (operators.dedup.ngram_jaccard_pairs) — fully SQL-expressible, so this
+    one carries a real oracle for the whole shingle pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        d, "text", "doc_id", k=3, threshold=0.3, block_col=F.col("lang")
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("jaccard").cast("double").alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+@register("dd05_simhash_pairs")  # rows-only: bit-vote hashing not SQL-expressible
+def dd05_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-≤6 near-dup pairs (operators.dedup.simhash_dedup_pairs)."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash_dedup_pairs(d, "text", "doc_id", max_hamming=6).orderBy("id_a", "id_b")
+
+
+@register("dd06_embedding_dedup")  # rows-only: LSH bucketing not SQL-expressible
+def dd06_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs ≥ 0.93 via hyperplane LSH
+    (operators.dedup.embedding_dedup_pairs); recall vs the exact pair set is
+    pinned in tests/test_similarity.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        D.embedding_dedup_pairs(e, "embedding", "vec_id", threshold=0.93, num_planes=6)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ss01_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 50 = 0),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         scored AS (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    list_cosine_similarity(q.v, c.v) AS cosine
+             FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id
+         ),
+         ranked AS (
+             SELECT query_id, neighbor_id,
+                    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+             FROM scored
+         )
+    SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def ss01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-5 cosine neighbors for every 50th vector
+    (operators.similarity.cosine_topk). The hash-gated output is the
+    neighbor ranking (ids), not the float scores — rankings are stable
+    across engines because the double dot products agree to ~1e-15 and
+    random embeddings don't tie at that scale."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    return (
+        S.cosine_topk(e, q, "embedding", "vec_id", k=5)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+@register("ss02_lsh_topk")  # rows-only: approximate by design
+def ss02_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (operators.similarity.lsh_topk);
+    recall vs ss01 is pinned in tests/test_similarity.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    return (
+        S.lsh_topk(e, q, "embedding", "vec_id", k=5, num_planes=4)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+@register("ss03_ivf_topk")  # rows-only: approximate by design
+def ss03_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell approximate top-5 (operators.similarity.ivf_topk)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    return (
+        S.ivf_topk(e, q, "embedding", "vec_id", k=5, num_cells=8, nprobe=3)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tx01_token_counts",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' '),
+                                w -> w <> '')) AS BIGINT) AS n_tokens,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars
+    FROM documents ORDER BY doc_id
+    """,
+)
+def tx01_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting (operators.text.token_count_col)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count_col("text").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "tx02_lang_stats",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS doc_cnt,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang, source ORDER BY lang, source
+    """,
+)
+def tx02_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus language/source statistics."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("doc_cnt"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@register(
+    "tx03_quality_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars,
+           CAST(LENGTH(REGEXP_REPLACE(text, '[^A-Z]', '', 'g')) AS BIGINT) AS n_upper,
+           CAST(LENGTH(REGEXP_REPLACE(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+           CAST(len(list_filter(string_split(lower(text), ' '),
+                w -> list_contains(['the','and','of','to','a','in','is','that','it','for'], w)))
+                AS BIGINT) AS n_stopwords
+    FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+)
+def tx03_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring raw features (integer counts — the ratio combination
+    is a trivial projection; integers hash-compare exactly)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tokens = F.filter(F.split(F.lower(F.col("text")), " "), lambda w: w != "")
+    stop = F.array(*[F.lit(w) for w in TX._LANG_MARKERS["en"]])
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.length(F.regexp_replace("text", "[^A-Z]", "")).cast("long").alias("n_upper"),
+        F.length(F.regexp_replace("text", "[^0-9]", "")).cast("long").alias("n_digit"),
+        F.size(F.filter(tokens, lambda t: F.array_contains(stop, t))).cast("long").alias("n_stopwords"),
+    ).orderBy("doc_id")
+
+
+@register("tx04_language_id")  # rows-only: marker-argmax heuristic, not worth SQL-porting
+def tx04_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID vs the labeled lang column
+    (operators.text.language_id_col); accuracy pinned in tests/test_text.py."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", "lang", TX.language_id_col("text").alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("lang", "lang_guess")
+    )
+
+
+@register("tx05_fingerprints")  # rows-only: xxhash64 not in DuckDB
+def tx05_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints (operators.text.rolling_fingerprint_col)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", TX.rolling_fingerprint_col("text").alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+@register(
+    "tx06_bpe_token_estimate",
+    oracle="""
+    SELECT doc_id,
+           CAST(list_sum(list_transform(
+               list_filter(string_split(regexp_replace(lower(text), '([^a-z0-9\\s])', ' \\1 ', 'g'), ' '),
+                           w -> w <> ''),
+               w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_tokens
+    FROM documents WHERE doc_id < 100 ORDER BY doc_id
+    """,
+)
+def tx06_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword token estimate (operators.text.bpe_ish_token_count_col)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id", TX.bpe_ish_token_count_col("text").alias("bpe_tokens")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm01_media_metadata",
+    oracle="""
+    SELECT 'image' AS media_type, COUNT(*) AS cnt,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_bytes
+    FROM documents
+    """,
+)
+def mm01_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata aggregation: documents' text bytes stand in as
+    binary payloads (UTF-8 encode — ASCII corpus, so byte length = char
+    length in the oracle); payloads never reach the aggregate (column
+    pruning drops them)."""
+    d = load_table(spark, sf_dir, "documents")
+    media = attach_media(
+        d.withColumn("payload", F.encode(F.col("text"), "UTF-8")), "payload"
+    )
+    return media_stats(media).select("media_type", "cnt", "total_bytes")
+
+
+@register("mm02_decode_pipeline")  # rows-only: stubbed decode, Spark plumbing real
+def mm02_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode→feature pipeline over binary payloads
+    (operators.multimodal.decode_image_stub — deterministic fake decode;
+    the Arrow batch shape is the real contract)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    media = attach_media(
+        d.withColumn("payload", F.encode(F.col("text"), "UTF-8")), "payload"
+    ).select("doc_id", "media")
+    decoded = decode_image_stub(media, out_w=4, out_h=4)
+    return decoded.select(
+        "doc_id",
+        F.size("pixels").alias("n_pixels"),
+        F.aggregate(F.col("pixels"), F.lit(0).cast("long"), lambda a, x: a + x).alias("pixel_sum"),
+    ).orderBy("doc_id")

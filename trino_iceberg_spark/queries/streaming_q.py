@@ -1,0 +1,89 @@
+"""Structured Streaming query entry — windowed event aggregation with a
+watermark, driven to completion on the batch testdata (memory sink +
+processAllAvailable), oracle-checked against the equivalent batch SQL.
+
+The streaming pipeline is the real one (readStream → withWatermark →
+window → writeStream); feeding it a finite parquet directory makes it
+deterministic: after processAllAvailable + stop, the memory table holds the
+complete windowed aggregate (append mode emits all windows once the stream
+drains; the watermark only governs state eviction here — no late data in a
+replayed file source).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.testdata import load_table
+from .registry import register
+
+
+@register(
+    "st01_windowed_stream",
+    oracle="""
+    SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def st01_windowed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling-window counts per event_type via readStream over the
+    events parquet (10-minute watermark), complete-mode memory sink.
+
+    window(ts, '1 hour').start == date_trunc('hour', ts), so the batch SQL
+    oracle checks the streaming result exactly."""
+    # File-stream sources need a directory; stage the single events file
+    # into one (symlink — no data copy).
+    stage_dir = os.path.join(tempfile.gettempdir(), "tis_st01_events")
+    os.makedirs(stage_dir, exist_ok=True)
+    link = os.path.join(stage_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    elif os.path.realpath(link) != os.path.realpath(os.path.join(sf_dir, "events.parquet")):
+        os.remove(link)
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage_dir)
+    )
+    # same ns→µs conversion as sources.testdata.load_table
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+    )
+    qname = f"st01_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return (
+        spark.table(qname)
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "cnt",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )

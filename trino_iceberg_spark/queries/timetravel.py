@@ -1,0 +1,71 @@
+"""Time-travel query entry (B18) — deterministic, oracle-checked.
+
+Builds a snapshot table under /tmp from the orders table with two commits
+(commit 1: even orderkeys; commit 2: the rest), then reads FOR TIMESTAMP AS
+OF an instant between the commits. The oracle is the predicate that defines
+commit 1 — so the whole snapshot/manifest/as-of machinery is hash-gated,
+exactly the reference's test structure (AthenaClientTests.cs:347-391) made
+reproducible.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog.snapshots import SnapshotTable
+from ..sources.testdata import load_table
+from .registry import register
+
+
+@register(
+    "tt01_timestamp_as_of",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderkey % 2 = 0 AND o_custkey <= 500
+    ORDER BY o_orderkey
+    """,
+)
+def tt01_timestamp_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two INSERT commits; TIMESTAMP AS OF between them sees only commit 1,
+    combined with an ordinary predicate (o_custkey filter) — B18."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    tdir = os.path.join(tempfile.gettempdir(), "tis_tt01_table")
+    shutil.rmtree(tdir, ignore_errors=True)
+    table = SnapshotTable(spark, tdir)
+    table.append(o.filter(F.col("o_orderkey") % 2 == 0))
+    between = dt.datetime.now(dt.timezone.utc)
+    table.append(o.filter(F.col("o_orderkey") % 2 == 1))
+    return (
+        table.read_as_of(between)
+        .filter(F.col("o_custkey") <= 500)
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "tt02_version_as_of",
+    oracle="""
+    SELECT COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_orderkey % 2 = 0
+    """,
+)
+def tt02_version_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERSION AS OF: read snapshot 1 by id after a later overwrite commit —
+    proves overwrite isolation (snapshot 2 replaces the file set; snapshot 1
+    still reads its own files)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    tdir = os.path.join(tempfile.gettempdir(), "tis_tt02_table")
+    shutil.rmtree(tdir, ignore_errors=True)
+    table = SnapshotTable(spark, tdir)
+    table.append(o.filter(F.col("o_orderkey") % 2 == 0))
+    table.overwrite(o.filter(F.col("o_orderkey") % 5 == 0))
+    v1 = table.read_version(1)
+    return v1.agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("o_orderkey").cast("long").alias("key_sum")
+    )

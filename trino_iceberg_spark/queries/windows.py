@@ -1,0 +1,203 @@
+"""Window-function queries (SURVEY.md §2.C — window surface).
+
+Windows shuffle once on the partition key; all functions over the same
+(partitionBy, orderBy) share a single sort — each query keeps one window
+spec so the plan has exactly one Window exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.testdata import load_table
+from .compat import dec, dsum_sql
+from .registry import register
+
+
+@register(
+    "w01_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        FROM orders
+    ) WHERE rn <= 3 AND o_custkey <= 200
+    ORDER BY o_custkey, rn
+    """,
+)
+def w01_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via ROW_NUMBER — the canonical pattern (pyspark guide).
+    Catalyst inserts a WindowGroupLimit (rank-limit pushdown) so each
+    partition keeps only K rows before the final filter."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= 3) & (F.col("o_custkey") <= 200))
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@register(
+    "w02_rank_dense",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice,
+           CAST(RANK() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS INTEGER) AS size_rank,
+           CAST(DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS INTEGER) AS size_dense_rank
+    FROM part WHERE p_partkey <= 300
+    ORDER BY p_brand, size_rank, p_partkey
+    """,
+)
+def w02_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK / DENSE_RANK with ties (p_size repeats within a brand)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 300)
+    w = W.partitionBy("p_brand").orderBy(F.col("p_size").desc())
+    return (
+        p.select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.rank().over(w).alias("size_rank"),
+            F.dense_rank().over(w).alias("size_dense_rank"),
+        )
+        .orderBy("p_brand", "size_rank", "p_partkey")
+    )
+
+
+@register(
+    "w03_lag_lead",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS BIGINT) AS us_since_prev,
+           LEAD(event_type) OVER w AS next_type
+    FROM events WHERE user_id <= 50
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
+    """,
+)
+def w03_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG/LEAD across event streams: inter-event gap + next event type.
+    Gaps computed in exact integer microseconds (unix_micros/epoch_us) —
+    float seconds would truncate differently across engines."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 50)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev_us = F.unix_micros(F.lag("ts").over(w))
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            (us - prev_us).alias("us_since_prev"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "w04_running_sum",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+    FROM orders WHERE o_custkey <= 100
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def w04_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total (cumulative frame). Decimal-exact so the running values
+    hash-match the oracle at every row, not just the end."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "w05_ntile_percent",
+    oracle="""
+    SELECT c_custkey,
+           CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS balance_quartile,
+           CAST(PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey) AS DOUBLE) AS balance_pct_rank
+    FROM customer WHERE c_custkey <= 400
+    ORDER BY c_custkey
+    """,
+)
+def w05_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE + PERCENT_RANK (global window — acceptable only on pre-filtered
+    slices; unbounded global sorts are an anti-pattern at 100 TB, which is
+    why the filter precedes the window)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 400)
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select(
+            "c_custkey",
+            F.ntile(4).over(w).alias("balance_quartile"),
+            F.percent_rank().over(w).alias("balance_pct_rank"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "w06_sessionize",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new_session
+        FROM events
+    ), sessions AS (
+        SELECT user_id, event_id, ts,
+               CAST(SUM(is_new_session) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        FROM gaps
+    )
+    SELECT user_id, session_seq, COUNT(*) AS events_in_session,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sessions WHERE user_id <= 100
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """,
+)
+def w06_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min-gap sessions via lag + cumulative sum — the
+    batch analog of streaming session windows (guide 'Common OLAP patterns').
+    One shuffle on user_id; both windows share it."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev_us = F.unix_micros(F.lag("ts").over(w))
+    gap_flag = F.when(prev_us.isNull() | ((us - prev_us) > 1800000000), 1).otherwise(0)
+    cum = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        e.withColumn("is_new_session", gap_flag)
+        .withColumn("session_seq", F.sum("is_new_session").over(cum).cast("long"))
+        .filter(F.col("user_id") <= 100)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("events_in_session"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_seq")
+    )

@@ -64,6 +64,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # Iceberg-style behavior on plain Spark: case-insensitive resolution like Trino.
         .config("spark.sql.caseSensitive", "false")
+        # Parquet TIMESTAMP(NANOS) (events.ts) is unreadable natively; read
+        # as long and convert in the loader (sources/testdata.py).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     if warehouse_dir:
         builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)

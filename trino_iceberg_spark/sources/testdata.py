@@ -33,7 +33,19 @@ def default_sf_dir() -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong=true it
+        # arrives as bigint nanos — floor-divide to µs (DuckDB's TIMESTAMP_NS
+        # → TIMESTAMP conversion floors identically).
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            # integer DIV, not double division — ns values exceed double's
+            # 53-bit mantissa and would round up at the µs boundary.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
