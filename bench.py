@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing is end-to-end per query (plan + execute + materialize via noop
+write — no driver-side row transfer skewing results). One tiny warmup query
+spins up the JVM/codegen before measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from trino_iceberg_spark.queries.registry import QUERIES, load_all  # noqa: E402
+from trino_iceberg_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headliners: the scan-heavy TPC-H shapes + one of each operator family.
+BENCH_QUERIES = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q18_large_orders",
+    "b09_groupby_agg_sort",
+    "a01_count_distinct",
+    "w01_topk_per_group",
+    "w06_sessionize",
+    "j01_inner_join",
+    "dd01_exact_dedup",
+    "dd03_minhash_lsh_pairs",
+    "ss01_cosine_topk",
+    "tx01_token_counts",
+]
+
+
+def main() -> None:
+    load_all()
+    spark = get_spark(app_name="bench")
+    try:
+        sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+        # warmup: session + codegen paths
+        spark.range(1000).selectExpr("sum(id)").collect()
+
+        timings: dict[str, float] = {}
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            df = QUERIES[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        total = round(sum(timings.values()), 3)
+        print(
+            json.dumps(
+                {
+                    "metric": f"headline_queries_total_sec@sf{sf}",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                }
+            )
+        )
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

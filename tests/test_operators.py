@@ -1,0 +1,278 @@
+"""Operator-library tests: dedup, similarity, text, temporal joins,
+multimodal plumbing — invariants that the DuckDB oracle can't express
+(recall vs exact baselines, approximation quality, stub contracts)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from trino_iceberg_spark.operators import dedup as D
+from trino_iceberg_spark.operators import similarity as S
+from trino_iceberg_spark.operators import text as TX
+from trino_iceberg_spark.operators.joins import asof_join, range_join
+from trino_iceberg_spark.operators.multimodal import (
+    DecodeUnavailable,
+    attach_media,
+    decode_image_stub,
+    extract_features_stub,
+    sample_frames_stub,
+)
+from trino_iceberg_spark.sources.testdata import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --- dedup ----------------------------------------------------------------
+
+
+def test_exact_dedup_finds_planted_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "unique text"), (4, "hello world")],
+        "id long, text string",
+    )
+    out = {r["id"]: r["dup_count"] for r in D.exact_dedup(df, "text", "id").collect()}
+    assert out == {1: 3, 3: 1}  # min-id keeper, correct multiplicity
+
+
+def test_fingerprint_dedup_catches_reformatting(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "hello   world"), (3, "HELLO WORLD."), (4, "different")],
+        "id long, text string",
+    )
+    out = {r["id"]: r["dup_count"] for r in D.fingerprint_dedup(df, "text", "id").collect()}
+    assert out == {1: 3, 4: 1}
+
+
+def test_minhash_recall_against_exact_jaccard(spark, docs):
+    """LSH candidates must recover the overwhelming majority of true
+    high-Jaccard pairs (16 bands × 4 rows ⇒ ~99% recall at J≥0.5)."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.5).collect()
+    }
+    assert lsh <= exact or not exact  # verification step ⇒ no false positives
+    if exact:
+        assert len(lsh & exact) / len(exact) >= 0.9
+
+
+def test_minhash_pairs_are_verified_no_false_positives(spark, docs):
+    pairs = D.minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.35).collect()
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.35).collect()
+    }
+    for r in pairs:
+        assert (r["id_a"], r["id_b"]) in exact
+        assert abs(r["jaccard"] - exact[(r["id_a"], r["id_b"])]) < 1e-9
+
+
+def test_simhash_near_identical_docs_collide(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    df = spark.createDataFrame(
+        [(1, base), (2, base + "extra token"), (3, "совершенно другой текст " * 20)],
+        "id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in D.simhash_dedup_pairs(df, "text", "id", max_hamming=8).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_embedding_dedup_recall(spark, embeddings):
+    """Hyperplane-bucketed pairs vs exact all-pairs at cosine ≥ 0.9."""
+    v = embeddings.select(
+        F.col("vec_id"), F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", S.cosine_sim_col(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= 0.9)
+        .collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in D.embedding_dedup_pairs(
+            embeddings, "embedding", "vec_id", threshold=0.9, num_planes=4
+        ).collect()
+    }
+    assert approx <= exact or not exact
+    if len(exact) >= 5:
+        assert len(approx & exact) / len(exact) >= 0.5  # 4 planes, no multiprobe
+
+
+# --- similarity -----------------------------------------------------------
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, embeddings):
+    q = embeddings.filter(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk(embeddings, q, "embedding", "vec_id", k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.lsh_topk(embeddings, q, "embedding", "vec_id", k=5, num_planes=2).collect()
+    }
+    # random near-orthogonal embeddings are LSH's worst case: collision
+    # prob per true neighbor ≈ (1-θ/π)^planes ≈ 0.4 at cos≈0.4 with 2 planes
+    assert len(approx & exact) / len(exact) >= 0.2
+
+
+def test_ivf_topk_returns_k_per_query(spark, embeddings):
+    q = embeddings.filter(F.col("vec_id") % 100 == 0)
+    out = S.ivf_topk(embeddings, q, "embedding", "vec_id", k=5, num_cells=8, nprobe=4)
+    counts = {r["query_id"]: r["n"] for r in out.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
+    assert all(n == 5 for n in counts.values())
+    assert len(counts) == q.count()
+
+
+def test_cosine_topk_self_rank1_when_included(spark, embeddings):
+    q = embeddings.filter(F.col("vec_id") == 100)
+    out = S.cosine_topk(embeddings, q, "embedding", "vec_id", k=1, exclude_self=False).collect()
+    assert out[0]["neighbor_id"] == 100 and abs(out[0]["cosine"] - 1.0) < 1e-9
+
+
+# --- text -----------------------------------------------------------------
+
+
+def test_language_id_on_marker_sentences(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog went to the park for a walk in the sun"),
+            (2, "el perro y el gato de la casa en los árboles del parque"),
+            (3, "le chien et le chat dans les arbres du jardin de la maison"),
+            (4, "der Hund und die Katze von den Bäumen im Garten des Hauses"),
+            (5, "我的猫是在他的家里和我的狗不在这这"),
+            (6, "zzz qqq xxx www"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r["lang"] for r in df.select("id", TX.language_id_col("text").alias("lang")).collect()}
+    assert out == {1: "en", 2: "es", 3: "fr", 4: "de", 5: "zh", 6: "und"}
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "  a  b   c "), (2, ""), (3, "single")], "id long, text string")
+    out = {r["id"]: r["n"] for r in df.select("id", TX.token_count_col("text").alias("n")).collect()}
+    assert out == {1: 3, 2: 0, 3: 1}
+
+
+def test_quality_features_ranges(spark, docs):
+    feats = TX.quality_features("text")
+    row = docs.select(*[v.alias(k) for k, v in feats.items()]).agg(
+        F.min("punct_ratio").alias("min_p"),
+        F.max("punct_ratio").alias("max_p"),
+        F.min("stopword_ratio").alias("min_s"),
+        F.max("stopword_ratio").alias("max_s"),
+    ).collect()[0]
+    assert 0 <= row["min_p"] <= row["max_p"] <= 1
+    assert 0 <= row["min_s"] <= row["max_s"] <= 1
+
+
+def test_fingerprint_stability(spark, docs):
+    fp1 = docs.select("doc_id", TX.rolling_fingerprint_col("text").alias("fp")).collect()
+    fp2 = docs.select("doc_id", TX.rolling_fingerprint_col("text").alias("fp")).collect()
+    assert sorted(map(tuple, fp1)) == sorted(map(tuple, fp2))
+
+
+# --- temporal joins -------------------------------------------------------
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_backward_and_forward(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:05"), "L1"), (1, _ts("2024-01-01T10:00:20"), "L2"),
+         (2, _ts("2024-01-01T09:00:00"), "L3")],
+        "k long, t timestamp, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), "R1"), (1, _ts("2024-01-01T10:00:10"), "R2"),
+         (2, _ts("2024-01-01T09:30:00"), "R3")],
+        "k long, t timestamp, rv string",
+    )
+    back = asof_join(left, right, on="k", left_time="t", right_time="t")
+    got = {(r["lv"]): r["rv"] for r in back.collect()}
+    assert got == {"L1": "R1", "L2": "R2", "L3": None}
+    fwd = asof_join(left, right, on="k", left_time="t", right_time="t", direction="forward")
+    got_f = {(r["lv"]): r["rv"] for r in fwd.collect()}
+    assert got_f == {"L1": "R2", "L2": None, "L3": "R3"}
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame([(1, _ts("2024-01-01T10:00:20"), "L")], "k long, t timestamp, lv string")
+    right = spark.createDataFrame([(1, _ts("2024-01-01T10:00:00"), "R")], "k long, t timestamp, rv string")
+    within = asof_join(left, right, on="k", left_time="t", right_time="t", tolerance_us=30_000_000)
+    outside = asof_join(left, right, on="k", left_time="t", right_time="t", tolerance_us=10_000_000)
+    assert within.collect()[0]["rv"] == "R"
+    assert outside.collect()[0]["rv"] is None
+
+
+def test_range_join_matches_naive_theta(spark):
+    points = spark.range(0, 500).select((F.col("id") * 7 % 311).alias("p"), F.col("id"))
+    ranges = spark.range(0, 40).select(
+        (F.col("id") * 11 % 200).alias("lo"),
+        (F.col("id") * 11 % 200 + 25).alias("hi"),
+        F.col("id").alias("rid"),
+    )
+    fast = range_join(points, ranges, "p", "lo", "hi", bucket_width=16).select("id", "rid")
+    naive = points.crossJoin(ranges).filter(
+        (F.col("p") >= F.col("lo")) & (F.col("p") < F.col("hi"))
+    ).select("id", "rid")
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, naive.collect()))
+
+
+# --- multimodal -----------------------------------------------------------
+
+
+def test_media_attach_and_decode_stub(spark):
+    df = spark.createDataFrame([(1, b"\x01\x02\x03\x04"), (2, b"")], "id long, payload binary")
+    media = attach_media(df, "payload").select("id", "media")
+    rows = {r["id"]: r["media"] for r in media.collect()}
+    assert rows[1]["meta"]["n_bytes"] == 4 and rows[2]["meta"]["n_bytes"] == 0
+    decoded = decode_image_stub(media, out_w=2, out_h=2).collect()
+    by_id = {r["id"]: r["pixels"] for r in decoded}
+    assert by_id[1] == [1, 2, 3, 4] and len(by_id[2]) == 4
+
+
+def test_decode_unavailable_raised_without_fake(spark):
+    df = spark.createDataFrame([(1, b"abc")], "id long, payload binary")
+    media = attach_media(df, "payload").select("id", "media")
+    with pytest.raises(Exception) as exc_info:
+        decode_image_stub(media, fake=False).collect()
+    assert "DecodeUnavailable" in str(exc_info.value) or "decode" in str(exc_info.value)
+
+
+def test_feature_extraction_stub_dims(spark):
+    df = spark.createDataFrame([(1, b"hello"), (2, b"world!")], "id long, payload binary")
+    media = attach_media(df, "payload").select("id", "media")
+    feats = extract_features_stub(media, dim=8).collect()
+    assert all(len(r["features"]) == 8 for r in feats)
+
+
+def test_frame_sampling_grid(spark):
+    df = spark.createDataFrame([(1, b"0123456789abcdef" * 4)], "id long, payload binary")
+    media = attach_media(df, "payload").select("id", "media")
+    frames = sample_frames_stub(media, every_ms=100_000).collect()
+    dur = frames[0]["media"]["meta"]["duration_ms"]
+    assert len(frames) == dur // 100_000 + 1

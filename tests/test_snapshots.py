@@ -1,0 +1,87 @@
+"""Snapshot-table (iceberg-lite) lifecycle tests — the reference's Iceberg
+time-travel contract (AthenaClientTests.cs:347-391) plus maintenance ops."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from trino_iceberg_spark.catalog.snapshots import SnapshotTable
+from trino_iceberg_spark.errors import EngineError
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return SnapshotTable(spark, str(tmp_path / "events_tt"))
+
+
+def _events(spark, ids, etype):
+    return spark.createDataFrame(
+        [(i, etype, dt.datetime(2024, 1, 1, 10, 0, i)) for i in ids],
+        "event_id long, event_type string, event_time timestamp",
+    )
+
+
+def test_two_commit_time_travel(spark, table):
+    """The reference's time-travel golden: snapshot 1 = events 1-2,
+    snapshot 2 = events 3-4; AS OF between commits sees only 1-2 and
+    composes with ordinary predicates."""
+    s1 = table.append(_events(spark, [1, 2], "login"))
+    between = dt.datetime.now(dt.timezone.utc)
+    table.append(_events(spark, [3, 4], "purchase"))
+
+    current = {r["event_id"] for r in table.read().collect()}
+    assert current == {1, 2, 3, 4}
+    asof = table.read_as_of(between)
+    assert {r["event_id"] for r in asof.collect()} == {1, 2}
+    filtered = asof.filter(F.col("event_time") < dt.datetime(2024, 1, 1, 10, 0, 2))
+    assert [r["event_id"] for r in filtered.collect()] == [1]
+    assert s1.snapshot_id == 1 and s1.row_count == 2
+
+
+def test_as_of_before_first_commit_raises(spark, table):
+    table.append(_events(spark, [1], "x"))
+    with pytest.raises(EngineError):
+        table.read_as_of(dt.datetime(2000, 1, 1, tzinfo=dt.timezone.utc))
+
+
+def test_overwrite_isolation(spark, table):
+    table.append(_events(spark, [1, 2, 3], "a"))
+    table.overwrite(_events(spark, [9], "b"))
+    assert {r["event_id"] for r in table.read().collect()} == {9}
+    assert {r["event_id"] for r in table.read_version(1).collect()} == {1, 2, 3}
+
+
+def test_expire_snapshots_drops_history_keeps_current(spark, table):
+    table.append(_events(spark, [1], "a"))
+    table.append(_events(spark, [2], "a"))
+    table.overwrite(_events(spark, [3], "b"))
+    expired = table.expire_snapshots()
+    assert expired == 2
+    assert {r["event_id"] for r in table.read().collect()} == {3}
+    with pytest.raises(EngineError):
+        table.read_version(1)
+    # files of expired snapshots gone, current files intact
+    live = set(table.current_snapshot().files)
+    on_disk = {f"data/{f}" for f in os.listdir(table.data_dir)}
+    assert on_disk == live
+
+
+def test_remove_orphan_files(spark, table):
+    table.append(_events(spark, [1], "a"))
+    orphan = os.path.join(table.data_dir, "deadbeef-99999.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"not a real parquet")
+    assert table.remove_orphan_files() == 1
+    assert not os.path.exists(orphan)
+    assert table.read().count() == 1
+
+
+def test_append_row_counts_accumulate(spark, table):
+    table.append(_events(spark, [1, 2], "a"))
+    s2 = table.append(_events(spark, [3], "a"))
+    assert s2.row_count == 3
+    assert table.read().count() == 3

@@ -54,17 +54,14 @@ def _as_double(col: Column) -> Column:
 
 
 def _plane_literals(dim: int, num_planes: int, seed: int) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes (no numpy RNG state on
-    executors — generated driver-side, inlined as literals)."""
-    planes: list[list[float]] = []
-    state = seed & 0x7FFFFFFFFFFFFFFF
-    for _ in range(num_planes):
-        plane = []
-        for _ in range(dim):
-            state = (state * 6364136223846793005 + 1442695040888963407) & 0x7FFFFFFFFFFFFFFF
-            plane.append(((state >> 16) % 2000001) / 1000000.0 - 1.0)  # [-1, 1]
-        planes.append(plane)
-    return planes
+    """Deterministic Gaussian hyperplanes — generated driver-side with a
+    seeded numpy generator and inlined as literals (no RNG state reaches
+    executors). Gaussian components make the planes uniformly distributed
+    on the sphere, the correct construction for angular LSH."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num_planes, dim)).tolist()
 
 
 def hyperplane_bucket(vec: Column, num_planes: int = 8, seed: int = 42, dim: int = 64) -> Column:
