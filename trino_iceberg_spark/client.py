@@ -101,6 +101,21 @@ class AthenaSparkClient:
         for stmt in statements:
             self.execute(stmt)
 
+    def ctas(
+        self, table: str, sql: str, *params: Any, location: str | None = None
+    ) -> int:
+        """B16 CTAS with optional explicit location; returns the row count
+        (the reference reads it from the CTAS result, AthenaClient.cs:152-160;
+        here an Observation on the write job supplies it — single pass)."""
+        df = self.sql_df(sql, *params)
+        obs = Observation("ctas_rowcount")
+        observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
+        if location:
+            observed.write.mode("errorifexists").option("path", location).saveAsTable(table)
+        else:
+            observed.write.mode("errorifexists").saveAsTable(table)
+        return int(obs.get["n"])
+
     # -- UNLOAD ----------------------------------------------------------
     def unload(
         self,

@@ -1,0 +1,104 @@
+"""Structured Streaming event analytics.
+
+The engine's streaming surface (guide: readStream → watermark → window →
+writeStream): tumbling/sliding/session windows over an event stream, plus
+an exactly-once-style foreachBatch sink into a snapshot table. All
+builders return running StreamingQuery handles or DataFrames ready to
+start; tests drive them to completion with the finite parquet source.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog.snapshots import SnapshotTable
+
+__all__ = [
+    "stream_events",
+    "tumbling_counts",
+    "sliding_counts",
+    "session_windows",
+    "stream_into_snapshot_table",
+]
+
+
+def stream_events(
+    spark: SparkSession, path: str, schema, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source event stream with the engine's ns→µs timestamp fix."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(path)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return stream
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Tumbling-window counts/sums per event_type. The watermark bounds
+    state: late rows beyond it are dropped and their windows finalized —
+    required for unbounded streams (state would otherwise grow forever)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sliding (hopping) windows — each event lands in window/slide panes."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Native session windows (gap-based) per user — the streaming
+    counterpart of the batch w06_sessionize query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("events_in_session"))
+    )
+
+
+def stream_into_snapshot_table(
+    agg: DataFrame,
+    table: SnapshotTable,
+    query_name: str,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+):
+    """foreachBatch sink: each micro-batch commits atomically into a
+    snapshot table (complete-mode replace per batch). The batch id +
+    manifest commit give the effectively-once behavior a real deployment
+    gets from Iceberg's transactional writes."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = transform(batch_df) if transform else batch_df
+        table.overwrite(out)
+
+    return (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .queryName(query_name)
+        .start()
+    )
