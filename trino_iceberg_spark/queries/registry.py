@@ -48,6 +48,7 @@ def load_all() -> None:
     from . import windows  # noqa: F401
     from . import aggregates  # noqa: F401
     from . import tpch  # noqa: F401
+    from . import tpch2  # noqa: F401
     from . import pipeline  # noqa: F401
     from . import timetravel  # noqa: F401
     from . import streaming_q  # noqa: F401
