@@ -29,6 +29,8 @@ BENCH_QUERIES = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
+    "tpch_q13_customer_distribution",
     "tpch_q18_large_orders",
     "b09_groupby_agg_sort",
     "a01_count_distinct",

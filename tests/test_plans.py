@@ -75,3 +75,37 @@ def test_q6_no_shuffle(spark, sf_dir):
 def test_semi_join_planned(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "j04_semi_join")
     assert "LeftSemi" in plan
+
+
+def test_q7_no_sort_merge_join(spark, sf_dir):
+    """Snowflake joins must resolve to broadcast/hash strategies at this
+    SF; a SortMergeJoin here would mean a dim lost its broadcast hint."""
+    plan = plan_of(spark, sf_dir, "tpch_q7_volume_shipping")
+    assert node_count(plan, "SortMergeJoin") == 0
+    assert node_count(plan, "BroadcastHashJoin") >= 3
+
+
+def test_q8_eight_table_join_broadcasts(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q8_market_share")
+    assert node_count(plan, "BroadcastHashJoin") >= 5
+    assert node_count(plan, "CartesianProduct") == 0
+
+
+def test_q13_left_join_preserved(spark, sf_dir):
+    """The priority filter must ride the join condition (LeftOuter), not a
+    post-join WHERE — a WHERE would silently turn the join inner."""
+    plan = plan_of(spark, sf_dir, "tpch_q13_customer_distribution")
+    assert "LeftOuter" in plan
+
+
+def test_q17_no_window_over_fact(spark, sf_dir):
+    """The per-part average must be a grouped aggregate joined back, not a
+    window over the whole fact table (a window would sort every partition
+    of lineitem)."""
+    plan = plan_of(spark, sf_dir, "tpch_q17_small_quantity_revenue")
+    assert node_count(plan, "Window") == 0
+
+
+def test_q22_anti_join_planned(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q22_global_sales_opportunity")
+    assert "LeftAnti" in plan
