@@ -1,0 +1,88 @@
+"""End-to-end training-data curation pipeline over a documents table.
+
+Composes the individual operators (text quality → language allow-list →
+exact dedup) into the single-pass shape a production corpus build runs:
+one scan computes every per-document feature, one decision column records
+the FIRST rejection reason (transparent filtering — counts by reason are
+the pipeline's health metric), and dedup keys the single shuffle.
+
+Scale design: all features are codegen'd column expressions over one
+projection; the only wide operation is the dedup groupBy on the 16-byte
+content hash. Nothing touches the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import quality_features, token_count_col
+
+__all__ = ["curation_decisions", "curate_documents", "curation_report"]
+
+
+def curation_decisions(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    allowed_langs: tuple[str, ...] = ("en", "de", "fr", "es"),
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    max_punct_ratio: float = 0.3,
+    max_digit_ratio: float = 0.5,
+) -> DataFrame:
+    """Annotate every document with its curation decision.
+
+    Adds ``n_tokens``, quality ratios, and ``reject_reason`` (null = keep).
+    The first failing rule wins, in severity order — the decision trail
+    stays auditable instead of a boolean black box."""
+    feats = quality_features(F.col(text_col))
+    annotated = df.withColumns(
+        {
+            "n_tokens": token_count_col(text_col),
+            "punct_ratio": feats["punct_ratio"],
+            "digit_ratio": feats["digit_ratio"],
+        }
+    )
+    reason = (
+        F.when(F.col(text_col).isNull() | (F.trim(F.col(text_col)) == ""), "empty")
+        .when(~F.col(lang_col).isin(*allowed_langs), "lang")
+        .when(F.col("n_tokens") < min_tokens, "too_short")
+        .when(F.col("n_tokens") > max_tokens, "too_long")
+        .when(F.col("punct_ratio") > max_punct_ratio, "punct")
+        .when(F.col("digit_ratio") > max_digit_ratio, "digits")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return annotated.withColumn("reject_reason", reason)
+
+
+def curate_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", **rules) -> DataFrame:
+    """Kept documents after quality+language rules and exact dedup.
+
+    Dedup keeps the lowest id per distinct text (deterministic keeper);
+    the shuffle carries (md5, id) pairs — 24 bytes/doc, not documents."""
+    decided = curation_decisions(df, text_col, id_col, **rules)
+    kept = decided.filter(F.col("reject_reason").isNull())
+    keeper = (
+        kept.select(F.md5(F.col(text_col).cast("binary")).alias("_h"), F.col(id_col))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col))
+        .drop("_h")
+    )
+    return kept.join(keeper, id_col, "left_semi")
+
+
+def curation_report(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", **rules) -> DataFrame:
+    """Pipeline health metric: document count and token volume per
+    decision bucket ('kept' or the rejection reason)."""
+    decided = curation_decisions(df, text_col, id_col, **rules)
+    bucket = F.coalesce(F.col("reject_reason"), F.lit("kept"))
+    return (
+        decided.groupBy(bucket.alias("decision"))
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tokens").cast("long").alias("tokens"),
+        )
+        .orderBy("decision")
+    )

@@ -1,0 +1,197 @@
+"""Event-analytics queries over the ``events`` table: funnels, retention
+cohorts, per-window leaders, error-rate monitoring.
+
+These are the batch product-analytics shapes a lakehouse serves daily at
+100 TB of events: all are single-scan groupBy/window compositions whose
+only shuffles are keyed by (user_id) or (window bucket) — never by raw
+event row. Conditional aggregation (min-of-filtered-ts) replaces
+self-joins for funnel step ordering: one shuffle instead of three.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources.testdata import load_table
+from .registry import register
+
+
+@register(
+    "ev01_funnel",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT COUNT(t_view) AS viewed,
+           COUNT(CASE WHEN t_click > t_view THEN 1 END) AS clicked_after_view,
+           COUNT(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END)
+             AS purchased_after_click
+    FROM per_user
+    """,
+)
+def ev01_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel with strict time ordering.
+
+    One groupBy(user_id) computes each user's first occurrence of every
+    step (conditional MIN) — the classic three-way self-join funnel
+    collapsed into a single shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    per_user = ev.groupBy("user_id").agg(
+        first("view").alias("t_view"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count("t_view").alias("viewed"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias(
+            "clicked_after_view"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("purchased_after_click"),
+    )
+
+
+@register(
+    "ev02_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_date FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_date,
+               date_diff('day', f.cohort_date, CAST(e.ts AS DATE)) AS day_offset
+        FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT cohort_date, day_offset, COUNT(*) AS active_users
+    FROM activity WHERE day_offset IN (0, 1, 7)
+    GROUP BY cohort_date, day_offset
+    ORDER BY cohort_date, day_offset
+    """,
+)
+def ev02_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D0/D1/D7 retention by signup-day cohort. The first-seen aggregate is
+    user-count-sized and broadcasts back onto the event scan, so the big
+    table is shuffled once (the per-user MIN), never by event row."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("cohort_date")
+    )
+    activity = (
+        ev.join(F.broadcast(first_seen), "user_id")
+        .select(
+            "user_id",
+            "cohort_date",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_date")).alias(
+                "day_offset"
+            ),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset").isin(0, 1, 7))
+        .groupBy("cohort_date", "day_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .orderBy("cohort_date", "day_offset")
+    )
+
+
+@register(
+    "ev03_daily_top_users",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, user_id, COUNT(*) AS events
+        FROM events GROUP BY day, user_id
+    ),
+    ranked AS (
+        SELECT day, user_id, events,
+               CAST(ROW_NUMBER() OVER (PARTITION BY day
+                    ORDER BY events DESC, user_id) AS INTEGER) AS rnk
+        FROM daily
+    )
+    SELECT day, user_id, events, rnk FROM ranked WHERE rnk <= 3
+    ORDER BY day, rnk
+    """,
+)
+def ev03_daily_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most active users per day — rank-limited window over the
+    daily aggregate (WindowGroupLimit prunes before the final sort)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), F.col("user_id")
+    ).agg(F.count(F.lit(1)).alias("events"))
+    w = W.partitionBy("day").orderBy(F.col("events").desc(), F.col("user_id"))
+    return (
+        daily.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("day", "rnk")
+    )
+
+
+@register(
+    "ev04_error_rate_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour,
+           COUNT(*) AS total,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS errors,
+           CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS DOUBLE)
+             / COUNT(*) AS error_rate
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-12'
+    GROUP BY hour ORDER BY hour
+    """,
+)
+def ev04_error_rate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly error-rate monitoring over a two-day slice — the ts range
+    predicate pushes to the scan; integer-count division keeps the rate
+    deterministic (no float aggregation)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-12").cast("timestamp"))
+    )
+    errors = F.count(F.when(F.col("event_type") == "error", 1))
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            errors.alias("errors"),
+            (errors.cast("double") / F.count(F.lit(1))).alias("error_rate"),
+        )
+        .orderBy("hour")
+    )
+
+
+@register(
+    "ev05_props_value_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS k_max
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ev05_props_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction + integer aggregation — get_json_object
+    runs map-side before the 5-group shuffle (exact: integer sums)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(k).cast("long").alias("k_sum"),
+            F.max(k).cast("int").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )

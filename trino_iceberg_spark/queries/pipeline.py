@@ -352,3 +352,73 @@ def mm02_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("pixels").alias("n_pixels"),
         F.aggregate(F.col("pixels"), F.lit(0).cast("long"), lambda a, x: a + x).alias("pixel_sum"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline
+# ---------------------------------------------------------------------------
+
+_CURATION_DECIDED_SQL = """
+    WITH annotated AS (
+        SELECT doc_id, lang, text,
+               len(list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')) AS n_tokens,
+               CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+                 / greatest(length(text), 1) AS punct_ratio,
+               CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                 / greatest(length(text), 1) AS digit_ratio
+        FROM documents
+    ),
+    decided AS (
+        SELECT *, CASE WHEN text IS NULL OR trim(text) = '' THEN 'empty'
+                       WHEN lang NOT IN ('en', 'de', 'fr', 'es') THEN 'lang'
+                       WHEN n_tokens < 10 THEN 'too_short'
+                       WHEN n_tokens > 100000 THEN 'too_long'
+                       WHEN punct_ratio > 0.3 THEN 'punct'
+                       WHEN digit_ratio > 0.5 THEN 'digits'
+                       ELSE NULL END AS reject_reason
+        FROM annotated
+    )
+"""
+
+
+@register(
+    "cu01_curated_documents",
+    oracle=_CURATION_DECIDED_SQL
+    + """
+    , kept AS (SELECT * FROM decided WHERE reject_reason IS NULL),
+    keeper AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text))
+    SELECT k.doc_id, k.lang, CAST(k.n_tokens AS BIGINT) AS n_tokens
+    FROM kept k WHERE k.doc_id IN (SELECT doc_id FROM keeper)
+    ORDER BY doc_id
+    """,
+)
+def cu01_curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full curation pipeline (operators.curation.curate_documents):
+    quality rules → language allow-list → exact dedup, single scan +
+    one hash-keyed shuffle."""
+    from ..operators.curation import curate_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        curate_documents(d)
+        .select("doc_id", "lang", F.col("n_tokens").cast("long").alias("n_tokens"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "cu02_curation_report",
+    oracle=_CURATION_DECIDED_SQL
+    + """
+    SELECT COALESCE(reject_reason, 'kept') AS decision,
+           COUNT(*) AS docs, CAST(SUM(n_tokens) AS BIGINT) AS tokens
+    FROM decided GROUP BY decision ORDER BY decision
+    """,
+)
+def cu02_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation health report: doc count + token volume per decision
+    bucket (operators.curation.curation_report)."""
+    from ..operators.curation import curation_report
+
+    d = load_table(spark, sf_dir, "documents")
+    return curation_report(d)

@@ -52,5 +52,6 @@ def load_all() -> None:
     from . import pipeline  # noqa: F401
     from . import timetravel  # noqa: F401
     from . import streaming_q  # noqa: F401
+    from . import events_q  # noqa: F401
     from . import temporal  # noqa: F401
     _LOADED = True
