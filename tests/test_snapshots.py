@@ -85,3 +85,25 @@ def test_append_row_counts_accumulate(spark, table):
     s2 = table.append(_events(spark, [3], "a"))
     assert s2.row_count == 3
     assert table.read().count() == 3
+
+
+def test_compact_small_files_preserves_rows_and_history(spark, tmp_path):
+    from trino_iceberg_spark.catalog.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "compact_t"))
+    # Five tiny append commits — the streaming small-file pattern.
+    for i in range(5):
+        t.append(spark.range(i * 10, (i + 1) * 10).toDF("id"))
+    before = t.current_snapshot()
+    assert len(before.files) >= 5
+    total_before = t.read().count()
+
+    compacted = t.compact_small_files(target_files=1)
+    assert compacted is not None
+    assert len(compacted.files) == 1
+    assert t.read().count() == total_before
+    assert sorted(r["id"] for r in t.read().collect()) == list(range(50))
+    # History preserved: the pre-compaction snapshot still reads.
+    assert t.read_version(before.snapshot_id).count() == total_before
+    # No-op when already compact.
+    assert t.compact_small_files(target_files=1) is None

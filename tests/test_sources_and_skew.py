@@ -96,3 +96,28 @@ def test_ctas_returns_rowcount(spark):
     assert n == 2
     assert spark.table("common_test_data.ctas_out").count() == 2
     client.execute("DROP TABLE common_test_data.ctas_out")
+
+
+def test_partitioned_write_prunes_scan(spark, sf_dir, tmp_path):
+    """Hive-partitioned layout + a partition-key predicate must prune at
+    planning time: the scan's PartitionFilters carries the predicate and
+    only matching directories are read."""
+    from pyspark.sql import functions as F
+
+    from trino_iceberg_spark.sources.formats import write_sink
+    from trino_iceberg_spark.sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    out = str(tmp_path / "events_by_day")
+    write_sink(ev, out, partition_by=["day"])
+
+    back = spark.read.parquet(out).filter(F.col("day") == "2024-01-05")
+    plan = back._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "day" in pf_line and "2024-01-05" in pf_line
+    expected = ev.filter(F.col("day") == "2024-01-05").count()
+    assert back.count() == expected

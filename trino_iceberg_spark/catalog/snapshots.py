@@ -213,6 +213,26 @@ class SnapshotTable:
                         live_files.discard(f)
         return len(expired)
 
+    def compact_small_files(self, target_files: int | None = None) -> Snapshot | None:
+        """Iceberg ``rewrite_data_files`` analog: rewrite the current
+        snapshot's data into ``target_files`` right-sized files and commit
+        the result as a new overwrite snapshot (history preserved — old
+        snapshots still time-travel to the pre-compaction files until
+        expired).
+
+        Small-file buildup is the classic streaming/append failure mode at
+        scale: every micro-batch commit adds files, scan planning cost grows
+        linearly with file count, and readers lose large sequential reads.
+        Compaction is metadata-transparent here exactly like Iceberg's: the
+        table's visible rows are identical before and after."""
+        snap = self.current_snapshot()
+        if snap is None or len(snap.files) <= (target_files or 1):
+            return None
+        df = self._read_files(snap.files)
+        if target_files is not None:
+            df = df.coalesce(target_files)
+        return self._commit(df, "overwrite")
+
     def remove_orphan_files(self) -> int:
         """Iceberg ``remove_orphan_files`` analog: delete parquet files in
         data/ referenced by no manifest (failed-write leftovers)."""
