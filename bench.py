@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "dd01_exact_dedup",
     "dd03_minhash_lsh_pairs",
     "ss01_cosine_topk",
+    "ss04_numpy_topk",
     "tx01_token_counts",
 ]
 

@@ -422,3 +422,68 @@ def cu02_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return curation_report(d)
+
+
+_SS_TOPK_ORACLE = """
+    WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 50 = 0),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         scored AS (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    list_cosine_similarity(q.v, c.v) AS cosine
+             FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id
+         ),
+         ranked AS (
+             SELECT query_id, neighbor_id,
+                    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+             FROM scored
+         )
+    SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+"""
+
+
+@register("ss04_numpy_topk", oracle=_SS_TOPK_ORACLE)
+def ss04_numpy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force top-5 via Arrow-batched numpy GEMM
+    (operators.similarity.numpy_cosine_topk) — must produce the identical
+    ranking as the JVM-expression path ss01 and the DuckDB oracle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    return (
+        S.numpy_cosine_topk(e, q, "embedding", "vec_id", k=5)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "sk01_salted_aggregate",
+    oracle="""
+    SELECT event_type, COUNT(*) AS cnt_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def sk01_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators.skew.salted_aggregate) —
+    must equal the plain GROUP BY exactly (decimal partials re-merge
+    losslessly), which is precisely what the oracle checks."""
+    from ..operators.skew import salted_aggregate
+    from .compat import dec
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_aggregate(
+        ev,
+        ["event_type"],
+        {
+            "cnt_events": F.count(F.lit(1)),
+            "sum_value": F.sum(dec("value")),
+        },
+        num_salts=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("cnt_events").cast("long").alias("cnt_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+    ).orderBy("event_type")
