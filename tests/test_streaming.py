@@ -110,3 +110,23 @@ def test_foreachbatch_snapshot_sink(spark, events_stream_dir, raw_schema, tmp_pa
     out = table.read()
     assert out.count() > 0
     assert set(out.columns) == {"window_start", "event_type", "cnt", "total_value"}
+
+
+def test_streaming_dedup_drops_redelivered(spark, sf_dir, tmp_path, raw_schema):
+    """Feed the same events file twice (an at-least-once redelivery);
+    dropDuplicatesWithinWatermark must emit each event_id exactly once."""
+    from trino_iceberg_spark.streaming.events import stream_events, streaming_dedup
+
+    d = tmp_path / "redelivered"
+    d.mkdir()
+    src = os.path.join(sf_dir, "events.parquet")
+    os.symlink(src, d / "a.parquet")
+    os.symlink(src, d / "b.parquet")
+
+    stream = stream_events(spark, str(d), raw_schema, max_files_per_trigger=1)
+    deduped = streaming_dedup(stream, ["event_id"], watermark="365 days")
+    name = _run_to_memory(deduped.select("event_id"), mode="append")
+    emitted = spark.table(name).collect()
+    n_unique = spark.read.parquet(src).select("event_id").distinct().count()
+    assert len(emitted) == n_unique
+    assert len({r["event_id"] for r in emitted}) == n_unique

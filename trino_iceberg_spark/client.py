@@ -78,6 +78,17 @@ class AthenaSparkClient:
             return None
         return coerce_scalar(row[0], type_)
 
+    def explain(self, sql: str, *params: Any, mode: str = "formatted") -> str:
+        """Query introspection: the optimized/physical plan as text.
+
+        ``mode``: 'simple' | 'extended' | 'codegen' | 'cost' | 'formatted'.
+        The formatted plan is what the plan-property tests assert on
+        (pushed filters, read schema, join strategies, exchanges)."""
+        df = self.sql_df(sql, *params)
+        return df._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+        )
+
     # -- DDL / DML -------------------------------------------------------
     def execute(self, sql: str, *params: Any) -> int:
         """A7 ``ExecuteNonQuery`` (TrinoIcebergStack.cs:206-224). Returns the

@@ -473,3 +473,54 @@ def f05_hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text").cast("binary")).alias("text_md5"),
         F.length("text").cast("long").alias("text_len"),
     ).orderBy("doc_id")
+
+
+@register(
+    "a08_exact_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS p50,
+           quantile_cont(l_quantity, 0.9) AS p90,
+           quantile_cont(l_quantity, 0.99) AS p99
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def a08_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation at index p·(n-1) — the same
+    formula in Spark's percentile and DuckDB's quantile_cont, so values
+    hash-match exactly). percentile_approx is the 100 TB scale path; the
+    exact form is the correctness anchor it is tested against."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+            F.expr("percentile(l_quantity, 0.9)").alias("p90"),
+            F.expr("percentile(l_quantity, 0.99)").alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "f06_regex_functions",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+           regexp_replace(p_brand, '[0-9]+', '#', 'g') AS brand_masked,
+           CASE WHEN regexp_matches(p_type, '^(PROMO|STANDARD)$') THEN 1 ELSE 0 END AS is_common_type
+    FROM part WHERE p_partkey <= 200 ORDER BY p_partkey
+    """,
+)
+def f06_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex surface: extract / global replace / full-match test — all
+    map-side projections on the pruned scan."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_replace("p_brand", "[0-9]+", "#").alias("brand_masked"),
+        F.when(F.col("p_type").rlike("^(PROMO|STANDARD)$"), 1)
+        .otherwise(0)
+        .alias("is_common_type"),
+    ).orderBy("p_partkey")

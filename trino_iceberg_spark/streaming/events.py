@@ -21,6 +21,7 @@ __all__ = [
     "tumbling_counts",
     "sliding_counts",
     "session_windows",
+    "streaming_dedup",
     "stream_into_snapshot_table",
 ]
 
@@ -79,6 +80,23 @@ def session_windows(
         .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
         .agg(F.count(F.lit(1)).alias("events_in_session"))
     )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps each key's state only until the
+    watermark passes it, so state size tracks the duplicate-arrival window
+    (the at-least-once source retry window), NOT the stream's lifetime —
+    the difference between a dedup that runs forever and one that OOMs.
+
+    Use for ingest-side dedup of redelivered events before they reach a
+    snapshot table; exactly-once sinks then only need batch idempotence."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
 def stream_into_snapshot_table(
