@@ -1,0 +1,93 @@
+"""Property-based tests (hypothesis) for the SQL formatting layer.
+
+The injection-safety and script-splitting invariants hold for ALL inputs,
+not just the goldens — exactly the surface where a missed edge case
+becomes a correctness (or security) bug. Spark round-trips run only for a
+small deterministic sample; the pure-string properties run for hundreds
+of generated cases."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from trino_iceberg_spark.formatting import format_sql, render_literal, split_statements
+
+text_values = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=80
+)
+
+
+@given(text_values)
+@settings(max_examples=300, deadline=None)
+def test_string_literal_quotes_balanced(s):
+    lit = render_literal(s)
+    assert lit.startswith("'") and lit.endswith("'")
+    # Interior quotes are all doubled: stripping the outer pair and
+    # collapsing '' must leave no bare quote.
+    assert "'" not in lit[1:-1].replace("''", "")
+
+
+@given(text_values)
+@settings(max_examples=300, deadline=None)
+def test_format_sql_embeds_escaped_value(s):
+    sql = format_sql("SELECT {0} AS v", s)
+    assert sql == "SELECT " + render_literal(s) + " AS v"
+
+
+@given(st.lists(st.integers(min_value=-(2**62), max_value=2**62), max_size=8))
+@settings(max_examples=100, deadline=None)
+def test_int_list_renders_parenthesized(xs):
+    lit = render_literal(xs)
+    assert lit.startswith("(") and lit.endswith(")")
+    inner = lit[1:-1]
+    if xs:
+        assert [int(p) for p in inner.split(",")] == xs
+
+
+@given(
+    st.datetimes(
+        min_value=dt.datetime(1900, 1, 1), max_value=dt.datetime(2100, 1, 1)
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_timestamp_lookbehind_never_doubles_keyword(ts):
+    rendered = format_sql("SELECT TIMESTAMP {0} AS t", ts)
+    assert rendered.upper().count("TIMESTAMP") == 1
+    rendered_bare = format_sql("SELECT {0} AS t", ts)
+    assert rendered_bare.upper().count("TIMESTAMP") == 1  # added by renderer
+
+
+@given(st.lists(st.sampled_from(
+    [
+        "SELECT 1",
+        "SELECT 'a;b'",
+        "SELECT \"c;d\"",
+        "INSERT INTO t VALUES ('it''s;fine')",
+        "SELECT 1 -- trailing; comment",
+        "SELECT /* block; comment */ 2",
+    ]
+), min_size=1, max_size=6))
+@settings(max_examples=200, deadline=None)
+def test_split_statements_roundtrip(stmts):
+    # Separator on its own line: a ';' on the same line as a trailing
+    # '--' comment is part of the comment (correct SQL), not a separator.
+    script = "\n;\n".join(stmts) + "\n;"
+    out = split_statements(script)
+    assert len(out) == len(stmts)
+    for orig, got in zip(stmts, out):
+        assert got.strip() == orig.strip()
+
+
+@pytest.mark.parametrize(
+    "value",
+    ["it's", 'say "hi"', "'; DROP TABLE t; --", "\\' OR 1=1 --", "a\nb"],
+)
+def test_injection_attempts_round_trip_through_spark(spark, value):
+    """The rendered literal must come back from Spark byte-identical —
+    the end-to-end proof that escaping is sufficient, not just plausible."""
+    row = spark.sql(format_sql("SELECT {0} AS v", value)).first()
+    assert row["v"] == value

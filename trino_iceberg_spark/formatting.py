@@ -56,7 +56,14 @@ def render_literal(value: Any, *, after_timestamp_keyword: bool = False) -> str:
     if isinstance(value, uuid.UUID):
         return f"'{value}'"
     if isinstance(value, str):
-        escaped = value.replace("'", "''")
+        # Spark's default parser (escapedStringLiterals=false) treats
+        # backslash as an escape character inside string literals — unlike
+        # Trino. A value ending in a backslash would turn the closing ''
+        # into an escaped quote and let the payload break out of the
+        # literal ('\'' OR 1=1 --'). Escape the escape character first.
+        # (Found by the hypothesis property suite; session.py pins the
+        # parser mode so this rendering is unambiguous.)
+        escaped = value.replace("\\", "\\\\").replace("'", "''")
         return f"'{escaped}'"
     if isinstance(value, Decimal):
         return format(value, "f")

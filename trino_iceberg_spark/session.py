@@ -64,6 +64,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # Iceberg-style behavior on plain Spark: case-insensitive resolution like Trino.
         .config("spark.sql.caseSensitive", "false")
+        # Pin the string-literal dialect the parameter renderer targets:
+        # backslash IS an escape character (Spark default), and
+        # formatting.render_literal escapes it. Pinning makes the
+        # injection-safety contract independent of ambient config.
+        .config("spark.sql.parser.escapedStringLiterals", "false")
         # Parquet TIMESTAMP(NANOS) (events.ts) is unreadable natively; read
         # as long and convert in the loader (sources/testdata.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
