@@ -524,3 +524,65 @@ def f06_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_common_type"),
     ).orderBy("p_partkey")
+
+
+@register(
+    "f07_array_functions",
+    oracle="""
+    SELECT p_partkey,
+           CAST(list_sum(range(1, (p_size % 5) + 2)) AS BIGINT) AS seq_sum,
+           len(range(1, (p_size % 5) + 2)) AS seq_len,
+           CAST(list_contains(range(1, (p_size % 5) + 2), 3) AS INTEGER) AS has_three,
+           CAST(list_max([p_size, CAST(p_partkey % 37 AS INTEGER), 7]) AS INTEGER) AS arr_max
+    FROM part WHERE p_partkey <= 100 ORDER BY p_partkey
+    """,
+)
+def f07_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array surface: sequence construction, fold-sum, size, membership,
+    array_max — all codegen'd projections (DuckDB range(a,b) is half-open;
+    Spark sequence(a,b) inclusive, hence the bound adjustment)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 100)
+    seq = F.sequence(F.lit(1), (F.col("p_size") % 5) + 1)
+    return p.select(
+        "p_partkey",
+        F.aggregate(seq, F.lit(0).cast("long"), lambda a, x: a + x).alias("seq_sum"),
+        F.size(seq).cast("long").alias("seq_len"),
+        F.array_contains(seq, 3).cast("int").alias("has_three"),
+        F.array_max(
+            F.array(
+                F.col("p_size"),
+                (F.col("p_partkey") % 37).cast("int"),
+                F.lit(7),
+            )
+        ).cast("int").alias("arr_max"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "f08_map_functions",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(map {'count': cnt, 'keys': ks}['count'][1] AS BIGINT) AS from_map_count,
+           CAST(map {'count': cnt, 'keys': ks}['keys'][1] AS BIGINT) AS from_map_keys
+    FROM (
+        SELECT o_orderstatus, COUNT(*) AS cnt, COUNT(DISTINCT o_custkey) AS ks
+        FROM orders GROUP BY o_orderstatus
+    ) ORDER BY o_orderstatus
+    """,
+)
+def f08_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map surface: construct a map from computed values, extract by key —
+    round-trips the aggregate through MapType."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count_distinct("o_custkey").alias("ks"),
+    )
+    m = F.create_map(
+        F.lit("count"), F.col("cnt"), F.lit("keys"), F.col("ks")
+    )
+    return agg.select(
+        "o_orderstatus",
+        m.getItem("count").cast("long").alias("from_map_count"),
+        m.getItem("keys").cast("long").alias("from_map_keys"),
+    ).orderBy("o_orderstatus")

@@ -201,3 +201,42 @@ def w06_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_seq")
     )
+
+
+@register(
+    "w07_moving_average",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               SUM(CAST(value AS DECIMAL(18,4))) AS day_value
+        FROM events GROUP BY event_type, day
+    )
+    SELECT event_type, day,
+           CAST(CAST(SUM(day_value) OVER w AS DECIMAL(38,4)) AS DOUBLE)
+             / COUNT(*) OVER w AS ma4
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    ORDER BY event_type, day
+    """,
+)
+def w07_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-day moving average per event type — a bounded ROWS frame over the
+    pre-aggregated daily series (the frame runs over days, not raw events,
+    so window state is day-count-sized). Exact decimal sum / count keeps
+    the average order-independent."""
+    from ..sources.testdata import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("day_value"))
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(-3, 0)
+    return daily.select(
+        "event_type",
+        "day",
+        (
+            F.sum("day_value").over(w).cast("decimal(38,4)").cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("ma4"),
+    ).orderBy("event_type", "day")
