@@ -107,3 +107,38 @@ def test_compact_small_files_preserves_rows_and_history(spark, tmp_path):
     assert t.read_version(before.snapshot_id).count() == total_before
     # No-op when already compact.
     assert t.compact_small_files(target_files=1) is None
+
+
+def test_merge_upserts_and_appends(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from trino_iceberg_spark.catalog.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "merge_t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["id", "name", "val"]
+        )
+    )
+    before = t.current_snapshot()
+    t.merge(
+        spark.createDataFrame([(2, "B", 99.0), (4, "d", 40.0)], ["id", "name", "val"]),
+        key_cols=["id"],
+    )
+    got = {r["id"]: (r["name"], r["val"]) for r in t.read().collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+    # Atomic history: pre-merge snapshot unchanged.
+    assert t.read_version(before.snapshot_id).count() == 3
+
+
+def test_delete_and_update_where(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from trino_iceberg_spark.catalog.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "dml_t"))
+    t.append(spark.range(10).toDF("id"))
+    t.delete_where(F.col("id") >= 7)
+    assert sorted(r["id"] for r in t.read().collect()) == list(range(7))
+    t.update_where(F.col("id") < 3, {"id": F.col("id") + 100})
+    assert sorted(r["id"] for r in t.read().collect()) == [3, 4, 5, 6, 100, 101, 102]

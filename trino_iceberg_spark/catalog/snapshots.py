@@ -181,6 +181,44 @@ class SnapshotTable:
                 return self._read_files(snap.files)
         raise EngineError(f"snapshot {snapshot_id} not found in {self.table_dir}")
 
+    # -- row-level operations (copy-on-write) ----------------------------
+    def merge(self, source: DataFrame, key_cols: list[str]) -> Snapshot:
+        """MERGE INTO analog (upsert): rows in ``source`` replace current
+        rows with the same key; unmatched source rows append. Committed as
+        one overwrite snapshot — readers see either the pre- or post-merge
+        table, never a partial state (the same atomicity Iceberg's MERGE
+        gets from its snapshot commit).
+
+        Copy-on-write: the non-matching remainder is rewritten. At 100 TB
+        you'd partition the table and rewrite only touched partitions —
+        same algorithm, narrower remainder; merge-on-read (delete files) is
+        the Iceberg v2 alternative this deliberately trades away for
+        zero-cost reads."""
+        current = self.read()
+        remainder = current.join(source.select(*key_cols), key_cols, "left_anti")
+        merged = remainder.unionByName(source)
+        return self._commit(merged, "overwrite")
+
+    def delete_where(self, condition) -> Snapshot:
+        """DELETE WHERE analog: rewrite the table without matching rows,
+        as one overwrite snapshot (copy-on-write row-level delete)."""
+        kept = self.read().filter(~condition)
+        return self._commit(kept, "overwrite")
+
+    def update_where(self, condition, assignments: dict) -> Snapshot:
+        """UPDATE WHERE analog: rewrite with ``assignments`` (col → Column
+        expression) applied to matching rows."""
+        from pyspark.sql import functions as F
+
+        df = self.read()
+        updated = df.withColumns(
+            {
+                col: F.when(condition, expr).otherwise(F.col(col))
+                for col, expr in assignments.items()
+            }
+        )
+        return self._commit(updated, "overwrite")
+
     # -- maintenance -----------------------------------------------------
     def expire_snapshots(self, older_than: dt.datetime | None = None, retain_last: int = 1) -> int:
         """Iceberg ``expire_snapshots`` analog: drop manifests older than
