@@ -354,6 +354,28 @@ def mm02_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register("mm03_feature_extraction")  # rows-only: stubbed model, Arrow plumbing real
+def mm03_feature_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature-extraction (embedding) pipeline: binary payload →
+    fixed-dim float vector per document, then a vector-norm projection —
+    the exact batch shape a model forward pass plugs into
+    (operators.multimodal.extract_features_stub)."""
+    from ..operators.multimodal import extract_features_stub
+    from ..operators.similarity import norm_col
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    media = attach_media(
+        d.withColumn("payload", F.encode(F.col("text"), "UTF-8")), "payload"
+    ).select("doc_id", "media")
+    feats = extract_features_stub(media, dim=16)
+    vec = F.transform(F.col("features"), lambda x: x.cast("double"))
+    return feats.select(
+        "doc_id",
+        F.size("features").alias("dim"),
+        F.round(norm_col(vec), 6).alias("feature_norm"),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # End-to-end curation pipeline
 # ---------------------------------------------------------------------------

@@ -87,3 +87,75 @@ def st01_windowed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+@register(
+    "st02_session_stream",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM ordered
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           COUNT(*) AS events_in_session
+    FROM sessions GROUP BY user_id, session_no
+    ORDER BY user_id, session_no
+    """,
+)
+def st02_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30-minute gap) per user via
+    session_window, numbered per user in event-time order — equivalent to
+    the batch gap-sessionization SQL, so the session sizes hash-match the
+    oracle exactly (native session_window merges events with gaps < 30min
+    exactly like the LAG/cumulative-sum construction)."""
+    stage_dir = os.path.join(tempfile.gettempdir(), "tis_st02_events")
+    os.makedirs(stage_dir, exist_ok=True)
+    link = os.path.join(stage_dir, "events.parquet")
+    src = os.path.join(sf_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    elif os.path.realpath(link) != os.path.realpath(src):
+        os.remove(link)
+        os.symlink(src, link)
+    raw_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage_dir)
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("events_in_session"))
+    )
+    qname = f"st02_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.outputMode("complete").format("memory").queryName(qname).start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    from pyspark.sql import Window as W
+
+    sessions = spark.table(qname).select(
+        "user_id", F.col("w.start").alias("_start"), "events_in_session"
+    )
+    num = W.partitionBy("user_id").orderBy("_start")
+    return (
+        sessions.withColumn("session_no", F.row_number().over(num).cast("long"))
+        .select("user_id", "session_no", "events_in_session")
+        .orderBy("user_id", "session_no")
+    )
