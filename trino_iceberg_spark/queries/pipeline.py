@@ -509,3 +509,35 @@ def sk01_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt_events").cast("long").alias("cnt_events"),
         F.col("sum_value").cast("double").alias("sum_value"),
     ).orderBy("event_type")
+
+
+@register(
+    "sk02_salted_join",
+    oracle="""
+    SELECT e.user_id, COUNT(*) AS events, COUNT(DISTINCT e.event_type) AS types
+    FROM events e JOIN (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ) p ON e.user_id = p.user_id
+    GROUP BY e.user_id ORDER BY e.user_id
+    """,
+)
+def sk02_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted hot-key join (operators.skew.salted_join) — must produce
+    exactly the plain equi-join result (the salt explodes the small side
+    by num_salts and re-collapses in the aggregate), which the plain-SQL
+    oracle pins."""
+    from ..operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchasers = (
+        ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+    joined = salted_join(ev, purchasers, on="user_id", num_salts=8)
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.count_distinct("event_type").alias("types"),
+        )
+        .orderBy("user_id")
+    )
