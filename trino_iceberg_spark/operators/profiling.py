@@ -1,0 +1,55 @@
+"""One-pass data profiling — per-column health stats for lake tables.
+
+The everyday lakehouse utility: null rates, cardinalities, and ranges for
+every column of a table, computed in ONE scan (a single wide aggregate —
+Spark evaluates all column stats in the same partial/final aggregation),
+then unpivoted to long format. No per-column jobs, no driver loops: the
+cost is one pass regardless of column count.
+
+``exact`` toggles COUNT(DISTINCT) (one expand per column — exact, heavier
+shuffle) vs ``approx_count_distinct`` (HLL, one pass, ~2% error) — the
+100 TB default is approximate; the correctness gate pins the exact form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["profile_columns"]
+
+
+def profile_columns(
+    df: DataFrame, cols: list[str] | None = None, exact: bool = True
+) -> DataFrame:
+    """Long-format profile: one row per column with
+    (n_rows, n_nulls, n_distinct, min_value, max_value) — min/max cast to
+    string so heterogeneous column types share one schema."""
+    names = cols or df.columns
+    aggs: list = [F.count(F.lit(1)).alias("_n")]
+    for c in names:
+        col = F.col(c)
+        aggs.append(F.count(F.when(col.isNull(), 1)).alias(f"_nulls_{c}"))
+        if exact:
+            aggs.append(F.count_distinct(col).alias(f"_dist_{c}"))
+        else:
+            aggs.append(F.approx_count_distinct(col).alias(f"_dist_{c}"))
+        aggs.append(F.min(col).cast("string").alias(f"_min_{c}"))
+        aggs.append(F.max(col).cast("string").alias(f"_max_{c}"))
+    wide = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("_n").alias("n_rows"),
+            F.col(f"_nulls_{c}").alias("n_nulls"),
+            F.col(f"_dist_{c}").alias("n_distinct"),
+            F.col(f"_min_{c}").alias("min_value"),
+            F.col(f"_max_{c}").alias("max_value"),
+        )
+        for c in names
+    ]
+    return (
+        wide.select(F.explode(F.array(*per_col)).alias("p"))
+        .select("p.*")
+        .orderBy("column")
+    )

@@ -541,3 +541,40 @@ def sk02_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "pr01_table_profile",
+    oracle="""
+    WITH stats AS (
+        SELECT 'o_custkey' AS "column", COUNT(*) AS n_rows,
+               COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS n_nulls,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+               CAST(MIN(o_custkey) AS VARCHAR) AS min_value,
+               CAST(MAX(o_custkey) AS VARCHAR) AS max_value
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', COUNT(*),
+               COUNT(CASE WHEN o_orderstatus IS NULL THEN 1 END),
+               CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+               CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', COUNT(*),
+               COUNT(CASE WHEN o_totalprice IS NULL THEN 1 END),
+               CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+               CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
+        FROM orders
+    )
+    SELECT * FROM stats ORDER BY "column"
+    """,
+)
+def pr01_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column profile (operators.profiling.profile_columns):
+    nulls, exact distinct count, min/max as strings — single wide
+    aggregate, no per-column jobs. Double min/max stringify identically in
+    Spark and DuckDB for these magnitudes (shortest-roundtrip repr)."""
+    from ..operators.profiling import profile_columns
+
+    o = load_table(spark, sf_dir, "orders")
+    return profile_columns(o, ["o_custkey", "o_orderstatus", "o_totalprice"])
