@@ -1,0 +1,50 @@
+"""Deterministic split operator invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from trino_iceberg_spark.operators.splits import split_by_hash
+from trino_iceberg_spark.sources.testdata import load_table
+
+WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def test_split_deterministic_and_stable_under_subsets(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    full = {r["doc_id"]: r["split"] for r in split_by_hash(d, "doc_id", WEIGHTS).collect()}
+    # Same assignment when computed twice.
+    again = {r["doc_id"]: r["split"] for r in split_by_hash(d, "doc_id", WEIGHTS).collect()}
+    assert full == again
+    # Removing other rows must not move anyone's split (randomSplit fails this).
+    subset = split_by_hash(d.filter(F.col("doc_id") % 3 == 0), "doc_id", WEIGHTS)
+    for r in subset.collect():
+        assert full[r["doc_id"]] == r["split"]
+
+
+def test_split_fractions_approximate_weights(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    n = d.count()
+    counts = {
+        r["split"]: r["c"]
+        for r in split_by_hash(d, "doc_id", WEIGHTS)
+        .groupBy("split").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert set(counts) == set(WEIGHTS)
+    for name, w in WEIGHTS.items():
+        assert abs(counts[name] / n - w) < 0.06  # 500 docs → generous tolerance
+
+
+def test_group_key_coassignment(spark, sf_dir):
+    """Hashing a group key assigns every member of the group together."""
+    d = load_table(spark, sf_dir, "documents")
+    by_src = split_by_hash(d, "source", WEIGHTS)
+    per_group = by_src.groupBy("source").agg(F.count_distinct("split").alias("k"))
+    assert all(r["k"] == 1 for r in per_group.collect())
+
+
+def test_bad_weights_rejected(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        split_by_hash(spark.range(5), "id", {"a": 0.5, "b": 0.2})

@@ -1,0 +1,60 @@
+"""Deterministic dataset splitting for training pipelines.
+
+Train/val/test assignment must be a pure function of the example's
+identity — reproducible across runs, stable under re-partitioning, and
+immune to adding/removing OTHER rows (which `randomSplit` is not: its
+sampling is per-partition and reshuffles membership whenever the input
+layout changes). The standard construction hashes the id into [0, 1) and
+cuts at the cumulative weights; a whole document family can be co-assigned
+by hashing a group key (e.g. URL domain) instead of the row id — the
+leakage-safe split for near-duplicate corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["split_assignment", "split_by_hash"]
+
+_BUCKETS = 1_000_000
+
+
+def split_assignment(
+    key: Column | str,
+    weights: dict[str, float],
+    seed: int = 42,
+) -> Column:
+    """Column expression assigning each row a split name by hashed key.
+
+    ``weights`` maps split name → fraction (must sum to ~1). The key's
+    xxhash64 (seeded) folds to a bucket in [0, 1e6); cumulative cut points
+    partition the bucket space, so fractions are exact to 1e-6 in
+    expectation and every row's split is a pure function of (key, seed)."""
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1 (got {total})")
+    c = F.col(key) if isinstance(key, str) else key
+    bucket = F.pmod(F.xxhash64(c, F.lit(seed)), F.lit(_BUCKETS))
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cut = int(acc * _BUCKETS)
+        branch = (F.lit(name), bucket < cut)
+        expr = F.when(branch[1], branch[0]) if expr is None else expr.when(branch[1], branch[0])
+    last = F.lit(names[-1])
+    return last if expr is None else expr.otherwise(last)
+
+
+def split_by_hash(
+    df: DataFrame,
+    key: Column | str,
+    weights: dict[str, float],
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Annotate ``df`` with a deterministic split column (map-side only —
+    no shuffle, no sampling state)."""
+    return df.withColumn(split_col, split_assignment(key, weights, seed))

@@ -578,3 +578,37 @@ def pr01_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     return profile_columns(o, ["o_custkey", "o_orderstatus", "o_totalprice"])
+
+
+@register(
+    "sp01_dataset_split",
+    oracle="""
+    SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
+                WHEN doc_id % 10 < 9 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id
+    FROM documents GROUP BY split ORDER BY split
+    """,
+)
+def sp01_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split summary. The oracle-checked variant
+    cuts on doc_id % 10 (SQL-expressible on both engines); the production
+    operator (operators.splits.split_by_hash) uses the same cumulative-cut
+    construction over a seeded xxhash64 bucket — its determinism and
+    fraction accuracy are pinned in tests/test_splits.py."""
+    d = load_table(spark, sf_dir, "documents")
+    split = (
+        F.when(F.col("doc_id") % 10 < 8, "train")
+        .when(F.col("doc_id") % 10 < 9, "val")
+        .otherwise("test")
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.min("doc_id").cast("long").alias("min_id"),
+        )
+        .orderBy("split")
+    )
