@@ -17,6 +17,8 @@ __all__ = [
     "quality_features",
     "language_id_col",
     "rolling_fingerprint_col",
+    "vocabulary",
+    "ngram_counts",
     "text_profile",
 ]
 
@@ -132,6 +134,45 @@ def rolling_fingerprint_col(text: Column | str, window: int = 8) -> Column:
         )
     )
     return F.array_min(F.transform(grams, lambda g: F.xxhash64(g)))
+
+
+def vocabulary(df: DataFrame, text_col: str, min_count: int = 1) -> DataFrame:
+    """Corpus vocabulary: (token, count, doc_count) by explode + groupBy —
+    the shuffle carries tokens, partial counts combine map-side. The
+    foundation for tokenizer training and stopword induction."""
+    ex = df.select(
+        F.monotonically_increasing_id().alias("_doc"),
+        F.explode(word_tokens_col(F.lower(F.col(text_col)))).alias("token"),
+    )
+    return (
+        ex.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.count_distinct("_doc").alias("doc_count"),
+        )
+        .filter(F.col("count") >= min_count)
+    )
+
+
+def ngram_counts(df: DataFrame, text_col: str, n: int = 2) -> DataFrame:
+    """Corpus n-gram frequencies (word n-grams, non-distinct per doc):
+    built with the same zip_with-shifted-slices construction as
+    shingle_hashes but keeping the string form, since the output IS the
+    n-gram."""
+    words = word_tokens_col(F.lower(F.col(text_col)))
+    sz = F.size(words)
+    combined = words
+    for j in range(1, n):
+        shifted = F.slice(words, j + 1, F.greatest(sz - j, F.lit(0)))
+        combined = F.zip_with(combined, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    grams = F.when(sz < n, F.array().cast("array<string>")).otherwise(
+        F.slice(combined, 1, sz - n + 1)
+    )
+    return (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
 
 
 def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -612,3 +612,68 @@ def sp01_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@register(
+    "tx07_vocabulary",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              w -> w <> '')) AS token
+        FROM documents
+    ),
+    vocab AS (
+        SELECT token, COUNT(*) AS count,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_count
+        FROM toks GROUP BY token
+    )
+    SELECT token, count, doc_count FROM vocab
+    ORDER BY count DESC, token LIMIT 100
+    """,
+)
+def tx07_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 corpus vocabulary (operators.text.vocabulary): explode →
+    count + document frequency, one token-keyed shuffle."""
+    from ..operators.text import word_tokens_col
+
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select(
+        "doc_id", F.explode(word_tokens_col(F.lower(F.col("text")))).alias("token")
+    )
+    return (
+        ex.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.count_distinct("doc_id").alias("doc_count"),
+        )
+        .orderBy(F.col("count").desc(), "token")
+        .limit(100)
+    )
+
+
+@register(
+    "tx08_bigram_counts",
+    oracle="""
+    WITH toks AS (
+        SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '') AS ws
+        FROM documents
+    ),
+    grams AS (
+        SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS ngram
+        FROM toks WHERE len(ws) >= 2
+    )
+    SELECT ngram, COUNT(*) AS count FROM grams
+    GROUP BY ngram ORDER BY count DESC, ngram LIMIT 50
+    """,
+)
+def tx08_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus bigrams (operators.text.ngram_counts — zip_with over
+    shifted slices, no per-position indexing)."""
+    from ..operators.text import ngram_counts
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        ngram_counts(d, "text", n=2)
+        .orderBy(F.col("count").desc(), "ngram")
+        .limit(50)
+    )
