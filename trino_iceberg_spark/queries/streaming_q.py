@@ -159,3 +159,62 @@ def st02_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "session_no", "events_in_session")
         .orderBy("user_id", "session_no")
     )
+
+
+@register(
+    "st03_sliding_stream",
+    oracle="""
+    WITH panes AS (
+        SELECT event_type,
+               unnest([time_bucket(INTERVAL 5 MINUTE, ts),
+                       time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE])
+                 AS window_start
+        FROM events
+    )
+    SELECT window_start, event_type, COUNT(*) AS cnt
+    FROM panes GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def st03_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 via readStream: each event lands
+    in exactly two panes (starts: floor(ts,5m) and floor(ts,5m)−5m), which
+    is what the batch unnest oracle enumerates — the sliding-window
+    semantics proven equal to their SQL expansion."""
+    stage_dir = os.path.join(tempfile.gettempdir(), "tis_st03_events")
+    os.makedirs(stage_dir, exist_ok=True)
+    link = os.path.join(stage_dir, "events.parquet")
+    src = os.path.join(sf_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    elif os.path.realpath(link) != os.path.realpath(src):
+        os.remove(link)
+        os.symlink(src, link)
+    raw_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage_dir)
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    qname = f"st03_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.outputMode("complete").format("memory").queryName(qname).start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return (
+        spark.table(qname)
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+        .orderBy("window_start", "event_type")
+    )
