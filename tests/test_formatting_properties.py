@@ -91,3 +91,40 @@ def test_injection_attempts_round_trip_through_spark(spark, value):
     the end-to-end proof that escaping is sufficient, not just plausible."""
     row = spark.sql(format_sql("SELECT {0} AS v", value)).first()
     assert row["v"] == value
+
+
+# ---------------------------------------------------------------------------
+# Row→dataclass binding properties (A6)
+# ---------------------------------------------------------------------------
+
+import dataclasses
+
+from trino_iceberg_spark.mapping import bind_row
+
+
+@st.composite
+def _identifiers(draw):
+    first = draw(st.sampled_from("abcdefghijklmnopqrstuvwxyz"))
+    rest = draw(st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789_", max_size=10))
+    return first + rest
+
+
+@given(
+    _identifiers(),
+    st.one_of(st.integers(-(2**31), 2**31), st.text(max_size=20), st.none()),
+)
+@settings(max_examples=200, deadline=None)
+def test_bind_row_case_insensitive(name, value):
+    cls = dataclasses.make_dataclass("Dto", [(name, object, dataclasses.field(default=None))])
+    bound = bind_row(cls, {name.upper(): value})
+    assert getattr(bound, name) == value
+
+
+def test_bind_row_snake_vs_flat():
+    @dataclasses.dataclass
+    class Dto:
+        user_name: str = ""
+
+    assert bind_row(Dto, {"user_name": "x"}).user_name == "x"
+    assert bind_row(Dto, {"USER_NAME": "y"}).user_name == "y"
+    assert bind_row(Dto, {"username": "z"}).user_name == "z"  # underscore-insensitive
