@@ -226,3 +226,93 @@ def test_concat_version(client):
 def test_iter_query_streams(client):
     it = client.iter_query("SELECT id FROM common_test_data.shared_data ORDER BY id")
     assert next(it)["id"] == 1
+
+
+# --- A3 UNLOAD contract (AthenaClientTests.cs:98-345) --------------------
+
+
+@pytest.fixture()
+def fs_client(tmp_path):
+    from trino_iceberg_spark.fs import FsClient
+
+    return FsClient(str(tmp_path / "buckets"), "warehouse")
+
+
+@pytest.fixture()
+def fs_client_backed(spark, fs_client):
+    return AthenaSparkClient(spark, fs_client)
+
+
+def _parquet_files(dirpath):
+    import glob
+    import os
+
+    return sorted(glob.glob(os.path.join(dirpath, "*")))
+
+
+def test_unload_flat_layout_and_rowcount(fs_client_backed):
+    resp = fs_client_backed.unload(
+        "SELECT * FROM common_test_data.shared_data", path="exports/run1"
+    )
+    assert resp.row_count == 5
+    files = _parquet_files(resp.output_path)
+    assert files and all(f.endswith(".parquet") for f in files)
+    # no data/, metadata/, _SUCCESS, or CRC droppings (AthenaClientTests.cs:158-169)
+    assert not any("/data/" in f or "/metadata/" in f for f in files)
+
+
+def test_unload_repeated_adds_files(fs_client_backed):
+    r1 = fs_client_backed.unload(
+        "SELECT * FROM common_test_data.category_data", path="exports/run2"
+    )
+    n1 = len(_parquet_files(r1.output_path))
+    r2 = fs_client_backed.unload(
+        "SELECT * FROM common_test_data.category_data", path="exports/run2"
+    )
+    assert len(_parquet_files(r2.output_path)) > n1  # S3-copy add semantics
+
+
+def test_unload_temp_cleanup(fs_client_backed, fs_client):
+    import os
+
+    fs_client_backed.unload("SELECT 1 AS x", path="exports/run3")
+    assert not os.path.exists(
+        os.path.join(fs_client.bucket_dir(), "_unload_temp")
+    )  # AthenaClientTests.cs:172-208
+
+
+def test_unload_cross_bucket(fs_client_backed, fs_client):
+    resp = fs_client_backed.unload(
+        "SELECT 42 AS answer", bucket="otherbucket", path="exports/x"
+    )
+    assert "otherbucket" in resp.output_path
+    assert _parquet_files(resp.output_path)
+
+
+def test_unload_without_fs_client_raises(client):
+    from trino_iceberg_spark.errors import UnloadError
+
+    with pytest.raises(UnloadError):
+        client.unload("SELECT 1 AS x", path="exports/y")
+
+
+def test_unload_num_files_controls_shards(fs_client_backed):
+    resp = fs_client_backed.unload(
+        "SELECT * FROM common_test_data.shared_data",
+        path="exports/sharded",
+        num_files=1,
+    )
+    files = _parquet_files(resp.output_path)
+    assert len(files) == 1
+    assert resp.row_count == 5
+
+
+def test_unload_roundtrip_readback(spark, fs_client_backed):
+    resp = fs_client_backed.unload(
+        "SELECT category, SUM(amount) AS total FROM common_test_data.category_data "
+        "GROUP BY category",
+        path="exports/agg",
+    )
+    back = spark.read.parquet(resp.output_path)
+    got = {r["category"]: int(r["total"]) for r in back.collect()}
+    assert got == {"A": 250, "B": 500}

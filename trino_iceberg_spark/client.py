@@ -135,6 +135,7 @@ class AthenaSparkClient:
         bucket: str | None = None,
         path: str = "",
         compression: str | None = None,
+        num_files: int | None = None,
     ) -> UnloadResponse:
         """A3 ``UnloadAsync`` (AthenaClient.cs:116-208): query → parquet files
         placed *flat* at the target path.
@@ -166,6 +167,11 @@ class AthenaSparkClient:
         )  # temp-table convention, AthenaClient.cs:133-138
         try:
             df = self.sql_df(sql, *params)
+            if num_files is not None:
+                # Export file-count control (downstream loaders often want
+                # "one big file" or "N shards"): coalesce avoids a shuffle —
+                # it only merges read partitions on the write side.
+                df = df.coalesce(num_files)
             obs = Observation("unload_rowcount")
             observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
             writer = observed.write.mode("errorifexists")
