@@ -48,3 +48,28 @@ def test_bad_weights_rejected(spark):
 
     with pytest.raises(ValueError):
         split_by_hash(spark.range(5), "id", {"a": 0.5, "b": 0.2})
+
+
+def test_sample_deterministic_superset_stability(spark, sf_dir):
+    from trino_iceberg_spark.operators.splits import sample_deterministic
+
+    d = load_table(spark, sf_dir, "documents")
+    half = d.filter(F.col("doc_id") % 2 == 0)
+    full_ids = {r["doc_id"] for r in sample_deterministic(d, "doc_id", 0.2).collect()}
+    half_ids = {r["doc_id"] for r in sample_deterministic(half, "doc_id", 0.2).collect()}
+    # sample of a subset == subset of the sample (pure function of key)
+    assert half_ids == {i for i in full_ids if i % 2 == 0}
+    n = d.count()
+    assert abs(len(full_ids) / n - 0.2) < 0.06
+
+
+def test_sample_stratified_rebalances(spark, sf_dir):
+    from trino_iceberg_spark.operators.splits import sample_stratified
+
+    d = load_table(spark, sf_dir, "documents")
+    out = sample_stratified(d, "doc_id", "lang", {"en": 0.1, "zh": 1.0})
+    counts = {r["lang"]: r["c"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()}
+    totals = {r["lang"]: r["c"] for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert set(counts) <= {"en", "zh"}  # unlisted strata dropped
+    assert counts["zh"] == totals["zh"]  # keep-all stratum intact
+    assert counts["en"] < totals["en"] * 0.3  # en heavily downsampled

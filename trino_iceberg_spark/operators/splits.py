@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["split_assignment", "split_by_hash"]
+__all__ = ["split_assignment", "split_by_hash", "sample_deterministic", "sample_stratified"]
 
 _BUCKETS = 1_000_000
 
@@ -46,6 +46,44 @@ def split_assignment(
         expr = F.when(branch[1], branch[0]) if expr is None else expr.when(branch[1], branch[0])
     last = F.lit(names[-1])
     return last if expr is None else expr.otherwise(last)
+
+
+def sample_deterministic(
+    df: DataFrame, key: Column | str, fraction: float, seed: int = 42
+) -> DataFrame:
+    """Deterministic ~``fraction`` sample: keep rows whose hashed key lands
+    below the cut. Unlike ``df.sample``, membership is a pure function of
+    (key, seed) — stable across runs, partitionings, and subsets, and the
+    SAME rows are picked when re-run on a superset (incremental-ingest
+    friendly: yesterday's sample is a subset of today's)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1] (got {fraction})")
+    c = F.col(key) if isinstance(key, str) else key
+    cut = int(fraction * _BUCKETS)
+    return df.filter(F.pmod(F.xxhash64(c, F.lit(seed)), F.lit(_BUCKETS)) < cut)
+
+
+def sample_stratified(
+    df: DataFrame,
+    key: Column | str,
+    strata_col: str,
+    fractions: dict[str, float],
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (corpus rebalancing: e.g. keep
+    10% of English, 100% of low-resource languages). Strata missing from
+    ``fractions`` are dropped — the rebalance is explicit. Map-side only:
+    a filter on (hash(key), stratum), no shuffle, no sampling state."""
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for stratum {name!r} must be in [0, 1]")
+    c = F.col(key) if isinstance(key, str) else key
+    bucket = F.pmod(F.xxhash64(c, F.lit(seed)), F.lit(_BUCKETS))
+    cond = None
+    for name, frac in fractions.items():
+        branch = (F.col(strata_col) == name) & (bucket < int(frac * _BUCKETS))
+        cond = branch if cond is None else cond | branch
+    return df.filter(cond if cond is not None else F.lit(False))
 
 
 def split_by_hash(

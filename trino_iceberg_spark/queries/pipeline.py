@@ -677,3 +677,29 @@ def tx08_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("count").desc(), "ngram")
         .limit(50)
     )
+
+
+@register(
+    "sp02_stratified_sample",
+    oracle="""
+    SELECT lang, COUNT(*) AS docs
+    FROM documents
+    WHERE (lang = 'en' AND doc_id % 10 < 2) OR (lang = 'zh')
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def sp02_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus rebalance summary: downsample English to ~20%,
+    keep all Chinese. Oracle variant cuts on doc_id % 10 (SQL-expressible
+    on both engines); the hash-cut production operator
+    (operators.splits.sample_stratified) is pinned in tests/test_splits.py."""
+    d = load_table(spark, sf_dir, "documents")
+    keep = ((F.col("lang") == "en") & (F.col("doc_id") % 10 < 2)) | (
+        F.col("lang") == "zh"
+    )
+    return (
+        d.filter(keep)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("docs"))
+        .orderBy("lang")
+    )
