@@ -104,9 +104,13 @@ from trino_iceberg_spark.mapping import bind_row
 
 @st.composite
 def _identifiers(draw):
+    import keyword
+
     first = draw(st.sampled_from("abcdefghijklmnopqrstuvwxyz"))
     rest = draw(st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789_", max_size=10))
-    return first + rest
+    name = first + rest
+    # make_dataclass rejects Python keywords as field names
+    return name + "_" if keyword.iskeyword(name) else name
 
 
 @given(
