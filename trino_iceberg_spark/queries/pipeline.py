@@ -103,6 +103,85 @@ def dd04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+# Shared DuckDB fragment: the dd04 3-gram Jaccard pair graph (threshold 0.3,
+# blocked by lang), symmetrized, plus connected components via a recursive
+# CTE — min label over the transitive closure equals the component minimum.
+_CC_ORACLE_PREFIX = """
+WITH RECURSIVE sh AS (
+    SELECT doc_id, lang,
+           list_distinct(list_transform(
+               range(len(toks) - 2),
+               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+           )) AS shingles
+    FROM (SELECT doc_id, lang,
+                 list_filter(string_split(lower(text), ' '), w -> w <> '') AS toks
+          FROM documents)
+    WHERE len(toks) >= 3
+),
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.3
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+    SELECT src AS node, src AS comp FROM edges
+    UNION
+    SELECT e.dst AS node, r.comp FROM reach r JOIN edges e ON e.src = r.node
+),
+cc AS (SELECT node, MIN(comp) AS component FROM reach GROUP BY node)
+"""
+
+
+@register(
+    "dd07_duplicate_clusters",
+    oracle=_CC_ORACLE_PREFIX
+    + """
+    SELECT node, component FROM cc ORDER BY node
+    """,
+)
+def dd07_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the dd04 near-dup pair graph
+    (operators.clustering.connected_components): distributed min-label
+    propagation + pointer jumping, oracle-checked against DuckDB's
+    recursive-CTE transitive closure."""
+    from ..operators.clustering import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        d, "text", "doc_id", k=3, threshold=0.3, block_col=F.col("lang")
+    )
+    return connected_components(pairs, "id_a", "id_b").orderBy("node")
+
+
+@register(
+    "dd08_near_dedup_survivors",
+    oracle=_CC_ORACLE_PREFIX
+    + """
+    SELECT d.doc_id, d.lang FROM documents d
+    WHERE d.doc_id NOT IN (SELECT node FROM cc WHERE node <> component)
+    ORDER BY d.doc_id
+    """,
+)
+def dd08_near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup: pair generation → clustering → keep the
+    min-id representative per cluster (operators.clustering.
+    near_dedup_survivors); every other cluster member is dropped via one
+    anti-join, so the corpus is scanned once and never shuffled."""
+    from ..operators.clustering import near_dedup_survivors
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        d, "text", "doc_id", k=3, threshold=0.3, block_col=F.col("lang")
+    )
+    return near_dedup_survivors(d.select("doc_id", "lang"), pairs, "doc_id").orderBy("doc_id")
+
+
 @register("dd05_simhash_pairs")  # rows-only: bit-vote hashing not SQL-expressible
 def dd05_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-≤6 near-dup pairs (operators.dedup.simhash_dedup_pairs)."""
