@@ -276,3 +276,27 @@ def test_frame_sampling_grid(spark):
     frames = sample_frames_stub(media, every_ms=100_000).collect()
     dur = frames[0]["media"]["meta"]["duration_ms"]
     assert len(frames) == dur // 100_000 + 1
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF / BM25 (oracle covers corpus math; these pin boundary semantics)
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_ubiquitous_token_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "apple banana"), (2, "apple cherry")], "doc_id bigint, text string"
+    )
+    rows = {(r.doc_id, r.token): r for r in TX.tfidf(df, "text", "doc_id").collect()}
+    assert rows[(1, "apple")].tfidf == 0.0  # df == N -> ln(1) == 0
+    assert rows[(1, "banana")].df == 1 and rows[(1, "banana")].tfidf > 0
+
+
+def test_bm25_only_matching_docs_scored(spark):
+    df = spark.createDataFrame(
+        [(1, "hash join hash"), (2, "sort merge"), (3, "hash sort join")],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r.score for r in TX.bm25_scores(df, "text", "doc_id", ["hash"]).collect()}
+    assert set(got) == {1, 3}  # doc 2 has no query term -> absent
+    assert got[1] > got[3] > 0  # higher tf wins at equal doc length

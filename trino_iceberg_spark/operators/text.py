@@ -19,6 +19,8 @@ __all__ = [
     "rolling_fingerprint_col",
     "vocabulary",
     "ngram_counts",
+    "tfidf",
+    "bm25_scores",
     "text_profile",
 ]
 
@@ -172,6 +174,84 @@ def ngram_counts(df: DataFrame, text_col: str, n: int = 2) -> DataFrame:
         df.select(F.explode(grams).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def tfidf(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document TF-IDF term weights: ``(id, token, tf, df, tfidf)``.
+
+    Classic weighting ``tf * ln(N / df)``. Two token-keyed shuffles total:
+    one groupBy for term frequencies, one for document frequencies (both
+    with map-side partial aggregation); the corpus size joins in as a
+    broadcast single-row aggregate, so nothing is collected to the driver
+    and the plan scales with the token count, not the document count.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(word_tokens_col(F.lower(F.col(text_col)))).alias("token")
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = df.select(F.count(F.lit(1)).alias("_n"))
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col(id_col),
+            "token",
+            "tf",
+            "df",
+            (F.col("tf") * F.log(F.col("_n").cast("double") / F.col("df"))).alias("tfidf"),
+        )
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_tokens: list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranked retrieval for a bag-of-words query: ``(id, score)``.
+
+    Robertson/Lucene idf ``ln(1 + (N - df + 0.5)/(df + 0.5))`` (always
+    positive) with standard length normalization. Document length and
+    per-query-token tf come from one exploded-token aggregation; corpus
+    stats (N, avgdl) ride along as a broadcast single-row aggregate.
+    Irrelevant tokens are filtered *before* the tf groupBy, so the shuffle
+    carries only query-term postings — at 100 TB that is the inverted-
+    index access pattern, not a corpus-wide shuffle.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(word_tokens_col(F.lower(F.col(text_col)))).alias("token")
+    )
+    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("_n"), F.avg("dl").alias("_avgdl")
+    )
+    tf = (
+        toks.where(F.col("token").isin(query_tokens))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("_avgdl")
+    )
+    term_score = idf * F.col("tf") * F.lit(k1 + 1.0) / norm
+    return (
+        tf.join(dfreq, "token")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), term_score.alias("term_score"))
+        .groupBy(id_col)
+        .agg(F.sum("term_score").alias("score"))
     )
 
 

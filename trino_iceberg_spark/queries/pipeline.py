@@ -759,6 +759,88 @@ def tx08_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tx09_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              w -> w <> '')) AS token
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+        SELECT t.doc_id, t.token,
+               ROUND(t.tf * LN(CAST(n.n AS DOUBLE) / d.df), 6) AS tfidf
+        FROM tf t JOIN dfreq d USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rk
+        FROM scored
+    ) WHERE rk <= 3 ORDER BY doc_id, token
+    """,
+)
+def tx09_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (operators.text.tfidf + rank
+    window). Deterministic tie-break on token so both engines agree."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = TX.tfidf(d, "text", "doc_id").withColumn(
+        "tfidf", F.round("tfidf", 6)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "token", "tfidf")
+        .orderBy("doc_id", "token")
+    )
+
+
+@register(
+    "tx10_bm25_ranking",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              w -> w <> '')) AS token
+        FROM documents
+    ),
+    doclen AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM doclen),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM toks
+        WHERE token IN ('hash', 'join', 'vector') GROUP BY doc_id, token
+    ),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    scored AS (
+        SELECT t.doc_id,
+               LN(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                 * t.tf * 2.2 / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS ts
+        FROM tf t JOIN dfreq d USING (token)
+                  JOIN doclen l USING (doc_id)
+                  CROSS JOIN stats s
+    )
+    SELECT doc_id, ROUND(SUM(ts), 6) AS score
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def tx10_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 documents for query {hash, join, vector}
+    (operators.text.bm25_scores, k1=1.2 b=0.75): query-term postings only
+    hit the shuffle; corpus stats broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        TX.bm25_scores(d, "text", "doc_id", ["hash", "join", "vector"])
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
     "sp02_stratified_sample",
     oracle="""
     SELECT lang, COUNT(*) AS docs
