@@ -1,0 +1,50 @@
+"""Gap-fill / LOCF boundary semantics (operators/timeseries.py) that the
+grid-level oracle can't isolate: missing-cell creation, zero fill, leading
+NULLs before the first observation, multi-series independence."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from trino_iceberg_spark.operators.timeseries import gap_fill, time_spine
+
+
+def _events(spark):
+    rows = [
+        # series "a": observations at hours 0 and 3 -> gaps at 1, 2
+        (dt.datetime(2024, 5, 1, 0, 15), "a", 10.0),
+        (dt.datetime(2024, 5, 1, 3, 5), "a", 30.0),
+        # series "b": single observation at hour 2
+        (dt.datetime(2024, 5, 1, 2, 45), "b", 7.0),
+    ]
+    return spark.createDataFrame(rows, "ts timestamp, series string, value double")
+
+
+def test_time_spine_dense(spark):
+    spine = time_spine(_events(spark), "ts", "hour").collect()
+    hours = sorted(r.bucket for r in spine)
+    assert hours == [dt.datetime(2024, 5, 1, h) for h in range(4)]
+
+
+def test_gap_fill_zero_and_locf(spark):
+    out = gap_fill(
+        _events(spark),
+        "ts",
+        ["series"],
+        {"n": F.count(F.lit(1)), "v": F.max("value")},
+        unit="hour",
+        fill_zero=["n"],
+        locf=["v"],
+    ).collect()
+    cells = {(r.series, r.bucket.hour): (r.n, r.v) for r in out}
+    assert len(cells) == 8  # 2 series x 4 hours, gaps materialized
+    assert cells[("a", 1)] == (0, 10.0)  # zero-filled count, carried value
+    assert cells[("a", 2)] == (0, 10.0)
+    assert cells[("a", 3)] == (1, 30.0)  # fresh observation replaces carry
+    # leading cells before b's first observation stay NULL, not carried
+    assert cells[("b", 0)] == (0, None)
+    assert cells[("b", 1)] == (0, None)
+    assert cells[("b", 2)] == (1, 7.0)
+    assert cells[("b", 3)] == (0, 7.0)  # b's carry unaffected by series a

@@ -1,0 +1,86 @@
+"""Time-series regularization: complete time spines, gap-filled resampling,
+and last-observation-carried-forward — the operators that turn irregular
+event streams into dense, model-ready series.
+
+No reference analog (SURVEY.md §2.C: the reference's surface is plain SQL);
+these are north-star pipeline operators. Hypertable-style engines call this
+``time_bucket_gapfill`` + ``locf``.
+
+Scale design (100 TB rule):
+
+- The spine's bounds come from a single-row aggregate that stays a
+  DataFrame — no ``collect()``; the bucket array is generated with
+  ``sequence`` + ``explode`` on that one row. An hourly grid over a
+  century is <1M elements; for second-granularity spines over years,
+  swap in a ``spark.range``-based spine before the cross join.
+- The group-key roster (``distinct`` over the group columns) is tiny by
+  construction (it is the series cardinality) and is broadcast into the
+  spine cross join, so grid construction never shuffles the fact table.
+- The fact table is aggregated *before* joining the grid — the join
+  carries one row per (group, bucket), not per event, and both sides
+  share the (bucket, group) key, which AQE coalesces into one exchange.
+- LOCF is a per-series window (partition by group, order by bucket) —
+  state never crosses series, so skew is bounded by the densest series.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Mapping
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["time_spine", "gap_fill"]
+
+
+def time_spine(df: DataFrame, ts_col: str, unit: str = "hour") -> DataFrame:
+    """Dense ``bucket`` column covering [trunc(min ts), trunc(max ts)] at
+    1-``unit`` steps (unit: 'day' | 'hour' | 'minute'), derived entirely
+    on executors from a one-row bounds aggregate."""
+    bounds = df.agg(
+        F.date_trunc(unit, F.min(ts_col)).alias("_lo"),
+        F.date_trunc(unit, F.max(ts_col)).alias("_hi"),
+    )
+    step = F.expr(f"INTERVAL 1 {unit}")
+    return bounds.select(
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"), step)).alias("bucket")
+    )
+
+
+def gap_fill(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: list[str],
+    aggs: Mapping[str, Column],
+    *,
+    unit: str = "hour",
+    fill_zero: Iterable[str] = (),
+    locf: Iterable[str] = (),
+) -> DataFrame:
+    """Resample ``df`` onto a complete (group × bucket) grid.
+
+    ``aggs`` maps output-column name → aggregate expression, evaluated per
+    (group, date_trunc(unit, ts)) cell. Missing cells appear with NULLs,
+    then ``fill_zero`` columns are coalesced to 0 and ``locf`` columns are
+    forward-filled within their series (NULL before the first observation,
+    matching SQL ``last_value IGNORE NULLS``).
+    """
+    bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket")
+    actual = df.groupBy(*group_cols, bucket).agg(
+        *[c.alias(name) for name, c in aggs.items()]
+    )
+    grid = time_spine(df, ts_col, unit).crossJoin(
+        F.broadcast(df.select(*group_cols).distinct())
+    )
+    out = grid.join(actual, on=[*group_cols, "bucket"], how="left")
+    for name in fill_zero:
+        out = out.withColumn(name, F.coalesce(F.col(name), F.lit(0)))
+    if locf:
+        w = (
+            Window.partitionBy(*group_cols)
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        for name in locf:
+            out = out.withColumn(name, F.last(name, ignorenulls=True).over(w))
+    return out

@@ -195,3 +195,55 @@ def ev05_props_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "ev06_hourly_gap_fill",
+    oracle="""
+    WITH spine AS (
+        SELECT unnest(generate_series(
+            (SELECT date_trunc('hour', MIN(ts)) FROM events),
+            (SELECT date_trunc('hour', MAX(ts)) FROM events),
+            INTERVAL 1 HOUR)) AS bucket
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    actual AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket,
+               COUNT(*) AS n_events,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                     / COUNT(value), 6) AS avg_value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT g.event_type, g.bucket,
+           COALESCE(a.n_events, 0) AS n_events,
+           last_value(a.avg_value IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.bucket) AS avg_value_locf
+    FROM (SELECT t.event_type, s.bucket FROM types t CROSS JOIN spine s) g
+    LEFT JOIN actual a ON a.event_type = g.event_type AND a.bucket = g.bucket
+    ORDER BY g.event_type, g.bucket
+    """,
+)
+def ev06_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resample per event type
+    (operators.timeseries.gap_fill): dense spine × broadcast group roster,
+    zero-filled counts, LOCF-carried average value. The fact table is
+    pre-aggregated so the grid join carries one row per cell."""
+    from ..operators.timeseries import gap_fill
+    from .compat import davg_col
+
+    ev = load_table(spark, sf_dir, "events")
+    out = gap_fill(
+        ev,
+        "ts",
+        ["event_type"],
+        {
+            "n_events": F.count(F.lit(1)),
+            "avg_value_locf": F.round(davg_col("value"), 6),
+        },
+        unit="hour",
+        fill_zero=["n_events"],
+        locf=["avg_value_locf"],
+    )
+    return out.select("event_type", "bucket", "n_events", "avg_value_locf").orderBy(
+        "event_type", "bucket"
+    )
