@@ -300,3 +300,28 @@ def test_bm25_only_matching_docs_scored(spark):
     got = {r.doc_id: r.score for r in TX.bm25_scores(df, "text", "doc_id", ["hash"]).collect()}
     assert set(got) == {1, 3}  # doc 2 has no query term -> absent
     assert got[1] > got[3] > 0  # higher tf wins at equal doc length
+
+
+def test_quantized_topk_recall_vs_exact(spark, embeddings):
+    q = embeddings.filter(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk(embeddings, q, "embedding", "vec_id", k=5).collect()
+    }
+    quant = S.quantized_cosine_topk(embeddings, q, "embedding", "vec_id", k=5).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in quant}
+    # int8 on unit vectors perturbs each coordinate by <= 1/254; with
+    # near-orthogonal random embeddings the top-5 sets stay mostly stable
+    assert len(approx & exact) / len(exact) >= 0.7
+    # approximate scores stay within quantization error of valid cosines
+    assert all(-1.1 <= r["qcosine"] <= 1.1 for r in quant)
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0])], "id long, embedding array<double>"
+    )
+    row = S.quantize_embeddings(df, "embedding").collect()[0]
+    assert len(row.qvec) == 4 and max(abs(v) for v in row.qvec) == 127
+    recon = [v * row.qscale for v in row.qvec]
+    assert all(abs(a - b) <= row.qscale / 2 + 1e-12 for a, b in zip(recon, [1.0, -0.5, 0.25, 0.0]))

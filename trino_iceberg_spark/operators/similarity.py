@@ -38,6 +38,8 @@ __all__ = [
     "numpy_cosine_topk",
     "lsh_topk",
     "ivf_topk",
+    "quantize_embeddings",
+    "quantized_cosine_topk",
 ]
 
 
@@ -303,4 +305,82 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
         .distinct()
+    )
+
+
+def quantize_embeddings(
+    df: DataFrame, embedding_col: str, *, out_col: str = "qvec", scale_col: str = "qscale"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``q = round(v / scale)``
+    with ``scale = max|v| / 127``, emitted as ``array<tinyint>`` + one
+    double scale per row.
+
+    The 100 TB storage/shuffle lever for vector workloads: 4× smaller than
+    float32 on disk and on the wire, and integer dot products in place of
+    float ones. Dequantization is ``q * scale``; cosine between quantized
+    unit vectors needs no dequantization at all (see
+    :func:`quantized_cosine_topk`)."""
+    v = _as_double(F.col(embedding_col))
+    scale = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0), F.lit(1e-30)
+    )
+    qvec = F.transform(v, lambda x: F.round(x / scale).cast("tinyint"))
+    return df.withColumn(scale_col, scale).withColumn(out_col, qvec)
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    # tinyint*tinyint would overflow tinyint under ANSI; widen per element,
+    # accumulate in long.
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("int") * y.cast("int")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def quantized_cosine_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    embedding_col: str,
+    id_col: str,
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k cosine over int8-quantized unit vectors.
+
+    Both sides are unit-normalized then quantized, so
+    ``cos ≈ (qa·qb) · sa · sb`` — an integer dot product plus one float
+    multiply; error is O(1/127) per coordinate. Same broadcast/window
+    shape as :func:`cosine_topk`; recall vs the exact ranking is pinned in
+    tests/test_operators.py. Returns (query_id, neighbor_id, qcosine, rank).
+    """
+    q = quantize_embeddings(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            unit_vec(_as_double(F.col(embedding_col))).alias("_u"),
+        ),
+        "_u",
+        out_col="_qq",
+        scale_col="_qs",
+    ).drop("_u")
+    c = quantize_embeddings(
+        candidates.select(
+            F.col(id_col).alias("neighbor_id"),
+            unit_vec(_as_double(F.col(embedding_col))).alias("_u"),
+        ),
+        "_u",
+        out_col="_cq",
+        scale_col="_cs",
+    ).drop("_u")
+    scored = c.crossJoin(F.broadcast(q)).withColumn(
+        "qcosine",
+        (_int_dot(F.col("_cq"), F.col("_qq")) * F.col("_cs") * F.col("_qs")),
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    w = W.partitionBy("query_id").orderBy(F.col("qcosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "qcosine", "rank")
     )

@@ -260,6 +260,21 @@ def ss02_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ss05_quantized_topk")  # rows-only: int8 approximation by design
+def ss05_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized approximate top-5
+    (operators.similarity.quantized_cosine_topk): integer dot products
+    over 4×-smaller vectors; recall ≥ 0.7 vs the exact ranking is pinned
+    in tests/test_operators.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    return (
+        S.quantized_cosine_topk(e, q, "embedding", "vec_id", k=5)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 @register("ss03_ivf_topk")  # rows-only: approximate by design
 def ss03_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-cell approximate top-5 (operators.similarity.ivf_topk)."""
