@@ -23,6 +23,31 @@ from ..sources.testdata import load_table
 from .registry import register
 
 
+
+def _staged_stream(spark: SparkSession, sf_dir: str, tag: str):
+    """readStream over the events parquet staged into a per-entry dir
+    (symlink, no copy), with the same ns->us ts conversion as
+    sources.testdata.load_table."""
+    stage_dir = os.path.join(tempfile.gettempdir(), f"tis_{tag}_events")
+    os.makedirs(stage_dir, exist_ok=True)
+    link = os.path.join(stage_dir, "events.parquet")
+    src = os.path.join(sf_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    elif os.path.realpath(link) != os.path.realpath(src):
+        os.remove(link)
+        os.symlink(src, link)
+    raw_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage_dir)
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return stream
+
+
 @register(
     "st01_windowed_stream",
     oracle="""
@@ -217,4 +242,61 @@ def st03_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table(qname)
         .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
         .orderBy("window_start", "event_type")
+    )
+
+@register(
+    "st04_stream_stream_join",
+    oracle="""
+    SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    ORDER BY v.user_id, view_id, purchase_id
+    """,
+)
+def st04_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: views joined to same-user purchases
+    within 30 minutes (StreamingSymmetricHashJoin, both sides watermarked
+    1 hour so join state is evicted past view_ts + 30min). Driven on the
+    finite testdata and hash-checked against the batch interval join —
+    the oracle proves the streaming join emits exactly the batch result."""
+    views = (
+        _staged_stream(spark, sf_dir, "st04v")
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        _staged_stream(spark, sf_dir, "st04p")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + interval 30 minutes"
+        ),
+    )
+    qname = f"st04_{uuid.uuid4().hex[:8]}"
+    query = (
+        joined.writeStream.outputMode("append").format("memory").queryName(qname).start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return (
+        spark.table(qname)
+        .select(F.col("v_user").alias("user_id"), "view_id", "purchase_id")
+        .orderBy("user_id", "view_id", "purchase_id")
     )
