@@ -48,3 +48,15 @@ def test_gap_fill_zero_and_locf(spark):
     assert cells[("b", 1)] == (0, None)
     assert cells[("b", 2)] == (1, 7.0)
     assert cells[("b", 3)] == (0, 7.0)  # b's carry unaffected by series a
+
+
+def test_group_zscore_outliers_planted(spark):
+    from trino_iceberg_spark.operators.profiling import group_zscore_outliers
+
+    rows = [("a", float(v)) for v in [10, 11, 9, 10, 10, 11, 9, 10, 100]] + [
+        ("b", float(v)) for v in [5, 5, 5, 5, 5, 5, 5, 5, 5]
+    ]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    out = group_zscore_outliers(df, "value", ["grp"], z_threshold=2.0).collect()
+    assert len(out) == 1  # only the planted 100; constant group b yields no outliers
+    assert out[0].grp == "a" and out[0].value == 100.0 and out[0].zscore > 2.0

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_columns"]
+__all__ = ["profile_columns", "group_zscore_outliers"]
 
 
 def profile_columns(
@@ -52,4 +52,47 @@ def profile_columns(
         wide.select(F.explode(F.array(*per_col)).alias("p"))
         .select("p.*")
         .orderBy("column")
+    )
+
+
+def group_zscore_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    *,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Rows whose ``value_col`` deviates more than ``z_threshold`` standard
+    deviations from their group mean, with the z-score attached.
+
+    Moments come from exact DECIMAL sums (sum x, sum x² — order-independent
+    across partitions, unlike double accumulation), converted to double
+    only for the final mean/variance arithmetic; the per-row z-score is
+    then a map-side expression against the broadcast per-group stats. Two
+    passes over the data by necessity (mean before deviation), one small
+    shuffle for the group moments, zero for the scoring join when the
+    group roster fits the broadcast threshold.
+    """
+    v = F.col(value_col).cast("decimal(18,4)")
+    stats = df.groupBy(*group_cols).agg(
+        F.count(value_col).alias("_n"),
+        F.sum(v).alias("_s1"),
+        F.sum(v * v).alias("_s2"),
+    )
+    mean = (F.col("_s1").cast("double") / F.col("_n")).alias("_mean")
+    stats = stats.select(*group_cols, "_n", "_s2", mean)
+    var = (F.col("_s2").cast("double") - F.col("_mean") * F.col("_mean") * F.col("_n")) / (
+        F.col("_n") - 1
+    )
+    stats = stats.select(*group_cols, "_mean", F.sqrt(var).alias("_std"))
+    # constant groups (std = 0) have no outliers by definition; guard the
+    # division so ANSI mode doesn't throw on them
+    z = F.when(
+        F.col("_std") > 0, (F.col(value_col) - F.col("_mean")) / F.col("_std")
+    )
+    return (
+        df.join(F.broadcast(stats), group_cols)
+        .withColumn("zscore", z)
+        .where(F.abs(F.col("zscore")) > z_threshold)
+        .drop("_mean", "_std")
     )

@@ -247,3 +247,39 @@ def ev06_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type", "bucket", "n_events", "avg_value_locf").orderBy(
         "event_type", "bucket"
     )
+
+
+@register(
+    "ev07_value_outliers",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type, COUNT(value) AS n,
+               SUM(CAST(value AS DECIMAL(18,4))) AS s1,
+               SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS s2
+        FROM events GROUP BY event_type
+    ),
+    ms AS (SELECT event_type, n, s2, CAST(s1 AS DOUBLE) / n AS mean FROM stats),
+    sd AS (
+        SELECT event_type, mean,
+               sqrt((CAST(s2 AS DOUBLE) - mean * mean * n) / (n - 1)) AS std
+        FROM ms
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND((e.value - s.mean) / s.std, 6) AS zscore
+    FROM events e JOIN sd s USING (event_type)
+    WHERE ABS((e.value - s.mean) / s.std) > 3.0
+    ORDER BY e.event_id
+    """,
+)
+def ev07_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score anomalies |z| > 3
+    (operators.profiling.group_zscore_outliers): exact decimal moments,
+    double arithmetic in oracle-identical order, broadcast stats join —
+    the scoring pass is map-side only."""
+    from ..operators.profiling import group_zscore_outliers
+
+    ev = load_table(spark, sf_dir, "events")
+    out = group_zscore_outliers(ev, "value", ["event_type"], z_threshold=3.0)
+    return out.select(
+        "event_id", "event_type", F.round("zscore", 6).alias("zscore")
+    ).orderBy("event_id")
