@@ -142,3 +142,43 @@ def test_delete_and_update_where(spark, tmp_path):
     assert sorted(r["id"] for r in t.read().collect()) == list(range(7))
     t.update_where(F.col("id") < 3, {"id": F.col("id") + 100})
     assert sorted(r["id"] for r in t.read().collect()) == [3, 4, 5, 6, 100, 101, 102]
+
+
+def test_changelog_append_only_prunes_shared_files(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "cl1"))
+    v1 = t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")).snapshot_id
+    v2 = t.append(spark.createDataFrame([(3, "c")], "id long, v string")).snapshot_id
+    out = t.changelog(v1, v2, ["id"]).collect()
+    assert [(r.id, r._change_type) for r in out] == [(3, "insert")]
+
+
+def test_changelog_keyed_update_pairs(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "cl2"))
+    v1 = t.append(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, v string")
+    ).snapshot_id
+    t.merge(spark.createDataFrame([(2, "B"), (4, "d")], "id long, v string"), ["id"])
+    v3 = t.delete_where(F.col("id") == 3).snapshot_id
+    got = sorted((r.id, r._change_type, r.v) for r in t.changelog(v1, v3, ["id"]).collect())
+    assert got == [
+        (2, "update_after", "B"),
+        (2, "update_before", "b"),
+        (3, "delete", "c"),
+        (4, "insert", "d"),
+    ]
+    # unchanged key 1 emitted nothing despite its file being rewritten
+
+
+def test_changelog_unkeyed_multiset(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "cl3"))
+    v1 = t.append(spark.createDataFrame([(1, "x"), (1, "x")], "id long, v string")).snapshot_id
+    v2 = t.overwrite(spark.createDataFrame([(1, "x")], "id long, v string")).snapshot_id
+    out = [(r.id, r._change_type) for r in t.changelog(v1, v2).collect()]
+    assert out == [(1, "delete")]  # multiset: one surplus copy deleted
+
+
+def test_changelog_missing_snapshot_raises(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "cl4"))
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    with pytest.raises(EngineError):
+        t.changelog(1, 99)

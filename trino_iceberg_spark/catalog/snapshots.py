@@ -181,6 +181,68 @@ class SnapshotTable:
                 return self._read_files(snap.files)
         raise EngineError(f"snapshot {snapshot_id} not found in {self.table_dir}")
 
+    def changelog(
+        self,
+        from_snapshot_id: int,
+        to_snapshot_id: int,
+        key_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """CDC between two snapshots: table columns + ``_change_type`` in
+        {insert, delete, update_before, update_after} (Iceberg
+        ``create_changelog_view`` / Delta CDF shape).
+
+        Manifest-level pruning: files present in both snapshots cannot
+        contribute changes (commits are copy-on-write — an updated row's
+        before-image lives in a removed file, its after-image in an added
+        file), so only the file sets' symmetric difference is read. A diff
+        between adjacent snapshots of a 100 TB table reads the touched
+        files, not the table.
+
+        With ``key_cols`` (unique key contract), rewritten rows pair into
+        update_before/update_after via a key full-outer join; without, the
+        diff is multiset except-style inserts/deletes only.
+        """
+        snaps = {s.snapshot_id: s for s in self.snapshots()}
+        try:
+            before, after = snaps[from_snapshot_id], snaps[to_snapshot_id]
+        except KeyError as missing:
+            raise EngineError(
+                f"snapshot {missing} not found in {self.table_dir}"
+            ) from None
+        removed = tuple(sorted(set(before.files) - set(after.files)))
+        added = tuple(sorted(set(after.files) - set(before.files)))
+
+        schema = self._read_files(before.files or after.files).schema
+        empty = self.spark.createDataFrame([], schema)
+        a = self._read_files(removed) if removed else empty
+        b = self._read_files(added) if added else empty
+
+        from pyspark.sql import functions as F
+
+        if not key_cols:
+            ins = b.exceptAll(a).withColumn("_change_type", F.lit("insert"))
+            dels = a.exceptAll(b).withColumn("_change_type", F.lit("delete"))
+            return ins.unionByName(dels)
+
+        cols = schema.fieldNames()
+        ar = a.select(*key_cols, F.struct(*cols).alias("_ra"))
+        br = b.select(*key_cols, F.struct(*cols).alias("_rb"))
+        j = ar.join(br, key_cols, "full_outer").persist()
+        ins = j.where(F.col("_ra").isNull()).select("_rb.*").withColumn(
+            "_change_type", F.lit("insert")
+        )
+        dels = j.where(F.col("_rb").isNull()).select("_ra.*").withColumn(
+            "_change_type", F.lit("delete")
+        )
+        changed = j.where(
+            F.col("_ra").isNotNull()
+            & F.col("_rb").isNotNull()
+            & ~F.col("_ra").eqNullSafe(F.col("_rb"))
+        )
+        upd_b = changed.select("_ra.*").withColumn("_change_type", F.lit("update_before"))
+        upd_a = changed.select("_rb.*").withColumn("_change_type", F.lit("update_after"))
+        return ins.unionByName(dels).unionByName(upd_b).unionByName(upd_a)
+
     # -- row-level operations (copy-on-write) ----------------------------
     def merge(self, source: DataFrame, key_cols: list[str]) -> Snapshot:
         """MERGE INTO analog (upsert): rows in ``source`` replace current

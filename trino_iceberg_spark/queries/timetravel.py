@@ -69,3 +69,56 @@ def tt02_version_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v1.agg(
         F.count(F.lit(1)).alias("cnt"), F.sum("o_orderkey").cast("long").alias("key_sum")
     )
+
+
+@register(
+    "tt03_snapshot_changelog",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey <= 2000
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice, 'delete' AS change_type
+    FROM base WHERE o_orderkey % 7 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, 'update_before'
+    FROM base WHERE o_orderkey % 7 <> 0 AND o_orderkey <= 500
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice * 2, 'update_after'
+    FROM base WHERE o_orderkey % 7 <> 0 AND o_orderkey <= 500
+    UNION ALL
+    SELECT * FROM (VALUES
+        (CAST(9000001 AS BIGINT), CAST(1 AS BIGINT), CAST(100.0 AS DOUBLE), 'insert'),
+        (CAST(9000002 AS BIGINT), CAST(1 AS BIGINT), CAST(100.0 AS DOUBLE), 'insert'),
+        (CAST(9000003 AS BIGINT), CAST(1 AS BIGINT), CAST(100.0 AS DOUBLE), 'insert'))
+    ORDER BY o_orderkey, change_type
+    """,
+)
+def tt03_snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC across three commits (append → MERGE upsert → DELETE):
+    SnapshotTable.changelog reads only the snapshots' file-set symmetric
+    difference and pairs rewritten keys into update_before/update_after.
+    The oracle reconstructs the exact expected change set from the
+    deterministic commit recipe."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base = o.filter(F.col("o_orderkey") <= 2000)
+    tdir = os.path.join(tempfile.gettempdir(), "tis_tt03_table")
+    shutil.rmtree(tdir, ignore_errors=True)
+    table = SnapshotTable(spark, tdir)
+    v1 = table.append(base).snapshot_id
+    updates = base.filter(F.col("o_orderkey") <= 500).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    inserts = spark.createDataFrame(
+        [(9000001, 1, 100.0), (9000002, 1, 100.0), (9000003, 1, 100.0)],
+        "o_orderkey bigint, o_custkey bigint, o_totalprice double",
+    )
+    table.merge(updates.unionByName(inserts), ["o_orderkey"])
+    v3 = table.delete_where(F.col("o_orderkey") % 7 == 0).snapshot_id
+    return (
+        table.changelog(v1, v3, ["o_orderkey"])
+        .withColumnRenamed("_change_type", "change_type")
+        .orderBy("o_orderkey", "change_type")
+    )
