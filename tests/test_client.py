@@ -316,3 +316,46 @@ def test_unload_roundtrip_readback(spark, fs_client_backed):
     back = spark.read.parquet(resp.output_path)
     got = {r["category"]: int(r["total"]) for r in back.collect()}
     assert got == {"A": 250, "B": 500}
+
+
+def test_unload_csv_headerless_like_athena(spark, fs_client_backed):
+    resp = fs_client_backed.unload(
+        "SELECT id, name FROM common_test_data.shared_data ORDER BY id",
+        path="exports/csv1",
+        format="csv",
+        num_files=1,
+    )
+    assert resp.row_count == 5
+    files = _parquet_files(resp.output_path)
+    assert len(files) == 1 and files[0].endswith(".csv")
+    with open(files[0]) as fh:
+        first = fh.readline().strip()
+    assert not first.startswith("id,")  # Athena UNLOAD CSV emits no header
+    back = spark.read.csv(resp.output_path)
+    assert back.count() == 5
+
+
+def test_unload_json_roundtrip(spark, fs_client_backed):
+    resp = fs_client_backed.unload(
+        "SELECT category, SUM(amount) AS total FROM common_test_data.category_data "
+        "GROUP BY category",
+        path="exports/json1",
+        format="json",
+    )
+    files = _parquet_files(resp.output_path)
+    assert files and all(f.endswith(".json") for f in files)
+    back = spark.read.json(resp.output_path)
+    got = {r["category"]: int(r["total"]) for r in back.collect()}
+    assert got == {"A": 250, "B": 500}
+
+
+def test_unload_csv_header_option_passthrough(spark, fs_client_backed):
+    resp = fs_client_backed.unload(
+        "SELECT id, name FROM common_test_data.shared_data",
+        path="exports/csv2",
+        format="csv",
+        num_files=1,
+        options={"header": "true"},
+    )
+    with open(_parquet_files(resp.output_path)[0]) as fh:
+        assert fh.readline().strip() == "id,name"

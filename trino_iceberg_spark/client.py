@@ -134,11 +134,18 @@ class AthenaSparkClient:
         *params: Any,
         bucket: str | None = None,
         path: str = "",
+        format: str = "parquet",
         compression: str | None = None,
         num_files: int | None = None,
+        options: dict[str, str] | None = None,
     ) -> UnloadResponse:
-        """A3 ``UnloadAsync`` (AthenaClient.cs:116-208): query → parquet files
+        """A3 ``UnloadAsync`` (AthenaClient.cs:116-208): query → data files
         placed *flat* at the target path.
+
+        The reference only exercises parquet, but Athena's UNLOAD also
+        emits CSV/JSON/ORC — ``format`` covers those (CSV headerless by
+        default, like Athena; pass ``options={"header": "true"}`` to
+        change). ``options`` passes through to the DataFrameWriter.
 
         Observable contract (AthenaClientTests.cs:98-345):
         - result files are ``*.parquet`` directly at ``{bucket}/{path}`` —
@@ -174,23 +181,28 @@ class AthenaSparkClient:
                 df = df.coalesce(num_files)
             obs = Observation("unload_rowcount")
             observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
-            writer = observed.write.mode("errorifexists")
+            writer = observed.write.mode("errorifexists").format(format.lower())
+            if options:
+                writer = writer.options(**options)
             if compression:
                 writer = writer.option("compression", compression)
-            writer.parquet(temp_dir)
+            writer.save(temp_dir)
             row_count = int(obs.get["n"])
             os.makedirs(target_dir, exist_ok=True)
             moved = 0
             for fn in sorted(os.listdir(temp_dir)):
-                if fn.endswith(".parquet"):
-                    # flat layout: data files only (AthenaClient.cs:162-172).
-                    # Names carry the run id so repeated unloads to one target
-                    # ADD files (S3-copy semantics) instead of clobbering.
-                    shutil.move(
-                        os.path.join(temp_dir, fn),
-                        os.path.join(target_dir, f"part-{run_id[:8]}-{moved:05d}.parquet"),
-                    )
-                    moved += 1
+                if fn.startswith("_") or fn.startswith(".") or fn.endswith(".crc"):
+                    continue  # _SUCCESS / CRC droppings are never exported
+                # flat layout: data files only (AthenaClient.cs:162-172).
+                # Names carry the run id so repeated unloads to one target
+                # ADD files (S3-copy semantics) instead of clobbering; the
+                # source extension chain (.csv.gz, .zstd.parquet, ...) is kept.
+                suffix = fn[fn.index(".") :] if "." in fn else ""
+                shutil.move(
+                    os.path.join(temp_dir, fn),
+                    os.path.join(target_dir, f"part-{run_id[:8]}-{moved:05d}{suffix}"),
+                )
+                moved += 1
             return UnloadResponse(row_count=row_count, output_path=target_dir)
         except UnloadError:
             raise
