@@ -240,3 +240,36 @@ def w07_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).over(w)
         ).alias("ma4"),
     ).orderBy("event_type", "day")
+
+
+@register(
+    "w08_distribution_functions",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           first_value(o_orderkey) OVER
+               (PARTITION BY o_orderpriority
+                ORDER BY o_totalprice, o_orderkey) AS cheapest_key
+    FROM orders
+    WHERE o_orderkey <= 5000
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+    ORDER BY o_orderkey
+    """,
+)
+def w08_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank / cume_dist (exact
+    rationals — identical doubles on both engines) and first_value with a
+    deterministic tie-break ordering."""
+    from ..sources.testdata import load_table as _lt
+
+    o = _lt(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000)
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    wf = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("o_orderkey").over(wf).alias("cheapest_key"),
+    ).orderBy("o_orderkey")
