@@ -60,3 +60,18 @@ def test_group_zscore_outliers_planted(spark):
     out = group_zscore_outliers(df, "value", ["grp"], z_threshold=2.0).collect()
     assert len(out) == 1  # only the planted 100; constant group b yields no outliers
     assert out[0].grp == "a" and out[0].value == 100.0 and out[0].zscore > 2.0
+
+
+def test_column_correlations_known_values(spark):
+    from trino_iceberg_spark.operators.profiling import column_correlations
+
+    rows = [(float(i), float(2 * i), float(-i), 5.0) for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "x double, y double, z double, c double")
+    got = {
+        (r.col_a, r.col_b): r.corr
+        for r in column_correlations(df, ["x", "y", "z", "c"]).collect()
+    }
+    assert abs(got[("x", "y")] - 1.0) < 1e-9   # perfectly linear
+    assert abs(got[("x", "z")] + 1.0) < 1e-9   # perfectly anti-linear
+    assert got[("x", "c")] is None             # constant column: undefined, not an error
+    assert len(got) == 6                       # upper triangle of 4 columns

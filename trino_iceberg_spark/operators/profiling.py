@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_columns", "group_zscore_outliers"]
+__all__ = ["profile_columns", "group_zscore_outliers", "column_correlations"]
 
 
 def profile_columns(
@@ -96,3 +96,44 @@ def group_zscore_outliers(
         .where(F.abs(F.col("zscore")) > z_threshold)
         .drop("_mean", "_std")
     )
+
+
+def column_correlations(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations for ``cols`` in ONE aggregation pass.
+
+    All sums (Σx, Σx², Σxy for every pair) evaluate inside a single wide
+    partial/final aggregate — one scan, one 1-row shuffle, regardless of
+    pair count — then the 1-row result unpivots to (col_a, col_b, corr).
+    Sums are exact DECIMALs (order-independent across partitions); the
+    correlation arithmetic runs in double with a fixed operation order so
+    any engine computing the same formula gets bit-identical results.
+    """
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i:]]
+    for c in cols:
+        aggs.append(F.sum(dec(c)).alias(f"_s_{c}"))
+    for a, b in pairs:
+        aggs.append(F.sum(dec(a) * dec(b)).alias(f"_p_{a}_{b}"))
+    row = df.agg(*aggs)
+
+    def corr(a: str, b: str):
+        n = F.col("_n")
+        sa, sb = F.col(f"_s_{a}").cast("double"), F.col(f"_s_{b}").cast("double")
+        sab = F.col(f"_p_{a}_{b}").cast("double")
+        saa = F.col(f"_p_{a}_{a}").cast("double")
+        sbb = F.col(f"_p_{b}_{b}").cast("double")
+        num = n * sab - sa * sb
+        den = F.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+        return F.when(den > 0, num / den)
+
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"), F.lit(b).alias("col_b"), corr(a, b).alias("corr")
+            )
+            for a, b in pairs
+            if a != b
+        ]
+    )
+    return row.select(F.explode(structs).alias("_e")).select("_e.*")

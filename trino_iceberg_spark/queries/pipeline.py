@@ -879,3 +879,52 @@ def sp02_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("docs"))
         .orderBy("lang")
     )
+
+@register(
+    "pr02_correlation_matrix",
+    oracle="""
+    WITH s AS (
+        SELECT COUNT(*) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(18,4))) AS s_q,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS s_p,
+               SUM(CAST(l_discount AS DECIMAL(18,4))) AS s_d,
+               SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS p_qq,
+               SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS p_qp,
+               SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(19,4))) AS p_qd,
+               SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS p_pp,
+               SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(19,4))) AS p_pd,
+               SUM(CAST(l_discount AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(19,4))) AS p_dd
+        FROM lineitem
+    )
+    SELECT col_a, col_b, ROUND(corr, 6) AS corr FROM (
+        SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+               (n * CAST(p_qp AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_p AS DOUBLE))
+               / sqrt((n * CAST(p_qq AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+                      * (n * CAST(p_pp AS DOUBLE) - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE))) AS corr
+        FROM s
+        UNION ALL
+        SELECT 'l_quantity', 'l_discount',
+               (n * CAST(p_qd AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_d AS DOUBLE))
+               / sqrt((n * CAST(p_qq AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+                      * (n * CAST(p_dd AS DOUBLE) - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE)))
+        FROM s
+        UNION ALL
+        SELECT 'l_extendedprice', 'l_discount',
+               (n * CAST(p_pd AS DOUBLE) - CAST(s_p AS DOUBLE) * CAST(s_d AS DOUBLE))
+               / sqrt((n * CAST(p_pp AS DOUBLE) - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE))
+                      * (n * CAST(p_dd AS DOUBLE) - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE)))
+        FROM s
+    ) ORDER BY col_a, col_b
+    """,
+)
+def pr02_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations over lineitem measures in one
+    aggregation pass (operators.profiling.column_correlations) — exact
+    decimal sums, oracle-identical double arithmetic."""
+    from ..operators.profiling import column_correlations
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = column_correlations(li, ["l_quantity", "l_extendedprice", "l_discount"])
+    return out.select(
+        "col_a", "col_b", F.round("corr", 6).alias("corr")
+    ).orderBy("col_a", "col_b")
