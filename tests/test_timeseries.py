@@ -75,3 +75,21 @@ def test_column_correlations_known_values(spark):
     assert abs(got[("x", "z")] + 1.0) < 1e-9   # perfectly anti-linear
     assert got[("x", "c")] is None             # constant column: undefined, not an error
     assert len(got) == 6                       # upper triangle of 4 columns
+
+
+def test_interpolate_linear_midpoints_and_edges(spark):
+    from trino_iceberg_spark.operators.timeseries import gap_fill, interpolate_linear
+
+    rows = [
+        (dt.datetime(2024, 5, 1, 0), "a", 10.0),
+        (dt.datetime(2024, 5, 1, 3), "a", 40.0),  # gap hours 1,2 -> 20, 30
+        (dt.datetime(2024, 5, 1, 2), "b", 8.0),   # b: leading gaps stay NULL
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, series string, value double")
+    grid = gap_fill(df, "ts", ["series"], {"v": F.max("value")}, unit="hour")
+    out = interpolate_linear(grid, "bucket", ["series"], ["v"])
+    cells = {(r.series, r.bucket.hour): r.v for r in out.collect()}
+    assert cells[("a", 1)] == 20.0 and cells[("a", 2)] == 30.0
+    assert cells[("a", 0)] == 10.0 and cells[("a", 3)] == 40.0  # observations untouched
+    assert cells[("b", 0)] is None and cells[("b", 1)] is None  # no left anchor
+    assert cells[("b", 3)] is None  # no right anchor

@@ -30,7 +30,7 @@ from typing import Iterable, Mapping
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["time_spine", "gap_fill"]
+__all__ = ["time_spine", "gap_fill", "interpolate_linear"]
 
 
 def time_spine(df: DataFrame, ts_col: str, unit: str = "hour") -> DataFrame:
@@ -83,4 +83,43 @@ def gap_fill(
         )
         for name in locf:
             out = out.withColumn(name, F.last(name, ignorenulls=True).over(w))
+    return out
+
+
+def interpolate_linear(
+    df: DataFrame,
+    bucket_col: str,
+    group_cols: list[str],
+    value_cols: Iterable[str],
+) -> DataFrame:
+    """Linear interpolation of NULL cells on an already-gridded series
+    (the output of :func:`gap_fill`): each missing value becomes the
+    time-weighted blend of the nearest preceding and following
+    observations; leading/trailing gaps (no observation on one side)
+    stay NULL.
+
+    Four window expressions per column (prev/next value and their bucket
+    positions), all over the same per-series sort — Spark evaluates them
+    in one window stage, so the cost matches plain LOCF."""
+    pos = F.col(bucket_col).cast("double")
+    back = (
+        Window.partitionBy(*group_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(*group_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    out = df
+    for c in value_cols:
+        at = F.when(F.col(c).isNotNull(), pos)
+        pv, pt = F.last(c, ignorenulls=True).over(back), F.last(at, ignorenulls=True).over(back)
+        nv, nt = F.first(c, ignorenulls=True).over(fwd), F.first(at, ignorenulls=True).over(fwd)
+        frac = (pos - pt) / (nt - pt)
+        interp = F.when(F.col(c).isNotNull(), F.col(c)).otherwise(
+            F.when(pv.isNotNull() & nv.isNotNull(), pv + (nv - pv) * frac)
+        )
+        out = out.withColumn(c, interp)
     return out
