@@ -132,3 +132,47 @@ def test_bind_row_snake_vs_flat():
     assert bind_row(Dto, {"user_name": "x"}).user_name == "x"
     assert bind_row(Dto, {"USER_NAME": "y"}).user_name == "y"
     assert bind_row(Dto, {"username": "z"}).user_name == "z"  # underscore-insensitive
+
+
+# ---------------------------------------------------------------------------
+# Round-2 regression tests (ADVICE fixes)
+# ---------------------------------------------------------------------------
+
+import datetime as _dt
+import typing as _t
+
+from trino_iceberg_spark.formatting import render_literal, split_statements
+
+
+def test_bind_row_missing_optional_without_default_binds_none():
+    @dataclasses.dataclass
+    class Dto:
+        id: int
+        note: _t.Optional[str]  # no default — must still bind None when absent
+
+    bound = bind_row(Dto, {"id": 7})
+    assert bound.id == 7
+    assert bound.note is None
+
+
+def test_render_literal_aware_datetime_converts_to_utc():
+    tz = _dt.timezone(_dt.timedelta(hours=5, minutes=30))
+    aware = _dt.datetime(2024, 3, 1, 10, 0, 0, tzinfo=tz)
+    # 10:00+05:30 == 04:30 UTC; session timezone is pinned UTC
+    assert render_literal(aware) == "TIMESTAMP '2024-03-01 04:30:00.000000'"
+    naive = _dt.datetime(2024, 3, 1, 10, 0, 0)
+    assert render_literal(naive) == "TIMESTAMP '2024-03-01 10:00:00.000000'"
+
+
+def test_split_statements_backslash_escaped_quote():
+    # escapedStringLiterals=false → backslash escapes the quote; the ';'
+    # after \' is still inside the literal.
+    script = r"SELECT 'a\'; b' AS x; SELECT 2"
+    stmts = split_statements(script)
+    assert stmts == [r"SELECT 'a\'; b' AS x", "SELECT 2"]
+
+
+def test_split_statements_trailing_backslash_pair():
+    # '\\' is a complete literal backslash — the following ; terminates.
+    script = r"SELECT 'a\\'; SELECT 2"
+    assert split_statements(script) == [r"SELECT 'a\\'", "SELECT 2"]

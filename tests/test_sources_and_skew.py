@@ -121,3 +121,22 @@ def test_partitioned_write_prunes_scan(spark, sf_dir, tmp_path):
     assert "day" in pf_line and "2024-01-05" in pf_line
     expected = ev.filter(F.col("day") == "2024-01-05").count()
     assert back.count() == expected
+
+
+def test_load_events_sets_nanos_conf_itself(spark):
+    """The driver's harness builds its own SparkSession without our session
+    defaults; load_table must set nanosAsLong on the passed session, not
+    assume get_spark() did (round-1 failure: PARQUET_TYPE_ILLEGAL on
+    events.parquet's TIMESTAMP(NANOS) column)."""
+    from pyspark.sql import types as T
+
+    from trino_iceberg_spark.sources.testdata import load_table
+
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")  # simulate bare session
+    try:
+        df = load_table(spark, "/root/testdata/sf0.001", "events")
+        assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+        assert df.limit(1).count() == 1
+        assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

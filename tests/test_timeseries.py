@@ -93,3 +93,27 @@ def test_interpolate_linear_midpoints_and_edges(spark):
     assert cells[("a", 0)] == 10.0 and cells[("a", 3)] == 40.0  # observations untouched
     assert cells[("b", 0)] is None and cells[("b", 1)] is None  # no left anchor
     assert cells[("b", 3)] is None  # no right anchor
+
+
+def test_column_correlations_pairwise_complete_nulls(spark):
+    """A NULL in one column must only exclude that row from pairs involving
+    that column — and n/Σ for each pair must cover the same row subset."""
+    from trino_iceberg_spark.operators.profiling import column_correlations
+
+    # x,y perfectly linear on rows where both present; z has a NULL row and
+    # is otherwise linear in x only over the complete rows.
+    rows = [
+        (1.0, 2.0, 10.0),
+        (2.0, 4.0, None),
+        (3.0, 6.0, 30.0),
+        (4.0, None, 40.0),
+        (5.0, 10.0, 50.0),
+    ]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    got = {
+        (r.col_a, r.col_b): r.corr
+        for r in column_correlations(df, ["x", "y", "z"]).collect()
+    }
+    assert abs(got[("x", "y")] - 1.0) < 1e-9  # rows 1,2,3,5 — still exact
+    assert abs(got[("x", "z")] - 1.0) < 1e-9  # rows 1,3,4,5 — still exact
+    assert abs(got[("y", "z")] - 1.0) < 1e-9  # rows 1,3,5 — still exact

@@ -45,6 +45,12 @@ def render_literal(value: Any, *, after_timestamp_keyword: bool = False) -> str:
     if isinstance(value, bool):
         return "true" if value else "false"
     if isinstance(value, dt.datetime):
+        if value.tzinfo is not None:
+            # The session timezone is pinned to UTC (session.py), so an aware
+            # datetime must be converted to the UTC instant before the offset
+            # is dropped — strftime alone would silently render the local
+            # wall-clock of a non-UTC zone as if it were UTC.
+            value = value.astimezone(dt.timezone.utc).replace(tzinfo=None)
         lit = value.strftime("%Y-%m-%d %H:%M:%S.%f")
         if after_timestamp_keyword:
             # TIMESTAMP-context detection (SqlParameterFormatter.cs:27-36).
@@ -153,7 +159,14 @@ def split_statements(script: str) -> list[str]:
                 in_block_comment = False
         elif in_squote:
             buf.append(ch)
-            if ch == "'":
+            if ch == "\\" and nxt:
+                # The session pins escapedStringLiterals=false, so backslash
+                # IS an escape inside Spark string literals; skip the escaped
+                # character so \' does not terminate the literal (a script
+                # containing '...\' ; ...' would otherwise split mid-literal).
+                buf.append(nxt)
+                i += 1
+            elif ch == "'":
                 if nxt == "'":  # escaped quote
                     buf.append(nxt)
                     i += 1

@@ -121,7 +121,14 @@ def bind_row(cls: Type[T], row: Row | dict[str, Any]) -> T:
                     fld.default is not dataclasses.MISSING
                     or fld.default_factory is not dataclasses.MISSING
                 )
-            if optional or has_default:
+            if has_default:
+                continue
+            if optional:
+                # Optional with no default binds explicitly to None — matches
+                # the documented contract and QueryResultMapper.cs:42-48
+                # (nullable properties bind null); plain `continue` would let
+                # cls(**kwargs) raise TypeError for a required __init__ arg.
+                kwargs[fname] = None
                 continue
             raise MappingError(
                 f"result set has no column matching field {cls.__name__}.{fname}; "

@@ -108,21 +108,31 @@ def column_correlations(df: DataFrame, cols: list[str]) -> DataFrame:
     correlation arithmetic runs in double with a fixed operation order so
     any engine computing the same formula gets bit-identical results.
     """
+    # Pairwise-complete semantics: every sum for pair (a, b) — including
+    # Σa, Σa², n — is taken over rows where BOTH a and b are non-null, so a
+    # NULL in one column cannot skew another pair's statistics (and n always
+    # counts exactly the rows the sums cover).
     dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
-    aggs = [F.count(F.lit(1)).alias("_n")]
-    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i:]]
-    for c in cols:
-        aggs.append(F.sum(dec(c)).alias(f"_s_{c}"))
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    aggs = []
     for a, b in pairs:
-        aggs.append(F.sum(dec(a) * dec(b)).alias(f"_p_{a}_{b}"))
+        both = F.col(a).isNotNull() & F.col(b).isNotNull()
+        k = f"{a}_{b}"
+        aggs.append(F.sum(F.when(both, F.lit(1)).otherwise(F.lit(0))).alias(f"_n_{k}"))
+        aggs.append(F.sum(F.when(both, dec(a))).alias(f"_sa_{k}"))
+        aggs.append(F.sum(F.when(both, dec(b))).alias(f"_sb_{k}"))
+        aggs.append(F.sum(F.when(both, dec(a) * dec(a))).alias(f"_paa_{k}"))
+        aggs.append(F.sum(F.when(both, dec(a) * dec(b))).alias(f"_pab_{k}"))
+        aggs.append(F.sum(F.when(both, dec(b) * dec(b))).alias(f"_pbb_{k}"))
     row = df.agg(*aggs)
 
     def corr(a: str, b: str):
-        n = F.col("_n")
-        sa, sb = F.col(f"_s_{a}").cast("double"), F.col(f"_s_{b}").cast("double")
-        sab = F.col(f"_p_{a}_{b}").cast("double")
-        saa = F.col(f"_p_{a}_{a}").cast("double")
-        sbb = F.col(f"_p_{b}_{b}").cast("double")
+        k = f"{a}_{b}"
+        n = F.col(f"_n_{k}")
+        sa, sb = F.col(f"_sa_{k}").cast("double"), F.col(f"_sb_{k}").cast("double")
+        sab = F.col(f"_pab_{k}").cast("double")
+        saa = F.col(f"_paa_{k}").cast("double")
+        sbb = F.col(f"_pbb_{k}").cast("double")
         num = n * sab - sa * sb
         den = F.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
         return F.when(den > 0, num / den)
@@ -133,7 +143,6 @@ def column_correlations(df: DataFrame, cols: list[str]) -> DataFrame:
                 F.lit(a).alias("col_a"), F.lit(b).alias("col_b"), corr(a, b).alias("corr")
             )
             for a, b in pairs
-            if a != b
         ]
     )
     return row.select(F.explode(structs).alias("_e")).select("_e.*")

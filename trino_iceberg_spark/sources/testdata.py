@@ -33,11 +33,18 @@ def default_sf_dir() -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects outright
+        # (PARQUET_TYPE_ILLEGAL) unless nanosAsLong is on.  This must be set on
+        # the session that does the read — callers (e.g. an external harness)
+        # may build their own SparkSession without our session.py defaults, so
+        # set it here; it is a runtime SQL conf, safe to flip post-startup.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong=true it
-        # arrives as bigint nanos — floor-divide to µs (DuckDB's TIMESTAMP_NS
-        # → TIMESTAMP conversion floors identically).
+        # With nanosAsLong=true the column arrives as bigint nanos —
+        # floor-divide to µs (DuckDB's TIMESTAMP_NS → TIMESTAMP conversion
+        # floors identically).
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
