@@ -1,0 +1,136 @@
+"""SQL-text time travel (B18) — the reference sends ``FOR TIMESTAMP AS OF``
+inside ordinary query strings (AthenaClientTests.cs:347-391, query at :374);
+the client must accept the clause combined with WHERE/ORDER BY."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from trino_iceberg_spark.client import AthenaSparkClient
+from trino_iceberg_spark.catalog.snapshots import SnapshotTable
+from trino_iceberg_spark.errors import QueryError
+from trino_iceberg_spark.timetravel_sql import (
+    SnapshotResolver,
+    parse_ts_literal,
+    rewrite_time_travel,
+)
+
+
+def _events(spark, ids, etype):
+    return spark.createDataFrame(
+        [(i, etype, dt.datetime(2024, 1, 1, 10, 0, i)) for i in ids],
+        "event_id long, event_type string, event_time timestamp",
+    )
+
+
+@pytest.fixture()
+def tt_client(spark, tmp_path):
+    """Two-commit snapshot table registered as events_time_travel — the
+    reference's exact test setup (AthenaClientTests.cs:351-365)."""
+    tdir = str(tmp_path / "events_time_travel")
+    table = SnapshotTable(spark, tdir)
+    table.append(_events(spark, [1, 2], "login"))
+    between = dt.datetime.now(dt.timezone.utc)
+    table.append(_events(spark, [3, 4], "purchase"))
+    client = AthenaSparkClient(spark)
+    client.register_snapshot_table("events_time_travel", tdir)
+    return client, between
+
+
+def test_for_timestamp_as_of_in_sql_text(tt_client):
+    """Mirror of AthenaClientTests.cs:374: time travel + WHERE + ORDER BY
+    in one query string, via parameter rendering (TIMESTAMP lookbehind)."""
+    client, between = tt_client
+    rows = client.query(
+        "SELECT event_id, event_type, event_time FROM events_time_travel "
+        "FOR TIMESTAMP AS OF TIMESTAMP {0} "
+        "WHERE event_time < {1} ORDER BY event_id",
+        between.replace(tzinfo=None),
+        dt.datetime(2024, 1, 1, 10, 0, 2),
+    )
+    assert [r["event_id"] for r in rows] == [1]
+    assert rows[0]["event_type"] == "login"
+
+
+def test_current_read_unaffected(tt_client):
+    client, _ = tt_client
+    rows = client.query(
+        "SELECT event_id FROM events_time_travel FOR TIMESTAMP AS OF TIMESTAMP {0} "
+        "ORDER BY event_id",
+        dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
+    )
+    assert [r["event_id"] for r in rows] == [1, 2, 3, 4]
+
+
+def test_spark_dialect_and_version_as_of(tt_client):
+    """Iceberg/Spark spellings work too: TIMESTAMP AS OF without FOR, and
+    VERSION AS OF <snapshot_id>."""
+    client, between = tt_client
+    lit = between.replace(tzinfo=None).strftime("%Y-%m-%d %H:%M:%S.%f")
+    rows = client.query(
+        f"SELECT count(*) AS n FROM events_time_travel TIMESTAMP AS OF '{lit}'"
+    )
+    assert rows[0]["n"] == 2
+    rows = client.query(
+        "SELECT count(*) AS n FROM events_time_travel FOR VERSION AS OF 1"
+    )
+    assert rows[0]["n"] == 2
+    rows = client.query(
+        "SELECT count(*) AS n FROM events_time_travel VERSION AS OF 2"
+    )
+    assert rows[0]["n"] == 4
+
+
+def test_join_against_time_travel_and_current(tt_client):
+    """The rewritten clause composes inside a larger query: historical
+    snapshot joined to the current table."""
+    client, between = tt_client
+    rows = client.query(
+        "SELECT cur.event_id FROM events_time_travel cur "
+        "LEFT ANTI JOIN (SELECT event_id FROM events_time_travel "
+        "FOR TIMESTAMP AS OF TIMESTAMP {0}) old ON cur.event_id = old.event_id "
+        "ORDER BY cur.event_id",
+        between.replace(tzinfo=None),
+    )
+    assert [r["event_id"] for r in rows] == [3, 4]
+
+
+def test_unknown_table_raises(spark):
+    client = AthenaSparkClient(spark)
+    with pytest.raises(QueryError, match="unknown snapshot table"):
+        client.query(
+            "SELECT * FROM no_such_table FOR TIMESTAMP AS OF TIMESTAMP '2024-01-01 00:00:00'"
+        )
+
+
+def test_clause_inside_string_literal_untouched(spark):
+    out = rewrite_time_travel(
+        spark,
+        "SELECT 'x FOR TIMESTAMP AS OF TIMESTAMP ''2024-01-01''' AS s",
+        SnapshotResolver(),
+    )
+    assert "__tt_" not in out
+
+
+def test_warehouse_convention_resolution(spark, tmp_path):
+    """Unregistered dotted names resolve through the warehouse-dir layout
+    (schema dirs mirror CREATE SCHEMA ... WITH (location=...), B14)."""
+    tdir = tmp_path / "common_test_data" / "events_tt"
+    table = SnapshotTable(spark, str(tdir))
+    table.append(_events(spark, [7], "login"))
+    client = AthenaSparkClient(spark, snapshot_warehouse=str(tmp_path))
+    rows = client.query(
+        "SELECT event_id FROM common_test_data.events_tt FOR VERSION AS OF 1"
+    )
+    assert [r["event_id"] for r in rows] == [7]
+
+
+def test_parse_ts_literal_forms():
+    assert parse_ts_literal("2024-01-15 10:30:00.123456").microsecond == 123456
+    assert parse_ts_literal("2024-01-15T10:30:00").hour == 10
+    assert parse_ts_literal("2024-01-15").day == 15
+    with pytest.raises(QueryError):
+        parse_ts_literal("not a timestamp")

@@ -25,6 +25,7 @@ from .errors import QueryError, UnloadError
 from .fs import FsClient
 from .formatting import format_sql
 from .mapping import bind_rows, coerce_scalar
+from .timetravel_sql import SnapshotResolver, rewrite_time_travel
 
 __all__ = ["AthenaSparkClient", "UnloadResponse"]
 
@@ -42,14 +43,34 @@ class UnloadResponse:
 class AthenaSparkClient:
     """Typed query client: the reference's A1-A8 operator surface."""
 
-    def __init__(self, spark: SparkSession, fs_client: FsClient | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        fs_client: FsClient | None = None,
+        snapshot_resolver: SnapshotResolver | None = None,
+        snapshot_warehouse: str | None = None,
+    ):
         self.spark = spark
         self.fs = fs_client
+        # Snapshot-table name resolution for SQL-text time travel (B18):
+        # the reference sends `FOR TIMESTAMP AS OF` inside ordinary query
+        # strings (AthenaClientTests.cs:374); sql_df rewrites the clause to
+        # a snapshot read before Catalyst sees the text.
+        if snapshot_resolver is not None:
+            self.snapshots = snapshot_resolver
+        else:
+            self.snapshots = SnapshotResolver(snapshot_warehouse)
+
+    def register_snapshot_table(self, name: str, table_dir: str) -> None:
+        """Make ``name`` time-travelable in SQL text (maps to a
+        catalog/snapshots.py table directory)."""
+        self.snapshots.register(name, table_dir)
 
     # -- core ------------------------------------------------------------
     def sql_df(self, sql: str, *params: Any) -> DataFrame:
         """Render params and hand the statement to Catalyst (lazy)."""
         rendered = format_sql(sql, *params) if params else sql
+        rendered = rewrite_time_travel(self.spark, rendered, self.snapshots)
         try:
             return self.spark.sql(rendered)
         except AnalysisException as exc:

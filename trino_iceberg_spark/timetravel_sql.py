@@ -1,0 +1,203 @@
+"""SQL-text time travel — ``FOR TIMESTAMP AS OF`` inside a query string.
+
+The reference issues time travel as plain SQL through the client
+(/root/reference/tests/IntegrationTests/AthenaClientTests.cs:374):
+
+    SELECT ... FROM events_time_travel
+    FOR TIMESTAMP AS OF TIMESTAMP '2024-01-01 00:00:00.000000'
+    WHERE event_time < ... ORDER BY event_id
+
+Spark's parser doesn't accept the Athena/Trino ``FOR TIMESTAMP AS OF``
+clause on plain parquet-backed tables, and the engine's snapshot tables
+("iceberg-lite", catalog/snapshots.py) live outside the Spark catalog. So
+the client rewrites the clause *before* handing the text to Catalyst:
+
+1. scan the statement quote-aware (string literals are opaque — a clause
+   inside a ``'...'`` literal is never rewritten);
+2. for every ``<table> FOR TIMESTAMP AS OF <ts>`` / ``FOR VERSION AS OF
+   <n>`` (the Athena form) or ``<table> TIMESTAMP AS OF <ts>`` /
+   ``VERSION AS OF <n>`` (the Spark/Iceberg form — accepted too so either
+   dialect's query strings run), resolve the table to a
+   :class:`~trino_iceberg_spark.catalog.snapshots.SnapshotTable`, read the
+   requested snapshot, and register the result as a unique temp view;
+3. splice the view name into the SQL where the table+clause stood.
+
+Everything after the rewrite is ordinary Catalyst planning — WHERE /
+ORDER BY / joins around the clause compose untouched, and the snapshot
+read is still a plain parquet scan (pushdown and pruning intact).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+import uuid
+
+from pyspark.sql import SparkSession
+
+from .catalog.snapshots import SnapshotTable
+from .errors import QueryError
+
+__all__ = ["rewrite_time_travel", "SnapshotResolver"]
+
+# <table> [FOR] TIMESTAMP AS OF [TIMESTAMP] '<literal>'
+#         [FOR] VERSION   AS OF <int>
+_TT_RE = re.compile(
+    r"""
+    (?P<table>[A-Za-z_][\w$]*(?:\.[A-Za-z_][\w$]*)*)      # dotted table name
+    \s+(?:FOR\s+)?
+    (?:
+        TIMESTAMP\s+AS\s+OF\s+(?:TIMESTAMP\s+)?'(?P<ts>[^']+)'
+      | VERSION\s+AS\s+OF\s+(?P<ver>\d+)
+    )
+    """,
+    re.IGNORECASE | re.VERBOSE,
+)
+
+_KEYWORDS_NOT_TABLES = frozenset({"from", "join", "where", "select", "on", "as"})
+
+
+def _string_literal_spans(sql: str) -> list[tuple[int, int]]:
+    """Half-open [start, end) spans of ``'...'`` literals ('' and \\ escapes,
+    matching the dialect pinned in session.py / formatting.split_statements)."""
+    spans: list[tuple[int, int]] = []
+    i, n = 0, len(sql)
+    while i < n:
+        if sql[i] == "'":
+            start = i
+            i += 1
+            while i < n:
+                if sql[i] == "\\" and i + 1 < n:
+                    i += 2
+                    continue
+                if sql[i] == "'":
+                    if i + 1 < n and sql[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+            spans.append((start, min(i + 1, n)))
+        i += 1
+    return spans
+
+
+def parse_ts_literal(lit: str) -> dt.datetime:
+    """Parse the µs-precision literal the formatter emits (formatting.py:54);
+    ISO 'T' separators and date-only forms are accepted as well."""
+    text = lit.strip().replace("T", " ")
+    for fmt in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+        try:
+            return dt.datetime.strptime(text, fmt).replace(tzinfo=dt.timezone.utc)
+        except ValueError:
+            continue
+    raise QueryError(f"unparseable timestamp literal in time-travel clause: {lit!r}")
+
+
+class SnapshotResolver:
+    """Maps SQL table names to snapshot-table directories.
+
+    Explicit registrations win; otherwise a warehouse-dir convention is
+    tried: ``<warehouse>/<part>/<part>/...`` (dotted names become nested
+    dirs) holding a ``metadata/`` manifest dir."""
+
+    def __init__(self, warehouse_dir: str | None = None):
+        self.warehouse_dir = warehouse_dir
+        self._tables: dict[str, str] = {}
+
+    def register(self, name: str, table_dir: str) -> None:
+        self._tables[name.lower()] = table_dir
+
+    def registered_names(self) -> list[str]:
+        return list(self._tables)
+
+    def resolve(self, spark: SparkSession, name: str) -> SnapshotTable | None:
+        import os
+
+        key = name.lower()
+        if key in self._tables:
+            return SnapshotTable(spark, self._tables[key])
+        # unqualified name matching a registered qualified one (schema search)
+        suffix = "." + key
+        hits = [d for k, d in self._tables.items() if k.endswith(suffix)]
+        if len(hits) == 1:
+            return SnapshotTable(spark, hits[0])
+        if self.warehouse_dir:
+            cand = os.path.join(self.warehouse_dir, *key.split("."))
+            if os.path.isdir(os.path.join(cand, "metadata")):
+                return SnapshotTable(spark, cand)
+        return None
+
+
+def rewrite_time_travel(
+    spark: SparkSession, sql: str, resolver: SnapshotResolver | None
+) -> str:
+    """Replace every time-travel clause with a temp view over the resolved
+    snapshot read. Bare references to *registered* snapshot tables are also
+    rewritten — to a fresh current-snapshot view — so the same table name
+    queries normally and time-travels in one statement (the reference reads
+    ``events_time_travel`` both ways, AthenaClientTests.cs:367-380).
+    Returns the SQL unchanged when nothing applies."""
+    has_clause = "as of" in sql.lower()
+    registered = resolver.registered_names() if resolver is not None else []
+    has_bare = any(
+        re.search(rf"(?<![\w.]){re.escape(n)}(?![\w.])", sql, re.IGNORECASE)
+        for n in registered
+    )
+    if not has_clause and not has_bare:
+        return sql  # fast path — no literal scan
+    literal_spans = _string_literal_spans(sql)
+
+    def in_literal(pos: int) -> bool:
+        return any(s <= pos < e for s, e in literal_spans)
+
+    # (start, end, replacement) spans, built clause-first so bare-name
+    # matches inside a clause span are dropped as overlaps.
+    repls: list[tuple[int, int, str]] = []
+    if has_clause:
+        for m in _TT_RE.finditer(sql):
+            if in_literal(m.start()) or m.group("table").lower() in _KEYWORDS_NOT_TABLES:
+                continue
+            name = m.group("table")
+            if resolver is None:
+                raise QueryError(
+                    f"time-travel clause on {name!r} but no snapshot catalog is "
+                    "configured (pass snapshot_resolver/warehouse to the client)"
+                )
+            table = resolver.resolve(spark, name)
+            if table is None:
+                raise QueryError(
+                    f"time travel requested on unknown snapshot table {name!r}"
+                )
+            if m.group("ts") is not None:
+                df = table.read_as_of(parse_ts_literal(m.group("ts")))
+            else:
+                df = table.read_version(int(m.group("ver")))
+            view = f"__tt_{name.split('.')[-1]}_{uuid.uuid4().hex[:8]}"
+            df.createOrReplaceTempView(view)
+            repls.append((m.start(), m.end(), view))
+    if has_bare:
+        current_views: dict[str, str] = {}
+        for name in registered:
+            for m in re.finditer(
+                rf"(?<![\w.]){re.escape(name)}(?![\w.])", sql, re.IGNORECASE
+            ):
+                if in_literal(m.start()) or any(
+                    s < m.end() and m.start() < e for s, e, _ in repls
+                ):
+                    continue
+                if name not in current_views:
+                    view = f"__cur_{name.split('.')[-1]}_{uuid.uuid4().hex[:8]}"
+                    resolver.resolve(spark, name).read().createOrReplaceTempView(view)
+                    current_views[name] = view
+                repls.append((m.start(), m.end(), current_views[name]))
+    if not repls:
+        return sql
+    repls.sort()
+    out: list[str] = []
+    last = 0
+    for start, end, view in repls:
+        out.append(sql[last:start])
+        out.append(view)
+        last = end
+    out.append(sql[last:])
+    return "".join(out)
