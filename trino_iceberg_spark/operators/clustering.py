@@ -41,6 +41,7 @@ def connected_components(
     dst: str = "id_b",
     *,
     max_iter: int = 25,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Resolve an undirected edge list into connected components.
 
@@ -48,62 +49,97 @@ def connected_components(
     in ``pairs``; ``component`` is the minimum node id in that node's
     component (a deterministic, join-friendly cluster key).
 
+    Constant-factor design (each round is fixed job overhead at small SF,
+    real shuffle cost at scale, so both matter):
+
+    - Round 0 *seeds* ``comp(v) = min(v, min neighbor)`` with one
+      aggregate over the edge list — a full propagate round over identity
+      labels for free. Star-shaped duplicate clusters (the common case)
+      converge one round earlier.
+    - Labels carry their previous value through the round, so the
+      convergence test is a filter-count on the just-checkpointed result —
+      no extra old-vs-new join.
+    - ``shuffle_partitions``, when given, scopes
+      ``spark.sql.shuffle.partitions`` to this computation (restored
+      after). The pair graph is orders of magnitude smaller than the
+      corpus; inheriting a corpus-sized setting (or an untuned session's
+      200) makes every round pay hundreds of empty tasks.
+
     ``max_iter`` bounds the label-propagation + pointer-jumping rounds;
     O(log n) are needed, so 25 covers graphs far beyond any realistic
     duplicate set. Raises ``RuntimeError`` if not converged by then.
     """
-    edges = pairs.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).where(F.col("u") != F.col("v"))
-    # Symmetrize once; reused every round.
-    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
+    spark = pairs.sparkSession
+    prev_parts: str | None = None
+    if shuffle_partitions is not None:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        edges = pairs.select(
+            F.col(src).alias("u"), F.col(dst).alias("v")
+        ).where(F.col("u") != F.col("v"))
+        # Symmetrize once; reused every round.
+        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
 
-    labels = (
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("comp"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    labels = labels.localCheckpoint(eager=True)
-
-    for _ in range(max_iter):
-        # Propagate: comp(v) <- min(comp(v), min_{u in N(v)} comp(u)).
-        neighbor_labels = (
-            sym.join(labels, sym["v"] == labels["node"])
-            .select(F.col("u").alias("node"), F.col("comp"))
-        )
-        merged = (
-            labels.unionByName(neighbor_labels)
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
-        )
-        # Pointer-jump: comp(v) <- comp(comp(v)). Left join: component
-        # minima point at themselves only once their own row settles.
-        jump = merged.select(F.col("node").alias("jnode"), F.col("comp").alias("jcomp"))
-        new_labels = (
-            merged.join(jump, merged["comp"] == jump["jnode"], "left")
+        # Round-0 seeding (one aggregate, no join).
+        labels = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
             .select(
-                "node",
-                F.coalesce(F.col("jcomp"), F.col("comp")).alias("comp"),
+                F.col("u").alias("node"),
+                F.least(F.col("u"), F.col("mn")).alias("comp"),
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        labels = labels.localCheckpoint(eager=True)
 
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
+        for _ in range(max_iter):
+            # Propagate: comp(v) <- min(comp(v), min_{u in N(v)} comp(u)).
+            nbr = (
+                sym.join(labels, sym["v"] == labels["node"])
+                .groupBy("u")
+                .agg(F.min("comp").alias("nbr_comp"))
+            )
+            stepped = labels.join(nbr, labels["node"] == nbr["u"], "left").select(
+                labels["node"],
+                labels["comp"].alias("old_comp"),
+                F.least(
+                    labels["comp"], F.coalesce(nbr["nbr_comp"], labels["comp"])
+                ).alias("mid"),
+            )
+            # Pointer-jump: comp(v) <- comp(comp(v)), halving label-chain
+            # depth. Left join: settled minima point at themselves.
+            jump = stepped.select(
+                F.col("node").alias("jnode"), F.col("mid").alias("jcomp")
+            )
+            new_labels = (
+                stepped.join(jump, stepped["mid"] == jump["jnode"], "left")
+                .select(
+                    "node",
+                    "old_comp",
+                    F.coalesce(F.col("jcomp"), F.col("mid")).alias("comp"),
+                )
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            new_labels = new_labels.localCheckpoint(eager=True)
+
+            # Rides the checkpointed partitions — no join, no rescan of sym.
+            changed = new_labels.where(F.col("comp") != F.col("old_comp")).count()
+            labels.unpersist()
+            # Keep the checkpointed frame itself (unpersist must hit it next
+            # round); the stale old_comp column is dropped on return.
+            labels = new_labels
+            if changed == 0:
+                sym.unpersist()
+                return labels.select("node", F.col("comp").alias("component"))
+        sym.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
         )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            sym.unpersist()
-            return labels.select("node", F.col("comp").alias("component"))
-    sym.unpersist()
-    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    finally:
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def attach_components(
@@ -112,10 +148,12 @@ def attach_components(
     id_col: str,
     src: str = "id_a",
     dst: str = "id_b",
+    *,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Attach a ``component`` column to ``df``. Rows not in any pair form
     singleton clusters (component = own id)."""
-    cc = connected_components(pairs, src, dst)
+    cc = connected_components(pairs, src, dst, shuffle_partitions=shuffle_partitions)
     return (
         df.join(cc, df[id_col] == cc["node"], "left")
         .drop("node")
@@ -129,6 +167,8 @@ def near_dedup_survivors(
     id_col: str,
     src: str = "id_a",
     dst: str = "id_b",
+    *,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Drop every row transitively linked to a lower-id duplicate.
 
@@ -137,6 +177,6 @@ def near_dedup_survivors(
     anti-join of ``df`` against the (small: duplicates only) victim set —
     the full dataset is scanned once and never shuffled.
     """
-    cc = connected_components(pairs, src, dst)
+    cc = connected_components(pairs, src, dst, shuffle_partitions=shuffle_partitions)
     victims = cc.where(F.col("node") != F.col("component")).select("node")
     return df.join(victims, df[id_col] == victims["node"], "left_anti")

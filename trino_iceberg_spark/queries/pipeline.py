@@ -156,7 +156,12 @@ def dd07_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.ngram_jaccard_pairs(
         d, "text", "doc_id", k=3, threshold=0.3, block_col=F.col("lang")
     )
-    return connected_components(pairs, "id_a", "id_b").orderBy("node")
+    # The pair graph at any SF is tiny next to the corpus; 8-way rounds
+    # keep per-round job overhead flat even under an untuned 200-partition
+    # session (the operator restores the setting afterwards).
+    return connected_components(
+        pairs, "id_a", "id_b", shuffle_partitions=8
+    ).orderBy("node")
 
 
 @register(
@@ -179,7 +184,9 @@ def dd08_near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.ngram_jaccard_pairs(
         d, "text", "doc_id", k=3, threshold=0.3, block_col=F.col("lang")
     )
-    return near_dedup_survivors(d.select("doc_id", "lang"), pairs, "doc_id").orderBy("doc_id")
+    return near_dedup_survivors(
+        d.select("doc_id", "lang"), pairs, "doc_id", shuffle_partitions=8
+    ).orderBy("doc_id")
 
 
 @register("dd05_simhash_pairs")  # rows-only: bit-vote hashing not SQL-expressible
