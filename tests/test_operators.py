@@ -263,6 +263,63 @@ def test_decode_unavailable_raised_without_fake(spark):
     assert "DecodeUnavailable" in str(exc_info.value) or "decode" in str(exc_info.value)
 
 
+def test_bmp_roundtrip_exact():
+    """encode_bmp → decode_image_bytes is pixel-exact, both row orders,
+    odd widths (stride padding), 24- and 32-bit."""
+    import numpy as np
+    from trino_iceberg_spark.operators.multimodal import (
+        decode_image_bytes,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (3, 5), (8, 8), (4, 7)]:  # odd widths force padding
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_image_bytes(encode_bmp(img)), img)
+        assert np.array_equal(decode_image_bytes(encode_ppm(img)), img)
+
+
+def test_ppm_header_comments_and_errors():
+    import numpy as np
+    from trino_iceberg_spark.operators.multimodal import (
+        DecodeUnavailable,
+        decode_image_bytes,
+        encode_ppm,
+    )
+
+    img = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    raw = encode_ppm(img)
+    commented = b"P6\n# a comment\n2 2\n# more\n255\n" + raw.split(b"255\n", 1)[1]
+    assert np.array_equal(decode_image_bytes(commented), img)
+    with pytest.raises(DecodeUnavailable):
+        decode_image_bytes(b"\x89PNG not supported")
+    with pytest.raises(DecodeUnavailable):
+        decode_image_bytes(encode_ppm(img)[:10])  # truncated pixel data
+
+
+def test_decode_images_mapinpandas(spark):
+    """Real decode through the Arrow/mapInPandas path: good BMP rows get
+    pixels, undecodable rows get nulls (not a crashed partition)."""
+    import numpy as np
+    from trino_iceberg_spark.operators.multimodal import decode_images, encode_bmp
+
+    img1 = np.full((2, 3, 3), 9, dtype=np.uint8)
+    img2 = np.arange(27, dtype=np.uint8).reshape(3, 3, 3)
+    df = spark.createDataFrame(
+        [(1, bytes(encode_bmp(img1))), (2, bytes(encode_bmp(img2))), (3, b"not an image")],
+        "id long, payload binary",
+    )
+    media = attach_media(df, "payload").select("id", "media")
+    rows = {r["id"]: r for r in decode_images(media).collect()}
+    assert (rows[1]["width"], rows[1]["height"]) == (3, 2)
+    assert rows[1]["pixels"] == [9] * 18
+    assert rows[2]["pixels"] == list(range(27))
+    assert rows[3]["width"] is None and rows[3]["pixels"] is None
+    resized = {r["id"]: r for r in decode_images(media, out_w=1, out_h=1).collect()}
+    assert resized[1]["pixels"] == [9, 9, 9]  # nearest-neighbor picks a real pixel
+
+
 def test_feature_extraction_stub_dims(spark):
     df = spark.createDataFrame([(1, b"hello"), (2, b"world!")], "id long, payload binary")
     media = attach_media(df, "payload").select("id", "media")

@@ -3,9 +3,16 @@
 Images / audio / video ride through the engine as opaque ``binary`` columns
 with a typed metadata struct. The Spark-side machinery — schema, Arrow
 batch shape, ``mapInPandas`` partition flow, partition sizing — is real and
-tested; the actual codec step is stubbed (decode libraries are not in this
-container) behind ``DecodeUnavailable`` or a deterministic fake, clearly
-marked.
+tested. Codecs come in two tiers:
+
+- **Real decoders** for the two headerless-simple raster formats a
+  pure-numpy implementation covers completely: uncompressed **BMP**
+  (24/32-bit BI_RGB, top-down and bottom-up) and binary **PPM** (P6).
+  ``decode_images`` runs them inside ``mapInPandas`` — actual pixels out
+  of actual bytes, no image library needed.
+- **Stubs** for formats that need external codec libraries (JPEG/PNG/
+  audio/video — not in this container), kept behind ``DecodeUnavailable``
+  or a deterministic fake, clearly marked.
 
 At 100 TB: binary payloads dominate row size, so the operators
 ``repartition`` by byte budget, never collect, and push metadata-only
@@ -15,8 +22,10 @@ Python.
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
@@ -28,6 +37,10 @@ __all__ = [
     "DecodeUnavailable",
     "attach_media",
     "media_stats",
+    "encode_bmp",
+    "encode_ppm",
+    "decode_image_bytes",
+    "decode_images",
     "decode_image_stub",
     "extract_features_stub",
     "sample_frames_stub",
@@ -96,6 +109,161 @@ def media_stats(df: DataFrame, media_col: str = "media") -> DataFrame:
         F.min(m["meta"]["width"]).alias("min_width"),
         F.max(m["meta"]["height"]).alias("max_height"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Real codecs: uncompressed BMP + binary PPM, pure numpy
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """Encode an ``HxWx3`` uint8 RGB array as a 24-bit uncompressed BMP
+    (BITMAPINFOHEADER, BI_RGB, bottom-up rows, 4-byte row padding)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"encode_bmp expects HxWx3, got {a.shape}")
+    h, w, _ = a.shape
+    row_bytes = w * 3
+    pad = (4 - row_bytes % 4) % 4
+    stride = row_bytes + pad
+    img_size = stride * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :row_bytes] = a[::-1, :, ::-1].reshape(h, row_bytes)  # bottom-up, BGR
+    return header + info + rows.tobytes()
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """Encode an ``HxWx3`` uint8 RGB array as binary PPM (P6, maxval 255)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"encode_ppm expects HxWx3, got {a.shape}")
+    h, w, _ = a.shape
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + a.tobytes()
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    if len(payload) < 54:
+        raise DecodeUnavailable("BMP payload shorter than its headers")
+    _, _, _, _, data_offset = struct.unpack_from("<2sIHHI", payload, 0)
+    hdr_size, w, h, _, bpp, compression = struct.unpack_from("<IiiHHI", payload, 14)
+    if hdr_size < 40:
+        raise DecodeUnavailable(f"BMP header size {hdr_size} (BITMAPCOREHEADER) not supported")
+    if compression != 0:
+        raise DecodeUnavailable(f"compressed BMP (method {compression}) not supported")
+    if bpp not in (24, 32):
+        raise DecodeUnavailable(f"{bpp}-bit BMP not supported (24/32 only)")
+    top_down = h < 0
+    h = abs(h)
+    nchan = bpp // 8
+    stride = (w * nchan + 3) // 4 * 4
+    need = data_offset + stride * h
+    if len(payload) < need:
+        raise DecodeUnavailable(f"truncated BMP: {len(payload)} bytes, need {need}")
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_offset)
+    rows = rows.reshape(h, stride)[:, : w * nchan].reshape(h, w, nchan)
+    rgb = rows[:, :, 2::-1]  # BGR(A) → RGB
+    if not top_down:
+        rgb = rgb[::-1]
+    return np.ascontiguousarray(rgb)
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    # Header: P6, then w, h, maxval as whitespace-separated tokens with
+    # '#' comments; a single whitespace byte ends the header.
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(payload) and payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise DecodeUnavailable("truncated PPM header")
+        fields.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise DecodeUnavailable(f"PPM maxval {maxval} not supported (255 only)")
+    need = w * h * 3
+    if len(payload) - pos < need:
+        raise DecodeUnavailable(f"truncated PPM: {len(payload) - pos} of {need} bytes")
+    return (
+        np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
+        .reshape(h, w, 3)
+        .copy()
+    )
+
+
+def decode_image_bytes(payload: bytes) -> np.ndarray:
+    """Decode a BMP or P6-PPM payload (sniffed by magic) to ``HxWx3`` uint8
+    RGB. Raises :class:`DecodeUnavailable` for any other format — that is
+    where a PIL/opencv decoder plugs in."""
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    raise DecodeUnavailable(
+        "unrecognized image format (BMP/PPM decode natively; JPEG/PNG need "
+        "an external codec library)"
+    )
+
+
+def _resize_nearest(rgb: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    h, w, _ = rgb.shape
+    yi = (np.arange(out_h) * h) // out_h
+    xi = (np.arange(out_w) * w) // out_w
+    return rgb[yi][:, xi]
+
+
+def decode_images(
+    df: DataFrame,
+    media_col: str = "media",
+    out_w: int | None = None,
+    out_h: int | None = None,
+) -> DataFrame:
+    """Real decode (+ optional nearest-neighbor resize) via ``mapInPandas``.
+
+    Adds ``width``/``height`` (source dimensions) and ``pixels`` — the
+    decoded (or resized) image flattened row-major as RGB ints. Arrow moves
+    the binary batches; numpy does the pixel work; undecodable payloads
+    yield null pixels rather than failing the partition (curation-filter
+    semantics: bad files are data, not crashes)."""
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("pixels", T.ArrayType(T.IntegerType()), True),
+        ]
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            widths, heights, pixels = [], [], []
+            for m in pdf[media_col]:
+                try:
+                    rgb = decode_image_bytes(m["payload"])
+                except (DecodeUnavailable, ValueError, TypeError):
+                    widths.append(None), heights.append(None), pixels.append(None)
+                    continue
+                h, w, _ = rgb.shape
+                if out_w is not None and out_h is not None:
+                    rgb = _resize_nearest(rgb, out_w, out_h)
+                widths.append(w)
+                heights.append(h)
+                pixels.append(rgb.reshape(-1).astype("int64").tolist())
+            pdf = pdf.copy()
+            pdf["width"], pdf["height"], pdf["pixels"] = widths, heights, pixels
+            yield pdf
+
+    return df.mapInPandas(decode, out_schema)
 
 
 def _fake_pixels(payload: bytes, out_w: int, out_h: int) -> list[int]:

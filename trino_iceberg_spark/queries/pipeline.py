@@ -438,20 +438,56 @@ def mm01_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_stats(media).select("media_type", "cnt", "total_bytes")
 
 
-@register("mm02_decode_pipeline")  # rows-only: stubbed decode, Spark plumbing real
+@register(
+    "mm02_decode_pipeline",
+    oracle="""
+    SELECT d.doc_id,
+           8 AS width, 8 AS height, 192 AS n_pixels,
+           CAST(SUM((d.doc_id * 31 + i.range * 7 + j.range * 3 + c.range) % 256)
+                AS BIGINT) AS pixel_sum
+    FROM documents d, range(8) i, range(8) j, range(3) c
+    WHERE d.doc_id < 50
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+)
 def mm02_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas decode→feature pipeline over binary payloads
-    (operators.multimodal.decode_image_stub — deterministic fake decode;
-    the Arrow batch shape is the real contract)."""
+    """Real image decode inside the engine: per document, a deterministic
+    8x8 RGB image (pixel[i,j,c] = (doc_id*31 + i*7 + j*3 + c) % 256) is
+    **encoded to actual BMP bytes and decoded back by the pure-numpy BMP
+    codec** (operators.multimodal.encode_bmp / decode_images), all inside
+    ``mapInPandas`` — the oracle recomputes the pixel arithmetic in SQL,
+    so the whole binary round trip (headers, bottom-up rows, BGR order,
+    stride padding, Arrow batching) is hash-gated, not stubbed."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import decode_images, encode_bmp
+
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    media = attach_media(
-        d.withColumn("payload", F.encode(F.col("text"), "UTF-8")), "payload"
-    ).select("doc_id", "media")
-    decoded = decode_image_stub(media, out_w=4, out_h=4)
+
+    def render(batches):
+        i, j, c = np.meshgrid(
+            np.arange(8), np.arange(8), np.arange(3), indexing="ij"
+        )
+        base = i * 7 + j * 3 + c
+        for pdf in batches:
+            payloads = [
+                encode_bmp(((int(doc_id) * 31 + base) % 256).astype(np.uint8))
+                for doc_id in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    rendered = d.select("doc_id").mapInPandas(render, "doc_id long, payload binary")
+    media = attach_media(rendered, "payload").select("doc_id", "media")
+    decoded = decode_images(media)
     return decoded.select(
         "doc_id",
+        "width",
+        "height",
         F.size("pixels").alias("n_pixels"),
-        F.aggregate(F.col("pixels"), F.lit(0).cast("long"), lambda a, x: a + x).alias("pixel_sum"),
+        F.aggregate(
+            F.col("pixels"), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("pixel_sum"),
     ).orderBy("doc_id")
 
 
