@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
     "tpch_q8_market_share",
+    "tpch_q9_nation_revenue",
     "tpch_q13_customer_distribution",
     "tpch_q18_large_orders",
     "b09_groupby_agg_sort",
@@ -39,9 +40,11 @@ BENCH_QUERIES = [
     "j01_inner_join",
     "dd01_exact_dedup",
     "dd03_minhash_lsh_pairs",
+    "dd07_duplicate_clusters",
     "ss01_cosine_topk",
     "ss04_numpy_topk",
     "tx01_token_counts",
+    "tx09_tfidf_top_terms",
 ]
 
 

@@ -359,3 +359,53 @@ def test_unload_csv_header_option_passthrough(spark, fs_client_backed):
     )
     with open(_parquet_files(resp.output_path)[0]) as fh:
         assert fh.readline().strip() == "id,name"
+
+
+# --- A8 batch execution (TrinoIcebergStack.cs:232-257) -------------------
+
+
+def test_execute_batch_sequential_ordering(client, spark):
+    spark.sql("DROP TABLE IF EXISTS common_test_data.batch_seq")
+    client.execute_batch(
+        [
+            "CREATE TABLE common_test_data.batch_seq (x INT) USING parquet",
+            "INSERT INTO common_test_data.batch_seq VALUES (1)",
+            "INSERT INTO common_test_data.batch_seq VALUES (2)",
+        ]
+    )
+    assert client.query_scalar("SELECT COUNT(*) FROM common_test_data.batch_seq") == 2
+    spark.sql("DROP TABLE common_test_data.batch_seq")
+
+
+def test_execute_batch_concurrent_independent_inserts(client, spark):
+    """Reference semantics: parallel tasks over one connection
+    (TrinoIcebergStack.cs:232-257) — 4 concurrent INSERTs to distinct
+    tables, all visible afterwards."""
+    names = [f"common_test_data.batch_c{i}" for i in range(4)]
+    for n in names:
+        spark.sql(f"DROP TABLE IF EXISTS {n}")
+        spark.sql(f"CREATE TABLE {n} (x INT) USING parquet")
+    client.execute_batch(
+        [f"INSERT INTO {n} VALUES ({i}), ({i + 10})" for i, n in enumerate(names)],
+        concurrency=4,
+    )
+    for i, n in enumerate(names):
+        got = sorted(r[0] for r in client.query(f"SELECT x FROM {n}"))
+        assert got == [i, i + 10]
+        spark.sql(f"DROP TABLE {n}")
+
+
+def test_execute_batch_concurrent_failure_propagates_after_settling(client, spark):
+    spark.sql("DROP TABLE IF EXISTS common_test_data.batch_ok")
+    spark.sql("CREATE TABLE common_test_data.batch_ok (x INT) USING parquet")
+    with pytest.raises(QueryError):
+        client.execute_batch(
+            [
+                "INSERT INTO common_test_data.batch_ok VALUES (7)",
+                "INSERT INTO common_test_data.no_such_batch_table VALUES (1)",
+            ],
+            concurrency=2,
+        )
+    # The healthy statement still landed (Task.WhenAll settles all tasks).
+    assert client.query_scalar("SELECT COUNT(*) FROM common_test_data.batch_ok") == 1
+    spark.sql("DROP TABLE common_test_data.batch_ok")

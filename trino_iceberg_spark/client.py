@@ -124,14 +124,33 @@ class AthenaSparkClient:
             return int(rows[0][0])
         return 0
 
-    def execute_batch(self, statements: Iterable[str]) -> None:
-        """A8 ``ExecuteBatch`` (TrinoIcebergStack.cs:232-257). The reference
-        runs statements concurrently over one connection; Spark statements
-        share one session and each executes distributed, so sequential
-        submission keeps DDL ordering deterministic while the cluster is
-        already saturated per-statement."""
-        for stmt in statements:
-            self.execute(stmt)
+    def execute_batch(
+        self, statements: Iterable[str], *, concurrency: int | None = None
+    ) -> None:
+        """A8 ``ExecuteBatch`` (TrinoIcebergStack.cs:232-257).
+
+        The reference submits every statement as a parallel task over one
+        connection and awaits them all; pass ``concurrency > 1`` for the
+        same semantics — each statement becomes a Spark job submitted from
+        its own thread against the shared session (Spark's scheduler
+        interleaves them across the cluster), and the first failure
+        propagates after all have settled, like ``Task.WhenAll``.
+        Concurrent mode is for *independent* statements (the reference's
+        batch inserts hit distinct tables); the sequential default keeps
+        DDL-then-DML ordering deterministic."""
+        stmts = list(statements)
+        if concurrency is None or concurrency <= 1:
+            for stmt in stmts:
+                self.execute(stmt)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=concurrency) as pool:
+            futures = [pool.submit(self.execute, stmt) for stmt in stmts]
+            errors = [f.exception() for f in futures]
+        for err in errors:
+            if err is not None:
+                raise err
 
     def ctas(
         self, table: str, sql: str, *params: Any, location: str | None = None
