@@ -55,8 +55,9 @@ _FRONT = [
     "w03_lag_lead",
     "w06_sessionize",
     "w07_moving_average",
-    # TPC-H suite (all oracled, never driver-checked in round 1)
+    # TPC-H suite — complete 22 queries (all oracled)
     "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",
@@ -65,6 +66,7 @@ _FRONT = [
     "tpch_q8_market_share",
     "tpch_q9_nation_revenue",
     "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
     "tpch_q12_priority_shipping",
     "tpch_q13_customer_distribution",
     "tpch_q14_promo_revenue",
@@ -73,6 +75,7 @@ _FRONT = [
     "tpch_q17_small_quantity_revenue",
     "tpch_q18_large_orders",
     "tpch_q19_discounted_revenue",
+    "tpch_q20_part_promotion_suppliers",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_global_sales_opportunity",
     # scalar-function library + exact percentiles
@@ -102,11 +105,8 @@ _FRONT = [
     # similarity — oracled entries
     "ss01_cosine_topk",
     "ss04_numpy_topk",
-    # text analysis — headline entries
+    # text analysis — headline entry
     "tx09_tfidf_top_terms",
-    "tx10_bm25_ranking",
-    "tx01_token_counts",
-    "tx02_lang_stats",
 ]
 
 # Families round 1 already recorded green — yielded last.

@@ -320,6 +320,49 @@ def test_decode_images_mapinpandas(spark):
     assert resized[1]["pixels"] == [9, 9, 9]  # nearest-neighbor picks a real pixel
 
 
+def test_wav_roundtrip_and_chunk_walk():
+    import numpy as np
+    from trino_iceberg_spark.operators.multimodal import (
+        DecodeUnavailable,
+        decode_wav_bytes,
+        encode_wav,
+    )
+
+    mono = (np.arange(100, dtype=np.int64) * 997 % 65536 - 32768).astype(np.int16)
+    rate, got = decode_wav_bytes(encode_wav(mono, 8000))
+    assert rate == 8000 and got.shape == (100, 1)
+    assert np.array_equal(got[:, 0], mono)
+    stereo = np.stack([mono, -mono], axis=1).astype(np.int16)
+    _, got2 = decode_wav_bytes(encode_wav(stereo, 44100))
+    assert np.array_equal(got2, stereo)
+    # unknown chunk before fmt/data is skipped (real encoders emit LIST)
+    raw = encode_wav(mono, 8000)
+    import struct as st
+
+    injected = raw[:12] + st.pack("<4sI", b"LIST", 4) + b"INFO" + raw[12:]
+    injected = st.pack("<4sI4s", b"RIFF", len(injected) - 8, b"WAVE") + injected[12:]
+    _, got3 = decode_wav_bytes(injected)
+    assert np.array_equal(got3[:, 0], mono)
+    with pytest.raises(DecodeUnavailable):
+        decode_wav_bytes(b"RIFFxxxxNOPE")
+
+
+def test_decode_audio_mapinpandas(spark):
+    import numpy as np
+    from trino_iceberg_spark.operators.multimodal import decode_audio, encode_wav
+
+    tone = np.full(50, 1000, dtype=np.int16)
+    df = spark.createDataFrame(
+        [(1, bytes(encode_wav(tone, 1000))), (2, b"not audio")],
+        "id long, payload binary",
+    )
+    media = attach_media(df, "payload", media_type="audio").select("id", "media")
+    rows = {r["id"]: r for r in decode_audio(media).collect()}
+    assert rows[1]["n_samples"] == 50 and rows[1]["duration_ms"] == 50
+    assert rows[1]["sum_sq"] == 50 * 1000 * 1000 and rows[1]["peak"] == 1000
+    assert rows[2]["sum_sq"] is None
+
+
 def test_feature_extraction_stub_dims(spark):
     df = spark.createDataFrame([(1, b"hello"), (2, b"world!")], "id long, payload binary")
     media = attach_media(df, "payload").select("id", "media")

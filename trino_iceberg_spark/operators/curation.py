@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from .text import quality_features, token_count_col
 
-__all__ = ["curation_decisions", "curate_documents", "curation_report"]
+__all__ = ["curation_decisions", "curate_documents", "curation_report", "decontaminate"]
 
 
 def curation_decisions(
@@ -86,3 +86,40 @@ def curation_report(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
         )
         .orderBy("decision")
     )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    k: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: drop every training document sharing at
+    least one ``k``-gram with a held-out benchmark set — the standard
+    pretraining-hygiene pass (exact n-gram collision, the method used for
+    GPT-3/Llama-style training sets).
+
+    Both sides explode their distinct lowercase word ``k``-grams hashed to
+    8 bytes (``xxhash64`` — the join key is 8 bytes instead of a ~50-char
+    string, and the benchmark side stays small enough to broadcast);
+    contaminated ids fall out of one broadcast semi-join, and the corpus
+    itself is filtered with an anti-join on id. The corpus is scanned
+    once; nothing about it is collected.
+    """
+    from .dedup import shingle_hashes
+
+    bench_col = bench_text_col or text_col
+    bench_grams = benchmark.select(
+        F.explode(shingle_hashes(bench_col, k)).alias("_g")
+    ).distinct()
+    doc_grams = df.select(
+        F.col(id_col), F.explode(shingle_hashes(text_col, k)).alias("_g")
+    )
+    contaminated = (
+        doc_grams.join(F.broadcast(bench_grams), "_g", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(contaminated, id_col, "left_anti")

@@ -5,14 +5,15 @@ with a typed metadata struct. The Spark-side machinery — schema, Arrow
 batch shape, ``mapInPandas`` partition flow, partition sizing — is real and
 tested. Codecs come in two tiers:
 
-- **Real decoders** for the two headerless-simple raster formats a
-  pure-numpy implementation covers completely: uncompressed **BMP**
-  (24/32-bit BI_RGB, top-down and bottom-up) and binary **PPM** (P6).
-  ``decode_images`` runs them inside ``mapInPandas`` — actual pixels out
-  of actual bytes, no image library needed.
+- **Real decoders** for the formats a pure-numpy implementation covers
+  completely: uncompressed **BMP** (24/32-bit BI_RGB, top-down and
+  bottom-up), binary **PPM** (P6), and PCM **WAV** (RIFF chunk walk,
+  16-bit). ``decode_images`` / ``decode_audio`` run them inside
+  ``mapInPandas`` — actual pixels/samples out of actual bytes, no codec
+  library needed.
 - **Stubs** for formats that need external codec libraries (JPEG/PNG/
-  audio/video — not in this container), kept behind ``DecodeUnavailable``
-  or a deterministic fake, clearly marked.
+  compressed audio/video — not in this container), kept behind
+  ``DecodeUnavailable`` or a deterministic fake, clearly marked.
 
 At 100 TB: binary payloads dominate row size, so the operators
 ``repartition`` by byte budget, never collect, and push metadata-only
@@ -41,6 +42,9 @@ __all__ = [
     "encode_ppm",
     "decode_image_bytes",
     "decode_images",
+    "encode_wav",
+    "decode_wav_bytes",
+    "decode_audio",
     "decode_image_stub",
     "extract_features_stub",
     "sample_frames_stub",
@@ -112,8 +116,103 @@ def media_stats(df: DataFrame, media_col: str = "media") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Real codecs: uncompressed BMP + binary PPM, pure numpy
+# Real codecs: uncompressed BMP + binary PPM + PCM WAV, pure numpy
 # ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Encode int16 PCM samples (``(n,)`` mono or ``(n, ch)``) as a
+    canonical RIFF/WAVE file (format 1 = PCM, 16-bit little-endian)."""
+    a = np.asarray(samples, dtype="<i2")
+    if a.ndim == 1:
+        a = a[:, None]
+    n, ch = a.shape
+    data = a.tobytes()
+    block_align = ch * 2
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, ch, sample_rate, sample_rate * block_align,
+        block_align, 16,
+    )
+    data_hdr = struct.pack("<4sI", b"data", len(data))
+    riff = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data_hdr) + len(data), b"WAVE")
+    return riff + fmt + data_hdr + data
+
+
+def decode_wav_bytes(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode a PCM WAV payload to ``(sample_rate, samples[n, ch] int16)``.
+
+    Walks the RIFF chunk list (fmt/data chunks in any order, unknown
+    chunks skipped — real encoders emit LIST/INFO etc.), PCM 16-bit only;
+    anything else raises :class:`DecodeUnavailable` (the plug-in point for
+    a real audio library)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise DecodeUnavailable("not a RIFF/WAVE payload")
+    pos, end = 12, len(payload)
+    rate = channels = bits = audio_format = None
+    data: bytes | None = None
+    while pos + 8 <= end:
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if size < 16:
+                raise DecodeUnavailable(f"fmt chunk too short ({size} bytes)")
+            audio_format, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if audio_format is None or data is None:
+        raise DecodeUnavailable("missing fmt or data chunk")
+    if audio_format != 1 or bits != 16:
+        raise DecodeUnavailable(
+            f"only 16-bit PCM supported (format={audio_format}, bits={bits})"
+        )
+    usable = len(data) - len(data) % (channels * 2)
+    samples = np.frombuffer(data, dtype="<i2", count=usable // 2).reshape(-1, channels)
+    return rate, samples
+
+
+def decode_audio(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Real WAV decode via ``mapInPandas``: adds ``sample_rate``,
+    ``n_samples``, ``n_channels``, ``duration_ms``, ``sum_sq`` (Σ sample²
+    over all channels — exact integer, hash-stable) and ``peak``
+    (max |sample|). Undecodable payloads yield nulls, not failures."""
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("sample_rate", T.IntegerType(), True),
+            T.StructField("n_samples", T.IntegerType(), True),
+            T.StructField("n_channels", T.IntegerType(), True),
+            T.StructField("duration_ms", T.LongType(), True),
+            T.StructField("sum_sq", T.LongType(), True),
+            T.StructField("peak", T.IntegerType(), True),
+        ]
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {k: [] for k in
+                ("sample_rate", "n_samples", "n_channels", "duration_ms", "sum_sq", "peak")}
+            for m in pdf[media_col]:
+                try:
+                    rate, samples = decode_wav_bytes(m["payload"])
+                except (DecodeUnavailable, ValueError, TypeError, struct.error):
+                    for k in cols:
+                        cols[k].append(None)
+                    continue
+                n, ch = samples.shape
+                s64 = samples.astype(np.int64)
+                cols["sample_rate"].append(rate)
+                cols["n_samples"].append(n)
+                cols["n_channels"].append(ch)
+                cols["duration_ms"].append(int(n * 1000 // rate) if rate else None)
+                cols["sum_sq"].append(int((s64 * s64).sum()))
+                cols["peak"].append(int(np.abs(s64).max()) if n else 0)
+            pdf = pdf.copy()
+            for k, v in cols.items():
+                pdf[k] = v
+            yield pdf
+
+    return df.mapInPandas(decode, out_schema)
 
 
 def encode_bmp(arr: np.ndarray) -> bytes:

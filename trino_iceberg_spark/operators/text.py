@@ -22,6 +22,10 @@ __all__ = [
     "tfidf",
     "bm25_scores",
     "text_profile",
+    "PII_RULES",
+    "scrub_pii_col",
+    "scrub_pii",
+    "repetition_stats",
 ]
 
 # Tiny per-language stopword marker lists for the n-gram/stopword heuristic
@@ -270,4 +274,92 @@ def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         feats["mean_word_len"].alias("mean_word_len"),
         language_id_col(text_col).alias("lang_guess"),
         rolling_fingerprint_col(text_col).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing + repetition quality signals
+# ---------------------------------------------------------------------------
+
+#: (pattern, replacement) chain for the common machine-recognizable PII
+#: classes a pretraining pipeline redacts. Order matters: emails before
+#: bare domains-in-URLs, IPs before phone-ish digit runs.
+PII_RULES: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"(?:https?://|www\.)[^\s]+", "<URL>"),
+    (r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+)
+
+
+def scrub_pii_col(text: Column | str) -> Column:
+    """Redact emails / IPv4s / URLs / phone-like digit runs with typed
+    placeholders — the machine-detectable PII pass every large-scale text
+    pipeline runs before training. Pure ``regexp_replace`` chain: JVM
+    codegen, no UDF, scales with the scan."""
+    col = F.col(text) if isinstance(text, str) else text
+    for pattern, repl in PII_RULES:
+        col = F.regexp_replace(col, pattern, repl)
+    return col
+
+
+def scrub_pii(df: DataFrame, text_col: str) -> DataFrame:
+    """Replace ``text_col`` with its scrubbed version plus a
+    ``pii_removed`` count (how many placeholders were inserted — the
+    pipeline-health metric for the pass)."""
+    scrubbed = scrub_pii_col(text_col)
+    n_placeholders = (
+        F.length(F.regexp_replace(scrubbed, r"<(EMAIL|IP|URL|PHONE)>", "\x01"))
+        - F.length(F.regexp_replace(scrubbed, r"<(EMAIL|IP|URL|PHONE)>", ""))
+    )
+    return df.withColumn("pii_removed", n_placeholders.cast("int")).withColumn(
+        text_col, scrubbed
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style repetition quality signals, one row per document:
+
+    - ``n_lines`` / ``n_distinct_lines`` and ``dup_line_ratio`` — the
+      fraction of lines that are repeats of an earlier line (boilerplate /
+      scraped-navigation signal);
+    - ``top_word_ratio`` — occurrences of the most frequent word over
+      total words (degenerate-generation signal).
+
+    All built-in array/lambda expressions over one projection — per-row
+    work, no shuffle, no UDF."""
+    lines = F.filter(F.split(F.col(text_col), r"\n"), lambda l: F.trim(l) != "")
+    words = word_tokens_col(text_col)
+    # Most-frequent-word count: sort the words and run-length-scan them in
+    # ONE aggregate pass (O(n log n) per row) — the naive
+    # count-each-distinct-word expression is O(n²) per row and dies on
+    # long documents; the explode+groupBy alternative is exact too but
+    # costs a corpus-wide shuffle this per-row signal doesn't need.
+    top_count = F.aggregate(
+        F.array_sort(words),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(F.array_distinct(lines)).alias("n_distinct_lines"),
+        F.when(F.size(lines) > 0,
+               (F.size(lines) - F.size(F.array_distinct(lines)))
+               / F.size(lines).cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("dup_line_ratio"),
+        F.when(F.size(words) > 0, top_count / F.size(words).cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("top_word_ratio"),
     )

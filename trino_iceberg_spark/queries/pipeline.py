@@ -971,3 +971,189 @@ def pr02_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "col_a", "col_b", F.round("corr", 6).alias("corr")
     ).orderBy("col_a", "col_b")
+
+
+@register(
+    "mm04_audio_decode",
+    oracle="""
+    SELECT d.doc_id, 8000 AS sample_rate, 256 AS n_samples, 1 AS n_channels,
+           32 AS duration_ms,
+           CAST(SUM(POW((d.doc_id * 7 + t.range * 13) % 65536 - 32768, 2))
+                AS BIGINT) AS sum_sq,
+           CAST(MAX(ABS((d.doc_id * 7 + t.range * 13) % 65536 - 32768))
+                AS INTEGER) AS peak
+    FROM documents d, range(256) t
+    WHERE d.doc_id < 40
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+)
+def mm04_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio decode inside the engine: per document, a deterministic
+    256-sample int16 PCM signal (sample[t] = (doc_id*7 + t*13) % 65536
+    − 32768) is **encoded to actual RIFF/WAVE bytes and parsed back by the
+    pure-numpy WAV decoder** (operators.multimodal.encode_wav /
+    decode_audio) under ``mapInPandas``; the oracle recomputes Σsample²
+    and peak amplitude in SQL, hash-gating the full chunk-walk round trip."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import decode_audio, encode_wav
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+
+    def render(batches):
+        t = np.arange(256, dtype=np.int64)
+        for pdf in batches:
+            payloads = [
+                encode_wav(
+                    ((int(doc_id) * 7 + t * 13) % 65536 - 32768).astype(np.int16),
+                    sample_rate=8000,
+                )
+                for doc_id in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    rendered = d.select("doc_id").mapInPandas(render, "doc_id long, payload binary")
+    media = attach_media(rendered, "payload", media_type="audio", codec="pcm_s16le")
+    return (
+        decode_audio(media.select("doc_id", "media"))
+        .select(
+            "doc_id", "sample_rate", "n_samples", "n_channels",
+            "duration_ms", "sum_sq", "peak",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "tx11_pii_scrub",
+    oracle="""
+    WITH injected AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id || '@example.com at 10.0.0.'
+                    || (doc_id % 256) || ' or https://ex.com/' || doc_id AS t
+        FROM documents
+    ), scrubbed AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+                   '(?:https?://|www\\.)[^\\s]+', '<URL>', 'g'),
+                   '\\+?\\d[\\d\\s().-]{7,}\\d', '<PHONE>', 'g') AS t
+        FROM injected
+    )
+    SELECT doc_id, t AS text,
+           CAST(length(regexp_replace(t, '<(EMAIL|IP|URL|PHONE)>', chr(1), 'g'))
+                - length(regexp_replace(t, '<(EMAIL|IP|URL|PHONE)>', '', 'g'))
+                AS INTEGER) AS pii_removed
+    FROM scrubbed ORDER BY doc_id
+    """,
+)
+def tx11_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators.text.scrub_pii): deterministic synthetic
+    PII (email + IPv4 + URL per document) is injected, then the
+    regexp_replace chain redacts it with typed placeholders; the oracle
+    runs the identical chain in DuckDB, hash-gating the full scrubbed
+    text, not just counts."""
+    d = load_table(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com at 10.0.0."),
+            (F.col("doc_id") % 256), F.lit(" or https://ex.com/"), F.col("doc_id"),
+        ).alias("text"),
+    )
+    return TX.scrub_pii(injected, "text").select(
+        "doc_id", "text", "pii_removed"
+    ).orderBy("doc_id")
+
+
+@register(
+    "tx12_repetition_stats",
+    oracle="""
+    WITH built AS (
+        SELECT doc_id,
+               text || chr(10) || text || chr(10) || 'tail ' || doc_id AS t
+        FROM documents
+    ), lines AS (
+        SELECT doc_id,
+               list_filter(list_transform(string_split(t, chr(10)), l -> trim(l)),
+                           l -> l <> '') AS ls
+        FROM built
+    ), words AS (
+        SELECT b.doc_id, w
+        FROM built b, UNNEST(list_filter(regexp_split_to_array(b.t, '\\s+'),
+                                         x -> x <> '')) AS u(w)
+    ), top AS (
+        SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_w FROM (
+            SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w
+        ) GROUP BY doc_id
+    )
+    SELECT l.doc_id,
+           CAST(len(l.ls) AS INTEGER) AS n_lines,
+           CAST(len(list_distinct(l.ls)) AS INTEGER) AS n_distinct_lines,
+           CAST(len(l.ls) - len(list_distinct(l.ls)) AS DOUBLE) / len(l.ls)
+               AS dup_line_ratio,
+           CAST(t.top_c AS DOUBLE) / t.n_w AS top_word_ratio
+    FROM lines l JOIN top t ON l.doc_id = t.doc_id
+    ORDER BY l.doc_id
+    """,
+)
+def tx12_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (operators.text.repetition_stats):
+    duplicate-line ratio and top-word fraction per document, computed as
+    single-pass array expressions (sorted run-length scan — no shuffle,
+    no O(n²) per-row work). Each document is given one duplicated line so
+    the ratio is exercised; the oracle recomputes both signals
+    relationally (unnest + group-by)."""
+    d = load_table(spark, sf_dir, "documents")
+    built = d.select(
+        "doc_id",
+        F.concat_ws("\n", F.col("text"), F.col("text"),
+                    F.concat(F.lit("tail "), F.col("doc_id"))).alias("text"),
+    )
+    return TX.repetition_stats(built, "text", "doc_id").orderBy("doc_id")
+
+
+@register(
+    "cu03_decontaminate",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, g
+        FROM toks, UNNEST(list_distinct(list_transform(
+            range(len(ws) - 7),
+            i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] || ' '
+                 || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] || ' ' || ws[i+8]
+        ))) AS u(g)
+    ), bench AS (
+        SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0
+    ), bad AS (
+        SELECT DISTINCT gr.doc_id FROM grams gr JOIN bench b ON gr.g = b.g
+    )
+    SELECT d.doc_id, d.lang FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
+    ORDER BY d.doc_id
+    """,
+)
+def cu03_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators.curation.decontaminate): every
+    tenth document plays the held-out benchmark; training docs sharing any
+    8-gram with it (including the benchmark members themselves and their
+    near-duplicates) are dropped via the hashed-shingle broadcast
+    semi-join. The oracle joins on the 8-gram *strings* — hash and string
+    joins agree unless xxhash64 collides, so the equality doubles as a
+    collision check."""
+    from ..operators.curation import decontaminate
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 10 == 0)
+    return (
+        decontaminate(d, bench, "text", "doc_id", k=8)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )

@@ -49,6 +49,7 @@ def load_all() -> None:
     from . import aggregates  # noqa: F401
     from . import tpch  # noqa: F401
     from . import tpch2  # noqa: F401
+    from . import tpch3  # noqa: F401
     from . import pipeline  # noqa: F401
     from . import timetravel  # noqa: F401
     from . import streaming_q  # noqa: F401

@@ -122,3 +122,39 @@ def tt03_snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("_change_type", "change_type")
         .orderBy("o_orderkey", "change_type")
     )
+
+
+@register(
+    "tt04_sql_text_time_travel",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderkey % 2 = 0 AND o_custkey <= 300
+    ORDER BY o_orderkey
+    """,
+)
+def tt04_sql_text_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B18 as the reference actually issues it — ``FOR TIMESTAMP AS OF``
+    inside a plain SQL string through the client
+    (AthenaClientTests.cs:374; rewrite in timetravel_sql.py), combined
+    with WHERE + ORDER BY. Same two-commit setup as tt01; the clause must
+    see only commit 1."""
+    from ..client import AthenaSparkClient
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tdir = os.path.join(tempfile.gettempdir(), "tis_tt04_table")
+    shutil.rmtree(tdir, ignore_errors=True)
+    table = SnapshotTable(spark, tdir)
+    table.append(o.filter(F.col("o_orderkey") % 2 == 0))
+    between = dt.datetime.now(dt.timezone.utc)
+    table.append(o.filter(F.col("o_orderkey") % 2 == 1))
+
+    client = AthenaSparkClient(spark)
+    client.register_snapshot_table("orders_tt", tdir)
+    return client.sql_df(
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders_tt "
+        "FOR TIMESTAMP AS OF TIMESTAMP {0} "
+        "WHERE o_custkey <= 300 ORDER BY o_orderkey",
+        between.replace(tzinfo=None),
+    )
