@@ -586,3 +586,36 @@ def f08_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.getItem("count").cast("long").alias("from_map_count"),
         m.getItem("keys").cast("long").alias("from_map_keys"),
     ).orderBy("o_orderstatus")
+
+
+@register(
+    "a09_unpivot",
+    oracle="""
+    SELECT o_orderstatus, metric, CAST(value AS DOUBLE) AS value
+    FROM (
+        SELECT o_orderstatus,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS total_price,
+               CAST(COUNT(*) AS DOUBLE) AS order_count,
+               CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS customers
+        FROM orders GROUP BY o_orderstatus
+    ) UNPIVOT (value FOR metric IN (total_price, order_count, customers))
+    ORDER BY o_orderstatus, metric
+    """,
+)
+def a09_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide metrics → long key/value rows) — the inverse of a06's
+    pivot. Spark's ``DataFrame.unpivot`` maps 1:1 to SQL UNPIVOT; the wide
+    aggregate computes once, the melt is a per-row expression (no extra
+    shuffle)."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderstatus").agg(
+        dsum_col("o_totalprice").alias("total_price"),
+        F.count(F.lit(1)).cast("double").alias("order_count"),
+        F.countDistinct("o_custkey").cast("double").alias("customers"),
+    )
+    return wide.unpivot(
+        ["o_orderstatus"],
+        ["total_price", "order_count", "customers"],
+        "metric",
+        "value",
+    ).orderBy("o_orderstatus", "metric")

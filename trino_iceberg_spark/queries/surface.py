@@ -395,3 +395,36 @@ def b19_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(k).alias("min_k"), F.max(k).alias("max_k"), F.count(F.lit(1)).alias("cnt"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "f09_edit_distance",
+    oracle="""
+    SELECT a.doc_id,
+           levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS edit_dist,
+           CAST(length(a.text) AS INTEGER) AS len_a
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    WHERE a.doc_id < 100
+    ORDER BY a.doc_id
+    """,
+)
+def f09_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-distance functions: Levenshtein edit distance between
+    adjacent documents' prefixes (the fuzzy-match primitive under record
+    linkage). Self-join on consecutive ids — an equi-join, so it shuffles
+    on the key instead of comparing all pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    a = d.select("doc_id", F.substring("text", 1, 40).alias("_pa"),
+                 F.length("text").alias("len_a"))
+    b = d.select((F.col("doc_id") - 1).alias("doc_id"),
+                 F.substring("text", 1, 40).alias("_pb"))
+    return (
+        a.filter(F.col("doc_id") < 100)
+        .join(b, "doc_id")
+        .select(
+            "doc_id",
+            F.levenshtein("_pa", "_pb").alias("edit_dist"),
+            F.col("len_a").cast("int").alias("len_a"),
+        )
+        .orderBy("doc_id")
+    )

@@ -273,3 +273,51 @@ def w08_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         F.first("o_orderkey").over(wf).alias("cheapest_key"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "w09_time_range_frame",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, user_id,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+               value
+        FROM events WHERE user_id <= 20
+    )
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_1h,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DECIMAL(38,4))
+                AS DOUBLE) AS sum_1h
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
+def w09_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: per user, the trailing-hour event
+    count and exact-decimal value sum. The frame is a numeric range over
+    epoch seconds (``Window.rangeBetween(-3600, 0)``) — identical peer and
+    boundary semantics on both engines, unlike interval frames whose
+    timestamp rounding differs. One shuffle on user_id; the frame scan is
+    a single ordered pass per partition."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("_sec"))
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        e.withColumn("_sec", F.unix_timestamp("ts"))
+        .select(
+            "event_id",
+            "user_id",
+            F.count(F.lit(1)).over(w).alias("n_1h"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .over(w)
+            .cast("decimal(38,4)")
+            .cast("double")
+            .alias("sum_1h"),
+        )
+        .orderBy("event_id")
+    )
