@@ -109,8 +109,21 @@ _FRONT = [
     "tx09_tfidf_top_terms",
 ]
 
-# Families round 1 already recorded green — yielded last.
-_PROVEN_PREFIXES = ("b0", "b1", "j0", "w0", "a0", "s0", "c0")
+# The exact entries round 1's correctness run already recorded green
+# (CORRECTNESS_r01.json) — yielded last; new same-family entries are not
+# on this list and sort into the middle tier.
+_PROVEN = frozenset(
+    [f"b{i:02d}" for i in range(1, 19)]  # b01–b18 (b19 failed → front)
+    + [f"j{i:02d}" for i in range(1, 10)]
+    + ["w01", "w02", "w04", "w05", "w08"]
+    + [f"a{i:02d}" for i in range(1, 8)]
+    + [f"s{i:02d}" for i in range(1, 5)]
+    + [f"c{i:02d}" for i in range(1, 4)]
+)
+
+
+def _is_proven(name: str) -> bool:
+    return name.split("_", 1)[0] in _PROVEN
 
 
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
@@ -129,8 +142,8 @@ def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
 def _priority_order(names: list[str]) -> list[str]:
     front = [n for n in _FRONT if n in names]
     rest = [n for n in names if n not in front]
-    middle = [n for n in rest if not n.startswith(_PROVEN_PREFIXES)]
-    proven = [n for n in rest if n.startswith(_PROVEN_PREFIXES)]
+    middle = [n for n in rest if not _is_proven(n)]
+    proven = [n for n in rest if _is_proven(n)]
     return front + middle + proven
 
 
