@@ -35,6 +35,7 @@ __all__ = [
     "simhash",
     "simhash_dedup_pairs",
     "embedding_dedup_pairs",
+    "fuzzy_pairs",
 ]
 
 # Mersenne prime for the universal hash family h(x) = (a*x+b) mod p, with
@@ -465,4 +466,41 @@ def embedding_dedup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
         .distinct()
+    )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    block_col: Column,
+    max_distance: int = 5,
+    prefix_len: int = 30,
+) -> DataFrame:
+    """Blocked fuzzy record linkage: candidate pairs whose ``content_col``
+    prefixes are within ``max_distance`` Levenshtein edits, compared only
+    inside ``block_col`` blocks.
+
+    Blocking is the standard sub-quadratic trick of record linkage: the
+    self-join is an equi-join on the block key (one shuffle), so cost is
+    Σ|block|² instead of n² — the caller picks a key that bounds block
+    sizes (language, sorted-neighborhood window, phonetic code).
+    Levenshtein runs JVM-side on length-capped prefixes, so per-pair cost
+    is O(prefix_len²) regardless of document size."""
+    a = df.select(
+        block_col.alias("_blk"),
+        F.col(id_col).alias("id_a"),
+        F.substring(F.col(content_col), 1, prefix_len).alias("_pa"),
+    )
+    b = df.select(
+        block_col.alias("_blk"),
+        F.col(id_col).alias("id_b"),
+        F.substring(F.col(content_col), 1, prefix_len).alias("_pb"),
+    )
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_dist", F.levenshtein("_pa", "_pb"))
+        .filter(F.col("edit_dist") <= max_distance)
+        .select("id_a", "id_b", "edit_dist")
     )

@@ -40,6 +40,7 @@ __all__ = [
     "ivf_topk",
     "quantize_embeddings",
     "quantized_cosine_topk",
+    "centroid_fixed_point",
 ]
 
 
@@ -383,4 +384,34 @@ def quantized_cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "qcosine", "rank")
+    )
+
+
+def centroid_fixed_point(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group centroid accumulation in fixed point: each component is
+    floored to ``1/scale`` units and summed as exact integers, yielding
+    ``(group, dim, comp_sum, n)``.
+
+    Why fixed point: float summation is order-dependent, so a distributed
+    centroid differs run to run (and engine to engine) in the last bits —
+    poison for cached/checkpointed pipelines that compare stage outputs.
+    Integer sums are associative-exact under any partitioning; the caller
+    divides ``comp_sum / (scale * n)`` for the real-valued centroid with a
+    bounded, deterministic quantization error (≤ 1/scale per element).
+
+    Shape: posexplode → map-side partial sums → one shuffle keyed by
+    (group, dim) — cardinality #groups × dim, independent of corpus size.
+    """
+    return (
+        df.select(F.col(group_col).alias("grp"), F.posexplode(vec_col).alias("dim", "_x"))
+        .groupBy("grp", "dim")
+        .agg(
+            F.sum(F.floor(F.col("_x").cast("double") * scale).cast("long")).alias("comp_sum"),
+            F.count(F.lit(1)).alias("n"),
+        )
     )

@@ -1157,3 +1157,55 @@ def cu03_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dd09_fuzzy_linkage",
+    oracle="""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(substr(a.text, 1, 30), substr(b.text, 1, 30)) AS edit_dist
+    FROM documents a JOIN documents b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE levenshtein(substr(a.text, 1, 30), substr(b.text, 1, 30)) <= 5
+    ORDER BY id_a, id_b
+    """,
+)
+def dd09_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage (operators.dedup.fuzzy_pairs):
+    language-blocked Levenshtein candidate pairs — the edit-distance
+    complement to the set-based near-dup detectors, with the same
+    sub-quadratic blocking discipline (equi-join on the block key, never
+    all pairs)."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.fuzzy_pairs(
+        d, "text", "doc_id", block_col=F.col("lang"), max_distance=5, prefix_len=30
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "ss06_embedding_centroids",
+    oracle="""
+    SELECT e.label, r.range AS dim,
+           CAST(SUM(CAST(FLOOR(CAST(e.embedding[r.range + 1] AS DOUBLE)
+                                * 1000000) AS BIGINT)) AS BIGINT) AS comp_sum,
+           COUNT(*) AS n
+    FROM embeddings e, range(64) r
+    GROUP BY e.label, dim
+    ORDER BY e.label, dim
+    """,
+)
+def ss06_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in fixed point
+    (operators.similarity.centroid_fixed_point): float components floored
+    to micro-units and summed as exact integers — the only centroid
+    formulation that is bit-identical under any partitioning (float sums
+    are order-dependent), which is also why it can carry a DuckDB oracle
+    at all."""
+    from ..operators.similarity import centroid_fixed_point
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        centroid_fixed_point(e, "embedding", "label")
+        .select(F.col("grp").alias("label"), "dim", "comp_sum", "n")
+        .orderBy("label", "dim")
+    )
