@@ -109,3 +109,42 @@ def test_q17_no_window_over_fact(spark, sf_dir):
 def test_q22_anti_join_planned(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "tpch_q22_global_sales_opportunity")
     assert "LeftAnti" in plan
+
+
+def test_q2_broadcasts_dims_and_windows_small_aggregate(spark, sf_dir):
+    """q2's correlated MIN must be a window over the offer aggregate —
+    all dims broadcast, no second lineitem scan, no self-join of the fact."""
+    plan = plan_of(spark, sf_dir, "tpch_q2_min_cost_supplier")
+    assert node_count(plan, "BroadcastHashJoin") >= 3
+    assert "Window" in plan
+    assert node_count(plan, "Scan parquet") <= 6  # each table scanned once
+
+
+def test_q20_semi_joins_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q20_part_promotion_suppliers")
+    assert "LeftSemi" in plan
+    assert "PushedFilters" in plan and "StringStartsWith(p_name,red)" in plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark gram set must broadcast into the corpus explode —
+    a shuffled join here would move the whole exploded corpus."""
+    plan = plan_of(spark, sf_dir, "cu03_decontaminate")
+    assert "BroadcastHashJoin LeftSemi" in plan or (
+        "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    )
+
+
+def test_pii_scrub_is_pure_projection(spark, sf_dir):
+    """No hash exchange anywhere: the scrub must scale with the scan (the
+    only exchange allowed is the final global sort's range partition)."""
+    plan = plan_of(spark, sf_dir, "tx11_pii_scrub")
+    assert plan.count("Arguments: hashpartitioning") == 0
+
+
+def test_centroid_single_shuffle(spark, sf_dir):
+    """posexplode -> map-side partial sums -> exactly one hash exchange
+    keyed by (group, dim); everything else is the output sort."""
+    plan = plan_of(spark, sf_dir, "ss06_embedding_centroids")
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert node_count(plan, "HashAggregate") >= 2  # partial + final
