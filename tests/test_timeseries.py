@@ -117,3 +117,52 @@ def test_column_correlations_pairwise_complete_nulls(spark):
     assert abs(got[("x", "y")] - 1.0) < 1e-9  # rows 1,2,3,5 — still exact
     assert abs(got[("x", "z")] - 1.0) < 1e-9  # rows 1,3,4,5 — still exact
     assert abs(got[("y", "z")] - 1.0) < 1e-9  # rows 1,3,5 — still exact
+
+
+def test_rollup_cascade_day_from_hour(spark):
+    """Daily summaries derived from the hourly rollup equal daily
+    summaries from raw — the semigroup-merge property coarser rollups
+    rely on."""
+    import datetime as dt
+    from pyspark.sql import functions as F
+    from trino_iceberg_spark.operators.timeseries import hourly_rollup
+
+    rows = [
+        (dt.datetime(2024, 1, 1 + d, h, m), "t", float(d * 100 + h + m) / 4)
+        for d in range(2) for h in (0, 5, 23) for m in (1, 30)
+    ]
+    e = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    hourly = hourly_rollup(e)
+    daily_from_rollup = (
+        hourly.groupBy(F.date_trunc("day", "bucket").alias("day"), "event_type")
+        .agg(F.sum("cnt").alias("cnt"), F.sum("value_sum").alias("value_sum"),
+             F.min("value_min").alias("value_min"), F.max("value_max").alias("value_max"))
+    )
+    daily_from_raw = (
+        e.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"),
+             F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(38,4)").alias("value_sum"),
+             F.min("value").alias("value_min"), F.max("value").alias("value_max"))
+    )
+    a = {tuple(r[:2]): tuple(r[2:]) for r in daily_from_rollup.collect()}
+    b = {tuple(r[:2]): tuple(r[2:]) for r in daily_from_raw.collect()}
+    assert a == b
+
+
+def test_rollup_with_tail_matches_full_aggregate(spark):
+    import datetime as dt
+    from pyspark.sql import functions as F
+    from trino_iceberg_spark.operators.timeseries import hourly_rollup, rollup_with_tail
+
+    rows = [
+        (dt.datetime(2024, 1, 1, h, m), "t", float(h * 60 + m))
+        for h in range(6) for m in (0, 15, 45)
+    ]
+    e = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    cutoff = "2024-01-01 03:00:00"
+    rollup = hourly_rollup(e.filter(F.col("ts") < F.lit(cutoff).cast("timestamp")))
+    combined = rollup_with_tail(rollup, e, cutoff)
+    direct = hourly_rollup(e)
+    a = sorted(map(tuple, combined.collect()))
+    b = sorted(map(tuple, direct.collect()))
+    assert a == b and len(a) == 6

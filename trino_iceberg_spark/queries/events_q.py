@@ -283,3 +283,38 @@ def ev07_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "event_type", F.round("zscore", 6).alias("zscore")
     ).orderBy("event_id")
+
+
+@register(
+    "ev08_hypertable_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bucket, event_type,
+           COUNT(*) AS cnt,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS value_sum,
+           MIN(value) AS value_min, MAX(value) AS value_max
+    FROM events
+    GROUP BY bucket, event_type
+    ORDER BY bucket, event_type
+    """,
+)
+def ev08_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable rollup read path (operators.timeseries.hourly_rollup /
+    rollup_with_tail): history served from the pre-aggregated hourly
+    rollup, the tail past the cutoff aggregated from raw — and the
+    combined result must be bucket-for-bucket identical to aggregating
+    raw events over the whole range, which is exactly what the oracle
+    computes. Mergeable decimal summaries keep the seam exact."""
+    from ..operators.timeseries import hourly_rollup, rollup_with_tail
+
+    e = load_table(spark, sf_dir, "events")
+    cutoff = "2024-01-20 00:00:00"
+    rollup = hourly_rollup(e.filter(F.col("ts") < F.lit(cutoff).cast("timestamp")))
+    combined = rollup_with_tail(rollup, e, cutoff)
+    return combined.select(
+        "bucket",
+        "event_type",
+        "cnt",
+        F.col("value_sum").cast("double").alias("value_sum"),
+        "value_min",
+        "value_max",
+    ).orderBy("bucket", "event_type")
