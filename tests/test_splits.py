@@ -73,3 +73,16 @@ def test_sample_stratified_rebalances(spark, sf_dir):
     assert set(counts) <= {"en", "zh"}  # unlisted strata dropped
     assert counts["zh"] == totals["zh"]  # keep-all stratum intact
     assert counts["en"] < totals["en"] * 0.3  # en heavily downsampled
+
+
+def test_global_shuffle_total_order_and_reproducible(spark):
+    from trino_iceberg_spark.operators.splits import global_shuffle
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = global_shuffle(df, "doc_id", seed=7)
+    keys = [r["shuffle_key"] for r in a.toLocalIterator()]  # partition order
+    assert keys == sorted(keys)  # total order across partition boundaries
+    b = [r["doc_id"] for r in global_shuffle(df, "doc_id", seed=7).toLocalIterator()]
+    c = [r["doc_id"] for r in global_shuffle(df, "doc_id", seed=8).toLocalIterator()]
+    assert b == [r["doc_id"] for r in a.toLocalIterator()]  # same seed = same order
+    assert b != c  # new epoch seed = new order

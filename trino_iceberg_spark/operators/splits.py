@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["split_assignment", "split_by_hash", "sample_deterministic", "sample_stratified"]
+__all__ = ["split_assignment", "split_by_hash", "sample_deterministic", "sample_stratified", "global_shuffle"]
 
 _BUCKETS = 1_000_000
 
@@ -96,3 +96,25 @@ def split_by_hash(
     """Annotate ``df`` with a deterministic split column (map-side only —
     no shuffle, no sampling state)."""
     return df.withColumn(split_col, split_assignment(key, weights, seed))
+
+
+def global_shuffle(
+    df: DataFrame, id_col: str, seed: int = 42, key_col: str = "shuffle_key"
+) -> DataFrame:
+    """Deterministic global shuffle for training-order randomization:
+    every row gets a pseudorandom but reproducible ``key_col`` =
+    md5(id ∥ seed), and the frame comes back range-partitioned and sorted
+    by it — a total order across partition boundaries.
+
+    Scale notes: ``repartitionByRange`` + ``sortWithinPartitions`` is the
+    only global ordering that scales — a global ``orderBy`` feeding a
+    row_number window would serialize into one partition. Epoch reshuffle
+    = new seed, no data rewrite needed if the key is computed at read
+    time. md5 (not xxhash64) so external systems can reproduce the exact
+    order with any standard library."""
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"-{seed}")))
+    return (
+        df.withColumn(key_col, key)
+        .repartitionByRange(key_col)
+        .sortWithinPartitions(key_col)
+    )

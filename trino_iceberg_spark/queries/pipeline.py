@@ -1209,3 +1209,21 @@ def ss06_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("grp").alias("label"), "dim", "comp_sum", "n")
         .orderBy("label", "dim")
     )
+
+
+@register(
+    "sp03_global_shuffle",
+    oracle="""
+    SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '-42') AS shuffle_key
+    FROM documents ORDER BY shuffle_key
+    """,
+)
+def sp03_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle (operators.splits.
+    global_shuffle): reproducible md5 keys, range-partitioned total order
+    — never a single-partition window. The oracle recomputes every key,
+    so determinism is hash-gated end to end."""
+    from ..operators.splits import global_shuffle
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return global_shuffle(d, "doc_id", seed=42).select("doc_id", "shuffle_key")
