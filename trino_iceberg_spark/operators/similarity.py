@@ -301,11 +301,13 @@ def ivf_topk(
     if exclude_self:
         scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    # No .distinct() needed: each candidate lives in exactly one cell and a
+    # query's probed cells are distinct, so (query_id, neighbor_id) joins at
+    # most once — a distinct here would just add a full result-set shuffle.
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
-        .distinct()
     )
 
 

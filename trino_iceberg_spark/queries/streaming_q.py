@@ -43,8 +43,18 @@ def _staged_stream(spark: SparkSession, sf_dir: str, tag: str):
         .option("maxFilesPerTrigger", "1")
         .parquet(stage_dir)
     )
-    if dict(stream.dtypes)["ts"] == "bigint":
+    return _fix_ts(stream)
+
+
+def _fix_ts(stream: DataFrame) -> DataFrame:
+    """Same ts normalization as sources.testdata.load_table: bigint nanos →
+    µs timestamp; TIMESTAMP_NTZ → session-tz TIMESTAMP (UTC-pinned, so the
+    instant matches what DuckDB reads)."""
+    ts_dtype = dict(stream.dtypes).get("ts")
+    if ts_dtype == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_dtype == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
@@ -64,25 +74,9 @@ def st01_windowed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     window(ts, '1 hour').start == date_trunc('hour', ts), so the batch SQL
     oracle checks the streaming result exactly."""
-    # File-stream sources need a directory; stage the single events file
-    # into one (symlink — no data copy).
-    stage_dir = os.path.join(tempfile.gettempdir(), "tis_st01_events")
-    os.makedirs(stage_dir, exist_ok=True)
-    link = os.path.join(stage_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
-    elif os.path.realpath(link) != os.path.realpath(os.path.join(sf_dir, "events.parquet")):
-        os.remove(link)
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(stage_dir)
-    )
-    # same ns→µs conversion as sources.testdata.load_table
-    if dict(stream.dtypes)["ts"] == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # File-stream sources need a directory; _staged_stream symlinks the
+    # single events file into one (no data copy).
+    stream = _staged_stream(spark, sf_dir, "st01")
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
@@ -143,23 +137,7 @@ def st02_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch gap-sessionization SQL, so the session sizes hash-match the
     oracle exactly (native session_window merges events with gaps < 30min
     exactly like the LAG/cumulative-sum construction)."""
-    stage_dir = os.path.join(tempfile.gettempdir(), "tis_st02_events")
-    os.makedirs(stage_dir, exist_ok=True)
-    link = os.path.join(stage_dir, "events.parquet")
-    src = os.path.join(sf_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
-    elif os.path.realpath(link) != os.path.realpath(src):
-        os.remove(link)
-        os.symlink(src, link)
-    raw_schema = spark.read.parquet(src).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(stage_dir)
-    )
-    if dict(stream.dtypes)["ts"] == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    stream = _staged_stream(spark, sf_dir, "st02")
     agg = (
         stream.withWatermark("ts", "30 minutes")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
@@ -206,23 +184,7 @@ def st03_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     in exactly two panes (starts: floor(ts,5m) and floor(ts,5m)−5m), which
     is what the batch unnest oracle enumerates — the sliding-window
     semantics proven equal to their SQL expansion."""
-    stage_dir = os.path.join(tempfile.gettempdir(), "tis_st03_events")
-    os.makedirs(stage_dir, exist_ok=True)
-    link = os.path.join(stage_dir, "events.parquet")
-    src = os.path.join(sf_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
-    elif os.path.realpath(link) != os.path.realpath(src):
-        os.remove(link)
-        os.symlink(src, link)
-    raw_schema = spark.read.parquet(src).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(stage_dir)
-    )
-    if dict(stream.dtypes)["ts"] == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    stream = _staged_stream(spark, sf_dir, "st03")
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(

@@ -25,8 +25,8 @@ from .registry import register
     SELECT l_returnflag, l_linestatus,
            {dsum_sql('l_quantity')} AS sum_qty,
            {dsum_sql('l_extendedprice')} AS sum_base_price,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS sum_disc_price,
-           SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(12,4)) * CAST(1 + l_tax AS DECIMAL(12,4))) AS sum_charge,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(12,4)) * CAST(1 + l_tax AS DECIMAL(12,4))), 4) AS DOUBLE) AS sum_charge,
            {davg_sql('l_quantity')} AS avg_qty,
            {davg_sql('l_extendedprice')} AS avg_price,
            {davg_sql('l_discount')} AS avg_disc,
@@ -59,11 +59,19 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum_col("l_quantity").alias("sum_qty"),
             dsum_col("l_extendedprice").alias("sum_base_price"),
-            # Emit exact DECIMAL sums — no double cast (Java BigDecimal→double
-            # is 1-ulp off on >18-digit values) and no re-rounding (Spark
-            # rounds HALF_UP, DuckDB HALF_EVEN — a tie would diverge).
-            F.sum(disc_price).alias("sum_disc_price"),
-            F.sum(charge).alias("sum_charge"),
+            # Sum in exact DECIMAL, round once to scale 4, emit DOUBLE on
+            # BOTH sides.  Raw DECIMAL output hash-mismatched in r02
+            # (representation-level).  The oracle must use ROUND(,4), NOT
+            # CAST AS DECIMAL(28,4): DuckDB's decimal-narrowing cast
+            # TRUNCATES while Spark's rounds HALF_UP — sum_charge's
+            # three-factor products carry 6dp so the difference is real
+            # (q3-style two-factor products are exactly 4dp, tie-free).
+            # DuckDB ROUND is half-away-from-zero == HALF_UP for the
+            # all-positive money values here; the rounded 13-sig-digit
+            # decimal → double conversion is exact-operand division in
+            # both engines, so the doubles are bit-identical.
+            F.sum(disc_price).cast("decimal(28,4)").cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(28,4)").cast("double").alias("sum_charge"),
             davg_col("l_quantity").alias("avg_qty"),
             davg_col("l_extendedprice").alias("avg_price"),
             davg_col("l_discount").alias("avg_disc"),

@@ -40,18 +40,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # may build their own SparkSession without our session.py defaults, so
         # set it here; it is a runtime SQL conf, safe to flip post-startup.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # timestamp[us]-no-tz must read as TIMESTAMP, not TIMESTAMP_NTZ
+        # (unix_micros/withWatermark reject NTZ).  Runtime-settable; the
+        # schema check below still handles sessions that locked it on.
+        try:
+            spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        except Exception:  # noqa: BLE001 — locked-down conf never blocks a read
+            pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # With nanosAsLong=true the column arrives as bigint nanos —
-        # floor-divide to µs (DuckDB's TIMESTAMP_NS → TIMESTAMP conversion
-        # floors identically).
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
-        if isinstance(df.schema["ts"].dataType, T.LongType):
-            # integer DIV, not double division — ns values exceed double's
-            # 53-bit mantissa and would round up at the µs boundary.
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # With nanosAsLong=true a TIMESTAMP(NANOS) column arrives as
+            # bigint nanos — floor-divide to µs (DuckDB's TIMESTAMP_NS →
+            # TIMESTAMP conversion floors identically).  Integer DIV, not
+            # double division — ns values exceed double's 53-bit mantissa
+            # and would round up at the µs boundary.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # timestamp[us] with no timezone reads as TIMESTAMP_NTZ on
+            # Spark 4, which unix_micros() and withWatermark() reject.
+            # Cast to session-tz TIMESTAMP; the session tz is pinned UTC
+            # (session.py defaults + __spark_entry__._TUNED_CONFS) so the
+            # wall-clock instant is identical to what DuckDB reads and
+            # oracle hashes are unaffected.
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 

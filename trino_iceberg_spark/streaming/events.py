@@ -35,8 +35,13 @@ def stream_events(
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(path)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_dtype = dict(stream.dtypes).get("ts")
+    if ts_dtype == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_dtype == "timestamp_ntz":
+        # withWatermark rejects TIMESTAMP_NTZ; session tz is pinned UTC so
+        # the cast preserves the instant (same rationale as load_table).
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
