@@ -114,6 +114,10 @@ _FRONT = [
     "ss03_ivf_topk",
     "ss05_quantized_topk",
     "ss06_embedding_centroids",
+    # new this round (sequence packing, epoch mixing) — after the backlog,
+    # so a 50-entry driver budget still clears every older unchecked entry
+    "sp04_sequence_packing",
+    "sp05_epoch_mix",
 ]
 
 # Entries a prior CORRECTNESS run already recorded green (r01 + r02) —

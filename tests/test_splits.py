@@ -86,3 +86,80 @@ def test_global_shuffle_total_order_and_reproducible(spark):
     c = [r["doc_id"] for r in global_shuffle(df, "doc_id", seed=8).toLocalIterator()]
     assert b == [r["doc_id"] for r in a.toLocalIterator()]  # same seed = same order
     assert b != c  # new epoch seed = new order
+
+
+def test_pack_sequences_covers_stream_without_gaps(spark, sf_dir):
+    """Offsets tile the concatenated token stream exactly: sorted by key,
+    each start_offset equals the previous document's start + count."""
+    from trino_iceberg_spark.operators.packing import pack_sequences
+    from trino_iceberg_spark.operators.text import token_count_col
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count_col(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_sequences(d, "doc_id", "n_tokens", seq_len=128).collect()
+    packed.sort(key=lambda r: r["pack_key"])
+    expect = 0
+    for r in packed:
+        assert r["start_offset"] == expect
+        expect += r["n_tokens"]
+    total = sum(r["n_tokens"] for r in packed)
+    assert expect == total
+    # chunk span consistent with the interval
+    for r in packed:
+        if r["n_tokens"] > 0:
+            assert r["first_chunk"] == r["start_offset"] // 128
+            assert r["last_chunk"] == (r["start_offset"] + r["n_tokens"] - 1) // 128
+            assert r["n_chunks"] == r["last_chunk"] - r["first_chunk"] + 1
+
+
+def test_pack_sequences_stable_under_repartition(spark, sf_dir):
+    """The two-phase cumsum is layout-independent: same offsets whatever
+    the input partitioning (spark_partition_id-based schemes fail this)."""
+    from trino_iceberg_spark.operators.packing import pack_sequences
+    from trino_iceberg_spark.operators.text import token_count_col
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count_col(F.col("text")).alias("n_tokens")
+    )
+    a = {r["doc_id"]: r["start_offset"]
+         for r in pack_sequences(d, "doc_id", "n_tokens", 128).collect()}
+    b = {r["doc_id"]: r["start_offset"]
+         for r in pack_sequences(d.repartition(17), "doc_id", "n_tokens", 128).collect()}
+    assert a == b
+
+
+def test_mix_epochs_replication_and_determinism(spark, sf_dir):
+    from trino_iceberg_spark.operators.splits import mix_epochs
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    mixed = mix_epochs(d, {"src0": 2.0, "src1": 0.5}, "source", "doc_id")
+    rows = mixed.collect()
+    # integer weight: every src0 doc appears exactly twice (epochs 1, 2)
+    src0_ids = [r["doc_id"] for r in d.filter(F.col("source") == "src0").collect()]
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    for i in src0_ids:
+        assert sorted(per_doc[i]) == [1, 2]
+    # fractional weight: src1 docs appear 0 or 1 times, roughly half
+    n_src1 = d.filter(F.col("source") == "src1").count()
+    kept = sum(1 for r in rows if r["source"] == "src1")
+    assert 0 < kept < n_src1
+    # sources not in the mix are dropped
+    assert not any(r["source"] == "src2" for r in rows)
+    # deterministic across runs
+    again = mix_epochs(d, {"src0": 2.0, "src1": 0.5}, "source", "doc_id").collect()
+    assert sorted((r["doc_id"], r["epoch"]) for r in rows) == sorted(
+        (r["doc_id"], r["epoch"]) for r in again
+    )
+
+
+def test_mix_epochs_rejects_negative(spark):
+    import pytest
+
+    from trino_iceberg_spark.operators.splits import mix_epochs
+
+    with pytest.raises(ValueError):
+        mix_epochs(spark.range(3).withColumn("source", F.lit("a")),
+                   {"a": -1.0}, "source", "id")

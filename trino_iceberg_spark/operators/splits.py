@@ -15,7 +15,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["split_assignment", "split_by_hash", "sample_deterministic", "sample_stratified", "global_shuffle"]
+__all__ = [
+    "split_assignment",
+    "split_by_hash",
+    "sample_deterministic",
+    "sample_stratified",
+    "global_shuffle",
+    "mix_epochs",
+]
 
 _BUCKETS = 1_000_000
 
@@ -96,6 +103,87 @@ def split_by_hash(
     """Annotate ``df`` with a deterministic split column (map-side only —
     no shuffle, no sampling state)."""
     return df.withColumn(split_col, split_assignment(key, weights, seed))
+
+
+def mix_epochs(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Deterministic source-weighted data mixing via epoch upsampling —
+    the standard pretraining-mixture construction (each source gets a
+    repeat factor, e.g. 2.0 epochs of encyclopedic text, 0.3 of raw web).
+
+    ``weights`` maps source value → epochs.  Each row is replicated
+    ``floor(w)`` times (epoch = 1..floor(w)); a final *fractional* epoch
+    keeps each row with probability ``frac(w)``, decided by comparing an
+    md5 prefix of (id, seed, epoch) against the fraction's 8-hex-digit
+    cutoff — a pure function of (id, seed), so the mix is reproducible
+    across runs, partitionings, and engines (md5, not xxhash64, so any
+    external system can replay membership).  Sources absent from
+    ``weights`` are dropped — the mixture is explicit.
+
+    Map-side only: one ``explode(sequence(...))`` + filter; no shuffle,
+    no sampling state, output size = Σ rows·weight in expectation."""
+    for name, w in weights.items():
+        if w < 0:
+            raise ValueError(f"epochs for source {name!r} must be >= 0")
+    src = F.col(source_col)
+    id_str = F.col(id_col).cast("string")
+
+    n_epochs = None  # total replicas incl. the fractional epoch, per source
+    keep_extra = None  # fractional-epoch membership test, per source
+    for name, w in weights.items():
+        full = int(w)
+        frac = w - full
+        total = full + (1 if frac > 0 else 0)
+        branch = src == name
+        n_epochs = (
+            F.when(branch, total)
+            if n_epochs is None
+            else n_epochs.when(branch, total)
+        )
+        if frac > 0:
+            # md5 hex is uniform on [0, 16^32); comparing a fixed-width
+            # lowercase-hex prefix lexicographically == numeric compare.
+            cutoff = format(int(frac * 16**8), "08x")
+            test = (
+                F.substring(
+                    F.md5(F.concat(id_str, F.lit(f"-{seed}-"), F.lit(str(total)))),
+                    1,
+                    8,
+                )
+                < cutoff
+            )
+        else:
+            test = F.lit(True)  # no fractional epoch → epoch filter suffices
+        keep_extra = (
+            F.when(branch, test) if keep_extra is None else keep_extra.when(branch, test)
+        )
+    if n_epochs is None:
+        return df.filter(F.lit(False)).withColumn(epoch_col, F.lit(1))
+    n_epochs = n_epochs.otherwise(F.lit(0))
+    keep_extra = keep_extra.otherwise(F.lit(False))
+
+    full_epochs = None
+    for name, w in weights.items():
+        full_epochs = (
+            F.when(src == name, int(w))
+            if full_epochs is None
+            else full_epochs.when(src == name, int(w))
+        )
+    full_epochs = full_epochs.otherwise(F.lit(0))
+
+    return (
+        df.withColumn("_n_ep", n_epochs)
+        .filter(F.col("_n_ep") > 0)
+        .withColumn(epoch_col, F.explode(F.sequence(F.lit(1), F.col("_n_ep"))))
+        .filter((F.col(epoch_col) <= full_epochs) | keep_extra)
+        .drop("_n_ep")
+    )
 
 
 def global_shuffle(

@@ -1227,3 +1227,91 @@ def sp03_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     return global_shuffle(d, "doc_id", seed=42).select("doc_id", "shuffle_key")
+
+
+@register(
+    "sp04_sequence_packing",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id,
+               CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> ''))
+                    AS BIGINT) AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR) || '-42') AS pack_key
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, n_tokens, pack_key,
+               CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY pack_key
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                 AS start_offset
+        FROM keyed
+    )
+    SELECT doc_id, n_tokens, start_offset,
+           CAST(start_offset // 256 AS BIGINT) AS first_chunk,
+           CAST(CASE WHEN n_tokens > 0 THEN (start_offset + n_tokens - 1) // 256
+                     ELSE start_offset // 256 END AS BIGINT) AS last_chunk,
+           CAST(CASE WHEN n_tokens > 0
+                     THEN (start_offset + n_tokens - 1) // 256 - start_offset // 256 + 1
+                     ELSE 0 END AS BIGINT) AS n_chunks
+    FROM cum ORDER BY doc_id
+    """,
+)
+def sp04_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (operators.packing.pack_sequences):
+    every document's token interval and chunk span in a 256-token packing,
+    ordered by a reproducible md5 shuffle key.
+
+    The oracle recomputes the global exclusive cumsum with a plain window;
+    the Spark side uses the scalable two-phase construction (bucketed
+    cumsum + broadcast bucket offsets — no single-partition window over
+    the corpus), so the hash match proves the two are equivalent."""
+    from ..operators.packing import pack_sequences
+    from ..operators.text import token_count_col
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count_col(F.col("text")).alias("n_tokens")
+    )
+    return (
+        pack_sequences(d, "doc_id", "n_tokens", seq_len=256, seed=42)
+        .select("doc_id", "n_tokens", "start_offset", "first_chunk", "last_chunk", "n_chunks")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "sp05_epoch_mix",
+    oracle="""
+    WITH weighted AS (
+        SELECT doc_id, source,
+               CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2 WHEN 'src2' THEN 1
+               END AS n_ep,
+               CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 1 WHEN 'src2' THEN 0
+               END AS frac_ep
+        FROM documents WHERE source IN ('src0', 'src1', 'src2')
+    ),
+    exploded AS (
+        SELECT doc_id, source, n_ep, frac_ep, unnest(generate_series(1, n_ep)) AS epoch
+        FROM weighted
+    )
+    SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch
+    FROM exploded
+    WHERE epoch <= n_ep - frac_ep
+       OR substr(md5(CAST(doc_id AS VARCHAR) || '-42-' || CAST(n_ep AS VARCHAR)), 1, 8)
+            < '80000000'
+    ORDER BY doc_id, epoch
+    """,
+)
+def sp05_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-weighted epoch upsampling (operators.splits.mix_epochs):
+    src0 ×3 epochs, src1 ×1.5 (1 full + md5-gated half), src2 ×1; other
+    sources dropped.  The oracle replays the exact membership rule
+    (md5-prefix cutoff 0x80000000 == fraction 0.5), so the deterministic
+    mixing contract — not just counts — is hash-checked."""
+    from ..operators.splits import mix_epochs
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        mix_epochs(d, {"src0": 3.0, "src1": 1.5, "src2": 1.0}, "source", "doc_id", seed=42)
+        .select("doc_id", "source", F.col("epoch").cast("long").alias("epoch"))
+        .orderBy("doc_id", "epoch")
+    )
