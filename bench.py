@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "ss04_numpy_topk",
     "tx01_token_counts",
     "tx09_tfidf_top_terms",
+    "sp04_sequence_packing",
 ]
 
 

@@ -40,6 +40,10 @@ def bare_spark(spark):
         "tpch_q1_pricing_summary",
         # streaming path: withWatermark rejects NTZ outright
         "st01_windowed_stream",
+        # as-of join: unix_micros over events.ts on both join sides
+        "aj01_asof_join",
+        # hypertable rollup: events aggregation through the snapshot layer
+        "ev08_hypertable_rollup",
     ],
 )
 def test_entry_runs_on_bare_session(bare_spark, sf_dir, name):

@@ -81,6 +81,31 @@ def test_minhash_pairs_are_verified_no_false_positives(spark, docs):
         assert abs(r["jaccard"] - exact[(r["id_a"], r["id_b"])]) < 1e-9
 
 
+def test_incremental_minhash_equals_full_run_on_touching_pairs(spark, docs):
+    """Ingest-path contract: incremental pairs == full self-join pairs
+    restricted to those touching the increment (same hash family → same
+    band collisions → identical candidates and verified Jaccard)."""
+    from pyspark.sql import functions as F
+
+    corpus = docs.filter(F.col("doc_id") < 400)
+    increment = docs.filter(F.col("doc_id") >= 400)
+    inc_ids = {r["doc_id"] for r in increment.select("doc_id").collect()}
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.35).collect()
+    }
+    touching = {p: j for p, j in full.items() if p[0] in inc_ids or p[1] in inc_ids}
+    incr = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.incremental_minhash_pairs(
+            corpus, increment, "text", "doc_id", threshold=0.35
+        ).collect()
+    }
+    assert set(incr) == set(touching)
+    for p, j in incr.items():
+        assert abs(j - touching[p]) < 1e-9
+
+
 def test_simhash_near_identical_docs_collide(spark):
     base = "the quick brown fox jumps over the lazy dog " * 10
     df = spark.createDataFrame(

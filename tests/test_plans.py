@@ -148,3 +148,15 @@ def test_centroid_single_shuffle(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "ss06_embedding_centroids")
     assert plan.count("Arguments: hashpartitioning") == 1
     assert node_count(plan, "HashAggregate") >= 2  # partial + final
+
+
+def test_sp04_packing_no_global_data_window(spark, sf_dir):
+    """The packing cumsum must never window the corpus on one partition:
+    the data-sized window is partitioned by the key-prefix bucket, and the
+    bucket-offset table joins back via broadcast. (The one unpartitioned
+    window in the plan is over the 16^2-row bucket totals — bounded.)"""
+    plan = plan_of(spark, sf_dir, "sp04_sequence_packing")
+    assert node_count(plan, "Window") == 2
+    assert "BroadcastHashJoin" in plan
+    # the corpus-side window is keyed by the derived bucket column
+    assert "_bucket" in plan

@@ -31,6 +31,7 @@ __all__ = [
     "minhash_signature",
     "lsh_candidate_pairs",
     "minhash_dedup_pairs",
+    "incremental_minhash_pairs",
     "ngram_jaccard_pairs",
     "simhash",
     "simhash_dedup_pairs",
@@ -171,22 +172,14 @@ def minhash_signature(
     return F.array(*sig)
 
 
-def lsh_candidate_pairs(
-    df: DataFrame,
-    id_col: str,
-    signature_col: str = "minhash_sig",
-    bands: int = 16,
-    max_bucket_size: int = 1000,
-) -> DataFrame:
-    """LSH banding: split the signature into ``bands``, hash each band,
-    self-join on (band, band_hash) → candidate id pairs (a < b).
-
-    The self-join is the scale-critical step: it shuffles (band_hash → ids)
-    and only materializes pairs within buckets. ``max_bucket_size`` drops
-    pathological buckets (skew guard)."""
+def _banded(df: DataFrame, id_col: str, signature_col: str, bands: int) -> DataFrame:
+    """Explode a signature frame into (``_id``, band, band_hash) rows —
+    the LSH bucket keys. Shared by the self-join (full dedup) and the
+    increment-vs-corpus join (incremental dedup); both must hash bands
+    identically for their candidate sets to agree."""
     sig = F.col(signature_col)
     rows_per_band = F.size(sig) / bands
-    banded = df.select(
+    return df.select(
         F.col(id_col).alias("_id"),
         F.explode(
             F.transform(
@@ -201,6 +194,22 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.band_hash")
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    signature_col: str = "minhash_sig",
+    bands: int = 16,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands``, hash each band,
+    self-join on (band, band_hash) → candidate id pairs (a < b).
+
+    The self-join is the scale-critical step: it shuffles (band_hash → ids)
+    and only materializes pairs within buckets. ``max_bucket_size`` drops
+    pathological buckets (skew guard)."""
+    banded = _banded(df, id_col, signature_col, bands)
     # The banded table (id, band, band_hash — 24 bytes × bands per doc) is
     # consumed three times (bucket sizing + both self-join sides); persist it
     # so the expensive upstream signature projection runs once, not thrice.
@@ -257,6 +266,86 @@ def minhash_dedup_pairs(
     sh_b = with_shingles.select(
         F.col("_id").alias("id_b"), F.col("_shingles").alias("_sh_b")
     )
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size(F.array_union("_sh_a", "_sh_b"))
+    return (
+        candidates.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def incremental_minhash_pairs(
+    corpus_df: DataFrame,
+    increment_df: DataFrame,
+    content_col: str,
+    id_col: str,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 42,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs for a NEW ingest batch against an existing corpus —
+    the production ingest path: every pair touches the increment
+    (increment×corpus and increment×increment), and corpus×corpus pairs
+    are never recomputed.
+
+    At 100 TB this is the difference between O(|inc|·bands) join work per
+    ingest and re-running the full O(|corpus|·bands) self-join daily.  In
+    production the corpus side reads a *stored* signature table (the
+    persist below stands in for it); the increment's signatures append to
+    that table after the batch commits.
+
+    Exactness contract (pinned in tests/test_operators.py): with the same
+    (k, num_hashes, bands, seed), the result equals
+    :func:`minhash_dedup_pairs` on corpus ∪ increment restricted to pairs
+    with at least one increment id — band hashes agree bucket-for-bucket,
+    and the bucket-size guard counts the union's buckets exactly like the
+    full run does."""
+
+    def prep(df: DataFrame) -> DataFrame:
+        shingled = df.select(
+            F.col(id_col).alias("_id"), shingle_hashes(content_col, k).alias("_shingles")
+        )
+        return shingled.withColumn(
+            "minhash_sig",
+            minhash_signature(F.col("_shingles"), num_hashes, seed, pre_hashed=True),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    inc = prep(increment_df)
+    cor = prep(corpus_df)
+    inc_b = _banded(inc, "_id", "minhash_sig", bands)
+    all_b = _banded(cor, "_id", "minhash_sig", bands).unionByName(inc_b)
+    # Skew guard sized on the FULL union — identical bucket membership to
+    # the full self-join, so the candidate sets agree.
+    bucket_sizes = all_b.groupBy("band", "band_hash").agg(
+        F.count(F.lit(1)).alias("_bsz")
+    )
+    ok = bucket_sizes.filter(F.col("_bsz").between(2, max_bucket_size))
+    a = inc_b.join(ok, ["band", "band_hash"]).select(
+        "band", "band_hash", F.col("_id").alias("_ia")
+    )
+    b = all_b.join(ok, ["band", "band_hash"]).select(
+        "band", "band_hash", F.col("_id").alias("_ib")
+    )
+    candidates = (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("_ia") != F.col("_ib"))
+        # canonical order: inc-inc pairs arrive in both orientations,
+        # inc-corpus in one; least/greatest + distinct unifies them.
+        .select(
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+        )
+        .distinct()
+    )
+    shingles = inc.unionByName(cor).select("_id", "_shingles")
+    sh_a = shingles.select(F.col("_id").alias("id_a"), F.col("_shingles").alias("_sh_a"))
+    sh_b = shingles.select(F.col("_id").alias("id_b"), F.col("_shingles").alias("_sh_b"))
     inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
     union = F.size(F.array_union("_sh_a", "_sh_b"))
     return (

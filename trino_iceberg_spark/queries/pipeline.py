@@ -67,6 +67,24 @@ def dd03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dd10_incremental_dedup")  # rows-only: signature hashing not SQL-expressible
+def dd10_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-path near-dedup (operators.dedup.incremental_minhash_pairs):
+    documents with doc_id >= 400 arrive as a new batch and are checked
+    against the doc_id < 400 corpus — every returned pair touches the
+    increment, and corpus×corpus work is never redone. Equality with the
+    full self-join (restricted to increment-touching pairs) is pinned in
+    tests/test_operators.py."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") < 400)
+    increment = d.filter(F.col("doc_id") >= 400)
+    return (
+        D.incremental_minhash_pairs(corpus, increment, "text", "doc_id", threshold=0.35)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 @register(
     "dd04_ngram_jaccard",
     oracle="""
