@@ -105,6 +105,7 @@ _FRONT = [
     "st02_session_stream",
     "st03_sliding_stream",
     "st04_stream_stream_join",
+    "st05_stateful_running_totals",
     # dedup / similarity entries not yet driver-checked
     "dd03_minhash_lsh_pairs",
     "dd05_simhash_pairs",

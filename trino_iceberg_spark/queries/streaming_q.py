@@ -262,3 +262,49 @@ def st04_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("v_user").alias("user_id"), "view_id", "purchase_id")
         .orderBy("user_id", "view_id", "purchase_id")
     )
+
+
+@register(
+    "st05_stateful_running_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS lifetime_events,
+           CAST(SUM(ROUND(value * 10000)) / 10000 AS DOUBLE) AS lifetime_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def st05_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming op (streaming.stateful.running_user_totals,
+    applyInPandasWithState): lifetime per-user counters driven over the
+    finite event stream and checked against the batch aggregate.
+
+    Values are pre-scaled to integral doubles (round(value*1e4)) so the
+    pandas-side float accumulation is exact integer arithmetic — the
+    oracle's SUM sees the same integers, making the double outputs
+    bit-identical regardless of summation order. Running totals are
+    monotone, so max_by(lifetime_events) picks each user's final row even
+    if the file source were split into multiple micro-batches."""
+    from ..streaming.stateful import running_user_totals
+
+    stream = _staged_stream(spark, sf_dir, "st05").withColumn(
+        "value", F.round(F.col("value") * 10000)
+    )
+    totals = running_user_totals(stream)
+    qname = f"st05_{uuid.uuid4().hex[:8]}"
+    query = (
+        totals.writeStream.outputMode("update").format("memory").queryName(qname).start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return (
+        spark.table(qname)
+        .groupBy("user_id")
+        .agg(
+            F.max("lifetime_events").alias("lifetime_events"),
+            (F.max_by("lifetime_value", "lifetime_events") / 10000).alias(
+                "lifetime_value"
+            ),
+        )
+        .orderBy("user_id")
+    )
