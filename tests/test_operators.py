@@ -106,6 +106,33 @@ def test_incremental_minhash_equals_full_run_on_touching_pairs(spark, docs):
         assert abs(j - touching[p]) < 1e-9
 
 
+def test_semantic_dedup_no_false_positives_and_exact_recall(spark, embeddings):
+    """Every emitted pair is a true cosine>=τ pair (no false positives),
+    and rows with IDENTICAL embeddings are always caught — identical
+    vectors route to the same centroid cell by construction."""
+    from pyspark.sql import functions as F
+
+    from trino_iceberg_spark.operators import similarity as S
+
+    # plant an exact duplicate of vec_id 0 with a fresh id
+    dup = embeddings.filter(F.col("vec_id") == 0).withColumn("vec_id", F.lit(999_999))
+    e = embeddings.unionByName(dup)
+    pairs = S.semantic_dedup_pairs(e, "embedding", "vec_id", threshold=0.8).collect()
+    assert (0, 999_999) in {(r["id_a"], r["id_b"]) for r in pairs}
+    # no false positives: verify each pair against direct cosine
+    vecs = {r["vec_id"]: r["embedding"] for r in e.collect()}
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    for r in pairs:
+        assert cos(vecs[r["id_a"]], vecs[r["id_b"]]) >= 0.8 - 1e-9
+
+
 def test_simhash_near_identical_docs_collide(spark):
     base = "the quick brown fox jumps over the lazy dog " * 10
     df = spark.createDataFrame(

@@ -41,6 +41,7 @@ __all__ = [
     "quantize_embeddings",
     "quantized_cosine_topk",
     "centroid_fixed_point",
+    "semantic_dedup_pairs",
 ]
 
 
@@ -247,6 +248,37 @@ def numpy_cosine_topk(
     )
 
 
+def _seeded_cell_router(
+    df: DataFrame, embedding_col: str, id_col: str, num_cells: int, seed: int
+):
+    """Deterministic "k-means-lite" centroids: take ``num_cells`` unit
+    vectors by seeded hash order (collected once — tiny by construction)
+    and return a ``nearest_cells(vec, n)`` column builder routing any unit
+    vector to its n nearest cells. Shared by :func:`ivf_topk` (search) and
+    :func:`semantic_dedup_pairs` (dedup) so both see identical cells."""
+    cvec = unit_vec(_as_double(F.col(embedding_col)))
+    cents = (
+        df.select(F.col(id_col).alias("cid"), cvec.alias("cv"))
+        .orderBy(F.xxhash64(F.col("cid") + seed))
+        .limit(num_cells)
+        .collect()
+    )
+    cent_arrays = [F.array(*[F.lit(float(x)) for x in row["cv"]]) for row in cents]
+
+    def nearest_cells(vec: Column, n: int) -> Column:
+        dists = F.array(
+            *[
+                F.struct(
+                    (-dot_col(vec, ca) / norm_col(ca)).alias("d"), F.lit(i).alias("cell")
+                )
+                for i, ca in enumerate(cent_arrays)
+            ]
+        )
+        return F.slice(F.array_sort(dists), 1, n)
+
+    return nearest_cells
+
+
 def ivf_topk(
     candidates: DataFrame,
     queries: DataFrame,
@@ -267,26 +299,7 @@ def ivf_topk(
     once — centroid count is tiny and broadcast; the big table is scored
     map-side against 16 centroids, then shuffled once on cell id."""
     cvec = unit_vec(_as_double(F.col(embedding_col)))
-    # Deterministic "training": take num_cells vectors by hash order.
-    cents = (
-        candidates.select(F.col(id_col).alias("cid"), cvec.alias("cv"))
-        .orderBy(F.xxhash64(F.col("cid") + seed))
-        .limit(num_cells)
-        .collect()
-    )
-    cent_arrays = [F.array(*[F.lit(float(x)) for x in row["cv"]]) for row in cents]
-
-    def nearest_cells(vec: Column, n: int) -> Column:
-        dists = F.array(
-            *[
-                F.struct(
-                    (-dot_col(vec, ca) / norm_col(ca)).alias("d"), F.lit(i).alias("cell")
-                )
-                for i, ca in enumerate(cent_arrays)
-            ]
-        )
-        return F.slice(F.array_sort(dists), 1, n)
-
+    nearest_cells = _seeded_cell_router(candidates, embedding_col, id_col, num_cells, seed)
     c = candidates.select(F.col(id_col).alias("neighbor_id"), cvec.alias("_cvec")).withColumn(
         "_cell", nearest_cells(F.col("_cvec"), 1)[0]["cell"]
     )
@@ -416,4 +429,49 @@ def centroid_fixed_point(
             F.sum(F.floor(F.col("_x").cast("double") * scale).cast("long")).alias("comp_sum"),
             F.count(F.lit(1)).alias("n"),
         )
+    )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    embedding_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    num_cells: int = 16,
+    seed: int = 42,
+    max_cell_size: int = 100_000,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dedup over an embedding column
+    (cluster-then-compare, after Abbas et al. 2023, "SemDeDup: Data-
+    efficient learning at web-scale through semantic deduplication"):
+    route every unit vector to its nearest deterministic centroid (the
+    same seeded cells as :func:`ivf_topk`), self-join *within cells only*,
+    and emit pairs with cosine ≥ ``threshold``.
+
+    Scale shape: centroid routing is map-side (num_cells broadcast
+    literals); the only shuffle keys on cell id; pair work is Σ|cell|²
+    instead of n² — the paper's reason for clustering first.  Cells larger
+    than ``max_cell_size`` are dropped (skew guard, same contract as the
+    LSH banding guard); identical embeddings always land in the same cell,
+    so exact semantic duplicates are never missed by the partitioning.
+    Cross-cell near-duplicates are the documented recall loss (raise
+    ``num_cells`` resolution or re-run with a different seed to tighten).
+    """
+    cvec = unit_vec(_as_double(F.col(embedding_col)))
+    nearest_cells = _seeded_cell_router(df, embedding_col, id_col, num_cells, seed)
+    routed = df.select(F.col(id_col).alias("_id"), cvec.alias("_v")).withColumn(
+        "_cell", nearest_cells(F.col("_v"), 1)[0]["cell"]
+    )
+    sizes = routed.groupBy("_cell").agg(F.count(F.lit(1)).alias("_csz"))
+    routed = routed.join(
+        F.broadcast(sizes.filter(F.col("_csz").between(2, max_cell_size))), "_cell"
+    )
+    a = routed.select("_cell", F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    b = routed.select("_cell", F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    return (
+        a.join(b, "_cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot_col(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )

@@ -85,6 +85,20 @@ def dd10_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dd11_semantic_dedup")  # rows-only: seeded centroid routing not SQL-expressible
+def dd11_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding near-dedup (operators.similarity.
+    semantic_dedup_pairs): cluster-then-compare — centroid cells bound the
+    pair work to Σ|cell|² instead of n². No-false-positives and
+    exact-duplicate-recall invariants pinned in tests/test_operators.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        S.semantic_dedup_pairs(e, "embedding", "vec_id", threshold=0.8)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 @register(
     "dd04_ngram_jaccard",
     oracle="""
