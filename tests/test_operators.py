@@ -133,6 +133,22 @@ def test_semantic_dedup_no_false_positives_and_exact_recall(spark, embeddings):
         assert cos(vecs[r["id_a"]], vecs[r["id_b"]]) >= 0.8 - 1e-9
 
 
+def test_rarity_scores_orders_rare_above_common(spark):
+    """A doc of one-off tokens must outscore a doc of corpus-common tokens;
+    scores are exact integers/«exact division», so equality across reruns
+    is strict."""
+    from trino_iceberg_spark.operators.text import rarity_scores
+
+    rows = [(i, "common words repeated here") for i in range(1, 10)]
+    rows.append((100, "zxqvw jkpfh qqrrtt"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    scores = {r["doc_id"]: r["rarity"] for r in rarity_scores(df, "text", "doc_id").collect()}
+    assert scores[100] > scores[1]
+    assert all(scores[i] == scores[1] for i in range(2, 10))
+    again = {r["doc_id"]: r["rarity"] for r in rarity_scores(df, "text", "doc_id").collect()}
+    assert scores == again
+
+
 def test_simhash_near_identical_docs_collide(spark):
     base = "the quick brown fox jumps over the lazy dog " * 10
     df = spark.createDataFrame(

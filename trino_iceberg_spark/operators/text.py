@@ -26,6 +26,7 @@ __all__ = [
     "scrub_pii_col",
     "scrub_pii",
     "repetition_stats",
+    "rarity_scores",
 ]
 
 # Tiny per-language stopword marker lists for the n-gram/stopword heuristic
@@ -362,4 +363,45 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.when(F.size(words) > 0, top_count / F.size(words).cast("double"))
         .otherwise(F.lit(0.0))
         .alias("top_word_ratio"),
+    )
+
+
+def rarity_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Corpus-relative rarity score per document — the in-engine proxy for
+    an LM-perplexity quality filter (CCNet-style): documents whose tokens
+    are rare in the corpus score high (gibberish / OCR noise / boilerplate
+    keys), documents of common tokens score low.
+
+    score = Σ_tok occ(tok) · (total_tokens DIV corpus_count(tok)) / n_tokens
+
+    — the occurrence-weighted mean *inverse frequency*, computed entirely
+    in integer arithmetic (floor division, long sums) so the result is
+    bit-identical under any partitioning and in any engine: no log(), no
+    float accumulation order, no 1-ulp libm divergence.  The single final
+    division to DOUBLE has exact long operands.
+
+    Scale shape: one explode, a pre-aggregate to (doc, token, occ) — join
+    rows bounded by distinct tokens per doc, not token occurrences — one
+    shuffle join on token against the vocab, one groupBy doc.  The 1-row
+    total broadcasts.  Empty documents are excluded (no tokens to score).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(word_tokens_col(text_col)).alias("_tok")
+    )
+    doc_tok = toks.groupBy(id_col, "_tok").agg(F.count(F.lit(1)).alias("_occ"))
+    vocab = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_cnt"))
+    total = toks.agg(F.count(F.lit(1)).cast("long").alias("_total"))
+    scored = (
+        doc_tok.join(vocab, "_tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_occ").cast("long").alias("n_tokens"),
+            F.sum(F.col("_occ") * F.expr("_total DIV _cnt")).cast("long").alias("_raw"),
+        )
+    )
+    return scored.select(
+        F.col(id_col),
+        "n_tokens",
+        (F.col("_raw") / F.col("n_tokens")).alias("rarity"),
     )

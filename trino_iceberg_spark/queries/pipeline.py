@@ -1347,3 +1347,29 @@ def sp05_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", F.col("epoch").cast("long").alias("epoch"))
         .orderBy("doc_id", "epoch")
     )
+
+
+@register(
+    "tx13_rarity_scores",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')) AS tok
+        FROM documents
+    ),
+    doc_tok AS (SELECT doc_id, tok, COUNT(*) AS occ FROM toks GROUP BY 1, 2),
+    vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS total FROM toks)
+    SELECT doc_id,
+           CAST(SUM(occ) AS BIGINT) AS n_tokens,
+           CAST(SUM(occ * (total // cnt)) AS DOUBLE) / CAST(SUM(occ) AS DOUBLE) AS rarity
+    FROM doc_tok JOIN vocab USING (tok) CROSS JOIN tot
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def tx13_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative rarity scoring (operators.text.rarity_scores) — the
+    perplexity-filter proxy, in exact integer arithmetic so the oracle
+    hash-matches bit for bit (no float accumulation order, no libm)."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.rarity_scores(d, "text", "doc_id").orderBy("doc_id")
