@@ -45,7 +45,9 @@ BENCH_QUERIES = [
     "ss04_numpy_topk",
     "tx01_token_counts",
     "tx09_tfidf_top_terms",
+    "tx13_rarity_scores",
     "sp04_sequence_packing",
+    "dd11_semantic_dedup",
 ]
 
 

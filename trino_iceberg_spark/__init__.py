@@ -25,7 +25,22 @@ the split the reference makes with Trino (SURVEY.md §3).
 
 from __future__ import annotations
 
+from .client import AthenaSparkClient, QueryError, UnloadError, UnloadResponse
+from .fs import FsClient, ObjectInfo
+from .scripts import run_init_scripts, run_script, run_script_file
 from .session import get_spark, stop_spark
 
-__all__ = ["get_spark", "stop_spark"]
+__all__ = [
+    "AthenaSparkClient",
+    "FsClient",
+    "ObjectInfo",
+    "QueryError",
+    "UnloadError",
+    "UnloadResponse",
+    "get_spark",
+    "run_init_scripts",
+    "run_script",
+    "run_script_file",
+    "stop_spark",
+]
 __version__ = "0.1.0"

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = [
     "dot_col",
@@ -248,14 +249,13 @@ def numpy_cosine_topk(
     )
 
 
-def _seeded_cell_router(
+def _seeded_centroids(
     df: DataFrame, embedding_col: str, id_col: str, num_cells: int, seed: int
-):
-    """Deterministic "k-means-lite" centroids: take ``num_cells`` unit
-    vectors by seeded hash order (collected once — tiny by construction)
-    and return a ``nearest_cells(vec, n)`` column builder routing any unit
-    vector to its n nearest cells. Shared by :func:`ivf_topk` (search) and
-    :func:`semantic_dedup_pairs` (dedup) so both see identical cells."""
+) -> list[list[float]]:
+    """Deterministic "k-means-lite" centroids: ``num_cells`` unit vectors
+    taken in seeded-hash order (collected once — tiny by construction).
+    Shared by :func:`ivf_topk` (search) and :func:`semantic_dedup_pairs`
+    (dedup) so both see identical cells."""
     cvec = unit_vec(_as_double(F.col(embedding_col)))
     cents = (
         df.select(F.col(id_col).alias("cid"), cvec.alias("cv"))
@@ -263,20 +263,69 @@ def _seeded_cell_router(
         .limit(num_cells)
         .collect()
     )
-    cent_arrays = [F.array(*[F.lit(float(x)) for x in row["cv"]]) for row in cents]
+    return [list(row["cv"]) for row in cents]
 
-    def nearest_cells(vec: Column, n: int) -> Column:
-        dists = F.array(
-            *[
-                F.struct(
-                    (-dot_col(vec, ca) / norm_col(ca)).alias("d"), F.lit(i).alias("cell")
+
+def _route_cells(src: DataFrame, cent_rows: list[list[float]], nprobe: int = 1) -> DataFrame:
+    """Route ``(_id, _v array<double>)`` rows to their ``nprobe`` nearest
+    centroid cells via one numpy GEMM per Arrow batch, emitting
+    ``(_id, _v unit-normalized, _cell)`` — one row per probed cell.
+
+    Map-side only (no shuffle); the centroid matrix ships in the task
+    closure. This is the scale path for routing: a Catalyst-expression
+    router inlines O(num_cells × dim) literals into the plan, which at
+    IVF-realistic cell counts (2^10+) explodes analysis/codegen time —
+    measured 12s vs <1s on the dd11 bench entry at just 16×64. Ties route
+    to the lowest cell id (stable argsort), and zero vectors pass through
+    unnormalized and land in cell 0 — both matching the expression
+    semantics this replaced."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(cent_rows, dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0] = 1.0
+    CT = (C / cn[:, None]).T  # (dim, cells); centroids re-unit for safety
+
+    id_field = src.schema["_id"]
+    out_schema = T.StructType(
+        [
+            id_field,
+            T.StructField("_v", T.ArrayType(T.DoubleType())),
+            T.StructField("_cell", T.IntegerType()),
+        ]
+    )
+
+    def route(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+            n = np.linalg.norm(V, axis=1)
+            n[n == 0] = 1.0
+            U = V / n[:, None]
+            D = U @ CT
+            if nprobe == 1:
+                # argmax returns the first max → lowest cell id on ties
+                yield pd.DataFrame(
+                    {
+                        "_id": pdf["_id"].to_numpy(),
+                        "_v": [u.tolist() for u in U],
+                        "_cell": D.argmax(axis=1).astype("int32"),
+                    }
                 )
-                for i, ca in enumerate(cent_arrays)
-            ]
-        )
-        return F.slice(F.array_sort(dists), 1, n)
+            else:
+                order = np.argsort(-D, axis=1, kind="stable")[:, :nprobe]
+                rows = np.repeat(np.arange(len(pdf)), order.shape[1])
+                yield pd.DataFrame(
+                    {
+                        "_id": pdf["_id"].to_numpy()[rows],
+                        "_v": [U[i].tolist() for i in rows],
+                        "_cell": order.reshape(-1).astype("int32"),
+                    }
+                )
 
-    return nearest_cells
+    return src.mapInPandas(route, out_schema)
 
 
 def ivf_topk(
@@ -296,18 +345,17 @@ def ivf_topk(
     nearest cells.
 
     Centroids are a seeded deterministic sample (id-hash order) collected
-    once — centroid count is tiny and broadcast; the big table is scored
-    map-side against 16 centroids, then shuffled once on cell id."""
-    cvec = unit_vec(_as_double(F.col(embedding_col)))
-    nearest_cells = _seeded_cell_router(candidates, embedding_col, id_col, num_cells, seed)
-    c = candidates.select(F.col(id_col).alias("neighbor_id"), cvec.alias("_cvec")).withColumn(
-        "_cell", nearest_cells(F.col("_cvec"), 1)[0]["cell"]
-    )
-    q = (
-        queries.select(F.col(id_col).alias("query_id"), cvec.alias("_qvec"))
-        .withColumn("_cells", nearest_cells(F.col("_qvec"), nprobe))
-        .select("query_id", "_qvec", F.explode(F.col("_cells")["cell"]).alias("_cell"))
-    )
+    once — centroid count is tiny and ships in the router's task closure;
+    the big table is routed map-side by one GEMM per Arrow batch
+    (:func:`_route_cells`), then shuffled once on cell id."""
+    cents = _seeded_centroids(candidates, embedding_col, id_col, num_cells, seed)
+    vcol = _as_double(F.col(embedding_col))
+    c = _route_cells(
+        candidates.select(F.col(id_col).alias("_id"), vcol.alias("_v")), cents, 1
+    ).select(F.col("_id").alias("neighbor_id"), F.col("_v").alias("_cvec"), "_cell")
+    q = _route_cells(
+        queries.select(F.col(id_col).alias("_id"), vcol.alias("_v")), cents, nprobe
+    ).select(F.col("_id").alias("query_id"), F.col("_v").alias("_qvec"), "_cell")
     scored = c.join(q, "_cell").withColumn(
         "cosine", dot_col(F.col("_qvec"), F.col("_cvec"), dim)
     )
@@ -448,20 +496,26 @@ def semantic_dedup_pairs(
     same seeded cells as :func:`ivf_topk`), self-join *within cells only*,
     and emit pairs with cosine ≥ ``threshold``.
 
-    Scale shape: centroid routing is map-side (num_cells broadcast
-    literals); the only shuffle keys on cell id; pair work is Σ|cell|²
-    instead of n² — the paper's reason for clustering first.  Cells larger
+    Scale shape: centroid routing is map-side (one GEMM per Arrow batch,
+    :func:`_route_cells`); the only shuffle keys on cell id; pair work is
+    Σ|cell|² instead of n² — the paper's reason for clustering first.  Cells larger
     than ``max_cell_size`` are dropped (skew guard, same contract as the
     LSH banding guard); identical embeddings always land in the same cell,
     so exact semantic duplicates are never missed by the partitioning.
     Cross-cell near-duplicates are the documented recall loss (raise
     ``num_cells`` resolution or re-run with a different seed to tighten).
     """
-    cvec = unit_vec(_as_double(F.col(embedding_col)))
-    nearest_cells = _seeded_cell_router(df, embedding_col, id_col, num_cells, seed)
-    routed = df.select(F.col(id_col).alias("_id"), cvec.alias("_v")).withColumn(
-        "_cell", nearest_cells(F.col("_v"), 1)[0]["cell"]
+    from pyspark import StorageLevel
+
+    cents = _seeded_centroids(df, embedding_col, id_col, num_cells, seed)
+    routed = _route_cells(
+        df.select(F.col(id_col).alias("_id"), _as_double(F.col(embedding_col)).alias("_v")),
+        cents,
+        1,
     )
+    # consumed three times (cell sizing + both self-join sides); persist so
+    # the Python routing pass runs once, like dd03's banded signatures
+    routed = routed.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = routed.groupBy("_cell").agg(F.count(F.lit(1)).alias("_csz"))
     routed = routed.join(
         F.broadcast(sizes.filter(F.col("_csz").between(2, max_cell_size))), "_cell"

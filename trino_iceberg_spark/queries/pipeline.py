@@ -58,7 +58,7 @@ def dd02_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dd03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-Jaccard verified ≥ 0.35
     (operators.dedup.minhash_dedup_pairs). Correctness is pinned by
-    tests/test_dedup.py against the exact all-pairs baseline."""
+    tests/test_operators.py against the exact all-pairs baseline."""
     d = load_table(spark, sf_dir, "documents")
     return (
         D.minhash_dedup_pairs(d, "text", "doc_id", threshold=0.35)
@@ -90,10 +90,14 @@ def dd11_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style embedding near-dedup (operators.similarity.
     semantic_dedup_pairs): cluster-then-compare — centroid cells bound the
     pair work to Σ|cell|² instead of n². No-false-positives and
-    exact-duplicate-recall invariants pinned in tests/test_operators.py."""
+    exact-duplicate-recall invariants pinned in tests/test_operators.py.
+    The synthetic embeddings are i.i.d. random (max within-cell cosine
+    ~0.45, measured), so like dd06 the threshold targets the top tail of
+    the actual distribution; the operator's 0.9 default is for real
+    corpora, where semantic duplicates exist by construction."""
     e = load_table(spark, sf_dir, "embeddings")
     return (
-        S.semantic_dedup_pairs(e, "embedding", "vec_id", threshold=0.8)
+        S.semantic_dedup_pairs(e, "embedding", "vec_id", threshold=0.35)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
         .orderBy("id_a", "id_b")
     )
@@ -232,7 +236,7 @@ def dd05_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dd06_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs ≥ 0.35 via multi-table hyperplane LSH
     (operators.dedup.embedding_dedup_pairs); recall vs the exact pair set is
-    pinned in tests/test_similarity.py. The synthetic embeddings are i.i.d.
+    pinned in tests/test_operators.py. The synthetic embeddings are i.i.d.
     random (max pairwise cosine ~0.5 at sf0.01), so the threshold targets
     the top tail of the actual distribution; 8 OR-tables × 4 planes give
     ~0.7+ recall at cosine 0.35."""
@@ -289,7 +293,7 @@ def ss01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("ss02_lsh_topk")  # rows-only: approximate by design
 def ss02_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-5 (operators.similarity.lsh_topk);
-    recall vs ss01 is pinned in tests/test_similarity.py."""
+    recall vs ss01 is pinned in tests/test_operators.py."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 50 == 0)
     return (
@@ -407,7 +411,7 @@ def tx03_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("tx04_language_id")  # rows-only: marker-argmax heuristic, not worth SQL-porting
 def tx04_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID vs the labeled lang column
-    (operators.text.language_id_col); accuracy pinned in tests/test_text.py."""
+    (operators.text.language_id_col); accuracy pinned in tests/test_operators.py."""
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id", "lang", TX.language_id_col("text").alias("lang_guess"))
