@@ -104,6 +104,7 @@ _FRONT = [
     "tt02_version_as_of",
     "tt03_snapshot_changelog",
     "tt04_sql_text_time_travel",
+    "tt05_schema_evolution",
     # streaming (unblocked by the NTZ fix)
     "st01_windowed_stream",
     "st02_session_stream",

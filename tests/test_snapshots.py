@@ -182,3 +182,98 @@ def test_changelog_missing_snapshot_raises(spark, tmp_path):
     t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
     with pytest.raises(EngineError):
         t.changelog(1, 99)
+
+
+# --- schema evolution (Iceberg-style id-based column mapping) --------------
+
+
+def test_add_column_old_files_read_null(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "ev1"))
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    t.add_column("score", "double")
+    t.append(
+        spark.createDataFrame([(3, "c", 0.5)], "id long, v string, score double")
+    )
+    rows = {r["id"]: (r["v"], r["score"]) for r in t.read().collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 0.5)}
+
+
+def test_rename_column_remaps_old_files(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "ev2"))
+    t.append(spark.createDataFrame([(1, 10.0)], "id long, amount double"))
+    t.rename_column("amount", "price")
+    t.append(spark.createDataFrame([(2, 20.0)], "id long, price double"))
+    out = t.read()
+    assert out.columns == ["id", "price"]
+    assert {r["id"]: r["price"] for r in out.collect()} == {1: 10.0, 2: 20.0}
+
+
+def test_drop_column_hides_everywhere_current(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "ev3"))
+    t.append(spark.createDataFrame([(1, "x", 5)], "id long, v string, n int"))
+    t.drop_column("v")
+    assert t.read().columns == ["id", "n"]
+    # a column with the same NAME re-added later is a NEW field id:
+    # old files must NOT resurrect their bytes under it (Iceberg semantics)
+    t.add_column("v", "string")
+    rows = t.read().collect()
+    assert rows[0]["v"] is None
+
+
+def test_promote_column_upcasts_old_files(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "ev4"))
+    t.append(spark.createDataFrame([(1, 7)], "id long, n int"))
+    t.promote_column("n", "bigint")
+    t.append(spark.createDataFrame([(2, 2**40)], "id long, n long"))
+    out = t.read()
+    assert dict(out.dtypes)["n"] == "bigint"
+    assert {r["id"]: r["n"] for r in out.collect()} == {1: 7, 2: 2**40}
+
+
+def test_time_travel_sees_snapshot_schema(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "ev5"))
+    v1 = t.append(spark.createDataFrame([(1, "a")], "id long, v string")).snapshot_id
+    t.rename_column("v", "label")
+    t.add_column("extra", "int")
+    # the schema travels with the snapshot: v1 still reads as (id, v)
+    assert t.read_version(v1).columns == ["id", "v"]
+    assert t.read().columns == ["id", "label", "extra"]
+
+
+def test_commit_schema_mismatch_raises(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "ev6"))
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    t.add_column("score", "double")
+    with pytest.raises(EngineError):
+        t.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+
+
+def test_changelog_across_evolution_boundary(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "ev7"))
+    v1 = t.append(spark.createDataFrame([(1, "a")], "id long, v string")).snapshot_id
+    t.rename_column("v", "label")
+    v3 = t.append(spark.createDataFrame([(2, "b")], "id long, label string")).snapshot_id
+    out = {(r["id"], r["label"], r["_change_type"]) for r in t.changelog(v1, v3).collect()}
+    assert out == {(2, "b", "insert")}
+
+
+def test_evolution_survives_compaction_and_merge(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "ev8"))
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    t.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+    t.rename_column("v", "w")
+    t.add_column("z", "int")
+    t.compact_small_files(target_files=1)
+    assert t.read().columns == ["id", "w", "z"]
+    t.merge(
+        spark.createDataFrame([(2, "B", 9), (3, "c", 1)], "id long, w string, z int"),
+        ["id"],
+    )
+    rows = {r["id"]: (r["w"], r["z"]) for r in t.read().collect()}
+    assert rows == {1: ("a", None), 2: ("B", 9), 3: ("c", 1)}
+
+
+def test_evolve_on_empty_table_raises(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "ev9"))
+    with pytest.raises(EngineError):
+        t.add_column("x", "int")

@@ -48,13 +48,29 @@ __all__ = ["SnapshotTable", "Snapshot"]
 class Snapshot:
     snapshot_id: int
     committed_at_us: int  # epoch microseconds (µs precision like Iceberg)
-    operation: str  # append | overwrite
+    operation: str  # append | overwrite | evolve
     files: tuple[str, ...]  # relative to table_dir
     row_count: int
+    # Schema evolution (Iceberg-style id-based column mapping). None on
+    # manifests written before evolution support — readers fall back to
+    # plain parquet schema merging for those.
+    schema_id: int | None = None
+    last_column_id: int | None = None
+    # schema_id (as str, JSON keys) → [{"id", "name", "type"}, ...]
+    schemas: dict[str, list[dict]] | None = None
+    # data file (relative path) → schema_id it was WRITTEN under
+    file_schemas: dict[str, int] | None = None
 
     @property
     def committed_at(self) -> dt.datetime:
         return dt.datetime.fromtimestamp(self.committed_at_us / 1e6, dt.timezone.utc)
+
+    @property
+    def schema_columns(self) -> list[dict] | None:
+        """Current-schema columns of this snapshot (None on legacy manifests)."""
+        if self.schema_id is None or not self.schemas:
+            return None
+        return self.schemas[str(self.schema_id)]
 
 
 class SnapshotTable:
@@ -85,6 +101,10 @@ class SnapshotTable:
                     operation=m["operation"],
                     files=tuple(m["files"]),
                     row_count=m["row_count"],
+                    schema_id=m.get("schema_id"),
+                    last_column_id=m.get("last_column_id"),
+                    schemas=m.get("schemas"),
+                    file_schemas=m.get("file_schemas"),
                 )
             )
         return out
@@ -94,9 +114,54 @@ class SnapshotTable:
         return snaps[-1] if snaps else None
 
     # -- commits ---------------------------------------------------------
+    def _write_manifest(self, prev: Snapshot | None, manifest: dict) -> Snapshot:
+        snapshot_id = (prev.snapshot_id + 1) if prev else 1
+        now_us = int(dt.datetime.now(dt.timezone.utc).timestamp() * 1e6)
+        if prev is not None and now_us <= prev.committed_at_us:
+            now_us = prev.committed_at_us + 1  # strictly increasing commit times
+        manifest.update({"snapshot_id": snapshot_id, "committed_at_us": now_us})
+        tmp = os.path.join(self.metadata_dir, f".v{snapshot_id}.json.tmp")
+        final = os.path.join(self.metadata_dir, f"v{snapshot_id}.json")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, final)  # atomic commit point
+        return self.snapshots()[-1]
+
+    @staticmethod
+    def _columns_from_spark_schema(schema, start_id: int = 1) -> list[dict]:
+        return [
+            {"id": start_id + i, "name": f.name, "type": f.dataType.simpleString()}
+            for i, f in enumerate(schema.fields)
+        ]
+
     def _commit(self, df: DataFrame, operation: str) -> Snapshot:
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.metadata_dir, exist_ok=True)
+        prev = self.current_snapshot()
+
+        # Resolve the schema this commit writes under. First data commit
+        # (or a legacy table) derives ids positionally from the DataFrame;
+        # later commits must match the table's current column NAMES — the
+        # ids behind them are what make rename/drop safe on old files.
+        if prev is not None and prev.schema_columns is not None:
+            cols = prev.schema_columns
+            schema_id = prev.schema_id
+            schemas = dict(prev.schemas)
+            last_column_id = prev.last_column_id
+            want = [c["name"] for c in cols]
+            if set(df.columns) != set(want):
+                raise EngineError(
+                    f"commit schema mismatch for {self.table_dir}: table columns "
+                    f"{want}, data columns {list(df.columns)} (use add_column/"
+                    f"drop_column/rename_column to evolve the schema first)"
+                )
+            df = df.select(*want)  # canonical column order
+        else:
+            cols = self._columns_from_spark_schema(df.schema)
+            schema_id = 1
+            schemas = {"1": cols}
+            last_column_id = len(cols)
+
         staging = os.path.join(self.table_dir, f"_staging_{uuid.uuid4().hex}")
         df.write.mode("errorifexists").parquet(staging)
         commit_uuid = uuid.uuid4().hex[:12]
@@ -115,28 +180,31 @@ class SnapshotTable:
                     *[os.path.join(self.table_dir, f) for f in new_files]
                 ).count()
             )
-        prev = self.current_snapshot()
         if operation == "append" and prev is not None:
             files = list(prev.files) + new_files
         else:
             files = new_files
-        snapshot_id = (prev.snapshot_id + 1) if prev else 1
-        now_us = int(dt.datetime.now(dt.timezone.utc).timestamp() * 1e6)
-        if prev is not None and now_us <= prev.committed_at_us:
-            now_us = prev.committed_at_us + 1  # strictly increasing commit times
-        manifest = {
-            "snapshot_id": snapshot_id,
-            "committed_at_us": now_us,
-            "operation": operation,
-            "files": files,
-            "row_count": row_count if operation != "append" or prev is None else prev.row_count + row_count,
-        }
-        tmp = os.path.join(self.metadata_dir, f".v{snapshot_id}.json.tmp")
-        final = os.path.join(self.metadata_dir, f"v{snapshot_id}.json")
-        with open(tmp, "w", encoding="utf-8") as fh:
-            json.dump(manifest, fh)
-        os.replace(tmp, final)  # atomic commit point
-        return self.snapshots()[-1]
+        file_schemas: dict[str, int] = {}
+        if operation == "append" and prev is not None:
+            # retained files keep the schema they were written under;
+            # legacy files (no record) are pinned to the pre-evolution
+            # schema — id 1 by construction
+            file_schemas = {f: (prev.file_schemas or {}).get(f, 1) for f in prev.files}
+        file_schemas.update({f: schema_id for f in new_files})
+        return self._write_manifest(
+            prev,
+            {
+                "operation": operation,
+                "files": files,
+                "row_count": row_count
+                if operation != "append" or prev is None
+                else prev.row_count + row_count,
+                "schema_id": schema_id,
+                "last_column_id": last_column_id,
+                "schemas": schemas,
+                "file_schemas": file_schemas,
+            },
+        )
 
     def append(self, df: DataFrame) -> Snapshot:
         """INSERT INTO-style commit (B17; two INSERT commits are exactly the
@@ -147,17 +215,169 @@ class SnapshotTable:
         """INSERT OVERWRITE / CTAS-replace commit."""
         return self._commit(df, "overwrite")
 
+    # -- schema evolution (Iceberg-style, id-based) ----------------------
+    def _evolve(self, operation: str, mutate) -> Snapshot:
+        """Commit a metadata-only snapshot with a mutated schema: same
+        files, same rows — only the column mapping changes. Old data files
+        are never rewritten; their columns are resolved by FIELD ID at read
+        time, which is exactly why Iceberg renames/drops are safe and O(1)
+        while Hive-style name-mapped tables corrupt on rename."""
+        prev = self.current_snapshot()
+        if prev is None:
+            raise EngineError(
+                f"cannot evolve schema of {self.table_dir}: no snapshots yet "
+                f"(commit data first)"
+            )
+        if prev.schema_columns is not None:
+            cols = [dict(c) for c in prev.schema_columns]
+            schemas = dict(prev.schemas)
+            schema_id = prev.schema_id
+            last_column_id = prev.last_column_id
+            file_schemas = dict(prev.file_schemas or {})
+        else:
+            # Legacy table: bootstrap ids positionally from the parquet
+            # schema; all existing files were written under this schema.
+            cols = self._columns_from_spark_schema(self._read_files(prev.files).schema)
+            schemas = {"1": [dict(c) for c in cols]}
+            schema_id = 1
+            last_column_id = len(cols)
+            file_schemas = {f: 1 for f in prev.files}
+        new_cols, last_column_id = mutate([dict(c) for c in cols], last_column_id)
+        new_schema_id = schema_id + 1
+        schemas[str(new_schema_id)] = new_cols
+        return self._write_manifest(
+            prev,
+            {
+                "operation": operation,
+                "files": list(prev.files),
+                "row_count": prev.row_count,
+                "schema_id": new_schema_id,
+                "last_column_id": last_column_id,
+                "schemas": schemas,
+                "file_schemas": file_schemas,
+            },
+        )
+
+    def add_column(self, name: str, type_ddl: str) -> Snapshot:
+        """ADD COLUMN: new field id, no data rewrite — files written before
+        this snapshot read the column as NULL."""
+
+        def mutate(cols, last_id):
+            if any(c["name"] == name for c in cols):
+                raise EngineError(f"column {name!r} already exists in {self.table_dir}")
+            cols.append({"id": last_id + 1, "name": name, "type": type_ddl})
+            return cols, last_id + 1
+
+        return self._evolve("evolve", mutate)
+
+    def rename_column(self, old: str, new: str) -> Snapshot:
+        """RENAME COLUMN: same field id, new name. Old files keep their
+        on-disk name and are re-mapped at read time."""
+
+        def mutate(cols, last_id):
+            if any(c["name"] == new for c in cols):
+                raise EngineError(f"column {new!r} already exists in {self.table_dir}")
+            for c in cols:
+                if c["name"] == old:
+                    c["name"] = new
+                    return cols, last_id
+            raise EngineError(f"column {old!r} not found in {self.table_dir}")
+
+        return self._evolve("evolve", mutate)
+
+    def drop_column(self, name: str) -> Snapshot:
+        """DROP COLUMN: metadata-only; the bytes stay in old files (and
+        remain visible to time travel at pre-drop snapshots) but no current
+        read materializes them — parquet column pruning skips the pages."""
+
+        def mutate(cols, last_id):
+            kept = [c for c in cols if c["name"] != name]
+            if len(kept) == len(cols):
+                raise EngineError(f"column {name!r} not found in {self.table_dir}")
+            if not kept:
+                raise EngineError(f"cannot drop the last column of {self.table_dir}")
+            return kept, last_id
+
+        return self._evolve("evolve", mutate)
+
+    def promote_column(self, name: str, type_ddl: str) -> Snapshot:
+        """Widen a column's type (int→bigint, float→double, …): same field
+        id, new type; old files up-cast at read time."""
+
+        def mutate(cols, last_id):
+            for c in cols:
+                if c["name"] == name:
+                    c["type"] = type_ddl
+                    return cols, last_id
+            raise EngineError(f"column {name!r} not found in {self.table_dir}")
+
+        return self._evolve("evolve", mutate)
+
+    @property
+    def schema_columns(self) -> list[dict] | None:
+        """Current table schema as [{"id", "name", "type"}] (None before
+        the first data commit or on a pre-evolution legacy table)."""
+        snap = self.current_snapshot()
+        return snap.schema_columns if snap else None
+
     # -- reads -----------------------------------------------------------
     def _read_files(self, files: tuple[str, ...]) -> DataFrame:
         if not files:
             raise EngineError(f"table {self.table_dir} has no data in this snapshot")
         return self.spark.read.parquet(*[os.path.join(self.table_dir, f) for f in files])
 
+    @staticmethod
+    def _resolve_columns(df: DataFrame, write_cols: list[dict], target_cols: list[dict]):
+        """Project a raw file-group DataFrame (written under ``write_cols``)
+        onto ``target_cols``, matching by field id: renamed columns re-map,
+        dropped columns vanish, added columns surface as typed NULLs, and
+        promoted types up-cast (same-type casts are elided by Catalyst's
+        SimplifyCasts, so pushdown/pruning are unaffected)."""
+        from pyspark.sql import functions as F
+
+        by_id = {c["id"]: c for c in write_cols}
+        sel = []
+        for c in target_cols:
+            w = by_id.get(c["id"])
+            if w is not None:
+                sel.append(F.col(w["name"]).cast(c["type"]).alias(c["name"]))
+            else:
+                sel.append(F.lit(None).cast(c["type"]).alias(c["name"]))
+        return df.select(*sel)
+
+    def _read_snapshot(
+        self, snap: Snapshot, target_cols: list[dict] | None = None
+    ) -> DataFrame:
+        """Read a snapshot under its own schema (time-travel semantics: the
+        schema travels with the snapshot) or an explicit ``target_cols``."""
+        target = target_cols if target_cols is not None else snap.schema_columns
+        if target is None:
+            return self._read_files(snap.files)
+        if not snap.files:
+            raise EngineError(f"table {self.table_dir} has no data in this snapshot")
+        groups: dict[int, list[str]] = {}
+        for f in snap.files:
+            sid = (snap.file_schemas or {}).get(f, snap.schema_id)
+            groups.setdefault(sid, []).append(f)
+        parts = []
+        for sid in sorted(groups, key=lambda s: (s is None, s)):
+            raw = self.spark.read.parquet(
+                *[os.path.join(self.table_dir, f) for f in groups[sid]]
+            )
+            # Files with no recorded write schema (legacy manifests) are
+            # assumed to carry the target column names on disk.
+            write_cols = (snap.schemas or {}).get(str(sid), target)
+            parts.append(self._resolve_columns(raw, write_cols, target))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def read(self) -> DataFrame:
         snap = self.current_snapshot()
         if snap is None:
             raise EngineError(f"table {self.table_dir} has no snapshots")
-        return self._read_files(snap.files)
+        return self._read_snapshot(snap)
 
     def read_as_of(self, ts: dt.datetime) -> DataFrame:
         """``FOR TIMESTAMP AS OF`` (B18): latest snapshot committed ≤ ts
@@ -172,13 +392,14 @@ class SnapshotTable:
             raise EngineError(
                 f"no snapshot of {self.table_dir} at or before {ts.isoformat()}"
             )
-        return self._read_files(chosen.files)
+        return self._read_snapshot(chosen)
 
     def read_version(self, snapshot_id: int) -> DataFrame:
-        """``VERSION AS OF`` — read an exact snapshot id."""
+        """``VERSION AS OF`` — read an exact snapshot id (under that
+        snapshot's schema, like Iceberg time travel)."""
         for snap in self.snapshots():
             if snap.snapshot_id == snapshot_id:
-                return self._read_files(snap.files)
+                return self._read_snapshot(snap)
         raise EngineError(f"snapshot {snapshot_id} not found in {self.table_dir}")
 
     def changelog(
@@ -212,10 +433,19 @@ class SnapshotTable:
         removed = tuple(sorted(set(before.files) - set(after.files)))
         added = tuple(sorted(set(after.files) - set(before.files)))
 
-        schema = self._read_files(before.files or after.files).schema
+        # Both sides resolve to the AFTER snapshot's schema (by field id),
+        # so a diff across an evolution boundary compares aligned columns.
+        target = after.schema_columns
+
+        def read_side(snap: Snapshot, files: tuple[str, ...]) -> DataFrame:
+            sub = dataclasses.replace(snap, files=files)
+            return self._read_snapshot(sub, target_cols=target)
+
+        schema = read_side(before if before.files else after,
+                           before.files or after.files).schema
         empty = self.spark.createDataFrame([], schema)
-        a = self._read_files(removed) if removed else empty
-        b = self._read_files(added) if added else empty
+        a = read_side(before, removed) if removed else empty
+        b = read_side(after, added) if added else empty
 
         from pyspark.sql import functions as F
 
@@ -328,7 +558,7 @@ class SnapshotTable:
         snap = self.current_snapshot()
         if snap is None or len(snap.files) <= (target_files or 1):
             return None
-        df = self._read_files(snap.files)
+        df = self._read_snapshot(snap)  # schema-aware: rewrites under the current mapping
         if target_files is not None:
             df = df.coalesce(target_files)
         return self._commit(df, "overwrite")

@@ -158,3 +158,49 @@ def tt04_sql_text_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE o_custkey <= 300 ORDER BY o_orderkey",
         between.replace(tzinfo=None),
     )
+
+
+@register(
+    "tt05_schema_evolution",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice AS price,
+           CASE WHEN o_orderkey % 2 = 1 THEN 'late' END AS batch_tag
+    FROM orders WHERE o_custkey <= 200
+    ORDER BY o_orderkey
+    """,
+)
+def tt05_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style schema evolution on the snapshot catalog
+    (catalog/snapshots.py add_column/rename_column): commit 1 writes
+    (o_orderkey, o_custkey, o_totalprice); ADD COLUMN batch_tag + RENAME
+    o_totalprice→price are metadata-only commits (no data rewrite); commit
+    2 appends rows under the new schema. The read resolves columns by
+    FIELD ID: commit-1 files surface batch_tag as NULL and serve their
+    on-disk o_totalprice bytes under the new name. The oracle states the
+    expected merged result straight from the source table, so a
+    hash-match proves id-based resolution end to end. Reference parity:
+    Iceberg schema evolution semantics (the reference's tables are
+    Iceberg; TrinoConfigurationProvider.cs pins the same catalog
+    behavior)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tdir = os.path.join(tempfile.gettempdir(), "tis_tt05_table")
+    shutil.rmtree(tdir, ignore_errors=True)
+    table = SnapshotTable(spark, tdir)
+    table.append(o.filter(F.col("o_orderkey") % 2 == 0))
+    table.add_column("batch_tag", "string")
+    table.rename_column("o_totalprice", "price")
+    late = (
+        o.filter(F.col("o_orderkey") % 2 == 1)
+        .withColumnRenamed("o_totalprice", "price")
+        .withColumn("batch_tag", F.lit("late"))
+    )
+    table.append(late)
+    return (
+        table.read()
+        .filter(F.col("o_custkey") <= 200)
+        .select("o_orderkey", "price", "batch_tag")
+        .orderBy("o_orderkey")
+    )
