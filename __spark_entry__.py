@@ -84,6 +84,8 @@ _FRONT = [
     "cu01_curated_documents",
     "cu02_curation_report",
     "cu03_decontaminate",
+    "cu04_length_band_filter",
+    "dd12_passage_dedup",
     # multimodal plumbing (mm03 is rows-only, below)
     "mm01_media_metadata",
     "mm02_decode_pipeline",

@@ -493,3 +493,43 @@ def test_quantize_embeddings_roundtrip(spark):
     assert len(row.qvec) == 4 and max(abs(v) for v in row.qvec) == 127
     recon = [v * row.qscale for v in row.qvec]
     assert all(abs(a - b) <= row.qscale / 2 + 1e-12 for a, b in zip(recon, [1.0, -0.5, 0.25, 0.0]))
+
+
+def test_passage_dedup_removes_cross_doc_repeats_keeps_first(spark):
+    from trino_iceberg_spark.operators.dedup import passage_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(10))  # one exact 10-token chunk
+    u1 = " ".join(f"x{i}" for i in range(10))
+    u2 = " ".join(f"y{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, boiler + " " + u1), (2, boiler + " " + u2), (3, boiler)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in passage_dedup(df, "text", "doc_id").collect()}
+    # doc 1 is the canonical first occurrence: keeps everything
+    assert out[1]["clean_text"] == boiler + " " + u1
+    assert out[1]["n_chunks"] == 2 and out[1]["n_kept"] == 2
+    # doc 2 loses the boilerplate chunk, keeps its unique tail
+    assert out[2]["clean_text"] == u2
+    assert out[2]["n_kept"] == 1
+    # doc 3 was pure boilerplate: drops out entirely
+    assert 3 not in out
+
+
+def test_passage_dedup_unique_doc_roundtrips(spark):
+    from trino_iceberg_spark.operators.dedup import passage_dedup
+
+    text = " ".join(f"w{i}" for i in range(25))  # 3 chunks, last one short
+    df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    row = passage_dedup(df, "text", "doc_id").collect()[0]
+    assert row["clean_text"] == text
+    assert row["n_chunks"] == 3 and row["n_kept"] == 3
+
+
+def test_percentile_band_filter_drops_tails(spark):
+    from trino_iceberg_spark.operators.curation import percentile_band_filter
+
+    df = spark.createDataFrame([(i, i) for i in range(1, 101)], "id long, s long")
+    kept = sorted(r["id"] for r in percentile_band_filter(df, "s", 0.1, 0.9).collect())
+    # p10 of 1..100 = 10.9, p90 = 90.1 (linear interpolation)
+    assert kept[0] == 11 and kept[-1] == 90

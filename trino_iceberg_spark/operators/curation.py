@@ -18,7 +18,13 @@ from pyspark.sql import functions as F
 
 from .text import quality_features, token_count_col
 
-__all__ = ["curation_decisions", "curate_documents", "curation_report", "decontaminate"]
+__all__ = [
+    "curation_decisions",
+    "curate_documents",
+    "curation_report",
+    "decontaminate",
+    "percentile_band_filter",
+]
 
 
 def curation_decisions(
@@ -123,3 +129,35 @@ def decontaminate(
         .distinct()
     )
     return df.join(contaminated, id_col, "left_anti")
+
+
+def percentile_band_filter(
+    df: DataFrame,
+    score_col,
+    lo_q: float = 0.1,
+    hi_q: float = 0.95,
+) -> DataFrame:
+    """Keep rows whose ``score_col`` lies inside the corpus-wide
+    ``[lo_q, hi_q]`` percentile band (the standard outlier gate in data
+    curation: drop the too-short/too-long tails rather than hand-picking
+    absolute thresholds per corpus).
+
+    Scale shape: the thresholds come from ONE exact-percentile aggregate
+    (a single wide reduce to one row — Spark's ``percentile`` does a
+    distributed partial aggregation, not a sort), broadcast back into a
+    map-side filter. No window over a global order, no driver round-trip
+    with the data; at 100 TB this is a scan + 1-row shuffle + scan.
+    Integer-valued scores keep the linear-interpolation arithmetic exact
+    and engine-portable (the DuckDB oracle's quantile_cont computes the
+    identical rational)."""
+    score = score_col if not isinstance(score_col, str) else F.col(score_col)
+    d = df.withColumn("_score", score)
+    th = d.agg(
+        F.percentile("_score", F.lit(lo_q)).alias("_lo"),
+        F.percentile("_score", F.lit(hi_q)).alias("_hi"),
+    )
+    return (
+        d.crossJoin(F.broadcast(th))
+        .filter(F.col("_score").between(F.col("_lo"), F.col("_hi")))
+        .drop("_score", "_lo", "_hi")
+    )

@@ -37,6 +37,7 @@ __all__ = [
     "simhash_dedup_pairs",
     "embedding_dedup_pairs",
     "fuzzy_pairs",
+    "passage_dedup",
 ]
 
 # Mersenne prime for the universal hash family h(x) = (a*x+b) mod p, with
@@ -592,4 +593,65 @@ def fuzzy_pairs(
         .withColumn("edit_dist", F.levenshtein("_pa", "_pb"))
         .filter(F.col("edit_dist") <= max_distance)
         .select("id_a", "id_b", "edit_dist")
+    )
+
+
+def passage_dedup(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    chunk_tokens: int = 10,
+) -> DataFrame:
+    """Corpus-wide duplicated-passage removal (CCNet-style: Wenzek et al.
+    2020 deduplicate at paragraph granularity before any document-level
+    filtering): split every document into fixed ``chunk_tokens``-token
+    passages, keep a passage occurrence iff it is globally unique or is
+    the canonical first occurrence (lowest ``(doc_id, chunk_idx)``), and
+    reassemble each document from its surviving passages in order.
+
+    Returns ``(id_col, clean_text, n_chunks, n_kept)`` — documents whose
+    passages were ALL duplicates elsewhere drop out entirely.
+
+    Scale shape: chunking is per-row JVM array work (no explode until the
+    passage table); the occurrence count + canonical-keeper aggregate
+    shuffles on md5(passage) — high-cardinality, skew-free keys — and the
+    verdict joins back on the same key, so the whole operator is two
+    shuffles of the passage table plus one groupBy(doc) reassembly. No
+    driver-side state; at 100 TB the passage table is ~corpus-sized and
+    every stage is partition-parallel.
+    """
+    toks = F.filter(F.split(F.col(content_col), " "), lambda w: w != "")
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "),
+    )
+    exploded = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            n_chunks.alias("n_chunks"),
+            F.posexplode(F.when(n_chunks > 0, chunks)).alias("chunk_idx", "chunk"),
+        )
+        .withColumn("_h", F.md5(F.col("chunk")))
+        .withColumn("_occ", F.col("_id") * 1_000_000 + F.col("chunk_idx"))
+    )
+    keepers = exploded.groupBy("_h").agg(
+        F.count(F.lit(1)).alias("_cnt"), F.min("_occ").alias("_keeper")
+    )
+    kept = exploded.join(keepers, "_h").filter(
+        (F.col("_cnt") == 1) | (F.col("_keeper") == F.col("_occ"))
+    )
+    return (
+        kept.groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.first("n_chunks").alias("n_chunks"),
+            F.count(F.lit(1)).cast("int").alias("n_kept"),
+        )
     )

@@ -54,6 +54,51 @@ def dd02_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.fingerprint_dedup(d, "text", "doc_id").orderBy("doc_id")
 
 
+@register(
+    "dd12_passage_dedup",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, toks,
+               unnest(range(CAST(ceil(len(toks) / 10.0) AS BIGINT))) AS i
+        FROM toks WHERE len(toks) > 0
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST(i AS INT) AS chunk_idx,
+               array_to_string(list_slice(toks, i*10 + 1, i*10 + 10), ' ') AS chunk,
+               CAST(ceil(len(toks) / 10.0) AS INT) AS n_chunks,
+               doc_id * 1000000 + i AS occ
+        FROM idx
+    ),
+    agg AS (
+        SELECT chunk, COUNT(*) AS cnt, MIN(occ) AS keeper
+        FROM chunks GROUP BY chunk
+    ),
+    kept AS (
+        SELECT c.* FROM chunks c JOIN agg a USING (chunk)
+        WHERE a.cnt = 1 OR a.keeper = c.occ
+    )
+    SELECT doc_id,
+           string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text,
+           CAST(MIN(n_chunks) AS INT) AS n_chunks,
+           CAST(COUNT(*) AS INT) AS n_kept
+    FROM kept GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def dd12_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-wide passage dedup (operators.dedup.
+    passage_dedup): 10-token passages, globally-unique-or-first-occurrence
+    keep rule, order-preserving reassembly. The oracle replays the exact
+    rule in SQL, so the hash match pins chunking, canonical-keeper choice,
+    and reassembly byte-for-byte."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.passage_dedup(d, "text", "doc_id", chunk_tokens=10).orderBy("doc_id")
+
+
 @register("dd03_minhash_lsh_pairs")  # rows-only: signature hashing not SQL-expressible
 def dd03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-Jaccard verified ≥ 0.35
@@ -617,6 +662,36 @@ def cu02_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return curation_report(d)
+
+
+@register(
+    "cu04_length_band_filter",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    th AS (SELECT quantile_cont(n_tokens, 0.1) AS lo, quantile_cont(n_tokens, 0.95) AS hi FROM t)
+    SELECT doc_id, n_tokens FROM t, th
+    WHERE n_tokens BETWEEN lo AND hi
+    ORDER BY doc_id
+    """,
+)
+def cu04_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative length gate (operators.curation.
+    percentile_band_filter): keep documents inside the exact [p10, p95]
+    token-count band. One percentile aggregate broadcast into a map-side
+    filter — the scale-correct shape for corpus-relative thresholds (no
+    global sort, no driver loop). Spark's percentile() and DuckDB's
+    quantile_cont share the linear-interpolation definition; the integer
+    scores make the arithmetic bit-identical."""
+    from ..operators.curation import percentile_band_filter
+    from ..operators.text import token_count_col
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select("doc_id", token_count_col("text").cast("long").alias("n_tokens"))
+    return percentile_band_filter(scored, "n_tokens", 0.1, 0.95).orderBy("doc_id")
 
 
 _SS_TOPK_ORACLE = """
