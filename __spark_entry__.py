@@ -107,6 +107,7 @@ _FRONT = [
     "tt03_snapshot_changelog",
     "tt04_sql_text_time_travel",
     "tt05_schema_evolution",
+    "tt06_stats_pruned_scan",
     # streaming (unblocked by the NTZ fix)
     "st01_windowed_stream",
     "st02_session_stream",

@@ -277,3 +277,67 @@ def test_evolve_on_empty_table_raises(spark, tmp_path):
     t = SnapshotTable(spark, str(tmp_path / "ev9"))
     with pytest.raises(EngineError):
         t.add_column("x", "int")
+
+
+# --- file-stats (zone map) pruned scans ------------------------------------
+
+
+def test_scan_prunes_files_by_zone_maps(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "zm1"))
+    # three commits with disjoint key ranges → per-file min/max are tight
+    for lo in (0, 100, 200):
+        t.append(
+            spark.range(lo, lo + 100).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            )
+        )
+    snap = t.current_snapshot()
+    pruned = t.prune_files(snap, [("k", ">=", 250)])
+    assert len(pruned) < len(snap.files)  # planning skipped whole files
+    assert pruned  # but kept the matching range
+    out = t.scan([("k", ">=", 250)])
+    expected = t.read().filter(F.col("k") >= 250)
+    assert sorted(r["k"] for r in out.collect()) == sorted(
+        r["k"] for r in expected.collect()
+    )
+
+
+def test_scan_equality_and_empty_result(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "zm2"))
+    t.append(spark.range(0, 50).select(F.col("id").alias("k")))
+    t.append(spark.range(100, 150).select(F.col("id").alias("k")))
+    snap = t.current_snapshot()
+    # a key in the gap between commits prunes EVERY file
+    assert t.prune_files(snap, [("k", "=", 75)]) == []
+    assert t.scan([("k", "=", 75)]).count() == 0
+    assert [r["k"] for r in t.scan([("k", "=", 120)]).collect()] == [120]
+
+
+def test_prune_survives_rename(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "zm3"))
+    t.append(spark.range(0, 10).select(F.col("id").alias("old_name")))
+    t.append(spark.range(1000, 1010).select(F.col("id").alias("old_name")))
+    t.rename_column("old_name", "k")
+    snap = t.current_snapshot()
+    # stats were recorded under the old name's field id; pruning by the
+    # NEW name must still hit them
+    assert len(t.prune_files(snap, [("k", "<", 100)])) < len(snap.files)
+    assert {r["k"] for r in t.scan([("k", "<", 5)]).collect()} == {0, 1, 2, 3, 4}
+
+
+def test_prune_unknown_column_raises(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "zm4"))
+    t.append(spark.range(3).select(F.col("id").alias("k")))
+    with pytest.raises(EngineError):
+        t.prune_files(t.current_snapshot(), [("nope", "=", 1)])
+    with pytest.raises(EngineError):
+        t.prune_files(t.current_snapshot(), [("k", "!=", 1)])
+
+
+def test_string_zone_maps(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "zm5"))
+    t.append(spark.createDataFrame([("apple",), ("banana",)], "w string"))
+    t.append(spark.createDataFrame([("yak",), ("zebra",)], "w string"))
+    snap = t.current_snapshot()
+    assert len(t.prune_files(snap, [("w", ">=", "yak")])) < len(snap.files)
+    assert {r["w"] for r in t.scan([("w", ">=", "yak")]).collect()} == {"yak", "zebra"}

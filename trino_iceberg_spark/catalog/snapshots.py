@@ -60,6 +60,9 @@ class Snapshot:
     schemas: dict[str, list[dict]] | None = None
     # data file (relative path) → schema_id it was WRITTEN under
     file_schemas: dict[str, int] | None = None
+    # data file → {field_id (str): [min, max]} zone maps from the parquet
+    # footers, recorded at write time (None on legacy manifests)
+    file_stats: dict[str, dict] | None = None
 
     @property
     def committed_at(self) -> dt.datetime:
@@ -105,6 +108,7 @@ class SnapshotTable:
                     last_column_id=m.get("last_column_id"),
                     schemas=m.get("schemas"),
                     file_schemas=m.get("file_schemas"),
+                    file_stats=m.get("file_stats"),
                 )
             )
         return out
@@ -133,6 +137,43 @@ class SnapshotTable:
             {"id": start_id + i, "name": f.name, "type": f.dataType.simpleString()}
             for i, f in enumerate(schema.fields)
         ]
+
+    def _collect_file_stats(self, rel_path: str, cols: list[dict]) -> dict:
+        """Per-column [min, max] zone map from the parquet FOOTER of one
+        just-written file (metadata-only read — no data pages). Keyed by
+        field id so stats stay valid across renames. This is what Iceberg
+        writers record into manifests; it is what lets a 100 TB scan plan
+        touch only the files a predicate can match. Only JSON-portable
+        scalar types are recorded (int/float/bool/str); anything else is
+        simply unprunable, never wrong."""
+        try:
+            import pyarrow.parquet as pq
+
+            meta = pq.ParquetFile(os.path.join(self.table_dir, rel_path)).metadata
+        except Exception:  # noqa: BLE001 — stats are an optimization, never fatal
+            return {}
+        by_name = {c["name"]: c["id"] for c in cols}
+        agg: dict[int, list] = {}
+        for rg in range(meta.num_row_groups):
+            group = meta.row_group(rg)
+            for ci in range(group.num_columns):
+                col = group.column(ci)
+                field_id = by_name.get(col.path_in_schema)
+                stats = col.statistics
+                if field_id is None or stats is None or not stats.has_min_max:
+                    continue
+                lo, hi = stats.min, stats.max
+                if not isinstance(lo, (int, float, bool, str)) or not isinstance(
+                    hi, (int, float, bool, str)
+                ):
+                    continue
+                cur = agg.get(field_id)
+                if cur is None:
+                    agg[field_id] = [lo, hi]
+                else:
+                    cur[0] = min(cur[0], lo)
+                    cur[1] = max(cur[1], hi)
+        return {str(k): v for k, v in agg.items()}
 
     def _commit(self, df: DataFrame, operation: str) -> Snapshot:
         os.makedirs(self.data_dir, exist_ok=True)
@@ -185,12 +226,17 @@ class SnapshotTable:
         else:
             files = new_files
         file_schemas: dict[str, int] = {}
+        file_stats: dict[str, dict] = {}
         if operation == "append" and prev is not None:
             # retained files keep the schema they were written under;
             # legacy files (no record) are pinned to the pre-evolution
             # schema — id 1 by construction
             file_schemas = {f: (prev.file_schemas or {}).get(f, 1) for f in prev.files}
+            file_stats = {
+                f: s for f, s in (prev.file_stats or {}).items() if f in file_schemas
+            }
         file_schemas.update({f: schema_id for f in new_files})
+        file_stats.update({f: self._collect_file_stats(f, cols) for f in new_files})
         return self._write_manifest(
             prev,
             {
@@ -203,6 +249,7 @@ class SnapshotTable:
                 "last_column_id": last_column_id,
                 "schemas": schemas,
                 "file_schemas": file_schemas,
+                "file_stats": file_stats,
             },
         )
 
@@ -255,6 +302,7 @@ class SnapshotTable:
                 "last_column_id": last_column_id,
                 "schemas": schemas,
                 "file_schemas": file_schemas,
+                "file_stats": dict(prev.file_stats or {}),
             },
         )
 
@@ -378,6 +426,81 @@ class SnapshotTable:
         if snap is None:
             raise EngineError(f"table {self.table_dir} has no snapshots")
         return self._read_snapshot(snap)
+
+    # -- stats-pruned scans ----------------------------------------------
+    _PRUNE_OPS = ("=", "<", "<=", ">", ">=")
+
+    def prune_files(
+        self, snap: Snapshot, filters: list[tuple[str, str, object]]
+    ) -> list[str]:
+        """Manifest-level scan planning: the subset of ``snap.files`` whose
+        footer [min, max] zone maps can possibly satisfy every filter.
+        Filters are ``(column, op, literal)`` with op in =, <, <=, >, >=,
+        resolved against the snapshot's CURRENT column names but matched to
+        stats by field id — so pruning keeps working across renames. Files
+        without stats for a column are kept (prune is an optimization; the
+        residual Spark filter guarantees exactness either way)."""
+        cols = snap.schema_columns
+        name_to_id = {c["name"]: c["id"] for c in cols} if cols else {}
+        for col, op, _ in filters:
+            if op not in self._PRUNE_OPS:
+                raise EngineError(f"unsupported prune op {op!r} (use one of {self._PRUNE_OPS})")
+            if cols is not None and col not in name_to_id:
+                raise EngineError(f"unknown column {col!r} in {self.table_dir}")
+        kept = []
+        for f in snap.files:
+            stats = (snap.file_stats or {}).get(f) or {}
+            keep = True
+            for col, op, v in filters:
+                fid = name_to_id.get(col)
+                mm = stats.get(str(fid)) if fid is not None else None
+                if mm is None:
+                    continue  # no stats → unprunable for this column
+                lo, hi = mm
+                try:
+                    if (
+                        (op == "=" and (v < lo or v > hi))
+                        or (op == "<" and lo >= v)
+                        or (op == "<=" and lo > v)
+                        or (op == ">" and hi <= v)
+                        or (op == ">=" and hi < v)
+                    ):
+                        keep = False
+                        break
+                except TypeError:  # incomparable literal/stat types → keep
+                    continue
+            if keep:
+                kept.append(f)
+        return kept
+
+    def scan(self, filters: list[tuple[str, str, object]]) -> DataFrame:
+        """Filtered read with manifest-level file pruning: plan against the
+        zone maps (skip every file the predicate cannot match), then apply
+        the same predicate as a Spark filter over the survivors for exact
+        semantics. On a 100 TB table with clustered commits this reads the
+        few matching files, not the table — the same planning Iceberg does
+        with its manifest stats; parquet row-group pruning then applies
+        WITHIN the surviving files via the pushed-down filter."""
+        from pyspark.sql import functions as F
+
+        snap = self.current_snapshot()
+        if snap is None:
+            raise EngineError(f"table {self.table_dir} has no snapshots")
+        files = self.prune_files(snap, filters)
+        if not files:
+            return self._read_snapshot(snap).limit(0)
+        sub = dataclasses.replace(snap, files=tuple(files))
+        df = self._read_snapshot(sub, target_cols=snap.schema_columns)
+        ops = {
+            "=": lambda c, v: F.col(c) == v,
+            "<": lambda c, v: F.col(c) < v,
+            "<=": lambda c, v: F.col(c) <= v,
+            ">": lambda c, v: F.col(c) > v,
+            ">=": lambda c, v: F.col(c) >= v,
+        }
+        for col, op, v in filters:
+            df = df.filter(ops[op](col, v))
+        return df
 
     def read_as_of(self, ts: dt.datetime) -> DataFrame:
         """``FOR TIMESTAMP AS OF`` (B18): latest snapshot committed ≤ ts

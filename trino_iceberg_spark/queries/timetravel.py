@@ -204,3 +204,35 @@ def tt05_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "price", "batch_tag")
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "tt06_stats_pruned_scan",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey >= 1000 AND o_orderkey < 1400
+    ORDER BY o_orderkey
+    """,
+)
+def tt06_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-level zone-map scan planning (catalog/snapshots.py
+    prune_files/scan): four range-clustered commits record per-file
+    [min, max] footer stats in the manifest; a range predicate plans
+    against them and reads only the files it can match (the commits
+    covering other key bands are never opened), with the residual Spark
+    filter guaranteeing exactness. Iceberg-manifest-stats semantics;
+    pruning effectiveness is pinned in tests/test_snapshots.py."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    tdir = os.path.join(tempfile.gettempdir(), "tis_tt06_table")
+    shutil.rmtree(tdir, ignore_errors=True)
+    table = SnapshotTable(spark, tdir)
+    bands = [(0, 500), (500, 1000), (1000, 1400), (1400, 10**9)]
+    for lo, hi in bands:
+        table.append(
+            o.filter((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi))
+        )
+    return (
+        table.scan([("o_orderkey", ">=", 1000), ("o_orderkey", "<", 1400)])
+        .orderBy("o_orderkey")
+    )
