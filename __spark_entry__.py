@@ -108,6 +108,8 @@ _FRONT = [
     "tt04_sql_text_time_travel",
     "tt05_schema_evolution",
     "tt06_stats_pruned_scan",
+    "tt07_metadata_tables",
+    "tt08_wap_publish",
     # streaming (unblocked by the NTZ fix)
     "st01_windowed_stream",
     "st02_session_stream",

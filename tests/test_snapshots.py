@@ -341,3 +341,76 @@ def test_string_zone_maps(spark, tmp_path):
     snap = t.current_snapshot()
     assert len(t.prune_files(snap, [("w", ">=", "yak")])) < len(snap.files)
     assert {r["w"] for r in t.scan([("w", ">=", "yak")]).collect()} == {"yak", "zebra"}
+
+
+# --- branches, tags, write-audit-publish (Nessie-style refs) ---------------
+
+
+def test_wap_branch_isolated_until_publish(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "br1"))
+    t.append(spark.range(0, 10).select(F.col("id").alias("k")))
+    t.create_branch("audit")
+    t.append(spark.range(100, 105).select(F.col("id").alias("k")), branch="audit")
+    # main unchanged while the branch accumulates commits
+    assert t.read().count() == 10
+    assert t.read_ref("audit").count() == 15
+    t.publish("audit")
+    assert t.read().count() == 15  # one atomic pointer swap
+
+
+def test_branch_commits_do_not_leak_into_legacy_main(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "br2"))
+    t.append(spark.range(5).select(F.col("id").alias("k")))
+    t.create_branch("wip")  # pins main explicitly at snapshot 1
+    t.overwrite(spark.range(99).select(F.col("id").alias("k")), branch="wip")
+    assert t.read().count() == 5
+    assert t.read_ref("wip").count() == 99
+    assert t.read_ref("main").count() == 5
+
+
+def test_tag_is_immutable_and_survives_expiry(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "br3"))
+    t.append(spark.range(3).select(F.col("id").alias("k")))
+    t.create_tag("v1.0")
+    t.overwrite(spark.range(50).select(F.col("id").alias("k")))
+    t.overwrite(spark.range(60).select(F.col("id").alias("k")))
+    with pytest.raises(EngineError):
+        t.append(spark.range(1).select(F.col("id").alias("k")), branch="v1.0")
+    t.expire_snapshots(retain_last=1)
+    # the tagged snapshot survived expiry; untagged history is gone
+    assert t.read_ref("v1.0").count() == 3
+    assert t.read().count() == 60
+
+
+def test_duplicate_ref_and_drop(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "br4"))
+    t.append(spark.range(2).select(F.col("id").alias("k")))
+    t.create_branch("b")
+    with pytest.raises(EngineError):
+        t.create_tag("b")
+    with pytest.raises(EngineError):
+        t.drop_ref("main")
+    t.drop_ref("b")
+    with pytest.raises(EngineError):
+        t.read_ref("b")
+
+
+def test_metadata_tables(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "md1"))
+    t.append(spark.range(4).select(F.col("id").alias("k")))
+    t.append(spark.range(4, 6).select(F.col("id").alias("k")))
+    t.create_tag("rel")
+    snaps = t.snapshots_df().collect()
+    assert [(r["snapshot_id"], r["operation"], r["row_count"]) for r in snaps] == [
+        (1, "append", 4),
+        (2, "append", 6),
+    ]
+    files = t.files_df().collect()
+    assert len(files) == len(t.current_snapshot().files)
+    assert all(r["size_bytes"] > 0 for r in files)
+    # non-empty files carry zone maps; a 0-row partition file legitimately has none
+    assert sum(r["stats_columns"] >= 1 for r in files) >= 2
+    hist = t.history_df().collect()
+    assert [r["is_current"] for r in hist] == [False, True]
+    refs = {(r["name"], r["type"], r["snapshot_id"]) for r in t.refs_df().collect()}
+    assert ("main", "branch", 2) in refs and ("rel", "tag", 2) in refs

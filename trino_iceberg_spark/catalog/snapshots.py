@@ -84,6 +84,116 @@ class SnapshotTable:
         self.table_dir = os.path.abspath(table_dir)
         self.data_dir = os.path.join(self.table_dir, "data")
         self.metadata_dir = os.path.join(self.table_dir, "metadata")
+        self.refs_path = os.path.join(self.metadata_dir, "refs.json")
+
+    # -- named refs (Nessie-style branches & tags) -----------------------
+    def _load_refs(self) -> dict:
+        """Branch/tag pointers. The reference's catalog is Nessie, whose
+        whole point is git-like named refs over Iceberg snapshots; this is
+        the same model: a branch is a movable pointer commits advance, a
+        tag is an immutable one. Missing file → implicit ``main`` at the
+        latest snapshot (legacy tables)."""
+        if os.path.isfile(self.refs_path):
+            with open(self.refs_path, "r", encoding="utf-8") as fh:
+                return json.load(fh)
+        return {"branches": {}, "tags": {}}
+
+    def _save_refs(self, refs: dict) -> None:
+        os.makedirs(self.metadata_dir, exist_ok=True)
+        tmp = self.refs_path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(refs, fh)
+        os.replace(tmp, self.refs_path)
+
+    def _snapshot_by_id(self, snapshot_id: int) -> Snapshot:
+        for snap in self.snapshots():
+            if snap.snapshot_id == snapshot_id:
+                return snap
+        raise EngineError(f"snapshot {snapshot_id} not found in {self.table_dir}")
+
+    def _branch_head(self, branch: str) -> Snapshot | None:
+        refs = self._load_refs()
+        head = refs["branches"].get(branch)
+        if head is not None:
+            return self._snapshot_by_id(head)
+        if branch == "main":  # legacy/implicit main → newest manifest
+            snaps = self.snapshots()
+            return snaps[-1] if snaps else None
+        raise EngineError(f"branch {branch!r} not found in {self.table_dir}")
+
+    def create_branch(self, name: str, from_snapshot_id: int | None = None) -> None:
+        """Branch off the current main head (or an explicit snapshot) —
+        the start of a write-audit-publish flow: commit to the branch,
+        validate it, then ``publish`` to move main atomically."""
+        refs = self._load_refs()
+        if name in refs["branches"] or name in refs["tags"]:
+            raise EngineError(f"ref {name!r} already exists in {self.table_dir}")
+        head = from_snapshot_id
+        if head is None:
+            cur = self._branch_head("main")
+            if cur is None:
+                raise EngineError(f"cannot branch an empty table {self.table_dir}")
+            head = cur.snapshot_id
+        else:
+            self._snapshot_by_id(head)  # validate
+        self._pin_main(refs)
+        refs["branches"][name] = head
+        self._save_refs(refs)
+
+    def _pin_main(self, refs: dict) -> None:
+        """Before the first named ref exists, ``main`` floats at the newest
+        manifest (legacy behavior). The moment other refs can advance the
+        manifest chain, main must be pinned explicitly or it would silently
+        follow another branch's commits."""
+        if "main" not in refs["branches"]:
+            snaps = self.snapshots()
+            if snaps:
+                refs["branches"]["main"] = snaps[-1].snapshot_id
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
+        """Immutable named snapshot (release pinning); expire_snapshots
+        never drops a tagged snapshot."""
+        refs = self._load_refs()
+        if name in refs["branches"] or name in refs["tags"]:
+            raise EngineError(f"ref {name!r} already exists in {self.table_dir}")
+        if snapshot_id is None:
+            cur = self._branch_head("main")
+            if cur is None:
+                raise EngineError(f"cannot tag an empty table {self.table_dir}")
+            snapshot_id = cur.snapshot_id
+        else:
+            self._snapshot_by_id(snapshot_id)  # validate
+        self._pin_main(refs)
+        refs["tags"][name] = snapshot_id
+        self._save_refs(refs)
+
+    def read_ref(self, name: str) -> DataFrame:
+        """Read a branch head or tag by name (``main`` always works)."""
+        refs = self._load_refs()
+        if name in refs["tags"]:
+            return self._read_snapshot(self._snapshot_by_id(refs["tags"][name]))
+        head = self._branch_head(name)
+        if head is None:
+            raise EngineError(f"table {self.table_dir} has no snapshots")
+        return self._read_snapshot(head)
+
+    def publish(self, branch: str, to_branch: str = "main") -> None:
+        """Fast-forward ``to_branch`` to ``branch``'s head (the WAP
+        publish step): one atomic pointer swap, no data movement —
+        readers of main see the audited commits all at once."""
+        refs = self._load_refs()
+        if branch not in refs["branches"]:
+            raise EngineError(f"branch {branch!r} not found in {self.table_dir}")
+        refs["branches"][to_branch] = refs["branches"][branch]
+        self._save_refs(refs)
+
+    def drop_ref(self, name: str) -> None:
+        refs = self._load_refs()
+        if name == "main":
+            raise EngineError("cannot drop the main branch")
+        if refs["branches"].pop(name, None) is None and refs["tags"].pop(name, None) is None:
+            raise EngineError(f"ref {name!r} not found in {self.table_dir}")
+        self._save_refs(refs)
 
     # -- manifest I/O ----------------------------------------------------
     def _manifest_paths(self) -> list[str]:
@@ -114,15 +224,19 @@ class SnapshotTable:
         return out
 
     def current_snapshot(self) -> Snapshot | None:
-        snaps = self.snapshots()
-        return snaps[-1] if snaps else None
+        """Head of the ``main`` branch (the newest manifest on tables that
+        predate named refs)."""
+        return self._branch_head("main")
 
     # -- commits ---------------------------------------------------------
     def _write_manifest(self, prev: Snapshot | None, manifest: dict) -> Snapshot:
-        snapshot_id = (prev.snapshot_id + 1) if prev else 1
+        all_snaps = self.snapshots()
+        # max+1, not prev+1: branch commits chain from their own head but
+        # ids stay globally unique across branches
+        snapshot_id = (all_snaps[-1].snapshot_id + 1) if all_snaps else 1
         now_us = int(dt.datetime.now(dt.timezone.utc).timestamp() * 1e6)
-        if prev is not None and now_us <= prev.committed_at_us:
-            now_us = prev.committed_at_us + 1  # strictly increasing commit times
+        if all_snaps and now_us <= all_snaps[-1].committed_at_us:
+            now_us = all_snaps[-1].committed_at_us + 1  # strictly increasing
         manifest.update({"snapshot_id": snapshot_id, "committed_at_us": now_us})
         tmp = os.path.join(self.metadata_dir, f".v{snapshot_id}.json.tmp")
         final = os.path.join(self.metadata_dir, f"v{snapshot_id}.json")
@@ -175,10 +289,13 @@ class SnapshotTable:
                     cur[1] = max(cur[1], hi)
         return {str(k): v for k, v in agg.items()}
 
-    def _commit(self, df: DataFrame, operation: str) -> Snapshot:
+    def _commit(self, df: DataFrame, operation: str, branch: str = "main") -> Snapshot:
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.metadata_dir, exist_ok=True)
-        prev = self.current_snapshot()
+        refs = self._load_refs()
+        if branch in refs["tags"]:
+            raise EngineError(f"cannot commit to tag {branch!r} (tags are immutable)")
+        prev = self._branch_head(branch)
 
         # Resolve the schema this commit writes under. First data commit
         # (or a legacy table) derives ids positionally from the DataFrame;
@@ -237,7 +354,7 @@ class SnapshotTable:
             }
         file_schemas.update({f: schema_id for f in new_files})
         file_stats.update({f: self._collect_file_stats(f, cols) for f in new_files})
-        return self._write_manifest(
+        snap = self._write_manifest(
             prev,
             {
                 "operation": operation,
@@ -252,15 +369,20 @@ class SnapshotTable:
                 "file_stats": file_stats,
             },
         )
+        refs = self._load_refs()
+        refs["branches"][branch] = snap.snapshot_id
+        self._save_refs(refs)
+        return snap
 
-    def append(self, df: DataFrame) -> Snapshot:
+    def append(self, df: DataFrame, branch: str = "main") -> Snapshot:
         """INSERT INTO-style commit (B17; two INSERT commits are exactly the
-        time-travel test setup, AthenaClientTests.cs:351-365)."""
-        return self._commit(df, "append")
+        time-travel test setup, AthenaClientTests.cs:351-365). ``branch``
+        targets a staging branch for write-audit-publish flows."""
+        return self._commit(df, "append", branch)
 
-    def overwrite(self, df: DataFrame) -> Snapshot:
+    def overwrite(self, df: DataFrame, branch: str = "main") -> Snapshot:
         """INSERT OVERWRITE / CTAS-replace commit."""
-        return self._commit(df, "overwrite")
+        return self._commit(df, "overwrite", branch)
 
     # -- schema evolution (Iceberg-style, id-based) ----------------------
     def _evolve(self, operation: str, mutate) -> Snapshot:
@@ -292,7 +414,7 @@ class SnapshotTable:
         new_cols, last_column_id = mutate([dict(c) for c in cols], last_column_id)
         new_schema_id = schema_id + 1
         schemas[str(new_schema_id)] = new_cols
-        return self._write_manifest(
+        snap = self._write_manifest(
             prev,
             {
                 "operation": operation,
@@ -305,6 +427,10 @@ class SnapshotTable:
                 "file_stats": dict(prev.file_stats or {}),
             },
         )
+        refs = self._load_refs()
+        refs["branches"]["main"] = snap.snapshot_id
+        self._save_refs(refs)
+        return snap
 
     def add_column(self, name: str, type_ddl: str) -> Snapshot:
         """ADD COLUMN: new field id, no data rewrite — files written before
@@ -426,6 +552,66 @@ class SnapshotTable:
         if snap is None:
             raise EngineError(f"table {self.table_dir} has no snapshots")
         return self._read_snapshot(snap)
+
+    # -- metadata tables (Iceberg $snapshots / $files / $history / refs) --
+    def snapshots_df(self) -> DataFrame:
+        """The ``table$snapshots`` metadata relation: one row per snapshot
+        with commit time, operation, row count, file count, schema id."""
+        rows = [
+            (
+                s.snapshot_id,
+                s.committed_at,
+                s.operation,
+                s.row_count,
+                len(s.files),
+                s.schema_id,
+            )
+            for s in self.snapshots()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id int, committed_at timestamp, operation string, "
+            "row_count long, file_count int, schema_id int",
+        )
+
+    def files_df(self) -> DataFrame:
+        """The ``table$files`` relation for the current snapshot: path,
+        size, write-schema id, and how many columns carry zone maps."""
+        snap = self.current_snapshot()
+        if snap is None:
+            raise EngineError(f"table {self.table_dir} has no snapshots")
+        rows = []
+        for f in snap.files:
+            full = os.path.join(self.table_dir, f)
+            size = os.path.getsize(full) if os.path.exists(full) else None
+            sid = (snap.file_schemas or {}).get(f, snap.schema_id)
+            nstats = len((snap.file_stats or {}).get(f) or {})
+            rows.append((f, size, sid, nstats))
+        return self.spark.createDataFrame(
+            rows, "file string, size_bytes long, schema_id int, stats_columns int"
+        )
+
+    def history_df(self) -> DataFrame:
+        """The ``table$history`` relation: commit chain with an
+        is_current_ancestor-style flag for the main head."""
+        cur = self.current_snapshot()
+        rows = [
+            (s.committed_at, s.snapshot_id, s.snapshot_id == (cur.snapshot_id if cur else -1))
+            for s in self.snapshots()
+        ]
+        return self.spark.createDataFrame(
+            rows, "made_current_at timestamp, snapshot_id int, is_current boolean"
+        )
+
+    def refs_df(self) -> DataFrame:
+        """Nessie-style ref listing: name, type (branch|tag), snapshot."""
+        refs = self._load_refs()
+        rows = [("main", "branch", (self.current_snapshot() or Snapshot(0, 0, "", (), 0)).snapshot_id)]
+        rows += [
+            (n, "branch", sid) for n, sid in sorted(refs["branches"].items()) if n != "main"
+        ]
+        rows += [(n, "tag", sid) for n, sid in sorted(refs["tags"].items())]
+        return self.spark.createDataFrame(rows, "name string, type string, snapshot_id int")
 
     # -- stats-pruned scans ----------------------------------------------
     _PRUNE_OPS = ("=", "<", "<=", ">", ">=")
@@ -651,6 +837,10 @@ class SnapshotTable:
         keep = [s for s in snaps if s.committed_at_us >= cutoff_us]
         must_keep = snaps[-retain_last:] if retain_last > 0 else []
         keep_ids = {s.snapshot_id for s in keep} | {s.snapshot_id for s in must_keep}
+        # named refs pin their snapshots: a tagged release or a live branch
+        # head never expires out from under its readers
+        refs = self._load_refs()
+        keep_ids |= set(refs["branches"].values()) | set(refs["tags"].values())
         expired = [s for s in snaps if s.snapshot_id not in keep_ids]
         live_files = set()
         for s in snaps:

@@ -236,3 +236,74 @@ def tt06_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         table.scan([("o_orderkey", ">=", 1000), ("o_orderkey", "<", 1400)])
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "tt07_metadata_tables",
+    oracle="""
+    SELECT 1 AS snapshot_id, 'append' AS operation,
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0) AS row_count
+    UNION ALL
+    SELECT 2, 'append', (SELECT COUNT(*) FROM orders)
+    UNION ALL
+    SELECT 3, 'overwrite', (SELECT COUNT(*) FROM orders WHERE o_orderkey % 7 <> 0)
+    ORDER BY snapshot_id
+    """,
+)
+def tt07_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg ``table$snapshots``-style metadata relation
+    (catalog/snapshots.py snapshots_df; files_df/history_df/refs_df are
+    its siblings, pinned in tests/test_snapshots.py): after a
+    deterministic append→append→DELETE history, the commit log's
+    (snapshot_id, operation, row_count) must equal what the oracle
+    derives from the source table — proving manifest row accounting
+    across append accumulation and copy-on-write delete."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    tdir = os.path.join(tempfile.gettempdir(), "tis_tt07_table")
+    shutil.rmtree(tdir, ignore_errors=True)
+    table = SnapshotTable(spark, tdir)
+    table.append(o.filter(F.col("o_orderkey") % 2 == 0))
+    table.append(o.filter(F.col("o_orderkey") % 2 == 1))
+    table.delete_where(F.col("o_orderkey") % 7 == 0)
+    return (
+        table.snapshots_df()
+        .select(
+            "snapshot_id",
+            "operation",
+            F.col("row_count").cast("long").alias("row_count"),
+        )
+        .orderBy("snapshot_id")
+    )
+
+
+@register(
+    "tt08_wap_publish",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders WHERE o_custkey <= 150
+    ORDER BY o_orderkey
+    """,
+)
+def tt08_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish over Nessie-style branches
+    (catalog/snapshots.py create_branch/publish — the reference's catalog
+    IS Nessie, whose model is exactly these git-like refs): commit 1 lands
+    even keys on main; odd keys go to a staging branch (main stays
+    isolated — pinned in tests); publish fast-forwards main in one atomic
+    pointer swap. The final main read must equal the full source table."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tdir = os.path.join(tempfile.gettempdir(), "tis_tt08_table")
+    shutil.rmtree(tdir, ignore_errors=True)
+    table = SnapshotTable(spark, tdir)
+    table.append(o.filter(F.col("o_orderkey") % 2 == 0))
+    table.create_branch("audit")
+    table.append(o.filter(F.col("o_orderkey") % 2 == 1), branch="audit")
+    table.publish("audit")
+    return (
+        table.read()
+        .filter(F.col("o_custkey") <= 150)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
