@@ -116,6 +116,7 @@ _FRONT = [
     "st03_sliding_stream",
     "st04_stream_stream_join",
     "st05_stateful_running_totals",
+    "st06_stream_snapshot_ingest",
     # oracle-backed dedup / similarity
     "dd09_fuzzy_linkage",
     "ss06_embedding_centroids",

