@@ -115,11 +115,12 @@ _FRONT = [
     "st02_session_stream",
     "st03_sliding_stream",
     "st04_stream_stream_join",
-    "st05_stateful_running_totals",
-    "st06_stream_snapshot_ingest",
-    # oracle-backed dedup / similarity
+    # oracle-backed dedup / similarity (older backlog — ahead of the two
+    # newest streaming entries, which were locally gated this round)
     "dd09_fuzzy_linkage",
     "ss06_embedding_centroids",
+    "st05_stateful_running_totals",
+    "st06_stream_snapshot_ingest",
     # --- rows-only tail (weaker driver verdict; pytest pins quality) ---
     "dd03_minhash_lsh_pairs",
     "dd05_simhash_pairs",
