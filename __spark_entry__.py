@@ -93,6 +93,7 @@ _FRONT = [
     # profiling / splits / skew
     "pr01_table_profile",
     "pr02_correlation_matrix",
+    "pr03_quality_expectations",
     "sp01_dataset_split",
     "sp02_stratified_sample",
     "sp03_global_shuffle",

@@ -533,3 +533,30 @@ def test_percentile_band_filter_drops_tails(spark):
     kept = sorted(r["id"] for r in percentile_band_filter(df, "s", 0.1, 0.9).collect())
     # p10 of 1..100 = 10.9, p90 = 90.1 (linear interpolation)
     assert kept[0] == 11 and kept[-1] == 90
+
+
+def test_expectations_report_catches_violations(spark):
+    from trino_iceberg_spark.operators.profiling import expectations_report
+
+    df = spark.createDataFrame(
+        [(1, "en", 5), (2, "en", 50), (2, "xx", None), (None, "de", 7)],
+        "id long, lang string, n long",
+    )
+    out = {
+        (r["rule"], r["column"]): (r["violations"], r["total"], r["passed"])
+        for r in expectations_report(
+            df,
+            [
+                ("not_null", "id"),
+                ("unique", "id"),
+                ("range", "n", 1, 10),
+                ("in_set", "lang", ["en", "de"]),
+            ],
+        ).collect()
+    }
+    assert out[("not_null", "id")] == (1, 4, False)
+    assert out[("unique", "id")] == (1, 4, False)  # id=2 twice
+    assert out[("range", "n")] == (1, 4, False)  # 50 out of range; NULL ignored
+    assert out[("in_set", "lang")] == (1, 4, False)  # 'xx'
+    clean = expectations_report(df.filter("id = 1"), [("not_null", "id")]).collect()
+    assert clean[0]["passed"] is True

@@ -414,3 +414,18 @@ def test_metadata_tables(spark, tmp_path):
     assert [r["is_current"] for r in hist] == [False, True]
     refs = {(r["name"], r["type"], r["snapshot_id"]) for r in t.refs_df().collect()}
     assert ("main", "branch", 2) in refs and ("rel", "tag", 2) in refs
+
+
+def test_cluster_by_makes_single_commit_prunable(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "zm6"))
+    # ONE commit of the whole key space, range-clustered into tight files
+    t.overwrite(
+        spark.range(0, 1000).select(F.col("id").alias("k")),
+        cluster_by=["k"],
+        cluster_partitions=8,
+    )
+    snap = t.current_snapshot()
+    assert len(snap.files) > 1
+    pruned = t.prune_files(snap, [("k", ">=", 990)])
+    assert len(pruned) < len(snap.files)  # clustering made zone maps selective
+    assert t.scan([("k", ">=", 990)]).count() == 10

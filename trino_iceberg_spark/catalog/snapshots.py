@@ -38,6 +38,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..errors import EngineError
 
@@ -289,12 +290,31 @@ class SnapshotTable:
                     cur[1] = max(cur[1], hi)
         return {str(k): v for k, v in agg.items()}
 
-    def _commit(self, df: DataFrame, operation: str, branch: str = "main") -> Snapshot:
+    def _commit(
+        self,
+        df: DataFrame,
+        operation: str,
+        branch: str = "main",
+        cluster_by: list[str] | None = None,
+        cluster_partitions: int | None = None,
+    ) -> Snapshot:
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.metadata_dir, exist_ok=True)
         refs = self._load_refs()
         if branch in refs["tags"]:
             raise EngineError(f"cannot commit to tag {branch!r} (tags are immutable)")
+        if cluster_by:
+            # Range-partition + sort so each data file covers a tight,
+            # nearly disjoint key range — this is what makes the zone maps
+            # recorded below selective (Iceberg's write.distribution-mode=
+            # range + sort-order). Without clustering, every file spans the
+            # whole key space and min/max pruning can never skip anything.
+            # cluster_partitions pins the file count (target file size at
+            # scale); default lets AQE pick.
+            args = ([cluster_partitions] if cluster_partitions else []) + [
+                F.col(c) for c in cluster_by
+            ]
+            df = df.repartitionByRange(*args).sortWithinPartitions(*cluster_by)
         prev = self._branch_head(branch)
 
         # Resolve the schema this commit writes under. First data commit
@@ -374,15 +394,30 @@ class SnapshotTable:
         self._save_refs(refs)
         return snap
 
-    def append(self, df: DataFrame, branch: str = "main") -> Snapshot:
+    def append(
+        self,
+        df: DataFrame,
+        branch: str = "main",
+        cluster_by: list[str] | None = None,
+        cluster_partitions: int | None = None,
+    ) -> Snapshot:
         """INSERT INTO-style commit (B17; two INSERT commits are exactly the
         time-travel test setup, AthenaClientTests.cs:351-365). ``branch``
-        targets a staging branch for write-audit-publish flows."""
-        return self._commit(df, "append", branch)
+        targets a staging branch for write-audit-publish flows;
+        ``cluster_by`` range-clusters the data files so zone-map pruning
+        (``scan``) can skip files within this commit; ``cluster_partitions``
+        pins the output file count."""
+        return self._commit(df, "append", branch, cluster_by, cluster_partitions)
 
-    def overwrite(self, df: DataFrame, branch: str = "main") -> Snapshot:
+    def overwrite(
+        self,
+        df: DataFrame,
+        branch: str = "main",
+        cluster_by: list[str] | None = None,
+        cluster_partitions: int | None = None,
+    ) -> Snapshot:
         """INSERT OVERWRITE / CTAS-replace commit."""
-        return self._commit(df, "overwrite", branch)
+        return self._commit(df, "overwrite", branch, cluster_by, cluster_partitions)
 
     # -- schema evolution (Iceberg-style, id-based) ----------------------
     def _evolve(self, operation: str, mutate) -> Snapshot:

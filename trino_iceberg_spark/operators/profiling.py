@@ -16,7 +16,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_columns", "group_zscore_outliers", "column_correlations"]
+__all__ = [
+    "profile_columns",
+    "group_zscore_outliers",
+    "column_correlations",
+    "expectations_report",
+]
 
 
 def profile_columns(
@@ -146,3 +151,56 @@ def column_correlations(df: DataFrame, cols: list[str]) -> DataFrame:
         ]
     )
     return row.select(F.explode(structs).alias("_e")).select("_e.*")
+
+
+def expectations_report(df: DataFrame, rules: list[tuple]) -> DataFrame:
+    """Declarative data-quality gate (the Deequ/Great-Expectations shape,
+    engine-native): evaluate every rule in ONE wide aggregate over a single
+    scan and return one row per rule —
+    ``(rule, column, violations, total, passed)``.
+
+    Supported rules:
+      ("not_null", col)            — col IS NULL counts as a violation
+      ("unique", col)              — duplicated values (count - distinct)
+      ("range", col, lo, hi)       — non-null values outside [lo, hi]
+      ("in_set", col, values)      — non-null values not in the set
+      ("matches", col, regex)      — non-null values not matching
+
+    Scale shape: every rule compiles to a conditional-count expression in
+    the same aggregate, so the whole report is one scan + a 1-row reduce
+    regardless of rule count ("unique" adds a count-distinct expansion on
+    its column — still partial-aggregated map-side). No rule loops over
+    the data separately; adding a rule adds an expression, not a pass."""
+    aggs = [F.count(F.lit(1)).alias("_total")]
+    meta: list[tuple[str, str]] = []
+    for i, rule in enumerate(rules):
+        kind, col = rule[0], rule[1]
+        c = F.col(col)
+        if kind == "not_null":
+            viol = F.count_if(c.isNull())
+        elif kind == "unique":
+            viol = F.count(c) - F.count_distinct(c)
+        elif kind == "range":
+            lo, hi = rule[2], rule[3]
+            viol = F.count_if(c.isNotNull() & ~c.between(lo, hi))
+        elif kind == "in_set":
+            viol = F.count_if(c.isNotNull() & ~c.isin(list(rule[2])))
+        elif kind == "matches":
+            viol = F.count_if(c.isNotNull() & ~c.rlike(rule[2]))
+        else:
+            raise ValueError(f"unknown expectation rule {kind!r}")
+        aggs.append(viol.cast("long").alias(f"_v{i}"))
+        meta.append((kind, col))
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{kind}', '{col}', _v{i}" for i, (kind, col) in enumerate(meta)
+    )
+    return wide.selectExpr(
+        f"stack({len(meta)}, {stack_args}) AS (rule, column, violations)", "_total"
+    ).select(
+        "rule",
+        "column",
+        "violations",
+        F.col("_total").cast("long").alias("total"),
+        (F.col("violations") == 0).alias("passed"),
+    )

@@ -829,6 +829,63 @@ def pr01_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pr03_quality_expectations",
+    oracle="""
+    WITH checks AS (
+        SELECT 'not_null' AS rule, 'doc_id' AS "column",
+               COUNT(CASE WHEN doc_id IS NULL THEN 1 END) AS violations,
+               COUNT(*) AS total
+        FROM documents
+        UNION ALL
+        SELECT 'unique', 'doc_id',
+               COUNT(doc_id) - COUNT(DISTINCT doc_id), COUNT(*)
+        FROM documents
+        UNION ALL
+        SELECT 'range', 'n_chars',
+               COUNT(CASE WHEN n_chars IS NOT NULL
+                          AND n_chars NOT BETWEEN 1 AND 10000 THEN 1 END),
+               COUNT(*)
+        FROM documents
+        UNION ALL
+        SELECT 'in_set', 'lang',
+               COUNT(CASE WHEN lang IS NOT NULL
+                          AND lang NOT IN ('en','de','fr','es','zh','ja') THEN 1 END),
+               COUNT(*)
+        FROM documents
+        UNION ALL
+        SELECT 'matches', 'source',
+               COUNT(CASE WHEN source IS NOT NULL
+                          AND NOT regexp_matches(source, '^src[0-9]+$') THEN 1 END),
+               COUNT(*)
+        FROM documents
+    )
+    SELECT rule, "column", violations, total, violations = 0 AS passed
+    FROM checks ORDER BY rule, "column"
+    """,
+)
+def pr03_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (operators.profiling.
+    expectations_report, the Deequ/Great-Expectations shape): five rules —
+    not-null, uniqueness, numeric range, categorical domain, regex — all
+    evaluated in ONE wide aggregate over a single scan (adding a rule adds
+    an expression, not a pass). The oracle recomputes each rule as plain
+    SQL."""
+    from ..operators.profiling import expectations_report
+
+    d = load_table(spark, sf_dir, "documents")
+    return expectations_report(
+        d,
+        [
+            ("not_null", "doc_id"),
+            ("unique", "doc_id"),
+            ("range", "n_chars", 1, 10000),
+            ("in_set", "lang", ["en", "de", "fr", "es", "zh", "ja"]),
+            ("matches", "source", "^src[0-9]+$"),
+        ],
+    ).orderBy("rule", "column")
+
+
+@register(
     "sp01_dataset_split",
     oracle="""
     SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
