@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "tx13_rarity_scores",
     "sp04_sequence_packing",
     "dd11_semantic_dedup",
+    "dd12_passage_dedup",
 ]
 
 

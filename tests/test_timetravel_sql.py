@@ -134,3 +134,28 @@ def test_parse_ts_literal_forms():
     assert parse_ts_literal("2024-01-15").day == 15
     with pytest.raises(QueryError):
         parse_ts_literal("not a timestamp")
+
+
+def test_metadata_tables_in_sql_text(spark, tmp_path):
+    from trino_iceberg_spark.client import AthenaSparkClient
+    from trino_iceberg_spark.catalog.snapshots import SnapshotTable
+
+    tdir = str(tmp_path / "meta_sql")
+    t = SnapshotTable(spark, tdir)
+    t.append(spark.range(4).toDF("id"))
+    t.append(spark.range(4, 6).toDF("id"))
+    client = AthenaSparkClient(spark)
+    client.register_snapshot_table("events_meta", tdir)
+    rows = client.query(
+        "SELECT snapshot_id, operation, row_count FROM `events_meta$snapshots` "
+        "ORDER BY snapshot_id"
+    )
+    assert [(r["snapshot_id"], r["operation"], r["row_count"]) for r in rows] == [
+        (1, "append", 4),
+        (2, "append", 6),
+    ]
+    # unquoted form + a different metadata relation + ordinary reads coexist
+    n_files = client.query_scalar("SELECT COUNT(*) FROM events_meta$files")
+    assert n_files == len(t.current_snapshot().files)
+    total = client.query_scalar("SELECT COUNT(*) FROM events_meta")
+    assert total == 6

@@ -150,13 +150,45 @@ def rewrite_time_travel(
     def in_literal(pos: int) -> bool:
         return any(s <= pos < e for s, e in literal_spans)
 
-    # (start, end, replacement) spans, built clause-first so bare-name
-    # matches inside a clause span are dropped as overlaps.
+    # (start, end, replacement) spans. Metadata tables first (their names
+    # CONTAIN a registered name, so they must claim their spans before the
+    # bare-name pass), then time-travel clauses, then bare names; later
+    # passes drop any match overlapping an earlier span.
     repls: list[tuple[int, int, str]] = []
+    if "$" in sql and registered:
+        # Trino-style metadata relations: <table>$snapshots / $files /
+        # $history / $refs (optionally backtick-quoted), served fresh from
+        # the manifests at rewrite time.
+        _META_DF = {
+            "snapshots": lambda t: t.snapshots_df(),
+            "files": lambda t: t.files_df(),
+            "history": lambda t: t.history_df(),
+            "refs": lambda t: t.refs_df(),
+        }
+        for name in registered:
+            pat = (
+                rf"(?<![\w.$])`?(?P<tbl>{re.escape(name)})"
+                rf"\$(?P<kind>snapshots|files|history|refs)`?(?!\w)"
+            )
+            meta_views: dict[str, str] = {}
+            for m in re.finditer(pat, sql, re.IGNORECASE):
+                if in_literal(m.start()):
+                    continue
+                kind = m.group("kind").lower()
+                if kind not in meta_views:
+                    table = resolver.resolve(spark, name)
+                    if table is None:
+                        continue
+                    view = f"__meta_{name.split('.')[-1]}_{kind}_{uuid.uuid4().hex[:8]}"
+                    _META_DF[kind](table).createOrReplaceTempView(view)
+                    meta_views[kind] = view
+                repls.append((m.start(), m.end(), meta_views[kind]))
     if has_clause:
         for m in _TT_RE.finditer(sql):
             if in_literal(m.start()) or m.group("table").lower() in _KEYWORDS_NOT_TABLES:
                 continue
+            if any(s < m.end() and m.start() < e for s, e, _ in repls):
+                continue  # inside a metadata-table span
             name = m.group("table")
             if resolver is None:
                 raise QueryError(
