@@ -160,3 +160,28 @@ def test_sp04_packing_no_global_data_window(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     # the corpus-side window is keyed by the derived bucket column
     assert "_bucket" in plan
+
+
+def test_evolved_snapshot_read_keeps_pushdown(spark, tmp_path):
+    """Schema evolution must not cost the scan its pushdown: a filter on a
+    RENAMED column has to reach the parquet reader under the file's
+    on-disk name, and the read schema must stay pruned (the id-resolution
+    projection is alias+cast only; SimplifyCasts elides same-type casts)."""
+    from pyspark.sql import functions as F
+
+    from trino_iceberg_spark.catalog.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "evplan"))
+    t.append(spark.range(100).select(F.col("id").alias("old"), (F.col("id") * 2).alias("x")))
+    t.rename_column("old", "k")
+    t.add_column("z", "int")
+    plan = (
+        t.read()
+        .filter(F.col("k") == 5)
+        .select("k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EqualTo(old,5)" in plan  # pushed down under the on-disk name
+    assert "ReadSchema: struct<old:bigint>" in plan  # pruned to the one column
