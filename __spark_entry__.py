@@ -85,6 +85,7 @@ _FRONT = [
     "cu02_curation_report",
     "cu03_decontaminate",
     "cu04_length_band_filter",
+    "cu05_contamination_report",
     "dd12_passage_dedup",
     # multimodal plumbing (mm03 is rows-only, below)
     "mm01_media_metadata",

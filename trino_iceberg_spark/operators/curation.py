@@ -24,6 +24,7 @@ __all__ = [
     "curation_report",
     "decontaminate",
     "percentile_band_filter",
+    "contamination_report",
 ]
 
 
@@ -160,4 +161,50 @@ def percentile_band_filter(
         d.crossJoin(F.broadcast(th))
         .filter(F.col("_score").between(F.col("_lo"), F.col("_hi")))
         .drop("_score", "_lo", "_hi")
+    )
+
+
+def contamination_report(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    k: int = 8,
+) -> DataFrame:
+    """Per-document contamination scoring — the report companion to
+    :func:`decontaminate`: for every training document, the count and
+    fraction of its distinct ``k``-grams that collide with the benchmark
+    set. Where decontaminate drops on ≥1 hit, the report lets a pipeline
+    rank partial overlaps (near-verbatim leaks vs one idiomatic phrase)
+    and pick its own threshold.
+
+    Same scale shape as decontaminate: 8-byte hashed grams, benchmark
+    side broadcast, one corpus scan; the per-doc aggregate shuffles on
+    ``id_col`` with map-side combine. Documents too short to form a
+    ``k``-gram are reported with zero grams."""
+    from .dedup import shingle_hashes
+
+    bench_col = bench_text_col or text_col
+    bench_grams = benchmark.select(
+        F.explode(shingle_hashes(bench_col, k)).alias("_g")
+    ).distinct()
+    doc_grams = df.select(
+        F.col(id_col), F.explode_outer(shingle_hashes(text_col, k)).alias("_g")
+    )
+    scored = doc_grams.join(
+        F.broadcast(bench_grams.withColumn("_hit", F.lit(1))), "_g", "left"
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.col("_g")).alias("n_grams"),
+            F.count(F.col("_hit")).alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination",
+            F.when(
+                F.col("n_grams") > 0, F.col("n_contaminated") / F.col("n_grams")
+            ).otherwise(F.lit(0.0)),
+        )
     )

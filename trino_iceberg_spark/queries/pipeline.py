@@ -1285,6 +1285,51 @@ def tx12_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cu05_contamination_report",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, g
+        FROM toks, UNNEST(list_distinct(list_transform(
+            range(len(ws) - 7),
+            i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] || ' '
+                 || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] || ' ' || ws[i+8]
+        ))) AS u(g)
+    ), bench AS (
+        SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0
+    ), rep AS (
+        SELECT gr.doc_id, COUNT(*) AS n_grams, COUNT(b.g) AS n_contaminated
+        FROM grams gr LEFT JOIN bench b ON gr.g = b.g
+        GROUP BY gr.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(r.n_grams, 0) AS n_grams,
+           COALESCE(r.n_contaminated, 0) AS n_contaminated,
+           CASE WHEN COALESCE(r.n_grams, 0) > 0
+                THEN CAST(r.n_contaminated AS DOUBLE) / r.n_grams
+                ELSE 0.0 END AS contamination
+    FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def cu05_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document contamination scoring (operators.curation.
+    contamination_report): fraction of each doc's distinct 8-grams
+    colliding with the benchmark slice (doc_id % 10 = 0 — so benchmark
+    docs score 1.0 against themselves and true partial overlaps rank
+    between). Same broadcast-semi-join scale shape as cu03; the oracle
+    recomputes count and fraction with raw string grams."""
+    from ..operators.curation import contamination_report
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 10 == 0)
+    return contamination_report(d, bench, "text", "doc_id", k=8).orderBy("doc_id")
+
+
+@register(
     "cu03_decontaminate",
     oracle="""
     WITH toks AS (
