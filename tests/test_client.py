@@ -409,3 +409,25 @@ def test_execute_batch_concurrent_failure_propagates_after_settling(client, spar
     # The healthy statement still landed (Task.WhenAll settles all tasks).
     assert client.query_scalar("SELECT COUNT(*) FROM common_test_data.batch_ok") == 1
     spark.sql("DROP TABLE common_test_data.batch_ok")
+
+
+def test_unload_partitioned_by_hive_layout(spark, fs_client_backed):
+    resp = fs_client_backed.unload(
+        "SELECT * FROM common_test_data.category_data",
+        path="exports/part1",
+        partitioned_by=["category"],
+    )
+    assert resp.row_count == 4
+    import os
+
+    subdirs = sorted(
+        d for d in os.listdir(resp.output_path)
+        if os.path.isdir(os.path.join(resp.output_path, d))
+    )
+    assert subdirs == ["category=A", "category=B"]  # hive key=value layout
+    back = spark.read.parquet(resp.output_path)
+    assert back.count() == 4
+    # partition column recovered from the path, not stored in data files
+    assert {r["category"] for r in back.collect()} == {"A", "B"}
+    got = sorted((r["amount"], r["category"]) for r in back.collect())
+    assert got == [(100, "A"), (150, "A"), (200, "B"), (300, "B")]

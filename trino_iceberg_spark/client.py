@@ -178,6 +178,7 @@ class AthenaSparkClient:
         compression: str | None = None,
         num_files: int | None = None,
         options: dict[str, str] | None = None,
+        partitioned_by: list[str] | None = None,
     ) -> UnloadResponse:
         """A3 ``UnloadAsync`` (AthenaClient.cs:116-208): query → data files
         placed *flat* at the target path.
@@ -186,6 +187,9 @@ class AthenaSparkClient:
         emits CSV/JSON/ORC — ``format`` covers those (CSV headerless by
         default, like Athena; pass ``options={"header": "true"}`` to
         change). ``options`` passes through to the DataFrameWriter.
+        ``partitioned_by`` mirrors Athena's ``WITH (partitioned_by=
+        ARRAY[...])``: hive ``key=value`` directory layout (partition
+        columns leave the data files) instead of the flat-file contract.
 
         Observable contract (AthenaClientTests.cs:98-345):
         - result files are ``*.parquet`` directly at ``{bucket}/{path}`` —
@@ -226,10 +230,37 @@ class AthenaSparkClient:
                 writer = writer.options(**options)
             if compression:
                 writer = writer.option("compression", compression)
+            if partitioned_by:
+                # Athena's UNLOAD ... WITH (partitioned_by=ARRAY[...]):
+                # hive key=value directory layout instead of the flat file
+                # contract; partition columns leave the data files, exactly
+                # as Athena/Hive write them.
+                writer = writer.partitionBy(*partitioned_by)
             writer.save(temp_dir)
             row_count = int(obs.get["n"])
             os.makedirs(target_dir, exist_ok=True)
             moved = 0
+            if partitioned_by:
+                for root, _dirs, files in os.walk(temp_dir):
+                    rel = os.path.relpath(root, temp_dir)
+                    for fn in sorted(files):
+                        if fn.startswith(("_", ".")) or fn.endswith(".crc"):
+                            continue
+                        suffix = fn[fn.index(".") :] if "." in fn else ""
+                        dest_dir = (
+                            target_dir
+                            if rel == "."
+                            else os.path.join(target_dir, rel)
+                        )
+                        os.makedirs(dest_dir, exist_ok=True)
+                        shutil.move(
+                            os.path.join(root, fn),
+                            os.path.join(
+                                dest_dir, f"part-{run_id[:8]}-{moved:05d}{suffix}"
+                            ),
+                        )
+                        moved += 1
+                return UnloadResponse(row_count=row_count, output_path=target_dir)
             for fn in sorted(os.listdir(temp_dir)):
                 if fn.startswith("_") or fn.startswith(".") or fn.endswith(".crc"):
                     continue  # _SUCCESS / CRC droppings are never exported
