@@ -16,7 +16,7 @@ Two adapter concerns live here, both driver-facing:
    order: first this round's fix verifications and the entries no prior
    CORRECTNESS run has checked (see ``_FRONT``), then remaining
    unchecked entries, then families already proved green. Nothing is
-   dropped — a driver with budget for all 143 still checks all 143.
+   dropped — a driver with budget for all 158 still checks all 158.
 
 2. **Session tuning.** The driver supplies its own SparkSession; wrap
    every callable to pin the runtime SQL confs correctness and speed
@@ -52,12 +52,13 @@ _TUNED_CONFS = {
 # the TIMESTAMP_NTZ regression, fixed in sources/testdata.py:load_table;
 # tpch_q1 was a decimal-representation hash mismatch, fixed with the q3
 # sum→DECIMAL(28,4)→DOUBLE construction), then every entry no CORRECTNESS
-# run has ever checked (r01+r02 covered 96; 53 remain vs a ~50/round
-# budget). Within the unchecked set, oracle-backed entries come before
-# rows-only ones: a hash verdict is strictly more informative than a
-# ran-and-produced-rows verdict, and the rows-only entries are already
-# recall/accuracy-pinned by pytest. The ~6 entries past the budget line
-# are all rows-only and roll to round 4.
+# run has ever checked (r01+r02 covered 96 of a registry that has since
+# grown to 158; 62 remain vs a ~50/round budget). Within the unchecked
+# set, oracle-backed entries come before rows-only ones: a hash verdict
+# is strictly more informative than a ran-and-produced-rows verdict, and
+# the rows-only entries are already recall/accuracy-pinned by pytest.
+# Entries past the budget line (the rows-only tail plus the newest
+# locally-gated additions) roll to round 4.
 _FRONT = [
     # round-2 failures, fixed
     "w03_lag_lead",

@@ -431,3 +431,19 @@ def test_unload_partitioned_by_hive_layout(spark, fs_client_backed):
     assert {r["category"] for r in back.collect()} == {"A", "B"}
     got = sorted((r["amount"], r["category"]) for r in back.collect())
     assert got == [(100, "A"), (150, "A"), (200, "B"), (300, "B")]
+
+
+def test_query_pandas_and_arrow(client):
+    pdf = client.query_pandas(
+        "SELECT category, SUM(amount) AS total FROM common_test_data.category_data "
+        "GROUP BY category ORDER BY category"
+    )
+    assert list(pdf["category"]) == ["A", "B"] and list(pdf["total"]) == [250, 500]
+    tbl = client.query_arrow(
+        "SELECT category, SUM(amount) AS total FROM common_test_data.category_data "
+        "GROUP BY category ORDER BY category"
+    )
+    import pyarrow as pa
+
+    assert isinstance(tbl, pa.Table)
+    assert tbl.column("total").to_pylist() == [250, 500]

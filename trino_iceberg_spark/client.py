@@ -91,6 +91,17 @@ class AthenaSparkClient:
         (AthenaClient.cs:77, result streaming in SURVEY.md §4)."""
         return self.sql_df(sql, *params).toLocalIterator()
 
+    def query_pandas(self, sql: str, *params: Any):
+        """Result as a pandas DataFrame (Arrow transfer — the analytics-
+        notebook companion to A1's typed rows). Driver-side by contract,
+        like every query_* materializer."""
+        return self.sql_df(sql, *params).toPandas()
+
+    def query_arrow(self, sql: str, *params: Any):
+        """Result as a ``pyarrow.Table`` — zero-copy handoff to Arrow-
+        native writers/IPC without a pandas detour."""
+        return self.sql_df(sql, *params).toArrow()
+
     def query_scalar(self, sql: str, *params: Any, type_: Type[T] | None = None) -> T | None:
         """A2 ``QueryScalarAsync<T>`` (AthenaClient.cs:72-104): first column of
         the first row, coerced; ``None`` when no rows or NULL — never 0."""
