@@ -105,6 +105,7 @@ _FRONT = [
     "sk02_salted_join",
     # hypertable rollup + time travel
     "ev08_hypertable_rollup",
+    "ev09_sketch_rollup",
     "tt01_timestamp_as_of",
     "tt02_version_as_of",
     "tt03_snapshot_changelog",

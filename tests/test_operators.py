@@ -560,3 +560,26 @@ def test_expectations_report_catches_violations(spark):
     assert out[("in_set", "lang")] == (1, 4, False)  # 'xx'
     clean = expectations_report(df.filter("id = 1"), [("not_null", "id")]).collect()
     assert clean[0]["passed"] is True
+
+
+def test_sketch_rollup_cascade_accuracy(spark, sf_dir):
+    """Daily estimates derived by UNIONING hourly sketches must sit within
+    HLL's error envelope of the exact per-day distinct count (lgk=12 →
+    ~1.6% typical; assert 5%), and the cascade must never re-read raw."""
+    from trino_iceberg_spark.operators.timeseries import (
+        merge_sketch_rollup,
+        sketch_estimate,
+        sketch_rollup,
+    )
+    from trino_iceberg_spark.sources.testdata import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = sketch_rollup(e, "ts", ("event_type",), "user_id", "hour")
+    daily = sketch_estimate(merge_sketch_rollup(hourly, "day", ("event_type",)))
+    exact = e.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("bucket"), "event_type"
+    ).agg(F.countDistinct("user_id").alias("exact"))
+    joined = daily.join(exact, ["bucket", "event_type"]).collect()
+    assert joined
+    for r in joined:
+        assert abs(r["approx_distinct"] - r["exact"]) <= max(2, 0.05 * r["exact"])

@@ -318,3 +318,24 @@ def ev08_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value_min",
         "value_max",
     ).orderBy("bucket", "event_type")
+
+
+@register("ev09_sketch_rollup")  # rows-only: DataSketches HLL estimates have no DuckDB twin
+def ev09_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count rollup cascade (operators.timeseries.
+    sketch_rollup → merge_sketch_rollup → sketch_estimate): hourly HLL
+    sketches of distinct users per event_type, UNIONED up to daily cells
+    without touching raw data — the only way COUNT(DISTINCT) cascades in
+    a rollup hierarchy. Estimates are deterministic (DataSketches HLL is
+    hash-based, no RNG); relative error vs exact distinct is pinned in
+    tests/test_operators.py."""
+    from ..operators.timeseries import merge_sketch_rollup, sketch_estimate, sketch_rollup
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = sketch_rollup(e, "ts", ("event_type",), "user_id", "hour")
+    daily = merge_sketch_rollup(hourly, "day", ("event_type",))
+    return (
+        sketch_estimate(daily)
+        .select("bucket", "event_type", "cnt", "approx_distinct")
+        .orderBy("bucket", "event_type")
+    )
