@@ -114,6 +114,7 @@ _FRONT = [
     "tt06_stats_pruned_scan",
     "tt07_metadata_tables",
     "tt08_wap_publish",
+    "tt09_catalog_transaction",
     # streaming (unblocked by the NTZ fix)
     "st01_windowed_stream",
     "st02_session_stream",

@@ -429,3 +429,57 @@ def test_cluster_by_makes_single_commit_prunable(spark, tmp_path):
     pruned = t.prune_files(snap, [("k", ">=", 990)])
     assert len(pruned) < len(snap.files)  # clustering made zone maps selective
     assert t.scan([("k", ">=", 990)]).count() == 10
+
+
+# --- multi-table catalog (Nessie-style atomic cross-table commits) ---------
+
+
+def test_multi_table_transaction_is_atomic(spark, tmp_path):
+    from trino_iceberg_spark.catalog.multi import MultiTableCatalog
+
+    cat = MultiTableCatalog(spark, str(tmp_path / "cat1"))
+    with cat.transaction("init") as txn:
+        txn.append("src", spark.range(10).toDF("id"))
+        txn.append("dst", spark.range(0).toDF("id"))
+    v1 = cat.current_version()
+    # move ids >= 7 from src to dst in ONE commit
+    src = cat.read("src")
+    with cat.transaction("move") as txn:
+        txn.overwrite("src", src.filter(F.col("id") < 7))
+        txn.append("dst", src.filter(F.col("id") >= 7))
+    assert cat.read("src").count() == 7
+    assert sorted(r["id"] for r in cat.read("dst").collect()) == [7, 8, 9]
+    # version v1 is a CONSISTENT cross-table snapshot: all 10 in src, 0 in dst
+    assert cat.read("src", version=v1).count() == 10
+    assert cat.read("dst", version=v1).count() == 0
+
+
+def test_failed_transaction_publishes_nothing(spark, tmp_path):
+    from trino_iceberg_spark.catalog.multi import MultiTableCatalog
+
+    cat = MultiTableCatalog(spark, str(tmp_path / "cat2"))
+    with cat.transaction("init") as txn:
+        txn.append("t", spark.range(5).toDF("id"))
+    v = cat.current_version()
+    with pytest.raises(RuntimeError):
+        with cat.transaction("doomed") as txn:
+            txn.overwrite("t", spark.range(99).toDF("id"))
+            raise RuntimeError("validation failed")
+    # catalog state unchanged despite the staged table snapshot
+    assert cat.current_version() == v
+    assert cat.read("t").count() == 5
+
+
+def test_untouched_tables_carry_forward(spark, tmp_path):
+    from trino_iceberg_spark.catalog.multi import MultiTableCatalog
+
+    cat = MultiTableCatalog(spark, str(tmp_path / "cat3"))
+    with cat.transaction() as txn:
+        txn.append("a", spark.range(3).toDF("id"))
+        txn.append("b", spark.range(4).toDF("id"))
+    with cat.transaction() as txn:
+        txn.append("a", spark.range(3, 6).toDF("id"))
+    assert cat.read("a").count() == 6
+    assert cat.read("b").count() == 4  # resolvable at the new version too
+    with pytest.raises(EngineError):
+        cat.read("nope")

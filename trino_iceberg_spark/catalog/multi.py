@@ -1,0 +1,139 @@
+"""Multi-table catalog with atomic cross-table commits — the Nessie model.
+
+The reference's catalog is Nessie (docker-compose.yml pins it next to
+Trino), whose distinctive capability beyond a plain Iceberg catalog is
+GIT-LIKE MULTI-TABLE COMMITS: several tables change together or not at
+all, and any historical catalog version is a CONSISTENT cross-table
+snapshot. Single-table Iceberg gives per-table atomicity only; moving
+rows between two tables exposes readers to a window where the row is in
+both or neither.
+
+This module reimplements that contract over :class:`SnapshotTable`:
+
+- a catalog is a directory of snapshot tables plus a ``catalog/
+  versions.json`` commit log; each catalog version maps table name →
+  snapshot id;
+- ``transaction()`` stages per-table commits (they write table manifests
+  immediately — cheap, invisible) and publishes ONE catalog version at
+  the end via atomic rename. Catalog readers resolve every table through
+  the catalog version, so they see the old state until the single
+  publish instant, and the new state after — all tables at once;
+- ``read(name, version=...)`` time-travels the whole catalog: version N
+  is the exact cross-table state after commit N (Nessie's commit-hash
+  reads).
+
+A failed transaction body leaves staged table snapshots behind (like
+Iceberg orphaned snapshots after a failed Nessie commit) but the catalog
+never references them — `SnapshotTable.expire_snapshots` reclaims them.
+At 100 TB nothing here scales with data: a catalog commit is one JSON
+rename regardless of how many bytes the staged snapshots cover.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..errors import EngineError
+from .snapshots import SnapshotTable
+
+__all__ = ["MultiTableCatalog"]
+
+
+class MultiTableCatalog:
+    def __init__(self, spark: SparkSession, root_dir: str):
+        self.spark = spark
+        self.root_dir = os.path.abspath(root_dir)
+        self.versions_path = os.path.join(self.root_dir, "catalog", "versions.json")
+
+    # -- commit log ------------------------------------------------------
+    def _load_versions(self) -> list[dict]:
+        if os.path.isfile(self.versions_path):
+            with open(self.versions_path, "r", encoding="utf-8") as fh:
+                return json.load(fh)
+        return []
+
+    def _append_version(self, tables: dict[str, int], message: str) -> int:
+        versions = self._load_versions()
+        vid = (versions[-1]["version"] + 1) if versions else 1
+        versions.append({"version": vid, "message": message, "tables": tables})
+        os.makedirs(os.path.dirname(self.versions_path), exist_ok=True)
+        tmp = self.versions_path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(versions, fh)
+        os.replace(tmp, self.versions_path)  # the single atomic publish point
+        return vid
+
+    def current_version(self) -> int:
+        versions = self._load_versions()
+        return versions[-1]["version"] if versions else 0
+
+    # -- tables ----------------------------------------------------------
+    def table(self, name: str) -> SnapshotTable:
+        return SnapshotTable(self.spark, os.path.join(self.root_dir, name))
+
+    def _resolve(self, name: str, version: int | None) -> int:
+        versions = self._load_versions()
+        if not versions:
+            raise EngineError(f"catalog {self.root_dir} has no commits")
+        if version is None:
+            chosen = versions[-1]
+        else:
+            by_id = {v["version"]: v for v in versions}
+            if version not in by_id:
+                raise EngineError(
+                    f"catalog version {version} not found in {self.root_dir}"
+                )
+            chosen = by_id[version]
+        if name not in chosen["tables"]:
+            raise EngineError(
+                f"table {name!r} not in catalog version {chosen['version']}"
+            )
+        return chosen["tables"][name]
+
+    def read(self, name: str, version: int | None = None) -> DataFrame:
+        """Read ``name`` at a catalog version (default: latest). Reads at
+        the same version across tables are mutually CONSISTENT — they come
+        from one atomic commit."""
+        return self.table(name).read_version(self._resolve(name, version))
+
+    # -- transactions ----------------------------------------------------
+    @contextmanager
+    def transaction(self, message: str = ""):
+        """Atomic multi-table commit::
+
+            with catalog.transaction("move rows") as txn:
+                txn.overwrite("src", remaining_df)
+                txn.append("dst", moved_df)
+            # ← both visible here, neither before
+
+        The body stages ordinary table commits; the catalog version that
+        makes them visible is published ONCE on successful exit. An
+        exception inside the body publishes nothing — catalog readers
+        never see a partial state."""
+        txn = _Transaction(self)
+        yield txn
+        staged = dict(txn.staged)
+        # carry forward tables untouched by this transaction
+        versions = self._load_versions()
+        if versions:
+            for tname, sid in versions[-1]["tables"].items():
+                staged.setdefault(tname, sid)
+        self._append_version(staged, message)
+
+
+class _Transaction:
+    def __init__(self, catalog: MultiTableCatalog):
+        self.catalog = catalog
+        self.staged: dict[str, int] = {}
+
+    def append(self, name: str, df: DataFrame, **kwargs) -> None:
+        # Table commits chain off the previously staged state within the
+        # same transaction (two appends to one table compose).
+        self.staged[name] = self.catalog.table(name).append(df, **kwargs).snapshot_id
+
+    def overwrite(self, name: str, df: DataFrame, **kwargs) -> None:
+        self.staged[name] = self.catalog.table(name).overwrite(df, **kwargs).snapshot_id

@@ -307,3 +307,46 @@ def tt08_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_totalprice")
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "tt09_catalog_transaction",
+    oracle="""
+    SELECT 'active' AS bucket, COUNT(*) AS cnt,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_orderkey % 3 <> 0
+    UNION ALL
+    SELECT 'archived', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey % 3 = 0
+    ORDER BY bucket
+    """,
+)
+def tt09_catalog_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nessie-style atomic multi-table commit (catalog/multi.py
+    MultiTableCatalog.transaction — the reference's catalog IS Nessie,
+    whose capability beyond plain Iceberg is exactly git-like multi-table
+    commits): all orders land in ``active``; one transaction then MOVES
+    every third order to ``archived`` — both tables change in a single
+    catalog version, so no catalog reader can ever see the moved rows in
+    both tables or neither (partial-failure atomicity pinned in
+    tests/test_snapshots.py). The oracle restates the post-transaction
+    split straight from the source table."""
+    from ..catalog.multi import MultiTableCatalog
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    cdir = os.path.join(tempfile.gettempdir(), "tis_tt09_catalog")
+    shutil.rmtree(cdir, ignore_errors=True)
+    cat = MultiTableCatalog(spark, cdir)
+    with cat.transaction("ingest") as txn:
+        txn.append("active", o)
+    active = cat.read("active")
+    with cat.transaction("archive every third order") as txn:
+        txn.overwrite("active", active.filter(F.col("o_orderkey") % 3 != 0))
+        txn.append("archived", active.filter(F.col("o_orderkey") % 3 == 0))
+    act = cat.read("active").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("o_orderkey").cast("long").alias("key_sum")
+    ).select(F.lit("active").alias("bucket"), "cnt", "key_sum")
+    arc = cat.read("archived").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("o_orderkey").cast("long").alias("key_sum")
+    ).select(F.lit("archived").alias("bucket"), "cnt", "key_sum")
+    return act.unionByName(arc).orderBy("bucket")
