@@ -159,3 +159,25 @@ def test_metadata_tables_in_sql_text(spark, tmp_path):
     assert n_files == len(t.current_snapshot().files)
     total = client.query_scalar("SELECT COUNT(*) FROM events_meta")
     assert total == 6
+
+
+def test_sql_text_delete_and_update_on_snapshot_table(spark, tmp_path):
+    from trino_iceberg_spark.client import AthenaSparkClient
+    from trino_iceberg_spark.catalog.snapshots import SnapshotTable
+
+    tdir = str(tmp_path / "dml_sql")
+    t = SnapshotTable(spark, tdir)
+    t.append(spark.range(10).selectExpr("id AS k", "id * 10 AS v"))
+    client = AthenaSparkClient(spark)
+    client.register_snapshot_table("tgt", tdir)
+
+    n = client.execute("DELETE FROM tgt WHERE k >= {0}", 7)
+    assert n == 3
+    assert client.query_scalar("SELECT COUNT(*) FROM tgt") == 7
+
+    n = client.execute("UPDATE tgt SET v = v + 1, k = k WHERE k < 2")
+    assert n == 2
+    rows = client.query("SELECT k, v FROM tgt WHERE k < 3 ORDER BY k")
+    assert [(r["k"], r["v"]) for r in rows] == [(0, 1), (1, 11), (2, 20)]
+    # history intact: version 1 still has all 10 rows
+    assert t.read_version(1).count() == 10

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import re
 import shutil
 import uuid
 from typing import Any, Callable, Iterable, Iterator, Type, TypeVar
@@ -23,7 +24,7 @@ from pyspark.errors import AnalysisException
 
 from .errors import QueryError, UnloadError
 from .fs import FsClient
-from .formatting import format_sql
+from .formatting import format_sql, split_top_level_commas
 from .mapping import bind_rows, coerce_scalar
 from .timetravel_sql import SnapshotResolver, rewrite_time_travel
 
@@ -122,10 +123,52 @@ class AthenaSparkClient:
         )
 
     # -- DDL / DML -------------------------------------------------------
+    _SNAP_DELETE_RE = re.compile(
+        r"^\s*DELETE\s+FROM\s+(?P<tbl>[A-Za-z_][\w.]*)\s+WHERE\s+(?P<cond>.+?)\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _SNAP_UPDATE_RE = re.compile(
+        r"^\s*UPDATE\s+(?P<tbl>[A-Za-z_][\w.]*)\s+SET\s+(?P<sets>.+?)\s+WHERE\s+(?P<cond>.+?)\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _snapshot_dml(self, rendered: str) -> int | None:
+        """Row-level DML in SQL text against REGISTERED snapshot tables —
+        Trino's ``DELETE FROM``/``UPDATE`` on Iceberg, served by the
+        copy-on-write snapshot commits (delete_where/update_where).
+        Returns the affected-row count, or None when the statement isn't
+        snapshot-table DML (the caller falls through to Catalyst)."""
+        for pattern, is_update in ((self._SNAP_DELETE_RE, False), (self._SNAP_UPDATE_RE, True)):
+            m = pattern.match(rendered)
+            if not m:
+                continue
+            table = self.snapshots.resolve(self.spark, m.group("tbl"))
+            if table is None:
+                return None  # not a snapshot table → ordinary SQL path
+            cond = F.expr(m.group("cond"))
+            matched = table.read().filter(cond).count()
+            if is_update:
+                assignments = {}
+                for part in split_top_level_commas(m.group("sets")):
+                    col, _, expr = part.partition("=")
+                    if not expr:
+                        raise QueryError(f"malformed SET clause: {part!r}", sql=rendered)
+                    assignments[col.strip().strip("`")] = F.expr(expr.strip())
+                table.update_where(cond, assignments)
+            else:
+                table.delete_where(cond)
+            return matched
+
     def execute(self, sql: str, *params: Any) -> int:
         """A7 ``ExecuteNonQuery`` (TrinoIcebergStack.cs:206-224). Returns the
         affected-row count when the command reports one (INSERT/DELETE on v2
-        sources return ``num_affected_rows``), else 0."""
+        sources return ``num_affected_rows``), else 0. DELETE/UPDATE
+        against registered snapshot tables commit copy-on-write snapshots
+        (Trino-on-Iceberg row-level DML) and report matched-row counts."""
+        rendered = format_sql(sql, *params) if params else sql
+        affected = self._snapshot_dml(rendered)
+        if affected is not None:
+            return affected
         df = self.sql_df(sql, *params)
         try:
             rows = df.collect()

@@ -33,7 +33,7 @@ import uuid
 from decimal import Decimal
 from typing import Any, Sequence
 
-__all__ = ["render_literal", "format_sql", "split_statements"]
+__all__ = ["render_literal", "format_sql", "split_statements", "split_top_level_commas"]
 
 _TIMESTAMP_TAIL = re.compile(r"(?i)\btimestamp\s*$")
 
@@ -200,3 +200,54 @@ def split_statements(script: str) -> list[str]:
     if tail:
         statements.append(tail)
     return statements
+
+
+def split_top_level_commas(text: str) -> list[str]:
+    """Split ``a = f(x, y), b = 'v,w'`` into assignments on commas that sit
+    outside quotes and parentheses (the UPDATE ... SET clause splitter)."""
+    parts: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    in_squote = in_dquote = False
+    i = 0
+    n = len(text)
+    while i < n:
+        ch = text[i]
+        nxt = text[i + 1] if i + 1 < n else ""
+        if in_squote:
+            buf.append(ch)
+            if ch == "\\" and nxt:
+                buf.append(nxt)
+                i += 1
+            elif ch == "'":
+                if nxt == "'":
+                    buf.append(nxt)
+                    i += 1
+                else:
+                    in_squote = False
+        elif in_dquote:
+            buf.append(ch)
+            if ch == '"':
+                in_dquote = False
+        elif ch == "'":
+            in_squote = True
+            buf.append(ch)
+        elif ch == '"':
+            in_dquote = True
+            buf.append(ch)
+        elif ch in "([":
+            depth += 1
+            buf.append(ch)
+        elif ch in ")]":
+            depth -= 1
+            buf.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    tail = "".join(buf).strip()
+    if tail:
+        parts.append(tail)
+    return parts
