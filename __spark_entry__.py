@@ -67,6 +67,7 @@ _FRONT = [
     # temporal joins + leftover window/agg/function entries
     "aj01_asof_join",
     "rj01_bucketized_range_join",
+    "j10_bucketed_join",
     "w09_time_range_frame",
     "a09_unpivot",
     "f09_edit_distance",

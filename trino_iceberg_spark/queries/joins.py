@@ -249,3 +249,49 @@ def j09_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("nation_a", "nation_b")
         .orderBy("nation_a", "nation_b")
     )
+
+
+@register(
+    "j10_bucketed_join",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS DOUBLE) AS total_price
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey < 2000
+    GROUP BY o.o_orderkey ORDER BY o.o_orderkey
+    """,
+)
+def j10_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located fact-fact join (sources.bucketing): both
+    sides written bucketed on the join key, so the join (and the
+    subsequent same-key aggregate) runs with NO Exchange — the shuffle
+    was paid once at write time, which is the 100 TB answer to "we join
+    these two facts daily". The Exchange-free plan is pinned in
+    tests/test_bucketing.py; this entry proves result parity with the
+    plain (shuffled) join via the oracle."""
+    import uuid as _uuid
+
+    from ..sources.bucketing import write_bucketed
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    tag = _uuid.uuid4().hex[:8]
+    to, tl = f"j10_orders_{tag}", f"j10_lineitem_{tag}"
+    write_bucketed(o.select("o_orderkey"), to, ["o_orderkey"], num_buckets=8)
+    write_bucketed(
+        l.select("l_orderkey", "l_extendedprice"), tl, ["l_orderkey"], num_buckets=8
+    )
+    ob, lb = spark.table(to), spark.table(tl)
+    return (
+        ob.join(lb, ob["o_orderkey"] == lb["l_orderkey"])
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("decimal(28,4)")
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderkey")
+    )
