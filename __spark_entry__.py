@@ -82,6 +82,7 @@ _FRONT = [
     "tx11_pii_scrub",
     "tx12_repetition_stats",
     "tx13_rarity_scores",
+    "tx14_sliding_chunks",
     # curation + decontamination
     "cu01_curated_documents",
     "cu02_curation_report",
@@ -102,6 +103,7 @@ _FRONT = [
     "sp03_global_shuffle",
     "sp04_sequence_packing",
     "sp05_epoch_mix",
+    "sp06_temperature_weights",
     "sk01_salted_aggregate",
     "sk02_salted_join",
     # hypertable rollup + time travel

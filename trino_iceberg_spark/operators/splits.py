@@ -22,6 +22,7 @@ __all__ = [
     "sample_stratified",
     "global_shuffle",
     "mix_epochs",
+    "temperature_weights",
 ]
 
 _BUCKETS = 1_000_000
@@ -206,3 +207,35 @@ def global_shuffle(
         .repartitionByRange(key_col)
         .sortWithinPartitions(key_col)
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    source_col: str = "source",
+    alpha: float = 0.5,
+) -> dict[str, float]:
+    """Temperature-based mixture weights (the multilingual/pretraining
+    standard, e.g. mBERT/XLM-R exponentiated sampling): source share
+    p_s ∝ count_s^alpha, converted to EPOCHS for :func:`mix_epochs` so
+    the expected output corpus keeps its original total size —
+    ``epochs_s = N · p_s / count_s``. ``alpha < 1`` upweights small
+    sources (alpha=0 → uniform across sources, alpha=1 → natural
+    distribution unchanged).
+
+    The per-source count aggregate collects #sources rows (the mixture
+    spec — inherently driver-sized, like a join's broadcast threshold
+    decision); the DATA never leaves executors and the returned dict
+    feeds the map-side mix_epochs explode."""
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    counts = {
+        r["src"]: r["c"]
+        for r in df.groupBy(F.col(source_col).alias("src"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    total = sum(counts.values())
+    mass = sum(c**alpha for c in counts.values())
+    return {
+        s: (total * (c**alpha / mass)) / c for s, c in counts.items() if c > 0
+    }

@@ -27,6 +27,7 @@ __all__ = [
     "scrub_pii",
     "repetition_stats",
     "rarity_scores",
+    "sliding_chunks",
 ]
 
 # Tiny per-language stopword marker lists for the n-gram/stopword heuristic
@@ -404,4 +405,40 @@ def rarity_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.col(id_col),
         "n_tokens",
         (F.col("_raw") / F.col("n_tokens")).alias("rarity"),
+    )
+
+
+def sliding_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 64,
+    stride: int = 32,
+) -> DataFrame:
+    """Overlapping token windows per document — the chunker feeding
+    embedding models and long-context inference (stride < chunk_tokens
+    gives the standard overlap so no boundary context is lost; stride =
+    chunk_tokens degenerates to dd12's disjoint chunking).
+
+    Emits ``(id_col, chunk_idx, chunk, n_tokens)``. All chunk construction
+    is per-row JVM array work (transform over a sequence + slice); the
+    explode multiplies rows by ~n/stride but shuffles nothing — at 100 TB
+    the output feeds a mapInPandas encoder in the same stage."""
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    n = F.size(toks)
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.lit(1) + F.ceil((n - chunk_tokens) / F.lit(stride)).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * stride + 1, chunk_tokens), " "),
+    )
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(F.when(n > 0, chunks)).alias("chunk_idx", "chunk"),
+    )
+    return out.withColumn(
+        "n_tokens", F.size(F.filter(F.split(F.col("chunk"), " "), lambda w: w != ""))
     )

@@ -1554,3 +1554,68 @@ def tx13_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-matches bit for bit (no float accumulation order, no libm)."""
     d = load_table(spark, sf_dir, "documents")
     return TX.rarity_scores(d, "text", "doc_id").orderBy("doc_id")
+
+
+@register(
+    "sp06_temperature_weights",
+    oracle="""
+    WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    t AS (SELECT SUM(n_docs) AS total, SUM(POW(n_docs, 0.5)) AS mass FROM c)
+    SELECT c.source, c.n_docs,
+           ROUND((t.total * POW(c.n_docs, 0.5) / t.mass) / c.n_docs, 6) AS epochs
+    FROM c, t ORDER BY c.source
+    """,
+)
+def sp06_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampled mixture spec (operators.splits.
+    temperature_weights, alpha=0.5 — the mBERT/XLM-R exponentiated-share
+    construction): per-source epoch factors that upweight small sources
+    while preserving expected corpus size; the dict feeds mix_epochs
+    (sp05) for the actual map-side replication. The oracle recomputes
+    share^alpha arithmetic relationally; ROUND(6) absorbs
+    double-summation association differences."""
+    from ..operators.splits import temperature_weights
+
+    d = load_table(spark, sf_dir, "documents")
+    w = temperature_weights(d, "source", alpha=0.5)
+    mapping = F.create_map(*[F.lit(x) for kv in w.items() for x in kv])
+    return (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("epochs", F.round(mapping[F.col("source")], 6))
+        .orderBy("source")
+    )
+
+
+@register(
+    "tx14_sliding_chunks",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        FROM documents WHERE doc_id < 50
+    ),
+    idx AS (
+        SELECT doc_id, ws,
+               unnest(range(CASE WHEN len(ws) <= 16 THEN 1
+                                 ELSE 1 + CAST(ceil((len(ws) - 16) / 8.0) AS BIGINT)
+                            END)) AS i
+        FROM toks WHERE len(ws) > 0
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_idx,
+           array_to_string(list_slice(ws, i*8 + 1, i*8 + 16), ' ') AS chunk,
+           CAST(len(list_slice(ws, i*8 + 1, i*8 + 16)) AS INT) AS n_tokens
+    FROM idx ORDER BY doc_id, chunk_idx
+    """,
+)
+def tx14_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token windows (operators.text.sliding_chunks,
+    16-token chunks / stride 8 → 50% overlap): the chunker feeding
+    embedding encoders and long-context inference. Per-row JVM array
+    work + one explode, no shuffle; the oracle replays window
+    arithmetic and reassembly relationally."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return (
+        TX.sliding_chunks(d, "text", "doc_id", chunk_tokens=16, stride=8)
+        .orderBy("doc_id", "chunk_idx")
+    )
