@@ -181,3 +181,29 @@ def test_sql_text_delete_and_update_on_snapshot_table(spark, tmp_path):
     assert [(r["k"], r["v"]) for r in rows] == [(0, 1), (1, 11), (2, 20)]
     # history intact: version 1 still has all 10 rows
     assert t.read_version(1).count() == 10
+
+
+def test_sql_text_insert_into_snapshot_table(spark, tmp_path):
+    from trino_iceberg_spark.client import AthenaSparkClient
+    from trino_iceberg_spark.catalog.snapshots import SnapshotTable
+
+    tdir = str(tmp_path / "ins_sql")
+    t = SnapshotTable(spark, tdir)
+    t.append(spark.range(3).selectExpr("id AS k", "CAST(id AS STRING) AS v"))
+    client = AthenaSparkClient(spark)
+    client.register_snapshot_table("ins_t", tdir)
+
+    n = client.execute("INSERT INTO ins_t VALUES (10, 'x'), (11, 'y')")
+    assert n == 2
+    assert client.query_scalar("SELECT COUNT(*) FROM ins_t") == 5
+    # explicit column list, reordered
+    n = client.execute("INSERT INTO ins_t (v, k) VALUES ('z', 12)")
+    assert n == 1
+    rows = client.query("SELECT k, v FROM ins_t WHERE k >= 10 ORDER BY k")
+    assert [(r["k"], r["v"]) for r in rows] == [(10, "x"), (11, "y"), (12, "z")]
+    # SELECT source (may reference the same snapshot table)
+    n = client.execute("INSERT INTO ins_t SELECT k + 100, v FROM ins_t WHERE k >= 12")
+    assert n == 1
+    assert client.query_scalar("SELECT v FROM ins_t WHERE k = 112") == "z"
+    # history intact
+    assert t.read_version(1).count() == 3

@@ -131,6 +131,11 @@ class AthenaSparkClient:
         r"^\s*UPDATE\s+(?P<tbl>[A-Za-z_][\w.]*)\s+SET\s+(?P<sets>.+?)\s+WHERE\s+(?P<cond>.+?)\s*;?\s*$",
         re.IGNORECASE | re.DOTALL,
     )
+    _SNAP_INSERT_RE = re.compile(
+        r"^\s*INSERT\s+INTO\s+(?P<tbl>[A-Za-z_][\w.]*)\s*"
+        r"(?:\((?P<cols>[^)]*)\)\s*)?(?P<body>(?:VALUES|SELECT)\b.+?)\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
 
     def _snapshot_dml(self, rendered: str) -> int | None:
         """Row-level DML in SQL text against REGISTERED snapshot tables —
@@ -138,6 +143,43 @@ class AthenaSparkClient:
         copy-on-write snapshot commits (delete_where/update_where).
         Returns the affected-row count, or None when the statement isn't
         snapshot-table DML (the caller falls through to Catalyst)."""
+        m = self._SNAP_INSERT_RE.match(rendered)
+        if m:
+            table = self.snapshots.resolve(self.spark, m.group("tbl"))
+            if table is not None:
+                # VALUES/SELECT both run through sql_df so a SELECT source
+                # may itself read registered snapshot tables (incl. time
+                # travel). Positional alignment to the target schema, with
+                # an explicit column list reordering first — INSERT
+                # semantics as Trino applies them on Iceberg.
+                src = self.sql_df(m.group("body"))
+                if m.group("cols"):
+                    want = [c.strip().strip("`") for c in m.group("cols").split(",")]
+                    if len(want) != len(src.columns):
+                        raise QueryError(
+                            f"INSERT column list arity {len(want)} != "
+                            f"source arity {len(src.columns)}",
+                            sql=rendered,
+                        )
+                    src = src.toDF(*want)
+                target = table.read().schema
+                if len(src.columns) != len(target.fields):
+                    raise QueryError(
+                        f"INSERT arity {len(src.columns)} != table arity "
+                        f"{len(target.fields)}",
+                        sql=rendered,
+                    )
+                if m.group("cols"):
+                    src = src.select(
+                        *[F.col(f.name).cast(f.dataType) for f in target.fields]
+                    )
+                else:
+                    src = src.toDF(*[f.name for f in target.fields]).select(
+                        *[F.col(f.name).cast(f.dataType) for f in target.fields]
+                    )
+                n = src.count()
+                table.append(src)
+                return n
         for pattern, is_update in ((self._SNAP_DELETE_RE, False), (self._SNAP_UPDATE_RE, True)):
             m = pattern.match(rendered)
             if not m:
