@@ -176,3 +176,32 @@ def test_split_statements_trailing_backslash_pair():
     # '\\' is a complete literal backslash — the following ; terminates.
     script = r"SELECT 'a\\'; SELECT 2"
     assert split_statements(script) == [r"SELECT 'a\\'", "SELECT 2"]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcxyz_", min_size=1, max_size=8),
+            st.sampled_from(
+                [
+                    "f(x, y)",
+                    "'v,w'",
+                    "1 + 2",
+                    "concat(a, ',', b)",
+                    "CASE WHEN x IN (1, 2) THEN 'a,b' ELSE c END",
+                    "arr[1]",
+                ]
+            ),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_split_top_level_commas_recovers_assignments(pairs):
+    """Commas inside quotes, parens, and brackets never split; every
+    top-level assignment comes back exactly."""
+    from trino_iceberg_spark.formatting import split_top_level_commas
+
+    clause = ", ".join(f"{col} = {expr}" for col, expr in pairs)
+    parts = split_top_level_commas(clause)
+    assert parts == [f"{col} = {expr}" for col, expr in pairs]
