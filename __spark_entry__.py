@@ -70,6 +70,7 @@ _FRONT = [
     "j10_bucketed_join",
     "w09_time_range_frame",
     "a09_unpivot",
+    "a10_grouping_flags",
     "f09_edit_distance",
     # text analysis (oracle-backed; tx04/tx05 are rows-only, below)
     "tx01_token_counts",
