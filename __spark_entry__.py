@@ -71,6 +71,8 @@ _FRONT = [
     "w09_time_range_frame",
     "a09_unpivot",
     "a10_grouping_flags",
+    "c04_recursive_cte",
+    "b20_lateral_explode",
     "f09_edit_distance",
     # text analysis (oracle-backed; tx04/tx05 are rows-only, below)
     "tx01_token_counts",

@@ -653,3 +653,57 @@ def a10_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_linestatus").asc_nulls_first(),
         )
     )
+
+
+_RECURSIVE_CHAIN_SQL = """
+WITH RECURSIVE chain(n_regionkey, n_nationkey, depth) AS (
+    SELECT n_regionkey, MIN(n_nationkey), 1
+    FROM nation GROUP BY n_regionkey
+    UNION ALL
+    SELECT c.n_regionkey,
+           (SELECT MIN(n.n_nationkey) FROM nation n
+            WHERE n.n_regionkey = c.n_regionkey
+              AND n.n_nationkey > c.n_nationkey),
+           c.depth + 1
+    FROM chain c
+    WHERE EXISTS (SELECT 1 FROM nation n
+                  WHERE n.n_regionkey = c.n_regionkey
+                    AND n.n_nationkey > c.n_nationkey)
+)
+SELECT n_regionkey, n_nationkey, depth
+FROM chain ORDER BY n_regionkey, depth
+"""
+
+
+@register("c04_recursive_cte", oracle=_RECURSIVE_CHAIN_SQL)
+def c04_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (new in Spark 4): walk each region's nation chain in
+    key order, counting depth — the iterative successor traversal that
+    only a recursive CTE expresses in pure SQL. The IDENTICAL statement
+    runs on Spark and DuckDB (both ANSI recursive CTEs), so the hash
+    match pins Spark's recursion semantics end to end. Recursion depth is
+    bounded by the longest per-region chain (≤ nations-per-region), not
+    data volume — each iteration is an ordinary joined step."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(_RECURSIVE_CHAIN_SQL)
+
+
+@register(
+    "b20_lateral_explode",
+    oracle="""
+    SELECT doc_id,
+           unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+    FROM documents WHERE doc_id < 5
+    ORDER BY doc_id, tok
+    """,
+)
+def b20_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-generating function in SQL text — ``LATERAL VIEW explode``
+    (HiveQL's UNNEST spelling, the SQL-surface twin of every DataFrame
+    explode in the pipeline operators)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("b20_documents")
+    return spark.sql(
+        "SELECT doc_id, tok FROM b20_documents "
+        "LATERAL VIEW explode(filter(split(text, ' '), x -> x != '')) t AS tok "
+        "WHERE doc_id < 5 ORDER BY doc_id, tok"
+    )
