@@ -73,6 +73,7 @@ _FRONT = [
     "a10_grouping_flags",
     "c04_recursive_cte",
     "b20_lateral_explode",
+    "b21_variant_extraction",
     "f09_edit_distance",
     # text analysis (oracle-backed; tx04/tx05 are rows-only, below)
     "tx01_token_counts",
