@@ -76,6 +76,8 @@ _FRONT = [
     "b20_lateral_explode",
     "b21_variant_extraction",
     "f09_edit_distance",
+    "f10_bitwise_functions",
+    "s05_set_ops_all",
     # streaming + catalog entries moved ahead of the documents-only text
     # blocks: they are the environment-coupled families (driver-session
     # watermarks, temp-table machinery) that have never seen a driver

@@ -707,3 +707,72 @@ def b20_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "LATERAL VIEW explode(filter(split(text, ' '), x -> x != '')) t AS tok "
         "WHERE doc_id < 5 ORDER BY doc_id, tok"
     )
+
+
+@register(
+    "s05_set_ops_all",
+    oracle="""
+    WITH i AS (
+        SELECT c_nationkey AS k FROM customer WHERE c_custkey <= 200
+        INTERSECT ALL
+        SELECT s_nationkey FROM supplier
+    ),
+    e AS (
+        SELECT c_nationkey AS k FROM customer WHERE c_custkey <= 200
+        EXCEPT ALL
+        SELECT s_nationkey FROM supplier
+    )
+    SELECT 'intersect_all' AS op, k, COUNT(*) AS cnt FROM i GROUP BY k
+    UNION ALL
+    SELECT 'except_all', k, COUNT(*) FROM e GROUP BY k
+    ORDER BY op, k
+    """,
+)
+def s05_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations — INTERSECT ALL / EXCEPT ALL
+    (``intersectAll``/``exceptAll``): multiplicity-preserving, the
+    variants s03/s04 deliberately don't exercise. Summarized by value so
+    the duplicate COUNTS are what the oracle hash pins."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200).select(
+        F.col("c_nationkey").alias("k")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    i = c.intersectAll(s).groupBy("k").agg(F.count(F.lit(1)).alias("cnt")).select(
+        F.lit("intersect_all").alias("op"), "k", "cnt"
+    )
+    e = c.exceptAll(s).groupBy("k").agg(F.count(F.lit(1)).alias("cnt")).select(
+        F.lit("except_all").alias("op"), "k", "cnt"
+    )
+    return i.unionByName(e).orderBy("op", "k")
+
+
+@register(
+    "f10_bitwise_functions",
+    oracle="""
+    SELECT l_linenumber,
+           CAST(BIT_AND(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_and,
+           CAST(BIT_OR(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_or,
+           CAST(BIT_XOR(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_xor,
+           CAST(MIN(CAST(l_quantity AS BIGINT) << 2) AS BIGINT) AS min_shl,
+           CAST(MAX(CAST(l_quantity AS BIGINT) >> 1) AS BIGINT) AS max_shr
+    FROM lineitem WHERE l_orderkey <= 500
+    GROUP BY l_linenumber ORDER BY l_linenumber
+    """,
+)
+def f10_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate + scalar surface: BIT_AND/BIT_OR/BIT_XOR
+    aggregates and shift operators — the last scalar-function family the
+    f-matrix didn't cover."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    q = F.col("l_quantity").cast("long")
+    return (
+        li.groupBy("l_linenumber")
+        .agg(
+            F.bit_and(q).alias("qty_and"),
+            F.bit_or(q).alias("qty_or"),
+            F.bit_xor(q).alias("qty_xor"),
+            F.min(F.shiftleft(q, 2).cast("long")).alias("min_shl"),
+            F.max(F.shiftright(q, 1).cast("long")).alias("max_shr"),
+        )
+        .orderBy("l_linenumber")
+    )
