@@ -49,6 +49,11 @@ BENCH_QUERIES = [
     "sp04_sequence_packing",
     "dd11_semantic_dedup",
     "dd12_passage_dedup",
+    # catalog read path (snapshot tables): zone-map-pruned scan + streaming
+    # exactly-once ingest — first-class read paths since r3, perf-tracked
+    # from r4
+    "tt06_stats_pruned_scan",
+    "st06_stream_snapshot_ingest",
 ]
 
 

@@ -45,3 +45,20 @@ def test_report_partitions_all_docs(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     report = curation_report(d)
     assert report.agg(F.sum("docs")).first()[0] == d.count()
+
+
+def test_contamination_report_zero_grams_for_short_docs(spark):
+    """A document with fewer than k tokens has ZERO k-grams (not the dedup
+    path's synthetic whole-text gram) — the SQL-oracle contract."""
+    from trino_iceberg_spark.operators.curation import contamination_report
+
+    docs = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "one two three four five six seven eight nine")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([("tiny doc",)], "text string")
+    rows = {r["doc_id"]: r for r in contamination_report(docs, bench, k=8).collect()}
+    assert rows[1]["n_grams"] == 0
+    assert rows[1]["n_contaminated"] == 0
+    assert rows[1]["contamination"] == 0.0
+    assert rows[2]["n_grams"] == 2  # 9 tokens -> 9-8+1 distinct 8-grams

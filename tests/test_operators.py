@@ -583,3 +583,13 @@ def test_sketch_rollup_cascade_accuracy(spark, sf_dir):
     assert joined
     for r in joined:
         assert abs(r["approx_distinct"] - r["exact"]) <= max(2, 0.05 * r["exact"])
+
+
+def test_derived_num_cells_scales_with_corpus():
+    """Scale-honest default: ~target_cell_size rows per cell with a floor
+    of 16 (tiny corpora keep the historical 16-cell behavior); a 5M-row
+    corpus must NOT get 16 cells."""
+    from trino_iceberg_spark.operators.similarity import _derived_num_cells
+
+    assert _derived_num_cells(1_000, 10_000) == 16
+    assert _derived_num_cells(5_000_000, 10_000) == 500

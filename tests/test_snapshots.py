@@ -483,3 +483,82 @@ def test_untouched_tables_carry_forward(spark, tmp_path):
     assert cat.read("b").count() == 4  # resolvable at the new version too
     with pytest.raises(EngineError):
         cat.read("nope")
+
+
+def test_time_travel_excludes_unpublished_branch(spark, tmp_path):
+    """FOR TIMESTAMP AS OF resolves along the MAIN branch's ancestry —
+    commits on an unpublished write-audit-publish branch are invisible to
+    timestamp travel (the same isolation read() has) until publish."""
+    t = SnapshotTable(spark, str(tmp_path / "br_tt"))
+    t.append(spark.range(0, 10).select(F.col("id").alias("k")))
+    t.create_branch("audit")
+    t.append(spark.range(100, 105).select(F.col("id").alias("k")), branch="audit")
+    after_branch_commit = dt.datetime.now(dt.timezone.utc) + dt.timedelta(seconds=1)
+    # timestamp travel during the WAP window sees only published main
+    assert t.read_as_of(after_branch_commit).count() == 10
+    # $history lists the main lineage only
+    assert [r["snapshot_id"] for r in t.history_df().collect()] == [1]
+    # explicit id-addressed reads still reach the branch snapshot (Iceberg
+    # VERSION AS OF semantics) and $snapshots still lists everything
+    assert t.read_version(2).count() == 15
+    assert t.snapshots_df().count() == 2
+    t.publish("audit")
+    assert t.read_as_of(dt.datetime.now(dt.timezone.utc) + dt.timedelta(seconds=1)).count() == 15
+    assert [r["snapshot_id"] for r in t.history_df().collect()] == [1, 2]
+
+
+def test_snapshot_properties_committed_atomically(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "props"))
+    t.append(
+        spark.range(3).toDF("id"),
+        properties={"streaming.query": "q", "streaming.batch-id": "0"},
+    )
+    snap = t.current_snapshot()
+    assert snap.properties == {"streaming.query": "q", "streaming.batch-id": "0"}
+    # the ledger is part of the manifest itself, not a side file
+    import json
+
+    with open(os.path.join(t.metadata_dir, f"v{snap.snapshot_id}.json")) as fh:
+        assert json.load(fh)["properties"]["streaming.batch-id"] == "0"
+
+
+def test_aborted_transaction_does_not_poison_next_append(spark, tmp_path):
+    """The atomicity contract survives a FOLLOW-UP append: after an aborted
+    transaction, the next transaction chains off the last PUBLISHED state,
+    not the aborted snapshot — aborted rows never resurrect."""
+    from trino_iceberg_spark.catalog.multi import MultiTableCatalog
+
+    cat = MultiTableCatalog(spark, str(tmp_path / "cat_abort"))
+    with cat.transaction("init") as txn:
+        txn.append("t", spark.range(5).toDF("id"))
+    with pytest.raises(RuntimeError):
+        with cat.transaction("doomed") as txn:
+            txn.append("t", spark.range(100, 199).toDF("id"))
+            raise RuntimeError("validation failed")
+    # main head untouched by the abort — not just the catalog version
+    assert cat.table("t").read().count() == 5
+    with cat.transaction("after") as txn:
+        txn.append("t", spark.range(5, 8).toDF("id"))
+    assert sorted(r["id"] for r in cat.read("t").collect()) == list(range(8))
+    # aborted staging ref is gone; its snapshot is expirable garbage
+    assert not any(
+        n.startswith("_txn_") for n in cat.table("t")._load_refs()["branches"]
+    )
+
+
+def test_aborted_first_commit_on_new_table_stays_empty(spark, tmp_path):
+    """Abort of the FIRST-ever commit to a brand-new table must not let
+    main float onto the aborted snapshot (empty tables pin main at an
+    explicit null head when staging begins)."""
+    from trino_iceberg_spark.catalog.multi import MultiTableCatalog
+
+    cat = MultiTableCatalog(spark, str(tmp_path / "cat_new"))
+    with pytest.raises(RuntimeError):
+        with cat.transaction("doomed") as txn:
+            txn.append("fresh", spark.range(9).toDF("id"))
+            raise RuntimeError("nope")
+    with pytest.raises(EngineError):
+        cat.table("fresh").read()  # still no published snapshot
+    with cat.transaction("ok") as txn:
+        txn.append("fresh", spark.range(3).toDF("id"))
+    assert cat.read("fresh").count() == 3

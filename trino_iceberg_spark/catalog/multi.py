@@ -110,12 +110,27 @@ class MultiTableCatalog:
                 txn.append("dst", moved_df)
             # ← both visible here, neither before
 
-        The body stages ordinary table commits; the catalog version that
-        makes them visible is published ONCE on successful exit. An
-        exception inside the body publishes nothing — catalog readers
-        never see a partial state."""
+        The body stages table commits on a per-transaction throwaway
+        BRANCH of each touched table (never on main), and publishes ONE
+        catalog version on successful exit, fast-forwarding each table's
+        main to its staging head first. An exception inside the body
+        publishes nothing AND leaves every table's main untouched — the
+        staging refs are dropped, so the next transaction chains off the
+        last good state and ``expire_snapshots`` reclaims the aborted
+        commits (the Nessie abandoned-branch model)."""
         txn = _Transaction(self)
-        yield txn
+        try:
+            yield txn
+        except BaseException:
+            txn._drop_staging_refs()
+            raise
+        # Success: move each table's main to the audited staging head (one
+        # pointer swap per table), then the single catalog publish makes
+        # the cross-table state visible to catalog readers atomically.
+        for name in txn.staged:
+            t = self.table(name)
+            t.publish(txn.branch)
+            t.drop_ref(txn.branch)
         staged = dict(txn.staged)
         # carry forward tables untouched by this transaction
         versions = self._load_versions()
@@ -127,13 +142,39 @@ class MultiTableCatalog:
 
 class _Transaction:
     def __init__(self, catalog: MultiTableCatalog):
+        import uuid
+
         self.catalog = catalog
+        self.branch = f"_txn_{uuid.uuid4().hex[:12]}"
         self.staged: dict[str, int] = {}
+        self._touched: set[str] = set()
+
+    def _stage(self, name: str, df: DataFrame, op: str, kwargs) -> None:
+        table = self.catalog.table(name)
+        if name not in self._touched:
+            head = table.current_snapshot()
+            if head is not None:
+                # branch off the table's current main head; on an empty
+                # table the first commit creates the branch (allow_create)
+                # and pins main at its explicit empty state
+                table.create_branch(self.branch, from_snapshot_id=head.snapshot_id)
+            self._touched.add(name)
+        method = table.append if op == "append" else table.overwrite
+        # Commits chain off the previously staged state within the same
+        # transaction (two appends to one table compose) via the branch head.
+        self.staged[name] = method(
+            df, branch=self.branch, allow_create=True, **kwargs
+        ).snapshot_id
 
     def append(self, name: str, df: DataFrame, **kwargs) -> None:
-        # Table commits chain off the previously staged state within the
-        # same transaction (two appends to one table compose).
-        self.staged[name] = self.catalog.table(name).append(df, **kwargs).snapshot_id
+        self._stage(name, df, "append", kwargs)
 
     def overwrite(self, name: str, df: DataFrame, **kwargs) -> None:
-        self.staged[name] = self.catalog.table(name).overwrite(df, **kwargs).snapshot_id
+        self._stage(name, df, "overwrite", kwargs)
+
+    def _drop_staging_refs(self) -> None:
+        for name in self._touched:
+            try:
+                self.catalog.table(name).drop_ref(self.branch)
+            except EngineError:
+                pass  # branch never materialized (abort before first commit)

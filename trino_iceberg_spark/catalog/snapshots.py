@@ -64,6 +64,15 @@ class Snapshot:
     # data file → {field_id (str): [min, max]} zone maps from the parquet
     # footers, recorded at write time (None on legacy manifests)
     file_stats: dict[str, dict] | None = None
+    # Ancestry link (Iceberg's parent-snapshot-id): the snapshot this
+    # commit chained from. 0 = root commit (no parent); None = legacy
+    # manifest written before ancestry tracking — treated as a linear
+    # chain by readers.
+    parent_snapshot_id: int | None = None
+    # Commit properties (Iceberg snapshot summary): small string k/v
+    # recorded ATOMICALLY with the commit — e.g. the streaming sink's
+    # (query, batch-id) idempotence ledger.
+    properties: dict[str, str] | None = None
 
     @property
     def committed_at(self) -> dt.datetime:
@@ -114,9 +123,12 @@ class SnapshotTable:
 
     def _branch_head(self, branch: str) -> Snapshot | None:
         refs = self._load_refs()
-        head = refs["branches"].get(branch)
-        if head is not None:
-            return self._snapshot_by_id(head)
+        if branch in refs["branches"]:
+            head = refs["branches"][branch]
+            # an explicit null head = branch pinned at "empty table" (set
+            # when a staging branch is created on a table with no commits,
+            # so main can never float onto the staging/aborted snapshots)
+            return self._snapshot_by_id(head) if head is not None else None
         if branch == "main":  # legacy/implicit main → newest manifest
             snaps = self.snapshots()
             return snaps[-1] if snaps else None
@@ -145,11 +157,11 @@ class SnapshotTable:
         """Before the first named ref exists, ``main`` floats at the newest
         manifest (legacy behavior). The moment other refs can advance the
         manifest chain, main must be pinned explicitly or it would silently
-        follow another branch's commits."""
+        follow another branch's commits. On an empty table main pins to an
+        explicit null head ("no commits yet") for the same reason."""
         if "main" not in refs["branches"]:
             snaps = self.snapshots()
-            if snaps:
-                refs["branches"]["main"] = snaps[-1].snapshot_id
+            refs["branches"]["main"] = snaps[-1].snapshot_id if snaps else None
 
     def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
         """Immutable named snapshot (release pinning); expire_snapshots
@@ -220,6 +232,8 @@ class SnapshotTable:
                     schemas=m.get("schemas"),
                     file_schemas=m.get("file_schemas"),
                     file_stats=m.get("file_stats"),
+                    parent_snapshot_id=m.get("parent_snapshot_id"),
+                    properties=m.get("properties"),
                 )
             )
         return out
@@ -238,7 +252,15 @@ class SnapshotTable:
         now_us = int(dt.datetime.now(dt.timezone.utc).timestamp() * 1e6)
         if all_snaps and now_us <= all_snaps[-1].committed_at_us:
             now_us = all_snaps[-1].committed_at_us + 1  # strictly increasing
-        manifest.update({"snapshot_id": snapshot_id, "committed_at_us": now_us})
+        manifest.update(
+            {
+                "snapshot_id": snapshot_id,
+                "committed_at_us": now_us,
+                # ancestry link (0 = root) — what lets time travel walk the
+                # main branch's lineage instead of the global manifest list
+                "parent_snapshot_id": prev.snapshot_id if prev is not None else 0,
+            }
+        )
         tmp = os.path.join(self.metadata_dir, f".v{snapshot_id}.json.tmp")
         final = os.path.join(self.metadata_dir, f"v{snapshot_id}.json")
         with open(tmp, "w", encoding="utf-8") as fh:
@@ -297,12 +319,22 @@ class SnapshotTable:
         branch: str = "main",
         cluster_by: list[str] | None = None,
         cluster_partitions: int | None = None,
+        allow_create: bool = False,
+        properties: dict[str, str] | None = None,
     ) -> Snapshot:
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.metadata_dir, exist_ok=True)
         refs = self._load_refs()
         if branch in refs["tags"]:
             raise EngineError(f"cannot commit to tag {branch!r} (tags are immutable)")
+        if branch != "main" and branch not in refs["branches"]:
+            if not allow_create:
+                raise EngineError(f"branch {branch!r} not found in {self.table_dir}")
+            # First commit to a new branch (transaction staging on an empty
+            # table): pin main to its CURRENT state first — null head on an
+            # empty table — so main can never float onto branch commits.
+            self._pin_main(refs)
+            self._save_refs(refs)
         if cluster_by:
             # Range-partition + sort so each data file covers a tight,
             # nearly disjoint key range — this is what makes the zone maps
@@ -315,7 +347,10 @@ class SnapshotTable:
                 F.col(c) for c in cluster_by
             ]
             df = df.repartitionByRange(*args).sortWithinPartitions(*cluster_by)
-        prev = self._branch_head(branch)
+        if branch != "main" and branch not in self._load_refs()["branches"]:
+            prev = None  # new branch created by this commit (allow_create)
+        else:
+            prev = self._branch_head(branch)
 
         # Resolve the schema this commit writes under. First data commit
         # (or a legacy table) derives ids positionally from the DataFrame;
@@ -387,6 +422,7 @@ class SnapshotTable:
                 "schemas": schemas,
                 "file_schemas": file_schemas,
                 "file_stats": file_stats,
+                "properties": properties or {},
             },
         )
         refs = self._load_refs()
@@ -400,14 +436,21 @@ class SnapshotTable:
         branch: str = "main",
         cluster_by: list[str] | None = None,
         cluster_partitions: int | None = None,
+        allow_create: bool = False,
+        properties: dict[str, str] | None = None,
     ) -> Snapshot:
         """INSERT INTO-style commit (B17; two INSERT commits are exactly the
         time-travel test setup, AthenaClientTests.cs:351-365). ``branch``
         targets a staging branch for write-audit-publish flows;
         ``cluster_by`` range-clusters the data files so zone-map pruning
         (``scan``) can skip files within this commit; ``cluster_partitions``
-        pins the output file count."""
-        return self._commit(df, "append", branch, cluster_by, cluster_partitions)
+        pins the output file count. ``allow_create`` lets the commit create
+        ``branch`` (transaction staging on an empty table); ``properties``
+        records small string k/v atomically with the commit (Iceberg
+        snapshot summary — e.g. a streaming sink's batch-id ledger)."""
+        return self._commit(
+            df, "append", branch, cluster_by, cluster_partitions, allow_create, properties
+        )
 
     def overwrite(
         self,
@@ -415,9 +458,13 @@ class SnapshotTable:
         branch: str = "main",
         cluster_by: list[str] | None = None,
         cluster_partitions: int | None = None,
+        allow_create: bool = False,
+        properties: dict[str, str] | None = None,
     ) -> Snapshot:
         """INSERT OVERWRITE / CTAS-replace commit."""
-        return self._commit(df, "overwrite", branch, cluster_by, cluster_partitions)
+        return self._commit(
+            df, "overwrite", branch, cluster_by, cluster_partitions, allow_create, properties
+        )
 
     # -- schema evolution (Iceberg-style, id-based) ----------------------
     def _evolve(self, operation: str, mutate) -> Snapshot:
@@ -627,12 +674,15 @@ class SnapshotTable:
         )
 
     def history_df(self) -> DataFrame:
-        """The ``table$history`` relation: commit chain with an
-        is_current_ancestor-style flag for the main head."""
+        """The ``table$history`` relation: the MAIN branch's commit lineage
+        (Iceberg $history lists the current branch's ancestry — staging
+        branch commits appear only after publish) with an is_current flag
+        for the head. ``snapshots_df`` remains the all-snapshots listing,
+        like Iceberg's $snapshots."""
         cur = self.current_snapshot()
         rows = [
             (s.committed_at, s.snapshot_id, s.snapshot_id == (cur.snapshot_id if cur else -1))
-            for s in self.snapshots()
+            for s in self.main_ancestry()
         ]
         return self.spark.createDataFrame(
             rows, "made_current_at timestamp, snapshot_id int, is_current boolean"
@@ -723,13 +773,43 @@ class SnapshotTable:
             df = df.filter(ops[op](col, v))
         return df
 
+    def main_ancestry(self) -> list[Snapshot]:
+        """Snapshots reachable from the main head via parent links, oldest
+        first — the main branch's lineage. Commits on unpublished staging
+        branches are NOT in it (Iceberg resolves timestamp travel along the
+        current branch's ancestry, not the global snapshot list). Legacy
+        manifests without a recorded parent fall back to the id-ordered
+        prefix (the chain was linear before branch support); an expired
+        parent ends the walk."""
+        head = self._branch_head("main")
+        if head is None:
+            return []
+        snaps = self.snapshots()
+        by_id = {s.snapshot_id: s for s in snaps}
+        chain: list[Snapshot] = []
+        cur: Snapshot | None = head
+        while cur is not None:
+            chain.append(cur)
+            pid = cur.parent_snapshot_id
+            if pid is None:  # legacy manifest: linear history below it
+                chain.extend(
+                    s for s in reversed(snaps) if s.snapshot_id < cur.snapshot_id
+                )
+                break
+            if pid == 0:  # root commit
+                break
+            cur = by_id.get(pid)  # expired parent → stop
+        return list(reversed(chain))
+
     def read_as_of(self, ts: dt.datetime) -> DataFrame:
-        """``FOR TIMESTAMP AS OF`` (B18): latest snapshot committed ≤ ts
-        (AthenaClientTests.cs:374 — combined with ordinary predicates by
-        just chaining .filter on the returned DataFrame)."""
+        """``FOR TIMESTAMP AS OF`` (B18): latest MAIN-ANCESTRY snapshot
+        committed ≤ ts (AthenaClientTests.cs:374 — combined with ordinary
+        predicates by just chaining .filter on the returned DataFrame).
+        Unpublished write-audit-publish branch commits are invisible to
+        timestamp travel until published, matching read() isolation."""
         ts_us = int(ts.replace(tzinfo=ts.tzinfo or dt.timezone.utc).timestamp() * 1e6)
         chosen = None
-        for snap in self.snapshots():
+        for snap in self.main_ancestry():
             if snap.committed_at_us <= ts_us:
                 chosen = snap
         if chosen is None:
@@ -740,7 +820,9 @@ class SnapshotTable:
 
     def read_version(self, snapshot_id: int) -> DataFrame:
         """``VERSION AS OF`` — read an exact snapshot id (under that
-        snapshot's schema, like Iceberg time travel)."""
+        snapshot's schema). Id-addressed like Iceberg: any snapshot in the
+        table metadata is readable by explicit id, including branch
+        commits; only TIMESTAMP travel is ancestry-restricted."""
         for snap in self.snapshots():
             if snap.snapshot_id == snapshot_id:
                 return self._read_snapshot(snap)

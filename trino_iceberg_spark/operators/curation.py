@@ -189,8 +189,12 @@ def contamination_report(
     bench_grams = benchmark.select(
         F.explode(shingle_hashes(bench_col, k)).alias("_g")
     ).distinct()
+    # empty_when_short: a sub-k-token document has ZERO k-grams (n_grams=0,
+    # contamination=0.0) — matching the SQL-oracle definition — rather than
+    # the dedup path's one synthetic whole-text gram.
     doc_grams = df.select(
-        F.col(id_col), F.explode_outer(shingle_hashes(text_col, k)).alias("_g")
+        F.col(id_col),
+        F.explode_outer(shingle_hashes(text_col, k, empty_when_short=True)).alias("_g"),
     )
     scored = doc_grams.join(
         F.broadcast(bench_grams.withColumn("_hit", F.lit(1))), "_g", "left"

@@ -117,9 +117,16 @@ def shingle(content_col: str, k: int = 3) -> Column:
     )
 
 
-def shingle_hashes(content_col: str, k: int = 3) -> Column:
+def shingle_hashes(content_col: str, k: int = 3, empty_when_short: bool = False) -> Column:
     """Distinct word k-shingles as 64-bit hashes (array<bigint>) — the
     minhash-path twin of :func:`shingle`.
+
+    Documents with fewer than ``k`` words default to ONE whole-text
+    synthetic gram (so MinHash/dedup callers still catch exact short-text
+    duplicates); ``empty_when_short=True`` yields an empty array instead —
+    the n-gram-counting contract ("a sub-k-token document has zero
+    k-grams") that :func:`~..operators.curation.contamination_report`
+    needs to agree with its SQL oracle.
 
     Hashes each word once (xxhash64), then folds k adjacent word hashes
     together with ``zip_with`` against shifted slices of the same array —
@@ -139,7 +146,10 @@ def shingle_hashes(content_col: str, k: int = 3) -> Column:
         # zip_with pads the shorter side with null; the trailing (k-1)
         # positions are sliced off below, so the padding never surfaces.
         combined = F.zip_with(combined, shifted, lambda a, b: F.xxhash64(a, b))
-    return F.when(n < k, F.array(F.xxhash64(wh))).otherwise(
+    short = (
+        F.array().cast("array<bigint>") if empty_when_short else F.array(F.xxhash64(wh))
+    )
+    return F.when(n < k, short).otherwise(
         F.array_distinct(F.slice(combined, 1, n - k + 1))
     )
 
@@ -633,13 +643,20 @@ def passage_dedup(
             F.posexplode(F.when(n_chunks > 0, chunks)).alias("chunk_idx", "chunk"),
         )
         .withColumn("_h", F.md5(F.col("chunk")))
-        .withColumn("_occ", F.col("_id") * 1_000_000 + F.col("chunk_idx"))
     )
+    # Canonical keeper = lexicographic min of the (doc_id, chunk_idx)
+    # STRUCT — no arithmetic encoding (doc_id*1e6+idx collides for >1M-chunk
+    # documents and overflows long for doc_id > ~9.2e12).
     keepers = exploded.groupBy("_h").agg(
-        F.count(F.lit(1)).alias("_cnt"), F.min("_occ").alias("_keeper")
+        F.count(F.lit(1)).alias("_cnt"),
+        F.min(F.struct("_id", "chunk_idx")).alias("_keeper"),
     )
     kept = exploded.join(keepers, "_h").filter(
-        (F.col("_cnt") == 1) | (F.col("_keeper") == F.col("_occ"))
+        (F.col("_cnt") == 1)
+        | (
+            (F.col("_keeper._id") == F.col("_id"))
+            & (F.col("_keeper.chunk_idx") == F.col("chunk_idx"))
+        )
     )
     return (
         kept.groupBy(F.col("_id").alias(id_col))

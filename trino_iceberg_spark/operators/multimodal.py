@@ -419,10 +419,14 @@ def extract_features_stub(df: DataFrame, media_col: str = "media", dim: int = 16
             feats = []
             for m in pdf[media_col]:
                 payload = m["payload"] if m is not None else b""
-                acc = [0.0] * dim
+                # integer byte sums + ONE division: every component is an
+                # exactly-representable n/255.0, so the fold is engine-
+                # portable (the SQL oracle reproduces it bit-for-bit; an
+                # incremental float fold would drift by accumulation order)
+                acc = [0] * dim
                 for i, byte in enumerate(payload[: 4096]):
-                    acc[i % dim] += byte / 255.0
-                feats.append(acc)
+                    acc[i % dim] += byte
+                feats.append([a / 255.0 for a in acc])
             pdf = pdf.copy()
             pdf["features"] = feats
             yield pdf

@@ -266,6 +266,18 @@ def _seeded_centroids(
     return [list(row["cv"]) for row in cents]
 
 
+def _derived_num_cells(n_rows: int, target_cell_size: int) -> int:
+    """Scale-honest default cell count: enough cells that an evenly-spread
+    corpus puts ~``target_cell_size`` rows in each (floor 16 so tiny/test
+    corpora keep the old behavior). A FIXED cell count is the footgun this
+    replaces: at 16 cells, pair work in :func:`semantic_dedup_pairs` is
+    ~n²/16 and the ``max_cell_size`` skew guard silently drops most cells
+    at corpus scale — near-zero recall that looks like success."""
+    import math
+
+    return max(16, math.ceil(n_rows / max(1, target_cell_size)))
+
+
 def _route_cells(src: DataFrame, cent_rows: list[list[float]], nprobe: int = 1) -> DataFrame:
     """Route ``(_id, _v array<double>)`` rows to their ``nprobe`` nearest
     centroid cells via one numpy GEMM per Arrow batch, emitting
@@ -334,11 +346,12 @@ def ivf_topk(
     embedding_col: str,
     id_col: str,
     k: int = 10,
-    num_cells: int = 16,
+    num_cells: int | None = None,
     nprobe: int = 4,
     seed: int = 42,
     exclude_self: bool = True,
     dim: int | None = None,
+    target_cell_size: int = 10_000,
 ) -> DataFrame:
     """IVF-flat approximate top-k: partition vectors into Voronoi cells
     around deterministic sampled centroids; probe the query's ``nprobe``
@@ -347,7 +360,15 @@ def ivf_topk(
     Centroids are a seeded deterministic sample (id-hash order) collected
     once — centroid count is tiny and ships in the router's task closure;
     the big table is routed map-side by one GEMM per Arrow batch
-    (:func:`_route_cells`), then shuffled once on cell id."""
+    (:func:`_route_cells`), then shuffled once on cell id.
+
+    ``num_cells=None`` (default) derives the cell count from a one-time
+    corpus count targeting ~``target_cell_size`` vectors per cell
+    (:func:`_derived_num_cells`) — per-query scan work then stays
+    ``nprobe × target_cell_size`` regardless of corpus size, instead of
+    a fixed 16-way split that degenerates to near-full scans at scale."""
+    if num_cells is None:
+        num_cells = _derived_num_cells(candidates.count(), target_cell_size)
     cents = _seeded_centroids(candidates, embedding_col, id_col, num_cells, seed)
     vcol = _as_double(F.col(embedding_col))
     c = _route_cells(
@@ -485,7 +506,7 @@ def semantic_dedup_pairs(
     embedding_col: str,
     id_col: str,
     threshold: float = 0.9,
-    num_cells: int = 16,
+    num_cells: int | None = None,
     seed: int = 42,
     max_cell_size: int = 100_000,
 ) -> DataFrame:
@@ -504,9 +525,20 @@ def semantic_dedup_pairs(
     so exact semantic duplicates are never missed by the partitioning.
     Cross-cell near-duplicates are the documented recall loss (raise
     ``num_cells`` resolution or re-run with a different seed to tighten).
+
+    ``num_cells=None`` (default) derives the cell count from a one-time
+    corpus count targeting ``max_cell_size / 10`` rows per cell
+    (:func:`_derived_num_cells`), so pair work stays ~``n ×
+    max_cell_size/10`` instead of n²/16, and the skew guard below stops
+    being the de-facto (silent) recall ceiling. Cells it still drops are
+    logged loudly — recall loss should be visible, never inferred.
     """
+    import logging
+
     from pyspark import StorageLevel
 
+    if num_cells is None:
+        num_cells = _derived_num_cells(df.count(), max(1, max_cell_size // 10))
     cents = _seeded_centroids(df, embedding_col, id_col, num_cells, seed)
     routed = _route_cells(
         df.select(F.col(id_col).alias("_id"), _as_double(F.col(embedding_col)).alias("_v")),
@@ -517,6 +549,17 @@ def semantic_dedup_pairs(
     # the Python routing pass runs once, like dd03's banded signatures
     routed = routed.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = routed.groupBy("_cell").agg(F.count(F.lit(1)).alias("_csz"))
+    dropped = sizes.filter(F.col("_csz") > max_cell_size).agg(
+        F.count(F.lit(1)).alias("cells"), F.sum("_csz").alias("rows")
+    ).collect()[0]
+    if dropped["cells"]:
+        # cheap (aggregate over the persisted routing, #cells rows) and
+        # loud: these rows are excluded from dedup entirely
+        logging.getLogger(__name__).warning(
+            "semantic_dedup_pairs: skew guard dropped %d cell(s) / %d row(s) "
+            "over max_cell_size=%d — raise num_cells (have %d) to recover recall",
+            dropped["cells"], dropped["rows"], max_cell_size, num_cells,
+        )
     routed = routed.join(
         F.broadcast(sizes.filter(F.col("_csz").between(2, max_cell_size))), "_cell"
     )

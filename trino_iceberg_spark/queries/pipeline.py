@@ -453,10 +453,48 @@ def tx03_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register("tx04_language_id")  # rows-only: marker-argmax heuristic, not worth SQL-porting
+@register(
+    "tx04_language_id",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lang, text,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS tokens
+      FROM documents
+    ),
+    scores AS (
+      SELECT lang,
+        [
+          {'nh': -len(list_filter(tokens, t -> list_contains(['der','die','und','das','von','den','im','ein','mit','des'], t))), 'lg': 'de'},
+          {'nh': -len(list_filter(tokens, t -> list_contains(['the','and','of','to','a','in','is','that','it','for'], t))), 'lg': 'en'},
+          {'nh': -len(list_filter(tokens, t -> list_contains(['el','la','de','que','y','en','los','se','del','las'], t))), 'lg': 'es'},
+          {'nh': -len(list_filter(tokens, t -> list_contains(['le','la','de','et','les','des','en','un','du','une'], t))), 'lg': 'fr'},
+          {'nh': -(len(list_filter(tokens, t -> list_contains(['的','是','了','在','和','有','我','他','这','不'], t)))
+                + (length(text) - length(replace(text,'的','')))
+                + (length(text) - length(replace(text,'是','')))
+                + (length(text) - length(replace(text,'了','')))
+                + (length(text) - length(replace(text,'在','')))
+                + (length(text) - length(replace(text,'和','')))
+                + (length(text) - length(replace(text,'有','')))
+                + (length(text) - length(replace(text,'我','')))
+                + (length(text) - length(replace(text,'他','')))
+                + (length(text) - length(replace(text,'这','')))
+                + (length(text) - length(replace(text,'不','')))), 'lg': 'zh'}
+        ] AS sc
+      FROM toks
+    ),
+    best AS (SELECT lang, list_sort(sc)[1] AS b FROM scores)
+    SELECT lang,
+           CASE WHEN b['nh'] < 0 THEN b['lg'] ELSE 'und' END AS lang_guess,
+           COUNT(*) AS cnt
+    FROM best GROUP BY lang, lang_guess ORDER BY lang, lang_guess
+    """,
+)
 def tx04_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID vs the labeled lang column
-    (operators.text.language_id_col); accuracy pinned in tests/test_operators.py."""
+    (operators.text.language_id_col); accuracy pinned in
+    tests/test_operators.py. The oracle replays the marker-argmax exactly:
+    per-language marker-token hits (plus zh substring counts), ascending
+    sort on (-hits, lang) structs, 'und' when zero hits."""
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id", "lang", TX.language_id_col("text").alias("lang_guess"))
@@ -572,12 +610,37 @@ def mm02_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register("mm03_feature_extraction")  # rows-only: stubbed model, Arrow plumbing real
+@register(
+    "mm03_feature_extraction",
+    oracle=r"""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             least(octet_length(encode(text)), 4096) AS nb
+      FROM documents WHERE doc_id < 50
+    ),
+    comps AS (
+      SELECT doc_id,
+        list_transform(range(0, 16), j ->
+          CAST(CAST(COALESCE(list_sum(list_transform(
+            list_filter(range(0, nb), i -> i % 16 = j),
+            i -> (strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1) * 16
+               + (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1)
+          )), 0) / 255.0 AS REAL) AS DOUBLE)
+        ) AS f
+      FROM b
+    )
+    SELECT doc_id, 16 AS dim,
+           round(sqrt(list_sum(list_transform(f, x -> x * x))), 6) AS feature_norm
+    FROM comps ORDER BY doc_id
+    """,
+)
 def mm03_feature_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature-extraction (embedding) pipeline: binary payload →
     fixed-dim float vector per document, then a vector-norm projection —
     the exact batch shape a model forward pass plugs into
-    (operators.multimodal.extract_features_stub)."""
+    (operators.multimodal.extract_features_stub). The stub's hash-fold is
+    integer byte sums ÷ 255.0 cast to float32, so the SQL oracle (hex-
+    decoding the UTF-8 payload) reproduces it bit-for-bit."""
     from ..operators.multimodal import extract_features_stub
     from ..operators.similarity import norm_col
 

@@ -278,10 +278,11 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: supplier(s) with max quarterly revenue. The max is an
-    exact DECIMAL, so the equality join cannot be split by a ULP; computed
-    as an unpartitioned window max over the tiny per-supplier aggregate."""
-    from pyspark.sql import Window as W
-
+    exact DECIMAL, so the equality cannot be split by a ULP; computed as a
+    1-row global aggregate broadcast back onto the per-supplier aggregate
+    (the q11/q14 scalar-subquery shape) — no single-task window over the
+    whole aggregate, which at sf100k would funnel ~10M rows through one
+    partition."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1996-01-01"))
         & (F.col("l_shipdate") < _ts("1996-04-01"))
@@ -291,10 +292,10 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(_rev_col()).cast("decimal(38,4)").alias("total_rev"))
     )
-    # Window over the supplier-count-sized aggregate (small); at 100 TB this
-    # is still fine — the aggregate is one row per supplier.
-    with_max = rev.withColumn("_max_rev", F.max("total_rev").over(W.partitionBy()))
-    top = with_max.filter(F.col("total_rev") == F.col("_max_rev"))
+    max_rev = rev.agg(F.max("total_rev").alias("_max_rev"))
+    top = rev.crossJoin(F.broadcast(max_rev)).filter(
+        F.col("total_rev") == F.col("_max_rev")
+    )
     return (
         top.join(s, F.col("supplier_no") == s.s_suppkey)
         .select(

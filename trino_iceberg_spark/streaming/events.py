@@ -135,32 +135,37 @@ def stream_ingest_into_snapshot_table(
 ):
     """Append-mode streaming INGEST into a snapshot table with
     exactly-once batch semantics: each micro-batch appends as one atomic
-    snapshot commit, and the last committed batch id per query is recorded
-    next to the manifests — a replayed batch (checkpoint recovery,
-    foreachBatch's at-least-once contract) is recognized and skipped
-    instead of double-appending. This is the standard idempotent-sink
-    construction for transactional table formats (Iceberg/Delta streaming
-    writers track commits the same way); state is two small JSON files, no
-    driver-side data."""
-    import json
-    import os
+    snapshot commit whose manifest carries the (query, batch-id) pair as
+    snapshot PROPERTIES — the idempotence ledger is written by the same
+    ``os.replace`` that commits the data, so there is no window where the
+    rows are committed but the batch id is not. A replayed batch
+    (checkpoint recovery, foreachBatch's at-least-once contract) is
+    recognized from the snapshot log and skipped instead of
+    double-appending. This is exactly how Iceberg/Delta streaming sinks
+    get exactly-once: the batch id rides inside the table commit itself,
+    never in a second file."""
 
-    marker_path = os.path.join(table.metadata_dir, "streaming_commits.json")
+    def last_committed_batch() -> int:
+        last = -1
+        for snap in table.snapshots():
+            props = snap.properties or {}
+            if props.get("streaming.query") == query_name:
+                try:
+                    last = max(last, int(props["streaming.batch-id"]))
+                except (KeyError, ValueError):
+                    continue
+        return last
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        committed = {}
-        if os.path.isfile(marker_path):
-            with open(marker_path, "r", encoding="utf-8") as fh:
-                committed = json.load(fh)
-        if committed.get(query_name, -1) >= batch_id:
-            return  # replayed batch: already committed, skip
-        table.append(batch_df)
-        committed[query_name] = batch_id
-        os.makedirs(table.metadata_dir, exist_ok=True)
-        tmp = marker_path + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as fh:
-            json.dump(committed, fh)
-        os.replace(tmp, marker_path)
+        if last_committed_batch() >= batch_id:
+            return  # replayed batch: already in the snapshot log, skip
+        table.append(
+            batch_df,
+            properties={
+                "streaming.query": query_name,
+                "streaming.batch-id": str(batch_id),
+            },
+        )
 
     return (
         events.writeStream.outputMode("append")
