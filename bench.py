@@ -59,7 +59,15 @@ BENCH_QUERIES = [
 
 def main() -> None:
     load_all()
-    spark = get_spark(app_name="bench")
+    # SPARK_GRAFT_BARE_CONFS=1 runs with Spark's default 200 shuffle
+    # partitions instead of the tuned 32 — a conf-sensitivity canary: a
+    # query whose timing depends heavily on the tuned session (like the
+    # correctness bugs the bare-session tests catch) shows up as a drift
+    # between the two runs.
+    if os.environ.get("SPARK_GRAFT_BARE_CONFS") == "1":
+        spark = get_spark(app_name="bench-bare", shuffle_partitions=200)
+    else:
+        spark = get_spark(app_name="bench")
     try:
         sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
         # Warmup: exercise the paths every query pays for once per JVM —

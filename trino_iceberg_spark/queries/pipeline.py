@@ -348,12 +348,50 @@ def ss02_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ss05_quantized_topk")  # rows-only: int8 approximation by design
+@register(
+    "ss05_quantized_topk",
+    oracle=r"""
+    WITH uv AS (
+      SELECT vec_id,
+             CASE WHEN nrm = 0 THEN v ELSE list_transform(v, x -> x / nrm) END AS u
+      FROM (
+        SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings)
+      )
+    ),
+    qz AS (
+      SELECT vec_id, u,
+             greatest(list_max(list_transform(u, x -> abs(x))) / 127.0, 1e-30) AS s
+      FROM uv
+    ),
+    qv AS (
+      SELECT vec_id, s, list_transform(u, x -> CAST(round(x / s) AS INTEGER)) AS q
+      FROM qz
+    ),
+    scored AS (
+      SELECT qr.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY qr.vec_id
+               ORDER BY ((list_sum(list_transform(c.q, (x, i) -> x * qr.q[i])) * c.s)
+                          * qr.s) DESC,
+                        c.vec_id
+             ) AS INTEGER) AS rank
+      FROM qv c JOIN qv qr ON qr.vec_id % 50 = 0 AND c.vec_id <> qr.vec_id
+    )
+    SELECT query_id, neighbor_id, rank FROM scored WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
 def ss05_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8-quantized approximate top-5
     (operators.similarity.quantized_cosine_topk): integer dot products
     over 4×-smaller vectors; recall ≥ 0.7 vs the exact ranking is pinned
-    in tests/test_operators.py."""
+    in tests/test_operators.py. The quantization pipeline (unit-normalize
+    → symmetric int8 with per-vector scale → integer dot × scales) is
+    deterministic IEEE math in identical operation order on both engines,
+    so the oracle replays it exactly — the hash verdict covers the full
+    quantized ranking, not just row counts."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 50 == 0)
     return (

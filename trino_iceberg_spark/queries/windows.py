@@ -140,8 +140,19 @@ def w04_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 def w05_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE + PERCENT_RANK (global window — acceptable only on pre-filtered
     slices; unbounded global sorts are an anti-pattern at 100 TB, which is
-    why the filter precedes the window)."""
+    why the filter precedes the window AND a hard row-count guard refuses
+    to build the single-task plan over an unbounded slice: failing loudly
+    beats an executor-OOM hours into a 100 TB job)."""
+    from ..errors import EngineError
+
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 400)
+    n = c.count()  # cheap: count over the pushed-down filter scan
+    if n > 5_000_000:
+        raise EngineError(
+            f"w05 global NTILE window over {n} rows: global windows funnel "
+            f"every row through ONE task — pre-filter the slice below 5M "
+            f"rows or use an approx-percentile bucketing instead"
+        )
     w = W.orderBy("c_acctbal", "c_custkey")
     return (
         c.select(
