@@ -18,6 +18,110 @@ from ..sources.testdata import load_table
 from .registry import register
 
 
+# -- generated-oracle helpers for the hyperplane-LSH entries ----------------
+# The hyperplanes are DETERMINISTIC (seeded numpy, inlined as literals on
+# the Spark side, operators/similarity.py:_plane_literals), so the DuckDB
+# oracle can replay the exact same LSH: the plane constants are rendered
+# into the SQL text at registration time via exact repr round-trips
+# (VARCHAR→DOUBLE cast preserves every bit). Bucket signs and ranking
+# dots are sequential left-folds on both engines (list_sum ↔ F.aggregate),
+# verified bit-identical by the ss05 entry's hash verdict.
+
+_UNIT_VEC_CTE = """
+    uv AS (
+      SELECT vec_id,
+             CASE WHEN nrm = 0 THEN v ELSE list_transform(v, x -> x / nrm) END AS u
+      FROM (
+        SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings)
+      )
+    )
+"""
+
+
+def _plane_sql(plane: list[float]) -> str:
+    return "CAST([" + ", ".join(f"'{x!r}'" for x in plane) + "] AS DOUBLE[])"
+
+
+def _bucket_sql(u: str, seed: int, num_planes: int = 4, dim: int = 64) -> str:
+    """SQL for operators.similarity.hyperplane_bucket: one bit per plane =
+    sign(u·plane), little-endian bit packing."""
+    planes = S._plane_literals(dim, num_planes, seed)
+    bits = [
+        f"(CASE WHEN list_sum(list_transform({u}, (x, i) -> x * ({_plane_sql(p)})[i]))"
+        f" >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+# -- xxhash64 in SQL (fixed 8-byte input) -----------------------------------
+# Spark's xxhash64(BIGINT) (XXH64.hashLong, seed 42) replayed as DuckDB
+# HUGEINT arithmetic: 64×64-bit multiplies are limb-split (32-bit halves)
+# so no intermediate exceeds int128, everything masked back to 64 bits.
+# Validated bit-for-bit against F.xxhash64 (tests/test_operators.py).
+# This is what lets the seeded-centroid operators (ss03/dd11) carry full
+# value-hash oracles: their only non-SQL ingredient was this hash.
+
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+_M64 = "CAST('18446744073709551615' AS HUGEINT)"  # 2^64 - 1
+
+
+def _mul64_sql(x: str, c: int) -> str:
+    """(x * c) mod 2^64 with x a HUGEINT column (< 2^64) and c a 64-bit
+    constant, via 32-bit limb products (largest intermediate < 2^65)."""
+    cl, ch = c & 0xFFFFFFFF, c >> 32
+    low = f"(({x} & 4294967295) * {cl})"
+    cross = (
+        f"((((({x} & 4294967295) * {ch}) + ((({x} >> 32) & 4294967295) * {cl}))) "
+        f"& 4294967295)"
+    )
+    return (
+        f"((((({low} >> 32) + {cross}) & 4294967295) << 32) | ({low} & 4294967295))"
+    )
+
+
+def _rotl64_sql(x: str, r: int) -> str:
+    return f"((({x} << {r}) | ({x} >> {64 - r})) & {_M64})"
+
+
+def _xxh64_long_sql(input_expr: str, src_sql: str, keep: str, seed: int = 42) -> str:
+    """Nested-subquery SQL computing Spark's xxhash64 of a BIGINT expression
+    over ``src_sql``, yielding columns ``keep`` + ``xh`` (signed BIGINT,
+    exactly Spark's value). One projection per hash stage keeps every
+    expression small (no exponential inlining)."""
+    base = (seed + _XXH_P5 + 8) & ((1 << 64) - 1)  # folded: seed + P5 + len
+    q = f"SELECT {keep}, (CAST({input_expr} AS HUGEINT) & {_M64}) AS x FROM {src_sql}"
+    stages = [
+        _mul64_sql("x", _XXH_P2),
+        _rotl64_sql("x", 31),
+        _mul64_sql("x", _XXH_P1),
+        f"xor(CAST('{base}' AS HUGEINT), x)",
+        _rotl64_sql("x", 27),
+        _mul64_sql("x", _XXH_P1),
+        f"((x + CAST('{_XXH_P4}' AS HUGEINT)) & {_M64})",
+        "xor(x, (x >> 33))",
+        _mul64_sql("x", _XXH_P2),
+        "xor(x, (x >> 29))",
+        _mul64_sql("x", _XXH_P3),
+        "xor(x, (x >> 32))",
+    ]
+    for s in stages:
+        q = f"SELECT {keep}, {s} AS x FROM ({q})"
+    signed = (
+        f"CASE WHEN x >= CAST('9223372036854775808' AS HUGEINT) "
+        f"THEN CAST(x - CAST('18446744073709551616' AS HUGEINT) AS BIGINT) "
+        f"ELSE CAST(x AS BIGINT) END"
+    )
+    return f"SELECT {keep}, {signed} AS xh FROM ({q})"
+
+
+
 # ---------------------------------------------------------------------------
 # Dedup
 # ---------------------------------------------------------------------------
@@ -130,7 +234,54 @@ def dd10_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dd11_semantic_dedup")  # rows-only: seeded centroid routing not SQL-expressible
+def _centroid_route_ctes(num_cells: int, seed: int = 42) -> str:
+    """Shared CTE chain for the seeded-centroid operators (ss03/dd11):
+    unit vectors, xxhash64-seeded centroid sample (exact Spark hash via
+    _xxh64_long_sql), numpy-equivalent double normalization, and per-vector
+    cell dots. Downstream CTEs pick argmax cells / probed cells."""
+    return f"""
+    {_UNIT_VEC_CTE},
+    hq AS ({_xxh64_long_sql(f"vec_id + {seed}", "embeddings", "vec_id")}),
+    cents AS (
+      SELECT cid, CAST(ROW_NUMBER() OVER (ORDER BY xh, cid) AS INTEGER) - 1 AS cell,
+             CASE WHEN cn = 0 THEN cu ELSE list_transform(cu, x -> x / cn) END AS cu2
+      FROM (
+        SELECT c.vec_id AS cid, c.u AS cu,
+               sqrt(list_sum(list_transform(c.u, x -> x * x))) AS cn, h.xh
+        FROM uv c JOIN hq h ON h.vec_id = c.vec_id
+        ORDER BY h.xh, c.vec_id LIMIT {num_cells}
+      )
+    ),
+    cd AS (
+      SELECT v.vec_id, c.cell,
+             list_sum(list_transform(v.u, (x, i) -> x * c.cu2[i])) AS d
+      FROM uv v CROSS JOIN cents c
+    )
+    """
+
+
+@register(
+    "dd11_semantic_dedup",
+    oracle=f"""
+    WITH {_centroid_route_ctes(num_cells=16)},
+    routed AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rn
+        FROM cd
+      ) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(ua.u, (x, i) -> x * ub.u[i])) AS cos
+      FROM routed a JOIN routed b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN uv ua ON ua.vec_id = a.vec_id
+      JOIN uv ub ON ub.vec_id = b.vec_id
+    )
+    SELECT id_a, id_b, round(cos, 6) AS cosine FROM pairs
+    WHERE cos >= 0.35 ORDER BY id_a, id_b
+    """,
+)
 def dd11_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style embedding near-dedup (operators.similarity.
     semantic_dedup_pairs): cluster-then-compare — centroid cells bound the
@@ -277,7 +428,32 @@ def dd05_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_dedup_pairs(d, "text", "doc_id", max_hamming=6).orderBy("id_a", "id_b")
 
 
-@register("dd06_embedding_dedup")  # rows-only: LSH bucketing not SQL-expressible
+def _dd06_oracle() -> str:
+    # 8 OR-amplification tables, seeds 42 + 7919·t — the exact plane sets
+    # the Spark side inlines (operators/dedup.py:embedding_dedup_pairs).
+    buckets = ",\n             ".join(
+        f"{_bucket_sql('u', seed=42 + 7919 * t, num_planes=4)} AS b{t}"
+        for t in range(8)
+    )
+    collide = " OR ".join(f"a.b{t} = b.b{t}" for t in range(8))
+    return f"""
+    WITH {_UNIT_VEC_CTE},
+    bk AS (
+      SELECT vec_id, u,
+             {buckets}
+      FROM uv
+    ),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(a.u, (x, i) -> x * b.u[i])) AS cos
+      FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND ({collide})
+    )
+    SELECT id_a, id_b, round(cos, 6) AS cosine FROM pairs
+    WHERE cos >= 0.35 ORDER BY id_a, id_b
+    """
+
+
+@register("dd06_embedding_dedup", oracle=_dd06_oracle())
 def dd06_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs ≥ 0.35 via multi-table hyperplane LSH
     (operators.dedup.embedding_dedup_pairs); recall vs the exact pair set is
@@ -335,10 +511,32 @@ def ss01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ss02_lsh_topk")  # rows-only: approximate by design
+@register(
+    "ss02_lsh_topk",
+    oracle=f"""
+    WITH {_UNIT_VEC_CTE},
+    bk AS (
+      SELECT vec_id, u, {_bucket_sql("u", seed=42, num_planes=4)} AS bucket
+      FROM uv
+    ),
+    scored AS (
+      SELECT qr.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY qr.vec_id
+               ORDER BY list_sum(list_transform(qr.u, (x, i) -> x * c.u[i])) DESC,
+                        c.vec_id
+             ) AS INTEGER) AS rank
+      FROM bk c JOIN bk qr
+        ON c.bucket = qr.bucket AND qr.vec_id % 50 = 0 AND c.vec_id <> qr.vec_id
+    )
+    SELECT query_id, neighbor_id, rank FROM scored WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
 def ss02_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-5 (operators.similarity.lsh_topk);
-    recall vs ss01 is pinned in tests/test_operators.py."""
+    recall vs ss01 is pinned in tests/test_operators.py; the oracle
+    replays the seeded hyperplane buckets exactly (see _bucket_sql)."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 50 == 0)
     return (
@@ -401,9 +599,44 @@ def ss05_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ss03_ivf_topk")  # rows-only: approximate by design
+@register(
+    "ss03_ivf_topk",
+    oracle=f"""
+    WITH {_centroid_route_ctes(num_cells=8)},
+    cand AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rn
+        FROM cd
+      ) WHERE rn = 1
+    ),
+    qprobe AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rn
+        FROM cd WHERE vec_id % 50 = 0
+      ) WHERE rn <= 3
+    ),
+    scored AS (
+      SELECT qp.vec_id AS query_id, ca.vec_id AS neighbor_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY qp.vec_id
+               ORDER BY list_sum(list_transform(qu.u, (x, i) -> x * cu.u[i])) DESC,
+                        ca.vec_id
+             ) AS INTEGER) AS rank
+      FROM cand ca JOIN qprobe qp ON ca.cell = qp.cell AND ca.vec_id <> qp.vec_id
+      JOIN uv cu ON cu.vec_id = ca.vec_id
+      JOIN uv qu ON qu.vec_id = qp.vec_id
+    )
+    SELECT query_id, neighbor_id, rank FROM scored WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
 def ss03_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-cell approximate top-5 (operators.similarity.ivf_topk)."""
+    """IVF-cell approximate top-5 (operators.similarity.ivf_topk). The
+    oracle replays the full IVF construction: xxhash64-seeded centroid
+    sample (exact Spark hash in SQL), argmax cell routing, nprobe=3 probe
+    set, within-cell exact-cosine ranking."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 50 == 0)
     return (
