@@ -78,7 +78,8 @@ _FRONT = [
     # --- never driver-checked, upgraded to oracle-backed this round ---
     "tx04_language_id",
     "mm03_feature_extraction",
-    # --- never driver-checked, rows-only (pytest pins quality) ---
+    # --- never driver-checked; dd03/dd05/dd10/tx05 upgraded to full
+    # oracles this round via the portable (md5-derived) hash variants ---
     "dd03_minhash_lsh_pairs",
     "dd05_simhash_pairs",
     "dd06_embedding_dedup",

@@ -160,6 +160,94 @@ def test_simhash_near_identical_docs_collide(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+# --- portable (md5-derived) hash variants ---------------------------------
+# The dd03/dd05/dd10/tx05 registry entries run these paths so their DuckDB
+# oracles can replay every hash. The tests below pin them against a THIRD
+# engine — pure-Python hashlib — so the portability claim is engine-
+# independent, not just Spark-matches-DuckDB.
+
+
+def _py_hash64(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_portable_hash64_matches_python_md5(spark):
+    samples = ["hello", "", "a b c", "Ünïcode ⚡ text", "x" * 500]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = [r["h"] for r in df.select(D.portable_hash64(F.col("s")).alias("h")).collect()]
+    assert got == [_py_hash64(s) for s in samples]
+
+
+def test_portable_minhash_signature_matches_python(spark):
+    text = "the quick brown fox jumps over the quick brown dog again and again"
+    df = spark.createDataFrame([(1, text)], "id long, text string")
+    sig = df.select(
+        D.minhash_signature(
+            D.portable_shingle_hashes("text", k=3), num_hashes=8, seed=42, pre_hashed=True
+        ).alias("sig")
+    ).collect()[0]["sig"]
+    words = [w for w in text.lower().split(" ") if w]
+    grams = list(dict.fromkeys(" ".join(words[i : i + 3]) for i in range(len(words) - 2)))
+    hashes = [_py_hash64(g) for g in grams]
+    p = (1 << 31) - 1
+    expected = [
+        min((h % p * a + b) % p for h in hashes) for a, b in D._hash_params(8, 42)
+    ]
+    assert sig == expected
+
+
+def test_portable_simhash_matches_python(spark):
+    import hashlib
+
+    texts = {1: "alpha beta gamma delta", 2: "one two three four five six seven"}
+    df = spark.createDataFrame(list(texts.items()), "id long, text string")
+    got = {r["id"]: r["simhash"] for r in D.simhash(df, "text", "id", portable=True).collect()}
+
+    def py_simhash(text: str) -> int:
+        toks = [w for w in text.lower().split(" ") if w]
+        ones = [0] * 64
+        for t in toks:
+            d = hashlib.md5(t.encode()).hexdigest()
+            h1, h2 = int(d[:8], 16), int(d[8:16], 16)
+            full = (h1 << 32) | h2
+            for b in range(64):
+                ones[b] += (full >> b) & 1
+        n = len(toks)
+        fp = sum((1 << b) for b in range(64) if ones[b] * 2 > n)
+        return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+    assert got == {i: py_simhash(t) for i, t in texts.items()}
+
+
+def test_portable_fingerprint_matches_python(spark):
+    text = "pack my box with five dozen liquor jugs for the long portage home"
+    df = spark.createDataFrame([(1, text)], "id long, text string")
+    got = df.select(
+        TX.rolling_fingerprint_col("text", portable=True).alias("f")
+    ).collect()[0]["f"]
+    toks = text.split()
+    grams = [" ".join(toks[i : i + 8]) for i in range(len(toks) - 7)]
+    assert got == min(_py_hash64(g) for g in grams)
+
+
+def test_portable_minhash_pairs_no_false_positives(spark, docs):
+    """The portable pipeline keeps the exact-verification contract: every
+    emitted pair is a true Jaccard ≥ τ pair of the exact inverted index."""
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.35).collect()
+    }
+    pairs = D.minhash_dedup_pairs(
+        docs, "text", "doc_id", threshold=0.35, portable=True
+    ).collect()
+    assert pairs
+    for r in pairs:
+        assert (r["id_a"], r["id_b"]) in exact
+        assert abs(r["jaccard"] - exact[(r["id_a"], r["id_b"])]) < 1e-9
+
+
 def test_embedding_dedup_recall(spark, embeddings):
     """Hyperplane-bucketed pairs vs exact all-pairs at cosine ≥ 0.9."""
     v = embeddings.select(

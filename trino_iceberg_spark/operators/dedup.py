@@ -28,6 +28,8 @@ __all__ = [
     "fingerprint_dedup",
     "shingle",
     "shingle_hashes",
+    "portable_hash64",
+    "portable_shingle_hashes",
     "minhash_signature",
     "lsh_candidate_pairs",
     "minhash_dedup_pairs",
@@ -99,6 +101,29 @@ def fingerprint_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame
 
 def _words(content_col: str) -> Column:
     return F.filter(F.split(F.lower(F.col(content_col)), " "), lambda w: w != "")
+
+
+def portable_hash64(col: Column) -> Column:
+    """Engine-portable 60-bit string hash: the first 15 hex chars of md5,
+    read as an integer. md5 is bit-identical in every engine (Spark,
+    DuckDB, Trino, Python hashlib), so operators built on this hash can be
+    replayed exactly by an external system — the same portability argument
+    :mod:`..operators.splits` makes for split membership. 15 hex chars =
+    60 bits keeps the value positive in a signed 64-bit integer on every
+    engine (no overflow/sign divergence). DuckDB twin:
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def portable_shingle_hashes(content_col: str, k: int = 3) -> Column:
+    """Distinct word k-shingles as portable 60-bit hashes (array<bigint>) —
+    the :func:`portable_hash64` twin of :func:`shingle_hashes`, hashing the
+    joined k-word string per shingle (one md5 per position instead of the
+    xxhash64 word-fold). Same short-document contract: documents with
+    fewer than ``k`` words yield ONE whole-text synthetic gram. Use when
+    the dedup decision must be replayable outside Spark; the xxhash64 path
+    stays the throughput default."""
+    return F.transform(shingle(content_col, k), portable_hash64)
 
 
 def shingle(content_col: str, k: int = 3) -> Column:
@@ -183,25 +208,35 @@ def minhash_signature(
     return F.array(*sig)
 
 
-def _banded(df: DataFrame, id_col: str, signature_col: str, bands: int) -> DataFrame:
+def _banded(
+    df: DataFrame, id_col: str, signature_col: str, bands: int, portable: bool = False
+) -> DataFrame:
     """Explode a signature frame into (``_id``, band, band_hash) rows —
     the LSH bucket keys. Shared by the self-join (full dedup) and the
     increment-vs-corpus join (incremental dedup); both must hash bands
-    identically for their candidate sets to agree."""
+    identically for their candidate sets to agree.
+
+    ``portable`` swaps the xxhash64 band key for md5 of the band's
+    comma-joined signature values plus the band index — same bucket
+    semantics (bands never collide across band indices), replayable by any
+    engine (see :func:`portable_hash64`); the key is a 32-char string
+    instead of 8 bytes, acceptable for the portable variant."""
     sig = F.col(signature_col)
     rows_per_band = F.size(sig) / bands
+
+    def band_key(bi: Column) -> Column:
+        sl = F.slice(sig, (bi * rows_per_band + 1).cast("int"), rows_per_band.cast("int"))
+        if portable:
+            joined = F.concat_ws(",", F.transform(sl, lambda x: x.cast("string")))
+            return F.md5(F.concat(joined, F.lit(":"), bi.cast("string")))
+        return F.xxhash64(sl, bi)
+
     return df.select(
         F.col(id_col).alias("_id"),
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bi: F.struct(
-                    bi.alias("band"),
-                    F.xxhash64(
-                        F.slice(sig, (bi * rows_per_band + 1).cast("int"), rows_per_band.cast("int")),
-                        bi,
-                    ).alias("band_hash"),
-                ),
+                lambda bi: F.struct(bi.alias("band"), band_key(bi).alias("band_hash")),
             )
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.band_hash")
@@ -213,6 +248,7 @@ def lsh_candidate_pairs(
     signature_col: str = "minhash_sig",
     bands: int = 16,
     max_bucket_size: int = 1000,
+    portable: bool = False,
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands``, hash each band,
     self-join on (band, band_hash) → candidate id pairs (a < b).
@@ -220,7 +256,7 @@ def lsh_candidate_pairs(
     The self-join is the scale-critical step: it shuffles (band_hash → ids)
     and only materializes pairs within buckets. ``max_bucket_size`` drops
     pathological buckets (skew guard)."""
-    banded = _banded(df, id_col, signature_col, bands)
+    banded = _banded(df, id_col, signature_col, bands, portable=portable)
     # The banded table (id, band, band_hash — 24 bytes × bands per doc) is
     # consumed three times (bucket sizing + both self-join sides); persist it
     # so the expensive upstream signature projection runs once, not thrice.
@@ -250,27 +286,37 @@ def minhash_dedup_pairs(
     bands: int = 16,
     threshold: float = 0.7,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: returns verified pairs
     (id_a, id_b, jaccard) with exact shingle-Jaccard ≥ threshold.
 
     Verification joins shingle arrays back for candidates only, computing
     |A∩B| / |A∪B| with array_intersect — exact, so LSH is purely a recall
-    accelerator and the output has no false positives."""
+    accelerator and the output has no false positives.
+
+    ``portable=True`` swaps every hash for the md5-derived
+    :func:`portable_hash64` family (shingles and band keys), making the
+    entire pipeline — bucket membership included — bit-replayable by any
+    engine with md5 (the dd03/dd10 registry entries carry a full DuckDB
+    value-hash oracle on exactly this path). xxhash64 stays the default:
+    it is the cheaper hash and the two variants produce statistically
+    identical dedup quality."""
     # Shingles feed the signature AND both verification joins — persist so
     # the text is shingled once (the single most expensive projection here).
     # At 100 TB this materialization is the "signature table" a production
     # dedup writes out; MEMORY_AND_DISK gives the same effect in-session.
     # Hashed shingles (array<bigint>), not strings: same Jaccard w.h.p.,
     # ~5× cheaper to build, intersect, and persist.
+    sh_col = portable_shingle_hashes(content_col, k) if portable else shingle_hashes(content_col, k)
     with_shingles = df.select(
-        F.col(id_col).alias("_id"), shingle_hashes(content_col, k).alias("_shingles")
+        F.col(id_col).alias("_id"), sh_col.alias("_shingles")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     with_sig = with_shingles.withColumn(
         "minhash_sig",
         minhash_signature(F.col("_shingles"), num_hashes, seed, pre_hashed=True),
     )
-    candidates = lsh_candidate_pairs(with_sig, "_id", "minhash_sig", bands)
+    candidates = lsh_candidate_pairs(with_sig, "_id", "minhash_sig", bands, portable=portable)
     sh_a = with_shingles.select(
         F.col("_id").alias("id_a"), F.col("_shingles").alias("_sh_a")
     )
@@ -299,6 +345,7 @@ def incremental_minhash_pairs(
     threshold: float = 0.7,
     seed: int = 42,
     max_bucket_size: int = 1000,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs for a NEW ingest batch against an existing corpus —
     the production ingest path: every pair touches the increment
@@ -318,10 +365,10 @@ def incremental_minhash_pairs(
     and the bucket-size guard counts the union's buckets exactly like the
     full run does."""
 
+    sh_col = portable_shingle_hashes(content_col, k) if portable else shingle_hashes(content_col, k)
+
     def prep(df: DataFrame) -> DataFrame:
-        shingled = df.select(
-            F.col(id_col).alias("_id"), shingle_hashes(content_col, k).alias("_shingles")
-        )
+        shingled = df.select(F.col(id_col).alias("_id"), sh_col.alias("_shingles"))
         return shingled.withColumn(
             "minhash_sig",
             minhash_signature(F.col("_shingles"), num_hashes, seed, pre_hashed=True),
@@ -329,8 +376,8 @@ def incremental_minhash_pairs(
 
     inc = prep(increment_df)
     cor = prep(corpus_df)
-    inc_b = _banded(inc, "_id", "minhash_sig", bands)
-    all_b = _banded(cor, "_id", "minhash_sig", bands).unionByName(inc_b)
+    inc_b = _banded(inc, "_id", "minhash_sig", bands, portable=portable)
+    all_b = _banded(cor, "_id", "minhash_sig", bands, portable=portable).unionByName(inc_b)
     # Skew guard sized on the FULL union — identical bucket membership to
     # the full self-join, so the candidate sets agree.
     bucket_sizes = all_b.groupBy("band", "band_hash").agg(
@@ -433,16 +480,27 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+def simhash(df: DataFrame, content_col: str, id_col: str, portable: bool = False) -> DataFrame:
     """64-bit SimHash (Charikar 2002) per document, computed with built-in
     array ops: explode tokens → per-bit ±1 votes → sign → bit assembly.
 
     Pure JVM path: the per-bit vote is 64 conditional sums over the token
-    hash — wide but codegen'd, no Python round trip."""
+    hash — wide but codegen'd, no Python round trip.
+
+    ``portable`` derives the 64 token-hash bits from md5 instead of
+    xxhash64 (two 32-bit halves of the digest's first 16 hex chars,
+    assembled with a wrapping shift — bit-replayable on any engine with
+    md5; see :func:`portable_hash64` for the portability rationale)."""
     tokens = F.explode(_words(content_col)).alias("_tok")
-    exploded = df.select(F.col(id_col).alias("_id"), tokens).withColumn(
-        "_th", F.xxhash64("_tok")
-    )
+    if portable:
+        hx = F.md5(F.col("_tok"))
+        h_hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint")
+        h_lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("bigint")
+        # shiftleft wraps (bit op, not arithmetic) — ANSI-safe for h_hi >= 2^31.
+        th = F.shiftleft(h_hi, 32).bitwiseOR(h_lo)
+    else:
+        th = F.xxhash64("_tok")
+    exploded = df.select(F.col(id_col).alias("_id"), tokens).withColumn("_th", th)
     # Vote arithmetic without branches: ones_b = Σ bit_b(hash); the ±1 vote
     # sum is 2·ones_b − n, positive iff ones_b > n/2. Plain shift-and-mask
     # sums codegen tighter than 64 CASE WHENs (~25% faster end-to-end).
@@ -465,14 +523,18 @@ def simhash(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 
 
 def simhash_dedup_pairs(
-    df: DataFrame, content_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
     Candidate generation by the 4-block trick (Manku et al. 2007): split the
     64-bit hash into 4 16-bit blocks; any pair within Hamming ≤ 3 shares at
     least one exact block → equi-join per block, then exact popcount filter."""
-    sh = simhash(df, content_col, id_col).select(
+    sh = simhash(df, content_col, id_col, portable=portable).select(
         F.col(id_col).alias("_id"), F.col("simhash")
     )
     blocks = sh.select(

@@ -129,10 +129,18 @@ def language_id_col(text: Column | str) -> Column:
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
-def rolling_fingerprint_col(text: Column | str, window: int = 8) -> Column:
-    """Winnowing-style document fingerprint: xxhash64 of each ``window``-gram
+def rolling_fingerprint_col(text: Column | str, window: int = 8, portable: bool = False) -> Column:
+    """Winnowing-style document fingerprint: hash of each ``window``-gram
     of words, keep the minimum — a compact locality-sensitive id
-    (Schleimer et al., winnowing; single min kept for compactness)."""
+    (Schleimer et al., winnowing; single min kept for compactness).
+
+    ``portable`` hashes grams with the md5-derived 60-bit
+    :func:`~..operators.dedup.portable_hash64` instead of xxhash64, so the
+    fingerprint is bit-replayable by any engine with md5 (this is the
+    tx05 registry entry's oracle-checked path); xxhash64 stays the
+    throughput default."""
+    from .dedup import portable_hash64
+
     tokens = word_tokens_col(text)
     n = F.size(tokens)
     grams = F.when(n < window, F.array(F.concat_ws(" ", tokens))).otherwise(
@@ -141,6 +149,10 @@ def rolling_fingerprint_col(text: Column | str, window: int = 8) -> Column:
             lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, window)),
         )
     )
+    # explicit single-arg lambdas — Spark reads the callable's arity to pick
+    # the higher-order-function argument count, so *args callables are out.
+    if portable:
+        return F.array_min(F.transform(grams, lambda g: portable_hash64(g)))
     return F.array_min(F.transform(grams, lambda g: F.xxhash64(g)))
 
 

@@ -1,8 +1,11 @@
 """Training-data-pipeline query entries (SURVEY.md §2.D): dedup, similarity
 search, text analysis, multimodal — each wired to the operator library with
-a DuckDB oracle where the semantics are SQL-expressible; the
-LSH/signature-based operators get rows-only entries (driver's weaker check)
-plus their own pytest invariants against exact baselines.
+a DuckDB oracle. Every entry in this module carries a full value-hash
+oracle: the LSH/signature pipelines run their *portable* (md5-derived)
+hash variants so DuckDB can replay signatures, band buckets, bit votes,
+and skew guards bit-for-bit (see operators.dedup.portable_hash64); their
+recall/exactness invariants against all-pairs baselines are additionally
+pinned in pytest.
 """
 
 from __future__ import annotations
@@ -203,33 +206,114 @@ def dd12_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.passage_dedup(d, "text", "doc_id", chunk_tokens=10).orderBy("doc_id")
 
 
-@register("dd03_minhash_lsh_pairs")  # rows-only: signature hashing not SQL-expressible
+def _minhash_oracle(
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.35,
+    seed: int = 42,
+    max_bucket_size: int = 1000,
+    pair_filter: str = "TRUE",
+) -> str:
+    """DuckDB SQL replaying the FULL portable MinHash+LSH pipeline
+    (operators.dedup.minhash_dedup_pairs with portable=True) — shingles,
+    the seeded (a·h+b) mod p signature family, band keys, the bucket-size
+    skew guard, candidate generation, and exact-Jaccard verification.
+    Every hash is md5-derived (portable_hash64 / md5 band keys), so both
+    engines agree bit-for-bit, bucket-for-bucket. ``pair_filter`` narrows
+    the output (the incremental entry keeps only increment-touching
+    pairs, which by the incremental-exactness contract equals running the
+    increment-sided pipeline)."""
+    rpb = num_hashes // bands
+    perms = ",\n        ".join(
+        f"list_min(list_transform(hh, h -> ((h % 2147483647) * {a} + {b}) % 2147483647))"
+        for a, b in D._hash_params(num_hashes, seed)
+    )
+    return f"""
+    WITH words AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+        FROM documents
+    ),
+    hs AS (
+        SELECT doc_id, list_distinct(list_transform(
+            CASE WHEN len(ws) < {k} THEN [array_to_string(ws, ' ')]
+                 ELSE list_distinct(list_transform(
+                        range(1, len(ws) - {k} + 2),
+                        i -> array_to_string(list_slice(ws, i, i + {k - 1}), ' ')))
+            END,
+            g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)) AS hh
+        FROM words
+    ),
+    sig AS (
+        SELECT doc_id, [
+        {perms}
+        ] AS sig FROM hs
+    ),
+    banded AS (
+        SELECT doc_id, r.range AS band,
+               md5(array_to_string(list_slice(sig, r.range * {rpb} + 1, (r.range + 1) * {rpb}), ',')
+                   || ':' || CAST(r.range AS VARCHAR)) AS band_hash
+        FROM sig CROSS JOIN range({bands}) r
+    ),
+    sized AS (
+        SELECT band, band_hash FROM banded
+        GROUP BY band, band_hash HAVING COUNT(*) BETWEEN 2 AND {max_bucket_size}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a
+        JOIN sized s ON a.band = s.band AND a.band_hash = s.band_hash
+        JOIN banded b ON b.band = s.band AND b.band_hash = s.band_hash
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT id_a, id_b,
+               CAST(len(list_intersect(ha.hh, hb.hh)) AS DOUBLE)
+                   / len(list_distinct(ha.hh || hb.hh)) AS jaccard
+        FROM cand
+        JOIN hs ha ON ha.doc_id = cand.id_a
+        JOIN hs hb ON hb.doc_id = cand.id_b
+    ) WHERE jaccard >= {threshold} AND ({pair_filter})
+    ORDER BY id_a, id_b
+    """
+
+
+@register("dd03_minhash_lsh_pairs", oracle=_minhash_oracle())
 def dd03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-Jaccard verified ≥ 0.35
-    (operators.dedup.minhash_dedup_pairs). Correctness is pinned by
-    tests/test_operators.py against the exact all-pairs baseline."""
+    (operators.dedup.minhash_dedup_pairs, portable md5 hash family so the
+    DuckDB oracle replays the whole pipeline — signatures, band buckets,
+    skew guard — bit-for-bit). Recall vs the exact all-pairs baseline is
+    separately pinned in tests/test_operators.py."""
     d = load_table(spark, sf_dir, "documents")
     return (
-        D.minhash_dedup_pairs(d, "text", "doc_id", threshold=0.35)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        D.minhash_dedup_pairs(d, "text", "doc_id", threshold=0.35, portable=True)
+        .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
     )
 
 
-@register("dd10_incremental_dedup")  # rows-only: signature hashing not SQL-expressible
+@register(
+    "dd10_incremental_dedup",
+    oracle=_minhash_oracle(pair_filter="id_a >= 400 OR id_b >= 400"),
+)
 def dd10_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-path near-dedup (operators.dedup.incremental_minhash_pairs):
     documents with doc_id >= 400 arrive as a new batch and are checked
     against the doc_id < 400 corpus — every returned pair touches the
-    increment, and corpus×corpus work is never redone. Equality with the
-    full self-join (restricted to increment-touching pairs) is pinned in
-    tests/test_operators.py."""
+    increment, and corpus×corpus work is never redone. The oracle runs the
+    FULL portable pipeline restricted to increment-touching pairs: by the
+    incremental-exactness contract (also pinned in
+    tests/test_operators.py) the two are identical, so the hash verdict
+    checks that contract against an independent engine."""
     d = load_table(spark, sf_dir, "documents")
     corpus = d.filter(F.col("doc_id") < 400)
     increment = d.filter(F.col("doc_id") >= 400)
     return (
-        D.incremental_minhash_pairs(corpus, increment, "text", "doc_id", threshold=0.35)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        D.incremental_minhash_pairs(
+            corpus, increment, "text", "doc_id", threshold=0.35, portable=True
+        )
+        .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
     )
 
@@ -421,11 +505,64 @@ def dd08_near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register("dd05_simhash_pairs")  # rows-only: bit-vote hashing not SQL-expressible
+def _simhash_oracle(max_hamming: int = 6) -> str:
+    """DuckDB SQL replaying portable SimHash end-to-end: md5-derived
+    64-bit token hashes (two 32-bit hex halves), per-bit majority votes,
+    signed fingerprint assembly, Manku 4-block candidate join, exact
+    Hamming verification via bit_count(xor(...)). Same vote arithmetic as
+    the Spark side (ones·2 > n), so fingerprints agree bit-for-bit."""
+    # bits 0..31 come from the digest's second 8 hex chars, 32..63 from the
+    # first 8 — matching shiftleft(h_hi,32)|h_lo on the Spark side.
+    votes = ",\n        ".join(
+        f"SUM((h2 >> {b}) & 1) AS o{b}" if b < 32 else f"SUM((h1 >> {b - 32}) & 1) AS o{b}"
+        for b in range(64)
+    )
+    fp_bits = " + ".join(
+        f"(CASE WHEN o{b} * 2 > n THEN {1 << b} ELSE 0 END)" for b in range(63)
+    )
+    fp = f"({fp_bits} + (CASE WHEN o63 * 2 > n THEN (-9223372036854775807 - 1) ELSE 0 END))"
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS tok
+        FROM documents
+    ),
+    th AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h1,
+               ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h2
+        FROM toks
+    ),
+    votes AS (
+        SELECT doc_id, COUNT(*) AS n,
+        {votes}
+        FROM th GROUP BY doc_id
+    ),
+    fp AS (SELECT doc_id, {fp} AS fp FROM votes),
+    blocks AS (
+        SELECT doc_id, fp, r.range AS blk,
+               CAST(((CAST(fp AS HUGEINT) & CAST('18446744073709551615' AS HUGEINT))
+                     >> (16 * r.range)) & 65535 AS BIGINT) AS blk_val
+        FROM fp CROSS JOIN range(4) r
+    )
+    SELECT id_a, id_b, hamming FROM (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+        FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.blk_val = b.blk_val
+        WHERE a.doc_id < b.doc_id
+    ) WHERE hamming <= {max_hamming}
+    ORDER BY id_a, id_b
+    """
+
+
+@register("dd05_simhash_pairs", oracle=_simhash_oracle())
 def dd05_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming-≤6 near-dup pairs (operators.dedup.simhash_dedup_pairs)."""
+    """SimHash Hamming-≤6 near-dup pairs (operators.dedup.simhash_dedup_pairs,
+    portable md5-derived token bits so the DuckDB oracle replays votes,
+    fingerprints, and the Manku block join bit-for-bit)."""
     d = load_table(spark, sf_dir, "documents")
-    return D.simhash_dedup_pairs(d, "text", "doc_id", max_hamming=6).orderBy("id_a", "id_b")
+    return D.simhash_dedup_pairs(
+        d, "text", "doc_id", max_hamming=6, portable=True
+    ).orderBy("id_a", "id_b")
 
 
 def _dd06_oracle() -> str:
@@ -775,12 +912,30 @@ def tx04_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("tx05_fingerprints")  # rows-only: xxhash64 not in DuckDB
+@register(
+    "tx05_fingerprints",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ts
+        FROM documents
+    )
+    SELECT doc_id,
+           list_min(list_transform(
+               CASE WHEN len(ts) < 8 THEN [array_to_string(ts, ' ')]
+                    ELSE list_transform(range(1, len(ts) - 8 + 2),
+                                        i -> array_to_string(list_slice(ts, i, i + 7), ' '))
+               END,
+               g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)) AS fingerprint
+    FROM toks ORDER BY doc_id
+    """,
+)
 def tx05_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash document fingerprints (operators.text.rolling_fingerprint_col)."""
+    """Rolling-hash document fingerprints (operators.text.
+    rolling_fingerprint_col, portable md5-derived gram hashes — the oracle
+    replays gram windows and the min-hash selection exactly)."""
     d = load_table(spark, sf_dir, "documents")
     return d.select(
-        "doc_id", TX.rolling_fingerprint_col("text").alias("fingerprint")
+        "doc_id", TX.rolling_fingerprint_col("text", portable=True).alias("fingerprint")
     ).orderBy("doc_id")
 
 
