@@ -69,6 +69,8 @@ _FRONT = [
     "sp06_temperature_weights",
     "ev08_hypertable_rollup",
     "ev09_sketch_rollup",
+    "ev10_kmv_distinct_rollup",  # new this round (portable mergeable sketch)
+    "st07_stream_dedup",  # new this round (watermarked streaming dedup)
     "tt01_timestamp_as_of",
     "tt02_version_as_of",
     "tt03_snapshot_changelog",

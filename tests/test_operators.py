@@ -673,6 +673,42 @@ def test_sketch_rollup_cascade_accuracy(spark, sf_dir):
         assert abs(r["approx_distinct"] - r["exact"]) <= max(2, 0.05 * r["exact"])
 
 
+def test_kmv_cascade_equals_direct_and_bounds_error(spark, sf_dir):
+    """KMV exactness property: merging hourly min-k sketches must produce
+    byte-identical daily sketches to computing min-k from raw (min-k of a
+    union == min-k of per-part min-k sets). Estimates sit within a
+    generous multiple of KMV's 1/√(k−2) error envelope; cells that never
+    filled (< k distinct) are exact by construction."""
+    from trino_iceberg_spark.operators.sketches import kmv_estimate, kmv_merge, kmv_rollup
+    from trino_iceberg_spark.sources.testdata import load_table
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "user_key", F.col("user_id").cast("string")
+    )
+    hourly = kmv_rollup(e, "ts", ("event_type",), "user_key", "hour", k=64)
+    daily = kmv_merge(hourly, "day", ("event_type",), k=64)
+    direct = kmv_rollup(e, "ts", ("event_type",), "user_key", "day", k=64)
+    cascaded = {(r["bucket"], r["event_type"]): (r["kmv"], r["cnt"]) for r in daily.collect()}
+    from_raw = {(r["bucket"], r["event_type"]): (r["kmv"], r["cnt"]) for r in direct.collect()}
+    assert cascaded == from_raw
+    est = {
+        (r["bucket"], r["event_type"]): r["est_distinct"]
+        for r in kmv_estimate(daily, k=64).collect()
+    }
+    exact = {
+        (r["bucket"], r["event_type"]): r["d"]
+        for r in e.groupBy(F.date_trunc("day", "ts").alias("bucket"), "event_type")
+        .agg(F.countDistinct("user_key").alias("d"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for key, d in exact.items():
+        if d < 64:
+            assert est[key] == float(d)  # unfilled sketch is the exact set
+        else:
+            assert abs(est[key] - d) <= 0.5 * d
+
+
 def test_derived_num_cells_scales_with_corpus():
     """Scale-honest default: ~target_cell_size rows per cell with a floor
     of 16 (tiny corpora keep the historical 16-cell behavior); a 5M-row

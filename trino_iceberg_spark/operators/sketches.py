@@ -3,10 +3,23 @@ distinct/quantiles (SURVEY.md §2.C scalar-fn surface; Spark built-ins)."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["approx_distinct", "approx_quantiles", "frequent_items"]
+from .dedup import portable_hash64
+
+__all__ = [
+    "approx_distinct",
+    "approx_quantiles",
+    "frequent_items",
+    "kmv_rollup",
+    "kmv_merge",
+    "kmv_estimate",
+]
+
+# portable_hash64 draws uniformly from [0, 2^60) — the KMV estimator's
+# normalization constant.
+_KMV_SPACE = float(1 << 60)
 
 
 def approx_distinct(df: DataFrame, col: str, group_by: list[str] | None = None, rsd: float = 0.05) -> DataFrame:
@@ -31,3 +44,78 @@ def approx_quantiles(
 def frequent_items(df: DataFrame, col: str, support: float = 0.01) -> DataFrame:
     """Heavy hitters via Karp et al. frequent-items sketch (freqItems)."""
     return df.freqItems([col], support)
+
+
+def kmv_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    dims: tuple[str, ...] = ("event_type",),
+    key_col: str = "user_id",
+    granularity: str = "hour",
+    k: int = 64,
+) -> DataFrame:
+    """Continuous aggregate with a K-MINIMUM-VALUES distinct sketch
+    (Bar-Yossef et al. 2002): each (bucket × dims) cell keeps the ``k``
+    smallest :func:`~..operators.dedup.portable_hash64` values of
+    ``key_col`` plus the exact row count.
+
+    The engine-portable twin of the HLL cascade in
+    :mod:`..operators.timeseries`: KMV on a deterministic md5-derived
+    hash makes the sketch AND its estimate bit-reproducible by any engine
+    (the ev10 registry entry's DuckDB oracle replays the whole cascade),
+    where DataSketches HLL estimates only Spark can produce. Error is
+    ~1/√(k−2) relative (k=64 → ~8%); HLL remains the byte-efficiency
+    choice.
+
+    Scale shape: distinct (cell, hash) pairs shuffle once, a per-cell
+    rank window keeps the k smallest (bounded state per cell — no
+    collect of full member sets), and the row count rides a standard
+    partial-aggregated groupBy on the same keys."""
+    bucket = F.date_trunc(granularity, F.col(ts_col)).alias("bucket")
+    dim_cols = [F.col(d) for d in dims]
+    keys = ["bucket", *dims]
+    hashed = events.select(
+        bucket, *dim_cols, portable_hash64(F.col(key_col)).alias("_h")
+    ).distinct()
+    rn = F.row_number().over(Window.partitionBy(*keys).orderBy("_h"))
+    topk = hashed.withColumn("_rn", rn).filter(F.col("_rn") <= k)
+    sketches = topk.groupBy(*keys).agg(
+        F.array_sort(F.collect_list("_h")).alias("kmv")
+    )
+    counts = events.groupBy(bucket, *dim_cols).agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.join(sketches, keys)
+
+
+def kmv_merge(
+    rollup: DataFrame,
+    to_granularity: str = "day",
+    dims: tuple[str, ...] = ("event_type",),
+    k: int = 64,
+) -> DataFrame:
+    """Cascade a KMV rollup to a coarser granularity without touching raw
+    data: the k smallest of the union of per-cell k-smallest sets IS the
+    k smallest of the union (any value in the coarser cell's top-k is in
+    its own finer cell's top-k — fewer than k values anywhere are below
+    it), so the cascade is exactly equal to computing the sketch from raw.
+    Each merge input is ≤ k values, so the flatten is bounded."""
+    bucket = F.date_trunc(to_granularity, F.col("bucket")).alias("bucket")
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("kmv")))), 1, k
+    )
+    return rollup.groupBy(bucket, *[F.col(d) for d in dims]).agg(
+        merged.alias("kmv"), F.sum("cnt").alias("cnt")
+    )
+
+
+def kmv_estimate(rollup: DataFrame, k: int = 64) -> DataFrame:
+    """Replace the sketch column with its distinct-count estimate:
+    exact |sketch| when the cell never filled (fewer than k distinct
+    keys — the sketch IS the distinct hash set), else the KMV estimator
+    (k−1)·SPACE/kth_min. Pure double arithmetic in a fixed op order, so
+    any engine reproduces the exact same IEEE value."""
+    size = F.size("kmv")
+    kth = F.element_at("kmv", k).cast("double")
+    est = F.when(size < k, size.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(_KMV_SPACE) / kth
+    )
+    return rollup.withColumn("est_distinct", est).drop("kmv")

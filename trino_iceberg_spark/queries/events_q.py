@@ -339,3 +339,52 @@ def ev09_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bucket", "event_type", "cnt", "approx_distinct")
         .orderBy("bucket", "event_type")
     )
+
+
+@register(
+    "ev10_kmv_distinct_rollup",
+    oracle="""
+    WITH hashed AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, event_type,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM events
+    ),
+    sk AS (
+        SELECT bucket, event_type, COUNT(*) AS n_distinct,
+               list_sort(list(h)) AS hs
+        FROM hashed GROUP BY bucket, event_type
+    ),
+    cnts AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, event_type, COUNT(*) AS cnt
+        FROM events GROUP BY bucket, event_type
+    )
+    SELECT c.bucket, c.event_type, c.cnt,
+           CASE WHEN s.n_distinct < 64 THEN CAST(s.n_distinct AS DOUBLE)
+                ELSE 63.0 * 1152921504606846976.0 / CAST(s.hs[64] AS DOUBLE)
+           END AS est_distinct
+    FROM cnts c JOIN sk s ON c.bucket = s.bucket AND c.event_type = s.event_type
+    ORDER BY c.bucket, c.event_type
+    """,
+)
+def ev10_kmv_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable mergeable distinct-count cascade
+    (operators.sketches.kmv_rollup → kmv_merge → kmv_estimate): hourly
+    K-minimum-values sketches of distinct users per event_type, merged up
+    to daily cells without re-reading raw data — the portable twin of
+    ev09's HLL cascade. Because the sketch is the k smallest md5-derived
+    hashes, the DuckDB oracle reproduces the daily sketch (and therefore
+    the exact estimate, bit-for-bit) directly from raw events; equality
+    holds because min-k of a union equals min-k of the per-hour min-k
+    sets."""
+    from ..operators.sketches import kmv_estimate, kmv_merge, kmv_rollup
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "user_key", F.col("user_id").cast("string")
+    )
+    hourly = kmv_rollup(e, "ts", ("event_type",), "user_key", "hour", k=64)
+    daily = kmv_merge(hourly, "day", ("event_type",), k=64)
+    return (
+        kmv_estimate(daily, k=64)
+        .select("bucket", "event_type", "cnt", "est_distinct")
+        .orderBy("bucket", "event_type")
+    )

@@ -352,3 +352,40 @@ def st06_stream_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "st07_stream_dedup",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def st07_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest-path exact dedup via dropDuplicatesWithinWatermark:
+    keep the first row per (user_id, event_type) with dedup state bounded
+    by the 1-hour watermark — the scale-correct streaming dedup (plain
+    dropDuplicates retains state forever; the watermark variant evicts
+    keys once the event-time horizon passes, so state is proportional to
+    the watermark window, not the stream's lifetime). The replayed file
+    source emits every key's first occurrence exactly once, so the
+    per-type count of deduped rows equals batch COUNT(DISTINCT user_id) —
+    which is exactly what the oracle checks."""
+    stream = _staged_stream(spark, sf_dir, "st07")
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    qname = f"st07_{uuid.uuid4().hex[:8]}"
+    query = (
+        deduped.writeStream.outputMode("append").format("memory").queryName(qname).start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return (
+        spark.table(qname)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("distinct_users"))
+        .orderBy("event_type")
+    )
