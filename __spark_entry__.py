@@ -71,6 +71,8 @@ _FRONT = [
     "ev09_sketch_rollup",
     "ev10_kmv_distinct_rollup",  # new this round (portable mergeable sketch)
     "st07_stream_dedup",  # new this round (watermarked streaming dedup)
+    "mm05_frame_sampling",  # new this round (frame-grid explode)
+    "st08_stream_cdc_upsert",  # new this round (foreachBatch MERGE)
     "tt01_timestamp_as_of",
     "tt02_version_as_of",
     "tt03_snapshot_changelog",

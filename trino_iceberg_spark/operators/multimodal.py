@@ -78,15 +78,24 @@ class DecodeUnavailable(NotImplementedError):
 
 
 def attach_media(
-    df: DataFrame, payload_col: str, media_type: str = "image", codec: str = "synthetic"
+    df: DataFrame,
+    payload_col: str,
+    media_type: str = "image",
+    codec: str = "synthetic",
+    duration_ms: Column | None = None,
 ) -> DataFrame:
     """Wrap an existing binary column into the canonical media struct.
 
     Metadata is computed JVM-side (octet_length); deterministic fake
     width/height derive from the payload hash so downstream operators have
-    realistic varying values to filter on."""
+    realistic varying values to filter on. ``duration_ms`` overrides the
+    hash-derived fake duration with a caller-supplied expression — a real
+    ingest reads it from the container header; entries that need an
+    engine-replayable grid (mm05) pass a deterministic function of the
+    row key."""
     payload = F.col(payload_col)
     h = F.abs(F.xxhash64(payload))
+    dur = (h % 600000) if duration_ms is None else duration_ms
     return df.withColumn(
         "media",
         F.struct(
@@ -96,7 +105,7 @@ def attach_media(
                 F.lit(codec).alias("codec"),
                 (h % 1920 + 16).cast("int").alias("width"),
                 (F.abs(F.xxhash64(payload, F.lit(1))) % 1080 + 16).cast("int").alias("height"),
-                (h % 600000).cast("long").alias("duration_ms"),
+                dur.cast("long").alias("duration_ms"),
                 F.octet_length(payload).cast("long").alias("n_bytes"),
             ).alias("meta"),
         ),

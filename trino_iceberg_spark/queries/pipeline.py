@@ -2108,3 +2108,42 @@ def tx14_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.sliding_chunks(d, "text", "doc_id", chunk_tokens=16, stride=8)
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+@register(
+    "mm05_frame_sampling",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, text,
+               unnest(range(0, (doc_id % 10) * 1000 + 500, 1000)) AS frame_ms
+        FROM documents WHERE doc_id < 20
+    )
+    SELECT doc_id, frame_ms,
+           substr(text, CAST(frame_ms % 32 AS INT) + 1, 16) AS frame_str
+    FROM f ORDER BY doc_id, frame_ms
+    """,
+)
+def mm05_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (operators.multimodal.
+    sample_frames_stub): per media row, a JVM-side explode of the sampled
+    timestamp grid (one row per second of duration) with a payload slice
+    per frame — the real pipeline shape (grid explode → per-frame decode);
+    only the codec seek is stubbed as a substring. Durations are a
+    deterministic function of doc_id (attach_media's duration override),
+    so the oracle replays the exact grid and slices; the ASCII corpus
+    makes byte slices equal char slices on both engines."""
+    from ..operators.multimodal import sample_frames_stub
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    media = attach_media(
+        d.withColumn("payload", F.encode(F.col("text"), "UTF-8")),
+        "payload",
+        media_type="video",
+        duration_ms=(F.col("doc_id") % 10) * 1000 + 500,
+    )
+    frames = sample_frames_stub(media.select("doc_id", "media"), every_ms=1000)
+    return frames.select(
+        "doc_id",
+        "frame_ms",
+        F.decode(F.col("frame_payload"), "UTF-8").alias("frame_str"),
+    ).orderBy("doc_id", "frame_ms")

@@ -389,3 +389,83 @@ def st07_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("distinct_users"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "st08_stream_cdc_upsert",
+    oracle="""
+    SELECT user_id, event_type AS last_event_type, ts AS last_ts FROM (
+        SELECT user_id, event_type, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def st08_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert (MERGE) into the snapshot catalog via
+    foreachBatch: each micro-batch reduces to its latest row per user_id
+    ((ts, event_id) tiebreak), challenges the table's current rows for
+    those keys, and commits one atomic merge snapshot
+    (catalog.snapshots.SnapshotTable.merge — the Delta/Iceberg
+    `foreachBatch + MERGE INTO` pattern). The reducer re-compares against
+    current state, so the final table is the GLOBAL latest row per key
+    regardless of how the stream was batched — pinned here by replaying
+    the events file as two micro-batches (duplicate staging, same
+    content) whose second pass must leave the table unchanged. The oracle
+    is the batch argmax per user."""
+    import shutil as _shutil
+
+    from pyspark.sql import Window
+
+    from ..catalog.snapshots import SnapshotTable
+
+    # Two staged copies of the same file -> two micro-batches
+    # (maxFilesPerTrigger=1): batch 2 exercises the merge-vs-current path
+    # and must be a no-op, proving latest-wins idempotence.
+    stage_dir = os.path.join(tempfile.gettempdir(), "tis_st08_events")
+    _shutil.rmtree(stage_dir, ignore_errors=True)
+    os.makedirs(stage_dir)
+    src = os.path.join(sf_dir, "events.parquet")
+    os.symlink(src, os.path.join(stage_dir, "a.parquet"))
+    os.symlink(src, os.path.join(stage_dir, "b.parquet"))
+    raw_schema = spark.read.parquet(src).schema
+    stream = _fix_ts(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage_dir)
+    )
+
+    tdir = os.path.join(tempfile.gettempdir(), "tis_st08_table")
+    _shutil.rmtree(tdir, ignore_errors=True)
+    table = SnapshotTable(spark, tdir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+
+    def latest_per_key(df: DataFrame) -> DataFrame:
+        return (
+            df.select("user_id", "event_type", "ts", "event_id")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def upsert(batch: DataFrame, _batch_id: int) -> None:
+        latest = latest_per_key(batch)
+        if table.current_snapshot() is None:
+            table.append(latest)
+            return
+        challenged = table.read().join(
+            latest.select("user_id"), "user_id", "semi"
+        )
+        table.merge(latest_per_key(challenged.unionByName(latest)), ["user_id"])
+
+    query = stream.writeStream.foreachBatch(upsert).start()
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return table.read().select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("ts").alias("last_ts"),
+    ).orderBy("user_id")
