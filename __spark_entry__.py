@@ -73,6 +73,10 @@ _FRONT = [
     "st07_stream_dedup",  # new this round (watermarked streaming dedup)
     "mm05_frame_sampling",  # new this round (frame-grid explode)
     "st08_stream_cdc_upsert",  # new this round (foreachBatch MERGE)
+    "ev11_interpolated_gap_fill",  # new this round
+    "w10_value_navigation",  # new this round
+    "f11_string_functions2",  # new this round
+    "b22_group_by_all",  # new this round
     "tt01_timestamp_as_of",
     "tt02_version_as_of",
     "tt03_snapshot_changelog",

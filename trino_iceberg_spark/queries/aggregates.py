@@ -776,3 +776,38 @@ def f10_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linenumber")
     )
+
+
+@register(
+    "f11_string_functions2",
+    oracle="""
+    SELECT p_partkey,
+           translate(p_name, 'aeiou', '12345') AS translated,
+           left(p_name, 4) AS l4,
+           right(p_name, 4) AS r4,
+           repeat(p_brand, 2) AS doubled,
+           reverse(p_type) AS reversed_type,
+           lpad(p_brand, 15, '*') AS padded_l,
+           rpad(p_brand, 15, '.') AS padded_r,
+           CAST(ascii(p_name) AS INTEGER) AS first_code,
+           split_part(p_type, ' ', 2) AS type_mid
+    FROM part WHERE p_partkey <= 100 ORDER BY p_partkey
+    """,
+)
+def f11_string_functions2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second scalar-string battery: translate/left/right/repeat/reverse/
+    lpad/rpad/ascii/split_part — byte-identical semantics on both engines
+    over the ASCII part names."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 100)
+    return p.select(
+        "p_partkey",
+        F.translate("p_name", "aeiou", "12345").alias("translated"),
+        F.substring("p_name", 1, 4).alias("l4"),
+        F.expr("right(p_name, 4)").alias("r4"),
+        F.repeat(F.col("p_brand"), 2).alias("doubled"),
+        F.reverse("p_type").alias("reversed_type"),
+        F.lpad("p_brand", 15, "*").alias("padded_l"),
+        F.rpad("p_brand", 15, ".").alias("padded_r"),
+        F.ascii("p_name").alias("first_code"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(2)).alias("type_mid"),
+    ).orderBy("p_partkey")

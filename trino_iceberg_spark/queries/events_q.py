@@ -388,3 +388,71 @@ def ev10_kmv_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bucket", "event_type", "cnt", "est_distinct")
         .orderBy("bucket", "event_type")
     )
+
+
+@register(
+    "ev11_interpolated_gap_fill",
+    oracle="""
+    WITH spine AS (
+        SELECT unnest(generate_series(
+            (SELECT date_trunc('hour', MIN(ts)) FROM events),
+            (SELECT date_trunc('hour', MAX(ts)) FROM events),
+            INTERVAL 1 HOUR)) AS bucket
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    actual AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                     / COUNT(value), 6) AS avg_value
+        FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT g.event_type, g.bucket, a.avg_value
+        FROM (SELECT t.event_type, s.bucket FROM types t CROSS JOIN spine s) g
+        LEFT JOIN actual a ON a.event_type = g.event_type AND a.bucket = g.bucket
+    ),
+    win AS (
+        SELECT event_type, bucket, avg_value,
+               CAST(epoch(bucket) AS DOUBLE) AS pos,
+               last_value(avg_value IGNORE NULLS) OVER back AS pv,
+               last_value(CASE WHEN avg_value IS NOT NULL
+                               THEN CAST(epoch(bucket) AS DOUBLE) END IGNORE NULLS)
+                   OVER back AS pt,
+               first_value(avg_value IGNORE NULLS) OVER fwd AS nv,
+               first_value(CASE WHEN avg_value IS NOT NULL
+                                THEN CAST(epoch(bucket) AS DOUBLE) END IGNORE NULLS)
+                   OVER fwd AS nt
+        FROM grid
+        WINDOW back AS (PARTITION BY event_type ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               fwd AS (PARTITION BY event_type ORDER BY bucket
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, bucket,
+           CASE WHEN avg_value IS NOT NULL THEN avg_value
+                WHEN pv IS NOT NULL AND nv IS NOT NULL
+                THEN pv + (nv - pv) * ((pos - pt) / (nt - pt))
+           END AS avg_value_interp
+    FROM win ORDER BY event_type, bucket
+    """,
+)
+def ev11_interpolated_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resample with LINEAR interpolation
+    (operators.timeseries.gap_fill → interpolate_linear) — the
+    TimescaleDB `interpolate()` analog: each missing grid cell becomes
+    the time-weighted blend of its nearest preceding and following
+    observations; leading/trailing gaps stay NULL. Both engines evaluate
+    the identical window expressions and blend arithmetic on identical
+    doubles, so the oracle is an exact value-hash check."""
+    from ..operators.timeseries import gap_fill, interpolate_linear
+    from .compat import davg_col
+
+    ev = load_table(spark, sf_dir, "events")
+    grid = gap_fill(
+        ev, "ts", ["event_type"], {"avg_value": F.round(davg_col("value"), 6)},
+        unit="hour",
+    )
+    out = interpolate_linear(grid, "bucket", ["event_type"], ["avg_value"])
+    return out.select(
+        "event_type", "bucket", F.col("avg_value").alias("avg_value_interp")
+    ).orderBy("event_type", "bucket")

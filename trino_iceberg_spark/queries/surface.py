@@ -457,3 +457,28 @@ def b21_variant_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "b22_group_by_all",
+    oracle="""
+    SELECT n_regionkey, SUBSTR(n_name, 1, 1) AS initial,
+           COUNT(*) AS cnt, CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation
+    GROUP BY ALL ORDER BY ALL
+    """,
+)
+def b22_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL shorthand (Spark 3.4+ SQL text, same
+    dialect DuckDB pioneered): every non-aggregate select item becomes a
+    grouping key, and the sort covers the full select list — checked
+    against DuckDB running the literal same shorthand."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("b22_nation")
+    return spark.sql(
+        """
+        SELECT n_regionkey, SUBSTR(n_name, 1, 1) AS initial,
+               COUNT(*) AS cnt, CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+        FROM b22_nation
+        GROUP BY ALL ORDER BY ALL
+        """
+    )

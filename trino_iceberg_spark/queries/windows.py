@@ -332,3 +332,56 @@ def w09_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "w10_value_navigation",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        FROM events WHERE user_id <= 20
+    )
+    SELECT event_id, user_id,
+           first_value(v IGNORE NULLS) OVER cum AS first_nonnull,
+           last_value(v IGNORE NULLS) OVER cum AS locf_value,
+           nth_value(v, 2) OVER whole AS second_value
+    FROM e
+    WINDOW cum AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           whole AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY event_id
+    """,
+)
+def w10_value_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-navigation window functions with NULL semantics: first
+    non-null observation so far, last-observation-carried-forward (both
+    IGNORE NULLS over a cumulative frame — the sensor-reading fill
+    pattern), and nth_value over the whole partition. Error events stand
+    in as the NULL holes. Single shuffle on user_id; all three evaluate
+    in the same ordered pass."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    v = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
+    order = [F.col("ts"), F.col("event_id")]
+    cum = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    full = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        e.withColumn("_v", v)
+        .select(
+            "event_id",
+            "user_id",
+            F.first("_v", ignorenulls=True).over(cum).alias("first_nonnull"),
+            F.last("_v", ignorenulls=True).over(cum).alias("locf_value"),
+            F.nth_value("_v", 2).over(full).alias("second_value"),
+        )
+        .orderBy("event_id")
+    )
