@@ -49,7 +49,9 @@ _TUNED_CONFS = {
 # module docstring. Names absent from the registry are ignored (safety
 # against future renames), and every registered query is always yielded.
 #
-# Round-4 ordering: the 26 entries no CORRECTNESS run (r01–r03) has ever
+# Round-4 ordering (registry: 177 entries, 176 oracle-backed — ev09's
+# DataSketches-HLL estimate is the lone rows-only check): the entries no
+# CORRECTNESS run (r01–r03) has ever
 # checked come first — oracle-backed before rows-only, because a hash
 # verdict is strictly more informative and the rows-only entries are
 # already recall/accuracy-pinned by pytest. After those, the entries
