@@ -79,6 +79,7 @@ _FRONT = [
     "w10_value_navigation",  # new this round
     "f11_string_functions2",  # new this round
     "b22_group_by_all",  # new this round
+    "tt10_sql_merge",  # new this round (SQL-text MERGE INTO)
     "tt01_timestamp_as_of",
     "tt02_version_as_of",
     "tt03_snapshot_changelog",

@@ -207,3 +207,58 @@ def test_sql_text_insert_into_snapshot_table(spark, tmp_path):
     assert client.query_scalar("SELECT v FROM ins_t WHERE k = 112") == "z"
     # history intact
     assert t.read_version(1).count() == 3
+
+
+def test_sql_text_merge_into_snapshot_table(spark, tmp_path):
+    """MERGE INTO routes matched rows to UPDATE, unmatched source rows to
+    INSERT, commits once (one new snapshot), and returns matched+inserted
+    as the affected count — Trino-on-Iceberg MERGE semantics."""
+    from trino_iceberg_spark.client import AthenaSparkClient
+    from trino_iceberg_spark.catalog.snapshots import SnapshotTable
+
+    tdir = str(tmp_path / "merge_sql")
+    t = SnapshotTable(spark, tdir)
+    t.append(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, name string, v long"
+        )
+    )
+    client = AthenaSparkClient(spark)
+    client.register_snapshot_table("merge_t", tdir)
+    spark.createDataFrame(
+        [(2, "B", 200), (4, "d", 40)], "id long, name string, v long"
+    ).createOrReplaceTempView("merge_src")
+
+    versions_before = len(t.snapshots())
+    n = client.execute(
+        """
+        MERGE INTO merge_t t USING (SELECT * FROM merge_src) s
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET v = s.v, name = s.name
+        WHEN NOT MATCHED THEN INSERT VALUES (s.id, s.name, s.v)
+        """
+    )
+    assert n == 2  # 1 matched + 1 inserted
+    rows = sorted(tuple(r) for r in t.read().collect())
+    assert rows == [(1, "a", 10), (2, "B", 200), (3, "c", 30), (4, "d", 40)]
+    assert len(t.snapshots()) == versions_before + 1  # one atomic commit
+
+    # matched DELETE clause
+    n = client.execute(
+        "MERGE INTO merge_t t USING (SELECT * FROM merge_src) s ON t.id = s.id "
+        "WHEN MATCHED THEN DELETE"
+    )
+    assert n == 2
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 3]
+
+    # a target row matching two source rows must raise (Trino semantics)
+    spark.createDataFrame(
+        [(1, "x", 1), (1, "y", 2)], "id long, name string, v long"
+    ).createOrReplaceTempView("merge_dup")
+    with pytest.raises(QueryError):
+        client.execute(
+            "MERGE INTO merge_t t USING (SELECT * FROM merge_dup) s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET v = s.v"
+        )
+    # non-registered target falls through to Catalyst (returns None path)
+    assert client._snapshot_merge("MERGE INTO not_registered t USING x s ON 1=1 WHEN MATCHED THEN DELETE") is None

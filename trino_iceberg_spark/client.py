@@ -137,12 +137,168 @@ class AthenaSparkClient:
         re.IGNORECASE | re.DOTALL,
     )
 
+    _SNAP_MERGE_HEAD_RE = re.compile(
+        r"^\s*MERGE\s+INTO\s+(?P<tbl>[A-Za-z_][\w.]*)\s+(?:AS\s+)?(?P<ta>[A-Za-z_]\w*)\s+USING\s+",
+        re.IGNORECASE,
+    )
+
+    def _snapshot_merge(self, rendered: str) -> int | None:
+        """``MERGE INTO`` in SQL text against a registered snapshot table —
+        Trino's MERGE on Iceberg (one atomic snapshot commit), supporting
+        ``WHEN MATCHED THEN UPDATE SET …``, ``WHEN MATCHED THEN DELETE``,
+        and ``WHEN NOT MATCHED THEN INSERT [(cols)] VALUES (…)``. The
+        source is a relation name or a parenthesized subquery (which may
+        itself read registered snapshot tables). Multiple source matches
+        for one target row raise, matching Trino/Iceberg semantics.
+        Returns affected rows (matched + inserted), or None if the
+        statement is not a snapshot MERGE."""
+        m = self._SNAP_MERGE_HEAD_RE.match(rendered)
+        if not m:
+            return None
+        table = self.snapshots.resolve(self.spark, m.group("tbl"))
+        if table is None:
+            return None
+        ta = m.group("ta")
+        rest = rendered[m.end() :].lstrip()
+        if rest.startswith("("):
+            depth, end = 0, -1
+            for i, ch in enumerate(rest):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        end = i
+                        break
+            if end < 0:
+                raise QueryError("malformed MERGE: unbalanced source subquery", sql=rendered)
+            src_sql, rest = rest[1:end], rest[end + 1 :]
+        else:
+            m2 = re.match(r"([A-Za-z_][\w.]*)", rest)
+            if not m2:
+                raise QueryError("malformed MERGE: missing source relation", sql=rendered)
+            src_sql, rest = f"SELECT * FROM {m2.group(1)}", rest[m2.end() :]
+        m3 = re.match(r"\s*(?:AS\s+)?(?P<sa>[A-Za-z_]\w*)\s+ON\s+", rest, re.IGNORECASE)
+        if not m3:
+            raise QueryError("malformed MERGE: missing source alias or ON", sql=rendered)
+        sa, rest = m3.group("sa"), rest[m3.end() :]
+        first_when = re.search(r"\bWHEN\s+(?:NOT\s+)?MATCHED\b", rest, re.IGNORECASE)
+        if not first_when:
+            raise QueryError("malformed MERGE: no WHEN clause", sql=rendered)
+        cond_sql = rest[: first_when.start()].strip()
+        clauses = rest[first_when.start() :].strip().rstrip(";").strip()
+
+        upd_sets: dict[str, str] | None = None
+        delete_matched = False
+        ins_cols: list[str] | None = None
+        ins_vals: list[str] | None = None
+        for cm in re.finditer(
+            r"WHEN\s+(?P<nm>NOT\s+)?MATCHED\s+THEN\s+(?P<action>.*?)(?=\bWHEN\s+(?:NOT\s+)?MATCHED\b|\Z)",
+            clauses,
+            re.IGNORECASE | re.DOTALL,
+        ):
+            action = cm.group("action").strip()
+            if cm.group("nm"):
+                im = re.match(
+                    r"INSERT\s*(?:\((?P<cols>[^)]*)\)\s*)?VALUES\s*\((?P<vals>.*)\)\s*$",
+                    action,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if not im:
+                    raise QueryError(f"malformed MERGE insert action: {action!r}", sql=rendered)
+                if im.group("cols"):
+                    ins_cols = [c.strip().strip("`") for c in im.group("cols").split(",")]
+                ins_vals = [v.strip() for v in split_top_level_commas(im.group("vals"))]
+            elif re.match(r"UPDATE\s+SET\s+", action, re.IGNORECASE):
+                upd_sets = {}
+                sets = re.sub(r"^UPDATE\s+SET\s+", "", action, flags=re.IGNORECASE)
+                for part in split_top_level_commas(sets):
+                    col, _, expr = part.partition("=")
+                    if not expr:
+                        raise QueryError(f"malformed MERGE SET clause: {part!r}", sql=rendered)
+                    upd_sets[col.strip().strip("`")] = expr.strip()
+            elif re.fullmatch(r"DELETE", action, re.IGNORECASE):
+                delete_matched = True
+            else:
+                raise QueryError(f"unsupported MERGE action: {action!r}", sql=rendered)
+        if upd_sets is None and not delete_matched and ins_vals is None:
+            raise QueryError("MERGE needs at least one WHEN clause", sql=rendered)
+        if upd_sets is not None and delete_matched:
+            raise QueryError("MERGE: UPDATE and DELETE matched clauses together unsupported", sql=rendered)
+
+        fields = table.read().schema.fields
+        names = [f.name for f in fields]
+        tgt = table.read().alias(ta)
+        src = self.sql_df(src_sql).alias(sa)
+        cond = F.expr(cond_sql)
+        matched = tgt.join(src, cond, "semi").count()
+        pieces = []
+        if upd_sets is not None or delete_matched:
+            inner = tgt.join(src, cond, "inner")
+            if inner.count() != matched:
+                raise QueryError(
+                    "MERGE: a target row matched more than one source row", sql=rendered
+                )
+            pieces.append(
+                tgt.join(src, cond, "left_anti").select(
+                    *[F.col(f"{ta}.{f.name}") for f in fields]
+                )
+            )
+            if upd_sets is not None:
+                unknown = set(upd_sets) - set(names)
+                if unknown:
+                    raise QueryError(f"MERGE SET of unknown columns: {sorted(unknown)}", sql=rendered)
+                pieces.append(
+                    inner.select(
+                        *[
+                            (
+                                F.expr(upd_sets[f.name]).cast(f.dataType)
+                                if f.name in upd_sets
+                                else F.col(f"{ta}.{f.name}")
+                            ).alias(f.name)
+                            for f in fields
+                        ]
+                    )
+                )
+        else:
+            pieces.append(tgt.select(*[F.col(f"{ta}.{f.name}") for f in fields]))
+        inserted = 0
+        if ins_vals is not None:
+            nm_src = src.join(tgt, cond, "left_anti")
+            if ins_cols is not None and len(ins_cols) != len(ins_vals):
+                raise QueryError("MERGE INSERT column/value arity mismatch", sql=rendered)
+            if len(ins_vals) != len(fields) and ins_cols is None:
+                raise QueryError("MERGE INSERT arity != table arity", sql=rendered)
+            rows = nm_src.select(
+                *[F.expr(v).alias((ins_cols or names)[i]) for i, v in enumerate(ins_vals)]
+            )
+            if ins_cols is not None:
+                missing = set(names) - set(ins_cols)
+                if missing:
+                    raise QueryError(
+                        f"MERGE INSERT must cover all columns (missing {sorted(missing)})",
+                        sql=rendered,
+                    )
+            inserted = rows.count()
+            pieces.append(
+                rows.select(*[F.col(f.name).cast(f.dataType) for f in fields])
+            )
+        final = pieces[0]
+        for p in pieces[1:]:
+            final = final.unionByName(p)
+        table.overwrite(final)
+        return (matched if (upd_sets is not None or delete_matched) else 0) + inserted
+
     def _snapshot_dml(self, rendered: str) -> int | None:
         """Row-level DML in SQL text against REGISTERED snapshot tables —
-        Trino's ``DELETE FROM``/``UPDATE`` on Iceberg, served by the
-        copy-on-write snapshot commits (delete_where/update_where).
-        Returns the affected-row count, or None when the statement isn't
-        snapshot-table DML (the caller falls through to Catalyst)."""
+        Trino's ``DELETE FROM``/``UPDATE``/``MERGE`` on Iceberg, served by
+        the copy-on-write snapshot commits (delete_where/update_where/
+        overwrite). Returns the affected-row count, or None when the
+        statement isn't snapshot-table DML (the caller falls through to
+        Catalyst)."""
+        merged = self._snapshot_merge(rendered)
+        if merged is not None:
+            return merged
         m = self._SNAP_INSERT_RE.match(rendered)
         if m:
             table = self.snapshots.resolve(self.spark, m.group("tbl"))

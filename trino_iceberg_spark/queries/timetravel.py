@@ -350,3 +350,61 @@ def tt09_catalog_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"), F.sum("o_orderkey").cast("long").alias("key_sum")
     ).select(F.lit("archived").alias("bucket"), "cnt", "key_sum")
     return act.unionByName(arc).orderBy("bucket")
+
+
+@register(
+    "tt10_sql_merge",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey <= 2000
+    ),
+    src AS (
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_orderkey > 1000 AND o_orderkey <= 3000 AND o_orderkey % 2 = 0
+    )
+    SELECT b.o_orderkey,
+           CASE WHEN s.o_orderkey IS NOT NULL
+                THEN s.o_custkey + 100000 ELSE b.o_custkey END AS o_custkey,
+           b.o_totalprice
+    FROM base b LEFT JOIN src s ON b.o_orderkey = s.o_orderkey
+    UNION ALL
+    SELECT s.o_orderkey, s.o_custkey, s.o_totalprice
+    FROM src s LEFT JOIN base b ON b.o_orderkey = s.o_orderkey
+    WHERE b.o_orderkey IS NULL
+    ORDER BY o_orderkey
+    """,
+)
+def tt10_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO in SQL text against a registered snapshot table
+    (client._snapshot_merge — Trino's MERGE on Iceberg as one atomic
+    copy-on-write snapshot commit): overlapping source rows take the
+    UPDATE branch (custkey bumped via an s.-qualified expression),
+    non-overlapping ones the INSERT branch. The oracle restates the
+    matched/unmatched routing as left joins over the raw table."""
+    from ..client import AthenaSparkClient
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tdir = os.path.join(tempfile.gettempdir(), "tis_tt10_table")
+    shutil.rmtree(tdir, ignore_errors=True)
+    table = SnapshotTable(spark, tdir)
+    table.append(o.filter(F.col("o_orderkey") <= 2000))
+    o.filter(
+        (F.col("o_orderkey") > 1000)
+        & (F.col("o_orderkey") <= 3000)
+        & (F.col("o_orderkey") % 2 == 0)
+    ).createOrReplaceTempView("tt10_src")
+    client = AthenaSparkClient(spark)
+    client.register_snapshot_table("tt10_orders", tdir)
+    client.execute(
+        """
+        MERGE INTO tt10_orders t USING (SELECT * FROM tt10_src) s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET o_custkey = s.o_custkey + 100000
+        WHEN NOT MATCHED THEN INSERT VALUES (s.o_orderkey, s.o_custkey, s.o_totalprice)
+        """
+    )
+    return table.read().orderBy("o_orderkey")
