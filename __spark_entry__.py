@@ -80,6 +80,7 @@ _FRONT = [
     "f11_string_functions2",  # new this round
     "b22_group_by_all",  # new this round
     "tt10_sql_merge",  # new this round (SQL-text MERGE INTO)
+    "tt11_partition_evolution",  # new this round (hidden partitioning)
     "tt01_timestamp_as_of",
     "tt02_version_as_of",
     "tt03_snapshot_changelog",

@@ -562,3 +562,71 @@ def test_aborted_first_commit_on_new_table_stays_empty(spark, tmp_path):
     with cat.transaction("ok") as txn:
         txn.append("fresh", spark.range(3).toDF("id"))
     assert cat.read("fresh").count() == 3
+
+
+def test_partition_spec_evolution_prunes_and_stays_exact(spark, tmp_path):
+    """Iceberg-style partition evolution: a metadata-only spec change,
+    hidden-partition layout for post-spec commits, per-file partition
+    values in the manifest, range pruning through the monotonic day()
+    transform, and untouched pre-spec files that still prune by zone
+    maps only."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from trino_iceberg_spark.catalog.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "spec_evo"))
+    rows = [(i, dt.datetime(2024, 1, 1 + i % 10, 8), i * 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, v long")
+    t.append(df.filter("id < 50"))  # pre-spec (unpartitioned)
+    t.set_partition_spec([("ts", "day")])
+    t.append(df.filter("id >= 50"))  # hidden-partitioned by day(ts)
+
+    snap = t.current_snapshot()
+    assert snap.default_spec_id == 1
+    parts = snap.file_partitions or {}
+    assert parts, "partitioned commit recorded no partition values"
+    # data files must NOT contain the hidden partition column
+    assert "_p_ts_day" not in t.read().columns
+    # range predicate prunes partitioned files through the transform
+    cutoff = dt.datetime(2024, 1, 9)
+    pruned = t.prune_files(snap, [("ts", ">=", cutoff)])
+    kept_partitioned = [f for f in pruned if f in parts]
+    assert len(kept_partitioned) < len(parts)
+    # exactness: scan == full filter
+    got = sorted(r["id"] for r in t.scan([("ts", ">=", cutoff)]).collect())
+    want = sorted(
+        r["id"] for r in t.read().filter(F.col("ts") >= cutoff).collect()
+    )
+    assert got == want and got
+    # equality predicate keeps exactly one day partition (+ pre-spec files)
+    eq = t.prune_files(snap, [("ts", "=", dt.datetime(2024, 1, 3, 8))])
+    days = {parts[f]["values"]["_p_ts_day"] for f in eq if f in parts}
+    assert days == {"2024-01-03"}
+    # spec metadata survives schema evolution commits
+    t.add_column("w", "long")
+    s2 = t.current_snapshot()
+    assert s2.default_spec_id == 1 and s2.file_partitions
+
+
+def test_partition_spec_bucket_layout_not_used_for_pruning(spark, tmp_path):
+    """bucket[N] lays files out but never prunes (no Python twin of the
+    JVM murmur hash — a wrong bucket id would silently drop rows)."""
+    from trino_iceberg_spark.catalog.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "spec_bucket"))
+    t.append(spark.range(100).selectExpr("id", "id % 7 AS k"))
+    t.set_partition_spec([("k", "bucket[4]")])
+    t.append(spark.range(100, 200).selectExpr("id", "id % 7 AS k"))
+    snap = t.current_snapshot()
+    parts = snap.file_partitions or {}
+    assert parts
+    buckets = {p["values"]["_p_k_bucket_4_"] for p in parts.values()}
+    assert len(buckets) > 1  # layout actually spread across buckets
+    # equality filter on k must keep every bucketed file (no false prune)
+    pruned = t.prune_files(snap, [("k", "=", 3)])
+    assert [f for f in parts if f in pruned] == list(parts)
+    got = sorted(r["id"] for r in t.scan([("k", "=", 3)]).collect())
+    want = sorted(r["id"] for r in t.read().filter("k = 3").collect())
+    assert got == want

@@ -34,6 +34,7 @@ import datetime as dt
 import glob
 import json
 import os
+import re
 import shutil
 import uuid
 
@@ -73,6 +74,16 @@ class Snapshot:
     # recorded ATOMICALLY with the commit — e.g. the streaming sink's
     # (query, batch-id) idempotence ledger.
     properties: dict[str, str] | None = None
+    # Partition-spec evolution (Iceberg hidden partitioning, spec
+    # §Partition Evolution): spec_id (str) → [{"name", "source",
+    # "transform"}]; files remember the spec they were written under, so
+    # a spec change never rewrites data. default_spec_id 0/None =
+    # unpartitioned.
+    partition_specs: dict[str, list[dict]] | None = None
+    default_spec_id: int | None = None
+    # data file → {"spec": spec_id, "values": {partition field name:
+    # value}} parsed back from the hive-style staging layout at commit.
+    file_partitions: dict[str, dict] | None = None
 
     @property
     def committed_at(self) -> dt.datetime:
@@ -234,6 +245,9 @@ class SnapshotTable:
                     file_stats=m.get("file_stats"),
                     parent_snapshot_id=m.get("parent_snapshot_id"),
                     properties=m.get("properties"),
+                    partition_specs=m.get("partition_specs"),
+                    default_spec_id=m.get("default_spec_id"),
+                    file_partitions=m.get("file_partitions"),
                 )
             )
         return out
@@ -312,6 +326,144 @@ class SnapshotTable:
                     cur[1] = max(cur[1], hi)
         return {str(k): v for k, v in agg.items()}
 
+    # -- partition-spec evolution (Iceberg hidden partitioning) ----------
+    _TRANSFORM_RE = re.compile(
+        r"^(identity|year|month|day|hour)$|^(bucket|truncate)\[(\d+)\]$"
+    )
+
+    def set_partition_spec(self, fields: list[tuple[str, str]]) -> Snapshot:
+        """Declare a new default partition spec — a METADATA-ONLY commit
+        (Iceberg partition evolution): subsequent appends lay their files
+        out under the new spec and record per-file partition values in the
+        manifest; files written under earlier specs (or none) are never
+        rewritten and keep pruning by whatever their own spec + zone maps
+        allow. ``fields`` is [(source_col, transform)] with transform one
+        of identity | year | month | day | hour | bucket[N] | truncate[W].
+
+        This is hidden partitioning: the transform columns exist only in
+        the layout and manifest, never in the data files or the read
+        schema — so queries filter on the SOURCE column and pruning maps
+        the predicate through the transform (monotonic transforms prune
+        ranges; bucket lays out files but is not used for pruning here,
+        matching the conservative side of Iceberg's behavior)."""
+        prev = self.current_snapshot()
+        if prev is None:
+            raise EngineError(
+                f"cannot set partition spec of {self.table_dir}: no snapshots yet"
+            )
+        spec_fields = []
+        for source, transform in fields:
+            if not self._TRANSFORM_RE.match(transform):
+                raise EngineError(f"unsupported partition transform {transform!r}")
+            spec_fields.append(
+                {
+                    "name": f"_p_{source}_{re.sub(r'[^A-Za-z0-9]', '_', transform)}",
+                    "source": source,
+                    "transform": transform,
+                }
+            )
+        specs = dict(prev.partition_specs or {})
+        new_id = max([int(k) for k in specs] or [0]) + 1
+        specs[str(new_id)] = spec_fields
+        snap = self._write_manifest(
+            prev,
+            {
+                "operation": "set-spec",
+                "files": list(prev.files),
+                "row_count": prev.row_count,
+                "schema_id": prev.schema_id,
+                "last_column_id": prev.last_column_id,
+                "schemas": dict(prev.schemas or {}) or None,
+                "file_schemas": dict(prev.file_schemas or {}),
+                "file_stats": dict(prev.file_stats or {}),
+                "partition_specs": specs,
+                "default_spec_id": new_id,
+                "file_partitions": dict(prev.file_partitions or {}),
+            },
+        )
+        refs = self._load_refs()
+        refs["branches"]["main"] = snap.snapshot_id
+        self._save_refs(refs)
+        return snap
+
+    @staticmethod
+    def _transform_col(source: str, transform: str):
+        from ..functions import transforms as TR
+
+        if transform == "identity":
+            return F.col(source)
+        if transform == "year":
+            return TR.year_transform(source)
+        if transform == "month":
+            return TR.month_transform(source)
+        if transform == "day":
+            return TR.day_transform(source)
+        if transform == "hour":
+            return TR.hour_transform(source)
+        m = re.match(r"^(bucket|truncate)\[(\d+)\]$", transform)
+        if m and m.group(1) == "bucket":
+            return TR.bucket_transform(source, int(m.group(2)))
+        if m and m.group(1) == "truncate":
+            return TR.truncate_transform(source, int(m.group(2)), kind="int")
+        raise EngineError(f"unsupported partition transform {transform!r}")
+
+    @staticmethod
+    def _transform_literal(transform: str, v):
+        """Apply a MONOTONIC transform to a predicate literal Python-side
+        (what lets prune_files compare a source-column predicate against
+        stored partition values). Returns None when the literal can't be
+        transformed — the file is then simply kept (pruning is an
+        optimization, never a correctness decision). Bucket is
+        deliberately unsupported: its Spark-side murmur hash has no cheap
+        Python twin, and a wrong bucket id would silently drop data."""
+        if transform.startswith("bucket"):
+            return None
+        if transform == "identity":
+            return v
+        if transform.startswith("truncate["):
+            w = int(transform[9:-1])
+            return v - (v % w) if isinstance(v, int) else None
+        ts = v
+        if isinstance(ts, str):
+            try:
+                ts = dt.datetime.fromisoformat(ts)
+            except ValueError:
+                return None
+        if isinstance(ts, dt.date) and not isinstance(ts, dt.datetime):
+            ts = dt.datetime(ts.year, ts.month, ts.day)
+        if not isinstance(ts, dt.datetime):
+            return None
+        if transform == "year":
+            return ts.year
+        if transform == "month":
+            return f"{ts.year:04d}-{ts.month:02d}"
+        if transform == "day":
+            return f"{ts.year:04d}-{ts.month:02d}-{ts.day:02d}"
+        if transform == "hour":
+            return f"{ts.year:04d}-{ts.month:02d}-{ts.day:02d}-{ts.hour:02d}"
+        return None
+
+    @staticmethod
+    def _parse_partition_value(transform: str, raw: str):
+        """Normalize a hive-layout directory value back to the comparable
+        domain of :meth:`_transform_literal`."""
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            return None
+        import urllib.parse
+
+        raw = urllib.parse.unquote(raw)
+        if transform in ("year",) or transform.startswith(("bucket[", "truncate[")):
+            try:
+                return int(raw)
+            except ValueError:
+                return raw
+        if transform == "identity":
+            try:
+                return int(raw)
+            except ValueError:
+                return raw
+        return raw  # month/day/hour: ISO strings compare lexicographically
+
     def _commit(
         self,
         df: DataFrame,
@@ -375,16 +527,53 @@ class SnapshotTable:
             schemas = {"1": cols}
             last_column_id = len(cols)
 
+        # Active partition spec (Iceberg hidden partitioning): new files of
+        # this commit are laid out per the CURRENT default spec; retained
+        # files keep the spec (and partition values) they were written
+        # under — partition evolution never rewrites data.
+        prev_specs = dict(prev.partition_specs or {}) if prev is not None else {}
+        spec_id = (prev.default_spec_id or 0) if prev is not None else 0
+        spec = prev_specs.get(str(spec_id)) if spec_id else None
         staging = os.path.join(self.table_dir, f"_staging_{uuid.uuid4().hex}")
-        df.write.mode("errorifexists").parquet(staging)
+        new_file_partitions: dict[str, dict] = {}
+        if spec:
+            write_df = df
+            for fld in spec:
+                # cast to string so the hive dir value is the canonical
+                # text form the manifest stores and pruning parses back
+                write_df = write_df.withColumn(
+                    fld["name"],
+                    self._transform_col(fld["source"], fld["transform"]).cast("string"),
+                )
+            write_df.write.mode("errorifexists").partitionBy(
+                *[fld["name"] for fld in spec]
+            ).parquet(staging)
+        else:
+            df.write.mode("errorifexists").parquet(staging)
         commit_uuid = uuid.uuid4().hex[:12]
         new_files: list[str] = []
         row_count = 0
-        for fn in sorted(os.listdir(staging)):
-            if fn.endswith(".parquet"):
-                dest = f"data/{commit_uuid}-{len(new_files):05d}.parquet"
-                shutil.move(os.path.join(staging, fn), os.path.join(self.table_dir, dest))
-                new_files.append(dest)
+        if spec:
+            for root, _dirs, fns in sorted(os.walk(staging)):
+                rel = os.path.relpath(root, staging)
+                vals: dict[str, str] = {}
+                if rel != ".":
+                    parts = [c.partition("=") for c in rel.split(os.sep)]
+                    if any(not sep for _, sep, _ in parts):
+                        continue  # non-partition dir (spark markers)
+                    vals = {k: raw for k, _, raw in parts}
+                for fn in sorted(fns):
+                    if fn.endswith(".parquet"):
+                        dest = f"data/{commit_uuid}-{len(new_files):05d}.parquet"
+                        shutil.move(os.path.join(root, fn), os.path.join(self.table_dir, dest))
+                        new_files.append(dest)
+                        new_file_partitions[dest] = {"spec": spec_id, "values": dict(vals)}
+        else:
+            for fn in sorted(os.listdir(staging)):
+                if fn.endswith(".parquet"):
+                    dest = f"data/{commit_uuid}-{len(new_files):05d}.parquet"
+                    shutil.move(os.path.join(staging, fn), os.path.join(self.table_dir, dest))
+                    new_files.append(dest)
         shutil.rmtree(staging, ignore_errors=True)
         # Row count from the files just written (no second job over the input).
         if new_files:
@@ -409,6 +598,12 @@ class SnapshotTable:
             }
         file_schemas.update({f: schema_id for f in new_files})
         file_stats.update({f: self._collect_file_stats(f, cols) for f in new_files})
+        file_partitions: dict[str, dict] = {}
+        if operation == "append" and prev is not None:
+            file_partitions = {
+                f: p for f, p in (prev.file_partitions or {}).items() if f in file_schemas
+            }
+        file_partitions.update(new_file_partitions)
         snap = self._write_manifest(
             prev,
             {
@@ -423,6 +618,9 @@ class SnapshotTable:
                 "file_schemas": file_schemas,
                 "file_stats": file_stats,
                 "properties": properties or {},
+                "partition_specs": prev_specs or None,
+                "default_spec_id": spec_id or None,
+                "file_partitions": file_partitions or None,
             },
         )
         refs = self._load_refs()
@@ -507,6 +705,9 @@ class SnapshotTable:
                 "schemas": schemas,
                 "file_schemas": file_schemas,
                 "file_stats": dict(prev.file_stats or {}),
+                "partition_specs": dict(prev.partition_specs or {}) or None,
+                "default_spec_id": prev.default_spec_id,
+                "file_partitions": dict(prev.file_partitions or {}) or None,
             },
         )
         refs = self._load_refs()
@@ -720,8 +921,43 @@ class SnapshotTable:
                 raise EngineError(f"unknown column {col!r} in {self.table_dir}")
         kept = []
         for f in snap.files:
-            stats = (snap.file_stats or {}).get(f) or {}
+            # Partition pruning first (cheapest metadata): map each
+            # source-column predicate through the file's own spec's
+            # transform and compare against the stored partition value.
+            # Monotonic transforms (identity/year/month/day/hour/
+            # truncate-int) prune ranges; files under other specs (or
+            # with untransformable literals) fall through to zone maps.
+            fp = (snap.file_partitions or {}).get(f)
             keep = True
+            if fp and snap.partition_specs:
+                spec_fields = snap.partition_specs.get(str(fp.get("spec"))) or []
+                by_source = {sf["source"]: sf for sf in spec_fields}
+                for col, op, v in filters:
+                    sf = by_source.get(col)
+                    if sf is None:
+                        continue
+                    tv = self._transform_literal(sf["transform"], v)
+                    raw = (fp.get("values") or {}).get(sf["name"])
+                    if tv is None or raw is None:
+                        continue
+                    pv = self._parse_partition_value(sf["transform"], raw)
+                    if pv is None or type(pv) is not type(tv):
+                        continue
+                    try:
+                        if (
+                            (op == "=" and pv != tv)
+                            or (op == "<" and pv > tv)
+                            or (op == "<=" and pv > tv)
+                            or (op == ">" and pv < tv)
+                            or (op == ">=" and pv < tv)
+                        ):
+                            keep = False
+                            break
+                    except TypeError:
+                        continue
+            if not keep:
+                continue
+            stats = (snap.file_stats or {}).get(f) or {}
             for col, op, v in filters:
                 fid = name_to_id.get(col)
                 mm = stats.get(str(fid)) if fid is not None else None

@@ -408,3 +408,35 @@ def tt10_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return table.read().orderBy("o_orderkey")
+
+
+@register(
+    "tt11_partition_evolution",
+    oracle="""
+    SELECT event_id, event_type, ts, value
+    FROM events WHERE ts >= TIMESTAMP '2024-01-20'
+    ORDER BY event_id
+    """,
+)
+def tt11_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style partition evolution (catalog.snapshots.
+    set_partition_spec): the first half of the events table commits
+    UNPARTITIONED; a metadata-only spec change then declares hidden
+    day(ts) partitioning, and the second half commits under it — per-file
+    partition values land in the manifest, data files never carry the
+    transform column, and old files are never rewritten. The scan plans
+    the ts predicate through the day() transform for new files and
+    through zone maps for old ones (pruning behavior pinned in
+    tests/test_snapshots.py); this entry hash-gates that the pruned,
+    mixed-spec scan is EXACTLY the plain filter."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    tdir = os.path.join(tempfile.gettempdir(), "tis_tt11_table")
+    shutil.rmtree(tdir, ignore_errors=True)
+    table = SnapshotTable(spark, tdir)
+    table.append(e.filter(F.col("event_id") % 2 == 0), cluster_by=["ts"])
+    table.set_partition_spec([("ts", "day")])
+    table.append(e.filter(F.col("event_id") % 2 == 1))
+    cutoff = dt.datetime(2024, 1, 20)
+    return table.scan([("ts", ">=", cutoff)]).orderBy("event_id")
