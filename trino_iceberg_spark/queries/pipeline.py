@@ -568,22 +568,42 @@ def dd05_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dd06_oracle() -> str:
     # 8 OR-amplification tables, seeds 42 + 7919·t — the exact plane sets
     # the Spark side inlines (operators/dedup.py:embedding_dedup_pairs).
-    buckets = ",\n             ".join(
-        f"{_bucket_sql('u', seed=42 + 7919 * t, num_planes=4)} AS b{t}"
+    # Two DuckDB plan traps avoided, 45 s → <1 s at sf0.01 with the same
+    # bit-for-bit arithmetic:
+    # 1. The plane vectors are a 32-row VALUES CTE joined in, not inline
+    #    array literals — DuckDB rebuilds an inline 64-element literal per
+    #    row per plane (~0.4 s × 32 planes of pure literal construction).
+    # 2. Tables unpivot to (vec_id, t, b) rows equi-joined on (t, b) — the
+    #    banded shape the Spark side shuffles on — instead of an
+    #    OR-of-equalities self-join, which nested-loops. Cosine is computed
+    #    once per DISTINCT candidate, with the identical
+    #    list_sum(list_transform(...)) sequential sum the Spark side's
+    #    dot product agrees with to the last bit.
+    plane_rows = ",\n             ".join(
+        f"({t}, {p}, {_plane_sql(plane)})"
         for t in range(8)
+        for p, plane in enumerate(S._plane_literals(64, 4, 42 + 7919 * t))
     )
-    collide = " OR ".join(f"a.b{t} = b.b{t}" for t in range(8))
     return f"""
     WITH {_UNIT_VEC_CTE},
-    bk AS (
-      SELECT vec_id, u,
-             {buckets}
-      FROM uv
+    planes(t, p, w) AS (
+      SELECT * FROM (VALUES {plane_rows})
+    ),
+    bl AS (
+      SELECT v.vec_id, pl.t,
+             SUM(CASE WHEN list_sum(list_transform(v.u, (x, i) -> x * pl.w[i])) >= 0
+                      THEN (1 << pl.p) ELSE 0 END) AS b
+      FROM uv v CROSS JOIN planes pl
+      GROUP BY v.vec_id, pl.t
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bl a JOIN bl b ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id
     ),
     pairs AS (
-      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
-             list_sum(list_transform(a.u, (x, i) -> x * b.u[i])) AS cos
-      FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND ({collide})
+      SELECT c.id_a, c.id_b,
+             list_sum(list_transform(x.u, (v, i) -> v * y.u[i])) AS cos
+      FROM cand c JOIN uv x ON x.vec_id = c.id_a JOIN uv y ON y.vec_id = c.id_b
     )
     SELECT id_a, id_b, round(cos, 6) AS cosine FROM pairs
     WHERE cos >= 0.35 ORDER BY id_a, id_b
