@@ -62,3 +62,35 @@ def test_contamination_report_zero_grams_for_short_docs(spark):
     assert rows[1]["n_contaminated"] == 0
     assert rows[1]["contamination"] == 0.0
     assert rows[2]["n_grams"] == 2  # 9 tokens -> 9-8+1 distinct 8-grams
+
+
+def test_boilerplate_removal_scopes_and_drops(spark):
+    """Template passages repeat within a source → removed everywhere (no
+    canonical keeper); the same passage across DIFFERENT sources is kept;
+    all-boilerplate docs drop out."""
+    from trino_iceberg_spark.operators.curation import boilerplate_removal
+
+    docs = spark.createDataFrame(
+        [
+            # siteA: "nav bar home" heads every page -> boilerplate
+            (1, "siteA", "nav bar home alpha beta gamma"),
+            (2, "siteA", "nav bar home delta epsilon zeta"),
+            (3, "siteA", "nav bar home"),  # entirely template -> drops out
+            # siteB: same phrase, but only once there -> kept
+            (4, "siteB", "nav bar home unique tail words"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_removal(
+            docs, "text", "doc_id", "source", chunk_tokens=3, min_docs=2
+        ).collect()
+    }
+    assert set(out) == {1, 2, 4}  # doc 3 was all boilerplate
+    assert out[1]["clean_text"] == "alpha beta gamma"
+    assert out[2]["clean_text"] == "delta epsilon zeta"
+    assert out[1]["n_chunks"] == 2 and out[1]["n_kept"] == 1
+    # cross-source repetition is NOT boilerplate
+    assert out[4]["clean_text"] == "nav bar home unique tail words"
+    assert out[4]["n_kept"] == 2

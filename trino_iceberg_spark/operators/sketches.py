@@ -15,6 +15,9 @@ __all__ = [
     "kmv_rollup",
     "kmv_merge",
     "kmv_estimate",
+    "sample_rollup",
+    "sample_merge",
+    "sample_quantiles",
 ]
 
 # portable_hash64 draws uniformly from [0, 2^60) — the KMV estimator's
@@ -119,3 +122,90 @@ def kmv_estimate(rollup: DataFrame, k: int = 64) -> DataFrame:
         F.lit(float(k - 1)) * F.lit(_KMV_SPACE) / kth
     )
     return rollup.withColumn("est_distinct", est).drop("kmv")
+
+
+def sample_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    dims: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    id_col: str = "event_id",
+    granularity: str = "hour",
+    k: int = 64,
+) -> DataFrame:
+    """Continuous aggregate with a mergeable BOTTOM-K-BY-HASH value sample
+    (bottom-k sketches, Cohen & Kaplan 2007): each (bucket × dims) cell
+    keeps the ``(hash, value)`` pairs for the ``k`` rows whose
+    :func:`~..operators.dedup.portable_hash64` of ``id_col`` is smallest,
+    plus the exact non-null row count. Because the hash order is a fixed
+    random-but-deterministic permutation of the rows, the retained values
+    are a uniform sample of the cell — and the same merge identity that
+    makes KMV cascade exactly (bottom-k of a union = bottom-k of the
+    per-cell bottom-k sets) makes this sample cascade exactly, so
+    coarser-grained quantile estimates never re-read raw data.
+
+    This is the quantile companion to :func:`kmv_rollup`: KMV answers
+    "how many distinct", this answers "what does the value distribution
+    look like" from the same O(k) state per cell, bit-reproducible by any
+    engine (the ev12 registry entry's DuckDB oracle replays the cascade),
+    where t-digest/KLL sketches are library-specific bytes.
+
+    Scale shape: one shuffle of (cell, hash, value) rows, a per-cell rank
+    window bounded to k survivors, and the count rides a standard
+    partial-aggregated groupBy — no cell ever holds more than k samples
+    in memory. NULL values are excluded from both the sample and ``cnt``
+    (the estimate is a quantile of observed values)."""
+    bucket = F.date_trunc(granularity, F.col(ts_col)).alias("bucket")
+    dim_cols = [F.col(d) for d in dims]
+    keys = ["bucket", *dims]
+    nn = events.filter(F.col(value_col).isNotNull())
+    hashed = nn.select(
+        bucket,
+        *dim_cols,
+        portable_hash64(F.col(id_col).cast("string")).alias("_h"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    rn = F.row_number().over(Window.partitionBy(*keys).orderBy("_h"))
+    topk = hashed.withColumn("_rn", rn).filter(F.col("_rn") <= k)
+    sketches = topk.groupBy(*keys).agg(
+        F.array_sort(F.collect_list(F.struct("_h", "_v"))).alias("smp")
+    )
+    counts = nn.groupBy(bucket, *dim_cols).agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.join(sketches, keys)
+
+
+def sample_merge(
+    rollup: DataFrame,
+    to_granularity: str = "day",
+    dims: tuple[str, ...] = ("event_type",),
+    k: int = 64,
+) -> DataFrame:
+    """Cascade a bottom-k sample rollup to a coarser granularity without
+    touching raw data: any pair in the coarser cell's hash-bottom-k is in
+    its own finer cell's bottom-k, so re-taking the k hash-smallest of
+    the union reproduces EXACTLY the sample a raw-data rollup at the
+    coarse granularity would keep. array_sort on (hash, value) structs
+    orders by hash first; each merge input is ≤ k pairs, so the flatten
+    is bounded at fan-in × k."""
+    bucket = F.date_trunc(to_granularity, F.col("bucket")).alias("bucket")
+    merged = F.slice(F.array_sort(F.flatten(F.collect_list("smp"))), 1, k)
+    return rollup.groupBy(bucket, *[F.col(d) for d in dims]).agg(
+        merged.alias("smp"), F.sum("cnt").alias("cnt")
+    )
+
+
+def sample_quantiles(
+    rollup: DataFrame, quantiles: tuple[float, ...] = (0.5, 0.9)
+) -> DataFrame:
+    """Replace the sample column with discrete quantile estimates: for
+    each q, the ``ceil(q·n)``-th smallest sampled VALUE (percentile_disc
+    semantics over the sample — an actual observed value, no
+    interpolation, so the result is exact IEEE-comparable across
+    engines). Cells that never filled their k slots hold the whole cell,
+    making small-cell estimates exact."""
+    vals = F.array_sort(F.transform(F.col("smp"), lambda s: s["_v"]))
+    out = rollup.withColumn("_vals", vals).withColumn("_n", F.size("_vals"))
+    for q in quantiles:
+        idx = F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("_n")).cast("int"))
+        out = out.withColumn(f"p{int(round(q * 100))}_est", F.element_at("_vals", idx))
+    return out.drop("smp", "_vals", "_n")

@@ -456,3 +456,60 @@ def ev11_interpolated_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "bucket", F.col("avg_value").alias("avg_value_interp")
     ).orderBy("event_type", "bucket")
+
+
+@register(
+    "ev12_quantile_sample_rollup",
+    oracle="""
+    WITH nn AS (SELECT * FROM events WHERE value IS NOT NULL),
+    hashed AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, event_type,
+               ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+               CAST(value AS DOUBLE) AS v
+        FROM nn
+    ),
+    rk AS (
+        SELECT bucket, event_type, v,
+               ROW_NUMBER() OVER (PARTITION BY bucket, event_type ORDER BY h) AS rn
+        FROM hashed
+    ),
+    sk AS (
+        SELECT bucket, event_type, list_sort(list(v)) AS vs, COUNT(*) AS n
+        FROM rk WHERE rn <= 64 GROUP BY bucket, event_type
+    ),
+    cnts AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, event_type,
+               COUNT(*) AS cnt
+        FROM nn GROUP BY 1, 2
+    )
+    SELECT c.bucket, c.event_type, c.cnt,
+           s.vs[GREATEST(1, CAST(ceil(0.5 * s.n) AS INT))] AS p50_est,
+           s.vs[GREATEST(1, CAST(ceil(0.9 * s.n) AS INT))] AS p90_est
+    FROM cnts c JOIN sk s ON c.bucket = s.bucket AND c.event_type = s.event_type
+    ORDER BY c.bucket, c.event_type
+    """,
+)
+def ev12_quantile_sample_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable mergeable QUANTILE cascade (operators.sketches.
+    sample_rollup -> sample_merge -> sample_quantiles): hourly
+    bottom-k-by-hash value samples per event_type cascade to daily cells
+    without re-reading raw data, then report percentile_disc-style
+    p50/p90 over the merged sample. The quantile companion to ev10's KMV
+    distinct cascade, built on the same merge identity (bottom-k of a
+    union = bottom-k of the per-cell bottom-k sets), which is why the
+    DuckDB oracle can replay the DAILY sample directly from raw events
+    and match the hourly->daily Spark cascade bit-for-bit — estimates
+    included, since the quantile is an actual sampled value, not an
+    interpolation."""
+    from ..operators.sketches import sample_merge, sample_quantiles, sample_rollup
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = sample_rollup(
+        e, "ts", ("event_type",), "value", "event_id", "hour", k=64
+    )
+    daily = sample_merge(hourly, "day", ("event_type",), k=64)
+    return (
+        sample_quantiles(daily, (0.5, 0.9))
+        .select("bucket", "event_type", "cnt", "p50_est", "p90_est")
+        .orderBy("bucket", "event_type")
+    )

@@ -1882,6 +1882,51 @@ def cu03_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cu06_boilerplate_removal",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, source,
+               list_filter(string_split(text, ' '), w -> w <> '') AS toks
+        FROM documents
+    ), ch AS (
+        SELECT doc_id, source, CAST(u.i AS INT) AS chunk_idx,
+               array_to_string(list_slice(toks, u.i * 3 + 1, u.i * 3 + 3), ' ') AS chunk,
+               CAST(ceil(len(toks) / 3.0) AS INT) AS n_chunks
+        FROM docs, UNNEST(range(CAST(ceil(len(toks) / 3.0) AS BIGINT))) u(i)
+    ), bp AS (
+        SELECT source, chunk, COUNT(DISTINCT doc_id) AS n_docs
+        FROM ch GROUP BY source, chunk
+    ), kept AS (
+        SELECT ch.* FROM ch JOIN bp USING (source, chunk) WHERE bp.n_docs < 2
+    )
+    SELECT doc_id,
+           string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text,
+           n_chunks,
+           CAST(COUNT(*) AS INT) AS n_kept
+    FROM kept GROUP BY doc_id, n_chunks
+    ORDER BY doc_id
+    """,
+)
+def cu06_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate removal (operators.curation.
+    boilerplate_removal — the RefinedWeb line-dedup step): 3-token
+    passages repeated across ≥2 distinct documents of the same source are
+    site template and removed from every document, unique passages
+    reassemble in order. The oracle replays chunking, the within-source
+    distinct-doc count, and the ordered reassembly on the passage
+    *strings* (the Spark side aggregates md5 keys — agreement doubles as
+    a collision check). The small synthetic vocabulary makes 3-gram
+    repeats within a 25-doc source common, so the gate covers real
+    removals, full survivals, and total-boilerplate dropouts."""
+    from ..operators.curation import boilerplate_removal
+
+    d = load_table(spark, sf_dir, "documents")
+    return boilerplate_removal(
+        d, "text", "doc_id", "source", chunk_tokens=3, min_docs=2
+    ).orderBy("doc_id")
+
+
+@register(
     "dd09_fuzzy_linkage",
     oracle="""
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -440,3 +440,37 @@ def tt11_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     table.append(e.filter(F.col("event_id") % 2 == 1))
     cutoff = dt.datetime(2024, 1, 20)
     return table.scan([("ts", ">=", cutoff)]).orderBy("event_id")
+
+
+@register(
+    "tt12_sorted_compaction",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice >= 100000 AND o_totalprice < 150000
+    ORDER BY o_orderkey
+    """,
+)
+def tt12_sorted_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-order maintenance rewrite (catalog.snapshots.SnapshotTable.
+    rewrite_sorted — Iceberg ``rewrite_data_files(strategy => 'sort')``,
+    Delta ``OPTIMIZE ZORDER`` for one column): four appends arrive in
+    orderkey bands, so every file spans the FULL o_totalprice range and
+    zone-map pruning on price skips nothing. One sorted rewrite on
+    o_totalprice re-clusters the files into disjoint price ranges; the
+    subsequent ``scan`` opens only the files the price band can match
+    (pruning delta pinned in tests/test_snapshots.py). This entry
+    hash-gates that the rewrite is row-invisible: the pruned post-rewrite
+    scan is EXACTLY the plain filter over the source table."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tdir = os.path.join(tempfile.gettempdir(), "tis_tt12_table")
+    shutil.rmtree(tdir, ignore_errors=True)
+    table = SnapshotTable(spark, tdir)
+    for band in range(4):  # ingest order ⟂ query key: zone maps start useless
+        table.append(o.filter(F.col("o_orderkey") % 4 == band))
+    table.rewrite_sorted(["o_totalprice"], target_files=4)
+    return table.scan(
+        [("o_totalprice", ">=", 100000.0), ("o_totalprice", "<", 150000.0)]
+    ).orderBy("o_orderkey")
