@@ -49,7 +49,7 @@ _TUNED_CONFS = {
 # module docstring. Names absent from the registry are ignored (safety
 # against future renames), and every registered query is always yielded.
 #
-# Round-4 ordering (registry: 182 entries, 181 oracle-backed — ev09's
+# Round-4 ordering (registry: 184 entries, 183 oracle-backed — ev09's
 # DataSketches-HLL estimate is the lone rows-only check): the entries no
 # CORRECTNESS run (r01–r03) has ever
 # checked come first — oracle-backed before rows-only, because a hash
@@ -84,6 +84,8 @@ _FRONT = [
     "tt12_sorted_compaction",  # new this round (sort-order rewrite)
     "cu06_boilerplate_removal",  # new this round (RefinedWeb line dedup)
     "ev12_quantile_sample_rollup",  # new this round (bottom-k quantile cascade)
+    "b23_qualify",  # new this round (QUALIFY SQL-text rewrite)
+    "sp07_kfold",  # new this round (group-co-assigned k-fold)
     "tt01_timestamp_as_of",
     "tt02_version_as_of",
     "tt03_snapshot_changelog",

@@ -163,3 +163,40 @@ def test_mix_epochs_rejects_negative(spark):
     with pytest.raises(ValueError):
         mix_epochs(spark.range(3).withColumn("source", F.lit("a")),
                    {"a": -1.0}, "source", "id")
+
+
+def test_kfold_co_assignment_and_determinism(spark, sf_dir):
+    from trino_iceberg_spark.operators.splits import kfold_column
+    from trino_iceberg_spark.sources.testdata import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    folded = d.withColumn("fold", kfold_column("source", k=5, seed=42))
+    # co-assignment: every source lands in exactly one fold
+    per_source = folded.groupBy("source").agg(
+        F.count_distinct("fold").alias("nf")
+    )
+    assert per_source.filter(F.col("nf") != 1).count() == 0
+    # folds cover [0, k) and are a pure function of (key, seed):
+    folds = {r["fold"] for r in folded.select("fold").distinct().collect()}
+    assert folds <= set(range(5)) and len(folds) >= 2
+    again = {
+        r["source"]: r["fold"]
+        for r in d.withColumn("fold", kfold_column("source", k=5, seed=42))
+        .select("source", "fold").distinct().collect()
+    }
+    first = {
+        r["source"]: r["fold"]
+        for r in folded.select("source", "fold").distinct().collect()
+    }
+    assert again == first
+    # different seed reshuffles at least one source
+    other = {
+        r["source"]: r["fold"]
+        for r in d.withColumn("fold", kfold_column("source", k=5, seed=7))
+        .select("source", "fold").distinct().collect()
+    }
+    assert other != first
+    import pytest
+
+    with pytest.raises(ValueError):
+        kfold_column("source", k=1)

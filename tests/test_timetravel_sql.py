@@ -262,3 +262,49 @@ def test_sql_text_merge_into_snapshot_table(spark, tmp_path):
         )
     # non-registered target falls through to Catalyst (returns None path)
     assert client._snapshot_merge("MERGE INTO not_registered t USING x s ON 1=1 WHEN MATCHED THEN DELETE") is None
+
+
+class TestQualifyRewrite:
+    def test_alias_predicate_and_limit_tail(self, spark):
+        from trino_iceberg_spark.client import AthenaSparkClient
+
+        spark.createDataFrame(
+            [(1, 10), (1, 20), (2, 30), (2, 5)], "g int, v int"
+        ).createOrReplaceTempView("q_t")
+        rows = AthenaSparkClient(spark).query(
+            """
+            SELECT g, v, RANK() OVER (PARTITION BY g ORDER BY v DESC) AS r
+            FROM q_t QUALIFY r = 1 ORDER BY g LIMIT 1
+            """
+        )
+        assert [(r.g, r.v, r.r) for r in rows] == [(1, 20, 1)]
+
+    def test_window_in_predicate_without_alias(self, spark):
+        from trino_iceberg_spark.client import AthenaSparkClient
+
+        spark.createDataFrame(
+            [(1, 10), (1, 20), (2, 30)], "g int, v int"
+        ).createOrReplaceTempView("q_t2")
+        rows = AthenaSparkClient(spark).query(
+            "SELECT g, v FROM q_t2 "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) <= 1 "
+            "ORDER BY g"
+        )
+        assert [(r.g, r.v) for r in rows] == [(1, 10), (2, 30)]
+
+    def test_literal_and_subquery_are_untouched(self):
+        from trino_iceberg_spark.timetravel_sql import rewrite_qualify
+
+        s1 = "SELECT 'no QUALIFY here' AS x"
+        assert rewrite_qualify(s1) == s1
+        s2 = "SELECT * FROM (SELECT a FROM t QUALIFY rn = 1) z"
+        assert rewrite_qualify(s2) == s2
+
+    def test_empty_predicate_raises(self):
+        from trino_iceberg_spark.errors import QueryError
+        from trino_iceberg_spark.timetravel_sql import rewrite_qualify
+
+        import pytest
+
+        with pytest.raises(QueryError):
+            rewrite_qualify("SELECT a FROM t QUALIFY ORDER BY a")

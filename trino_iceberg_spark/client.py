@@ -26,7 +26,7 @@ from .errors import QueryError, UnloadError
 from .fs import FsClient
 from .formatting import format_sql, split_top_level_commas
 from .mapping import bind_rows, coerce_scalar
-from .timetravel_sql import SnapshotResolver, rewrite_time_travel
+from .timetravel_sql import SnapshotResolver, rewrite_qualify, rewrite_time_travel
 
 __all__ = ["AthenaSparkClient", "UnloadResponse"]
 
@@ -72,6 +72,7 @@ class AthenaSparkClient:
         """Render params and hand the statement to Catalyst (lazy)."""
         rendered = format_sql(sql, *params) if params else sql
         rendered = rewrite_time_travel(self.spark, rendered, self.snapshots)
+        rendered = rewrite_qualify(rendered)
         try:
             return self.spark.sql(rendered)
         except AnalysisException as exc:

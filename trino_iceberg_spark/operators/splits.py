@@ -23,6 +23,7 @@ __all__ = [
     "global_shuffle",
     "mix_epochs",
     "temperature_weights",
+    "kfold_column",
 ]
 
 _BUCKETS = 1_000_000
@@ -239,3 +240,25 @@ def temperature_weights(
     return {
         s: (total * (c**alpha / mass)) / c for s, c in counts.items() if c > 0
     }
+
+
+def kfold_column(key: Column | str, k: int, seed: int = 42) -> Column:
+    """Deterministic k-fold cross-validation assignment: fold =
+    ``portable_hash64(key || ':' || seed) mod k`` — a pure function of
+    (key, seed), so folds are stable across runs, partitionings, and
+    engines (the md5-derived hash is replayable in SQL; the sp07 registry
+    entry's DuckDB oracle reproduces every assignment).
+
+    Pass a GROUP key (site/domain/source/author) rather than a row id to
+    co-assign related rows to the same fold — the leakage guard: near-
+    duplicate documents from one source must never straddle a train fold
+    and its validation fold. Same discipline as
+    :func:`split_assignment`'s group mode, with folds instead of named
+    splits. Map-side only: no shuffle, no state."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2 (got {k})")
+    from .dedup import portable_hash64
+
+    c = F.col(key) if isinstance(key, str) else key
+    h = portable_hash64(F.concat(c.cast("string"), F.lit(f":{seed}")))
+    return F.pmod(h, F.lit(k)).cast("int")

@@ -2142,6 +2142,45 @@ def sp06_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sp07_kfold",
+    oracle="""
+    WITH folds AS (
+        SELECT doc_id, source, n_chars,
+               CAST(('0x' || substr(md5(source || ':42'), 1, 15))::BIGINT % 5 AS INT)
+                   AS fold
+        FROM documents
+    )
+    SELECT fold, COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_sources,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM folds GROUP BY fold ORDER BY fold
+    """,
+)
+def sp07_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment with GROUP
+    co-assignment (operators.splits.kfold_column): folding on the source
+    key — not the row id — keeps every document of a source in one fold,
+    the leakage guard for near-duplicate corpora. The per-fold census
+    (docs, distinct sources, char mass) hash-gates every assignment via
+    the portable md5 hash the oracle replays; co-assignment itself is the
+    n_sources column — fold counts must sum to the 20 distinct sources
+    with no source split across folds (pinned in tests/test_splits.py)."""
+    from ..operators.splits import kfold_column
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("fold", kfold_column("source", k=5, seed=42))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+            F.sum("n_chars").cast("long").alias("chars"),
+        )
+        .orderBy("fold")
+    )
+
+
+@register(
     "tx14_sliding_chunks",
     oracle="""
     WITH toks AS (

@@ -482,3 +482,38 @@ def b22_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL ORDER BY ALL
         """
     )
+
+
+@register(
+    "b23_qualify",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_custkey <= 200
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 3
+    ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+    """,
+)
+def b23_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``QUALIFY`` window-filter clause (DuckDB/Snowflake/BigQuery syntax;
+    Trino and Spark both lack it) served by the client's SQL-text rewrite
+    (timetravel_sql.rewrite_qualify → nested * EXCEPT projection): top-3
+    orders per customer without a hand-written subquery. The oracle is
+    DuckDB running the LITERAL same QUALIFY statement natively — the
+    rewrite is correct iff it matches the native implementation. Rewrite
+    mechanics (alias predicates, LIMIT tails, literals, subquery
+    non-rewrites) are pinned in tests/test_timetravel_sql.py."""
+    from ..client import AthenaSparkClient
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return AthenaSparkClient(spark).sql_df(
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_custkey <= 200
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 3
+        ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+        """
+    )

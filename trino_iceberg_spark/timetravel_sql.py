@@ -233,3 +233,89 @@ def rewrite_time_travel(
         last = end
     out.append(sql[last:])
     return "".join(out)
+
+
+# -- QUALIFY rewrite ---------------------------------------------------------
+
+_QUALIFY_TERMINATORS = re.compile(
+    r"(?i)\b(ORDER\s+BY|LIMIT|OFFSET)\b"
+)
+
+
+def _top_level_spans(sql: str) -> tuple[list[tuple[int, int]], "callable"]:
+    """String-literal spans plus a depth map for paren nesting, shared by
+    top-level keyword scans. Returns (literal_spans, at_top_level(pos))."""
+    literal_spans = _string_literal_spans(sql)
+
+    def in_literal(pos: int) -> bool:
+        return any(s <= pos < e for s, e in literal_spans)
+
+    depth_at: list[int] = [0] * (len(sql) + 1)
+    d = 0
+    for i, ch in enumerate(sql):
+        if in_literal(i):
+            depth_at[i] = d
+            continue
+        if ch == "(":
+            depth_at[i] = d
+            d += 1
+            continue
+        if ch == ")":
+            d -= 1
+        depth_at[i] = d
+    depth_at[len(sql)] = d
+
+    def at_top_level(pos: int) -> bool:
+        return depth_at[pos] == 0 and not in_literal(pos)
+
+    return literal_spans, at_top_level
+
+
+def rewrite_qualify(sql: str) -> str:
+    """Rewrite a top-level ``QUALIFY <predicate>`` clause (DuckDB/Snowflake/
+    BigQuery syntax — filter on window-function results without a manual
+    subquery; Trino and Spark both lack it) into the equivalent nested
+    query::
+
+        SELECT * EXCEPT (__q) FROM (
+          SELECT __i.*, (<predicate>) AS __q FROM (<query sans QUALIFY>) __i
+        ) WHERE __q  [ORDER BY/LIMIT tail]
+
+    The predicate may reference select-list aliases and window functions
+    (both are columns/expressions over the wrapped subquery). Top-level
+    clauses only: a QUALIFY inside a subquery or a string literal is left
+    untouched. Returns the SQL unchanged when no clause is present.
+
+    Evaluation-order note: the wrapped form computes windows over the
+    SELECT's result rows — exactly QUALIFY's documented semantics (it
+    filters AFTER windows are evaluated), so predicates against base
+    columns dropped by the projection are out of scope (as in DuckDB)."""
+    if "qualify" not in sql.lower():
+        return sql
+    _, at_top = _top_level_spans(sql)
+    m = None
+    for cand in re.finditer(r"(?i)\bQUALIFY\b", sql):
+        if at_top(cand.start()):
+            m = cand
+            break
+    if m is None:
+        return sql
+    head = sql[: m.start()].rstrip().rstrip(";")
+    rest = sql[m.end():]
+    # The predicate runs until a TOP-LEVEL ORDER BY / LIMIT / OFFSET.
+    _, rest_top = _top_level_spans(rest)
+    tail_start = len(rest)
+    for t in _QUALIFY_TERMINATORS.finditer(rest):
+        if rest_top(t.start()):
+            tail_start = t.start()
+            break
+    pred = rest[:tail_start].strip().rstrip(";")
+    tail = rest[tail_start:].strip().rstrip(";")
+    if not pred:
+        raise QueryError("QUALIFY requires a predicate", sql=sql)
+    q = uuid.uuid4().hex[:8]
+    return (
+        f"SELECT * EXCEPT (__q_{q}) FROM ("
+        f"SELECT __i_{q}.*, ({pred}) AS __q_{q} FROM ({head}) AS __i_{q}"
+        f") WHERE __q_{q}" + (f" {tail}" if tail else "")
+    )
