@@ -49,7 +49,7 @@ _TUNED_CONFS = {
 # module docstring. Names absent from the registry are ignored (safety
 # against future renames), and every registered query is always yielded.
 #
-# Round-4 ordering (registry: 184 entries, 183 oracle-backed — ev09's
+# Round-4 ordering (registry: 186 entries, 185 oracle-backed — ev09's
 # DataSketches-HLL estimate is the lone rows-only check): the entries no
 # CORRECTNESS run (r01–r03) has ever
 # checked come first — oracle-backed before rows-only, because a hash
@@ -86,6 +86,8 @@ _FRONT = [
     "ev12_quantile_sample_rollup",  # new this round (bottom-k quantile cascade)
     "b23_qualify",  # new this round (QUALIFY SQL-text rewrite)
     "sp07_kfold",  # new this round (group-co-assigned k-fold)
+    "ss07_hard_negatives",  # new this round (contrastive negative mining)
+    "pr04_drift_psi",  # new this round (PSI drift gate)
     "tt01_timestamp_as_of",
     "tt02_version_as_of",
     "tt03_snapshot_changelog",

@@ -762,3 +762,28 @@ def test_sample_cascade_equals_direct_and_tracks_quantiles(spark, sf_dir):
         else:
             # 64-point sample median: loose but meaningful envelope
             assert abs(p50 - exact[key]) <= spread * 0.35
+
+
+def test_psi_report_detects_shift_and_ignores_noise(spark):
+    """PSI ≈ 0 when current matches reference; large when the distribution
+    shifts; NULLs excluded; per-group isolation."""
+    from trino_iceberg_spark.operators.profiling import psi_report
+
+    ref_rows = [("a", float(i % 100)) for i in range(1000)] + [("b", float(i % 50)) for i in range(500)]
+    same = [("a", float((i * 7) % 100)) for i in range(700)]       # same uniform shape
+    shifted = [("b", 40.0 + float(i % 10)) for i in range(500)]    # mass into 2 bins
+    cur_rows = same + shifted + [("a", None)] * 25
+    ref = spark.createDataFrame(ref_rows, "g string, v double")
+    cur = spark.createDataFrame(cur_rows, "g string, v double")
+    out = {r["g"]: r for r in psi_report(ref, cur, "v", group_by=["g"]).collect()}
+    assert out["a"]["psi"] < 0.05          # same shape -> stable
+    assert out["b"]["psi"] > 0.25          # concentrated -> shifted
+    assert out["a"]["n_cur"] == 700        # NULLs excluded from the census
+    assert out["a"]["n_ref"] == 1000 and out["b"]["n_ref"] == 500
+    # ungrouped mode works and matches a single-group computation
+    one = psi_report(
+        ref.filter(F.col("g") == "a").select("v"),
+        cur.filter(F.col("g") == "a").filter(F.col("v").isNotNull()).select("v"),
+        "v",
+    ).collect()
+    assert len(one) == 1 and abs(one[0]["psi"] - out["a"]["psi"]) < 1e-9

@@ -21,6 +21,7 @@ __all__ = [
     "group_zscore_outliers",
     "column_correlations",
     "expectations_report",
+    "psi_report",
 ]
 
 
@@ -204,3 +205,76 @@ def expectations_report(df: DataFrame, rules: list[tuple]) -> DataFrame:
         F.col("_total").cast("long").alias("total"),
         (F.col("violations") == 0).alias("passed"),
     )
+
+
+def psi_report(
+    reference: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    group_by: list[str] | None = None,
+    bins: int = 10,
+    epsilon: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index drift report between a reference corpus
+    snapshot and the current one — the standard train/serve and
+    ingest-batch drift gate (PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25
+    shifted). Bins are ``bins`` equal-width cuts of the REFERENCE
+    per-group [min, max] (fixed, data-independent given the reference —
+    unlike quantile bins, two runs always agree); out-of-range current
+    values clamp into the edge bins, and ``epsilon`` floors empty-bin
+    shares so the log stays finite (the convention that makes PSI defined
+    when a bin dies out entirely).
+
+    Returns one row per group: ``(group..., psi, n_ref, n_cur)`` with
+    ``psi = Σ (q_i − p_i) · ln(q_i / p_i)``.
+
+    Scale shape: per-group (min, max, count) is one tiny aggregate
+    broadcast back; binning is a map-side expression; each side then
+    aggregates (group, bin) counts — two scans, two small shuffles, no
+    driver-side data. NULL values are excluded (drift is over observed
+    values)."""
+    keys = list(group_by or [])
+    v = F.col(value_col)
+    ref = reference.filter(v.isNotNull())
+    cur = current.filter(v.isNotNull())
+    stats = ref.groupBy(*keys).agg(
+        F.min(v).cast("double").alias("_lo"),
+        F.max(v).cast("double").alias("_hi"),
+        F.count(F.lit(1)).alias("n_ref"),
+    )
+
+    def binned(df, n_col):
+        j = df.join(F.broadcast(stats.select(*keys, "_lo", "_hi")), keys) if keys else (
+            df.crossJoin(F.broadcast(stats.select("_lo", "_hi")))
+        )
+        width = (F.col("_hi") - F.col("_lo")) / F.lit(float(bins))
+        raw = F.floor((v.cast("double") - F.col("_lo")) / width).cast("int")
+        b = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+            F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw))
+        )
+        return j.withColumn("_bin", b).groupBy(*keys, "_bin").agg(
+            F.count(F.lit(1)).alias(n_col)
+        )
+
+    rb = binned(ref, "_nr")
+    cb = binned(cur, "_nc")
+    grid = rb.join(cb, [*keys, "_bin"], "full")
+    totals_cur = cur.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_cur"))
+    joined = (
+        grid.join(stats.select(*keys, "n_ref"), keys)
+        .join(totals_cur, keys)
+        if keys
+        else grid.crossJoin(F.broadcast(stats.select("n_ref"))).crossJoin(
+            F.broadcast(totals_cur)
+        )
+    )
+    p = F.greatest(
+        F.lit(epsilon), F.coalesce(F.col("_nr"), F.lit(0)) / F.col("n_ref")
+    )
+    q = F.greatest(
+        F.lit(epsilon), F.coalesce(F.col("_nc"), F.lit(0)) / F.col("n_cur")
+    )
+    term = (q - p) * F.log(q / p)
+    return joined.groupBy(*keys, "n_ref", "n_cur").agg(
+        F.round(F.sum(term), 6).alias("psi")
+    ).select(*keys, "psi", "n_ref", "n_cur")

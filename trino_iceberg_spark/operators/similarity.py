@@ -43,6 +43,7 @@ __all__ = [
     "quantized_cosine_topk",
     "centroid_fixed_point",
     "semantic_dedup_pairs",
+    "hard_negatives",
 ]
 
 
@@ -571,4 +572,49 @@ def semantic_dedup_pairs(
         .withColumn("cosine", dot_col(F.col("_va"), F.col("_vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def hard_negatives(
+    candidates: DataFrame,
+    queries: DataFrame,
+    embedding_col: str,
+    id_col: str,
+    label_col: str,
+    k: int = 5,
+    dim: int | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (DPR, Karpukhin et
+    al. 2020; Contriever): for each query vector, the ``k`` most
+    cosine-similar candidates with a DIFFERENT label — the negatives an
+    embedding model most confuses, which random in-batch negatives never
+    surface. Returns ``(query_id, neighbor_id, cosine, rank)`` ranked
+    among negatives only.
+
+    Same scale shape as :func:`cosine_topk` — small query set broadcast,
+    map-side scoring over arbitrarily many candidates, per-query top-k
+    window with WindowGroupLimit pushdown — with the label inequality
+    applied BEFORE the window so positives never occupy top-k slots. For
+    corpus-scale query sets, mine per shard through :func:`ivf_topk`-style
+    routing instead."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("_qlabel"),
+        unit_vec(_as_double(F.col(embedding_col))).alias("_qvec"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("_clabel"),
+        unit_vec(_as_double(F.col(embedding_col))).alias("_cvec"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("_clabel") != F.col("_qlabel"))
+        .withColumn("cosine", dot_col(F.col("_qvec"), F.col("_cvec"), dim))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )

@@ -669,6 +669,44 @@ def ss01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ss07_hard_negatives",
+    oracle="""
+    WITH q AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id % 50 = 0),
+         c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         scored AS (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    list_cosine_similarity(q.v, c.v) AS cosine
+             FROM q CROSS JOIN c WHERE c.label <> q.label
+         ),
+         ranked AS (
+             SELECT query_id, neighbor_id,
+                    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+             FROM scored
+         )
+    SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def ss07_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators.similarity.hard_negatives — the
+    DPR/Contriever contrastive-training companion to ss01): for every
+    50th vector, the top-5 most similar vectors with a DIFFERENT label —
+    the confusable negatives an embedding model actually needs. Gated on
+    the (query, neighbor, rank) assignment like ss01; the label
+    inequality runs before the rank window, so a positive can never
+    occupy a negative slot."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    return (
+        S.hard_negatives(e, q, "embedding", "vec_id", "label", k=5)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
     "ss02_lsh_topk",
     oracle=f"""
     WITH {_UNIT_VEC_CTE},
@@ -1392,6 +1430,74 @@ def pr03_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("matches", "source", "^src[0-9]+$"),
         ],
     ).orderBy("rule", "column")
+
+
+@register(
+    "pr04_drift_psi",
+    oracle="""
+    WITH ref AS (SELECT event_type, value FROM events
+                 WHERE ts < TIMESTAMP '2024-01-15' AND value IS NOT NULL),
+    cur AS (SELECT event_type, value FROM events
+            WHERE ts >= TIMESTAMP '2024-01-15' AND value IS NOT NULL),
+    stats AS (
+        SELECT event_type, CAST(MIN(value) AS DOUBLE) AS lo,
+               CAST(MAX(value) AS DOUBLE) AS hi, COUNT(*) AS n_ref
+        FROM ref GROUP BY event_type
+    ),
+    rb AS (
+        SELECT r.event_type,
+               CASE WHEN s.hi = s.lo THEN 0
+                    ELSE LEAST(9, GREATEST(0, CAST(FLOOR(
+                        (CAST(r.value AS DOUBLE) - s.lo) / ((s.hi - s.lo) / 10.0)
+                    ) AS INT))) END AS bin,
+               COUNT(*) AS nr
+        FROM ref r JOIN stats s USING (event_type) GROUP BY 1, 2
+    ),
+    cb AS (
+        SELECT c.event_type,
+               CASE WHEN s.hi = s.lo THEN 0
+                    ELSE LEAST(9, GREATEST(0, CAST(FLOOR(
+                        (CAST(c.value AS DOUBLE) - s.lo) / ((s.hi - s.lo) / 10.0)
+                    ) AS INT))) END AS bin,
+               COUNT(*) AS nc
+        FROM cur c JOIN stats s USING (event_type) GROUP BY 1, 2
+    ),
+    tc AS (SELECT event_type, COUNT(*) AS n_cur FROM cur GROUP BY event_type),
+    grid AS (
+        SELECT COALESCE(rb.event_type, cb.event_type) AS event_type,
+               COALESCE(rb.bin, cb.bin) AS bin, rb.nr, cb.nc
+        FROM rb FULL JOIN cb ON rb.event_type = cb.event_type AND rb.bin = cb.bin
+    )
+    SELECT g.event_type,
+           ROUND(SUM(
+               (GREATEST(1e-6, COALESCE(g.nc, 0) / CAST(t.n_cur AS DOUBLE))
+                - GREATEST(1e-6, COALESCE(g.nr, 0) / CAST(s.n_ref AS DOUBLE)))
+               * LN(GREATEST(1e-6, COALESCE(g.nc, 0) / CAST(t.n_cur AS DOUBLE))
+                    / GREATEST(1e-6, COALESCE(g.nr, 0) / CAST(s.n_ref AS DOUBLE)))
+           ), 6) AS psi,
+           s.n_ref, t.n_cur
+    FROM grid g JOIN stats s USING (event_type) JOIN tc t USING (event_type)
+    GROUP BY g.event_type, s.n_ref, t.n_cur
+    ORDER BY g.event_type
+    """,
+)
+def pr04_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift report (operators.profiling.
+    psi_report): the first half of the month is the reference snapshot,
+    the rest the current batch; per event_type, PSI over 10 equal-width
+    bins of the reference value range. The standard ingest-drift gate
+    (PSI > 0.25 = distribution shifted). The oracle recomputes the exact
+    binning, epsilon floors, and Σ(q−p)·ln(q/p) arithmetic; ROUND(6)
+    absorbs summation-order ULPs, same convention as sp06."""
+    from ..operators.profiling import psi_report
+
+    e = load_table(spark, sf_dir, "events")
+    cutoff = "2024-01-15"
+    ref = e.filter(F.col("ts") < cutoff)
+    cur = e.filter(F.col("ts") >= cutoff)
+    return psi_report(
+        ref, cur, "value", group_by=["event_type"], bins=10
+    ).orderBy("event_type")
 
 
 @register(
