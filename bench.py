@@ -54,6 +54,10 @@ BENCH_QUERIES = [
     # from r4
     "tt06_stats_pruned_scan",
     "st06_stream_snapshot_ingest",
+    # round-4 operators with non-trivial shuffle shapes: passage-table
+    # dedup scoped per source, and the mergeable bottom-k quantile cascade
+    "cu06_boilerplate_removal",
+    "ev12_quantile_sample_rollup",
 ]
 
 
