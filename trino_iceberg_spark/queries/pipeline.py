@@ -1095,6 +1095,60 @@ def mm02_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm06_image_resize",
+    oracle="""
+    SELECT d.doc_id, 8 AS width, 8 AS height, 27 AS n_pixels,
+           CAST(SUM((d.doc_id * 31 + ((i.range * 8) // 3) * 7
+                     + ((j.range * 8) // 3) * 3 + c.range) % 256)
+                AS BIGINT) AS pixel_sum
+    FROM documents d, range(3) i, range(3) j, range(3) c
+    WHERE d.doc_id < 50
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+)
+def mm06_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image RESIZE through the engine (operators.multimodal.
+    decode_images with out_w/out_h → _resize_nearest): the mm02
+    deterministic 8×8 BMP round trip, downsampled to 3×3 by
+    nearest-neighbor inside the same mapInPandas pass — the thumbnail /
+    vision-preprocessor step of a multimodal pipeline. 3 does not divide
+    8, so the oracle replays the exact floor-index selection
+    (src_idx = (dst_idx·8)//3 → rows/cols {0, 2, 5}), gating the
+    resampling arithmetic, not just the codec."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import decode_images, encode_bmp
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+
+    def render(batches):
+        i, j, c = np.meshgrid(
+            np.arange(8), np.arange(8), np.arange(3), indexing="ij"
+        )
+        base = i * 7 + j * 3 + c
+        for pdf in batches:
+            payloads = [
+                encode_bmp(((int(doc_id) * 31 + base) % 256).astype(np.uint8))
+                for doc_id in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    rendered = d.select("doc_id").mapInPandas(render, "doc_id long, payload binary")
+    media = attach_media(rendered, "payload").select("doc_id", "media")
+    decoded = decode_images(media, out_w=3, out_h=3)
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        F.size("pixels").alias("n_pixels"),
+        F.aggregate(
+            F.col("pixels"), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("pixel_sum"),
+    ).orderBy("doc_id")
+
+
+@register(
     "mm03_feature_extraction",
     oracle=r"""
     WITH b AS (

@@ -469,3 +469,62 @@ def st08_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_event_type"),
         F.col("ts").alias("last_ts"),
     ).orderBy("user_id")
+
+
+@register(
+    "st09_stream_enrich",
+    oracle="""
+    WITH dim AS (
+        SELECT DISTINCT user_id, CAST(user_id % 4 AS INT) AS segment FROM events
+    )
+    SELECT DATE_TRUNC('hour', e.ts) AS window_start, d.segment,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events e JOIN dim d USING (user_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def st09_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the standard streaming-dimension
+    pattern (click stream × user/account dim): the micro-batch joins each
+    batch against a STATIC broadcast dimension (no watermark needed on
+    the static side; Spark re-plans the join per micro-batch), then a
+    tumbling-window aggregate rolls up per enriched segment. The batch
+    oracle replays join + rollup exactly. At 100 TB the dim side stays
+    broadcast (or becomes a shuffled join under AQE when it outgrows the
+    threshold) while the stream side is never buffered beyond the window
+    state."""
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("segment", F.pmod(F.col("user_id"), F.lit(4)).cast("int"))
+    )
+    stream = _staged_stream(spark, sf_dir, "st09")
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+    )
+    qname = f"st09_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return (
+        spark.table(qname)
+        .select(
+            F.col("w.start").alias("window_start"), "segment", "cnt", "total_value"
+        )
+        .orderBy("window_start", "segment")
+    )
