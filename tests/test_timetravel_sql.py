@@ -308,3 +308,62 @@ class TestQualifyRewrite:
 
         with pytest.raises(QueryError):
             rewrite_qualify("SELECT a FROM t QUALIFY ORDER BY a")
+
+
+class TestSqlMaintenance:
+    def _table(self, spark, tmp_path, name):
+        from pyspark.sql import functions as F
+
+        from trino_iceberg_spark.catalog.snapshots import SnapshotTable
+        from trino_iceberg_spark.client import AthenaSparkClient
+
+        t = SnapshotTable(spark, str(tmp_path / name))
+        base = spark.range(0, 400).toDF("id").withColumn("v", F.col("id") * 3)
+        for m in range(4):
+            t.append(base.filter(F.col("id") % 4 == m).coalesce(1))
+        c = AthenaSparkClient(spark)
+        c.register_snapshot_table(name, str(tmp_path / name))
+        return t, c
+
+    def test_optimize_compacts(self, spark, tmp_path):
+        t, c = self._table(spark, tmp_path, "mt1")
+        assert len(t.current_snapshot().files) == 4
+        assert c.execute("ALTER TABLE mt1 EXECUTE optimize(file_count => 1)") == 0
+        assert len(t.current_snapshot().files) == 1
+        assert t.read().count() == 400
+
+    def test_optimize_sort_order_restores_pruning(self, spark, tmp_path):
+        t, c = self._table(spark, tmp_path, "mt2")
+        before = t.current_snapshot()
+        assert len(t.prune_files(before, [("id", ">=", 100), ("id", "<", 200)])) == 4
+        c.execute(
+            "ALTER TABLE mt2 EXECUTE optimize(sort_order => 'id', file_count => 4)"
+        )
+        after = t.current_snapshot()
+        assert 0 < len(t.prune_files(after, [("id", ">=", 100), ("id", "<", 200)])) < 4
+        assert t.read().count() == 400
+
+    def test_expire_and_orphans(self, spark, tmp_path):
+        t, c = self._table(spark, tmp_path, "mt3")
+        n_snaps = len(t.snapshots())
+        expired = c.execute(
+            "ALTER TABLE mt3 EXECUTE expire_snapshots(retention_threshold => '0s')"
+        )
+        assert expired == n_snaps - 1  # everything but the current snapshot
+        assert t.read().count() == 400
+        assert c.execute("ALTER TABLE mt3 EXECUTE remove_orphan_files") == 0
+
+    def test_unregistered_and_bad_args_raise(self, spark, tmp_path):
+        import pytest
+
+        from trino_iceberg_spark.client import AthenaSparkClient
+        from trino_iceberg_spark.errors import QueryError
+
+        c = AthenaSparkClient(spark)
+        with pytest.raises(QueryError):
+            c.execute("ALTER TABLE nowhere EXECUTE optimize")
+        t, c2 = self._table(spark, tmp_path, "mt4")
+        with pytest.raises(QueryError):
+            c2.execute(
+                "ALTER TABLE mt4 EXECUTE expire_snapshots(retention_threshold => 'soon')"
+            )

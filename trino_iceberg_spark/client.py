@@ -143,6 +143,75 @@ class AthenaSparkClient:
         re.IGNORECASE,
     )
 
+    _SNAP_EXEC_RE = re.compile(
+        r"^\s*ALTER\s+TABLE\s+(?P<tbl>[A-Za-z_][\w.]*)\s+EXECUTE\s+"
+        r"(?P<proc>optimize|expire_snapshots|remove_orphan_files)\b"
+        r"\s*(?:\((?P<args>[^)]*)\))?\s*;?\s*$",
+        re.IGNORECASE,
+    )
+    _EXEC_ARG_RE = re.compile(r"(\w+)\s*=>\s*(?:'([^']*)'|(\d+))")
+    _RETENTION_RE = re.compile(r"^\s*(\d+)\s*([dhms])\s*$", re.IGNORECASE)
+
+    def _snapshot_maintenance(self, rendered: str) -> int | None:
+        """Trino-style table-maintenance procedures in SQL text against
+        registered snapshot tables (``ALTER TABLE t EXECUTE …`` — the
+        statements a Trino-on-Iceberg operator actually runs):
+
+        - ``optimize`` — small-file compaction; ``file_count => N`` pins
+          the output file count, ``sort_order => 'c1, c2'`` makes it a
+          sort-order rewrite (``rewrite_sorted``) that restores zone-map
+          pruning.
+        - ``expire_snapshots(retention_threshold => '7d')`` — drop
+          history older than the threshold (``0s`` expires everything but
+          the current snapshot, the reference stack's min-retention=0s
+          test configuration). Returns the number expired.
+        - ``remove_orphan_files`` — delete unreferenced data files;
+          returns the number removed.
+
+        Returns None when the statement isn't a maintenance call (the
+        caller falls through to DML/Catalyst)."""
+        m = self._SNAP_EXEC_RE.match(rendered)
+        if m is None:
+            return None
+        table = self.snapshots.resolve(self.spark, m.group("tbl"))
+        if table is None:
+            raise QueryError(
+                f"maintenance on unregistered snapshot table {m.group('tbl')!r}",
+                sql=rendered,
+            )
+        args = {
+            # findall yields '' (not None) for the unmatched alternative
+            k.lower(): int(n) if n != "" else s
+            for k, s, n in self._EXEC_ARG_RE.findall(m.group("args") or "")
+        }
+        proc = m.group("proc").lower()
+        if proc == "optimize":
+            target = args.get("file_count")
+            target = int(target) if target is not None else None
+            sort_order = args.get("sort_order")
+            if sort_order:
+                cols = [c.strip().strip("`") for c in str(sort_order).split(",")]
+                table.rewrite_sorted(cols, target_files=target)
+            else:
+                table.compact_small_files(target_files=target or 1)
+            return 0
+        if proc == "expire_snapshots":
+            thr = str(args.get("retention_threshold", "0s"))
+            tm = self._RETENTION_RE.match(thr)
+            if tm is None:
+                raise QueryError(
+                    f"bad retention_threshold {thr!r} (use e.g. '7d', '12h', '0s')",
+                    sql=rendered,
+                )
+            import datetime as _dt
+
+            unit = {"d": 86400, "h": 3600, "m": 60, "s": 1}[tm.group(2).lower()]
+            older_than = _dt.datetime.now(_dt.timezone.utc) - _dt.timedelta(
+                seconds=int(tm.group(1)) * unit
+            )
+            return table.expire_snapshots(older_than=older_than, retain_last=1)
+        return table.remove_orphan_files()
+
     def _snapshot_merge(self, rendered: str) -> int | None:
         """``MERGE INTO`` in SQL text against a registered snapshot table —
         Trino's MERGE on Iceberg (one atomic snapshot commit), supporting
@@ -365,6 +434,9 @@ class AthenaSparkClient:
         against registered snapshot tables commit copy-on-write snapshots
         (Trino-on-Iceberg row-level DML) and report matched-row counts."""
         rendered = format_sql(sql, *params) if params else sql
+        maintained = self._snapshot_maintenance(rendered)
+        if maintained is not None:
+            return maintained
         affected = self._snapshot_dml(rendered)
         if affected is not None:
             return affected

@@ -474,3 +474,42 @@ def tt12_sorted_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.scan(
         [("o_totalprice", ">=", 100000.0), ("o_totalprice", "<", 150000.0)]
     ).orderBy("o_orderkey")
+
+
+@register(
+    "tt13_sql_maintenance",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice >= 150000
+    ORDER BY o_orderkey
+    """,
+)
+def tt13_sql_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trino-style maintenance procedures in SQL text (client.
+    _snapshot_maintenance — ``ALTER TABLE t EXECUTE optimize/
+    expire_snapshots/remove_orphan_files``, the statements an Iceberg
+    operator runs): four interleaved appends, then a sort-order optimize
+    plus a 0s-retention expire driven ENTIRELY through SQL, then a pruned
+    scan. Hash-gates that the whole maintenance pass is row-invisible;
+    the compaction/pruning/expiry mechanics are pinned in
+    tests/test_timetravel_sql.py."""
+    from ..client import AthenaSparkClient
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    tdir = os.path.join(tempfile.gettempdir(), "tis_tt13_table")
+    shutil.rmtree(tdir, ignore_errors=True)
+    table = SnapshotTable(spark, tdir)
+    for band in range(4):
+        table.append(o.filter(F.col("o_orderkey") % 4 == band))
+    client = AthenaSparkClient(spark)
+    client.register_snapshot_table("tt13_orders", tdir)
+    client.execute(
+        "ALTER TABLE tt13_orders EXECUTE optimize"
+        "(sort_order => 'o_totalprice', file_count => 4)"
+    )
+    client.execute(
+        "ALTER TABLE tt13_orders EXECUTE expire_snapshots(retention_threshold => '0s')"
+    )
+    client.execute("ALTER TABLE tt13_orders EXECUTE remove_orphan_files")
+    return table.scan([("o_totalprice", ">=", 150000.0)]).orderBy("o_orderkey")
