@@ -185,3 +185,31 @@ def test_evolved_snapshot_read_keeps_pushdown(spark, tmp_path):
     )
     assert "EqualTo(old,5)" in plan  # pushed down under the on-disk name
     assert "ReadSchema: struct<old:bigint>" in plan  # pruned to the one column
+
+
+def test_dynamic_partition_pruning_on_hive_layout(spark, sf_dir, tmp_path):
+    """A hive-partitioned fact joined to a selectively-filtered dim must
+    plan a dynamic-pruning subquery on the partition column — at 100 TB
+    this is the difference between scanning 3 partitions and scanning all
+    of them when the partition filter only becomes known at runtime."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from trino_iceberg_spark.sources.testdata import load_table
+
+    path = str(tmp_path / "events_by_day")
+    (
+        load_table(spark, sf_dir, "events")
+        .withColumn("day", F.to_date("ts"))
+        .write.partitionBy("day")
+        .parquet(path)
+    )
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [(dt.date(2024, 1, d), "keep" if d <= 3 else "drop") for d in range(1, 11)],
+        "day date, tag string",
+    )
+    joined = fact.join(dim.where(F.col("tag") == "keep"), "day").groupBy("day").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()

@@ -367,3 +367,17 @@ class TestSqlMaintenance:
             c2.execute(
                 "ALTER TABLE mt4 EXECUTE expire_snapshots(retention_threshold => 'soon')"
             )
+
+
+def test_qualify_named_column_is_untouched(spark):
+    """A column literally named `qualify` must analyze as plain SQL — the
+    rewrite is failure-driven, so valid statements are never mangled."""
+    from trino_iceberg_spark.client import AthenaSparkClient
+
+    spark.createDataFrame([(1, 7)], "id int, qualify int").createOrReplaceTempView(
+        "q_named"
+    )
+    rows = AthenaSparkClient(spark).query(
+        "SELECT qualify FROM q_named WHERE qualify = 7"
+    )
+    assert [r["qualify"] for r in rows] == [7]

@@ -72,10 +72,20 @@ class AthenaSparkClient:
         """Render params and hand the statement to Catalyst (lazy)."""
         rendered = format_sql(sql, *params) if params else sql
         rendered = rewrite_time_travel(self.spark, rendered, self.snapshots)
-        rendered = rewrite_qualify(rendered)
         try:
             return self.spark.sql(rendered)
-        except AnalysisException as exc:
+        except AnalysisException as exc:  # ParseException is a subclass
+            # QUALIFY is failure-driven ON PURPOSE: Spark parses a real
+            # QUALIFY clause as a table alias + syntax error (so we only
+            # get here when one is present), while a column or alias that
+            # happens to be NAMED `qualify` analyzes fine above and is
+            # never touched.
+            rewritten = rewrite_qualify(rendered)
+            if rewritten != rendered:
+                try:
+                    return self.spark.sql(rewritten)
+                except AnalysisException as exc2:
+                    raise QueryError(str(exc2), sql=rewritten) from exc2
             # Invalid-relation and analysis errors surface as engine errors
             # (TrinoClientIntegrationTests.cs:126-132).
             raise QueryError(str(exc), sql=rendered) from exc
