@@ -49,7 +49,7 @@ _TUNED_CONFS = {
 # module docstring. Names absent from the registry are ignored (safety
 # against future renames), and every registered query is always yielded.
 #
-# Round-4 ordering (registry: 190 entries, 189 oracle-backed — ev09's
+# Round-4 ordering (registry: 191 entries, 190 oracle-backed — ev09's
 # DataSketches-HLL estimate is the lone rows-only check): the entries no
 # CORRECTNESS run (r01–r03) has ever
 # checked come first — oracle-backed before rows-only, because a hash
@@ -92,6 +92,7 @@ _FRONT = [
     "mm06_image_resize",  # new this round (real nearest-neighbor resample)
     "tt13_sql_maintenance",  # new this round (ALTER TABLE EXECUTE procedures)
     "a11_unload_roundtrip",  # new this round (A3 export through the hash gate)
+    "aj02_asof_forward_tolerance",  # new this round (attribution-window as-of)
     "tt01_timestamp_as_of",
     "tt02_version_as_of",
     "tt03_snapshot_changelog",

@@ -87,3 +87,46 @@ def rj01_bucketized_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"), F.min("event_id").cast("long").alias("min_event"))
         .orderBy("band_name")
     )
+
+
+@register(
+    "aj02_asof_forward_tolerance",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), purchases AS (
+        SELECT user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, c.user_id,
+           (SELECT MIN(p.p_ts) FROM purchases p
+            WHERE p.user_id = c.user_id AND p.p_ts >= c.ts
+              AND p.p_ts <= c.ts + INTERVAL 1 HOUR) AS next_purchase_ts
+    FROM clicks c
+    ORDER BY c.event_id
+    """,
+)
+def aj02_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with a tolerance horizon (operators.joins.asof_join,
+    direction='forward', tolerance_us=1h): for each click, the EARLIEST
+    purchase by the same user within the next hour, NULL when none — the
+    attribution-window join (click → conversion within h). Same single
+    merged-window shuffle as aj01, reversed sort; the tolerance is a
+    map-side post-filter, not a range explosion. The oracle states the
+    semantics as a correlated MIN-over-future subquery."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("ts")
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        direction="forward",
+        tolerance_us=3_600_000_000,
+    )
+    return joined.select(
+        "event_id", "user_id", F.col("ts_r").alias("next_purchase_ts")
+    ).orderBy("event_id")
