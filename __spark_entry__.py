@@ -49,7 +49,7 @@ _TUNED_CONFS = {
 # module docstring. Names absent from the registry are ignored (safety
 # against future renames), and every registered query is always yielded.
 #
-# Round-4 ordering (registry: 191 entries, 190 oracle-backed — ev09's
+# Round-4 ordering (registry: 192 entries, 191 oracle-backed — ev09's
 # DataSketches-HLL estimate is the lone rows-only check): the entries no
 # CORRECTNESS run (r01–r03) has ever
 # checked come first — oracle-backed before rows-only, because a hash
@@ -93,6 +93,7 @@ _FRONT = [
     "tt13_sql_maintenance",  # new this round (ALTER TABLE EXECUTE procedures)
     "a11_unload_roundtrip",  # new this round (A3 export through the hash gate)
     "aj02_asof_forward_tolerance",  # new this round (attribution-window as-of)
+    "ev13_level_shifts",  # new this round (windowed change-point monitor)
     "tt01_timestamp_as_of",
     "tt02_version_as_of",
     "tt03_snapshot_changelog",

@@ -166,3 +166,30 @@ def test_rollup_with_tail_matches_full_aggregate(spark):
     a = sorted(map(tuple, combined.collect()))
     b = sorted(map(tuple, direct.collect()))
     assert a == b and len(a) == 6
+
+
+def test_level_shifts_flags_step_and_guards_partial_windows(spark):
+    import datetime as dt
+
+    from trino_iceberg_spark.operators.timeseries import level_shifts
+
+    rows = []
+    for h in range(24):
+        v = 10.0 if h < 12 else 20.0  # step change at noon
+        rows.append(("a", dt.datetime(2024, 3, 1, h, 30), v))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {
+        r["bucket"].hour: r
+        for r in level_shifts(
+            df, "ts", ("k",), "v", "hour", window=6, rel_threshold=0.25
+        ).collect()
+    }
+    # first 11 buckets: prior window not full -> no verdict either way
+    for h in range(11):
+        assert out[h]["rel_change"] is None and out[h]["shifted"] is None
+    # steady state before the step: full windows, no shift
+    assert out[11]["shifted"] is False
+    # after the step the trailing mean pulls away from the prior window
+    assert out[17]["shifted"] is True and out[17]["rel_change"] > 0.25
+    # far after the step both windows sit at the new level again
+    assert out[23]["shifted"] is False

@@ -39,6 +39,7 @@ __all__ = [
     "sketch_rollup",
     "merge_sketch_rollup",
     "sketch_estimate",
+    "level_shifts",
 ]
 
 
@@ -235,3 +236,70 @@ def sketch_estimate(rollup: DataFrame) -> DataFrame:
     return rollup.withColumn(
         "approx_distinct", F.hll_sketch_estimate(F.col("key_sketch"))
     ).drop("key_sketch")
+
+
+def level_shifts(
+    df: DataFrame,
+    ts_col: str,
+    dims: tuple[str, ...],
+    value_col: str,
+    granularity: str = "hour",
+    window: int = 6,
+    rel_threshold: float = 0.25,
+) -> DataFrame:
+    """Temporal level-shift detection (windowed change-point test): per
+    series, compare each bucket's trailing ``window``-bucket mean against
+    the ``window`` buckets before those; flag buckets where the level
+    moved by more than ``rel_threshold`` relative to the prior window.
+    The monitoring companion to :func:`~..operators.profiling.psi_report`
+    (distribution drift between two corpus snapshots) — this one watches
+    a metric's LEVEL over continuous time and points at when it moved.
+
+    Returns one row per (bucket × dims) with ``bucket_avg``,
+    ``recent_avg``, ``prior_avg``, ``rel_change`` (NULL until both
+    windows are full — no partial-window false positives) and
+    ``shifted``.
+
+    Determinism: bucket means come from exact DECIMAL sums (order-
+    independent across partitions) divided in double once per bucket;
+    the window means then average a FIXED-SIZE ordered frame of those
+    doubles, so any engine replays the exact IEEE values. Scale shape:
+    one groupBy to bucket means (rows ≈ buckets × series, tiny), then
+    two ROWS-frame windows partitioned by the series key — never over
+    raw data."""
+    bucket = F.date_trunc(granularity, F.col(ts_col)).alias("bucket")
+    dim_cols = [F.col(d) for d in dims]
+    per_bucket = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(bucket, *dim_cols)
+        .agg(
+            (
+                F.sum(F.col(value_col).cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("bucket_avg")
+        )
+    )
+    order = Window.partitionBy(*[F.col(d) for d in dims]).orderBy("bucket")
+    recent = order.rowsBetween(-(window - 1), 0)
+    prior = order.rowsBetween(-(2 * window - 1), -window)
+    out = (
+        per_bucket.withColumn("recent_avg", F.avg("bucket_avg").over(recent))
+        .withColumn("prior_avg", F.avg("bucket_avg").over(prior))
+        .withColumn("_n_prior", F.count("bucket_avg").over(prior))
+        .withColumn(
+            "rel_change",
+            F.when(
+                (F.col("_n_prior") == window) & (F.col("prior_avg") != 0),
+                (F.col("recent_avg") - F.col("prior_avg")) / F.abs(F.col("prior_avg")),
+            ),
+        )
+        .withColumn(
+            "shifted",
+            F.when(
+                F.col("rel_change").isNotNull(),
+                F.abs(F.col("rel_change")) > rel_threshold,
+            ),
+        )
+        .drop("_n_prior")
+    )
+    return out

@@ -513,3 +513,58 @@ def ev12_quantile_sample_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bucket", "event_type", "cnt", "p50_est", "p90_est")
         .orderBy("bucket", "event_type")
     )
+
+
+@register(
+    "ev13_level_shifts",
+    oracle="""
+    WITH pb AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+                   AS bucket_avg
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    win AS (
+        SELECT bucket, event_type, bucket_avg,
+               AVG(bucket_avg) OVER (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS recent_avg,
+               AVG(bucket_avg) OVER (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN 11 PRECEDING AND 6 PRECEDING) AS prior_avg,
+               COUNT(bucket_avg) OVER (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN 11 PRECEDING AND 6 PRECEDING) AS np
+        FROM pb
+    )
+    SELECT bucket, event_type,
+           ROUND(recent_avg, 6) AS recent_avg,
+           ROUND(prior_avg, 6) AS prior_avg,
+           CASE WHEN np = 6 AND prior_avg <> 0
+                THEN ROUND((recent_avg - prior_avg) / ABS(prior_avg), 6)
+           END AS rel_change,
+           CASE WHEN np = 6 AND prior_avg <> 0
+                THEN ABS((recent_avg - prior_avg) / ABS(prior_avg)) > 0.25
+           END AS shifted
+    FROM win ORDER BY event_type, bucket
+    """,
+)
+def ev13_level_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal level-shift detection (operators.timeseries.level_shifts):
+    per event_type, each hour's trailing 6-bucket mean vs the 6 buckets
+    before those, flagged when the level moved >25% — windowed
+    change-point monitoring, the time-axis companion to pr04's
+    distribution drift. Means derive from exact DECIMAL sums; the
+    fixed-size window averages are ROUND(6)-gated (DuckDB's segment-tree
+    window aggregation associates differently in the last bits)."""
+    from ..operators.timeseries import level_shifts
+
+    e = load_table(spark, sf_dir, "events")
+    out = level_shifts(
+        e, "ts", ("event_type",), "value", "hour", window=6, rel_threshold=0.25
+    )
+    return out.select(
+        "bucket",
+        "event_type",
+        F.round("recent_avg", 6).alias("recent_avg"),
+        F.round("prior_avg", 6).alias("prior_avg"),
+        F.round("rel_change", 6).alias("rel_change"),
+        "shifted",
+    ).orderBy("event_type", "bucket")
