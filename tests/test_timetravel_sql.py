@@ -381,3 +381,30 @@ def test_qualify_named_column_is_untouched(spark):
         "SELECT qualify FROM q_named WHERE qualify = 7"
     )
     assert [r["qualify"] for r in rows] == [7]
+
+
+def test_version_as_of_ref_name_reads_branch_and_tag(spark, tmp_path):
+    """Iceberg lets VERSION AS OF name a branch or tag; the SQL-text
+    rewrite resolves quoted ref names through read_ref while integer
+    versions still resolve by snapshot id."""
+    from pyspark.sql import functions as F
+
+    from trino_iceberg_spark.catalog.snapshots import SnapshotTable
+    from trino_iceberg_spark.client import AthenaSparkClient
+
+    t = SnapshotTable(spark, str(tmp_path / "refs_t"))
+    t.append(spark.range(0, 100).toDF("id"))
+    t.create_tag("v1")
+    t.create_branch("audit")
+    t.append(spark.range(100, 150).toDF("id"), branch="audit")
+    t.append(spark.range(100, 120).toDF("id"))  # main moves on
+
+    c = AthenaSparkClient(spark)
+    c.register_snapshot_table("refs_t", str(tmp_path / "refs_t"))
+    tag = c.query("SELECT COUNT(*) AS n FROM refs_t FOR VERSION AS OF 'v1'")
+    branch = c.query("SELECT COUNT(*) AS n FROM refs_t FOR VERSION AS OF 'audit'")
+    by_id = c.query("SELECT COUNT(*) AS n FROM refs_t FOR VERSION AS OF 1")
+    main = c.query("SELECT COUNT(*) AS n FROM refs_t")
+    assert tag[0].n == 100 and by_id[0].n == 100
+    assert branch[0].n == 150
+    assert main[0].n == 120

@@ -41,14 +41,16 @@ from .errors import QueryError
 __all__ = ["rewrite_time_travel", "SnapshotResolver"]
 
 # <table> [FOR] TIMESTAMP AS OF [TIMESTAMP] '<literal>'
-#         [FOR] VERSION   AS OF <int>
+#         [FOR] VERSION   AS OF <int>          (snapshot id)
+#         [FOR] VERSION   AS OF '<ref-name>'   (branch or tag — Iceberg
+#                                               lets VERSION AS OF name a ref)
 _TT_RE = re.compile(
     r"""
     (?P<table>[A-Za-z_][\w$]*(?:\.[A-Za-z_][\w$]*)*)      # dotted table name
     \s+(?:FOR\s+)?
     (?:
         TIMESTAMP\s+AS\s+OF\s+(?:TIMESTAMP\s+)?'(?P<ts>[^']+)'
-      | VERSION\s+AS\s+OF\s+(?P<ver>\d+)
+      | VERSION\s+AS\s+OF\s+(?:(?P<ver>\d+)|'(?P<ref>[^']+)')
     )
     """,
     re.IGNORECASE | re.VERBOSE,
@@ -202,6 +204,8 @@ def rewrite_time_travel(
                 )
             if m.group("ts") is not None:
                 df = table.read_as_of(parse_ts_literal(m.group("ts")))
+            elif m.group("ref") is not None:
+                df = table.read_ref(m.group("ref"))  # branch or tag head
             else:
                 df = table.read_version(int(m.group("ver")))
             view = f"__tt_{name.split('.')[-1]}_{uuid.uuid4().hex[:8]}"
