@@ -49,7 +49,7 @@ _TUNED_CONFS = {
 # module docstring. Names absent from the registry are ignored (safety
 # against future renames), and every registered query is always yielded.
 #
-# Round-4 ordering (registry: 192 entries, 191 oracle-backed — ev09's
+# Round-4 ordering (registry: 193 entries, 192 oracle-backed — ev09's
 # DataSketches-HLL estimate is the lone rows-only check): the entries no
 # CORRECTNESS run (r01–r03) has ever
 # checked come first — oracle-backed before rows-only, because a hash
@@ -94,6 +94,7 @@ _FRONT = [
     "a11_unload_roundtrip",  # new this round (A3 export through the hash gate)
     "aj02_asof_forward_tolerance",  # new this round (attribution-window as-of)
     "ev13_level_shifts",  # new this round (windowed change-point monitor)
+    "sp08_fixed_per_group",  # new this round (balanced per-group sampling)
     "tt01_timestamp_as_of",
     "tt02_version_as_of",
     "tt03_snapshot_changelog",

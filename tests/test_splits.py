@@ -200,3 +200,31 @@ def test_kfold_co_assignment_and_determinism(spark, sf_dir):
 
     with pytest.raises(ValueError):
         kfold_column("source", k=1)
+
+
+def test_fixed_per_group_exact_counts_and_nesting(spark, sf_dir):
+    from trino_iceberg_spark.operators.splits import sample_fixed_per_group
+    from trino_iceberg_spark.sources.testdata import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    s5 = sample_fixed_per_group(d, "doc_id", "source", n=5)
+    counts = {r["source"]: r["n"] for r in s5.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    group_sizes = {r["source"]: r["n"] for r in d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for src, n in counts.items():
+        assert n == min(5, group_sizes[src])
+    # nested-subset property: rank <= 2 sample is contained in rank <= 5
+    s2_ids = {r["doc_id"] for r in sample_fixed_per_group(d, "doc_id", "source", n=2).select("doc_id").collect()}
+    s5_ids = {r["doc_id"] for r in s5.select("doc_id").collect()}
+    assert s2_ids <= s5_ids
+    # stability: unrelated-row removal never changes another group's picks
+    without_one_group = d.filter(F.col("source") != "src0")
+    again = {
+        r["doc_id"]
+        for r in sample_fixed_per_group(without_one_group, "doc_id", "source", n=5)
+        .select("doc_id").collect()
+    }
+    assert again == {r["doc_id"] for r in s5.filter(F.col("source") != "src0").select("doc_id").collect()}
+    import pytest
+
+    with pytest.raises(ValueError):
+        sample_fixed_per_group(d, "doc_id", "source", n=0)

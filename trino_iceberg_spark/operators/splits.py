@@ -24,6 +24,7 @@ __all__ = [
     "mix_epochs",
     "temperature_weights",
     "kfold_column",
+    "sample_fixed_per_group",
 ]
 
 _BUCKETS = 1_000_000
@@ -262,3 +263,40 @@ def kfold_column(key: Column | str, k: int, seed: int = 42) -> Column:
     c = F.col(key) if isinstance(key, str) else key
     h = portable_hash64(F.concat(c.cast("string"), F.lit(f":{seed}")))
     return F.pmod(h, F.lit(k)).cast("int")
+
+
+def sample_fixed_per_group(
+    df: DataFrame,
+    key: Column | str,
+    group_col: str,
+    n: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic fixed-size sample PER GROUP: exactly ``min(n, |group|)``
+    rows from each group, chosen by ranking the portable md5 hash of the
+    row key within the group — the balanced-eval-set constructor ("100
+    documents per language", "50 per source"), where fraction-based
+    sampling (:func:`sample_stratified`) can't hit exact counts.
+
+    Membership is a pure function of (key, group, seed): stable across
+    runs, partitionings, and engines, and adding rows to OTHER groups
+    never changes a group's sample. Adds a ``_rank`` column (1-based hash
+    rank within the group) useful for nested subsets — rank ≤ 50 is a
+    subset of rank ≤ 100 by construction.
+
+    Scale shape: one shuffle on ``group_col`` for the rank window, with
+    WindowGroupLimit pushing the ≤ n filter into the sort — no group ever
+    materializes fully in one task beyond its top-n."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1 (got {n})")
+    from pyspark.sql import Window as W
+
+    from .dedup import portable_hash64
+
+    c = F.col(key) if isinstance(key, str) else key
+    h = portable_hash64(F.concat(c.cast("string"), F.lit(f"#{seed}")))
+    w = W.partitionBy(group_col).orderBy(h, c.cast("string"))
+    return (
+        df.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= n)
+    )

@@ -2411,3 +2411,37 @@ def mm05_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_ms",
         F.decode(F.col("frame_payload"), "UTF-8").alias("frame_str"),
     ).orderBy("doc_id", "frame_ms")
+
+
+@register(
+    "sp08_fixed_per_group",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 15))::BIGINT,
+                            CAST(doc_id AS VARCHAR)
+               ) AS _rank
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(_rank AS INT) AS _rank
+    FROM ranked WHERE _rank <= 5
+    ORDER BY source, _rank
+    """,
+)
+def sp08_fixed_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size per-group sampling (operators.splits.
+    sample_fixed_per_group): exactly 5 documents per source, chosen by
+    portable-hash rank within the group — the balanced-eval-set
+    constructor fraction sampling can't express. Every assignment is
+    replayed by the oracle's identical hash ranking; the nested-subset
+    property (rank ≤ k nests in rank ≤ k') holds by construction."""
+    from ..operators.splits import sample_fixed_per_group
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        sample_fixed_per_group(d, "doc_id", "source", n=5, seed=42)
+        .select("doc_id", "source", F.col("_rank").cast("int").alias("_rank"))
+        .orderBy("source", "_rank")
+    )
