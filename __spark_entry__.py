@@ -49,7 +49,7 @@ _TUNED_CONFS = {
 # module docstring. Names absent from the registry are ignored (safety
 # against future renames), and every registered query is always yielded.
 #
-# Round-4 ordering (registry: 193 entries, 192 oracle-backed — ev09's
+# Round-4 ordering (registry: 194 entries, 193 oracle-backed — ev09's
 # DataSketches-HLL estimate is the lone rows-only check): the entries no
 # CORRECTNESS run (r01–r03) has ever
 # checked come first — oracle-backed before rows-only, because a hash
@@ -95,6 +95,7 @@ _FRONT = [
     "aj02_asof_forward_tolerance",  # new this round (attribution-window as-of)
     "ev13_level_shifts",  # new this round (windowed change-point monitor)
     "sp08_fixed_per_group",  # new this round (balanced per-group sampling)
+    "ir01_retrieval_metrics",  # new this round (recall/MRR/nDCG eval)
     "tt01_timestamp_as_of",
     "tt02_version_as_of",
     "tt03_snapshot_changelog",

@@ -787,3 +787,37 @@ def test_psi_report_detects_shift_and_ignores_noise(spark):
         "v",
     ).collect()
     assert len(one) == 1 and abs(one[0]["psi"] - out["a"]["psi"]) < 1e-9
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    """Perfect, partial, and zero retrieval against hand-computed values."""
+    import math
+
+    from trino_iceberg_spark.operators.ranking import retrieval_metrics
+
+    results = spark.createDataFrame(
+        [
+            # q1: relevant docs at ranks 1 and 2 (perfect for n_rel=2)
+            (1, 101, 1), (1, 102, 2), (1, 103, 3),
+            # q2: one relevant at rank 3
+            (2, 201, 1), (2, 202, 2), (2, 203, 3),
+            # q3: nothing relevant retrieved
+            (3, 301, 1),
+        ],
+        "query_id long, neighbor_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 101), (1, 102), (2, 203), (2, 299), (3, 399)],
+        "query_id long, neighbor_id long",
+    )
+    m = {r["query_id"]: r for r in retrieval_metrics(results, qrels, k=3).collect()}
+    assert m[1]["hits"] == 2 and m[1]["recall_at_k"] == 1.0
+    assert m[1]["mrr_at_k"] == 1.0 and abs(m[1]["ndcg_at_k"] - 1.0) < 1e-12
+    # q2: n_rel=2, ideal_n=2; hits=1 at rank 3
+    assert m[2]["hits"] == 1 and m[2]["recall_at_k"] == 0.5
+    assert abs(m[2]["mrr_at_k"] - 1 / 3) < 1e-12
+    expected_ndcg = (1 / math.log2(4)) / (1 / math.log2(2) + 1 / math.log2(3))
+    assert abs(m[2]["ndcg_at_k"] - expected_ndcg) < 1e-12
+    # q3: judged but nothing relevant retrieved
+    assert m[3]["hits"] == 0 and m[3]["recall_at_k"] == 0.0
+    assert m[3]["mrr_at_k"] == 0.0 and m[3]["ndcg_at_k"] == 0.0

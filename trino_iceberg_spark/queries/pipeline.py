@@ -2445,3 +2445,77 @@ def sp08_fixed_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", F.col("_rank").cast("int").alias("_rank"))
         .orderBy("source", "_rank")
     )
+
+
+@register(
+    "ir01_retrieval_metrics",
+    oracle="""
+    WITH q AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id % 50 = 0),
+         c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         scored AS (
+             SELECT q.vec_id AS query_id, q.label AS qlabel,
+                    c.vec_id AS neighbor_id, c.label AS clabel,
+                    list_cosine_similarity(q.v, c.v) AS cosine
+             FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id
+         ),
+         ranked AS (
+             SELECT query_id, qlabel, neighbor_id, clabel,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id) AS r
+             FROM scored
+         ),
+         nrel AS (
+             SELECT q.vec_id AS query_id, COUNT(*) AS n_relevant
+             FROM q JOIN c ON c.label = q.label AND c.vec_id <> q.vec_id
+             GROUP BY 1
+         ),
+         hits AS (SELECT query_id, r FROM ranked WHERE r <= 5 AND clabel = qlabel),
+         agg AS (
+             SELECT query_id, COUNT(*) AS hits, MIN(r) AS first_r,
+                    SUM(1.0 / log2(r + 1.0)) AS dcg
+             FROM hits GROUP BY 1
+         ),
+         ideal AS (
+             SELECT n.query_id, n.n_relevant, LEAST(n.n_relevant, 5) AS ideal_n,
+                    list_sum(list_transform(
+                        range(1, LEAST(n.n_relevant, 5) + 1),
+                        i -> 1.0 / log2(i + 1.0))) AS idcg
+             FROM nrel n
+         )
+    SELECT i.query_id, i.n_relevant, COALESCE(a.hits, 0) AS hits,
+           ROUND(COALESCE(a.hits, 0) / CAST(i.ideal_n AS DOUBLE), 6) AS recall_at_k,
+           ROUND(COALESCE(1.0 / a.first_r, 0.0), 6) AS mrr_at_k,
+           ROUND(COALESCE(a.dcg / i.idcg, 0.0), 6) AS ndcg_at_k
+    FROM ideal i LEFT JOIN agg a USING (query_id)
+    ORDER BY i.query_id
+    """,
+)
+def ir01_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation (operators.ranking.retrieval_metrics): score
+    the exact top-5 cosine results (ss01's ranking) against same-label
+    relevance judgments — per-query recall@5 / MRR@5 / nDCG@5, the
+    TREC-style offline eval an embedding pipeline runs after every data
+    change. One judgments join + one per-query aggregate, no windows over
+    the corpus. ROUND(6) gates the few-term float metrics (DCG sums ≤5
+    log-weights whose accumulation order differs between engines)."""
+    from ..operators.ranking import retrieval_metrics
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    results = S.cosine_topk(e, q, "embedding", "vec_id", k=5)
+    qrels = (
+        q.select(F.col("vec_id").alias("query_id"), "label")
+        .join(e.select(F.col("vec_id").alias("neighbor_id"), "label"), "label")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    m = retrieval_metrics(results, qrels, k=5)
+    return m.select(
+        "query_id",
+        "n_relevant",
+        "hits",
+        F.round("recall_at_k", 6).alias("recall_at_k"),
+        F.round("mrr_at_k", 6).alias("mrr_at_k"),
+        F.round("ndcg_at_k", 6).alias("ndcg_at_k"),
+    ).orderBy("query_id")
