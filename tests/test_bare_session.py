@@ -44,6 +44,12 @@ def bare_spark(spark):
         "aj01_asof_join",
         # hypertable rollup: events aggregation through the snapshot layer
         "ev08_hypertable_rollup",
+        # round-4 timestamp-path entries: bottom-k sample cascade
+        # (date_trunc buckets), stream-static enrichment (watermark), and
+        # the forward/tolerance as-of (unix_micros on both sides)
+        "ev12_quantile_sample_rollup",
+        "st09_stream_enrich",
+        "aj02_asof_forward_tolerance",
     ],
 )
 def test_entry_runs_on_bare_session(bare_spark, sf_dir, name):
