@@ -205,3 +205,45 @@ def test_split_top_level_commas_recovers_assignments(pairs):
     clause = ", ".join(f"{col} = {expr}" for col, expr in pairs)
     parts = split_top_level_commas(clause)
     assert parts == [f"{col} = {expr}" for col, expr in pairs]
+
+
+# -- QUALIFY rewrite properties ---------------------------------------------
+
+ident = st.from_regex(r"[A-Za-z][A-Za-z0-9_]{0,10}", fullmatch=True).filter(
+    lambda s: s.upper() not in {"QUALIFY", "ORDER", "LIMIT", "OFFSET", "FROM", "BY"}
+)
+
+
+@given(ident, ident, text_values)
+@settings(max_examples=200, deadline=None)
+def test_qualify_inside_string_literal_never_rewrites(col, tbl, s):
+    from trino_iceberg_spark.formatting import render_literal
+    from trino_iceberg_spark.timetravel_sql import rewrite_qualify
+
+    sql = f"SELECT {col}, {render_literal('QUALIFY ' + s)} AS t FROM {tbl}"
+    assert rewrite_qualify(sql) == sql
+
+
+@given(ident, ident, ident, st.integers(min_value=1, max_value=99))
+@settings(max_examples=200, deadline=None)
+def test_qualify_rewrite_shape_and_idempotence(col, tbl, part, k):
+    from trino_iceberg_spark.timetravel_sql import rewrite_qualify
+
+    pred = f"ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY {col}) <= {k}"
+    sql = f"SELECT {col}, {part} FROM {tbl} QUALIFY {pred} ORDER BY {col} LIMIT {k}"
+    out = rewrite_qualify(sql)
+    # the clause is consumed, the predicate and tail survive verbatim
+    assert "QUALIFY" not in out.upper().replace("__Q_", "")
+    assert pred in out
+    assert out.rstrip().endswith(f"ORDER BY {col} LIMIT {k}")
+    # no top-level QUALIFY remains -> a second pass is the identity
+    assert rewrite_qualify(out) == out
+
+
+@given(ident, ident)
+@settings(max_examples=200, deadline=None)
+def test_qualify_in_subquery_untouched(col, tbl):
+    from trino_iceberg_spark.timetravel_sql import rewrite_qualify
+
+    sql = f"SELECT * FROM (SELECT {col} FROM {tbl} QUALIFY rn = 1) z"
+    assert rewrite_qualify(sql) == sql
