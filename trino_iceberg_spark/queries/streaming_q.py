@@ -487,13 +487,15 @@ def st08_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 def st09_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join — the standard streaming-dimension
     pattern (click stream × user/account dim): the micro-batch joins each
-    batch against a STATIC broadcast dimension (no watermark needed on
-    the static side; Spark re-plans the join per micro-batch), then a
+    batch against a STATIC dimension (no watermark needed on the
+    static side; Spark re-plans the join per micro-batch), then a
     tumbling-window aggregate rolls up per enriched segment. The batch
-    oracle replays join + rollup exactly. At 100 TB the dim side stays
-    broadcast (or becomes a shuffled join under AQE when it outgrows the
-    threshold) while the stream side is never buffered beyond the window
-    state."""
+    oracle replays join + rollup exactly. The join strategy is left to
+    the optimizer ON PURPOSE: a user/account dim is not boundable in
+    general, so a forced broadcast hint would be a scale landmine —
+    Spark broadcasts it while it fits the threshold and shuffles the
+    batch side once it doesn't, re-planned per micro-batch; the stream
+    side is never buffered beyond the window state either way."""
     dim = (
         load_table(spark, sf_dir, "events")
         .select("user_id")
@@ -503,7 +505,7 @@ def st09_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _staged_stream(spark, sf_dir, "st09")
     agg = (
         stream.withWatermark("ts", "10 minutes")
-        .join(F.broadcast(dim), "user_id")
+        .join(dim, "user_id")
         .groupBy(F.window("ts", "1 hour").alias("w"), F.col("segment"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
