@@ -203,7 +203,10 @@ class AthenaSparkClient:
                 cols = [c.strip().strip("`") for c in str(sort_order).split(",")]
                 table.rewrite_sorted(cols, target_files=target)
             else:
-                table.compact_small_files(target_files=target or 1)
+                # No file_count → engine-sized output (default parallelism),
+                # like Trino's optimize merging to target file size. Forcing
+                # 1 file would be a scale landmine as a default.
+                table.compact_small_files(target_files=target)
             return 0
         if proc == "expire_snapshots":
             thr = str(args.get("retention_threshold", "0s"))

@@ -232,7 +232,9 @@ def psi_report(
     broadcast back; binning is a map-side expression; each side then
     aggregates (group, bin) counts — two scans, two small shuffles, no
     driver-side data. NULL values are excluded (drift is over observed
-    values)."""
+    values), and groups with no reference presence are dropped — PSI is
+    undefined without a reference distribution; detect NEW groups with a
+    set difference upstream."""
     keys = list(group_by or [])
     v = F.col(value_col)
     ref = reference.filter(v.isNotNull())

@@ -255,7 +255,8 @@ def kfold_column(key: Column | str, k: int, seed: int = 42) -> Column:
     duplicate documents from one source must never straddle a train fold
     and its validation fold. Same discipline as
     :func:`split_assignment`'s group mode, with folds instead of named
-    splits. Map-side only: no shuffle, no state."""
+    splits. Map-side only: no shuffle, no state. NULL keys fold to NULL
+    (they belong to no fold) — filter or impute them upstream."""
     if k < 2:
         raise ValueError(f"k must be >= 2 (got {k})")
     from .dedup import portable_hash64
@@ -295,7 +296,12 @@ def sample_fixed_per_group(
 
     c = F.col(key) if isinstance(key, str) else key
     h = portable_hash64(F.concat(c.cast("string"), F.lit(f"#{seed}")))
-    w = W.partitionBy(group_col).orderBy(h, c.cast("string"))
+    # NULL keys hash to NULL and would otherwise sort FIRST, silently
+    # stealing every group's top slots; push them last so they only fill
+    # leftover capacity.
+    w = W.partitionBy(group_col).orderBy(
+        h.asc_nulls_last(), c.cast("string").asc_nulls_last()
+    )
     return (
         df.withColumn("_rank", F.row_number().over(w))
         .filter(F.col("_rank") <= n)
