@@ -193,3 +193,47 @@ def test_level_shifts_flags_step_and_guards_partial_windows(spark):
     assert out[17]["shifted"] is True and out[17]["rel_change"] > 0.25
     # far after the step both windows sit at the new level again
     assert out[23]["shifted"] is False
+
+
+def test_apply_rollup_delta_handles_all_change_types(spark):
+    """insert / delete / update_before / update_after all fold correctly:
+    maintained rollup == recomputed rollup after an update commit."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from trino_iceberg_spark.operators.timeseries import (
+        apply_rollup_delta,
+        hourly_rollup,
+    )
+
+    t0 = dt.datetime(2024, 5, 1, 10, 15)
+    base_rows = [(1, t0, "a", 10.0), (2, t0, "a", 20.0), (3, t0, "b", 5.0)]
+    base = spark.createDataFrame(base_rows, "event_id long, ts timestamp, event_type string, value double")
+    rollup = hourly_rollup(base).select("bucket", "event_type", "cnt", "value_sum")
+
+    # change: event 2's value 20 -> 25 (update pair), event 3 deleted,
+    # event 4 inserted into a NEW hour
+    t1 = dt.datetime(2024, 5, 1, 11, 5)
+    chg = spark.createDataFrame(
+        [
+            (2, t0, "a", 20.0, "update_before"),
+            (2, t0, "a", 25.0, "update_after"),
+            (3, t0, "b", 5.0, "delete"),
+            (4, t1, "a", 7.0, "insert"),
+        ],
+        "event_id long, ts timestamp, event_type string, value double, _change_type string",
+    )
+    maintained = {
+        (r["bucket"], r["event_type"]): (r["cnt"], float(r["value_sum"]))
+        for r in apply_rollup_delta(rollup, chg).collect()
+    }
+    final_rows = [(1, t0, "a", 10.0), (2, t0, "a", 25.0), (4, t1, "a", 7.0)]
+    final = spark.createDataFrame(final_rows, "event_id long, ts timestamp, event_type string, value double")
+    recomputed = {
+        (r["bucket"], r["event_type"]): (r["cnt"], float(r["value_sum"]))
+        for r in hourly_rollup(final).select("bucket", "event_type", "cnt", "value_sum").collect()
+    }
+    assert maintained == recomputed
+    # the zero-count 'b' cell dropped out
+    assert all(k[1] != "b" for k in maintained)

@@ -40,6 +40,7 @@ __all__ = [
     "merge_sketch_rollup",
     "sketch_estimate",
     "level_shifts",
+    "apply_rollup_delta",
 ]
 
 
@@ -303,3 +304,62 @@ def level_shifts(
         .drop("_n_prior")
     )
     return out
+
+
+def apply_rollup_delta(
+    rollup: DataFrame,
+    changelog: DataFrame,
+    ts_col: str = "ts",
+    dims: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Incremental materialized-view maintenance: fold a CDC changelog
+    (``_change_type`` ∈ insert/delete/update_before/update_after — the
+    Iceberg changelog-view / Delta CDF shape emitted by
+    ``catalog.snapshots.SnapshotTable.changelog``) into an existing
+    ``(bucket, dims..., cnt, value_sum)`` hourly rollup WITHOUT touching
+    raw history: inserts/update_afters count +1, deletes/update_befores
+    count −1, value sums move by the signed exact-DECIMAL value.
+
+    This is the continuous-aggregate refresh path at 100 TB: the
+    changelog between two snapshots reads only the touched files
+    (copy-on-write symmetric difference), the delta aggregates to
+    (bucket × dims) cells, and the merge is a full-outer join on cell
+    keys — cost proportional to the CHANGE, never to the table. Cells
+    whose count reaches zero drop out, cells new in the delta appear.
+
+    Only the semigroup summaries (count, exact sum) maintain under
+    deletion; min/max do not (a deleted extremum needs a re-scan of its
+    cell) — recompute those from raw for affected buckets, or track a
+    mergeable sketch instead."""
+    bucket = F.date_trunc("hour", F.col(ts_col)).alias("bucket")
+    keys = ["bucket", *dims]
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_after"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = (
+        changelog.select(
+            bucket,
+            *[F.col(d) for d in dims],
+            sign.alias("_s"),
+            F.col(value_col).cast("decimal(18,4)").alias("_v"),
+        )
+        .groupBy(*keys)
+        .agg(
+            F.sum("_s").alias("_dcnt"),
+            F.sum(F.col("_s") * F.col("_v")).cast("decimal(38,4)").alias("_dsum"),
+        )
+    )
+    merged = rollup.join(delta, keys, "full").select(
+        *keys,
+        (F.coalesce(F.col("cnt"), F.lit(0)) + F.coalesce(F.col("_dcnt"), F.lit(0))).alias(
+            "cnt"
+        ),
+        (
+            F.coalesce(F.col("value_sum"), F.lit(0).cast("decimal(38,4)"))
+            + F.coalesce(F.col("_dsum"), F.lit(0).cast("decimal(38,4)"))
+        )
+        .cast("decimal(38,4)")
+        .alias("value_sum"),
+    )
+    return merged.filter(F.col("cnt") > 0)

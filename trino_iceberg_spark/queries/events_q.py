@@ -568,3 +568,56 @@ def ev13_level_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rel_change", 6).alias("rel_change"),
         "shifted",
     ).orderBy("event_type", "bucket")
+
+
+@register(
+    "ev14_incremental_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS value_sum
+    FROM events WHERE event_type <> 'error'
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def ev14_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (operators.timeseries.
+    apply_rollup_delta + catalog CDC): an hourly rollup built at snapshot
+    v1 is refreshed to the current state by folding in ONLY the
+    changelog between v1 and HEAD — one append commit and one DELETE
+    later — never re-reading v1's history. The oracle recomputes the
+    final-state rollup from scratch; hash-equality proves
+    delta-maintained == recomputed, the continuous-aggregate refresh
+    contract (signed counts, exact signed DECIMAL sums, zero-count cells
+    dropped, new-in-delta cells created)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..catalog.snapshots import SnapshotTable
+    from ..operators.timeseries import apply_rollup_delta
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    tdir = os.path.join(tempfile.gettempdir(), "tis_ev14_table")
+    shutil.rmtree(tdir, ignore_errors=True)
+    table = SnapshotTable(spark, tdir)
+    v1 = table.append(e.filter(F.col("event_id") % 2 == 0)).snapshot_id
+    base = (
+        table.read_version(v1)
+        .groupBy(F.date_trunc("hour", "ts").alias("bucket"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("decimal(38,4)")
+            .alias("value_sum"),
+        )
+    )
+    table.append(e.filter(F.col("event_id") % 2 == 1))
+    head = table.delete_where(F.col("event_type") == "error").snapshot_id
+    delta = table.changelog(v1, head)
+    return (
+        apply_rollup_delta(base, delta, "ts", ("event_type",), "value")
+        .orderBy("bucket", "event_type")
+    )
