@@ -666,3 +666,58 @@ def test_rewrite_sorted_restores_pruning(spark, tmp_path):
     # Empty table is a no-op.
     empty = SnapshotTable(spark, str(tmp_path / "sorted_empty"))
     assert empty.rewrite_sorted(["id"]) is None
+
+
+def test_rollback_restores_state_metadata_only(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from trino_iceberg_spark.catalog.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "rb_t"))
+    good = t.append(spark.range(0, 100).toDF("id"))
+    t.append(spark.range(100, 140).toDF("id"))          # bad write 1
+    t.overwrite(spark.range(0, 7).toDF("id"))           # bad write 2
+    n_files_before = len(
+        [f for f in __import__("os").listdir(t.data_dir)]
+    )
+    rb = t.rollback_to(good.snapshot_id)
+    assert rb.operation == "rollback"
+    assert t.read().count() == 100
+    assert sorted(r["id"] for r in t.read().collect()) == list(range(100))
+    # metadata-only: no new data files were written by the rollback
+    assert len(__import__("os").listdir(t.data_dir)) == n_files_before
+    # the bad snapshots still time-travel until expired
+    assert t.read_version(good.snapshot_id + 2).count() == 7
+    # zone-map stats survive the rollback (pruning still plans)
+    assert len(t.prune_files(t.current_snapshot(), [("id", ">=", 0)])) >= 1
+    # unknown snapshot raises
+    import pytest
+
+    from trino_iceberg_spark.errors import EngineError
+
+    with pytest.raises(EngineError):
+        t.rollback_to(999)
+
+
+def test_sql_text_rollback_procedure(spark, tmp_path):
+    from trino_iceberg_spark.catalog.snapshots import SnapshotTable
+    from trino_iceberg_spark.client import AthenaSparkClient
+
+    t = SnapshotTable(spark, str(tmp_path / "rb_sql_t"))
+    v1 = t.append(spark.range(0, 50).toDF("id")).snapshot_id
+    t.append(spark.range(50, 60).toDF("id"))
+    c = AthenaSparkClient(spark)
+    c.register_snapshot_table("rb_sql_t", str(tmp_path / "rb_sql_t"))
+    assert (
+        c.execute(
+            f"ALTER TABLE rb_sql_t EXECUTE rollback_to_snapshot(snapshot_id => {v1})"
+        )
+        == 0
+    )
+    assert t.read().count() == 50
+    import pytest
+
+    from trino_iceberg_spark.errors import QueryError
+
+    with pytest.raises(QueryError):
+        c.execute("ALTER TABLE rb_sql_t EXECUTE rollback_to_snapshot")

@@ -1259,6 +1259,45 @@ class SnapshotTable:
             cluster_partitions=target_files or len(snap.files),
         )
 
+    def rollback_to(self, snapshot_id: int, branch: str = "main") -> Snapshot:
+        """Iceberg ``rollback_to_snapshot`` analog: a METADATA-ONLY commit
+        that restores the table state (file list, schema mapping,
+        partition specs, stats) as of ``snapshot_id`` — the instant
+        bad-write escape hatch. No data is read or written; the commit is
+        one manifest, so rolling back a 100 TB table costs the same as a
+        1 MB one. History is preserved: the bad snapshots remain
+        time-travelable until expired, and because the rollback snapshot
+        references the old files, ``expire_snapshots`` keeps them live."""
+        target = next(
+            (s for s in self.snapshots() if s.snapshot_id == snapshot_id), None
+        )
+        if target is None:
+            raise EngineError(
+                f"snapshot {snapshot_id} not found in {self.table_dir}"
+            )
+        prev = self._branch_head(branch)
+        snap = self._write_manifest(
+            prev,
+            {
+                "operation": "rollback",
+                "files": list(target.files),
+                "row_count": target.row_count,
+                "schema_id": target.schema_id,
+                "last_column_id": target.last_column_id,
+                "schemas": dict(target.schemas) if target.schemas else None,
+                "file_schemas": dict(target.file_schemas or {}),
+                "file_stats": dict(target.file_stats or {}),
+                "properties": {"rolled_back_to": str(snapshot_id)},
+                "partition_specs": dict(target.partition_specs or {}) or None,
+                "default_spec_id": target.default_spec_id,
+                "file_partitions": dict(target.file_partitions or {}) or None,
+            },
+        )
+        refs = self._load_refs()
+        refs["branches"][branch] = snap.snapshot_id
+        self._save_refs(refs)
+        return snap
+
     def remove_orphan_files(self) -> int:
         """Iceberg ``remove_orphan_files`` analog: delete parquet files in
         data/ referenced by no manifest (failed-write leftovers)."""

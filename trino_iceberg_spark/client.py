@@ -155,7 +155,7 @@ class AthenaSparkClient:
 
     _SNAP_EXEC_RE = re.compile(
         r"^\s*ALTER\s+TABLE\s+(?P<tbl>[A-Za-z_][\w.]*)\s+EXECUTE\s+"
-        r"(?P<proc>optimize|expire_snapshots|remove_orphan_files)\b"
+        r"(?P<proc>optimize|expire_snapshots|remove_orphan_files|rollback_to_snapshot)\b"
         r"\s*(?:\((?P<args>[^)]*)\))?\s*;?\s*$",
         re.IGNORECASE,
     )
@@ -177,6 +177,9 @@ class AthenaSparkClient:
           test configuration). Returns the number expired.
         - ``remove_orphan_files`` — delete unreferenced data files;
           returns the number removed.
+        - ``rollback_to_snapshot(snapshot_id => N)`` — metadata-only
+          restore of the table state as of snapshot N (Trino's
+          ``system.rollback_to_snapshot`` procedure).
 
         Returns None when the statement isn't a maintenance call (the
         caller falls through to DML/Catalyst)."""
@@ -223,6 +226,14 @@ class AthenaSparkClient:
                 seconds=int(tm.group(1)) * unit
             )
             return table.expire_snapshots(older_than=older_than, retain_last=1)
+        if proc == "rollback_to_snapshot":
+            sid = args.get("snapshot_id")
+            if sid is None:
+                raise QueryError(
+                    "rollback_to_snapshot requires snapshot_id => <n>", sql=rendered
+                )
+            table.rollback_to(int(sid))
+            return 0
         return table.remove_orphan_files()
 
     def _snapshot_merge(self, rendered: str) -> int | None:

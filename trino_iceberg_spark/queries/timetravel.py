@@ -513,3 +513,37 @@ def tt13_sql_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     client.execute("ALTER TABLE tt13_orders EXECUTE remove_orphan_files")
     return table.scan([("o_totalprice", ">=", 150000.0)]).orderBy("o_orderkey")
+
+
+@register(
+    "tt14_rollback",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders WHERE o_orderkey % 3 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def tt14_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot rollback (catalog.snapshots.SnapshotTable.rollback_to —
+    Iceberg/Trino ``rollback_to_snapshot``): after a good commit, a bad
+    append AND a bad overwrite land; one metadata-only rollback — driven
+    through the SQL procedure surface — restores the good state without
+    reading or writing any data file. Hash-equality with the good
+    commit's defining predicate proves the restore is exact; the
+    metadata-only property and history preservation are pinned in
+    tests/test_snapshots.py."""
+    from ..client import AthenaSparkClient
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    tdir = os.path.join(tempfile.gettempdir(), "tis_tt14_table")
+    shutil.rmtree(tdir, ignore_errors=True)
+    table = SnapshotTable(spark, tdir)
+    good = table.append(o.filter(F.col("o_orderkey") % 3 == 0)).snapshot_id
+    table.append(o.filter(F.col("o_orderkey") % 3 == 1))  # bad write
+    table.overwrite(o.limit(5))  # worse write
+    client = AthenaSparkClient(spark)
+    client.register_snapshot_table("tt14_orders", tdir)
+    client.execute(
+        f"ALTER TABLE tt14_orders EXECUTE rollback_to_snapshot(snapshot_id => {good})"
+    )
+    return table.read().orderBy("o_orderkey")
