@@ -156,3 +156,48 @@ def test_stream_ingest_appends_and_replay_is_idempotent(
     finally:
         q2.stop()
     assert table.read().count() == n  # no double-append on replay
+
+
+def test_stream_rollup_converges_and_replay_is_idempotent(
+    spark, events_stream_dir, raw_schema, tmp_path
+):
+    from pyspark.sql import functions as F
+
+    from trino_iceberg_spark.streaming.events import stream_rollup_into_snapshot_table
+
+    stream = stream_events(spark, events_stream_dir, raw_schema)
+    table = SnapshotTable(spark, str(tmp_path / "rollup_sink"))
+    qname = f"rollup_{uuid.uuid4().hex[:8]}"
+    q = stream_rollup_into_snapshot_table(stream, table, qname)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    from trino_iceberg_spark.sources.testdata import load_table
+
+    raw = spark.read.parquet(events_stream_dir)
+    ts = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000"))) if dict(raw.dtypes).get("ts") == "bigint" else raw
+    expected = {
+        (r["bucket"], r["event_type"]): (r["cnt"], r["value_sum"])
+        for r in ts.groupBy(F.date_trunc("hour", "ts").alias("bucket"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(38,4)").alias("value_sum"),
+        )
+        .collect()
+    }
+    got = {
+        (r["bucket"], r["event_type"]): (r["cnt"], r["value_sum"])
+        for r in table.read().collect()
+    }
+    assert got == expected  # incremental refreshes == from-scratch rollup
+    # replay with no checkpoint: same batch ids -> every refresh skipped
+    before = table.current_snapshot().snapshot_id
+    q2 = stream_rollup_into_snapshot_table(
+        stream_events(spark, events_stream_dir, raw_schema), table, qname
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert table.current_snapshot().snapshot_id == before

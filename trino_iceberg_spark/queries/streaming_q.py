@@ -13,6 +13,7 @@ replayed file source).
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -530,3 +531,53 @@ def st09_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "segment")
     )
+
+
+@register(
+    "st10_stream_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS value_sum
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def st10_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming continuous aggregate (streaming.events.
+    stream_rollup_into_snapshot_table): the event stream arrives as TWO
+    micro-batches (the staged parquet is split in half,
+    maxFilesPerTrigger=1) and each batch incrementally refreshes an
+    hourly rollup SNAPSHOT TABLE — delta aggregate, cells-sized merge,
+    one atomic commit per batch with the exactly-once batch ledger. The
+    oracle recomputes the rollup from all raw events: hash-equality
+    proves the per-batch incremental refreshes converge to exactly the
+    from-scratch aggregate (exact DECIMAL sums make the merge
+    order-independent)."""
+    from ..catalog.snapshots import SnapshotTable
+    from ..streaming.events import stream_rollup_into_snapshot_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    stage = os.path.join(tempfile.gettempdir(), "tis_st10_stage")
+    shutil.rmtree(stage, ignore_errors=True)
+    # two files -> two micro-batches: real multi-commit incremental refresh
+    e.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        stage, mode="overwrite"
+    )
+    e.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(stage)
+    tdir = os.path.join(tempfile.gettempdir(), "tis_st10_table")
+    shutil.rmtree(tdir, ignore_errors=True)
+    table = SnapshotTable(spark, tdir)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    q = stream_rollup_into_snapshot_table(stream, table, "st10_rollup")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(table.snapshots()) >= 2  # the refresh really was incremental
+    return table.read().orderBy("bucket", "event_type")

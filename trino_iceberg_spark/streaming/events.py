@@ -173,3 +173,75 @@ def stream_ingest_into_snapshot_table(
         .queryName(query_name)
         .start()
     )
+
+
+def stream_rollup_into_snapshot_table(
+    events: DataFrame,
+    table: SnapshotTable,
+    query_name: str,
+):
+    """Streaming CONTINUOUS AGGREGATE: maintain an hourly
+    ``(bucket, event_type, cnt, value_sum)`` rollup table from an event
+    stream, refreshed incrementally per micro-batch — the
+    TimescaleDB-continuous-aggregate / materialized-view pattern on the
+    snapshot catalog, with the same exactly-once ledger as
+    :func:`stream_ingest_into_snapshot_table` (batch id rides inside the
+    atomic commit; replayed batches skip).
+
+    Per batch the work is ∝ batch + rollup size, never raw history: the
+    batch aggregates to its hourly delta (map-side combine), the delta
+    full-merges with the CURRENT rollup (cells-sized — buckets × dims),
+    and one overwrite commit publishes the refreshed aggregate. Exact
+    DECIMAL sums make the merge order-independent, so any batch split of
+    the same events converges to the identical table (pinned in
+    tests/test_streaming.py)."""
+
+    def last_committed_batch() -> int:
+        last = -1
+        for snap in table.snapshots():
+            props = snap.properties or {}
+            if props.get("streaming.query") == query_name:
+                try:
+                    last = max(last, int(props["streaming.batch-id"]))
+                except (KeyError, ValueError):
+                    continue
+        return last
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("decimal(38,4)")
+            .alias("value_sum"),
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if last_committed_batch() >= batch_id:
+            return
+        delta = rollup(batch_df)
+        props = {
+            "streaming.query": query_name,
+            "streaming.batch-id": str(batch_id),
+        }
+        if table.current_snapshot() is None:
+            table.overwrite(delta, properties=props)
+            return
+        merged = (
+            table.read()
+            .unionByName(delta)
+            .groupBy("bucket", "event_type")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                F.sum("value_sum").cast("decimal(38,4)").alias("value_sum"),
+            )
+        )
+        table.overwrite(merged, properties=props)
+
+    return (
+        events.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .queryName(query_name)
+        .start()
+    )
