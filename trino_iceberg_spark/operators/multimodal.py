@@ -48,6 +48,7 @@ __all__ = [
     "decode_image_stub",
     "extract_features_stub",
     "sample_frames_stub",
+    "frame_audio_features",
 ]
 
 #: Canonical multimodal column pair: payload + typed metadata.
@@ -466,3 +467,64 @@ def sample_frames_stub(
         )
         .select("*")
     )
+
+
+def frame_audio_features(
+    df: DataFrame,
+    media_col: str = "media",
+    frame: int = 64,
+    hop: int = 64,
+) -> DataFrame:
+    """Frame-level audio features via the real WAV decode: split each
+    decoded PCM signal into ``frame``-sample windows every ``hop``
+    samples and emit one row per frame with integer energy (Σ sample²),
+    peak amplitude, and zero-crossing count (strict sign changes) — the
+    framing front-end every audio featurizer shares (fbank/MFCC pipelines
+    frame exactly like this before their per-frame transform, which would
+    plug in here). Trailing partial frames are dropped (window
+    semantics); undecodable payloads yield no frames.
+
+    Integer arithmetic end to end, so the features are engine-exact
+    (the mm07 oracle replays them in SQL). Arrow-batched mapInPandas,
+    numpy per batch — the same scale shape as decode_audio."""
+    keep = [f for f in df.schema.fields if f.name != media_col]
+    out_schema = T.StructType(
+        keep
+        + [
+            T.StructField("frame_idx", T.IntegerType(), True),
+            T.StructField("sum_sq", T.LongType(), True),
+            T.StructField("peak", T.IntegerType(), True),
+            T.StructField("zero_crossings", T.IntegerType(), True),
+        ]
+    )
+    keep_names = [f.name for f in keep]
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {n: [] for n in keep_names}
+            fi, ss, pk, zc = [], [], [], []
+            for idx, m in enumerate(pdf[media_col]):
+                try:
+                    _, samples = decode_wav_bytes(m["payload"])
+                except (DecodeUnavailable, ValueError, TypeError):
+                    continue
+                s = samples.astype(np.int64)
+                n_frames = 0 if len(s) < frame else (len(s) - frame) // hop + 1
+                for f_i in range(n_frames):
+                    w = s[f_i * hop : f_i * hop + frame]
+                    for n in keep_names:
+                        rows[n].append(pdf[n].iloc[idx])
+                    fi.append(f_i)
+                    ss.append(int((w * w).sum()))
+                    pk.append(int(np.abs(w).max()))
+                    zc.append(int(((w[:-1] * w[1:]) < 0).sum()))
+            out = pd.DataFrame(rows)
+            out["frame_idx"], out["sum_sq"], out["peak"], out["zero_crossings"] = (
+                pd.array(fi, dtype="Int32"),
+                pd.array(ss, dtype="Int64"),
+                pd.array(pk, dtype="Int32"),
+                pd.array(zc, dtype="Int32"),
+            )
+            yield out
+
+    return df.mapInPandas(featurize, out_schema)

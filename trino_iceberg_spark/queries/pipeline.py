@@ -2519,3 +2519,61 @@ def ir01_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mrr_at_k", 6).alias("mrr_at_k"),
         F.round("ndcg_at_k", 6).alias("ndcg_at_k"),
     ).orderBy("query_id")
+
+
+@register(
+    "mm07_audio_frame_features",
+    oracle="""
+    WITH s AS (
+        SELECT d.doc_id, CAST(t.range AS BIGINT) AS t,
+               (d.doc_id * 7 + t.range * 13) % 65536 - 32768 AS v
+        FROM documents d, range(256) t
+        WHERE d.doc_id < 40
+    ),
+    fr AS (
+        SELECT doc_id, CAST(t // 64 AS INT) AS frame_idx, t, v,
+               lag(v) OVER (PARTITION BY doc_id ORDER BY t) AS pv
+        FROM s
+    )
+    SELECT doc_id, frame_idx,
+           CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+           CAST(MAX(ABS(v)) AS INTEGER) AS peak,
+           CAST(SUM(CASE WHEN t % 64 > 0 AND pv * v < 0 THEN 1 ELSE 0 END)
+                AS INTEGER) AS zero_crossings
+    FROM fr GROUP BY doc_id, frame_idx
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def mm07_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level audio features through the real WAV round trip
+    (operators.multimodal.frame_audio_features): mm04's deterministic
+    256-sample PCM signals are framed into four 64-sample windows with
+    per-frame integer energy, peak, and strict zero-crossing counts —
+    the framing front-end of fbank/MFCC-style featurizers, hash-gated
+    end to end (encode → RIFF chunk walk → framing arithmetic)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import encode_wav, frame_audio_features
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+
+    def render(batches):
+        t = np.arange(256, dtype=np.int64)
+        for pdf in batches:
+            payloads = [
+                encode_wav(
+                    ((int(doc_id) * 7 + t * 13) % 65536 - 32768).astype(np.int16),
+                    sample_rate=8000,
+                )
+                for doc_id in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    rendered = d.select("doc_id").mapInPandas(render, "doc_id long, payload binary")
+    media = attach_media(rendered, "payload", media_type="audio", codec="pcm_s16le")
+    return (
+        frame_audio_features(media.select("doc_id", "media"), frame=64, hop=64)
+        .select("doc_id", "frame_idx", "sum_sq", "peak", "zero_crossings")
+        .orderBy("doc_id", "frame_idx")
+    )
