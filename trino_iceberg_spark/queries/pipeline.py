@@ -2577,3 +2577,71 @@ def mm07_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "frame_idx", "sum_sq", "peak", "zero_crossings")
         .orderBy("doc_id", "frame_idx")
     )
+
+
+@register(
+    "cu07_end_to_end_pipeline",
+    oracle=_CURATION_DECIDED_SQL
+    + """
+    , kept AS (SELECT * FROM decided WHERE reject_reason IS NULL),
+    keeper AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+    curated AS (
+        SELECT k.* FROM kept k WHERE k.doc_id IN (SELECT doc_id FROM keeper)
+    ),
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, g
+        FROM toks, UNNEST(list_distinct(list_transform(
+            range(len(ws) - 7),
+            i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] || ' '
+                 || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] || ' ' || ws[i+8]
+        ))) AS u(g)
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0),
+    bad AS (SELECT DISTINCT gr.doc_id FROM grams gr JOIN bench b ON gr.g = b.g),
+    final AS (
+        SELECT c.* FROM curated c WHERE c.doc_id NOT IN (SELECT doc_id FROM bad)
+    )
+    SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
+                WHEN doc_id % 10 < 9 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+           COUNT(DISTINCT lang) AS langs
+    FROM final GROUP BY split ORDER BY split
+    """,
+)
+def cu07_end_to_end_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data pipeline in ONE lazy plan: quality rules →
+    language allow-list → exact dedup (curate_documents), benchmark
+    decontamination against every tenth document (decontaminate, 8-gram
+    broadcast semi-join), then deterministic train/val/test assignment
+    and the per-split census a data card reports. Every stage is an
+    operator this registry already gates individually (cu01, cu03, sp01);
+    this entry hash-gates their COMPOSITION — filters composed in one
+    scan, two hash-keyed shuffles (dedup key, per-split aggregate), the
+    benchmark side broadcast — proving the operators chain without
+    materialization barriers between stages."""
+    from ..operators.curation import curate_documents, decontaminate
+
+    d = load_table(spark, sf_dir, "documents")
+    curated = curate_documents(d)
+    bench = d.filter(F.col("doc_id") % 10 == 0)
+    final = decontaminate(curated, bench, "text", "doc_id", k=8)
+    split = F.when(F.col("doc_id") % 10 < 8, "train").when(
+        F.col("doc_id") % 10 < 9, "val"
+    ).otherwise("test")
+    return (
+        final.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tokens").cast("long").alias("tokens"),
+            F.count_distinct("lang").alias("langs"),
+        )
+        .orderBy("split")
+    )
