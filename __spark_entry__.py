@@ -49,7 +49,7 @@ _TUNED_CONFS = {
 # module docstring. Names absent from the registry are ignored (safety
 # against future renames), and every registered query is always yielded.
 #
-# Round-4 ordering (registry: 199 entries, 198 oracle-backed — ev09's
+# Round-4 ordering (registry: 200 entries, 199 oracle-backed — ev09's
 # DataSketches-HLL estimate is the lone rows-only check): the entries no
 # CORRECTNESS run (r01–r03) has ever
 # checked come first — oracle-backed before rows-only, because a hash
@@ -101,6 +101,7 @@ _FRONT = [
     "st10_stream_rollup",  # new this round (streaming continuous aggregate)
     "mm07_audio_frame_features",  # new this round (audio framing features)
     "cu07_end_to_end_pipeline",  # new this round (full-stack composition)
+    "tx15_bigram_fluency",  # new this round (2nd-order LM-filter proxy)
     # q15 was the verdict's one perf-weak component; its broadcast-scalar
     # replan lands this round, so its re-verification outranks the tail
     "tpch_q15_top_supplier",

@@ -28,6 +28,7 @@ __all__ = [
     "repetition_stats",
     "rarity_scores",
     "sliding_chunks",
+    "bigram_surprise_scores",
 ]
 
 # Tiny per-language stopword marker lists for the n-gram/stopword heuristic
@@ -453,4 +454,61 @@ def sliding_chunks(
     )
     return out.withColumn(
         "n_tokens", F.size(F.filter(F.split(F.col("chunk"), " "), lambda w: w != ""))
+    )
+
+
+def bigram_surprise_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Corpus-relative bigram fluency score — the second-order companion
+    to :func:`rarity_scores` and a closer proxy for the CCNet-style LM
+    filter: where rarity asks "are these WORDS unusual", this asks "are
+    these TRANSITIONS unusual" (word salad and shuffled boilerplate score
+    high even when every individual word is common).
+
+    score = Σ_positions (corpus_count(w1) DIV corpus_count(w1 w2)) / n_bigrams
+
+    — the occurrence-weighted mean *inverse conditional frequency* of each
+    bigram given its first word, in pure integer arithmetic (floor
+    division, long sums): bit-identical under any partitioning and in any
+    engine — no log(), no float accumulation, no libm. The single final
+    division to DOUBLE has exact long operands. A fluent continuation
+    (c(w1 w2) ≈ c(w1)) contributes ~1; a never-followed-by transition
+    contributes c(w1).
+
+    Scale shape: bigrams are built JVM-side per row (zip_with against the
+    shifted token array — no self-join), pre-aggregated to
+    (doc, bigram, occ), then one shuffle join against the bigram vocab
+    and one against the first-word vocab, one groupBy(doc). Documents
+    with fewer than 2 tokens have no bigrams and are excluded."""
+    ws = word_tokens_col(text_col)
+    bigrams = F.filter(
+        F.zip_with(
+            ws,
+            F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    doc_big = (
+        df.select(F.col(id_col), F.explode(bigrams).alias("_big"))
+        .groupBy(id_col, "_big")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .withColumn("_w1", F.split_part(F.col("_big"), F.lit(" "), F.lit(1)))
+    )
+    big_counts = doc_big.groupBy("_big").agg(F.sum("_occ").cast("long").alias("_cb"))
+    # first-word counts over bigram POSITIONS (every token except each
+    # row's last), derived from the same aggregate — no second scan
+    uni_counts = doc_big.groupBy("_w1").agg(F.sum("_occ").cast("long").alias("_cu"))
+    scored = (
+        doc_big.join(big_counts, "_big")
+        .join(uni_counts, "_w1")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_occ").cast("long").alias("n_bigrams"),
+            F.sum(F.col("_occ") * F.expr("_cu DIV _cb")).cast("long").alias("_raw"),
+        )
+    )
+    return scored.select(
+        F.col(id_col),
+        "n_bigrams",
+        (F.col("_raw").cast("double") / F.col("n_bigrams")).alias("surprise"),
     )

@@ -2645,3 +2645,41 @@ def cu07_end_to_end_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@register(
+    "tx15_bigram_fluency",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        FROM documents
+    ),
+    doc_big AS (
+        SELECT doc_id, ws[u.i + 1] || ' ' || ws[u.i + 2] AS big, COUNT(*) AS occ
+        FROM toks, UNNEST(range(len(ws) - 1)) u(i)
+        GROUP BY doc_id, big
+    ),
+    bigc AS (SELECT big, SUM(occ) AS cb FROM doc_big GROUP BY big),
+    unic AS (
+        SELECT string_split(big, ' ')[1] AS w1, SUM(occ) AS cu
+        FROM doc_big GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(SUM(d.occ) AS BIGINT) AS n_bigrams,
+           CAST(SUM(d.occ * (u.cu // b.cb)) AS DOUBLE) / CAST(SUM(d.occ) AS BIGINT)
+               AS surprise
+    FROM doc_big d
+    JOIN bigc b ON b.big = d.big
+    JOIN unic u ON u.w1 = string_split(d.big, ' ')[1]
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+)
+def tx15_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-transition fluency scoring (operators.text.
+    bigram_surprise_scores — the second-order LM-filter proxy): per
+    document, the occurrence-weighted mean inverse conditional frequency
+    of its word transitions, in exact integer arithmetic so the oracle
+    replays every floor division bit-for-bit. Catches word salad that
+    unigram rarity (tx13) cannot — common words in uncommon orders."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.bigram_surprise_scores(d, "text", "doc_id").orderBy("doc_id")
