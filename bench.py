@@ -55,9 +55,12 @@ BENCH_QUERIES = [
     "tt06_stats_pruned_scan",
     "st06_stream_snapshot_ingest",
     # round-4 operators with non-trivial shuffle shapes: passage-table
-    # dedup scoped per source, and the mergeable bottom-k quantile cascade
+    # dedup scoped per source, the mergeable bottom-k quantile cascade,
+    # and the full curation-pipeline composition (quality -> dedup ->
+    # decontaminate -> split in one lazy plan)
     "cu06_boilerplate_removal",
     "ev12_quantile_sample_rollup",
+    "cu07_end_to_end_pipeline",
 ]
 
 
