@@ -328,7 +328,8 @@ class TestSqlMaintenance:
     def test_optimize_compacts(self, spark, tmp_path):
         t, c = self._table(spark, tmp_path, "mt1")
         assert len(t.current_snapshot().files) == 4
-        assert c.execute("ALTER TABLE mt1 EXECUTE optimize(file_count => 1)") == 0
+        # backticked table names accepted, like every other SQL surface
+        assert c.execute("ALTER TABLE `mt1` EXECUTE optimize(file_count => 1)") == 0
         assert len(t.current_snapshot().files) == 1
         assert t.read().count() == 400
 

@@ -154,7 +154,7 @@ class AthenaSparkClient:
     )
 
     _SNAP_EXEC_RE = re.compile(
-        r"^\s*ALTER\s+TABLE\s+(?P<tbl>[A-Za-z_][\w.]*)\s+EXECUTE\s+"
+        r"^\s*ALTER\s+TABLE\s+`?(?P<tbl>[A-Za-z_][\w.]*)`?\s+EXECUTE\s+"
         r"(?P<proc>optimize|expire_snapshots|remove_orphan_files|rollback_to_snapshot)\b"
         r"\s*(?:\((?P<args>[^)]*)\))?\s*;?\s*$",
         re.IGNORECASE,
