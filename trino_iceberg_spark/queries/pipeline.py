@@ -2683,3 +2683,47 @@ def tx15_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram rarity (tx13) cannot — common words in uncommon orders."""
     d = load_table(spark, sf_dir, "documents")
     return TX.bigram_surprise_scores(d, "text", "doc_id").orderBy("doc_id")
+
+
+@register(
+    "ss08_range_search",
+    oracle="""
+    WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id % 100 = 0),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         scored AS (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    list_cosine_similarity(q.v, c.v) AS cosine
+             FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id
+         )
+    SELECT query_id, neighbor_id FROM scored
+    WHERE cosine >= 0.2
+    ORDER BY query_id, neighbor_id
+    """,
+)
+def ss08_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range similarity search — ALL neighbors above a cosine threshold
+    rather than a fixed top-k (the dedup/recall-audit query shape: "every
+    vector within distance r", where k is unknowable upfront). Same
+    broadcast-query scoring as ss01 with a map-side threshold filter
+    instead of the rank window — strictly cheaper (no per-query shuffle
+    at all; the filter runs inside the scan stage). Gated on the
+    (query, neighbor) membership set; the synthetic i.i.d. embeddings
+    make 0.2 a selective-but-nonempty threshold at sf0.01."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        S.unit_vec(S._as_double(F.col("embedding"))).alias("_qv"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        S.unit_vec(S._as_double(F.col("embedding"))).alias("_cv"),
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", S.dot_col(F.col("_qv"), F.col("_cv")))
+        .filter(F.col("cosine") >= 0.2)
+        .select("query_id", "neighbor_id")
+        .orderBy("query_id", "neighbor_id")
+    )
