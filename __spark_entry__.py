@@ -56,7 +56,7 @@ _TUNED_CONFS = {
 #    rows-only to exact portable-hash replays;
 # 2. tpch_q15 (the verdict's one perf-weak component; its
 #    broadcast-scalar replan lands this round);
-# 3. the 21 entries ADDED this round, flagship compositions first;
+# 3. the entries ADDED this round, flagship compositions first;
 # 4. changed-code re-verifies already green in r03 (contamination
 #    short-doc fix, passage-dedup keeper encoding, catalog ancestry/
 #    transaction/exactly-once fixes) and locally re-verified.

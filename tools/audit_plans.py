@@ -75,6 +75,7 @@ ALLOW = {
     "ss05_quantized_topk": _QUERYSET,
     "ss07_hard_negatives": _QUERYSET,
     "ir01_retrieval_metrics": _QUERYSET,  # scores ss01's broadcast ranking
+    "ss08_range_search": _QUERYSET,
     "ev06_hourly_gap_fill": _SPINE,
     "ev11_interpolated_gap_fill": _SPINE,
 }
