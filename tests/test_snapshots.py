@@ -721,3 +721,44 @@ def test_sql_text_rollback_procedure(spark, tmp_path):
 
     with pytest.raises(QueryError):
         c.execute("ALTER TABLE rb_sql_t EXECUTE rollback_to_snapshot")
+
+
+def test_zorder_prunes_on_both_dimensions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from trino_iceberg_spark.catalog.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "z_t"))
+    # two independent uniform keys; 4 interleaved appends -> every file
+    # spans both key spaces
+    base = (
+        spark.range(0, 4096)
+        .withColumn("x", F.col("id") % 64)
+        .withColumn("y", (F.col("id") * 37) % 64)
+    )
+    for m in range(4):
+        t.append(base.filter(F.col("id") % 4 == m).coalesce(1))
+    before = t.current_snapshot()
+    assert len(t.prune_files(before, [("x", ">=", 10), ("x", "<", 20)])) == 4
+    assert len(t.prune_files(before, [("y", ">=", 10), ("y", "<", 20)])) == 4
+
+    after = t.rewrite_zorder(["x", "y"], target_files=16)
+    assert after is not None and len(after.files) == 16
+    # BOTH single-dimension bands now open strict subsets of files —
+    # the property lexicographic sort cannot give the trailing column
+    px = t.prune_files(after, [("x", ">=", 10), ("x", "<", 20)])
+    py = t.prune_files(after, [("y", ">=", 10), ("y", "<", 20)])
+    assert 0 < len(px) < 16 and 0 < len(py) < 16
+    # rows are bit-identical through the rewrite
+    assert t.read().count() == 4096
+    assert (
+        t.scan([("x", ">=", 10), ("x", "<", 20)]).count()
+        == base.filter((F.col("x") >= 10) & (F.col("x") < 20)).count()
+    )
+    # bad config raises
+    import pytest
+
+    from trino_iceberg_spark.errors import EngineError
+
+    with pytest.raises(EngineError):
+        t.rewrite_zorder(["x", "y", "id", "x"], bits=16)

@@ -1259,6 +1259,64 @@ class SnapshotTable:
             cluster_partitions=target_files or len(snap.files),
         )
 
+    def rewrite_zorder(
+        self,
+        cols: list[str],
+        target_files: int | None = None,
+        bits: int = 16,
+    ) -> Snapshot | None:
+        """Multi-dimensional clustering rewrite (Delta ``OPTIMIZE ZORDER
+        BY``, Iceberg z-order rewrite strategy): interleave the bits of
+        each column's min-max-normalized rank into a single Z-value and
+        range-cluster the files on it, so every file covers a compact
+        HYPER-RECTANGLE of the key space and zone maps prune on ANY of
+        the ``cols`` — where a lexicographic sort (:meth:`rewrite_sorted`)
+        only prunes effectively on its leading column.
+
+        Normalization bounds come from one 1-row aggregate (broadcast);
+        the Z-value is pure bit arithmetic in JVM expressions; the
+        rewrite is one range-shuffle like rewrite_sorted. Constant
+        columns normalize to 0 (no contribution, no division by zero).
+        ``bits`` per dimension bounds the interleave at 63 total bits —
+        2 cols × 16 bits is the practical default; pruning pinned per
+        dimension in tests/test_snapshots.py."""
+        if not cols or len(cols) * bits > 63:
+            raise EngineError(
+                f"z-order needs 1+ columns with cols*bits <= 63 "
+                f"(got {len(cols)} x {bits})"
+            )
+        snap = self.current_snapshot()
+        if snap is None or not snap.files:
+            return None
+        df = self._read_snapshot(snap)
+        bounds = df.agg(
+            *[F.min(F.col(c)).cast("double").alias(f"_lo_{c}") for c in cols],
+            *[F.max(F.col(c)).cast("double").alias(f"_hi_{c}") for c in cols],
+        )
+        b = df.crossJoin(F.broadcast(bounds))
+        top = float((1 << bits) - 1)
+        z = F.lit(0).cast("long")
+        for j, c in enumerate(cols):
+            lo, hi = F.col(f"_lo_{c}"), F.col(f"_hi_{c}")
+            norm = (
+                F.when(hi > lo, ((F.col(c).cast("double") - lo) / (hi - lo) * top))
+                .otherwise(F.lit(0.0))
+                .cast("long")
+            )
+            for i in range(bits):
+                z = z + (
+                    F.shiftright(norm, i).bitwiseAND(F.lit(1))
+                    * F.lit(1 << (i * len(cols) + j)).cast("long")
+                )
+        n = target_files or len(snap.files)
+        clustered = (
+            b.withColumn("_z", z)
+            .repartitionByRange(n, "_z")
+            .sortWithinPartitions("_z")
+            .select(*df.columns)
+        )
+        return self._commit(clustered, "overwrite")
+
     def rollback_to(self, snapshot_id: int, branch: str = "main") -> Snapshot:
         """Iceberg ``rollback_to_snapshot`` analog: a METADATA-ONLY commit
         that restores the table state (file list, schema mapping,

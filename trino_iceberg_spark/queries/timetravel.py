@@ -547,3 +547,42 @@ def tt14_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ALTER TABLE tt14_orders EXECUTE rollback_to_snapshot(snapshot_id => {good})"
     )
     return table.read().orderBy("o_orderkey")
+
+
+@register(
+    "tt15_zorder_rewrite",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey >= 400 AND o_custkey < 600
+      AND o_totalprice >= 100000 AND o_totalprice < 200000
+    ORDER BY o_orderkey
+    """,
+)
+def tt15_zorder_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional Z-ORDER clustering (catalog.snapshots.
+    SnapshotTable.rewrite_zorder — Delta ``OPTIMIZE ZORDER BY`` / Iceberg
+    z-order rewrite): after interleaved appends, one z-order rewrite on
+    (o_custkey, o_totalprice) lays files out as compact hyper-rectangles
+    of the two-key space, so a scan filtered on BOTH dimensions prunes
+    through the zone maps — the layout a lexicographic sort can only
+    give its leading column (per-dimension pruning pinned in
+    tests/test_snapshots.py). Hash-equality with the plain filter proves
+    the rewrite is row-invisible."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tdir = os.path.join(tempfile.gettempdir(), "tis_tt15_table")
+    shutil.rmtree(tdir, ignore_errors=True)
+    table = SnapshotTable(spark, tdir)
+    for band in range(4):
+        table.append(o.filter(F.col("o_orderkey") % 4 == band))
+    table.rewrite_zorder(["o_custkey", "o_totalprice"], target_files=8)
+    return table.scan(
+        [
+            ("o_custkey", ">=", 400),
+            ("o_custkey", "<", 600),
+            ("o_totalprice", ">=", 100000.0),
+            ("o_totalprice", "<", 200000.0),
+        ]
+    ).orderBy("o_orderkey")
