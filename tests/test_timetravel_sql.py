@@ -409,3 +409,28 @@ def test_version_as_of_ref_name_reads_branch_and_tag(spark, tmp_path):
     assert tag[0].n == 100 and by_id[0].n == 100
     assert branch[0].n == 150
     assert main[0].n == 120
+
+
+def test_sql_text_zorder_optimize(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from trino_iceberg_spark.catalog.snapshots import SnapshotTable
+    from trino_iceberg_spark.client import AthenaSparkClient
+
+    t = SnapshotTable(spark, str(tmp_path / "zx_t"))
+    base = (
+        spark.range(0, 2048)
+        .withColumn("x", F.col("id") % 32)
+        .withColumn("y", (F.col("id") * 37) % 32)
+    )
+    for m in range(4):
+        t.append(base.filter(F.col("id") % 4 == m).coalesce(1))
+    c = AthenaSparkClient(spark)
+    c.register_snapshot_table("zx_t", str(tmp_path / "zx_t"))
+    c.execute(
+        "ALTER TABLE zx_t EXECUTE optimize(zorder => 'x, y', file_count => 8)"
+    )
+    after = t.current_snapshot()
+    assert len(after.files) == 8
+    assert 0 < len(t.prune_files(after, [("y", ">=", 4), ("y", "<", 10)])) < 8
+    assert t.read().count() == 2048

@@ -170,7 +170,9 @@ class AthenaSparkClient:
         - ``optimize`` — small-file compaction; ``file_count => N`` pins
           the output file count, ``sort_order => 'c1, c2'`` makes it a
           sort-order rewrite (``rewrite_sorted``) that restores zone-map
-          pruning.
+          pruning, ``zorder => 'c1, c2'`` a multi-dimensional Z-ORDER
+          rewrite (``rewrite_zorder``, Delta's ``OPTIMIZE ZORDER BY``)
+          pruning on every clustered column.
         - ``expire_snapshots(retention_threshold => '7d')`` — drop
           history older than the threshold (``0s`` expires everything but
           the current snapshot, the reference stack's min-retention=0s
@@ -202,7 +204,11 @@ class AthenaSparkClient:
             target = args.get("file_count")
             target = int(target) if target is not None else None
             sort_order = args.get("sort_order")
-            if sort_order:
+            zorder = args.get("zorder")
+            if zorder:
+                cols = [c.strip().strip("`") for c in str(zorder).split(",")]
+                table.rewrite_zorder(cols, target_files=target)
+            elif sort_order:
                 cols = [c.strip().strip("`") for c in str(sort_order).split(",")]
                 table.rewrite_sorted(cols, target_files=target)
             else:
