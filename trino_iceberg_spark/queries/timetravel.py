@@ -554,8 +554,8 @@ def tt14_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders
-    WHERE o_custkey >= 400 AND o_custkey < 600
-      AND o_totalprice >= 100000 AND o_totalprice < 200000
+    WHERE o_custkey >= 40 AND o_custkey < 100
+      AND o_totalprice >= 50000 AND o_totalprice < 250000
     ORDER BY o_orderkey
     """,
 )
@@ -580,9 +580,9 @@ def tt15_zorder_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     table.rewrite_zorder(["o_custkey", "o_totalprice"], target_files=8)
     return table.scan(
         [
-            ("o_custkey", ">=", 400),
-            ("o_custkey", "<", 600),
-            ("o_totalprice", ">=", 100000.0),
-            ("o_totalprice", "<", 200000.0),
+            ("o_custkey", ">=", 40),
+            ("o_custkey", "<", 100),
+            ("o_totalprice", ">=", 50000.0),
+            ("o_totalprice", "<", 250000.0),
         ]
     ).orderBy("o_orderkey")
