@@ -49,7 +49,7 @@ _TUNED_CONFS = {
 # module docstring. Names absent from the registry are ignored (safety
 # against future renames), and every registered query is always yielded.
 #
-# Round-4 ordering (registry: 202 entries, 201 oracle-backed — ev09's
+# Round-4 ordering (registry: 203 entries, 202 oracle-backed — ev09's
 # DataSketches-HLL estimate is the lone rows-only check), four tiers:
 # 1. every round-3-registry entry no CORRECTNESS run (r01–r03) ever
 #    checked, including the nine whose oracles this round upgraded from
@@ -104,6 +104,7 @@ _FRONT = [
     "tt13_sql_maintenance",
     "tt14_rollback",
     "tt15_zorder_rewrite",
+    "tt16_catalog_version_travel",
     "ev12_quantile_sample_rollup",
     "ev14_incremental_rollup",
     "st10_stream_rollup",

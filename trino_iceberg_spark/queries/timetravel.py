@@ -586,3 +586,55 @@ def tt15_zorder_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("o_totalprice", "<", 250000.0),
         ]
     ).orderBy("o_orderkey")
+
+
+@register(
+    "tt16_catalog_version_travel",
+    oracle="""
+    SELECT 'current_active' AS state, COUNT(*) AS cnt,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_orderkey % 3 <> 0
+    UNION ALL
+    SELECT 'current_archived', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT 'v1_active', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+    FROM orders
+    ORDER BY state
+    """,
+)
+def tt16_catalog_version_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-VERSION time travel (catalog/multi.py
+    MultiTableCatalog.read(version=...) — the Nessie capability beyond
+    per-table snapshots: a CONSISTENT cross-table historical view,
+    because every catalog version is one atomic commit over all
+    tables): after the tt09-style archive transaction, reading ``active``
+    at catalog version 1 must show the full pre-archive corpus while the
+    current version shows the post-move split — three states hash-gated
+    against the source-table restatement."""
+    from ..catalog.multi import MultiTableCatalog
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    cdir = os.path.join(tempfile.gettempdir(), "tis_tt16_catalog")
+    shutil.rmtree(cdir, ignore_errors=True)
+    cat = MultiTableCatalog(spark, cdir)
+    with cat.transaction("ingest") as txn:
+        txn.append("active", o)
+    v1 = cat.current_version()
+    active = cat.read("active")
+    with cat.transaction("archive every third order") as txn:
+        txn.overwrite("active", active.filter(F.col("o_orderkey") % 3 != 0))
+        txn.append("archived", active.filter(F.col("o_orderkey") % 3 == 0))
+
+    def agg(df: DataFrame, state: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        ).select(F.lit(state).alias("state"), "cnt", "key_sum")
+
+    return (
+        agg(cat.read("active"), "current_active")
+        .unionByName(agg(cat.read("archived"), "current_archived"))
+        .unionByName(agg(cat.read("active", version=v1), "v1_active"))
+        .orderBy("state")
+    )
