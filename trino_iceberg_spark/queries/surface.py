@@ -557,3 +557,59 @@ def a11_unload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert resp.row_count > 0  # Observation-counted on the same pass
     return spark.read.parquet(resp.output_path).orderBy("o_orderkey")
+
+
+@register(
+    "io01_format_roundtrip",
+    oracle="""
+    SELECT 'csv' AS fmt, COUNT(*) AS cnt,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS price_sum
+    FROM orders WHERE o_orderkey <= 2000
+    UNION ALL
+    SELECT 'json', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+    FROM orders WHERE o_orderkey <= 2000
+    ORDER BY fmt
+    """,
+)
+def io01_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-parquet source/sink surface (sources.formats.read_source /
+    write_sink): the same rows exported to CSV and JSON and read back
+    SCHEMA-EXPLICIT (inference is opt-in only — an inference pass over
+    100 TB is a full extra scan, so the reader refuses csv/json without a
+    schema), then aggregated per format. Hash-equality of both rows with
+    the parquet-sourced oracle proves the text formats round-trip the
+    types losslessly; sums go through exact DECIMAL so the text→double
+    parse is the only float step on both sides."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.formats import read_source, write_sink
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select("o_orderkey", "o_totalprice")
+    )
+    root = os.path.join(tempfile.gettempdir(), "tis_io01")
+    shutil.rmtree(root, ignore_errors=True)
+    schema = "o_orderkey long, o_totalprice double"
+    pieces = []
+    for fmt in ("csv", "json"):
+        path = os.path.join(root, fmt)
+        write_sink(o, path, fmt=fmt, mode="overwrite")
+        back = read_source(spark, path, fmt=fmt, schema=schema)
+        pieces.append(
+            back.agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("o_orderkey").cast("long").alias("key_sum"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+                    2,
+                ).alias("price_sum"),
+            ).select(F.lit(fmt).alias("fmt"), "cnt", "key_sum", "price_sum")
+        )
+    return pieces[0].unionByName(pieces[1]).orderBy("fmt")
