@@ -49,7 +49,7 @@ _TUNED_CONFS = {
 # module docstring. Names absent from the registry are ignored (safety
 # against future renames), and every registered query is always yielded.
 #
-# Round-4 ordering (registry: 204 entries, 203 oracle-backed — ev09's
+# Round-4 ordering (registry: 205 entries, 204 oracle-backed — ev09's
 # DataSketches-HLL estimate is the lone rows-only check), four tiers:
 # 1. every round-3-registry entry no CORRECTNESS run (r01–r03) ever
 #    checked, including the nine whose oracles this round upgraded from
@@ -134,6 +134,7 @@ _FRONT = [
     "tx15_bigram_fluency",
     "ss08_range_search",
     "io01_format_roundtrip",
+    "dd13_crossmodal_dedup",
     # --- tier 4: changed-code re-verifies, all green in r03 and locally
     # re-verified this round ---
     "cu05_contamination_report",

@@ -565,7 +565,13 @@ def dd05_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-def _dd06_oracle() -> str:
+def _dd06_pair_ctes() -> str:
+    """Shared CTE block replaying embedding_dedup_pairs' candidate + cosine
+    computation (used by dd06 and the cross-modal dd13)."""
+    return _DD06_IMPL()
+
+
+def _DD06_IMPL() -> str:
     # 8 OR-amplification tables, seeds 42 + 7919·t — the exact plane sets
     # the Spark side inlines (operators/dedup.py:embedding_dedup_pairs).
     # Two DuckDB plan traps avoided, 45 s → <1 s at sf0.01 with the same
@@ -584,7 +590,7 @@ def _dd06_oracle() -> str:
         for t in range(8)
         for p, plane in enumerate(S._plane_literals(64, 4, 42 + 7919 * t))
     )
-    return f"""
+    ctes = f"""
     WITH {_UNIT_VEC_CTE},
     planes(t, p, w) AS (
       SELECT * FROM (VALUES {plane_rows})
@@ -604,10 +610,18 @@ def _dd06_oracle() -> str:
       SELECT c.id_a, c.id_b,
              list_sum(list_transform(x.u, (v, i) -> v * y.u[i])) AS cos
       FROM cand c JOIN uv x ON x.vec_id = c.id_a JOIN uv y ON y.vec_id = c.id_b
-    )
+    )"""
+    return ctes
+
+
+def _dd06_oracle() -> str:
+    return (
+        _dd06_pair_ctes()
+        + """
     SELECT id_a, id_b, round(cos, 6) AS cosine FROM pairs
     WHERE cos >= 0.35 ORDER BY id_a, id_b
     """
+    )
 
 
 @register("dd06_embedding_dedup", oracle=_dd06_oracle())
@@ -2726,4 +2740,57 @@ def ss08_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.2)
         .select("query_id", "neighbor_id")
         .orderBy("query_id", "neighbor_id")
+    )
+
+
+@register(
+    "dd13_crossmodal_dedup",
+    oracle=_dd06_pair_ctes()
+    + """
+    SELECT p.id_a, p.id_b, round(p.cos, 6) AS cosine,
+           (md5(da.text) = md5(db.text)) AS same_text,
+           (da.lang = db.lang) AS same_lang
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.id_a
+    JOIN documents db ON db.doc_id = p.id_b
+    WHERE p.cos >= 0.35
+    ORDER BY p.id_a, p.id_b
+    """,
+)
+def dd13_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup analysis: the embedding near-dup pairs (dd06's
+    hyperplane LSH) joined back to their DOCUMENTS, labeling each pair
+    with whether the text is also an exact duplicate and whether the
+    languages agree — the semantic-vs-lexical disagreement matrix a
+    curation pipeline uses to separate paraphrases (semantic dup,
+    lexically distinct → pick one) from translations (semantic dup,
+    different lang → keep both) from true copies. One extra broadcast-
+    scale join per side on the id; the pair table is the small side by
+    construction."""
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    pairs = D.embedding_dedup_pairs(
+        e, "embedding", "vec_id", threshold=0.35, num_planes=4, num_tables=8
+    )
+    da = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.md5("text").alias("_ha"),
+        F.col("lang").alias("_la"),
+    )
+    db = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.md5("text").alias("_hb"),
+        F.col("lang").alias("_lb"),
+    )
+    return (
+        pairs.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round("cosine", 6).alias("cosine"),
+            (F.col("_ha") == F.col("_hb")).alias("same_text"),
+            (F.col("_la") == F.col("_lb")).alias("same_lang"),
+        )
+        .orderBy("id_a", "id_b")
     )
