@@ -821,3 +821,46 @@ def test_retrieval_metrics_hand_computed(spark):
     # q3: judged but nothing relevant retrieved
     assert m[3]["hits"] == 0 and m[3]["recall_at_k"] == 0.0
     assert m[3]["mrr_at_k"] == 0.0 and m[3]["ndcg_at_k"] == 0.0
+
+
+def test_sketch_rollups_keep_null_dimension_cells(spark):
+    """kmv_rollup / sample_rollup must not drop cells whose dimension value
+    is NULL: both sides of the count↔sketch merge compute the NULL cell
+    (groupBy keeps NULL keys), so the join must be null-safe."""
+    from trino_iceberg_spark.operators.sketches import kmv_rollup, sample_rollup
+
+    e = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", "click", 1.0, "u1"),
+            (2, "2024-01-01 10:30:00", None, 2.0, "u2"),
+            (3, "2024-01-01 10:45:00", None, 3.0, "u2"),
+        ],
+        "event_id long, ts string, event_type string, value double, user_id string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    kmv = kmv_rollup(e, "ts", ("event_type",), "user_id", "hour", k=64).collect()
+    cells = {r["event_type"]: r["cnt"] for r in kmv}
+    assert cells == {"click": 1, None: 2}
+    assert all(r["kmv"] for r in kmv)
+
+    smp = sample_rollup(e, "ts", ("event_type",), "value", "event_id", "hour", k=64).collect()
+    cells = {r["event_type"]: r["cnt"] for r in smp}
+    assert cells == {"click": 1, None: 2}
+    assert sorted(p["_v"] for r in smp if r["event_type"] is None for p in r["smp"]) == [2.0, 3.0]
+
+
+def test_work_dir_is_pid_namespaced_and_fresh():
+    """Scratch dirs are per-process (concurrent registry runs can't clobber
+    each other) and recreated empty on every call."""
+    import os
+
+    from trino_iceberg_spark.sources.testdata import work_dir
+
+    d1 = work_dir("wd_test")
+    assert str(os.getpid()) in d1
+    assert os.path.isdir(d1) and not os.listdir(d1)
+    with open(os.path.join(d1, "f"), "w") as fh:
+        fh.write("x")
+    d2 = work_dir("wd_test")
+    assert d2 == d1 and not os.listdir(d2)  # fresh on re-entry
+    assert work_dir("wd_other") != d1

@@ -434,3 +434,80 @@ def test_sql_text_zorder_optimize(spark, tmp_path):
     assert len(after.files) == 8
     assert 0 < len(t.prune_files(after, [("y", ">=", 4), ("y", "<", 10)])) < 8
     assert t.read().count() == 2048
+
+
+class TestQualifySetOperations:
+    """QUALIFY binds to its own SELECT branch in set-operation queries
+    (DuckDB/Snowflake semantics) — the round-4 advisor's terminator gap."""
+
+    def test_qualify_on_final_union_branch(self, spark):
+        from trino_iceberg_spark.client import AthenaSparkClient
+
+        spark.createDataFrame(
+            [(1, 10), (1, 20), (2, 30)], "g int, v int"
+        ).createOrReplaceTempView("qs_t")
+        rows = AthenaSparkClient(spark).query(
+            "SELECT 99 AS g, 99 AS v "
+            "UNION ALL "
+            "SELECT g, v FROM qs_t "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC) = 1 "
+            "ORDER BY g"
+        )
+        # the literal branch is NOT filtered; the final branch keeps only
+        # each group's max-v row
+        assert sorted((r.g, r.v) for r in rows) == [(1, 20), (2, 30), (99, 99)]
+
+    def test_qualify_in_nonfinal_branch_terminates_at_union(self, spark):
+        from trino_iceberg_spark.client import AthenaSparkClient
+
+        spark.createDataFrame(
+            [(1, 10), (1, 20)], "g int, v int"
+        ).createOrReplaceTempView("qs_t2")
+        rows = AthenaSparkClient(spark).query(
+            "SELECT g, v FROM qs_t2 "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) = 1 "
+            "UNION ALL SELECT 99 AS g, 99 AS v"
+        )
+        # the predicate must not swallow the following branch
+        assert sorted((r.g, r.v) for r in rows) == [(1, 10), (99, 99)]
+
+    def test_select_list_except_is_not_a_set_operator(self, spark):
+        from trino_iceberg_spark.client import AthenaSparkClient
+
+        spark.createDataFrame(
+            [(1, 10, "a"), (1, 20, "b")], "g int, v int, s string"
+        ).createOrReplaceTempView("qs_t3")
+        rows = AthenaSparkClient(spark).query(
+            "SELECT * EXCEPT (s) FROM qs_t3 "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC) = 1"
+        )
+        assert [(r.g, r.v) for r in rows] == [(1, 20)]
+
+    def test_rewrite_scopes_wrap_after_intersect(self):
+        from trino_iceberg_spark.timetravel_sql import rewrite_qualify
+
+        out = rewrite_qualify(
+            "SELECT a FROM t1 INTERSECT SELECT a FROM t2 QUALIFY rn = 1"
+        )
+        # the INTERSECT's first branch survives verbatim as a prefix
+        assert out.startswith("SELECT a FROM t1 INTERSECT ")
+        assert "QUALIFY" not in out
+
+
+def test_qualify_second_failure_reports_original_sql(spark):
+    """When the rewritten statement fails for an unrelated reason (missing
+    table), QueryError must carry the USER's statement and mention the
+    original analysis error — not mask both behind the rewrite."""
+    import pytest
+
+    from trino_iceberg_spark.client import AthenaSparkClient
+    from trino_iceberg_spark.errors import QueryError
+
+    sql = (
+        "SELECT g FROM qualify_no_such_table "
+        "QUALIFY ROW_NUMBER() OVER (ORDER BY g) = 1"
+    )
+    with pytest.raises(QueryError) as ei:
+        AthenaSparkClient(spark).query(sql)
+    assert ei.value.sql == sql
+    assert "original analysis error" in str(ei.value)

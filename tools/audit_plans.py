@@ -63,7 +63,7 @@ ALLOW = {
         "not data rows — bounded by construction (operators/packing.py)",
     },
     "tpch_q11_important_parts": _SCALAR,
-    "tpch_q14_promo_effect": _SCALAR,
+    "tpch_q14_promo_revenue": _SCALAR,
     "tpch_q15_top_supplier": _SCALAR,
     "tpch_q22_global_sales_opportunity": _SCALAR,
     "c02_scalar_subquery": _SCALAR,
@@ -104,6 +104,13 @@ def scan(name: str, plan: str) -> list[str]:
 def main() -> None:
     spark = get_spark()
     qs = entrymod.queries()
+    # An allowlisted name that no longer exists in the registry is a rotted
+    # explanation (round-4 shipped a dead tpch_q14_promo_effect key); fail
+    # loudly so the clean-or-explained contract can't silently decay.
+    stale = sorted(set(ALLOW) - set(qs))
+    if stale:
+        print(f"STALE ALLOWLIST KEYS (not in registry): {stale}")
+        sys.exit(1)
     names = sys.argv[1:] or list(qs)
     offenders: dict[str, list[str]] = {}
     explained = 0

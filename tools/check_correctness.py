@@ -89,12 +89,27 @@ def main(names: list[str]) -> int:
         try:
             rel = con.sql(oracles[name])
             duck_cols = [c.lower() for c in rel.columns]
+            duck_types = [str(t).upper() for t in rel.types]
             duck_rows = rel.fetchall()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {exc}")
             failures += 1
             continue
         problems = []
+        # DECIMAL at the output boundary is a lint FAILURE: the driver's
+        # value hash is type-sensitive, so Decimal('194.2800') vs the
+        # oracle's 194.28 hash-mismatches even when numerically equal
+        # (this is exactly what shipped ev14/st10 red in round 4 while
+        # canon()'s normalize() said green). Convention: cast final sums
+        # to DOUBLE on BOTH sides (see ev08).
+        spark_dec = [
+            f.name for f in df.schema.fields if f.dataType.typeName().startswith("decimal")
+        ]
+        duck_dec = [c for c, t in zip(duck_cols, duck_types) if "DECIMAL" in t]
+        if spark_dec:
+            problems.append(f"lint: DECIMAL in final Spark schema {spark_dec} — cast to double")
+        if duck_dec:
+            problems.append(f"lint: DECIMAL in oracle result {duck_dec} — CAST(... AS DOUBLE)")
         if sorted(spark_cols) != sorted(duck_cols):
             problems.append(f"cols spark={spark_cols} duck={duck_cols}")
         if len(spark_rows) != len(duck_rows):

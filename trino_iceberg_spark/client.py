@@ -85,7 +85,15 @@ class AthenaSparkClient:
                 try:
                     return self.spark.sql(rewritten)
                 except AnalysisException as exc2:
-                    raise QueryError(str(exc2), sql=rewritten) from exc2
+                    # Report against the USER's statement: the second
+                    # failure is often unrelated to QUALIFY (e.g. a missing
+                    # table in a query that merely contains the token), and
+                    # surfacing only the rewritten SQL would mask both what
+                    # the user wrote and the original analysis error.
+                    raise QueryError(
+                        f"{exc2} (original analysis error: {exc})",
+                        sql=rendered,
+                    ) from exc2
             # Invalid-relation and analysis errors surface as engine errors
             # (TrinoClientIntegrationTests.cs:126-132).
             raise QueryError(str(exc), sql=rendered) from exc

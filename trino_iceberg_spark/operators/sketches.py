@@ -86,7 +86,16 @@ def kmv_rollup(
         F.array_sort(F.collect_list("_h")).alias("kmv")
     )
     counts = events.groupBy(bucket, *dim_cols).agg(F.count(F.lit(1)).alias("cnt"))
-    return counts.join(sketches, keys)
+    # Null-safe equi-join: a cell whose dimension value is NULL was computed
+    # by BOTH aggregates (groupBy keeps NULL keys) and must survive the
+    # merge — a plain inner join would silently drop it.
+    cond = None
+    for c in keys:
+        term = counts[c].eqNullSafe(sketches[c])
+        cond = term if cond is None else (cond & term)
+    return counts.join(sketches, cond).select(
+        counts["bucket"], *[counts[d] for d in dims], "cnt", "kmv"
+    )
 
 
 def kmv_merge(
@@ -171,7 +180,15 @@ def sample_rollup(
         F.array_sort(F.collect_list(F.struct("_h", "_v"))).alias("smp")
     )
     counts = nn.groupBy(bucket, *dim_cols).agg(F.count(F.lit(1)).alias("cnt"))
-    return counts.join(sketches, keys)
+    # Null-safe equi-join, same reason as kmv_rollup: NULL-valued dimension
+    # cells exist on both sides and must not be dropped by the merge.
+    cond = None
+    for c in keys:
+        term = counts[c].eqNullSafe(sketches[c])
+        cond = term if cond is None else (cond & term)
+    return counts.join(sketches, cond).select(
+        counts["bucket"], *[counts[d] for d in dims], "cnt", "smp"
+    )
 
 
 def sample_merge(

@@ -13,14 +13,12 @@ replayed file source).
 from __future__ import annotations
 
 import os
-import shutil
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.testdata import load_table
+from ..sources.testdata import load_table, work_dir
 from .registry import register
 
 
@@ -29,8 +27,7 @@ def _staged_stream(spark: SparkSession, sf_dir: str, tag: str):
     """readStream over the events parquet staged into a per-entry dir
     (symlink, no copy), with the same ns->us ts conversion as
     sources.testdata.load_table."""
-    stage_dir = os.path.join(tempfile.gettempdir(), f"tis_{tag}_events")
-    os.makedirs(stage_dir, exist_ok=True)
+    stage_dir = work_dir(f"{tag}_events")
     link = os.path.join(stage_dir, "events.parquet")
     src = os.path.join(sf_dir, "events.parquet")
     if not os.path.exists(link):
@@ -328,14 +325,12 @@ def st06_stream_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     The aggregate over the ingested table must equal the batch aggregate
     over the source, proving no rows were lost or duplicated on the way
     through the stream."""
-    import shutil as _shutil
 
     from ..catalog.snapshots import SnapshotTable
     from ..streaming.events import stream_ingest_into_snapshot_table
 
     stream = _staged_stream(spark, sf_dir, "st06")
-    tdir = os.path.join(tempfile.gettempdir(), "tis_st06_table")
-    _shutil.rmtree(tdir, ignore_errors=True)
+    tdir = work_dir("st06_table")
     table = SnapshotTable(spark, tdir)
     q = stream_ingest_into_snapshot_table(
         stream, table, f"st06_{uuid.uuid4().hex[:8]}"
@@ -415,7 +410,6 @@ def st08_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     the events file as two micro-batches (duplicate staging, same
     content) whose second pass must leave the table unchanged. The oracle
     is the batch argmax per user."""
-    import shutil as _shutil
 
     from pyspark.sql import Window
 
@@ -424,9 +418,7 @@ def st08_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Two staged copies of the same file -> two micro-batches
     # (maxFilesPerTrigger=1): batch 2 exercises the merge-vs-current path
     # and must be a no-op, proving latest-wins idempotence.
-    stage_dir = os.path.join(tempfile.gettempdir(), "tis_st08_events")
-    _shutil.rmtree(stage_dir, ignore_errors=True)
-    os.makedirs(stage_dir)
+    stage_dir = work_dir("st08_events")
     src = os.path.join(sf_dir, "events.parquet")
     os.symlink(src, os.path.join(stage_dir, "a.parquet"))
     os.symlink(src, os.path.join(stage_dir, "b.parquet"))
@@ -437,8 +429,7 @@ def st08_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(stage_dir)
     )
 
-    tdir = os.path.join(tempfile.gettempdir(), "tis_st08_table")
-    _shutil.rmtree(tdir, ignore_errors=True)
+    tdir = work_dir("st08_table")
     table = SnapshotTable(spark, tdir)
     w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
 
@@ -538,7 +529,7 @@ def st09_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
            COUNT(*) AS cnt,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS value_sum
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
     FROM events GROUP BY 1, 2 ORDER BY 1, 2
     """,
 )
@@ -559,15 +550,13 @@ def st10_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "event_type", "value"
     )
-    stage = os.path.join(tempfile.gettempdir(), "tis_st10_stage")
-    shutil.rmtree(stage, ignore_errors=True)
+    stage = work_dir("st10_stage")
     # two files -> two micro-batches: real multi-commit incremental refresh
     e.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
         stage, mode="overwrite"
     )
     e.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(stage)
-    tdir = os.path.join(tempfile.gettempdir(), "tis_st10_table")
-    shutil.rmtree(tdir, ignore_errors=True)
+    tdir = work_dir("st10_table")
     table = SnapshotTable(spark, tdir)
     stream = (
         spark.readStream.schema(e.schema)
@@ -580,4 +569,11 @@ def st10_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     assert len(table.snapshots()) >= 2  # the refresh really was incremental
-    return table.read().orderBy("bucket", "event_type")
+    # Exact-DECIMAL internals keep the per-batch merges order-independent;
+    # cast only the output boundary to double (ev08 convention) so the
+    # driver's value hash is type-stable vs the DuckDB oracle.
+    return (
+        table.read()
+        .withColumn("value_sum", F.col("value_sum").cast("double"))
+        .orderBy("bucket", "event_type")
+    )

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.testdata import load_table
+from ..sources.testdata import load_table, work_dir
 from .compat import davg_col, davg_sql, dsum_col, dsum_sql, isum_col, isum_sql
 from .registry import register
 
@@ -536,15 +536,12 @@ def a11_unload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Observation row count, temp cleanup), complementing the pytest
     contract suite with a value-level driver verdict."""
     import os
-    import shutil
-    import tempfile
 
     from ..client import AthenaSparkClient
     from ..fs import FsClient
 
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("a11_orders")
-    root = os.path.join(tempfile.gettempdir(), "tis_a11_unload")
-    shutil.rmtree(root, ignore_errors=True)
+    root = work_dir("a11_unload")
     fs = FsClient(root=root, bucket="exports")
     fs.create_bucket()
     client = AthenaSparkClient(spark, fs_client=fs)
@@ -584,8 +581,6 @@ def io01_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     types losslessly; sums go through exact DECIMAL so the text→double
     parse is the only float step on both sides."""
     import os
-    import shutil
-    import tempfile
 
     from ..sources.formats import read_source, write_sink
 
@@ -594,8 +589,7 @@ def io01_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderkey") <= 2000)
         .select("o_orderkey", "o_totalprice")
     )
-    root = os.path.join(tempfile.gettempdir(), "tis_io01")
-    shutil.rmtree(root, ignore_errors=True)
+    root = work_dir("io01")
     schema = "o_orderkey long, o_totalprice double"
     pieces = []
     for fmt in ("csv", "json"):

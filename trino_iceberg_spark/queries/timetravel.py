@@ -12,14 +12,12 @@ from __future__ import annotations
 
 import datetime as dt
 import os
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog.snapshots import SnapshotTable
-from ..sources.testdata import load_table
+from ..sources.testdata import load_table, work_dir
 from .registry import register
 
 
@@ -35,8 +33,7 @@ def tt01_timestamp_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two INSERT commits; TIMESTAMP AS OF between them sees only commit 1,
     combined with an ordinary predicate (o_custkey filter) — B18."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
-    tdir = os.path.join(tempfile.gettempdir(), "tis_tt01_table")
-    shutil.rmtree(tdir, ignore_errors=True)
+    tdir = work_dir("tt01_table")
     table = SnapshotTable(spark, tdir)
     table.append(o.filter(F.col("o_orderkey") % 2 == 0))
     between = dt.datetime.now(dt.timezone.utc)
@@ -60,8 +57,7 @@ def tt02_version_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves overwrite isolation (snapshot 2 replaces the file set; snapshot 1
     still reads its own files)."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey")
-    tdir = os.path.join(tempfile.gettempdir(), "tis_tt02_table")
-    shutil.rmtree(tdir, ignore_errors=True)
+    tdir = work_dir("tt02_table")
     table = SnapshotTable(spark, tdir)
     table.append(o.filter(F.col("o_orderkey") % 2 == 0))
     table.overwrite(o.filter(F.col("o_orderkey") % 5 == 0))
@@ -104,8 +100,7 @@ def tt03_snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_totalprice"
     )
     base = o.filter(F.col("o_orderkey") <= 2000)
-    tdir = os.path.join(tempfile.gettempdir(), "tis_tt03_table")
-    shutil.rmtree(tdir, ignore_errors=True)
+    tdir = work_dir("tt03_table")
     table = SnapshotTable(spark, tdir)
     v1 = table.append(base).snapshot_id
     updates = base.filter(F.col("o_orderkey") <= 500).withColumn(
@@ -143,8 +138,7 @@ def tt04_sql_text_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    tdir = os.path.join(tempfile.gettempdir(), "tis_tt04_table")
-    shutil.rmtree(tdir, ignore_errors=True)
+    tdir = work_dir("tt04_table")
     table = SnapshotTable(spark, tdir)
     table.append(o.filter(F.col("o_orderkey") % 2 == 0))
     between = dt.datetime.now(dt.timezone.utc)
@@ -186,8 +180,7 @@ def tt05_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    tdir = os.path.join(tempfile.gettempdir(), "tis_tt05_table")
-    shutil.rmtree(tdir, ignore_errors=True)
+    tdir = work_dir("tt05_table")
     table = SnapshotTable(spark, tdir)
     table.append(o.filter(F.col("o_orderkey") % 2 == 0))
     table.add_column("batch_tag", "string")
@@ -224,8 +217,7 @@ def tt06_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter guaranteeing exactness. Iceberg-manifest-stats semantics;
     pruning effectiveness is pinned in tests/test_snapshots.py."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    tdir = os.path.join(tempfile.gettempdir(), "tis_tt06_table")
-    shutil.rmtree(tdir, ignore_errors=True)
+    tdir = work_dir("tt06_table")
     table = SnapshotTable(spark, tdir)
     bands = [(0, 500), (500, 1000), (1000, 1400), (1400, 10**9)]
     for lo, hi in bands:
@@ -259,8 +251,7 @@ def tt07_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     derives from the source table — proving manifest row accounting
     across append accumulation and copy-on-write delete."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    tdir = os.path.join(tempfile.gettempdir(), "tis_tt07_table")
-    shutil.rmtree(tdir, ignore_errors=True)
+    tdir = work_dir("tt07_table")
     table = SnapshotTable(spark, tdir)
     table.append(o.filter(F.col("o_orderkey") % 2 == 0))
     table.append(o.filter(F.col("o_orderkey") % 2 == 1))
@@ -294,8 +285,7 @@ def tt08_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    tdir = os.path.join(tempfile.gettempdir(), "tis_tt08_table")
-    shutil.rmtree(tdir, ignore_errors=True)
+    tdir = work_dir("tt08_table")
     table = SnapshotTable(spark, tdir)
     table.append(o.filter(F.col("o_orderkey") % 2 == 0))
     table.create_branch("audit")
@@ -334,8 +324,7 @@ def tt09_catalog_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog.multi import MultiTableCatalog
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey")
-    cdir = os.path.join(tempfile.gettempdir(), "tis_tt09_catalog")
-    shutil.rmtree(cdir, ignore_errors=True)
+    cdir = work_dir("tt09_catalog")
     cat = MultiTableCatalog(spark, cdir)
     with cat.transaction("ingest") as txn:
         txn.append("active", o)
@@ -388,8 +377,7 @@ def tt10_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    tdir = os.path.join(tempfile.gettempdir(), "tis_tt10_table")
-    shutil.rmtree(tdir, ignore_errors=True)
+    tdir = work_dir("tt10_table")
     table = SnapshotTable(spark, tdir)
     table.append(o.filter(F.col("o_orderkey") <= 2000))
     o.filter(
@@ -432,8 +420,7 @@ def tt11_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "ts", "value"
     )
-    tdir = os.path.join(tempfile.gettempdir(), "tis_tt11_table")
-    shutil.rmtree(tdir, ignore_errors=True)
+    tdir = work_dir("tt11_table")
     table = SnapshotTable(spark, tdir)
     table.append(e.filter(F.col("event_id") % 2 == 0), cluster_by=["ts"])
     table.set_partition_spec([("ts", "day")])
@@ -465,8 +452,7 @@ def tt12_sorted_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    tdir = os.path.join(tempfile.gettempdir(), "tis_tt12_table")
-    shutil.rmtree(tdir, ignore_errors=True)
+    tdir = work_dir("tt12_table")
     table = SnapshotTable(spark, tdir)
     for band in range(4):  # ingest order ⟂ query key: zone maps start useless
         table.append(o.filter(F.col("o_orderkey") % 4 == band))
@@ -497,8 +483,7 @@ def tt13_sql_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..client import AthenaSparkClient
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    tdir = os.path.join(tempfile.gettempdir(), "tis_tt13_table")
-    shutil.rmtree(tdir, ignore_errors=True)
+    tdir = work_dir("tt13_table")
     table = SnapshotTable(spark, tdir)
     for band in range(4):
         table.append(o.filter(F.col("o_orderkey") % 4 == band))
@@ -535,8 +520,7 @@ def tt14_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..client import AthenaSparkClient
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    tdir = os.path.join(tempfile.gettempdir(), "tis_tt14_table")
-    shutil.rmtree(tdir, ignore_errors=True)
+    tdir = work_dir("tt14_table")
     table = SnapshotTable(spark, tdir)
     good = table.append(o.filter(F.col("o_orderkey") % 3 == 0)).snapshot_id
     table.append(o.filter(F.col("o_orderkey") % 3 == 1))  # bad write
@@ -572,8 +556,7 @@ def tt15_zorder_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    tdir = os.path.join(tempfile.gettempdir(), "tis_tt15_table")
-    shutil.rmtree(tdir, ignore_errors=True)
+    tdir = work_dir("tt15_table")
     table = SnapshotTable(spark, tdir)
     for band in range(4):
         table.append(o.filter(F.col("o_orderkey") % 4 == band))
@@ -615,8 +598,7 @@ def tt16_catalog_version_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog.multi import MultiTableCatalog
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey")
-    cdir = os.path.join(tempfile.gettempdir(), "tis_tt16_catalog")
-    shutil.rmtree(cdir, ignore_errors=True)
+    cdir = work_dir("tt16_catalog")
     cat = MultiTableCatalog(spark, cdir)
     with cat.transaction("ingest") as txn:
         txn.append("active", o)

@@ -9,10 +9,19 @@ cached or collected here.
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["TABLES", "load_table", "load_tables", "register_views", "default_sf_dir"]
+__all__ = [
+    "TABLES",
+    "load_table",
+    "load_tables",
+    "register_views",
+    "default_sf_dir",
+    "work_dir",
+]
 
 TABLES = (
     "region",
@@ -30,6 +39,22 @@ TABLES = (
 
 def default_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def work_dir(tag: str) -> str:
+    """Fresh scratch dir for registry entries that stage files on disk.
+
+    Namespaced by PID so two concurrent registry runs (the serial driver
+    plus a parallel pytest or plan audit in another process) can never
+    clobber each other's snapshot tables / stream stage dirs — the exact
+    collision observed on st08's old fixed ``/tmp/tis_st08_events`` path.
+    Recreated empty on every call so a re-run inside one process starts
+    clean.
+    """
+    root = os.path.join(tempfile.gettempdir(), f"tis_{os.getpid()}", tag)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    return root
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -242,22 +242,50 @@ def rewrite_time_travel(
 # -- QUALIFY rewrite ---------------------------------------------------------
 
 _QUALIFY_TERMINATORS = re.compile(
-    r"(?i)\b(ORDER\s+BY|LIMIT|OFFSET)\b"
+    # ORDER BY/LIMIT/OFFSET end the predicate; a top-level set operator does
+    # too (a QUALIFY in a non-final UNION/INTERSECT/EXCEPT branch must not
+    # swallow the following branch into the predicate). Select-list
+    # `* EXCEPT (cols)` can't appear inside a scalar predicate, so the bare
+    # keywords are unambiguous here.
+    r"(?i)\b(ORDER\s+BY|LIMIT|OFFSET|UNION|INTERSECT|EXCEPT)\b"
 )
+
+_SETOP = re.compile(r"(?i)\b(UNION|INTERSECT|EXCEPT)\b(\s+(ALL|DISTINCT)\b)?")
+
+
+def _is_setop(sql: str, m: "re.Match") -> bool:
+    """True when a UNION/INTERSECT/EXCEPT match is a set OPERATOR — i.e. is
+    followed by a query expression (SELECT/WITH/VALUES/TABLE/FROM, possibly
+    parenthesized) — as opposed to Spark's select-list ``* EXCEPT (cols)``,
+    whose parenthesized operand starts with a bare column name."""
+    j = m.end()
+    while j < len(sql) and sql[j].isspace():
+        j += 1
+    if j < len(sql) and sql[j] == "(":
+        j += 1
+        while j < len(sql) and sql[j].isspace():
+            j += 1
+    return bool(re.match(r"(?i)(SELECT|WITH|VALUES|TABLE|FROM)\b", sql[j:]))
 
 
 def _top_level_spans(sql: str) -> tuple[list[tuple[int, int]], "callable"]:
     """String-literal spans plus a depth map for paren nesting, shared by
-    top-level keyword scans. Returns (literal_spans, at_top_level(pos))."""
+    top-level keyword scans. Returns (literal_spans, at_top_level(pos)).
+
+    One forward walk with a cursor into the (position-sorted) literal spans
+    — amortized O(1) per character, not a per-character scan of all spans
+    (quadratic for literal-heavy SQL on the every-statement rewrite path)."""
     literal_spans = _string_literal_spans(sql)
 
-    def in_literal(pos: int) -> bool:
-        return any(s <= pos < e for s, e in literal_spans)
-
+    in_lit = [False] * (len(sql) + 1)
     depth_at: list[int] = [0] * (len(sql) + 1)
     d = 0
+    li = 0
     for i, ch in enumerate(sql):
-        if in_literal(i):
+        while li < len(literal_spans) and literal_spans[li][1] <= i:
+            li += 1
+        if li < len(literal_spans) and literal_spans[li][0] <= i:
+            in_lit[i] = True
             depth_at[i] = d
             continue
         if ch == "(":
@@ -270,7 +298,7 @@ def _top_level_spans(sql: str) -> tuple[list[tuple[int, int]], "callable"]:
     depth_at[len(sql)] = d
 
     def at_top_level(pos: int) -> bool:
-        return depth_at[pos] == 0 and not in_literal(pos)
+        return depth_at[pos] == 0 and not in_lit[pos]
 
     return literal_spans, at_top_level
 
@@ -304,7 +332,15 @@ def rewrite_qualify(sql: str) -> str:
             break
     if m is None:
         return sql
-    head = sql[: m.start()].rstrip().rstrip(";")
+    # QUALIFY binds to its own SELECT branch (DuckDB/Snowflake semantics):
+    # in a set-operation query, wrap only the final branch before the
+    # QUALIFY, not the whole UNION/INTERSECT/EXCEPT chain.
+    branch_start = 0
+    for sm in _SETOP.finditer(sql, 0, m.start()):
+        if at_top(sm.start()) and _is_setop(sql, sm):
+            branch_start = sm.end()
+    prefix = sql[:branch_start] + " " if branch_start else ""
+    head = sql[branch_start : m.start()].strip().rstrip(";")
     rest = sql[m.end():]
     # The predicate runs until a TOP-LEVEL ORDER BY / LIMIT / OFFSET.
     _, rest_top = _top_level_spans(rest)
@@ -319,7 +355,8 @@ def rewrite_qualify(sql: str) -> str:
         raise QueryError("QUALIFY requires a predicate", sql=sql)
     q = uuid.uuid4().hex[:8]
     return (
-        f"SELECT * EXCEPT (__q_{q}) FROM ("
+        prefix
+        + f"SELECT * EXCEPT (__q_{q}) FROM ("
         f"SELECT __i_{q}.*, ({pred}) AS __q_{q} FROM ({head}) AS __i_{q}"
         f") WHERE __q_{q}" + (f" {tail}" if tail else "")
     )
