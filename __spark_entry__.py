@@ -86,7 +86,9 @@ _FRONT = [
     "ss08_range_search",
     "st09_stream_enrich",
     "tx15_bigram_fluency",
-    # --- tier 3: changed-code re-verifies ---
+    # --- tier 3: NEW this round (portable Bloom membership prefilter),
+    # then changed-code re-verifies ---
+    "ev15_bloom_prefilter",
     "b23_qualify",
     "ev12_quantile_sample_rollup",
     "ev10_kmv_distinct_rollup",

@@ -864,3 +864,31 @@ def test_work_dir_is_pid_namespaced_and_fresh():
     d2 = work_dir("wd_test")
     assert d2 == d1 and not os.listdir(d2)  # fresh on re-entry
     assert work_dir("wd_other") != d1
+
+
+def test_bloom_filter_contract(spark):
+    """Portable Bloom: zero false negatives ever; deterministic bitmap
+    (same keys → identical array); probe of an inserted key always hits;
+    with 64 Kbit / k=4 over a handful of keys, non-members are rejected."""
+    from trino_iceberg_spark.operators.sketches import bloom_build, bloom_might_contain
+
+    keys = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    bloom = bloom_build(keys, "k")
+    bm1 = bloom.collect()[0]["bloom"]
+    bm2 = bloom_build(keys, "k").collect()[0]["bloom"]
+    assert bm1 == bm2 and len(bm1) == (1 << 16) // 32
+    probe = spark.createDataFrame([(i,) for i in range(200)], "k long")
+    got = {r["k"]: r["bloom_hit"] for r in bloom_might_contain(probe, "k", bloom).collect()}
+    assert all(got[i] for i in range(50))  # no false negatives
+    # 50 keys * 4 bits in 65536 → FP rate ~1e-11; 150 non-members all miss
+    assert not any(got[i] for i in range(50, 200))
+
+
+def test_bloom_empty_reference_rejects_everything(spark):
+    from trino_iceberg_spark.operators.sketches import bloom_build, bloom_might_contain
+
+    empty = spark.createDataFrame([], "k long")
+    bloom = bloom_build(empty, "k")
+    assert all(b == 0 for b in bloom.collect()[0]["bloom"])
+    probe = spark.createDataFrame([(1,), (2,)], "k long")
+    assert not any(r["bloom_hit"] for r in bloom_might_contain(probe, "k", bloom).collect())

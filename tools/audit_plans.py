@@ -78,6 +78,7 @@ ALLOW = {
     "ss08_range_search": _QUERYSET,
     "ev06_hourly_gap_fill": _SPINE,
     "ev11_interpolated_gap_fill": _SPINE,
+    "ev15_bloom_prefilter": _SCALAR,  # 1-row 8 KiB bloom bitmap broadcast
 }
 
 PATTERNS = {

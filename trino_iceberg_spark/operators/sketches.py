@@ -18,6 +18,8 @@ __all__ = [
     "sample_rollup",
     "sample_merge",
     "sample_quantiles",
+    "bloom_build",
+    "bloom_might_contain",
 ]
 
 # portable_hash64 draws uniformly from [0, 2^60) — the KMV estimator's
@@ -226,3 +228,99 @@ def sample_quantiles(
         idx = F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("_n")).cast("int"))
         out = out.withColumn(f"p{int(round(q * 100))}_est", F.element_at("_vals", idx))
     return out.drop("smp", "_vals", "_n")
+
+
+# -- portable Bloom filter ---------------------------------------------------
+#
+# Membership prefilter for decontamination / denylist gates: the SMALL
+# reference key set becomes a bitmap that broadcasts as ONE row, and the
+# big fact side is probed with pure JVM bit arithmetic — the fact table is
+# never shuffled or joined. Words are 32 bits stored in BIGINT so every
+# shift stays far from the sign bit: both Spark and DuckDB evaluate
+# 1::BIGINT << 31 without overflow, keeping the whole construction (and
+# its false positives) bit-reproducible by any engine — the same
+# portability contract as kmv_rollup. (DuckDB rejects 1::BIGINT << 63,
+# so 64-bit words would NOT be replayable.)
+
+_BLOOM_WORD = 32
+
+
+def _bit_value(bit: Column) -> Column:
+    """2**bit as BIGINT for bit in [0, 32) — a literal power table indexed
+    by the (computed) bit position, because pyspark's shiftleft only takes
+    a Python int for the shift amount."""
+    powers = F.array(*[F.lit(1 << b).cast("bigint") for b in range(_BLOOM_WORD)])
+    return F.element_at(powers, bit.cast("int") + F.lit(1))
+
+
+def _bloom_positions(key: Column, m_bits: int, k: int) -> list[Column]:
+    """k md5-derived bit positions in [0, m_bits) for one key — hash i is
+    portable_hash64 of 'i|' || key, so any engine replays the family."""
+    return [
+        F.pmod(
+            portable_hash64(F.concat(F.lit(f"{i}|"), key.cast("string"))),
+            F.lit(m_bits),
+        )
+        for i in range(k)
+    ]
+
+
+def bloom_build(
+    keys: DataFrame, key_col: str, m_bits: int = 1 << 16, k: int = 4
+) -> DataFrame:
+    """ONE-row DataFrame holding a dense Bloom bitmap (``bloom``:
+    array<bigint> of ``m_bits / 32`` 32-bit words) over ``keys.key_col``.
+
+    Scale shape: k positions per key explode map-side, one groupBy(word)
+    over at most m_bits/32 groups, then a single-row assembly — the only
+    data that ever reaches the driver-adjacent stage is the bitmap itself
+    (m_bits/8 bytes; 8 KiB at the default 64 Kbit), which is exactly what
+    makes it broadcastable to every executor."""
+    n_words = m_bits // _BLOOM_WORD
+    pos = keys.select(
+        F.explode(F.array(*_bloom_positions(F.col(key_col), m_bits, k))).alias("pos")
+    )
+    words = (
+        pos.select(
+            (F.col("pos") / _BLOOM_WORD).cast("int").alias("word"),
+            _bit_value(F.pmod(F.col("pos"), F.lit(_BLOOM_WORD))).alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("_m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0).cast("bigint")),
+        ).alias("bloom")
+    )
+
+
+def bloom_might_contain(
+    df: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+    result_col: str = "bloom_hit",
+) -> DataFrame:
+    """``df`` plus a boolean ``result_col``: True iff all k bits for
+    ``key_col`` are set in the (broadcast, 1-row) ``bloom`` bitmap.
+
+    False negatives are impossible (every inserted key set all its bits);
+    false positives are deterministic and engine-reproducible. The probe
+    is pure map-side column arithmetic on the broadcast row — ``df`` is
+    never shuffled, the property that makes this the 100 TB pre-gate in
+    front of an exact (join-based) membership check."""
+    out = df.crossJoin(F.broadcast(bloom))  # 1-row bitmap: broadcast by design
+    cond = None
+    for pos in _bloom_positions(F.col(key_col), m_bits, k):
+        word = F.element_at(
+            F.col("bloom"), (pos / _BLOOM_WORD).cast("int") + F.lit(1)
+        )
+        bit = _bit_value(F.pmod(pos, F.lit(_BLOOM_WORD)))
+        t = word.bitwiseAND(bit) != 0
+        cond = t if cond is None else (cond & t)
+    return out.withColumn(result_col, cond).drop("bloom")

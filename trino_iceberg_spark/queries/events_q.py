@@ -644,3 +644,77 @@ def ev14_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("value_sum", F.col("value_sum").cast("double"))
         .orderBy("bucket", "event_type")
     )
+
+
+@register(
+    "ev15_bloom_prefilter",
+    oracle="""
+    WITH ref AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'purchase' AND value > 200
+    ),
+    rpos AS (
+        SELECT ('0x' || substr(md5(i::VARCHAR || '|' || user_id::VARCHAR), 1, 15))::BIGINT
+               % 65536 AS p
+        FROM ref, unnest([0, 1, 2, 3]) AS t(i)
+    ),
+    words AS (
+        SELECT p // 32 AS word, bit_or(1::BIGINT << (p % 32)) AS bits
+        FROM rpos GROUP BY 1
+    ),
+    views AS (SELECT event_id, user_id FROM events WHERE event_type = 'view'),
+    vpos AS (
+        SELECT v.event_id, v.user_id,
+               ('0x' || substr(md5(i::VARCHAR || '|' || v.user_id::VARCHAR), 1, 15))::BIGINT
+               % 65536 AS p
+        FROM views v, unnest([0, 1, 2, 3]) AS t(i)
+    ),
+    hits AS (
+        SELECT event_id, user_id,
+               bool_and((COALESCE(w.bits, 0) & (1::BIGINT << (p % 32))) <> 0) AS bloom_hit
+        FROM vpos LEFT JOIN words w ON p // 32 = w.word
+        GROUP BY event_id, user_id
+    )
+    SELECT h.event_id, h.user_id, h.bloom_hit,
+           (h.user_id IN (SELECT user_id FROM ref)) AS exact_hit
+    FROM hits h ORDER BY event_id
+    """,
+)
+def ev15_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom-filter membership prefilter (operators.sketches.
+    bloom_build / bloom_might_contain) — the no-shuffle denylist/
+    decontamination gate: the SMALL reference side (high-value
+    purchasers) builds a 64 Kbit / k=4 bitmap from md5-derived hashes,
+    which broadcasts as ONE 8 KiB row; the big fact side (view events)
+    is probed with pure map-side JVM bit arithmetic — the fact table is
+    never shuffled or joined, which is the whole point at 100 TB (an
+    exact semi-join would shuffle the fact side by key). Both the
+    construction AND the probe are engine-portable (32-bit words in
+    BIGINT keep every shift representable), so the DuckDB oracle replays
+    the bitmap bit-for-bit — false positives included, making the entry
+    hash-exact rather than approximate. exact_hit carries the ground
+    truth; the inline assert pins the Bloom contract (no false
+    negatives, ever)."""
+    from ..operators.sketches import bloom_build, bloom_might_contain
+
+    e = load_table(spark, sf_dir, "events")
+    ref = (
+        e.filter((F.col("event_type") == "purchase") & (F.col("value") > 200))
+        .select("user_id")
+        .distinct()
+    )
+    bloom = bloom_build(ref, "user_id", m_bits=1 << 16, k=4)
+    views = e.filter(F.col("event_type") == "view").select("event_id", "user_id")
+    probed = bloom_might_contain(views, "user_id", bloom, m_bits=1 << 16, k=4)
+    out = (
+        probed.join(
+            F.broadcast(ref.withColumn("exact_hit", F.lit(True))), "user_id", "left"
+        )
+        .withColumn("exact_hit", F.coalesce("exact_hit", F.lit(False)))
+        .select("event_id", "user_id", "bloom_hit", "exact_hit")
+    )
+    # Inline Bloom contract check (1-row aggregate): a real member can
+    # never be missed — only extra (false-positive) hits are possible.
+    misses = out.filter(F.col("exact_hit") & ~F.col("bloom_hit")).count()
+    assert misses == 0, f"bloom false negatives: {misses}"
+    return out.orderBy("event_id")
