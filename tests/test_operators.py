@@ -892,3 +892,37 @@ def test_bloom_empty_reference_rejects_everything(spark):
     assert all(b == 0 for b in bloom.collect()[0]["bloom"])
     probe = spark.createDataFrame([(1,), (2,)], "k long")
     assert not any(r["bloom_hit"] for r in bloom_might_contain(probe, "k", bloom).collect())
+
+
+def test_duplicated_span_stats_merges_overlapping_windows(spark):
+    """Substring dedup: a copied 10-token span shared by two docs lights up
+    3 overlapping 8-token windows that must merge into ONE span of exactly
+    10 tokens; unique docs report zeros; sub-k docs are counted but never
+    windowed."""
+    copied = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    rows = [
+        (1, "a b c " + copied + " x y z"),
+        (2, copied + " p q r s t u v"),
+        (3, "totally unique text with nothing shared here at all ok"),
+        (4, "short doc"),  # < 8 tokens: no windows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from trino_iceberg_spark.operators.dedup import duplicated_span_stats
+
+    got = {r["doc_id"]: r for r in duplicated_span_stats(df, "text", "doc_id", k=8).collect()}
+    assert got[1]["dup_tokens"] == 10 and got[1]["n_spans"] == 1
+    assert got[2]["dup_tokens"] == 10 and got[2]["n_spans"] == 1
+    assert got[3]["dup_tokens"] == 0 and got[3]["n_spans"] == 0
+    assert got[4]["n_tokens"] == 2 and got[4]["dup_tokens"] == 0
+    # two disjoint shared spans stay two spans
+    far = "m1 m2 m3 m4 m5 m6 m7 m8"
+    df2 = spark.createDataFrame(
+        [
+            (1, copied + " gap1 gap2 gap3 gap4 gap5 gap6 gap7 gap8 gap9 " + far),
+            (2, copied + " other words entirely q w e r t y u"),
+            (3, far + " more unrelated trailing words here now ok yes"),
+        ],
+        "doc_id long, text string",
+    )
+    got2 = {r["doc_id"]: r for r in duplicated_span_stats(df2, "text", "doc_id", k=8).collect()}
+    assert got2[1]["n_spans"] == 2 and got2[1]["dup_tokens"] == 18

@@ -19,7 +19,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -40,6 +40,7 @@ __all__ = [
     "embedding_dedup_pairs",
     "fuzzy_pairs",
     "passage_dedup",
+    "duplicated_span_stats",
 ]
 
 # Mersenne prime for the universal hash family h(x) = (a*x+b) mod p, with
@@ -732,5 +733,88 @@ def passage_dedup(
             ).alias("clean_text"),
             F.first("n_chunks").alias("n_chunks"),
             F.count(F.lit(1)).cast("int").alias("n_kept"),
+        )
+    )
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Exact substring-duplication detection over OVERLAPPING token
+    windows (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better": remove verbatim spans shared across documents, not
+    just whole passages): hash every k-token sliding window, find windows
+    that occur in MORE THAN ONE document, and merge each document's
+    duplicated windows into maximal token spans.
+
+    The sliding window is what distinguishes this from
+    :func:`passage_dedup`'s fixed chunk grid — a copied span that
+    straddles a chunk boundary is invisible to the grid but lights up
+    every overlapping window it touches, so the merged spans recover the
+    true extent of the duplication.
+
+    Returns ``(id_col, n_tokens, dup_tokens, n_spans)`` per document —
+    ``dup_tokens / n_tokens`` is the verbatim-duplication fraction used
+    as a curation gate.
+
+    Scale shape: window hashes are per-row JVM array work (no explode
+    until the window table); the cross-document occurrence count shuffles
+    on the md5-derived window hash — high-cardinality, skew-free — and
+    the verdict joins back on the same key, exactly passage_dedup's
+    two-shuffle shape. Span merging is a per-document window function
+    over that document's DUPLICATED windows only (bounded by document
+    length). All hashes are :func:`portable_hash64`, so an external
+    engine replays detection bit-for-bit (the dd14 oracle does)."""
+    toks = F.filter(F.split(F.col(content_col), " "), lambda w: w != "")
+    base = df.select(F.col(id_col), toks.alias("_toks")).withColumn(
+        "_n", F.size("_toks")
+    )
+    wins = base.filter(F.col("_n") >= k).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("_n") - k),
+                lambda i: portable_hash64(
+                    F.array_join(F.slice("_toks", i + 1, k), " ")
+                ),
+            )
+        ).alias("widx", "whash"),
+    )
+    shared = (
+        wins.groupBy("whash")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") > 1)
+        .select("whash")
+    )
+    dup = wins.join(shared, "whash").select(id_col, "widx")
+    w = Window.partitionBy(id_col).orderBy("widx")
+    prev_end = F.max(F.col("widx") + (k - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = dup.withColumn(
+        "_new", (prev_end.isNull() | (F.col("widx") > prev_end)).cast("int")
+    ).withColumn(
+        "_sid", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = marked.groupBy(id_col, "_sid").agg(
+        F.min("widx").alias("_s"), (F.max("widx") + (k - 1)).alias("_e")
+    )
+    stats = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("_e") - F.col("_s") + 1).alias("dup_tokens"),
+    )
+    return (
+        base.select(id_col, F.col("_n").cast("bigint").alias("n_tokens"))
+        .join(stats, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce(F.col("dup_tokens").cast("bigint"), F.lit(0)).alias(
+                "dup_tokens"
+            ),
+            F.coalesce(F.col("n_spans").cast("bigint"), F.lit(0)).alias("n_spans"),
         )
     )

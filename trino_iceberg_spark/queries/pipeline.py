@@ -206,6 +206,68 @@ def dd12_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.passage_dedup(d, "text", "doc_id", chunk_tokens=10).orderBy("doc_id")
 
 
+@register(
+    "dd14_substring_dedup",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+        FROM documents
+    ),
+    base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, t FROM toks),
+    wins AS (
+        SELECT doc_id, CAST(i - 1 AS INT) AS widx,
+               ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT
+                   AS whash
+        FROM base, unnest(generate_series(1, CAST(n_tokens AS INT) - 7)) AS r(i)
+        WHERE n_tokens >= 8
+    ),
+    shared AS (
+        SELECT whash FROM wins GROUP BY whash HAVING COUNT(DISTINCT doc_id) > 1
+    ),
+    dup AS (SELECT w.doc_id, w.widx FROM wins w JOIN shared USING (whash)),
+    marked AS (
+        SELECT doc_id, widx,
+               CASE WHEN widx > COALESCE(
+                   MAX(widx + 7) OVER (PARTITION BY doc_id ORDER BY widx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+               THEN 1 ELSE 0 END AS new_span
+        FROM dup
+    ),
+    sp AS (
+        SELECT doc_id, widx,
+               SUM(new_span) OVER (PARTITION BY doc_id ORDER BY widx
+                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    ),
+    spans AS (
+        SELECT doc_id, sid, MIN(widx) AS s, MAX(widx) + 7 AS e
+        FROM sp GROUP BY doc_id, sid
+    ),
+    st AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens
+        FROM spans GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens,
+           COALESCE(st.dup_tokens, 0) AS dup_tokens,
+           COALESCE(st.n_spans, 0) AS n_spans
+    FROM base b LEFT JOIN st USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+)
+def dd14_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplication stats over overlapping 8-token windows
+    (operators.dedup.duplicated_span_stats — Lee et al. 2022's exact
+    substring dedup, the rule passage grids miss when a copied span
+    straddles a chunk boundary): windows shared by >1 document merge into
+    maximal per-document spans; dup_tokens/n_tokens is the verbatim-
+    duplication curation gate. Portable md5-derived window hashes let the
+    oracle replay detection, span merging, and the per-doc totals
+    bit-for-bit."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.duplicated_span_stats(d, "text", "doc_id", k=8).orderBy("doc_id")
+
+
 def _minhash_oracle(
     k: int = 3,
     num_hashes: int = 64,

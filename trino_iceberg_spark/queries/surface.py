@@ -568,6 +568,10 @@ def a11_unload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'json', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
            ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
     FROM orders WHERE o_orderkey <= 2000
+    UNION ALL
+    SELECT 'orc', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+    FROM orders WHERE o_orderkey <= 2000
     ORDER BY fmt
     """,
 )
@@ -576,10 +580,11 @@ def io01_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_sink): the same rows exported to CSV and JSON and read back
     SCHEMA-EXPLICIT (inference is opt-in only — an inference pass over
     100 TB is a full extra scan, so the reader refuses csv/json without a
-    schema), then aggregated per format. Hash-equality of both rows with
-    the parquet-sourced oracle proves the text formats round-trip the
-    types losslessly; sums go through exact DECIMAL so the text→double
-    parse is the only float step on both sides."""
+    schema) plus ORC (self-describing, schema passed for symmetry), then
+    aggregated per format. Hash-equality of all rows with the
+    parquet-sourced oracle proves each format round-trips the types
+    losslessly; sums go through exact DECIMAL so the text→double parse is
+    the only float step on both sides."""
     import os
 
     from ..sources.formats import read_source, write_sink
@@ -592,7 +597,7 @@ def io01_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = work_dir("io01")
     schema = "o_orderkey long, o_totalprice double"
     pieces = []
-    for fmt in ("csv", "json"):
+    for fmt in ("csv", "json", "orc"):
         path = os.path.join(root, fmt)
         write_sink(o, path, fmt=fmt, mode="overwrite")
         back = read_source(spark, path, fmt=fmt, schema=schema)
@@ -606,4 +611,7 @@ def io01_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("price_sum"),
             ).select(F.lit(fmt).alias("fmt"), "cnt", "key_sum", "price_sum")
         )
-    return pieces[0].unionByName(pieces[1]).orderBy("fmt")
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("fmt")
