@@ -50,8 +50,9 @@ _TUNED_CONFS = {
 # module docstring. Names absent from the registry are ignored (safety
 # against future renames), and every registered query is always yielded.
 #
-# Round-5 ordering (registry: 207 entries — ev15_bloom_prefilter and
-# dd14_substring_dedup are new — ALL 207 oracle-backed; ev09 gained an
+# Round-5 ordering (registry: 208 entries — ev15_bloom_prefilter,
+# dd14_substring_dedup, and ss09_incremental_ivf_index are new — ALL 208
+# oracle-backed; ev09 gained an
 # exact-distinct oracle with an inline HLL error assert), four tiers
 # sized to the driver's ~50-entry budget:
 # 1. the two round-4 hash-RED rows, now fixed (value_sum cast to DOUBLE
@@ -88,9 +89,11 @@ _FRONT = [
     "st09_stream_enrich",
     "tx15_bigram_fluency",
     # --- tier 3: NEW this round (portable Bloom membership prefilter;
-    # exact substring dedup), then changed-code re-verifies ---
+    # exact substring dedup; incremental IVF index), then changed-code
+    # re-verifies ---
     "ev15_bloom_prefilter",
     "dd14_substring_dedup",
+    "ss09_incremental_ivf_index",
     "b23_qualify",
     "ev12_quantile_sample_rollup",
     "ev10_kmv_distinct_rollup",

@@ -926,3 +926,26 @@ def test_duplicated_span_stats_merges_overlapping_windows(spark):
     )
     got2 = {r["doc_id"]: r for r in duplicated_span_stats(df2, "text", "doc_id", k=8).collect()}
     assert got2[1]["n_spans"] == 2 and got2[1]["dup_tokens"] == 18
+
+
+def test_ivf_assignments_incremental_equals_rebuild(spark, sf_dir):
+    """The persisted-index contract: routing base + delta separately with
+    FROZEN centroids must equal routing the whole corpus at once — cell
+    assignments are per-vector pure functions of the centroids."""
+    from trino_iceberg_spark.operators.similarity import (
+        _seeded_centroids,
+        ivf_assignments,
+    )
+    from trino_iceberg_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    delta = emb.filter(F.col("vec_id") % 2 == 1)
+    cents = _seeded_centroids(base, "embedding", "vec_id", 16, seed=42)
+    inc = ivf_assignments(base, "embedding", "vec_id", cents).unionByName(
+        ivf_assignments(delta, "embedding", "vec_id", cents)
+    )
+    full = ivf_assignments(emb, "embedding", "vec_id", cents)
+    a = sorted((r["vec_id"], r["cell"]) for r in inc.collect())
+    b = sorted((r["vec_id"], r["cell"]) for r in full.collect())
+    assert a and a == b

@@ -39,6 +39,7 @@ __all__ = [
     "numpy_cosine_topk",
     "lsh_topk",
     "ivf_topk",
+    "ivf_assignments",
     "quantize_embeddings",
     "quantized_cosine_topk",
     "centroid_fixed_point",
@@ -392,6 +393,26 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ivf_assignments(
+    df: DataFrame,
+    embedding_col: str,
+    id_col: str,
+    cents: list[list[float]],
+) -> DataFrame:
+    """``(id_col, cell)`` nearest-centroid assignments — the PERSISTED IVF
+    index rows. Splitting this out of :func:`ivf_topk` is what makes the
+    index incrementally maintainable: build centroids once from the base
+    ingest, commit assignments as a table, and on every append route ONLY
+    the new vectors with the SAME frozen centroids — maintenance cost is
+    proportional to the delta, never the corpus (re-deriving centroids
+    from the grown corpus would silently reassign history and invalidate
+    every stored cell). Map-side GEMM routing, no shuffle."""
+    vcol = _as_double(F.col(embedding_col))
+    return _route_cells(
+        df.select(F.col(id_col).alias("_id"), vcol.alias("_v")), cents, 1
+    ).select(F.col("_id").alias(id_col), F.col("_cell").alias("cell"))
 
 
 def quantize_embeddings(

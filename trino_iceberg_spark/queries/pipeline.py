@@ -380,11 +380,13 @@ def dd10_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _centroid_route_ctes(num_cells: int, seed: int = 42) -> str:
-    """Shared CTE chain for the seeded-centroid operators (ss03/dd11):
+def _centroid_route_ctes(num_cells: int, seed: int = 42, cent_filter: str = "TRUE") -> str:
+    """Shared CTE chain for the seeded-centroid operators (ss03/dd11/ss09):
     unit vectors, xxhash64-seeded centroid sample (exact Spark hash via
     _xxh64_long_sql), numpy-equivalent double normalization, and per-vector
-    cell dots. Downstream CTEs pick argmax cells / probed cells."""
+    cell dots. Downstream CTEs pick argmax cells / probed cells.
+    ``cent_filter`` restricts which vectors are eligible as centroids
+    (ss09 samples them from the BASE ingest only)."""
     return f"""
     {_UNIT_VEC_CTE},
     hq AS ({_xxh64_long_sql(f"vec_id + {seed}", "embeddings", "vec_id")}),
@@ -395,6 +397,7 @@ def _centroid_route_ctes(num_cells: int, seed: int = 42) -> str:
         SELECT c.vec_id AS cid, c.u AS cu,
                sqrt(list_sum(list_transform(c.u, x -> x * x))) AS cn, h.xh
         FROM uv c JOIN hq h ON h.vec_id = c.vec_id
+        WHERE {cent_filter}
         ORDER BY h.xh, c.vec_id LIMIT {num_cells}
       )
     ),
@@ -404,6 +407,50 @@ def _centroid_route_ctes(num_cells: int, seed: int = 42) -> str:
       FROM uv v CROSS JOIN cents c
     )
     """
+
+
+@register(
+    "ss09_incremental_ivf_index",
+    oracle=f"""
+    WITH {_centroid_route_ctes(num_cells=16, cent_filter="c.vec_id % 2 = 0")},
+    routed AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rn
+        FROM cd
+      ) WHERE rn = 1
+    )
+    SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM routed ORDER BY vec_id
+    """,
+)
+def ss09_incremental_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained IVF index AS A CATALOG TABLE
+    (operators.similarity.ivf_assignments + catalog.snapshots): the BASE
+    ingest (even vec_ids) derives the frozen seeded centroids and commits
+    its (vec_id, cell) assignments; the DELTA ingest (odd vec_ids) is
+    routed with the SAME centroids and appended as a second commit — index
+    maintenance cost ∝ delta, never corpus, the property that makes ANN
+    indexing survivable at 100 TB (a rebuild-per-ingest index is the
+    classic vector-pipeline scale failure; freezing the coarse quantizer
+    is how real IVF systems stay append-only). The oracle replays
+    base-restricted centroid sampling and full-corpus routing in SQL, so
+    the hash match proves the two-commit incremental index is
+    bit-identical to a from-scratch build. ≥2 snapshots asserted — the
+    maintenance really was incremental."""
+    from ..catalog.snapshots import SnapshotTable
+    from ..operators.similarity import _derived_num_cells, _seeded_centroids, ivf_assignments
+    from ..sources.testdata import work_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    delta = emb.filter(F.col("vec_id") % 2 == 1)
+    num_cells = _derived_num_cells(base.count(), 10_000)
+    cents = _seeded_centroids(base, "embedding", "vec_id", num_cells, seed=42)
+    table = SnapshotTable(spark, work_dir("ss09_index"))
+    table.append(ivf_assignments(base, "embedding", "vec_id", cents))
+    table.append(ivf_assignments(delta, "embedding", "vec_id", cents))
+    assert len(table.snapshots()) >= 2
+    return table.read().orderBy("vec_id")
 
 
 @register(
