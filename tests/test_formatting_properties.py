@@ -247,3 +247,43 @@ def test_qualify_in_subquery_untouched(col, tbl):
 
     sql = f"SELECT * FROM (SELECT {col} FROM {tbl} QUALIFY rn = 1) z"
     assert rewrite_qualify(sql) == sql
+
+
+setop = st.sampled_from(["UNION", "UNION ALL", "INTERSECT", "EXCEPT", "EXCEPT ALL"])
+
+
+@given(ident, ident, ident, setop, st.integers(min_value=1, max_value=99))
+@settings(max_examples=200, deadline=None)
+def test_qualify_scopes_to_final_setop_branch(col, tbl, tbl2, op, k):
+    """In a set-operation query, QUALIFY wraps ONLY the final SELECT
+    branch: the first branch and the operator survive verbatim as a
+    prefix, the predicate survives, and no QUALIFY remains."""
+    from trino_iceberg_spark.timetravel_sql import rewrite_qualify
+
+    first = f"SELECT {col} FROM {tbl}"
+    pred = f"ROW_NUMBER() OVER (ORDER BY {col}) <= {k}"
+    sql = f"{first} {op} SELECT {col} FROM {tbl2} QUALIFY {pred}"
+    out = rewrite_qualify(sql)
+    assert out.startswith(f"{first} {op} SELECT")
+    assert pred in out
+    assert "QUALIFY" not in out.upper().replace("__Q_", "")
+    assert rewrite_qualify(out) == out
+
+
+@given(ident, ident, ident, setop, st.integers(min_value=1, max_value=99))
+@settings(max_examples=200, deadline=None)
+def test_qualify_in_nonfinal_branch_keeps_following_branch(col, tbl, tbl2, op, k):
+    """A QUALIFY before a top-level set operator must not swallow the
+    following branch into its predicate — the branch survives as the
+    tail, outside the wrap."""
+    from trino_iceberg_spark.timetravel_sql import rewrite_qualify
+
+    pred = f"ROW_NUMBER() OVER (ORDER BY {col}) <= {k}"
+    tail = f"SELECT {col} FROM {tbl2}"
+    sql = f"SELECT {col} FROM {tbl} QUALIFY {pred} {op} {tail}"
+    out = rewrite_qualify(sql)
+    assert out.rstrip().endswith(f"{op} {tail}")
+    assert pred in out
+    # the predicate region must not contain the set operator
+    wrapped = out[: out.rindex(op)]
+    assert pred in wrapped
