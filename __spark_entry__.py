@@ -101,7 +101,8 @@ _FRONT = [
     "st08_stream_cdc_upsert",
     "tt16_catalog_version_travel",
     # --- tier 4: r01-cohort drift re-verifies (not re-recorded since
-    # round 1; ordered so a ~50-entry budget covers b* and j* fully) ---
+    # round 1; a ~50-entry budget covers b01-b21 fully and reaches into
+    # j*; the w*/s*/f* remainder rotates to the front next round) ---
     "b01_projection",
     "b02_filter_comparisons",
     "b03_empty_result",

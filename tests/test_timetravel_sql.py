@@ -511,3 +511,37 @@ def test_qualify_second_failure_reports_original_sql(spark):
         AthenaSparkClient(spark).query(sql)
     assert ei.value.sql == sql
     assert "original analysis error" in str(ei.value)
+
+
+def test_qualify_double_parenthesized_setop_branch(spark):
+    """A set-op operand wrapped in extra parens is still a set operator —
+    the wrap must scope to the final branch, not the whole union."""
+    from trino_iceberg_spark.client import AthenaSparkClient
+
+    spark.createDataFrame([(1, 10), (1, 20)], "g int, v int").createOrReplaceTempView(
+        "qp_t"
+    )
+    rows = AthenaSparkClient(spark).query(
+        "SELECT 99 AS g, 99 AS v UNION ALL ((SELECT 98 AS g, 98 AS v)) "
+        "UNION ALL SELECT g, v FROM qp_t "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC) = 1"
+    )
+    assert sorted((r.g, r.v) for r in rows) == [(1, 20), (98, 98), (99, 99)]
+
+
+def test_qualify_per_branch_in_multiple_branches(spark):
+    """One QUALIFY per set-op branch (valid DuckDB/Snowflake) — both
+    branches are rewritten, each filtered independently."""
+    from trino_iceberg_spark.client import AthenaSparkClient
+
+    spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 5), (2, 30)], "g int, v int"
+    ).createOrReplaceTempView("qm_t")
+    rows = AthenaSparkClient(spark).query(
+        "SELECT g, v FROM qm_t "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC) = 1 "
+        "UNION ALL "
+        "SELECT g, v FROM qm_t "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) = 1"
+    )
+    assert sorted((r.g, r.v) for r in rows) == [(1, 10), (1, 20), (2, 5), (2, 30)]

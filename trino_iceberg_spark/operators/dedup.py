@@ -782,7 +782,10 @@ def duplicated_span_stats(
                 ),
             )
         ).alias("widx", "whash"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # persisted: wins feeds BOTH the shared-hash aggregate and the verdict
+    # join — without it the corpus re-tokenizes and every window re-hashes
+    # (one md5 per window) a second time, the operator's dominant cost.
     shared = (
         wins.groupBy("whash")
         .agg(F.countDistinct(id_col).alias("_nd"))

@@ -349,7 +349,15 @@ def ev09_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = e.groupBy(
         F.date_trunc("day", "ts").alias("bucket"), "event_type"
     ).agg(F.countDistinct("user_id").alias("exact_distinct"))
-    joined = est.join(exact, ["bucket", "event_type"], "inner")
+    # Null-safe merge: a NULL event_type cell is produced by BOTH
+    # aggregates and must survive (name-list joins are null-unsafe).
+    joined = est.join(
+        exact,
+        est["bucket"].eqNullSafe(exact["bucket"])
+        & est["event_type"].eqNullSafe(exact["event_type"]),
+    ).select(
+        est["bucket"], est["event_type"], "cnt", "approx_distinct", "exact_distinct"
+    )
     # Inline sketch verification: 1-row aggregate, not a per-row collect.
     worst = joined.agg(
         F.max(
@@ -612,8 +620,6 @@ def ev14_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta-maintained == recomputed, the continuous-aggregate refresh
     contract (signed counts, exact signed DECIMAL sums, zero-count cells
     dropped, new-in-delta cells created)."""
-    import os
-
     from ..catalog.snapshots import SnapshotTable
     from ..operators.timeseries import apply_rollup_delta
 

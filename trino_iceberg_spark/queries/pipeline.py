@@ -438,13 +438,18 @@ def ss09_incremental_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical to a from-scratch build. ≥2 snapshots asserted — the
     maintenance really was incremental."""
     from ..catalog.snapshots import SnapshotTable
-    from ..operators.similarity import _derived_num_cells, _seeded_centroids, ivf_assignments
+    from ..operators.similarity import _seeded_centroids, ivf_assignments
     from ..sources.testdata import work_dir
 
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.filter(F.col("vec_id") % 2 == 0)
     delta = emb.filter(F.col("vec_id") % 2 == 1)
-    num_cells = _derived_num_cells(base.count(), 10_000)
+    # Cell count PINNED to the oracle's 16 (ss03 convention): deriving it
+    # from base.count() here while the oracle hard-codes 16 would diverge
+    # once the base exceeds 160k vectors. Production sizing guidance
+    # (_derived_num_cells) applies at index-build time, not in this
+    # hash-gated replay.
+    num_cells = 16
     cents = _seeded_centroids(base, "embedding", "vec_id", num_cells, seed=42)
     table = SnapshotTable(spark, work_dir("ss09_index"))
     table.append(ivf_assignments(base, "embedding", "vec_id", cents))

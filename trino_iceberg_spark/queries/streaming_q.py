@@ -27,14 +27,10 @@ def _staged_stream(spark: SparkSession, sf_dir: str, tag: str):
     """readStream over the events parquet staged into a per-entry dir
     (symlink, no copy), with the same ns->us ts conversion as
     sources.testdata.load_table."""
-    stage_dir = work_dir(f"{tag}_events")
+    stage_dir = work_dir(f"{tag}_events")  # fresh per call: link never pre-exists
     link = os.path.join(stage_dir, "events.parquet")
     src = os.path.join(sf_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
-    elif os.path.realpath(link) != os.path.realpath(src):
-        os.remove(link)
-        os.symlink(src, link)
+    os.symlink(src, link)
     raw_schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(raw_schema)

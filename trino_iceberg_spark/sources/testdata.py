@@ -41,6 +41,35 @@ def default_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+_WORK_ROOT_INIT = False
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
+def _sweep_stale_work_roots() -> None:
+    """Delete tis_<pid> trees left by processes that no longer exist —
+    unique-per-PID paths never self-recycle the way the old fixed names
+    did, so without this (plus the atexit hook) /tmp grows one full set
+    of staged tables per process, forever."""
+    tmp = tempfile.gettempdir()
+    try:
+        names = os.listdir(tmp)
+    except OSError:
+        return
+    for name in names:
+        pid_s = name[4:] if name.startswith("tis_") else ""
+        if pid_s.isdigit() and not _pid_alive(int(pid_s)):
+            shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
+
+
 def work_dir(tag: str) -> str:
     """Fresh scratch dir for registry entries that stage files on disk.
 
@@ -49,9 +78,18 @@ def work_dir(tag: str) -> str:
     clobber each other's snapshot tables / stream stage dirs — the exact
     collision observed on st08's old fixed ``/tmp/tis_st08_events`` path.
     Recreated empty on every call so a re-run inside one process starts
-    clean.
+    clean. This process's tree is removed at interpreter exit, and trees
+    orphaned by dead PIDs are swept on first use.
     """
-    root = os.path.join(tempfile.gettempdir(), f"tis_{os.getpid()}", tag)
+    global _WORK_ROOT_INIT
+    parent = os.path.join(tempfile.gettempdir(), f"tis_{os.getpid()}")
+    if not _WORK_ROOT_INIT:
+        _WORK_ROOT_INIT = True
+        import atexit
+
+        atexit.register(shutil.rmtree, parent, True)
+        _sweep_stale_work_roots()
+    root = os.path.join(parent, tag)
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root, exist_ok=True)
     return root

@@ -259,12 +259,12 @@ def _is_setop(sql: str, m: "re.Match") -> bool:
     parenthesized) — as opposed to Spark's select-list ``* EXCEPT (cols)``,
     whose parenthesized operand starts with a bare column name."""
     j = m.end()
-    while j < len(sql) and sql[j].isspace():
-        j += 1
-    if j < len(sql) and sql[j] == "(":
-        j += 1
-        while j < len(sql) and sql[j].isspace():
+    while j < len(sql):
+        if sql[j].isspace() or sql[j] == "(":
+            # a set-op operand may be wrapped in ANY depth of parens
             j += 1
+            continue
+        break
     return bool(re.match(r"(?i)(SELECT|WITH|VALUES|TABLE|FROM)\b", sql[j:]))
 
 
@@ -353,6 +353,11 @@ def rewrite_qualify(sql: str) -> str:
     tail = rest[tail_start:].strip().rstrip(";")
     if not pred:
         raise QueryError("QUALIFY requires a predicate", sql=sql)
+    if tail:
+        # A set-op tail may carry its own per-branch QUALIFY (valid
+        # DuckDB/Snowflake: one QUALIFY per branch) — rewrite recursively;
+        # each pass consumes exactly one clause, so this terminates.
+        tail = rewrite_qualify(tail)
     q = uuid.uuid4().hex[:8]
     return (
         prefix
