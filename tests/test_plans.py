@@ -250,3 +250,36 @@ def test_aqe_splits_skewed_join_partitions(spark):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "skew=true" in plan  # the hot partition was split at runtime
+
+
+def test_bloom_probe_is_map_side(spark, sf_dir):
+    """ev15's probe must never shuffle or sort-merge-join the fact side:
+    the bitmap arrives via BroadcastNestedLoopJoin (1 row) and the
+    exact-hit dim via BroadcastHashJoin — if either degrades to a
+    SortMergeJoin the fact table gains a keyed shuffle and the
+    no-fact-shuffle contract is gone. The remaining exchanges all belong
+    to the small REFERENCE path (distincts, word groupBy, 1-row agg) and
+    the final orderBy."""
+    plan = plan_of(spark, sf_dir, "ev15_bloom_prefilter")
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row bitmap broadcast
+    assert "BroadcastHashJoin" in plan  # the exact-hit dim join
+    assert node_count(plan, "SortMergeJoin") == 0
+    assert node_count(plan, "CartesianProduct") == 0
+
+
+def test_substring_dedup_two_shuffle_shape(spark, sf_dir):
+    """dd14 shuffles the WINDOW table (by whash for the count + the
+    verdict join) and the per-doc span/stat stages (by doc id) — never a
+    cartesian/nested-loop pairing of documents."""
+    plan = plan_of(spark, sf_dir, "dd14_substring_dedup")
+    assert node_count(plan, "CartesianProduct") == 0
+    assert node_count(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_ivf_index_routing_no_extra_shuffle(spark, sf_dir):
+    """ss09's routing is map-side GEMM (ArrowEvalPython/mapInPandas), so
+    the only exchanges are the snapshot-table writes' — no join of the
+    vector table against anything."""
+    plan = plan_of(spark, sf_dir, "ss09_incremental_ivf_index")
+    assert node_count(plan, "CartesianProduct") == 0
+    assert node_count(plan, "SortMergeJoin") == 0
