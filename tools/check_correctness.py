@@ -16,49 +16,20 @@ Usage:
 
 from __future__ import annotations
 
-import datetime as dt
-import math
 import os
 import sys
 import time
-from decimal import Decimal
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
+from tools.canonical import canon_rows  # noqa: E402
 from trino_iceberg_spark.session import get_spark  # noqa: E402
 from trino_iceberg_spark.sources.testdata import TABLES  # noqa: E402
 
 SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
-
-
-def canon(v):
-    if v is None:
-        return ("_null",)
-    if isinstance(v, bool):
-        return ("b", v)
-    if isinstance(v, int):
-        return ("i", v)
-    if isinstance(v, float):
-        if math.isnan(v):
-            return ("f", "nan")
-        return ("f", v)
-    if isinstance(v, Decimal):
-        return ("d", str(v.normalize()))
-    if isinstance(v, dt.datetime):
-        return ("t", v.replace(tzinfo=None).isoformat())
-    if isinstance(v, dt.date):
-        return ("D", v.isoformat())
-    if isinstance(v, (list, tuple)):
-        return ("l", tuple(canon(x) for x in v))
-    return ("s", str(v))
-
-
-def canon_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
 
 
 def main(names: list[str]) -> int:

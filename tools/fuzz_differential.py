@@ -1,0 +1,263 @@
+#!/usr/bin/env python
+"""Randomized differential testing: generated SQL run on BOTH Spark and
+DuckDB over the same parquet tables, results compared as canonical
+multisets. The fixed oracle registry pins 208 hand-written queries; this
+tool explores the space BETWEEN them — filter/join/group-by/expression
+compositions nobody wrote down — so a dialect divergence or planner bug
+surfaces as a value mismatch with the reproducing SQL attached.
+
+The grammar deliberately stays inside the deterministic common dialect:
+- no LIMIT without total order (results compare as sorted multisets);
+- double SUM/AVG route through exact DECIMAL then CAST AS DOUBLE (the
+  repo-wide convention — float accumulation order is engine-dependent);
+- only expressions both engines define identically (comparisons, IN,
+  LIKE 'prefix%', CASE, ||, upper/lower/substr/coalesce, date_trunc).
+
+Usage:
+    python tools/fuzz_differential.py            # 100 queries, seed 0
+    python tools/fuzz_differential.py 500 7      # 500 queries, seed 7
+    SF_DIR=/root/testdata/sf0.001 python tools/fuzz_differential.py
+
+Exit code 1 on any mismatch; each failure prints the SQL for replay.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+from tools.canonical import canon_rows  # noqa: E402
+from trino_iceberg_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+
+# table -> {col: kind}; kinds: int, double, str, ts
+SCHEMA = {
+    "customer": {
+        "c_custkey": "int", "c_name": "str", "c_nationkey": "int",
+        "c_acctbal": "double", "c_mktsegment": "str",
+    },
+    "orders": {
+        "o_orderkey": "int", "o_custkey": "int", "o_orderstatus": "str",
+        "o_totalprice": "double", "o_orderdate": "ts", "o_orderpriority": "str",
+    },
+    "lineitem": {
+        "l_orderkey": "int", "l_partkey": "int", "l_suppkey": "int",
+        "l_linenumber": "int", "l_quantity": "double",
+        "l_extendedprice": "double", "l_discount": "double", "l_tax": "double",
+        "l_returnflag": "str", "l_linestatus": "str", "l_shipdate": "ts",
+    },
+    "nation": {"n_nationkey": "int", "n_name": "str", "n_regionkey": "int"},
+    "region": {"r_regionkey": "int", "r_name": "str"},
+    "part": {
+        "p_partkey": "int", "p_name": "str", "p_brand": "str",
+        "p_type": "str", "p_size": "int", "p_retailprice": "double",
+    },
+    "supplier": {
+        "s_suppkey": "int", "s_name": "str", "s_nationkey": "int",
+        "s_acctbal": "double",
+    },
+}
+
+# FK joins (left, right, on-condition); prefixed TPC-H names never collide.
+JOINS = [
+    ("orders", "customer", "o_custkey = c_custkey"),
+    ("lineitem", "orders", "l_orderkey = o_orderkey"),
+    ("customer", "nation", "c_nationkey = n_nationkey"),
+    ("nation", "region", "n_regionkey = r_regionkey"),
+    ("lineitem", "part", "l_partkey = p_partkey"),
+    ("supplier", "nation", "s_nationkey = n_nationkey"),
+]
+
+# low-cardinality columns usable as GROUP BY keys
+GROUP_KEYS = {
+    "customer": ["c_mktsegment", "c_nationkey"],
+    "orders": ["o_orderstatus", "o_orderpriority"],
+    "lineitem": ["l_returnflag", "l_linestatus", "l_linenumber"],
+    "nation": ["n_name", "n_regionkey"],
+    "region": ["r_name"],
+    "part": ["p_brand", "p_size"],
+    "supplier": ["s_nationkey"],
+}
+
+
+def _sample_pools(con) -> dict:
+    """Literal pools drawn FROM THE DATA (deterministic — data is fixed):
+    numeric quantiles, distinct strings, timestamp range per column."""
+    pools = {}
+    for tbl, cols in SCHEMA.items():
+        for col, kind in cols.items():
+            if kind in ("int", "double"):
+                q = con.sql(
+                    f"SELECT quantile_cont({col}, [0.1, 0.5, 0.9]) FROM {tbl}"
+                ).fetchone()[0]
+                pools[col] = [round(float(v), 2) for v in q]
+            elif kind == "str":
+                vals = [
+                    r[0]
+                    for r in con.sql(
+                        f"SELECT DISTINCT {col} FROM {tbl} ORDER BY 1 LIMIT 8"
+                    ).fetchall()
+                    if r[0] is not None
+                ]
+                pools[col] = vals or ["x"]
+            else:  # ts
+                lo, hi = con.sql(f"SELECT MIN({col}), MAX({col}) FROM {tbl}").fetchone()
+                pools[col] = (str(lo), str(hi))
+    return pools
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _predicate(rng: random.Random, col: str, kind: str, pools: dict) -> str:
+    if kind in ("int", "double"):
+        v = rng.choice(pools[col])
+        op = rng.choice(["<", "<=", ">", ">=", "=", "<>"])
+        return f"{col} {op} {v}"
+    if kind == "str":
+        vals = pools[col]
+        mode = rng.randrange(3)
+        if mode == 0:
+            return f"{col} = {_sql_str(rng.choice(vals))}"
+        if mode == 1:
+            pick = rng.sample(vals, min(len(vals), rng.randrange(1, 4)))
+            return f"{col} IN ({', '.join(_sql_str(v) for v in pick)})"
+        prefix = rng.choice(vals)[: rng.randrange(1, 3)]
+        return f"{col} LIKE {_sql_str(prefix + '%')}"
+    lo, hi = pools[col]
+    pick = rng.choice([lo, hi])
+    op = rng.choice([">=", "<"])
+    return f"{col} {op} TIMESTAMP '{pick}'"
+
+
+def _scalar_expr(rng: random.Random, tbl_cols: dict, pools: dict) -> tuple[str, str]:
+    """(expr SQL, alias) — deterministic cross-engine scalar expressions."""
+    col, kind = rng.choice(
+        [(c, k) for c, k in tbl_cols.items() if k in ("int", "double", "str")]
+    )
+    i = rng.randrange(4)
+    if kind == "str":
+        fn = rng.choice(["upper", "lower"])
+        if i == 0:
+            return f"{fn}({col})", f"e_{col}"
+        if i == 1:
+            return f"substr({col}, 1, 3)", f"e_{col}"
+        return f"{col} || '_t'", f"e_{col}"
+    if i == 0:
+        v = rng.choice(pools[col])
+        return f"CASE WHEN {col} > {v} THEN 'hi' ELSE 'lo' END", f"e_{col}"
+    if i == 1:
+        return f"coalesce(CAST({col} AS DOUBLE), 0.0)", f"e_{col}"
+    return f"CAST({col} AS DOUBLE) + 1.0", f"e_{col}"
+
+
+def _aggregate(rng: random.Random, tbl_cols: dict) -> tuple[str, str]:
+    nums = [(c, k) for c, k in tbl_cols.items() if k in ("int", "double")]
+    col, kind = rng.choice(nums)
+    i = rng.randrange(5)
+    if i == 0:
+        return "COUNT(*)", "a_cnt"
+    if i == 1:
+        return f"MIN({col})", f"a_min_{col}"
+    if i == 2:
+        return f"MAX({col})", f"a_max_{col}"
+    if i == 3:
+        if kind == "int":
+            return f"SUM({col})", f"a_sum_{col}"
+        # exact decimal sum, double at the boundary (repo convention)
+        return (
+            f"CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE)",
+            f"a_sum_{col}",
+        )
+    return (
+        f"CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)",
+        f"a_avg_{col}",
+    )
+
+
+def gen_query(rng: random.Random, pools: dict) -> str:
+    if rng.random() < 0.4:
+        left, right, cond = rng.choice(JOINS)
+        from_sql = f"{left} JOIN {right} ON {cond}"
+        cols = {**SCHEMA[left], **SCHEMA[right]}
+        key_pool = GROUP_KEYS[left] + GROUP_KEYS[right]
+    else:
+        tbl = rng.choice(list(SCHEMA))
+        from_sql = tbl
+        cols = SCHEMA[tbl]
+        key_pool = GROUP_KEYS[tbl]
+    preds = [
+        _predicate(rng, c, cols[c], pools)
+        for c in rng.sample(list(cols), rng.randrange(0, 3))
+    ]
+    if len(preds) == 2 and rng.random() < 0.3:
+        preds = [f"({preds[0]} OR {preds[1]})"]
+    where = f" WHERE {' AND '.join(preds)}" if preds else ""
+
+    if rng.random() < 0.5:  # grouped aggregate
+        keys = rng.sample(key_pool, rng.randrange(1, min(2, len(key_pool)) + 1))
+        aggs = [_aggregate(rng, cols) for _ in range(rng.randrange(1, 3))]
+        sel = ", ".join(keys + [f"{e} AS {a}" for e, a in aggs])
+        having = ""
+        if rng.random() < 0.25:
+            having = f" HAVING COUNT(*) > {rng.randrange(1, 4)}"
+        return f"SELECT {sel} FROM {from_sql}{where} GROUP BY {', '.join(keys)}{having}"
+
+    # plain (optionally DISTINCT) projection
+    proj = rng.sample(list(cols), rng.randrange(1, min(3, len(cols)) + 1))
+    sel = list(proj)
+    if rng.random() < 0.4:
+        e, a = _scalar_expr(rng, cols, pools)
+        sel.append(f"{e} AS {a}")
+    distinct = "DISTINCT " if rng.random() < 0.25 else ""
+    return f"SELECT {distinct}{', '.join(sel)} FROM {from_sql}{where}"
+
+
+def main(n: int, seed: int) -> int:
+    spark = get_spark(app_name="fuzz-differential", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in SCHEMA:
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+        spark.read.parquet(path).createOrReplaceTempView(t)
+    pools = _sample_pools(con)
+    rng = random.Random(seed)
+    failures = 0
+    t0 = time.time()
+    for i in range(n):
+        sql = gen_query(rng, pools)
+        try:
+            sdf = spark.sql(sql)
+            s_cols = [c.lower() for c in sdf.columns]
+            s_rows = [tuple(r) for r in sdf.collect()]
+            rel = con.sql(sql)
+            d_cols = [c.lower() for c in rel.columns]
+            d_rows = rel.fetchall()
+        except Exception as exc:  # noqa: BLE001
+            failures += 1
+            print(f"FAIL #{i}: engine error: {exc}\n  SQL: {sql}")
+            continue
+        if canon_rows(s_cols, s_rows) != canon_rows(d_cols, d_rows):
+            failures += 1
+            print(
+                f"FAIL #{i}: mismatch spark={len(s_rows)} duck={len(d_rows)} rows"
+                f"\n  SQL: {sql}"
+            )
+    ok = n - failures
+    print(f"\n{ok}/{n} queries agree (seed={seed}, {time.time()-t0:.1f}s, {SF_DIR})")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    N = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    SEED = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    raise SystemExit(main(N, SEED))
