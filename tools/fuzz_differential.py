@@ -75,6 +75,26 @@ JOINS = [
     ("supplier", "nation", "s_nationkey = n_nationkey"),
 ]
 
+# 3-table chains: (t1, t2, cond12, t3, cond23)
+CHAINS = [
+    ("lineitem", "orders", "l_orderkey = o_orderkey", "customer", "o_custkey = c_custkey"),
+    ("customer", "nation", "c_nationkey = n_nationkey", "region", "n_regionkey = r_regionkey"),
+    ("supplier", "nation", "s_nationkey = n_nationkey", "region", "n_regionkey = r_regionkey"),
+]
+
+# unique primary key per table — deterministic window order keys
+PK = {
+    "customer": "c_custkey", "orders": "o_orderkey", "nation": "n_nationkey",
+    "region": "r_regionkey", "part": "p_partkey", "supplier": "s_suppkey",
+}
+
+# (outer table, correlated EXISTS inner table, correlation condition)
+EXISTS_LINKS = [
+    ("customer", "orders", "o_custkey = c_custkey"),
+    ("orders", "lineitem", "l_orderkey = o_orderkey"),
+    ("nation", "customer", "c_nationkey = n_nationkey"),
+]
+
 # low-cardinality columns usable as GROUP BY keys
 GROUP_KEYS = {
     "customer": ["c_mktsegment", "c_nationkey"],
@@ -184,11 +204,18 @@ def _aggregate(rng: random.Random, tbl_cols: dict) -> tuple[str, str]:
 
 
 def gen_query(rng: random.Random, pools: dict) -> str:
-    if rng.random() < 0.4:
+    tbl = None
+    roll = rng.random()
+    if roll < 0.30:
         left, right, cond = rng.choice(JOINS)
         from_sql = f"{left} JOIN {right} ON {cond}"
         cols = {**SCHEMA[left], **SCHEMA[right]}
         key_pool = GROUP_KEYS[left] + GROUP_KEYS[right]
+    elif roll < 0.45:
+        t1, t2, c12, t3, c23 = rng.choice(CHAINS)
+        from_sql = f"{t1} JOIN {t2} ON {c12} JOIN {t3} ON {c23}"
+        cols = {**SCHEMA[t1], **SCHEMA[t2], **SCHEMA[t3]}
+        key_pool = GROUP_KEYS[t1] + GROUP_KEYS[t2] + GROUP_KEYS[t3]
     else:
         tbl = rng.choice(list(SCHEMA))
         from_sql = tbl
@@ -200,7 +227,29 @@ def gen_query(rng: random.Random, pools: dict) -> str:
     ]
     if len(preds) == 2 and rng.random() < 0.3:
         preds = [f"({preds[0]} OR {preds[1]})"]
+    if tbl is not None and rng.random() < 0.2:
+        links = [x for x in EXISTS_LINKS if x[0] == tbl]
+        if links:
+            _, inner, corr = rng.choice(links)
+            ip = _predicate(
+                rng, *rng.choice(list(SCHEMA[inner].items())), pools
+            )
+            neg = "NOT " if rng.random() < 0.3 else ""
+            preds.append(
+                f"{neg}EXISTS (SELECT 1 FROM {inner} WHERE {corr} AND {ip})"
+            )
     where = f" WHERE {' AND '.join(preds)}" if preds else ""
+
+    if tbl is not None and tbl in PK and rng.random() < 0.15:
+        # deterministic window query: partition by a group key, order by
+        # the unique PK (total order -> engine-independent numbering)
+        gk = rng.choice(GROUP_KEYS[tbl])
+        fn = rng.choice(
+            [f"ROW_NUMBER() OVER (PARTITION BY {gk} ORDER BY {PK[tbl]})",
+             f"COUNT(*) OVER (PARTITION BY {gk})",
+             f"SUM(1) OVER (PARTITION BY {gk} ORDER BY {PK[tbl]} ROWS UNBOUNDED PRECEDING)"]
+        )
+        return f"SELECT {PK[tbl]}, {gk}, {fn} AS w FROM {tbl}{where}"
 
     if rng.random() < 0.5:  # grouped aggregate
         keys = rng.sample(key_pool, rng.randrange(1, min(2, len(key_pool)) + 1))
