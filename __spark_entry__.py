@@ -50,8 +50,9 @@ _TUNED_CONFS = {
 # module docstring. Names absent from the registry are ignored (safety
 # against future renames), and every registered query is always yielded.
 #
-# Round-5 ordering (registry: 208 entries — ev15_bloom_prefilter,
-# dd14_substring_dedup, and ss09_incremental_ivf_index are new — ALL 208
+# Round-5 ordering (registry: 209 entries — ev15_bloom_prefilter,
+# dd14_substring_dedup, ss09_incremental_ivf_index, and
+# sp09_training_shards are new — ALL 209
 # oracle-backed; ev09 gained an
 # exact-distinct oracle with an inline HLL error assert), four tiers
 # sized to the driver's ~50-entry budget:
@@ -94,6 +95,7 @@ _FRONT = [
     "ev15_bloom_prefilter",
     "dd14_substring_dedup",
     "ss09_incremental_ivf_index",
+    "sp09_training_shards",
     "b23_qualify",
     "ev12_quantile_sample_rollup",
     "ev10_kmv_distinct_rollup",

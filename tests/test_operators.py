@@ -949,3 +949,24 @@ def test_ivf_assignments_incremental_equals_rebuild(spark, sf_dir):
     a = sorted((r["vec_id"], r["cell"]) for r in inc.collect())
     b = sorted((r["vec_id"], r["cell"]) for r in full.collect())
     assert a and a == b
+
+
+def test_training_shards_deterministic_and_prunable(spark, sf_dir, tmp_path):
+    """Shard membership is a pure function of doc_id: two writes produce
+    identical manifests; a single-shard read prunes to its directory and
+    matches the manifest row count."""
+    from trino_iceberg_spark.operators.splits import write_training_shards
+    from trino_iceberg_spark.sources.testdata import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    m1 = write_training_shards(d, str(tmp_path / "a"), "doc_id", num_shards=4)
+    rows1 = sorted(tuple(r) for r in m1.collect())
+    m2 = write_training_shards(d, str(tmp_path / "b"), "doc_id", num_shards=4)
+    assert rows1 == sorted(tuple(r) for r in m2.collect())
+    assert len(rows1) == 4 and sum(r[1] for r in rows1) == d.count()
+    one = spark.read.parquet(str(tmp_path / "a")).filter("shard = 2")
+    expected = next(r[1] for r in rows1 if r[0] == 2)
+    assert one.count() == expected
+    # directory-level pruning: only the shard=2 partition is scanned
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "shard" in plan

@@ -25,6 +25,7 @@ __all__ = [
     "temperature_weights",
     "kfold_column",
     "sample_fixed_per_group",
+    "write_training_shards",
 ]
 
 _BUCKETS = 1_000_000
@@ -305,4 +306,59 @@ def sample_fixed_per_group(
     return (
         df.withColumn("_rank", F.row_number().over(w))
         .filter(F.col("_rank") <= n)
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    num_shards: int = 8,
+    format: str = "parquet",
+) -> DataFrame:
+    """Materialize a curated corpus into ``num_shards`` deterministic
+    shards plus a MANIFEST — the training-dataloader endpoint: each
+    worker reads exactly its shard directory, and the manifest is the
+    contract it validates against.
+
+    Shard assignment is ``portable_hash64(id) % num_shards`` — a pure
+    function of the example's identity, so re-running the writer on the
+    same corpus reproduces byte-identical membership regardless of
+    partitioning (the same argument :func:`split_assignment` makes for
+    train/val/test). The manifest has one row per shard:
+    ``(shard, rows, id_hash_xor)`` where id_hash_xor is the XOR of the
+    members' portable id hashes — an ORDER-INDEPENDENT membership
+    digest that never overflows 64 bits (a SUM of 2^60-scale hashes
+    does) and that any engine can recompute (the sp09 oracle does), so
+    a dataloader can verify "I got every row of my shard" without
+    reading other shards. (XOR cancels duplicated ids pairwise; ids are
+    unique by contract, and ``rows`` catches duplication regardless.)
+
+    Scale shape: one hash-partitioned write (uniform by construction —
+    md5 can't skew) laid out as ``shard=<k>/`` hive directories so a
+    reader's shard filter prunes at the directory level; the manifest is
+    a ``num_shards``-row aggregate of the same pass's keys. No driver-
+    side data; num_shards scales freely (1000-GPU jobs use 1000+).
+    """
+    from .dedup import portable_hash64
+
+    shard = F.pmod(
+        portable_hash64(F.col(id_col).cast("string")), F.lit(num_shards)
+    ).cast("int")
+    keyed = df.withColumn("shard", shard)
+    (
+        keyed.repartition("shard")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .format(format)
+        .save(path)
+    )
+    return (
+        keyed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.bit_xor(portable_hash64(F.col(id_col).cast("string"))).alias(
+                "id_hash_xor"
+            ),
+        )
     )

