@@ -201,3 +201,58 @@ def test_stream_rollup_converges_and_replay_is_idempotent(
     finally:
         q2.stop()
     assert table.current_snapshot().snapshot_id == before
+
+
+def test_checkpoint_restart_resumes_and_stays_exactly_once(spark, sf_dir, tmp_path):
+    """Real recovery: a checkpointed ingest query is STOPPED after the
+    first micro-batch, then restarted with the same checkpoint — Spark
+    resumes from committed offsets (batch 0 is not re-read), the second
+    file lands as the next batch, and the final table equals the batch
+    recompute with no duplicates."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from trino_iceberg_spark.catalog.snapshots import SnapshotTable
+    from trino_iceberg_spark.sources.testdata import load_table
+    from trino_iceberg_spark.streaming.events import stream_ingest_into_snapshot_table
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    stage = str(tmp_path / "stage")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(stage)
+    e.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(stage)
+    table = SnapshotTable(spark, str(tmp_path / "tbl"))
+
+    def start():
+        stream = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage)
+        )
+        return stream_ingest_into_snapshot_table(
+            stream, table, "ckpt_restart_q", checkpoint_dir=ckpt
+        )
+
+    q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    first_commits = len(table.snapshots())
+    assert first_commits >= 1 and table.read().count() == e.filter("event_id % 2 = 0").count()
+
+    # second file arrives while the query is DOWN; restart from checkpoint
+    e.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(stage)
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    assert table.read().count() == e.count()  # no loss, no duplicates
+    batch_ids = [
+        int(s.properties["streaming.batch-id"])
+        for s in table.snapshots()
+        if (s.properties or {}).get("streaming.query") == "ckpt_restart_q"
+    ]
+    # resumed, not replayed: batch ids strictly increase across the restart
+    assert sorted(batch_ids) == batch_ids and len(batch_ids) == len(set(batch_ids))
+    assert len(table.snapshots()) == first_commits + 1  # exactly one new commit

@@ -132,6 +132,7 @@ def stream_ingest_into_snapshot_table(
     events: DataFrame,
     table: SnapshotTable,
     query_name: str,
+    checkpoint_dir: str | None = None,
 ):
     """Append-mode streaming INGEST into a snapshot table with
     exactly-once batch semantics: each micro-batch appends as one atomic
@@ -167,18 +168,20 @@ def stream_ingest_into_snapshot_table(
             },
         )
 
-    return (
-        events.writeStream.outputMode("append")
-        .foreachBatch(sink)
-        .queryName(query_name)
-        .start()
-    )
+    writer = events.writeStream.outputMode("append").foreachBatch(sink)
+    if checkpoint_dir:
+        # Durable checkpoint -> a RESTARTED query resumes from committed
+        # offsets (real recovery), instead of re-reading from scratch and
+        # leaning on the ledger to skip every batch.
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.queryName(query_name).start()
 
 
 def stream_rollup_into_snapshot_table(
     events: DataFrame,
     table: SnapshotTable,
     query_name: str,
+    checkpoint_dir: str | None = None,
 ):
     """Streaming CONTINUOUS AGGREGATE: maintain an hourly
     ``(bucket, event_type, cnt, value_sum)`` rollup table from an event
@@ -239,9 +242,10 @@ def stream_rollup_into_snapshot_table(
         )
         table.overwrite(merged, properties=props)
 
-    return (
-        events.writeStream.outputMode("append")
-        .foreachBatch(sink)
-        .queryName(query_name)
-        .start()
-    )
+    writer = events.writeStream.outputMode("append").foreachBatch(sink)
+    if checkpoint_dir:
+        # Durable checkpoint -> a RESTARTED query resumes from committed
+        # offsets (real recovery), instead of re-reading from scratch and
+        # leaning on the ledger to skip every batch.
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.queryName(query_name).start()
