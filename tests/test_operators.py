@@ -967,6 +967,8 @@ def test_training_shards_deterministic_and_prunable(spark, sf_dir, tmp_path):
     one = spark.read.parquet(str(tmp_path / "a")).filter("shard = 2")
     expected = next(r[1] for r in rows1 if r[0] == 2)
     assert one.count() == expected
-    # directory-level pruning: only the shard=2 partition is scanned
+    # directory-level pruning: the shard predicate lands in the scan's
+    # PartitionFilters (not a post-scan Filter over all shards)
     plan = one._jdf.queryExecution().executedPlan().toString()
-    assert "shard" in plan
+    pf = next((l for l in plan.splitlines() if "PartitionFilters" in l), "")
+    assert "shard" in pf, plan

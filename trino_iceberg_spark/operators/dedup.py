@@ -782,17 +782,20 @@ def duplicated_span_stats(
                 ),
             )
         ).alias("widx", "whash"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    # persisted: wins feeds BOTH the shared-hash aggregate and the verdict
-    # join — without it the corpus re-tokenizes and every window re-hashes
-    # (one md5 per window) a second time, the operator's dominant cost.
-    shared = (
-        wins.groupBy("whash")
-        .agg(F.countDistinct(id_col).alias("_nd"))
-        .filter(F.col("_nd") > 1)
-        .select("whash")
     )
-    dup = wins.join(shared, "whash").select(id_col, "widx")
+    # Distinct-doc count as a WINDOW over whash, not an aggregate+join:
+    # one consumption of the window table (the corpus tokenizes and
+    # md5-hashes exactly once, no persist to leak), one shuffle on the
+    # hash. Per-group state is the distinct doc-id set of ONE identical
+    # window — normally tiny; a boilerplate window shared by many docs
+    # grows it linearly in ids only (no text), the same bounded-hot-key
+    # profile as the LSH band buckets.
+    w_nd = Window.partitionBy("whash")
+    dup = (
+        wins.withColumn("_nd", F.size(F.collect_set(id_col).over(w_nd)))
+        .filter(F.col("_nd") > 1)
+        .select(id_col, "widx")
+    )
     w = Window.partitionBy(id_col).orderBy("widx")
     prev_end = F.max(F.col("widx") + (k - 1)).over(
         w.rowsBetween(Window.unboundedPreceding, -1)

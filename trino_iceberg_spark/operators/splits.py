@@ -337,28 +337,32 @@ def write_training_shards(
     Scale shape: one hash-partitioned write (uniform by construction —
     md5 can't skew) laid out as ``shard=<k>/`` hive directories so a
     reader's shard filter prunes at the directory level; the manifest is
-    a ``num_shards``-row aggregate of the same pass's keys. No driver-
-    side data; num_shards scales freely (1000-GPU jobs use 1000+).
+    aggregated from the WRITTEN files (a cheap column-pruned read of the
+    id column), not from the input plan — so it certifies what actually
+    landed on disk, and an expensive upstream pipeline is computed
+    exactly once (by the write). No driver-side data; num_shards scales
+    freely (1000-GPU jobs use 1000+).
     """
+    from pyspark.sql import SparkSession
+
     from .dedup import portable_hash64
 
     shard = F.pmod(
         portable_hash64(F.col(id_col).cast("string")), F.lit(num_shards)
     ).cast("int")
-    keyed = df.withColumn("shard", shard)
     (
-        keyed.repartition("shard")
+        df.withColumn("shard", shard)
+        .repartition("shard")
         .write.partitionBy("shard")
         .mode("overwrite")
         .format(format)
         .save(path)
     )
-    return (
-        keyed.groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.bit_xor(portable_hash64(F.col(id_col).cast("string"))).alias(
-                "id_hash_xor"
-            ),
-        )
+    spark = SparkSession.getActiveSession()
+    written = spark.read.format(format).load(path).select("shard", id_col)
+    return written.groupBy(F.col("shard").cast("int").alias("shard")).agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.bit_xor(portable_hash64(F.col(id_col).cast("string"))).alias(
+            "id_hash_xor"
+        ),
     )

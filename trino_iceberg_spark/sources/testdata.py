@@ -54,20 +54,34 @@ def _pid_alive(pid: int) -> bool:
     return True
 
 
-def _sweep_stale_work_roots() -> None:
+def _sweep_stale_work_roots(min_age_s: float = 3600.0) -> None:
     """Delete tis_<pid> trees left by processes that no longer exist —
     unique-per-PID paths never self-recycle the way the old fixed names
     did, so without this (plus the atexit hook) /tmp grows one full set
-    of staged tables per process, forever."""
+    of staged tables per process, forever.
+
+    The age guard closes a PID-recycling race: a tree younger than
+    ``min_age_s`` may belong to a JUST-launched process that was handed
+    the dead process's pid between our liveness check and the rmtree —
+    skip it; it either cleans itself up via atexit or ages into the next
+    process's sweep."""
     tmp = tempfile.gettempdir()
+    now = __import__("time").time()
     try:
         names = os.listdir(tmp)
     except OSError:
         return
     for name in names:
         pid_s = name[4:] if name.startswith("tis_") else ""
-        if pid_s.isdigit() and not _pid_alive(int(pid_s)):
-            shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
+        if not (pid_s.isdigit() and not _pid_alive(int(pid_s))):
+            continue
+        path = os.path.join(tmp, name)
+        try:
+            if now - os.path.getmtime(path) < min_age_s:
+                continue
+        except OSError:
+            continue
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def work_dir(tag: str) -> str:
