@@ -50,6 +50,13 @@ def bare_spark(spark):
         "ev12_quantile_sample_rollup",
         "st09_stream_enrich",
         "aj02_asof_forward_tolerance",
+        # round-5 entries: bloom bitmap arithmetic + events timestamps,
+        # window hashing over documents, Arrow GEMM routing + snapshot
+        # commits, and the partitioned shard write + read-back manifest
+        "ev15_bloom_prefilter",
+        "dd14_substring_dedup",
+        "ss09_incremental_ivf_index",
+        "sp09_training_shards",
     ],
 )
 def test_entry_runs_on_bare_session(bare_spark, sf_dir, name):
