@@ -2,7 +2,7 @@
 tools/fuzz_differential.py's grammar runs on every pytest invocation —
 generated filter/join/group-by/expression SQL executed on BOTH Spark and
 DuckDB and compared as canonical multisets. Wider sweeps (hundreds of queries per
-fresh seed) run via the tool directly; 5,400 generated queries across
+fresh seed) run via the tool directly; 7,800 generated queries across
 sf0.01 and sf0.001 agreed at round 5."""
 
 from __future__ import annotations
