@@ -7,6 +7,14 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Timing is end-to-end per query (plan + execute + materialize via noop
 write — no driver-side row transfer skewing results). One tiny warmup query
 spins up the JVM/codegen before measurement.
+
+The JSON also carries an ENVIRONMENT FINGERPRINT so a round-over-round
+delta is self-adjudicating (machine drift vs code regression — round 5's
+1.18x took a manual solo re-run to attribute): 1-minute load average
+sampled before and after the run, plus ``calibration_sec`` — a fixed
+byte-identical-every-round aggregate timed like a headliner. If the
+calibration query moved with the headliners, the machine moved; if the
+headliners moved alone, the code did.
 """
 
 from __future__ import annotations
@@ -77,6 +85,7 @@ def main() -> None:
         spark = get_spark(app_name="bench")
     try:
         sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+        load_before = round(os.getloadavg()[0], 2)
         # Warmup: exercise the paths every query pays for once per JVM —
         # parquet reader init, decimal hash-aggregate codegen, shuffle
         # machinery, and the noop sink — on a tiny dimension table, so the
@@ -93,6 +102,30 @@ def main() -> None:
             .mode("overwrite")
             .save()
         )
+
+        # Calibration query: a FIXED shape (lineitem scan -> decimal
+        # hash-aggregate over l_returnflag/l_linestatus) that no round
+        # ever edits, timed best-of-2 exactly like a headliner. Its
+        # round-over-round ratio isolates machine drift from code change.
+        def _calibration() -> float:
+            li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                (
+                    li.groupBy("l_returnflag", "l_linestatus")
+                    .agg(
+                        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("q"),
+                        F.count(F.lit(1)).alias("n"),
+                    )
+                    .write.format("noop")
+                    .mode("overwrite")
+                    .save()
+                )
+                best = min(best, time.time() - t0)
+            return round(best, 3)
+
+        calibration_sec = _calibration()
 
         # Best-of-2 per query: the first execution of each query compiles
         # its generated code (Janino) — a one-time cost per plan shape that
@@ -116,6 +149,9 @@ def main() -> None:
                     "unit": "sec",
                     "queries": timings,
                     "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                    "calibration_sec": calibration_sec,
+                    "load_1m_before": load_before,
+                    "load_1m_after": round(os.getloadavg()[0], 2),
                 }
             )
         )

@@ -3,7 +3,10 @@ tools/fuzz_differential.py's grammar runs on every pytest invocation —
 generated filter/join/group-by/expression SQL executed on BOTH Spark and
 DuckDB and compared as canonical multisets. Wider sweeps (hundreds of queries per
 fresh seed) run via the tool directly; 7,800 generated queries across
-sf0.01 and sf0.001 agreed at round 5."""
+sf0.01 and sf0.001 agreed at round 5, and round 6 extended the grammar
+(outer joins with null-extended rows, set operations, HAVING over
+aggregates, QUALIFY through the client rewrite) — QUALIFY shapes route
+through rewrite_qualify on the Spark side, same as the tool."""
 
 from __future__ import annotations
 
@@ -15,6 +18,7 @@ import pytest
 
 from tools.canonical import canon_rows
 from tools.fuzz_differential import SCHEMA, _sample_pools, gen_query
+from trino_iceberg_spark.timetravel_sql import rewrite_qualify
 
 
 @pytest.fixture(scope="module")
@@ -34,7 +38,7 @@ def test_generated_queries_agree(spark, duck_and_views, seed):
     bad = []
     for i in range(20):
         sql = gen_query(rng, pools)
-        sdf = spark.sql(sql)
+        sdf = spark.sql(rewrite_qualify(sql) if "QUALIFY" in sql else sql)
         s = canon_rows([c.lower() for c in sdf.columns], [tuple(r) for r in sdf.collect()])
         rel = con.sql(sql)
         d = canon_rows([c.lower() for c in rel.columns], rel.fetchall())

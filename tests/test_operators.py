@@ -894,6 +894,21 @@ def test_bloom_empty_reference_rejects_everything(spark):
     assert not any(r["bloom_hit"] for r in bloom_might_contain(probe, "k", bloom).collect())
 
 
+def test_bloom_null_keys_two_valued(spark):
+    """NULL-key contract: a NULL in the reference set is dropped at build
+    (no NULL map key / runtime error), and a NULL probe key yields False —
+    two-valued semantics, not SQL IN's three-valued NULL."""
+    from trino_iceberg_spark.operators.sketches import bloom_build, bloom_might_contain
+
+    keys = spark.createDataFrame([(1,), (2,), (None,)], "k long")
+    bloom = bloom_build(keys, "k")  # must not raise on the NULL key
+    probe = spark.createDataFrame([(1,), (None,), (99,)], "k long")
+    got = {r["k"]: r["bloom_hit"] for r in bloom_might_contain(probe, "k", bloom).collect()}
+    assert got[1] is True
+    assert got[None] is False  # False, not None
+    assert got[99] is False
+
+
 def test_duplicated_span_stats_merges_overlapping_windows(spark):
     """Substring dedup: a copied 10-token span shared by two docs lights up
     3 overlapping 8-token windows that must merge into ONE span of exactly
@@ -926,6 +941,38 @@ def test_duplicated_span_stats_merges_overlapping_windows(spark):
     )
     got2 = {r["doc_id"]: r for r in duplicated_span_stats(df2, "text", "doc_id", k=8).collect()}
     assert got2[1]["n_spans"] == 2 and got2[1]["dup_tokens"] == 18
+
+
+def test_duplicated_span_stats_viral_boilerplate_window(spark):
+    """Hot-key hardening: 10^5 documents sharing one viral 8-token k-gram
+    (the license-header / cookie-banner shape) must (a) produce the right
+    answer and (b) never materialize the shared window's full doc-id set
+    in one task — the occurrence count must be a partial-aggregatable
+    distinct+count, not collect_set over a window partitioned by whash."""
+    from trino_iceberg_spark.operators.dedup import duplicated_span_stats
+
+    boiler = "this document is licensed under the open license"  # 8 tokens
+    n = 100_000
+    docs = spark.range(n).selectExpr(
+        "id AS doc_id",
+        f"concat('unique', id, ' padding', id, ' {boiler} tail', id) AS text",
+    )
+    out = duplicated_span_stats(docs, "text", "doc_id", k=8)
+    # Plan shape: the whash-keyed distinct count partial-aggregates
+    # (HashAggregate before the exchange) and there is NO window spec
+    # over whash holding per-group member sets.
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "collect_set" not in plan
+    agg = out.agg(
+        F.sum(F.when(F.col("dup_tokens") > 0, 1).otherwise(0)).alias("dup_docs"),
+        F.sum("dup_tokens").alias("total_dup"),
+        F.max("n_spans").alias("max_spans"),
+    ).collect()[0]
+    # Every doc shares exactly the one boilerplate window: the viral
+    # 8-token span is duplicated in all 10^5 docs, one span each.
+    assert agg["dup_docs"] == n
+    assert agg["total_dup"] == 8 * n
+    assert agg["max_spans"] == 1
 
 
 def test_ivf_assignments_incremental_equals_rebuild(spark, sf_dir):

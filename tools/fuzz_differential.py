@@ -11,7 +11,16 @@ The grammar deliberately stays inside the deterministic common dialect:
 - double SUM/AVG route through exact DECIMAL then CAST AS DOUBLE (the
   repo-wide convention — float accumulation order is engine-dependent);
 - only expressions both engines define identically (comparisons, IN,
-  LIKE 'prefix%', CASE, ||, upper/lower/substr/coalesce, date_trunc).
+  LIKE 'prefix%' with metacharacter-escaped prefixes, CASE, ||,
+  upper/lower/substr/coalesce, date_trunc).
+
+Grammar shapes (round 6 extended the first three): LEFT/FULL OUTER joins
+with extra ON predicates so null-extended rows actually occur; set
+operations (UNION/INTERSECT/EXCEPT, ALL and DISTINCT); QUALIFY — run
+through the CLIENT's rewrite_qualify on the Spark side vs DuckDB's
+native QUALIFY, fuzzing the SQL-text rewrite itself; plus the original
+inner-join / chain / EXISTS / window / grouped-aggregate-with-HAVING /
+scalar-expression shapes.
 
 Usage:
     python tools/fuzz_differential.py            # 100 queries, seed 0
@@ -34,6 +43,7 @@ import duckdb  # noqa: E402
 
 from tools.canonical import canon_rows  # noqa: E402
 from trino_iceberg_spark.session import get_spark  # noqa: E402
+from trino_iceberg_spark.timetravel_sql import rewrite_qualify  # noqa: E402
 
 SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
 
@@ -150,7 +160,16 @@ def _predicate(rng: random.Random, col: str, kind: str, pools: dict) -> str:
         if mode == 1:
             pick = rng.sample(vals, min(len(vals), rng.randrange(1, 4)))
             return f"{col} IN ({', '.join(_sql_str(v) for v in pick)})"
-        prefix = rng.choice(vals)[: rng.randrange(1, 3)]
+        # Strip LIKE metacharacters from the data-derived prefix: a raw %
+        # or _ would silently change the predicate from prefix-match to
+        # wildcard-match, and backslash-escaping is NOT portable (Spark
+        # defaults to backslash-escape, DuckDB's LIKE has no default
+        # escape character). Stripping keeps the pattern a plain prefix
+        # on both engines; if nothing survives, fall back to equality.
+        raw = rng.choice(vals)[: rng.randrange(1, 3)]
+        prefix = raw.replace("%", "").replace("_", "").replace("\\", "")
+        if not prefix:
+            return f"{col} = {_sql_str(raw)}"
         return f"{col} LIKE {_sql_str(prefix + '%')}"
     lo, hi = pools[col]
     pick = rng.choice([lo, hi])
@@ -203,7 +222,94 @@ def _aggregate(rng: random.Random, tbl_cols: dict) -> tuple[str, str]:
     )
 
 
+def _gen_outer_join(rng: random.Random, pools: dict) -> str:
+    """LEFT / FULL OUTER join whose ON clause carries an extra data-derived
+    predicate on the right side, so the null-extended rows actually occur —
+    probing that both engines agree on NULL propagation through projections,
+    IS NULL predicates, grouped COUNT(col) vs COUNT(*), and NULL group keys."""
+    left, right, cond = rng.choice(JOINS)
+    jt = rng.choice(["LEFT", "LEFT", "FULL"])  # FULL rarer: it's costlier
+    rcol, rkind = rng.choice(list(SCHEMA[right].items()))
+    extra = _predicate(rng, rcol, rkind, pools)
+    from_sql = f"{left} {jt} JOIN {right} ON {cond} AND {extra}"
+    cols = {**SCHEMA[left], **SCHEMA[right]}
+    mode = rng.randrange(3)
+    if mode == 0:
+        # projection incl. a nullable right-side column + IS [NOT] NULL test
+        proj = rng.sample(list(SCHEMA[left]), 2) + rng.sample(list(SCHEMA[right]), 1)
+        where = ""
+        if rng.random() < 0.5:
+            nullcol = rng.choice(list(SCHEMA[right]))
+            neg = "NOT " if rng.random() < 0.5 else ""
+            where = f" WHERE {nullcol} IS {neg}NULL"
+        return f"SELECT {', '.join(proj)} FROM {from_sql}{where}"
+    if mode == 1:
+        # grouped: COUNT(right col) counts only matched rows, COUNT(*) all
+        gk = rng.choice(GROUP_KEYS[left])
+        cnt_col = rng.choice(list(SCHEMA[right]))
+        return (
+            f"SELECT {gk}, COUNT(*) AS a_cnt, COUNT({cnt_col}) AS a_matched"
+            f" FROM {from_sql} GROUP BY {gk}"
+        )
+    # group by a NULLABLE right-side key: both engines must bucket the
+    # null-extended rows into one NULL group
+    gk = rng.choice(GROUP_KEYS[right])
+    return f"SELECT {gk}, COUNT(*) AS a_cnt FROM {from_sql} GROUP BY {gk}"
+
+
+def _gen_setop(rng: random.Random, pools: dict) -> str:
+    """UNION [ALL] / INTERSECT [ALL] / EXCEPT [ALL] of two (sometimes
+    three) predicate-disjoint-or-overlapping branches over one table —
+    identical projections so the branch schemas line up, different WHERE
+    literals so the multiset algebra actually has work to do."""
+    tbl = rng.choice(list(SCHEMA))
+    proj = rng.sample(list(SCHEMA[tbl]), rng.randrange(1, 3))
+    sel = ", ".join(proj)
+
+    def branch() -> str:
+        col, kind = rng.choice(list(SCHEMA[tbl].items()))
+        return f"SELECT {sel} FROM {tbl} WHERE {_predicate(rng, col, kind, pools)}"
+
+    op = rng.choice(
+        ["UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL", "EXCEPT", "EXCEPT ALL"]
+    )
+    sql = f"{branch()} {op} {branch()}"
+    if rng.random() < 0.25:
+        op2 = rng.choice(["UNION", "UNION ALL"])
+        sql = f"{sql} {op2} {branch()}"
+    return sql
+
+
+def _gen_qualify(rng: random.Random, pools: dict) -> str:
+    """QUALIFY queries — exercised through the CLIENT's SQL-text rewrite
+    (timetravel_sql.rewrite_qualify) on the Spark side vs DuckDB's NATIVE
+    QUALIFY, so the rewrite itself is the system under test: bare window
+    predicates, select-list alias references, and per-branch QUALIFY in a
+    set operation."""
+    tbl = rng.choice(list(PK))
+    pk, gk = PK[tbl], rng.choice(GROUP_KEYS[tbl])
+    n = rng.randrange(1, 4)
+    col, kind = rng.choice(list(SCHEMA[tbl].items()))
+    where = f" WHERE {_predicate(rng, col, kind, pools)}" if rng.random() < 0.5 else ""
+    rn = f"ROW_NUMBER() OVER (PARTITION BY {gk} ORDER BY {pk})"
+    mode = rng.randrange(3)
+    if mode == 0:  # bare window predicate
+        return f"SELECT {pk}, {gk} FROM {tbl}{where} QUALIFY {rn} <= {n}"
+    if mode == 1:  # predicate over a select-list alias
+        return f"SELECT {pk}, {gk}, {rn} AS rn FROM {tbl}{where} QUALIFY rn <= {n}"
+    # per-branch QUALIFY inside a set operation (one QUALIFY per branch)
+    b2 = f"SELECT {pk}, {gk} FROM {tbl} QUALIFY {rn} = 1"
+    return f"SELECT {pk}, {gk} FROM {tbl}{where} QUALIFY {rn} <= {n} UNION ALL {b2}"
+
+
 def gen_query(rng: random.Random, pools: dict) -> str:
+    shape = rng.random()
+    if shape < 0.10:
+        return _gen_outer_join(rng, pools)
+    if shape < 0.18:
+        return _gen_setop(rng, pools)
+    if shape < 0.26:
+        return _gen_qualify(rng, pools)
     tbl = None
     roll = rng.random()
     if roll < 0.30:
@@ -256,8 +362,18 @@ def gen_query(rng: random.Random, pools: dict) -> str:
         aggs = [_aggregate(rng, cols) for _ in range(rng.randrange(1, 3))]
         sel = ", ".join(keys + [f"{e} AS {a}" for e, a in aggs])
         having = ""
-        if rng.random() < 0.25:
-            having = f" HAVING COUNT(*) > {rng.randrange(1, 4)}"
+        if rng.random() < 0.3:
+            nums = [(c, k) for c, k in cols.items() if k in ("int", "double")]
+            hcol, _ = rng.choice(nums)
+            hv = rng.choice(pools[hcol])
+            having = " HAVING " + rng.choice(
+                [
+                    f"COUNT(*) > {rng.randrange(1, 4)}",
+                    f"MIN({hcol}) > {hv}",
+                    f"MAX({hcol}) < {hv}",
+                    f"COUNT(*) > {rng.randrange(1, 4)} AND MIN({hcol}) <= {hv}",
+                ]
+            )
         return f"SELECT {sel} FROM {from_sql}{where} GROUP BY {', '.join(keys)}{having}"
 
     # plain (optionally DISTINCT) projection
@@ -284,7 +400,11 @@ def main(n: int, seed: int) -> int:
     for i in range(n):
         sql = gen_query(rng, pools)
         try:
-            sdf = spark.sql(sql)
+            # QUALIFY goes through the client's SQL-text rewrite on the
+            # Spark side (Spark has no native QUALIFY); DuckDB runs it
+            # natively — the rewrite IS the system under test here.
+            spark_sql = rewrite_qualify(sql) if "QUALIFY" in sql else sql
+            sdf = spark.sql(spark_sql)
             s_cols = [c.lower() for c in sdf.columns]
             s_rows = [tuple(r) for r in sdf.collect()]
             rel = con.sql(sql)

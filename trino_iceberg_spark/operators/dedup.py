@@ -783,19 +783,26 @@ def duplicated_span_stats(
             )
         ).alias("widx", "whash"),
     )
-    # Distinct-doc count as a WINDOW over whash, not an aggregate+join:
-    # one consumption of the window table (the corpus tokenizes and
-    # md5-hashes exactly once, no persist to leak), one shuffle on the
-    # hash. Per-group state is the distinct doc-id set of ONE identical
-    # window — normally tiny; a boilerplate window shared by many docs
-    # grows it linearly in ids only (no text), the same bounded-hot-key
-    # profile as the LSH band buckets.
-    w_nd = Window.partitionBy("whash")
-    dup = (
-        wins.withColumn("_nd", F.size(F.collect_set(id_col).over(w_nd)))
-        .filter(F.col("_nd") > 1)
-        .select(id_col, "widx")
+    # Cross-document occurrence test as distinct + partial-aggregatable
+    # count + equi-join back on the hash — NOT collect_set over a window.
+    # A window partitioned by whash holds one group's full distinct
+    # doc-id set in executor memory; real web corpora have viral
+    # boilerplate k-grams (license headers, cookie banners) shared by
+    # 10^7-10^8 documents, and that one hot group would hold the entire
+    # id set (~1 GB at 10^8 ids). distinct→groupBy→count keeps per-task
+    # state at one counter per hash (map-side partial aggregation bounds
+    # the hot key), and the join back runs on the same skew-free
+    # md5-derived key. Cost: the window table is consumed twice (one
+    # extra shuffle); memory: O(1) per group regardless of virality.
+    multi = (
+        wins.select("whash", id_col)
+        .distinct()
+        .groupBy("whash")
+        .count()
+        .filter(F.col("count") > 1)
+        .select("whash")
     )
+    dup = wins.join(multi, "whash").select(id_col, "widx")
     w = Window.partitionBy(id_col).orderBy("widx")
     prev_end = F.max(F.col("widx") + (k - 1)).over(
         w.rowsBetween(Window.unboundedPreceding, -1)

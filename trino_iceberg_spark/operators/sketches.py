@@ -90,13 +90,17 @@ def kmv_rollup(
     counts = events.groupBy(bucket, *dim_cols).agg(F.count(F.lit(1)).alias("cnt"))
     # Null-safe equi-join: a cell whose dimension value is NULL was computed
     # by BOTH aggregates (groupBy keeps NULL keys) and must survive the
-    # merge — a plain inner join would silently drop it.
+    # merge — a plain inner join would silently drop it. Both sides derive
+    # from `events`, so alias them explicitly: qualified F.col references
+    # make the join unambiguous by construction instead of leaning on
+    # Spark's dataframe-id disambiguation heuristic (which logs a
+    # "trivially true equals predicate" warning).
     cond = None
     for c in keys:
-        term = counts[c].eqNullSafe(sketches[c])
+        term = F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}"))
         cond = term if cond is None else (cond & term)
-    return counts.join(sketches, cond).select(
-        counts["bucket"], *[counts[d] for d in dims], "cnt", "kmv"
+    return counts.alias("l").join(sketches.alias("r"), cond).select(
+        F.col("l.bucket"), *[F.col(f"l.{d}") for d in dims], "cnt", "kmv"
     )
 
 
@@ -182,14 +186,16 @@ def sample_rollup(
         F.array_sort(F.collect_list(F.struct("_h", "_v"))).alias("smp")
     )
     counts = nn.groupBy(bucket, *dim_cols).agg(F.count(F.lit(1)).alias("cnt"))
-    # Null-safe equi-join, same reason as kmv_rollup: NULL-valued dimension
-    # cells exist on both sides and must not be dropped by the merge.
+    # Null-safe equi-join, same reason (and same explicit-alias shape) as
+    # kmv_rollup: NULL-valued dimension cells exist on both sides and must
+    # not be dropped, and qualified references keep the self-derived join
+    # unambiguous without the dataframe-id heuristic.
     cond = None
     for c in keys:
-        term = counts[c].eqNullSafe(sketches[c])
+        term = F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}"))
         cond = term if cond is None else (cond & term)
-    return counts.join(sketches, cond).select(
-        counts["bucket"], *[counts[d] for d in dims], "cnt", "smp"
+    return counts.alias("l").join(sketches.alias("r"), cond).select(
+        F.col("l.bucket"), *[F.col(f"l.{d}") for d in dims], "cnt", "smp"
     )
 
 
@@ -275,9 +281,14 @@ def bloom_build(
     over at most m_bits/32 groups, then a single-row assembly — the only
     data that ever reaches the driver-adjacent stage is the bitmap itself
     (m_bits/8 bytes; 8 KiB at the default 64 Kbit), which is exactly what
-    makes it broadcastable to every executor."""
+    makes it broadcastable to every executor.
+
+    NULL keys are dropped: a NULL contributes no membership information
+    (its k hash positions are all NULL, which would otherwise surface as
+    a NULL map key at assembly), matching the two-valued NULL semantics
+    of :func:`bloom_might_contain`."""
     n_words = m_bits // _BLOOM_WORD
-    pos = keys.select(
+    pos = keys.filter(F.col(key_col).isNotNull()).select(
         F.explode(F.array(*_bloom_positions(F.col(key_col), m_bits, k))).alias("pos")
     )
     words = (
@@ -313,7 +324,13 @@ def bloom_might_contain(
     false positives are deterministic and engine-reproducible. The probe
     is pure map-side column arithmetic on the broadcast row — ``df`` is
     never shuffled, the property that makes this the 100 TB pre-gate in
-    front of an exact (join-based) membership check."""
+    front of an exact (join-based) membership check.
+
+    NULL-key semantics are two-valued: a NULL key probes False (it was
+    never inserted — :func:`bloom_build` drops NULLs), NOT the
+    three-valued NULL that SQL ``IN (subquery)`` would yield. A caller
+    composing this with an exact IN-style check must align the two (the
+    ev15 registry entry does, on both the Spark and oracle sides)."""
     out = df.crossJoin(F.broadcast(bloom))  # 1-row bitmap: broadcast by design
     cond = None
     for pos in _bloom_positions(F.col(key_col), m_bits, k):
@@ -323,4 +340,5 @@ def bloom_might_contain(
         bit = _bit_value(F.pmod(pos, F.lit(_BLOOM_WORD)))
         t = word.bitwiseAND(bit) != 0
         cond = t if cond is None else (cond & t)
-    return out.withColumn(result_col, cond).drop("bloom")
+    hit = F.when(F.col(key_col).isNull(), F.lit(False)).otherwise(cond)
+    return out.withColumn(result_col, hit).drop("bloom")

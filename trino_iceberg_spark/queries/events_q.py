@@ -338,7 +338,7 @@ def ev09_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked OUTPUT is the cascade's cell grid plus the exact
     distinct count, while the sketch path is verified inline: the HLL
     estimate per cell must stay within 15% relative error of the exact
-    count (asserted here, a11-style), and is additionally error-bound
+    count (checked inline here, a11-style), and is additionally error-bound
     pinned in tests/test_operators.py."""
     from ..operators.timeseries import merge_sketch_rollup, sketch_estimate, sketch_rollup
 
@@ -351,12 +351,18 @@ def ev09_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.countDistinct("user_id").alias("exact_distinct"))
     # Null-safe merge: a NULL event_type cell is produced by BOTH
     # aggregates and must survive (name-list joins are null-unsafe).
-    joined = est.join(
-        exact,
-        est["bucket"].eqNullSafe(exact["bucket"])
-        & est["event_type"].eqNullSafe(exact["event_type"]),
+    # Explicit side aliases: both frames derive from `events`, so
+    # qualified references keep the join unambiguous by construction.
+    joined = est.alias("l").join(
+        exact.alias("r"),
+        F.col("l.bucket").eqNullSafe(F.col("r.bucket"))
+        & F.col("l.event_type").eqNullSafe(F.col("r.event_type")),
     ).select(
-        est["bucket"], est["event_type"], "cnt", "approx_distinct", "exact_distinct"
+        F.col("l.bucket"),
+        F.col("l.event_type"),
+        "cnt",
+        "approx_distinct",
+        "exact_distinct",
     )
     # Inline sketch verification: 1-row aggregate, not a per-row collect.
     worst = joined.agg(
@@ -365,7 +371,8 @@ def ev09_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("exact_distinct")
         ).alias("max_rel_err")
     ).first()["max_rel_err"]
-    assert worst is not None and worst < 0.15, f"HLL rel err {worst}"
+    if worst is None or worst >= 0.15:  # explicit raise: survives python -O
+        raise RuntimeError(f"HLL rel err {worst}")
     return joined.select("bucket", "event_type", "cnt", "exact_distinct").orderBy(
         "bucket", "event_type"
     )
@@ -676,13 +683,17 @@ def ev14_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM views v, unnest([0, 1, 2, 3]) AS t(i)
     ),
     hits AS (
+        -- COALESCE(..., FALSE): two-valued NULL semantics to match the
+        -- Spark side — a NULL key probes False (never inserted), and a
+        -- NULL key's exact membership is False, not SQL IN's NULL.
         SELECT event_id, user_id,
-               bool_and((COALESCE(w.bits, 0) & (1::BIGINT << (p % 32))) <> 0) AS bloom_hit
+               COALESCE(bool_and((COALESCE(w.bits, 0) & (1::BIGINT << (p % 32))) <> 0),
+                        FALSE) AS bloom_hit
         FROM vpos LEFT JOIN words w ON p // 32 = w.word
         GROUP BY event_id, user_id
     )
     SELECT h.event_id, h.user_id, h.bloom_hit,
-           (h.user_id IN (SELECT user_id FROM ref)) AS exact_hit
+           COALESCE(h.user_id IN (SELECT user_id FROM ref), FALSE) AS exact_hit
     FROM hits h ORDER BY event_id
     """,
 )
@@ -699,8 +710,9 @@ def ev15_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT keep every shift representable), so the DuckDB oracle replays
     the bitmap bit-for-bit — false positives included, making the entry
     hash-exact rather than approximate. exact_hit carries the ground
-    truth; the inline assert pins the Bloom contract (no false
-    negatives, ever)."""
+    truth with two-valued NULL semantics (a NULL key is not a member —
+    COALESCEd to FALSE on both engines); the inline check pins the Bloom
+    contract (no false negatives, ever)."""
     from ..operators.sketches import bloom_build, bloom_might_contain
 
     e = load_table(spark, sf_dir, "events")
@@ -722,5 +734,6 @@ def ev15_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Inline Bloom contract check (1-row aggregate): a real member can
     # never be missed — only extra (false-positive) hits are possible.
     misses = out.filter(F.col("exact_hit") & ~F.col("bloom_hit")).count()
-    assert misses == 0, f"bloom false negatives: {misses}"
+    if misses != 0:  # explicit raise: survives python -O, unlike assert
+        raise RuntimeError(f"bloom false negatives: {misses}")
     return out.orderBy("event_id")

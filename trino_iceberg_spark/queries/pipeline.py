@@ -454,7 +454,8 @@ def ss09_incremental_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = SnapshotTable(spark, work_dir("ss09_index"))
     table.append(ivf_assignments(base, "embedding", "vec_id", cents))
     table.append(ivf_assignments(delta, "embedding", "vec_id", cents))
-    assert len(table.snapshots()) >= 2
+    if len(table.snapshots()) < 2:  # explicit raise: survives python -O
+        raise RuntimeError("expected >= 2 snapshot commits on the index table")
     return table.read().orderBy("vec_id")
 
 
@@ -2594,7 +2595,7 @@ def sp09_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     worker reads exactly shard=<k>/ with directory-level pruning — plus a
     per-shard manifest (rows, order-independent XOR id-hash digest) the
     worker validates against. The oracle replays assignment, counts, and
-    digests exactly; the inline assert re-reads the written shards and
+    digests exactly; the inline check re-reads the written shards and
     proves the round trip preserved every row and its shard membership."""
     import os
 
@@ -2607,9 +2608,11 @@ def sp09_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(out)
     # Round-trip check: every row landed, in its assigned shard dir
     # (partition column read back from the directory name).
-    assert back.count() == d.count()
+    if back.count() != d.count():  # explicit raise: survives python -O
+        raise RuntimeError("shard round trip lost rows")
     n_shards = back.select("shard").distinct().count()
-    assert n_shards == 8, n_shards
+    if n_shards != 8:
+        raise RuntimeError(f"expected 8 shard dirs, got {n_shards}")
     return manifest.orderBy("shard")
 
 

@@ -564,7 +564,8 @@ def st10_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    assert len(table.snapshots()) >= 2  # the refresh really was incremental
+    if len(table.snapshots()) < 2:  # explicit raise: survives python -O
+        raise RuntimeError("stream rollup refresh was not incremental")
     # Exact-DECIMAL internals keep the per-batch merges order-independent;
     # cast only the output boundary to double (ev08 convention) so the
     # driver's value hash is type-stable vs the DuckDB oracle.

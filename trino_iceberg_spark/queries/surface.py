@@ -552,7 +552,8 @@ def a11_unload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         path="roundtrip",
     )
-    assert resp.row_count > 0  # Observation-counted on the same pass
+    if resp.row_count <= 0:  # Observation-counted on the same pass
+        raise RuntimeError("UNLOAD reported zero rows")
     return spark.read.parquet(resp.output_path).orderBy("o_orderkey")
 
 

@@ -72,9 +72,17 @@ def _sweep_stale_work_roots(min_age_s: float = 3600.0) -> None:
     except OSError:
         return
     for name in names:
-        pid_s = name[4:] if name.startswith("tis_") else ""
-        if not (pid_s.isdigit() and not _pid_alive(int(pid_s))):
+        if not name.startswith("tis_"):
             continue
+        suffix = name[4:]
+        if suffix.isdigit():
+            # PID-namespaced tree: sweep only when its owner is dead.
+            if _pid_alive(int(suffix)):
+                continue
+        # Non-numeric tis_* names are legacy fixed-name scratch dirs from
+        # before PID namespacing (tis_st08_events, tis_a11_unload, ...) —
+        # nothing writes them anymore, so any survivor is stale; the age
+        # guard below still protects one mid-flight on an old checkout.
         path = os.path.join(tmp, name)
         try:
             if now - os.path.getmtime(path) < min_age_s:
