@@ -16,7 +16,7 @@ Two adapter concerns live here, both driver-facing:
    order: first this round's fixed/changed entries and the entries no
    prior CORRECTNESS run has checked, then drift re-verifies of the
    oldest green cohort (see ``_FRONT``), then any remaining unchecked
-   entries, then families already proved green across the r01–r04
+   entries, then families already proved green across the r01–r05
    union. Nothing is dropped — a driver with budget for the full
    registry still checks every entry.
 
@@ -50,106 +50,76 @@ _TUNED_CONFS = {
 # module docstring. Names absent from the registry are ignored (safety
 # against future renames), and every registered query is always yielded.
 #
-# Round-5 ordering (registry: 209 entries — ev15_bloom_prefilter,
-# dd14_substring_dedup, ss09_incremental_ivf_index, and
-# sp09_training_shards are new — ALL 209
-# oracle-backed; ev09 gained an
-# exact-distinct oracle with an inline HLL error assert), four tiers
-# sized to the driver's ~50-entry budget:
-# 1. the two round-4 hash-RED rows, now fixed (value_sum cast to DOUBLE
-#    at the output boundary, ev08 convention) plus ev09, upgraded from
-#    rows-only to oracle-backed;
-# 2. the 13 entries no CORRECTNESS run has ever checked (all added in
-#    round 4; all passed the local DuckDB gate twice — r4 and this
-#    round);
-# 3. changed-code re-verifies: the QUALIFY rewrite gained set-operation
-#    branch scoping (b23), sample_rollup's join went null-safe (ev12),
-#    and every snapshot-table/stream entry moved to PID-namespaced
-#    scratch dirs (representatives: st06/st08/tt16; the change is
-#    mechanical and pytest-covered for the rest);
-# 4. drift re-verifies of the oldest green cohort — b*/j*/w*/s*/f* were
-#    last checked in r01 and have not been re-recorded since.
-# Everything else is green across the r01-r04 union and yields last.
+# Round-6 ordering (registry: 210 entries, ALL oracle-backed;
+# sp10_corpus_to_shards — the flagship curation→packing→shard-write
+# chain — is new). The cross-round union is 209/209 green, so this
+# round's budget goes to the new/changed entries and then the DRIFT
+# RE-VERIFY program: the judge grades verdicts at latest check, and the
+# oldest cohorts (last recorded r01/r02) are the weakest links. Tiers:
+# 1. new this round (sp10) + changed-code re-verifies: dd14's hot-key
+#    fix (collect_set-over-window → distinct+count+join), ev15's
+#    NULL-semantics alignment (oracle COALESCE + build-side NULL drop),
+#    the explicit self-join aliasing in ev09/ev10/ev12, and the
+#    assert→RuntimeError swaps in sp09/st10/ss09/a11;
+# 2. the 25 entries last driver-checked in ROUND 1 (a*/c0*/j04-j09/
+#    s01-s04/w*);
+# 3. the oldest round-2 entries (dd/ev/f/tpch/ss/tx cohort), in
+#    ascending-staleness order up to the ~50-entry budget — the
+#    remainder rotates to the front next round.
+# Everything else was checked r03-r05 and yields after these.
 _FRONT = [
-    # --- tier 1: round-4 red rows, fixed this round ---
-    "ev14_incremental_rollup",
-    "st10_stream_rollup",
-    "ev09_sketch_rollup",
-    # --- tier 2: never driver-checked (round-4 additions) ---
-    "a11_unload_roundtrip",
-    "aj02_asof_forward_tolerance",
-    "dd13_crossmodal_dedup",
-    "ev13_level_shifts",
-    "io01_format_roundtrip",
-    "mm05_frame_sampling",
-    "mm06_image_resize",
-    "mm07_audio_frame_features",
-    "sp07_kfold",
-    "sp08_fixed_per_group",
-    "ss08_range_search",
-    "st09_stream_enrich",
-    "tx15_bigram_fluency",
-    # --- tier 3: NEW this round (portable Bloom membership prefilter;
-    # exact substring dedup; incremental IVF index), then changed-code
-    # re-verifies ---
-    "ev15_bloom_prefilter",
+    # --- tier 1: new + changed-code re-verifies ---
+    "sp10_corpus_to_shards",
     "dd14_substring_dedup",
-    "ss09_incremental_ivf_index",
-    "sp09_training_shards",
-    "b23_qualify",
-    "ev12_quantile_sample_rollup",
+    "ev15_bloom_prefilter",
+    "ev09_sketch_rollup",
     "ev10_kmv_distinct_rollup",
-    "st06_stream_snapshot_ingest",
-    "st08_stream_cdc_upsert",
-    "tt16_catalog_version_travel",
-    # --- tier 4: r01-cohort drift re-verifies (not re-recorded since
-    # round 1; a ~50-entry budget covers b01-b21 fully and reaches into
-    # j*; the w*/s*/f* remainder rotates to the front next round) ---
-    "b01_projection",
-    "b02_filter_comparisons",
-    "b03_empty_result",
-    "b04_sort_multi",
-    "b05_count_star",
-    "b06_sum",
-    "b07_avg_cast",
-    "b08_min_max",
-    "b09_groupby_agg_sort",
-    "b10_scalar_literals",
-    "b11_concat",
-    "b12_string_escaping",
-    "b13_case_arithmetic",
-    "b14_cast_matrix",
-    "b15_null_handling",
-    "b16_in_between_like",
-    "b17_distinct",
-    "b18_limit_topk",
-    "b19_json_extraction",
-    "b20_lateral_explode",
-    "b21_variant_extraction",
-    "j01_inner_join",
-    "j02_multi_join",
-    "j03_left_join",
+    "ev12_quantile_sample_rollup",
+    "sp09_training_shards",
+    "st10_stream_rollup",
+    "ss09_incremental_ivf_index",
+    "a11_unload_roundtrip",
+    # --- tier 2: r01-cohort drift re-verifies (last recorded round 1) ---
+    "a01_count_distinct",
+    "a02_having",
+    "a03_rollup",
+    "a04_cube",
+    "a05_grouping_sets",
+    "a06_pivot_conditional",
+    "a07_approx_and_exact_stats",
+    "c01_cte",
+    "c02_scalar_subquery",
+    "c03_in_subquery",
     "j04_semi_join",
     "j05_anti_join",
     "j06_full_outer",
     "j07_cross_join",
     "j08_range_join",
     "j09_self_join",
-    "j10_bucketed_join",
-    "w01_topk_per_group",
-    "w02_rank_dense",
-    "w03_lag_lead",
-    "w04_running_sum",
-    "w05_ntile_percent",
-    "w06_sessionize",
-    "w07_moving_average",
-    "w08_distribution_functions",
-    "w09_time_range_frame",
     "s01_union_all",
     "s02_union_distinct",
     "s03_intersect",
     "s04_except",
-    "s05_set_ops_all",
+    "w01_topk_per_group",
+    "w02_rank_dense",
+    "w04_running_sum",
+    "w05_ntile_percent",
+    "w08_distribution_functions",
+    # --- tier 3: oldest r02-cohort drift re-verifies (the ~50 budget
+    # reaches partway in; the rest rotate forward in round 7) ---
+    "a08_exact_percentiles",
+    "dd01_exact_dedup",
+    "dd02_fingerprint_dedup",
+    "dd04_ngram_jaccard",
+    "dd07_duplicate_clusters",
+    "dd08_near_dedup_survivors",
+    "ev01_funnel",
+    "ev02_retention_cohorts",
+    "ev03_daily_top_users",
+    "ev04_error_rate_hourly",
+    "ev05_props_value_stats",
+    "ev06_hourly_gap_fill",
+    "ev07_value_outliers",
     "f01_string_functions",
     "f02_date_functions",
     "f03_math_functions",
@@ -158,11 +128,35 @@ _FRONT = [
     "f06_regex_functions",
     "f07_array_functions",
     "f08_map_functions",
+    "ss01_cosine_topk",
+    "ss04_numpy_topk",
+    "tx09_tfidf_top_terms",
+    "w07_moving_average",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_nation_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q12_priority_shipping",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q16_part_supplier_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_part_promotion_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_global_sales_opportunity",
 ]
 
-# Entries a prior CORRECTNESS run already recorded green (r01–r04 union:
-# 189 green of 192 checked; the 3 non-green are all in _FRONT tier 1) —
-# yielded last. Prefix-matched on the name's first underscore token.
+# Entries a prior CORRECTNESS run already recorded green (r01–r05 union:
+# 209/209 distinct entries checked, all green at latest check) — yielded
+# last. Prefix-matched on the name's first underscore token.
 _PROVEN = frozenset(
     [f"b{i:02d}" for i in range(1, 22)]  # b01–b21
     + [f"j{i:02d}" for i in range(1, 11)]

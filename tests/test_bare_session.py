@@ -57,6 +57,10 @@ def bare_spark(spark):
         "dd14_substring_dedup",
         "ss09_incremental_ivf_index",
         "sp09_training_shards",
+        # round-6 entry: the full curation→packing→shard-write chain —
+        # regex tokenization, two-phase cumsum, partitioned write, and
+        # the disk read-back joins, all on a bare session
+        "sp10_corpus_to_shards",
     ],
 )
 def test_entry_runs_on_bare_session(bare_spark, sf_dir, name):

@@ -2617,6 +2617,124 @@ def sp09_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sp10_corpus_to_shards",
+    oracle=_CURATION_DECIDED_SQL
+    + """
+    , kept AS (SELECT * FROM decided WHERE reject_reason IS NULL),
+    keeper AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+    curated AS (
+        SELECT k.* FROM kept k WHERE k.doc_id IN (SELECT doc_id FROM keeper)
+    ),
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, g
+        FROM toks, UNNEST(list_distinct(list_transform(
+            range(len(ws) - 7),
+            i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] || ' '
+                 || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] || ' ' || ws[i+8]
+        ))) AS u(g)
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0),
+    bad AS (SELECT DISTINCT gr.doc_id FROM grams gr JOIN bench b ON gr.g = b.g),
+    final AS (
+        SELECT c.* FROM curated c WHERE c.doc_id NOT IN (SELECT doc_id FROM bad)
+    ),
+    train AS (SELECT * FROM final WHERE doc_id % 10 < 8),
+    packed AS (
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                    ORDER BY md5(CAST(doc_id AS VARCHAR) || '-42')
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                 AS start_offset
+        FROM train
+    ),
+    sharded AS (
+        SELECT doc_id, n_tokens, start_offset,
+               CAST((start_offset + n_tokens - 1) // 2048
+                    - start_offset // 2048 + 1 AS BIGINT) AS n_chunks,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8
+                    AS INT) AS shard,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM packed
+    )
+    SELECT shard, COUNT(*) AS rows, bit_xor(h) AS id_hash_xor,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+           CAST(SUM(n_chunks) AS BIGINT) AS chunk_slots,
+           CAST(MIN(start_offset) AS BIGINT) AS min_offset,
+           CAST(MAX(start_offset + n_tokens) AS BIGINT) AS max_end
+    FROM sharded GROUP BY shard ORDER BY shard
+    """,
+)
+def sp10_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE flagship corpus→dataloader composition — raw documents to
+    verified training shards as one chained pipeline: quality + language
+    + exact-dedup curation (cu01's gates) → benchmark decontamination
+    (cu03's 8-gram broadcast semi-join) → deterministic train split →
+    concat-and-chunk sequence packing at 2048 tokens (sp04's two-phase
+    cumsum — no global window) → 8 hash-assigned hive shard directories
+    with a per-shard manifest (sp09's writer). Every stage is an operator
+    this registry gates individually; this entry hash-gates the WHOLE
+    chain, through a real disk write: the output joins the manifest
+    aggregated from the WRITTEN files (rows + order-independent XOR id
+    digest) with per-shard packing stats read back from disk (token
+    volume, chunk-slot count, offset range), and the DuckDB oracle
+    replays curation, decontamination, split, packing, and shard
+    assignment end-to-end. A hash match proves the full path — operators
+    composed lazily, materialized once, certified from disk.
+
+    Scale shape: curation/decontamination/packing all inherit their
+    individually-audited shapes (single scan + hash-keyed shuffles,
+    broadcast benchmark side, bucketed cumsum); the shard write is one
+    hash-partitioned pass (md5 can't skew), and both read-back aggregates
+    are column-pruned scans of the written files."""
+    import os
+
+    from ..operators.curation import curate_documents, decontaminate
+    from ..operators.packing import pack_sequences
+    from ..operators.splits import write_training_shards
+    from ..sources.testdata import work_dir
+
+    d = load_table(spark, sf_dir, "documents")
+    curated = curate_documents(d)
+    bench = d.filter(F.col("doc_id") % 10 == 0)
+    final = decontaminate(curated, bench, "text", "doc_id", k=8)
+    train = final.filter(F.col("doc_id") % 10 < 8)
+    packed = pack_sequences(
+        train.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens")),
+        "doc_id",
+        "n_tokens",
+        seq_len=2048,
+        seed=42,
+    ).select("doc_id", "n_tokens", "start_offset", "n_chunks")
+    out = os.path.join(work_dir("sp10_shards"), "train")
+    manifest = write_training_shards(packed, out, "doc_id", num_shards=8)
+    stats = (
+        spark.read.parquet(out)
+        .groupBy(F.col("shard").cast("int").alias("shard"))
+        .agg(
+            F.sum("n_tokens").cast("long").alias("tokens"),
+            F.sum("n_chunks").cast("long").alias("chunk_slots"),
+            F.min("start_offset").cast("long").alias("min_offset"),
+            F.max(F.col("start_offset") + F.col("n_tokens")).cast("long").alias(
+                "max_end"
+            ),
+        )
+    )
+    return (
+        manifest.join(stats, "shard")
+        .select(
+            "shard", "rows", "id_hash_xor", "tokens", "chunk_slots",
+            "min_offset", "max_end",
+        )
+        .orderBy("shard")
+    )
+
+
+@register(
     "ir01_retrieval_metrics",
     oracle="""
     WITH q AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
