@@ -103,30 +103,6 @@ def main() -> None:
             .save()
         )
 
-        # Calibration query: a FIXED shape (lineitem scan -> decimal
-        # hash-aggregate over l_returnflag/l_linestatus) that no round
-        # ever edits, timed best-of-2 exactly like a headliner. Its
-        # round-over-round ratio isolates machine drift from code change.
-        def _calibration() -> float:
-            li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.time()
-                (
-                    li.groupBy("l_returnflag", "l_linestatus")
-                    .agg(
-                        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("q"),
-                        F.count(F.lit(1)).alias("n"),
-                    )
-                    .write.format("noop")
-                    .mode("overwrite")
-                    .save()
-                )
-                best = min(best, time.time() - t0)
-            return round(best, 3)
-
-        calibration_sec = _calibration()
-
         # Best-of-2 per query: the first execution of each query compiles
         # its generated code (Janino) — a one-time cost per plan shape that
         # a long-lived cluster amortizes to zero. The reported number is
@@ -141,6 +117,33 @@ def main() -> None:
                 best = min(best, time.time() - t0)
             timings[name] = round(best, 3)
         total = round(sum(timings.values()), 3)
+
+        # Calibration query: a FIXED shape (lineitem scan -> decimal
+        # hash-aggregate over l_returnflag/l_linestatus) that no round
+        # ever edits, timed best-of-2 exactly like a headliner. Its
+        # round-over-round ratio isolates machine drift from code change.
+        # Runs AFTER the headliner loop so it cannot pre-warm lineitem's
+        # page cache ahead of the measured queries (which would shift the
+        # lineitem-heavy headliners for machine-state reasons — the exact
+        # misattribution the fingerprint exists to prevent); by this
+        # point every headliner has already scanned lineitem, so the
+        # calibration sees the same steady-state cache each round.
+        li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+        calibration_sec = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            (
+                li.groupBy("l_returnflag", "l_linestatus")
+                .agg(
+                    F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("q"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            calibration_sec = min(calibration_sec, time.time() - t0)
+        calibration_sec = round(calibration_sec, 3)
         print(
             json.dumps(
                 {

@@ -232,7 +232,6 @@ def _gen_outer_join(rng: random.Random, pools: dict) -> str:
     rcol, rkind = rng.choice(list(SCHEMA[right].items()))
     extra = _predicate(rng, rcol, rkind, pools)
     from_sql = f"{left} {jt} JOIN {right} ON {cond} AND {extra}"
-    cols = {**SCHEMA[left], **SCHEMA[right]}
     mode = rng.randrange(3)
     if mode == 0:
         # projection incl. a nullable right-side column + IS [NOT] NULL test

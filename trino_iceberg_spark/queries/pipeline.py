@@ -2678,22 +2678,25 @@ def sp10_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumsum — no global window) → 8 hash-assigned hive shard directories
     with a per-shard manifest (sp09's writer). Every stage is an operator
     this registry gates individually; this entry hash-gates the WHOLE
-    chain, through a real disk write: the output joins the manifest
-    aggregated from the WRITTEN files (rows + order-independent XOR id
-    digest) with per-shard packing stats read back from disk (token
-    volume, chunk-slot count, offset range), and the DuckDB oracle
-    replays curation, decontamination, split, packing, and shard
-    assignment end-to-end. A hash match proves the full path — operators
-    composed lazily, materialized once, certified from disk.
+    chain, through a real disk write: the output is ONE aggregate over
+    the WRITTEN files — per shard, the manifest columns (rows +
+    order-independent XOR id digest, sp09's formulas) together with the
+    packing stats (token volume, chunk-slot count, offset range) — and
+    the DuckDB oracle replays curation, decontamination, split, packing,
+    and shard assignment end-to-end. A hash match proves the full path —
+    operators composed lazily, materialized once, certified from disk.
 
     Scale shape: curation/decontamination/packing all inherit their
     individually-audited shapes (single scan + hash-keyed shuffles,
     broadcast benchmark side, bucketed cumsum); the shard write is one
-    hash-partitioned pass (md5 can't skew), and both read-back aggregates
-    are column-pruned scans of the written files."""
+    hash-partitioned pass (md5 can't skew), and the certification is a
+    SINGLE column-pruned read-back of the written files (the operator's
+    own lazy manifest is discarded rather than paying a second pass —
+    sp09 gates that surface on its own)."""
     import os
 
     from ..operators.curation import curate_documents, decontaminate
+    from ..operators.dedup import portable_hash64
     from ..operators.packing import pack_sequences
     from ..operators.splits import write_training_shards
     from ..sources.testdata import work_dir
@@ -2711,24 +2714,21 @@ def sp10_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=42,
     ).select("doc_id", "n_tokens", "start_offset", "n_chunks")
     out = os.path.join(work_dir("sp10_shards"), "train")
-    manifest = write_training_shards(packed, out, "doc_id", num_shards=8)
-    stats = (
+    write_training_shards(packed, out, "doc_id", num_shards=8)
+    return (
         spark.read.parquet(out)
         .groupBy(F.col("shard").cast("int").alias("shard"))
         .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.bit_xor(portable_hash64(F.col("doc_id").cast("string"))).alias(
+                "id_hash_xor"
+            ),
             F.sum("n_tokens").cast("long").alias("tokens"),
             F.sum("n_chunks").cast("long").alias("chunk_slots"),
             F.min("start_offset").cast("long").alias("min_offset"),
             F.max(F.col("start_offset") + F.col("n_tokens")).cast("long").alias(
                 "max_end"
             ),
-        )
-    )
-    return (
-        manifest.join(stats, "shard")
-        .select(
-            "shard", "rows", "id_hash_xor", "tokens", "chunk_slots",
-            "min_offset", "max_end",
         )
         .orderBy("shard")
     )

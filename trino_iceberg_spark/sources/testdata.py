@@ -81,11 +81,21 @@ def _sweep_stale_work_roots(min_age_s: float = 3600.0) -> None:
                 continue
         # Non-numeric tis_* names are legacy fixed-name scratch dirs from
         # before PID namespacing (tis_st08_events, tis_a11_unload, ...) —
-        # nothing writes them anymore, so any survivor is stale; the age
-        # guard below still protects one mid-flight on an old checkout.
+        # nothing writes them anymore, so any survivor is stale. The age
+        # guard scans the WHOLE tree's mtimes (a directory's own mtime
+        # only reflects direct-child changes — a long stream writing into
+        # nested stage/ dirs never bumps the top level), so a tree is
+        # only removed once nothing anywhere inside it has been touched
+        # for min_age_s. Legacy trees are small staged-table dirs; the
+        # walk is bounded and runs once per process.
         path = os.path.join(tmp, name)
         try:
-            if now - os.path.getmtime(path) < min_age_s:
+            newest = os.path.getmtime(path)
+            for dirpath, _dirnames, filenames in os.walk(path):
+                newest = max(newest, os.path.getmtime(dirpath))
+                for f in filenames:
+                    newest = max(newest, os.path.getmtime(os.path.join(dirpath, f)))
+            if now - newest < min_age_s:
                 continue
         except OSError:
             continue
