@@ -31,6 +31,29 @@ def duck_and_views(spark, sf_dir):
     return con, _sample_pools(con)
 
 
+def test_known_divergence_empty_cube(spark, duck_and_views):
+    """Round-6 fuzz discovery (seed 424311 #209), pinned as a KNOWN
+    dialect divergence: over an EMPTY input relation, the SQL standard
+    (and DuckDB/Postgres) emit one grand-total row for the ``()``
+    grouping set of CUBE/ROLLUP/GROUPING SETS, but Spark emits zero
+    rows. Both engines agree on the plain global aggregate (one row,
+    COUNT=0). The fuzz grammar excludes the case by never generating a
+    relation-emptying WHERE for grouping-sets shapes; this test fails
+    loudly if either engine changes behavior (then the exclusion should
+    be re-examined)."""
+    con, _pools = duck_and_views
+    sql = (
+        "SELECT x, CAST(GROUPING(x) AS INT) AS g, COUNT(*) AS c "
+        "FROM (SELECT 1 AS x WHERE FALSE) GROUP BY CUBE(x)"
+    )
+    assert spark.sql(sql).count() == 0  # Spark: no rows at all
+    assert len(con.sql(sql).fetchall()) == 1  # DuckDB: the grand-total row
+    # and the divergence is CUBE-specific — plain global aggregates agree
+    agg = "SELECT COUNT(*) AS c FROM (SELECT 1 AS x WHERE FALSE)"
+    assert spark.sql(agg).collect()[0]["c"] == 0
+    assert con.sql(agg).fetchall() == [(0,)]
+
+
 @pytest.mark.parametrize("seed", [0, 1])
 def test_generated_queries_agree(spark, duck_and_views, seed):
     con, pools = duck_and_views

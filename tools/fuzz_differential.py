@@ -14,12 +14,14 @@ The grammar deliberately stays inside the deterministic common dialect:
   LIKE 'prefix%' with metacharacter-escaped prefixes, CASE, ||,
   upper/lower/substr/coalesce, date_trunc).
 
-Grammar shapes (round 6 extended the first three): LEFT/FULL OUTER joins
+Grammar shapes (round 6 added the first five): LEFT/FULL OUTER joins
 with extra ON predicates so null-extended rows actually occur; set
 operations (UNION/INTERSECT/EXCEPT, ALL and DISTINCT); QUALIFY — run
 through the CLIENT's rewrite_qualify on the Spark side vs DuckDB's
-native QUALIFY, fuzzing the SQL-text rewrite itself; plus the original
-inner-join / chain / EXISTS / window / grouped-aggregate-with-HAVING /
+native QUALIFY, fuzzing the SQL-text rewrite itself; ROLLUP/CUBE/
+GROUPING SETS with GROUPING() flags; correlated scalar subqueries in
+the SELECT list; plus the original inner-join / chain / EXISTS /
+window / grouped-aggregate-with-HAVING (and COUNT DISTINCT) /
 scalar-expression shapes.
 
 Usage:
@@ -201,7 +203,9 @@ def _scalar_expr(rng: random.Random, tbl_cols: dict, pools: dict) -> tuple[str, 
 def _aggregate(rng: random.Random, tbl_cols: dict) -> tuple[str, str]:
     nums = [(c, k) for c, k in tbl_cols.items() if k in ("int", "double")]
     col, kind = rng.choice(nums)
-    i = rng.randrange(5)
+    i = rng.randrange(6)
+    if i == 5:
+        return f"COUNT(DISTINCT {col})", f"a_cd_{col}"
     if i == 0:
         return "COUNT(*)", "a_cnt"
     if i == 1:
@@ -301,6 +305,65 @@ def _gen_qualify(rng: random.Random, pools: dict) -> str:
     return f"SELECT {pk}, {gk} FROM {tbl}{where} QUALIFY {rn} <= {n} UNION ALL {b2}"
 
 
+def _gen_grouping_sets(rng: random.Random, pools: dict) -> str:
+    """ROLLUP / CUBE / GROUPING SETS with GROUPING() flags — the
+    super-aggregate NULL rows and their disambiguation flags must agree
+    across engines (both distinguish 'NULL because super-aggregate' from
+    'NULL data key' via GROUPING()).
+
+    KNOWN DIVERGENCE, excluded by construction: over an EMPTY input
+    relation, the standard (and DuckDB/Postgres) emit one grand-total
+    row for the ``()`` grouping set, but Spark emits ZERO rows —
+    this round's fuzz sweep found it via ``WHERE o_orderdate <
+    TIMESTAMP '<min>' GROUP BY CUBE(...)`` (seed 424311 #209; pinned in
+    tests/test_differential.py::test_known_divergence_empty_cube). The
+    WHERE here therefore only uses predicates that CANNOT empty the
+    relation: equality/IN on a string value sampled from the data."""
+    tbl = rng.choice([t for t in SCHEMA if len(GROUP_KEYS[t]) >= 2])
+    k1, k2 = rng.sample(GROUP_KEYS[tbl], 2)
+    spec = rng.choice(
+        [
+            f"ROLLUP({k1}, {k2})",
+            f"CUBE({k1}, {k2})",
+            f"GROUPING SETS (({k1}), ({k1}, {k2}), ())",
+        ]
+    )
+    agg, alias = _aggregate(rng, SCHEMA[tbl])
+    where = ""
+    if rng.random() < 0.4:
+        strs = [c for c, k in SCHEMA[tbl].items() if k == "str"]
+        if strs:
+            col = rng.choice(strs)
+            vals = pools[col]
+            if rng.random() < 0.5:
+                where = f" WHERE {col} = {_sql_str(rng.choice(vals))}"
+            else:
+                pick = rng.sample(vals, min(len(vals), rng.randrange(1, 4)))
+                where = f" WHERE {col} IN ({', '.join(_sql_str(v) for v in pick)})"
+    return (
+        f"SELECT {k1}, {k2}, CAST(GROUPING({k1}) AS INT) AS g1,"
+        f" CAST(GROUPING({k2}) AS INT) AS g2, {agg} AS {alias}"
+        f" FROM {tbl}{where} GROUP BY {spec}"
+    )
+
+
+def _gen_scalar_subquery(rng: random.Random, pools: dict) -> str:
+    """Correlated scalar subquery in the SELECT list — COUNT(*) (never
+    NULL) or MIN/MAX (NULL on empty match set) per outer row."""
+    outer, inner, corr = rng.choice(EXISTS_LINKS)
+    icol, ikind = rng.choice(
+        [(c, k) for c, k in SCHEMA[inner].items() if k in ("int", "double")]
+    )
+    ip = ""
+    if rng.random() < 0.5:
+        ip = f" AND {_predicate(rng, icol, ikind, pools)}"
+    fn = rng.choice(["COUNT(*)", f"MIN({icol})", f"MAX({icol})"])
+    sub = f"(SELECT {fn} FROM {inner} WHERE {corr}{ip}) AS sub_v"
+    col, kind = rng.choice(list(SCHEMA[outer].items()))
+    where = f" WHERE {_predicate(rng, col, kind, pools)}" if rng.random() < 0.5 else ""
+    return f"SELECT {PK[outer]}, {sub} FROM {outer}{where}"
+
+
 def gen_query(rng: random.Random, pools: dict) -> str:
     shape = rng.random()
     if shape < 0.10:
@@ -309,6 +372,10 @@ def gen_query(rng: random.Random, pools: dict) -> str:
         return _gen_setop(rng, pools)
     if shape < 0.26:
         return _gen_qualify(rng, pools)
+    if shape < 0.32:
+        return _gen_grouping_sets(rng, pools)
+    if shape < 0.38:
+        return _gen_scalar_subquery(rng, pools)
     tbl = None
     roll = rng.random()
     if roll < 0.30:
