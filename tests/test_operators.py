@@ -866,6 +866,43 @@ def test_work_dir_is_pid_namespaced_and_fresh():
     assert work_dir("wd_other") != d1
 
 
+def test_stale_work_root_sweep(tmp_path, monkeypatch):
+    """The sweeper removes (a) PID-namespaced trees whose owner is dead
+    and (b) legacy fixed-name tis_* trees — but never a live PID's tree,
+    never a non-tis name, and never a tree with a RECENT mtime anywhere
+    inside it (a directory's own mtime misses nested writes)."""
+    import os
+    import time
+
+    import trino_iceberg_spark.sources.testdata as td
+
+    monkeypatch.setattr(td.tempfile, "gettempdir", lambda: str(tmp_path))
+    old = time.time() - 7200
+
+    def make(name, fresh_nested=False):
+        root = tmp_path / name
+        (root / "stage").mkdir(parents=True)
+        f = root / "stage" / "part-0"
+        f.write_text("x")
+        for p in (root, root / "stage", f):
+            os.utime(p, (old, old))
+        if fresh_nested:
+            os.utime(f, None)  # nested file touched now; top dirs stay old
+        return root
+
+    dead = make("tis_999999999")  # no such PID
+    live = make(f"tis_{os.getpid()}")
+    legacy = make("tis_st08_events")
+    legacy_active = make("tis_a11_unload", fresh_nested=True)
+    unrelated = make("other_dir")
+    td._sweep_stale_work_roots(min_age_s=3600.0)
+    assert not dead.exists()
+    assert not legacy.exists()
+    assert live.exists()  # owner alive
+    assert legacy_active.exists()  # nested mtime is recent
+    assert unrelated.exists()  # not a tis_* name
+
+
 def test_bloom_filter_contract(spark):
     """Portable Bloom: zero false negatives ever; deterministic bitmap
     (same keys → identical array); probe of an inserted key always hits;
