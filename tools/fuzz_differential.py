@@ -295,11 +295,18 @@ def _gen_qualify(rng: random.Random, pools: dict) -> str:
     col, kind = rng.choice(list(SCHEMA[tbl].items()))
     where = f" WHERE {_predicate(rng, col, kind, pools)}" if rng.random() < 0.5 else ""
     rn = f"ROW_NUMBER() OVER (PARTITION BY {gk} ORDER BY {pk})"
-    mode = rng.randrange(3)
+    mode = rng.randrange(4)
     if mode == 0:  # bare window predicate
         return f"SELECT {pk}, {gk} FROM {tbl}{where} QUALIFY {rn} <= {n}"
     if mode == 1:  # predicate over a select-list alias
         return f"SELECT {pk}, {gk}, {rn} AS rn FROM {tbl}{where} QUALIFY rn <= {n}"
+    if mode == 2:  # the rewriter's tail split: ORDER BY/LIMIT after the
+        # predicate (deterministic: total order on the unique PK)
+        lim = rng.choice([10, 50])
+        return (
+            f"SELECT {pk}, {gk} FROM {tbl}{where} QUALIFY {rn} <= {n}"
+            f" ORDER BY {pk} LIMIT {lim}"
+        )
     # per-branch QUALIFY inside a set operation (one QUALIFY per branch)
     b2 = f"SELECT {pk}, {gk} FROM {tbl} QUALIFY {rn} = 1"
     return f"SELECT {pk}, {gk} FROM {tbl}{where} QUALIFY {rn} <= {n} UNION ALL {b2}"
