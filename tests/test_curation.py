@@ -94,3 +94,35 @@ def test_boilerplate_removal_scopes_and_drops(spark):
     # cross-source repetition is NOT boilerplate
     assert out[4]["clean_text"] == "nav bar home unique tail words"
     assert out[4]["n_kept"] == 2
+
+
+def test_boilerplate_removal_null_group_keeps_everything(spark):
+    """A NULL group has no site identity, so no boilerplate can be
+    attributed: NULL-group documents keep ALL passages — even passages
+    repeated across other NULL-group docs (the anti-join never matches a
+    NULL key, on purpose; the old inner-join form silently DROPPED
+    NULL-group documents entirely)."""
+    from trino_iceberg_spark.operators.curation import boilerplate_removal
+
+    docs = spark.createDataFrame(
+        [
+            (1, None, "nav bar home alpha beta gamma"),
+            (2, None, "nav bar home delta epsilon zeta"),
+            (3, "siteA", "nav bar home alpha beta gamma"),
+            (4, "siteA", "nav bar home delta epsilon zeta"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_removal(
+            docs, "text", "doc_id", "source", chunk_tokens=3, min_docs=2
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    # NULL-group docs: fully intact, shared passage included
+    assert out[1]["clean_text"] == "nav bar home alpha beta gamma"
+    assert out[2]["n_kept"] == 2
+    # siteA still gets its template removed
+    assert out[3]["clean_text"] == "alpha beta gamma"
+    assert out[4]["clean_text"] == "delta epsilon zeta"

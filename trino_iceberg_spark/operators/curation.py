@@ -242,12 +242,19 @@ def boilerplate_removal(
     Returns ``(id_col, clean_text, n_chunks, n_kept)``; documents that
     were entirely boilerplate drop out.
 
+    Documents whose ``group_col`` is NULL have no site identity, so no
+    boilerplate can be attributed to them: all their passages are kept
+    (the anti-join below never matches a NULL group key).
+
     Scale shape: chunking is per-row JVM array work; the distinct-doc
     count aggregates on (group, md5(passage)) — high-cardinality,
-    skew-free — and the verdict joins back on the same key, so the
-    operator is two shuffles of the passage table plus the groupBy(doc)
-    reassembly, exactly passage_dedup's cost. Per-group counting adds no
-    skew: the group column only PREFIXES an already-unique hash key."""
+    skew-free — and the verdict is a LEFT ANTI join against only the
+    passages that crossed the ``min_docs`` threshold: the anti side is
+    the boilerplate set (per-site templates — orders of magnitude
+    smaller than the distinct-passage table), not every passage count,
+    so AQE can broadcast it and the big side re-shuffles only when the
+    template set is genuinely large. Per-group counting adds no skew:
+    the group column only PREFIXES an already-unique hash key."""
     toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
     n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
     chunks = F.transform(
@@ -262,10 +269,13 @@ def boilerplate_removal(
         n_chunks.alias("n_chunks"),
         F.posexplode(F.when(n_chunks > 0, chunks)).alias("chunk_idx", "chunk"),
     ).withColumn("_h", F.md5(F.col("chunk")))
-    counts = exploded.groupBy("_grp", "_h").agg(
-        F.count_distinct(F.col("_id")).alias("_docs")
+    boilerplate = (
+        exploded.groupBy("_grp", "_h")
+        .agg(F.count_distinct(F.col("_id")).alias("_docs"))
+        .filter(F.col("_docs") >= min_docs)
+        .select("_grp", "_h")
     )
-    kept = exploded.join(counts, ["_grp", "_h"]).filter(F.col("_docs") < min_docs)
+    kept = exploded.join(boilerplate, ["_grp", "_h"], "left_anti")
     return kept.groupBy(F.col("_id").alias(id_col)).agg(
         F.array_join(
             F.transform(

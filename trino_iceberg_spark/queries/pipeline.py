@@ -2183,10 +2183,15 @@ def cu03_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(ceil(len(toks) / 3.0) AS INT) AS n_chunks
         FROM docs, UNNEST(range(CAST(ceil(len(toks) / 3.0) AS BIGINT))) u(i)
     ), bp AS (
-        SELECT source, chunk, COUNT(DISTINCT doc_id) AS n_docs
-        FROM ch GROUP BY source, chunk
+        SELECT source, chunk
+        FROM ch GROUP BY source, chunk HAVING COUNT(DISTINCT doc_id) >= 2
     ), kept AS (
-        SELECT ch.* FROM ch JOIN bp USING (source, chunk) WHERE bp.n_docs < 2
+        -- anti-join form, matching the operator: only passages in the
+        -- boilerplate set are removed; a NULL source never matches, so
+        -- NULL-group documents keep all passages
+        SELECT ch.* FROM ch WHERE NOT EXISTS (
+            SELECT 1 FROM bp WHERE bp.source = ch.source AND bp.chunk = ch.chunk
+        )
     )
     SELECT doc_id,
            string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text,
