@@ -68,17 +68,32 @@ def curation_decisions(
 def curate_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", **rules) -> DataFrame:
     """Kept documents after quality+language rules and exact dedup.
 
-    Dedup keeps the lowest id per distinct text (deterministic keeper);
-    the shuffle carries (md5, id) pairs — 24 bytes/doc, not documents."""
+    Dedup keeps the lowest id per distinct text (deterministic keeper).
+    The dedup verdict never shuffles documents: the (md5, id) pair table
+    — 24 bytes/doc — shuffles once to find duplicated-text groups, the
+    non-keeper ids of those groups become the VICTIM set (duplicates
+    only, small in a mostly-unique corpus), and the corpus anti-joins
+    against it — the same corpus-scanned-once-never-shuffled shape as
+    clustering's survivor selection. The old keeper semi-join shuffled
+    every kept document (text included) by id."""
     decided = curation_decisions(df, text_col, id_col, **rules)
     kept = decided.filter(F.col("reject_reason").isNull())
-    keeper = (
-        kept.select(F.md5(F.col(text_col).cast("binary")).alias("_h"), F.col(id_col))
-        .groupBy("_h")
-        .agg(F.min(id_col).alias(id_col))
-        .drop("_h")
+    pairs = kept.select(
+        F.md5(F.col(text_col).cast("binary")).alias("_h"),
+        F.col(id_col).alias("_vid"),
     )
-    return kept.join(keeper, id_col, "left_semi")
+    dup_groups = (
+        pairs.groupBy("_h")
+        .agg(F.min("_vid").alias("_keep"), F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 1)
+        .select("_h", "_keep")
+    )
+    victims = (
+        pairs.join(dup_groups, "_h")
+        .filter(F.col("_vid") != F.col("_keep"))
+        .select(F.col("_vid").alias(id_col))
+    )
+    return kept.join(victims, id_col, "left_anti")
 
 
 def curation_report(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", **rules) -> DataFrame:
