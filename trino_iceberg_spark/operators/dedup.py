@@ -688,13 +688,18 @@ def passage_dedup(
     Scale shape: chunking is per-row JVM array work (no explode until the
     passage table); the occurrence count + canonical-keeper aggregate
     shuffles on md5(passage) — high-cardinality, skew-free keys — and the
-    verdict is a LEFT join against only the DUPLICATED hashes' keeper
-    rows (no match → globally unique → keep): in a mostly-unique corpus
-    the join's built side is the duplicate set, not every distinct
-    passage, so it is orders of magnitude smaller than the corpus and
-    AQE can broadcast it. Two shuffles of the passage table plus one
-    groupBy(doc) reassembly; no driver-side state; at 100 TB the passage
-    table is ~corpus-sized and every stage is partition-parallel.
+    verdict joins back on the same key, so Catalyst REUSES the single
+    hash exchange for both the aggregate and the join probe: the corpus
+    is tokenized once and shuffled once. (The tempting alternative —
+    filter keepers to duplicated hashes only and broadcast-left-join the
+    small set — was measured 1.3× SLOWER at sf0.1: breaking the exchange
+    reuse makes the probe side re-tokenize the whole corpus a second
+    time, which costs more than the saved shuffle; cu01's curation dedup
+    uses the broadcast-victims form instead because its verdict key
+    differs from its aggregate key, so it never had an exchange to
+    reuse.) One more groupBy(doc) reassembly; no driver-side state; at
+    100 TB the passage table is ~corpus-sized and every stage is
+    partition-parallel.
     """
     toks = F.filter(F.split(F.col(content_col), " "), lambda w: w != "")
     n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
@@ -712,21 +717,15 @@ def passage_dedup(
     )
     # Canonical keeper = lexicographic min of the (doc_id, chunk_idx)
     # STRUCT — no arithmetic encoding (doc_id*1e6+idx collides for >1M-chunk
-    # documents and overflows long for doc_id > ~9.2e12). Only DUPLICATED
-    # hashes need keeper rows: a LEFT join against that (small) set keeps
-    # unique passages via the no-match branch, so the join never carries
-    # the full distinct-hash table.
-    dup_keepers = (
-        exploded.groupBy("_h")
-        .agg(
-            F.count(F.lit(1)).alias("_cnt"),
-            F.min(F.struct("_id", "chunk_idx")).alias("_keeper"),
-        )
-        .filter(F.col("_cnt") > 1)
-        .select("_h", "_keeper")
+    # documents and overflows long for doc_id > ~9.2e12). Inner join on
+    # the aggregate's own key: exchange reuse (see docstring) makes this
+    # the one-tokenize / one-shuffle form.
+    keepers = exploded.groupBy("_h").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.min(F.struct("_id", "chunk_idx")).alias("_keeper"),
     )
-    kept = exploded.join(dup_keepers, "_h", "left").filter(
-        F.col("_keeper").isNull()
+    kept = exploded.join(keepers, "_h").filter(
+        (F.col("_cnt") == 1)
         | (
             (F.col("_keeper._id") == F.col("_id"))
             & (F.col("_keeper.chunk_idx") == F.col("chunk_idx"))
