@@ -6,10 +6,10 @@ fresh seed) run via the tool directly; 7,800 generated queries across
 sf0.01 and sf0.001 agreed at round 5. Round 6 extended the grammar twice
 (outer joins with null-extended rows, set operations, HAVING over
 aggregates, QUALIFY through the client rewrite; then ROLLUP/CUBE/
-GROUPING SETS, correlated scalar subqueries, COUNT DISTINCT): ~6,100
+GROUPING SETS, correlated scalar subqueries, COUNT DISTINCT): ~13,000
 generated queries ran in-round, surfacing ONE real dialect divergence
 (empty-input CUBE, pinned below and excluded by construction), after
-which 2,850 queries on the final grammar across four fresh seeds at
+which 7,700 queries on the final grammar across nine fresh seeds at
 both SFs agreed 100%. QUALIFY shapes route through rewrite_qualify on
 the Spark side, same as the tool."""
 
