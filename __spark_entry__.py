@@ -50,9 +50,10 @@ _TUNED_CONFS = {
 # module docstring. Names absent from the registry are ignored (safety
 # against future renames), and every registered query is always yielded.
 #
-# Round-6 ordering (registry: 210 entries, ALL oracle-backed;
+# Round-6 ordering (registry: 211 entries, ALL oracle-backed;
 # sp10_corpus_to_shards — the flagship curation→packing→shard-write
-# chain — is new). The cross-round union is 209/209 green, so this
+# chain — and cu08_dsir_selection — DSIR importance resampling — are
+# new). The cross-round union is 209/209 green, so this
 # round's budget goes to the new/changed entries and then the DRIFT
 # RE-VERIFY program: the judge grades verdicts at latest check, and the
 # oldest cohorts (last recorded r01/r02) are the weakest links. Tiers:
@@ -70,6 +71,7 @@ _TUNED_CONFS = {
 _FRONT = [
     # --- tier 1: new + changed-code re-verifies ---
     "sp10_corpus_to_shards",
+    "cu08_dsir_selection",
     "dd14_substring_dedup",
     "ev15_bloom_prefilter",
     "ev09_sketch_rollup",

@@ -61,6 +61,8 @@ def bare_spark(spark):
         # regex tokenization, two-phase cumsum, partitioned write, and
         # the disk read-back joins, all on a bare session
         "sp10_corpus_to_shards",
+        # DSIR selection: log/decimal bucket weights + broadcast top-k
+        "cu08_dsir_selection",
     ],
 )
 def test_entry_runs_on_bare_session(bare_spark, sf_dir, name):

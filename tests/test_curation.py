@@ -126,3 +126,38 @@ def test_boilerplate_removal_null_group_keeps_everything(spark):
     # siteA still gets its template removed
     assert out[3]["clean_text"] == "alpha beta gamma"
     assert out[4]["clean_text"] == "delta epsilon zeta"
+
+
+def test_dsir_log_weights_favor_target_like_documents(spark):
+    """DSIR contract: a raw document made of the target's n-grams gets a
+    HIGHER log importance weight than one made of raw-only n-grams;
+    sub-n-gram documents get zero grams and weight exactly 0.0; weights
+    are deterministic across runs."""
+    from trino_iceberg_spark.operators.curation import dsir_log_weights
+
+    target = spark.createDataFrame(
+        [(100 + i, "quantum physics lecture notes") for i in range(5)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "quantum physics lecture notes"),          # pure target-like
+            (2, "celebrity gossip tabloid story"),         # raw-only grams
+            (3, "quantum physics tabloid story"),          # mixed
+            (4, "word"),                                   # < 2 tokens
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in dsir_log_weights(raw, target, "text", "doc_id").collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1]["log_weight"] > got[3]["log_weight"] > got[2]["log_weight"]
+    assert got[2]["log_weight"] < 0  # raw-only: target assigns low mass
+    assert got[4]["n_grams"] == 0 and got[4]["log_weight"] == 0.0
+    again = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_log_weights(raw, target, "text", "doc_id").collect()
+    }
+    assert again == {k: v["log_weight"] for k, v in got.items()}

@@ -79,6 +79,9 @@ ALLOW = {
     "ev06_hourly_gap_fill": _SPINE,
     "ev11_interpolated_gap_fill": _SPINE,
     "ev15_bloom_prefilter": _SCALAR,  # 1-row 8 KiB bloom bitmap broadcast
+    # 1-row gram-total scalars crossJoined into the 4096-row bucket-weight
+    # table (and its reuse on both count paths) — all constant-sized
+    "cu08_dsir_selection": _SCALAR,
 }
 
 PATTERNS = {

@@ -26,6 +26,7 @@ __all__ = [
     "percentile_band_filter",
     "contamination_report",
     "boilerplate_removal",
+    "dsir_log_weights",
 ]
 
 
@@ -301,4 +302,96 @@ def boilerplate_removal(
         ).alias("clean_text"),
         F.first("n_chunks").alias("n_chunks"),
         F.count(F.lit(1)).cast("int").alias("n_kept"),
+    )
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 4096,
+    n_gram: int = 2,
+) -> DataFrame:
+    """Hashed n-gram importance weights for data selection (DSIR — Xie et
+    al. 2023, "Data Selection for Language Models via Importance
+    Resampling"): estimate per-document log importance weights
+    ``log p_target(doc) / p_raw(doc)`` under bag-of-hashed-n-grams
+    unigram models of the TARGET (small, high-quality) and RAW corpora,
+    so a raw web crawl can be resampled toward the target distribution
+    before training. The paper's feature space is hashed unigrams+bigrams;
+    this implementation uses hashed ``n_gram``-grams (default bigrams).
+
+    Returns ``(id_col, n_grams, log_weight)`` for every raw document
+    (documents with fewer than ``n_gram`` tokens get 0 grams and weight
+    0.0 — no evidence either way).
+
+    Engine-portable by the repo's conventions: gram→bucket is
+    ``portable_hash64 % num_buckets`` (md5-derived, replayable anywhere),
+    bucket log-ratios are ROUNDed to 6 decimals ONCE per bucket and
+    summed as exact DECIMAL — the per-document sum is order-independent,
+    so the DuckDB oracle reproduces every weight bit-for-bit; DOUBLE
+    appears only at the output boundary.
+
+    Scale shape: gram hashing and bucketing are per-row JVM work; the two
+    bucket-count aggregates are bounded by ``num_buckets`` (map-side
+    partial combine, never corpus-sized); the bucket-weight table is
+    ``num_buckets`` rows and BROADCASTS into the raw gram stream, so the
+    raw corpus is never shuffled by gram — the only corpus-keyed shuffle
+    is the final per-document partial-aggregated sum. Laplace (+1)
+    smoothing keeps unseen buckets finite on both sides.
+    """
+    from .dedup import portable_hash64
+
+    def grams(df: DataFrame) -> DataFrame:
+        toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+        g = F.when(
+            F.size(toks) >= n_gram,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n_gram),
+                lambda i: F.array_join(F.slice(toks, i + 1, n_gram), " "),
+            ),
+        )
+        return df.select(
+            F.col(id_col), F.explode(g).alias("_g")
+        ).withColumn("_b", F.pmod(portable_hash64(F.col("_g")), F.lit(num_buckets)))
+
+    raw_grams = grams(raw)
+    target_grams = grams(target)
+    tc = target_grams.groupBy("_b").agg(F.count(F.lit(1)).alias("_ct"))
+    rc = raw_grams.groupBy("_b").agg(F.count(F.lit(1)).alias("_cr"))
+    totals = target_grams.agg(F.count(F.lit(1)).alias("_T")).crossJoin(
+        raw_grams.agg(F.count(F.lit(1)).alias("_R"))
+    )  # 1x1 rows: broadcast scalar totals, never a data shuffle
+    spark = raw.sparkSession
+    domain = spark.range(num_buckets).select(F.col("id").alias("_b"))
+    ratio = F.log(
+        (F.coalesce(F.col("_ct"), F.lit(0)) + 1.0)
+        / (F.col("_T") + F.lit(float(num_buckets)))
+    ) - F.log(
+        (F.coalesce(F.col("_cr"), F.lit(0)) + 1.0)
+        / (F.col("_R") + F.lit(float(num_buckets)))
+    )
+    weights = (
+        domain.join(tc, "_b", "left")
+        .join(rc, "_b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select("_b", F.round(ratio, 6).cast("decimal(16,6)").alias("_w"))
+    )
+    doc_w = (
+        raw_grams.join(F.broadcast(weights), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum("_w").cast("double").alias("log_weight"),
+        )
+    )
+    return (
+        raw.select(id_col)
+        .join(doc_w, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
+        )
     )

@@ -2940,6 +2940,92 @@ def cu07_end_to_end_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cu08_dsir_selection",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5(ws[u.i+1] || ' ' || ws[u.i+2]), 1, 15))::BIGINT
+                   % 4096 AS b
+        FROM toks, UNNEST(range(len(ws) - 1)) u(i)
+    ),
+    tc AS (SELECT b, COUNT(*) AS ct FROM grams WHERE source = 'src0' GROUP BY b),
+    rc AS (SELECT b, COUNT(*) AS cr FROM grams GROUP BY b),
+    tot AS (SELECT (SELECT COUNT(*) FROM grams WHERE source = 'src0') AS t_total,
+                   (SELECT COUNT(*) FROM grams) AS r_total),
+    w AS (
+        SELECT d.b,
+               CAST(ROUND(ln((COALESCE(tc.ct, 0) + 1.0) / (tot.t_total + 4096.0))
+                        - ln((COALESCE(rc.cr, 0) + 1.0) / (tot.r_total + 4096.0)), 6)
+                    AS DECIMAL(16,6)) AS wb
+        FROM (SELECT unnest(range(4096)) AS b) d
+        LEFT JOIN tc ON tc.b = d.b
+        LEFT JOIN rc ON rc.b = d.b
+        CROSS JOIN tot
+    ),
+    doc_w AS (
+        SELECT g.doc_id, COUNT(*) AS n_grams, CAST(SUM(w.wb) AS DOUBLE) AS log_weight
+        FROM grams g JOIN w ON w.b = g.b GROUP BY g.doc_id
+    ),
+    allw AS (
+        SELECT d.doc_id,
+               CAST(COALESCE(doc_w.n_grams, 0) AS BIGINT) AS n_grams,
+               COALESCE(doc_w.log_weight, 0.0) AS log_weight
+        FROM documents d LEFT JOIN doc_w ON doc_w.doc_id = d.doc_id
+    )
+    SELECT doc_id, n_grams, log_weight,
+           (ROW_NUMBER() OVER (ORDER BY log_weight DESC, doc_id) <= 150) AS selected
+    FROM allw ORDER BY doc_id
+    """,
+)
+def cu08_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (operators.curation.dsir_log_weights —
+    Xie et al. 2023's importance resampling): per-document log importance
+    weights under hashed-bigram unigram models of a TARGET distribution
+    (here the 'src0' slice; in production an external high-quality
+    corpus) vs the RAW corpus, plus the top-150 selection a resampling
+    pass would keep. Every hash is portable_hash64, each bucket's
+    log-ratio is rounded once to 6 decimals, and the per-document sum is
+    exact DECIMAL (order-independent), so the DuckDB oracle reproduces
+    both the weights and the selected set bit-for-bit — including
+    deterministic (weight, doc_id) tie-breaking at the cut.
+
+    Scale shape: bucket counts are bounded by num_buckets (map-side
+    partial combine), the 4096-row weight table broadcasts into the raw
+    gram stream (the corpus is never shuffled by gram), the per-doc sum
+    is the one corpus-keyed shuffle, and the selection is a broadcast
+    top-k membership join (TakeOrderedAndProject — no global sort or
+    single-partition window over the corpus)."""
+    from ..operators.curation import dsir_log_weights
+
+    d = load_table(spark, sf_dir, "documents")
+    target = d.filter(F.col("source") == "src0")
+    weights = dsir_log_weights(
+        d, target, "text", "doc_id", num_buckets=4096, n_gram=2
+    )
+    top = (
+        weights.orderBy(F.col("log_weight").desc(), F.col("doc_id"))
+        .limit(150)
+        .select("doc_id")
+        .withColumn("_sel", F.lit(True))
+    )
+    return (
+        weights.join(F.broadcast(top), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            "log_weight",
+            F.coalesce("_sel", F.lit(False)).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "tx15_bigram_fluency",
     oracle="""
     WITH toks AS (
