@@ -50,7 +50,7 @@ _TUNED_CONFS = {
 # module docstring. Names absent from the registry are ignored (safety
 # against future renames), and every registered query is always yielded.
 #
-# Round-6 ordering (registry: 211 entries, ALL oracle-backed;
+# Round-6 ordering (registry: 212 entries, ALL oracle-backed;
 # sp10_corpus_to_shards — the flagship curation→packing→shard-write
 # chain — and cu08_dsir_selection — DSIR importance resampling — are
 # new). The cross-round union is 209/209 green, so this
@@ -72,6 +72,7 @@ _FRONT = [
     # --- tier 1: new + changed-code re-verifies ---
     "sp10_corpus_to_shards",
     "cu08_dsir_selection",
+    "dd15_containment_pairs",
     "dd14_substring_dedup",
     "ev15_bloom_prefilter",
     "ev09_sketch_rollup",

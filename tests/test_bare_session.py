@@ -63,6 +63,8 @@ def bare_spark(spark):
         "sp10_corpus_to_shards",
         # DSIR selection: log/decimal bucket weights + broadcast top-k
         "cu08_dsir_selection",
+        # containment: shared inverted shingle index, directed union
+        "dd15_containment_pairs",
     ],
 )
 def test_entry_runs_on_bare_session(bare_spark, sf_dir, name):

@@ -1056,3 +1056,33 @@ def test_training_shards_deterministic_and_prunable(spark, sf_dir, tmp_path):
     plan = one._jdf.queryExecution().executedPlan().toString()
     pf = next((l for l in plan.splitlines() if "PartitionFilters" in l), "")
     assert "shard" in pf, plan
+
+
+def test_containment_detects_excerpts_jaccard_misses(spark):
+    """Broder containment contract: a short doc fully quoted inside a much
+    larger one has containment 1.0 in that direction while its Jaccard is
+    far below any dedup threshold — and the reverse direction does NOT
+    qualify (asymmetry is the point). Unrelated docs emit nothing."""
+    from trino_iceberg_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"filler{i} pad{i} extra{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, quote),                    # the excerpt
+            (2, filler + " " + quote),     # contains it verbatim
+            (3, "totally different content with nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["src_id"], r["dst_id"]): r["containment"]
+        for r in containment_pairs(docs, "text", "doc_id", k=3, threshold=0.9).collect()
+    }
+    assert got == {(1, 2): 1.0}  # only the excerpt direction qualifies
+    # the same pair is invisible to symmetric Jaccard at any real threshold
+    jac = ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.3).collect()
+    assert jac == []

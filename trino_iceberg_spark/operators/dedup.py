@@ -35,6 +35,7 @@ __all__ = [
     "minhash_dedup_pairs",
     "incremental_minhash_pairs",
     "ngram_jaccard_pairs",
+    "containment_pairs",
     "simhash",
     "simhash_dedup_pairs",
     "embedding_dedup_pairs",
@@ -474,6 +475,75 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    block_col: Column | None = None,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs (Broder 1997, "On the resemblance
+    and containment of documents"): the ASYMMETRIC companion to
+    :func:`ngram_jaccard_pairs` — ``C(src→dst) = |S(src) ∩ S(dst)| /
+    |S(src)|``, the fraction of src's distinct k-shingles that also
+    appear in dst. High containment with a small src detects quotes,
+    excerpts, and documents embedded inside larger ones — pairs whose
+    Jaccard is near zero because |dst| ≫ |src|, invisible to every
+    symmetric near-dup operator. The standard curation uses: drop a
+    document fully contained in another, or flag corpus entries that
+    swallow benchmark items whole.
+
+    Returns DIRECTED rows ``(src_id, dst_id, containment)`` — one per
+    direction that clears ``threshold`` (a pair may qualify in one
+    direction only; total mutual containment ≈ exact duplication).
+
+    Scale shape: identical to :func:`ngram_jaccard_pairs` — one shared
+    inverted shingle index feeds both join sides (pairs sharing no
+    shingle never materialize; cost Σ_s df(s)², near-linear on natural
+    text), one (pair)-keyed count, then both directed ratios derive from
+    the same counted row — the asymmetry is free, no second index pass.
+    No size-ratio prune (asymmetry is the point: a tiny src inside a
+    huge dst must survive). ``block_col`` narrows the index exactly as
+    in the Jaccard form."""
+    cols = [F.col(id_col).alias("_id"), shingle_hashes(content_col, k).alias("_sh")]
+    join_keys = ["_s"]
+    if block_col is not None:
+        cols.append(block_col.alias("_blk"))
+        join_keys = ["_blk", "_s"]
+    sh = df.select(*cols).withColumn("_n", F.size("_sh"))
+    ex = sh.select(
+        *(["_blk"] if block_col is not None else []),
+        F.col("_id"),
+        F.col("_n"),
+        F.explode("_sh").alias("_s"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    a = ex.select(*join_keys, F.col("_id").alias("id_a"), F.col("_n").alias("_n_a"))
+    b = ex.select(*join_keys, F.col("_id").alias("id_b"), F.col("_n").alias("_n_b"))
+    counted = (
+        a.join(b, join_keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("_inter"),
+            F.first("_n_a").alias("_n_a"),
+            F.first("_n_b").alias("_n_b"),
+        )
+    )
+    directed = counted.select(
+        F.col("id_a").alias("src_id"),
+        F.col("id_b").alias("dst_id"),
+        (F.col("_inter") / F.col("_n_a")).alias("containment"),
+    ).unionAll(
+        counted.select(
+            F.col("id_b").alias("src_id"),
+            F.col("id_a").alias("dst_id"),
+            (F.col("_inter") / F.col("_n_b")).alias("containment"),
+        )
+    )
+    return directed.filter(F.col("containment") >= threshold)
 
 
 # ---------------------------------------------------------------------------

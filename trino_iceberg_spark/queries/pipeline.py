@@ -534,6 +534,56 @@ def dd04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@register(
+    "dd15_containment_pairs",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(
+                   range(len(toks) - 2),
+                   i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+               )) AS shingles
+        FROM (SELECT doc_id, lang,
+                     list_filter(string_split(lower(text), ' '), w -> w <> '') AS toks
+              FROM documents)
+        WHERE len(toks) >= 3
+    ),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.shingles, b.shingles)) AS i,
+               len(a.shingles) AS na, len(b.shingles) AS nb
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+    )
+    SELECT src_id, dst_id, containment FROM (
+        SELECT id_a AS src_id, id_b AS dst_id,
+               CAST(i AS DOUBLE) / na AS containment FROM inter
+        UNION ALL
+        SELECT id_b AS src_id, id_a AS dst_id,
+               CAST(i AS DOUBLE) / nb AS containment FROM inter
+    ) WHERE containment >= 0.6
+    ORDER BY src_id, dst_id
+    """,
+)
+def dd15_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram CONTAINMENT pairs blocked by language
+    (operators.dedup.containment_pairs — Broder 1997's asymmetric
+    measure): directed (src, dst) rows where >= 60% of src's distinct
+    shingles appear in dst — the quote/excerpt/embedded-document
+    detector symmetric Jaccard (dd04) cannot see when dst is much
+    larger than src. Shares dd04's inverted-index machinery and its
+    oracle convention (string shingles on the DuckDB side double as a
+    hash-collision check for the xxhash64 path); both directed ratios
+    derive from one counted row, so the asymmetry adds no index pass."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.containment_pairs(
+        d, "text", "doc_id", k=3, threshold=0.6, block_col=F.col("lang")
+    )
+    return pairs.select(
+        "src_id", "dst_id", F.col("containment").cast("double").alias("containment")
+    ).orderBy("src_id", "dst_id")
+
+
 # Shared DuckDB fragment: the dd04 3-gram Jaccard pair graph (threshold 0.3,
 # blocked by lang), symmetrized, plus connected components via a recursive
 # CTE — min label over the transitive closure equals the component minimum.
