@@ -50,7 +50,7 @@ _TUNED_CONFS = {
 # module docstring. Names absent from the registry are ignored (safety
 # against future renames), and every registered query is always yielded.
 #
-# Round-6 ordering (registry: 212 entries, ALL oracle-backed;
+# Round-6 ordering (registry: 213 entries, ALL oracle-backed;
 # sp10_corpus_to_shards — the flagship curation→packing→shard-write
 # chain — and cu08_dsir_selection — DSIR importance resampling — are
 # new). The cross-round union is 209/209 green, so this
@@ -73,6 +73,7 @@ _FRONT = [
     "sp10_corpus_to_shards",
     "cu08_dsir_selection",
     "dd15_containment_pairs",
+    "tx16_token_entropy",
     "dd14_substring_dedup",
     "ev15_bloom_prefilter",
     "ev09_sketch_rollup",

@@ -1086,3 +1086,30 @@ def test_containment_detects_excerpts_jaccard_misses(spark):
     # the same pair is invisible to symmetric Jaccard at any real threshold
     jac = ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.3).collect()
     assert jac == []
+
+
+def test_token_entropy_ranks_diversity(spark):
+    """Entropy contract: uniform vocabulary maxes entropy (log2 n), full
+    repetition zeroes it, and the mixed case lands exactly between;
+    empty/singleton docs score 0.0 with correct counts; values are exact
+    (integer micro-bit accumulation) so reruns match strictly."""
+    from trino_iceberg_spark.operators.text import token_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a a a a a"),       # H = 0
+            (2, "a b c d e f g h"),       # H = 3 (uniform over 8)
+            (3, "a a a a b b c d"),       # H = 1.75 exactly
+            (4, ""),
+            (5, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in token_entropy(df, "text", "doc_id").collect()}
+    assert got[1]["entropy"] == 0.0
+    assert got[2]["entropy"] == 3.0
+    assert got[3]["entropy"] == 1.75  # (8·3 − (4·2 + 2·1 + 0 + 0))/8 = 1.75
+    assert got[4]["n_words"] == 0 and got[4]["entropy"] == 0.0
+    assert got[5]["n_distinct_words"] == 1 and got[5]["entropy"] == 0.0
+    again = {r["doc_id"]: r["entropy"] for r in token_entropy(df, "text", "doc_id").collect()}
+    assert again == {k: v["entropy"] for k, v in got.items()}

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Randomized differential testing: generated SQL run on BOTH Spark and
 DuckDB over the same parquet tables, results compared as canonical
-multisets. The fixed oracle registry pins 212 hand-written queries; this
+multisets. The fixed oracle registry pins 213 hand-written queries; this
 tool explores the space BETWEEN them — filter/join/group-by/expression
 compositions nobody wrote down — so a dialect divergence or planner bug
 surfaces as a value mismatch with the reproducing SQL attached.

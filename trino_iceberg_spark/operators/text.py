@@ -29,6 +29,7 @@ __all__ = [
     "rarity_scores",
     "sliding_chunks",
     "bigram_surprise_scores",
+    "token_entropy",
 ]
 
 # Tiny per-language stopword marker lists for the n-gram/stopword heuristic
@@ -511,4 +512,63 @@ def bigram_surprise_scores(df: DataFrame, text_col: str, id_col: str) -> DataFra
         F.col(id_col),
         "n_bigrams",
         (F.col("_raw").cast("double") / F.col("n_bigrams")).alias("surprise"),
+    )
+
+
+def token_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Shannon entropy (bits) of each document's word distribution —
+    the degenerate/templated-text quality signal (low entropy = heavy
+    repetition; Gopher-class pipelines gate on repetition signals, and
+    entropy is their information-theoretic summary):
+    ``H = log2(n) − (Σ_w c_w·log2(c_w)) / n``.
+
+    Returns ``(id_col, n_words, n_distinct_words, entropy)`` with
+    ``entropy`` rounded to 6 decimals; empty documents score 0.0.
+
+    Determinism/portability: the inner sum accumulates in INTEGER
+    MICRO-BITS — each run's ``c·log2(c)`` is rounded once to 1e-6 and
+    summed as BIGINT — so the accumulation is exact and
+    order-independent, and an explode+groupBy oracle (the tx16 entry's
+    DuckDB twin) reproduces the value bit-for-bit even though it counts
+    words in a completely different order. Only single libm calls
+    (per-run log2 and the final log2(n)) touch floating point, each
+    immediately rounded.
+
+    Scale shape: per-row work only — the run-length scan over the
+    document's SORTED word array happens inside one ``aggregate``
+    expression (O(n log n) per row, same pattern as
+    :func:`repetition_stats`'s top-word count); no explode, no shuffle,
+    no UDF."""
+    words = word_tokens_col(text_col)
+    n = F.size(words)
+
+    def term(c: Column) -> Column:
+        # c·log2(c) in integer micro-bits; run length 1 contributes 0
+        d = c.cast("double")
+        return F.round(d * F.log2(d) * F.lit(1e6)).cast("long")
+
+    zero = F.lit(0).cast("long")
+    close = lambda acc: F.when(acc["run"] > 1, term(acc["run"])).otherwise(zero)  # noqa: E731
+    s_int = F.aggregate(
+        F.array_sort(words),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"), zero.alias("s")),
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(w == acc["prev"], acc["s"]).otherwise(acc["s"] + close(acc)).alias(
+                "s"
+            ),
+        ),
+        lambda acc: acc["s"] + close(acc),
+    )
+    nd = n.cast("double")
+    entropy = F.when(
+        n > 0,
+        F.round(F.log2(nd) - (s_int / F.lit(1e6)) / nd, 6),
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct_words"),
+        entropy.alias("entropy"),
     )

@@ -3076,6 +3076,53 @@ def cu08_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tx16_token_entropy",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS ws
+        FROM documents
+    ),
+    wc AS (
+        SELECT doc_id, u.w, COUNT(*) AS c
+        FROM toks, UNNEST(ws) AS u(w)
+        GROUP BY doc_id, u.w
+    ),
+    s AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_words,
+               COUNT(*) AS n_distinct,
+               SUM(CASE WHEN c > 1
+                        THEN CAST(ROUND(c * log2(c) * 1000000) AS BIGINT)
+                        ELSE 0 END) AS s_int
+        FROM wc GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(COALESCE(s.n_words, 0) AS BIGINT) AS n_words,
+           CAST(COALESCE(s.n_distinct, 0) AS BIGINT) AS n_distinct_words,
+           CASE WHEN s.n_words IS NULL THEN 0.0
+                ELSE ROUND(log2(s.n_words) - (s.s_int / 1000000.0) / s.n_words, 6)
+           END AS entropy
+    FROM toks t LEFT JOIN s USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def tx16_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon word entropy (operators.text.token_entropy) —
+    the information-theoretic repetition/templated-text gate. The Spark
+    side is a per-row sorted run-length scan inside ONE aggregate
+    expression (no explode, no shuffle); the oracle counts words the
+    opposite way (explode + GROUP BY). They hash-match because the inner
+    sum accumulates in integer micro-bits — each run's c*log2(c) rounded
+    once then summed exactly — so the two completely different
+    computation orders are forced to the identical value."""
+    from ..operators.text import token_entropy
+
+    d = load_table(spark, sf_dir, "documents")
+    return token_entropy(d, "text", "doc_id").orderBy("doc_id")
+
+
+@register(
     "tx15_bigram_fluency",
     oracle="""
     WITH toks AS (
