@@ -1113,3 +1113,31 @@ def test_token_entropy_ranks_diversity(spark):
     assert got[5]["n_distinct_words"] == 1 and got[5]["entropy"] == 0.0
     again = {r["doc_id"]: r["entropy"] for r in token_entropy(df, "text", "doc_id").collect()}
     assert again == {k: v["entropy"] for k, v in got.items()}
+
+
+def test_containment_excludes_sub_k_documents(spark):
+    """Sub-k documents have an EMPTY shingle set (empty_when_short) — a
+    duplicated two-word text must emit NO containment pair (a synthetic
+    whole-text gram would fabricate containment 1.0 and diverge from the
+    oracle's len >= k exclusion)."""
+    from trino_iceberg_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc"), (3, "a longer document with words")],
+        "doc_id long, text string",
+    )
+    assert containment_pairs(docs, "text", "doc_id", k=3, threshold=0.1).collect() == []
+
+
+def test_token_entropy_null_text_zero_counts(spark):
+    """NULL text scores entropy 0.0 with ZERO counts, not NULL counts —
+    the ANSI size(NULL) path must coalesce so the output matches the
+    oracle's COALESCE(..., 0)."""
+    from trino_iceberg_spark.operators.text import token_entropy
+
+    docs = spark.createDataFrame([(1, None), (2, "a b")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in token_entropy(docs, "text", "doc_id").collect()}
+    assert got[1]["n_words"] == 0
+    assert got[1]["n_distinct_words"] == 0
+    assert got[1]["entropy"] == 0.0
+    assert got[2]["n_words"] == 2 and got[2]["entropy"] == 1.0

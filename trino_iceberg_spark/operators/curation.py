@@ -339,7 +339,10 @@ def dsir_log_weights(
     ``num_buckets`` rows and BROADCASTS into the raw gram stream, so the
     raw corpus is never shuffled by gram — the only corpus-keyed shuffle
     is the final per-document partial-aggregated sum. Laplace (+1)
-    smoothing keeps unseen buckets finite on both sides.
+    smoothing keeps unseen buckets finite on both sides. Total cost:
+    the target corpus is tokenized once, the raw corpus twice (bucket
+    counts + the per-document weighted sum) — the gram TOTALS derive
+    from the bucket-count table itself, never a third scan.
     """
     from .dedup import portable_hash64
 
@@ -356,27 +359,39 @@ def dsir_log_weights(
             F.col(id_col), F.explode(g).alias("_g")
         ).withColumn("_b", F.pmod(portable_hash64(F.col("_g")), F.lit(num_buckets)))
 
+    from pyspark import StorageLevel
+
     raw_grams = grams(raw)
     target_grams = grams(target)
     tc = target_grams.groupBy("_b").agg(F.count(F.lit(1)).alias("_ct"))
     rc = raw_grams.groupBy("_b").agg(F.count(F.lit(1)).alias("_cr"))
-    totals = target_grams.agg(F.count(F.lit(1)).alias("_T")).crossJoin(
-        raw_grams.agg(F.count(F.lit(1)).alias("_R"))
-    )  # 1x1 rows: broadcast scalar totals, never a data shuffle
     spark = raw.sparkSession
     domain = spark.range(num_buckets).select(F.col("id").alias("_b"))
-    ratio = F.log(
-        (F.coalesce(F.col("_ct"), F.lit(0)) + 1.0)
-        / (F.col("_T") + F.lit(float(num_buckets)))
-    ) - F.log(
-        (F.coalesce(F.col("_cr"), F.lit(0)) + 1.0)
-        / (F.col("_R") + F.lit(float(num_buckets)))
-    )
-    weights = (
+    # The gram totals ARE the column sums of the bucket-count table —
+    # derive them from the <= num_buckets-row counts (persisted: bounded
+    # memory) instead of re-scanning either corpus for a COUNT(*); each
+    # corpus is tokenized exactly once for its bucket counts, and the
+    # raw stream a second time for the per-document weighted sum.
+    counts = (
         domain.join(tc, "_b", "left")
         .join(rc, "_b", "left")
-        .crossJoin(F.broadcast(totals))
-        .select("_b", F.round(ratio, 6).cast("decimal(16,6)").alias("_w"))
+        .select(
+            "_b",
+            F.coalesce("_ct", F.lit(0)).alias("_ct"),
+            F.coalesce("_cr", F.lit(0)).alias("_cr"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    totals = counts.agg(
+        F.sum("_ct").alias("_T"), F.sum("_cr").alias("_R")
+    )  # 1 row over num_buckets inputs: broadcast scalars, no data shuffle
+    ratio = F.log(
+        (F.col("_ct") + 1.0) / (F.col("_T") + F.lit(float(num_buckets)))
+    ) - F.log(
+        (F.col("_cr") + 1.0) / (F.col("_R") + F.lit(float(num_buckets)))
+    )
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        "_b", F.round(ratio, 6).cast("decimal(16,6)").alias("_w")
     )
     doc_w = (
         raw_grams.join(F.broadcast(weights), "_b")

@@ -507,8 +507,18 @@ def containment_pairs(
     the same counted row — the asymmetry is free, no second index pass.
     No size-ratio prune (asymmetry is the point: a tiny src inside a
     huge dst must survive). ``block_col`` narrows the index exactly as
-    in the Jaccard form."""
-    cols = [F.col(id_col).alias("_id"), shingle_hashes(content_col, k).alias("_sh")]
+    in the Jaccard form.
+
+    Documents with fewer than ``k`` words have an EMPTY shingle set and
+    emit nothing (``empty_when_short=True`` — containment over an empty
+    ``S(src)`` is undefined, and a synthetic whole-text gram would
+    fabricate containment 1.0 for any duplicated short text, diverging
+    from the documented ``|S(src) ∩ S(dst)| / |S(src)|`` contract and
+    from the dd15 oracle, which excludes sub-k documents)."""
+    cols = [
+        F.col(id_col).alias("_id"),
+        shingle_hashes(content_col, k, empty_when_short=True).alias("_sh"),
+    ]
     join_keys = ["_s"]
     if block_col is not None:
         cols.append(block_col.alias("_blk"))

@@ -523,7 +523,10 @@ def token_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     ``H = log2(n) − (Σ_w c_w·log2(c_w)) / n``.
 
     Returns ``(id_col, n_words, n_distinct_words, entropy)`` with
-    ``entropy`` rounded to 6 decimals; empty documents score 0.0.
+    ``entropy`` rounded to 6 decimals; empty and NULL documents score
+    0.0 with zero counts (NULL text would otherwise surface as NULL
+    sizes under ANSI semantics — coalesced so the output matches the
+    tx16 oracle's COALESCE(..., 0) on every engine).
 
     Determinism/portability: the inner sum accumulates in INTEGER
     MICRO-BITS — each run's ``c·log2(c)`` is rounded once to 1e-6 and
@@ -539,7 +542,7 @@ def token_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     expression (O(n log n) per row, same pattern as
     :func:`repetition_stats`'s top-word count); no explode, no shuffle,
     no UDF."""
-    words = word_tokens_col(text_col)
+    words = F.coalesce(word_tokens_col(text_col), F.array().cast("array<string>"))
     n = F.size(words)
 
     def term(c: Column) -> Column:
