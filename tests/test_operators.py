@@ -1141,3 +1141,86 @@ def test_token_entropy_null_text_zero_counts(spark):
     assert got[1]["n_distinct_words"] == 0
     assert got[1]["entropy"] == 0.0
     assert got[2]["n_words"] == 2 and got[2]["entropy"] == 1.0
+
+
+def test_max_df_guard_survives_viral_shingle(spark, caplog):
+    """Hot-shingle guard: 100k documents sharing ONE boilerplate trigram
+    would materialize ~5e9 candidate pairs through the inverted index —
+    with the default-on max_df cap the viral shingle is dropped (loudly)
+    and the job finishes with zero pairs, since every other shingle is
+    unique. This is the same hot-key class as dd03's bucket cap and
+    dd11's max_cell_size."""
+    import logging
+
+    from trino_iceberg_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.range(100_000).selectExpr(
+        "id AS doc_id",
+        "concat('common header trigram unique', id, ' tail', id, ' end', id) AS text",
+    )
+    with caplog.at_level(logging.WARNING, logger="trino_iceberg_spark.operators.dedup"):
+        pairs = ngram_jaccard_pairs(
+            docs, "text", "doc_id", k=3, threshold=0.1, max_df=100
+        )
+        assert pairs.count() == 0
+    assert any("max_df guard dropped" in r.message for r in caplog.records)
+
+
+def test_max_df_cap_is_one_sided_underestimate(spark):
+    """Cap semantics: capped shingles vanish from the INTERSECTION count
+    while |A|/|B| still include them — so under an aggressive cap a pair
+    whose only shared shingles are viral emits nothing, and max_df=None
+    restores the exact Jaccard/containment."""
+    from trino_iceberg_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x y z a b c"), (2, "x y z a b d")],
+        "doc_id long, text string",
+    )
+    exact = ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.1, max_df=None
+    ).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in exact] == [(1, 2, 0.6)]
+    capped = ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.1, max_df=1
+    ).collect()
+    assert capped == []  # all 3 shared shingles have df=2 > 1
+
+    quote = spark.createDataFrame(
+        [(1, "x y z"), (2, "x y z and much more here")],
+        "doc_id long, text string",
+    )
+    exact_c = containment_pairs(
+        quote, "text", "doc_id", k=3, threshold=0.5, max_df=None
+    ).collect()
+    assert [(r.src_id, r.dst_id, r.containment) for r in exact_c] == [(1, 2, 1.0)]
+    assert (
+        containment_pairs(
+            quote, "text", "doc_id", k=3, threshold=0.5, max_df=1
+        ).collect()
+        == []
+    )
+
+
+def test_decontaminate_sub_k_docs_contribute_no_grams(spark):
+    """K-gram contract through decontaminate: a tab-separated document has
+    ONE space-split token, hence zero 8-grams — it can neither contaminate
+    nor be contaminated even when its exact text sits in the benchmark
+    (the dedup path's synthetic whole-text gram must NOT leak in here; the
+    SQL oracles model range(len(ws)-7) = zero grams for sub-8-word docs).
+    A genuine 8-gram collision still drops the document."""
+    from trino_iceberg_spark.operators.curation import decontaminate
+
+    tab_text = "alpha\tbeta\tgamma\tdelta\tepsilon\tzeta\teta\ttheta\tiota\tkappa"
+    long_text = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, tab_text), (2, long_text)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(10, tab_text), (11, long_text)], "doc_id long, text string"
+    )
+    out = sorted(r.doc_id for r in decontaminate(docs, bench, "text", "doc_id", k=8).collect())
+    assert out == [1]  # doc 2 shares real 8-grams and drops; doc 1 is kept

@@ -74,15 +74,28 @@ def curate_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     — 24 bytes/doc — shuffles once to find duplicated-text groups, the
     non-keeper ids of those groups become the VICTIM set (duplicates
     only, small in a mostly-unique corpus), and the corpus anti-joins
-    against it — the same corpus-scanned-once-never-shuffled shape as
-    clustering's survivor selection. The old keeper semi-join shuffled
-    every kept document (text included) by id."""
+    against it — the same corpus-never-shuffled shape as clustering's
+    survivor selection. The old keeper semi-join shuffled every kept
+    document (text included) by id.
+
+    Scan accounting: the pair table feeds both the duplicated-group
+    aggregate and the victim join, and the final anti-join re-evaluates
+    the quality gates — so without caching the corpus would be scanned
+    (and the quality features + md5 recomputed) three times. The pairs
+    table is therefore persisted: two corpus scans total (build pairs,
+    final anti-join), and the two pair-side consumers read the cached
+    24-byte rows. CALLER OWNS THE CACHE — the returned DataFrame's
+    lineage pins it, so a long-lived session that is done with the
+    result should ``spark.catalog.clearCache()`` or materialize and
+    drop; operators here cannot unpersist without recomputing."""
+    from pyspark import StorageLevel
+
     decided = curation_decisions(df, text_col, id_col, **rules)
     kept = decided.filter(F.col("reject_reason").isNull())
     pairs = kept.select(
         F.md5(F.col(text_col).cast("binary")).alias("_h"),
         F.col(id_col).alias("_vid"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     dup_groups = (
         pairs.groupBy("_h")
         .agg(F.min("_vid").alias("_keep"), F.count(F.lit(1)).alias("_c"))
@@ -131,15 +144,25 @@ def decontaminate(
     contaminated ids fall out of one broadcast semi-join, and the corpus
     itself is filtered with an anti-join on id. The corpus is scanned
     once; nothing about it is collected.
+
+    K-gram contract (``empty_when_short=True``, matching
+    :func:`contamination_report` and the SQL-oracle convention): a
+    document with fewer than ``k`` tokens has ZERO ``k``-grams on either
+    side — it can neither be contaminated nor contaminate. The dedup
+    path's synthetic whole-text gram would instead drop any sub-``k``
+    training doc whose exact text appears in the benchmark; that
+    exact-match hygiene belongs to a dedup pass, not the n-gram
+    collision contract documented here.
     """
     from .dedup import shingle_hashes
 
     bench_col = bench_text_col or text_col
     bench_grams = benchmark.select(
-        F.explode(shingle_hashes(bench_col, k)).alias("_g")
+        F.explode(shingle_hashes(bench_col, k, empty_when_short=True)).alias("_g")
     ).distinct()
     doc_grams = df.select(
-        F.col(id_col), F.explode(shingle_hashes(text_col, k)).alias("_g")
+        F.col(id_col),
+        F.explode(shingle_hashes(text_col, k, empty_when_short=True)).alias("_g"),
     )
     contaminated = (
         doc_grams.join(F.broadcast(bench_grams), "_g", "left_semi")
@@ -393,6 +416,16 @@ def dsir_log_weights(
     weights = counts.crossJoin(F.broadcast(totals)).select(
         "_b", F.round(ratio, 6).cast("decimal(16,6)").alias("_w")
     )
+    # Materialize the <= num_buckets-row weight table on the driver (a
+    # spec-sized collect, like the seeded-centroid reads) so the persisted
+    # bucket-count cache can be RELEASED here instead of leaking into the
+    # returned lineage — this is a reusable library operator; without the
+    # unpersist every call in a long-lived session pins another cached
+    # table. The rebuilt local DataFrame broadcasts exactly as before.
+    weight_rows = weights.collect()
+    weights_schema = weights.schema
+    counts.unpersist(blocking=False)
+    weights = spark.createDataFrame(weight_rows, schema=weights_schema)
     doc_w = (
         raw_grams.join(F.broadcast(weights), "_b")
         .groupBy(id_col)

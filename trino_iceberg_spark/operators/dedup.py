@@ -417,6 +417,46 @@ def incremental_minhash_pairs(
     )
 
 
+def _capped_inverted_index(
+    ex: DataFrame, join_keys: list[str], max_df: int | None, op_name: str
+) -> DataFrame:
+    """Drop viral shingles (document frequency > ``max_df``) from an
+    exploded inverted index before it feeds a pair self-join.
+
+    The pair join's cost is Σ_s df(s)² over shingle document frequencies:
+    near-linear on natural text, but ONE corpus-boilerplate shingle (a
+    license-header trigram shared by 10⁷ documents) alone materializes
+    ~5·10¹³ join rows and the job never finishes. Such a shingle carries
+    almost no discriminative signal — by definition it is corpus
+    boilerplate — so capping df is the standard prefix-filter trade
+    (same hot-key class as the banded-join bucket cap in
+    :func:`minhash_dedup_pairs` and ``semantic_dedup_pairs``'s
+    ``max_cell_size``). Dropped shingles are counted and logged loudly,
+    mirroring ``semantic_dedup_pairs``'s skew warning — recall loss
+    should be visible, never inferred. The count aggregate runs on the
+    already-persisted index, so the extra action mostly pre-warms the
+    cache the pair join needs anyway."""
+    if max_df is None:
+        return ex
+    import logging
+
+    sizes = ex.groupBy(*join_keys).agg(F.count(F.lit(1)).alias("_df"))
+    dropped = (
+        sizes.filter(F.col("_df") > max_df)
+        .agg(F.count(F.lit(1)).alias("shingles"), F.sum("_df").alias("rows"))
+        .collect()[0]
+    )
+    if dropped["shingles"]:
+        logging.getLogger(__name__).warning(
+            "%s: max_df guard dropped %d viral shingle(s) / %d index row(s) "
+            "over max_df=%d — similarity is underestimated one-sidedly for "
+            "pairs sharing those shingles",
+            op_name, dropped["shingles"], dropped["rows"], max_df,
+        )
+    ok = sizes.filter(F.col("_df") <= max_df).select(*join_keys)
+    return ex.join(ok, join_keys)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     content_col: str,
@@ -424,6 +464,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     block_col: Column | None = None,
+    max_df: int | None = 10_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs via an inverted index (within optional
     blocks) — the scalable exact algorithm, not pairwise intersects.
@@ -436,7 +477,15 @@ def ngram_jaccard_pairs(
     than blocked pairwise array_intersect at sf0.1, identical output.)
     Jaccard then needs only the counts: |A∪B| = |A| + |B| − |A∩B|.
     ``block_col`` narrows the index (shingles only match within a block);
-    the size-ratio bound J ≤ min/max(|A|,|B|) prunes before division."""
+    the size-ratio bound J ≤ min/max(|A|,|B|) prunes before division.
+
+    ``max_df`` (default on) guards the Σ df(s)² cost against viral
+    boilerplate shingles: shingles appearing in more than ``max_df``
+    documents (per block) are dropped from the index — see
+    :func:`_capped_inverted_index`. The intersection count then misses
+    capped shingles while |A| and |B| still count them, so the reported
+    Jaccard is a one-sided UNDERESTIMATE bounded by the number of viral
+    shingles a pair shares; exact behavior needs ``max_df=None``."""
     cols = [F.col(id_col).alias("_id"), shingle_hashes(content_col, k).alias("_sh")]
     join_keys = ["_s"]
     if block_col is not None:
@@ -451,6 +500,7 @@ def ngram_jaccard_pairs(
         F.col("_n"),
         F.explode("_sh").alias("_s"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    ex = _capped_inverted_index(ex, join_keys, max_df, "ngram_jaccard_pairs")
     a = ex.select(
         *join_keys, F.col("_id").alias("id_a"), F.col("_n").alias("_n_a")
     )
@@ -484,6 +534,7 @@ def containment_pairs(
     k: int = 3,
     threshold: float = 0.8,
     block_col: Column | None = None,
+    max_df: int | None = 10_000,
 ) -> DataFrame:
     """Exact n-gram CONTAINMENT pairs (Broder 1997, "On the resemblance
     and containment of documents"): the ASYMMETRIC companion to
@@ -506,8 +557,15 @@ def containment_pairs(
     text), one (pair)-keyed count, then both directed ratios derive from
     the same counted row — the asymmetry is free, no second index pass.
     No size-ratio prune (asymmetry is the point: a tiny src inside a
-    huge dst must survive). ``block_col`` narrows the index exactly as
-    in the Jaccard form.
+    huge dst must survive) — but ``max_df`` (default on) DOES apply: a
+    shingle in more than ``max_df`` documents is corpus boilerplate, not
+    evidence of containment, and unchecked it makes the index join
+    quadratic (see :func:`_capped_inverted_index`). Capped shingles are
+    missing from the intersection count while |S(src)| still counts
+    them, so containment is a one-sided underestimate bounded by the
+    number of viral shingles the pair shares; ``max_df=None`` restores
+    exact semantics. ``block_col`` narrows the index exactly as in the
+    Jaccard form.
 
     Documents with fewer than ``k`` words have an EMPTY shingle set and
     emit nothing (``empty_when_short=True`` — containment over an empty
@@ -530,6 +588,7 @@ def containment_pairs(
         F.col("_n"),
         F.explode("_sh").alias("_s"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    ex = _capped_inverted_index(ex, join_keys, max_df, "containment_pairs")
     a = ex.select(*join_keys, F.col("_id").alias("id_a"), F.col("_n").alias("_n_a"))
     b = ex.select(*join_keys, F.col("_id").alias("id_b"), F.col("_n").alias("_n_b"))
     counted = (

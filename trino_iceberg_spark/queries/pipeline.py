@@ -500,6 +500,14 @@ def dd11_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dd04_ngram_jaccard",
+    # Replays the Spark side's inverted-index construction INCLUDING the
+    # max_df=10000 viral-shingle cap: the intersection count comes from an
+    # exploded equi-join over shingles with per-block document frequency
+    # <= 10000, while |A| and |B| count the full shingle sets — the same
+    # one-sided-underestimate semantics as _capped_inverted_index. (At
+    # driver SFs no shingle approaches the cap, so this also equals the
+    # uncapped Jaccard; the construction is replayed so the oracle stays
+    # faithful at ANY data scale.)
     oracle="""
     WITH sh AS (
         SELECT doc_id, lang,
@@ -511,13 +519,22 @@ def dd11_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                      list_filter(string_split(lower(text), ' '), w -> w <> '') AS toks
               FROM documents)
         WHERE len(toks) >= 3
+    ), ex AS (
+        SELECT doc_id, lang, len(shingles) AS n, unnest(shingles) AS s FROM sh
+    ), ok AS (
+        SELECT lang, s FROM ex GROUP BY lang, s HAVING COUNT(*) <= 10000
+    ), exc AS (
+        SELECT ex.doc_id, ex.lang, ex.n, ex.s FROM ex JOIN ok USING (lang, s)
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               COUNT(*) AS i, ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+        FROM exc a JOIN exc b
+          ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
-    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.3
+    SELECT id_a, id_b, CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
+    FROM inter
+    WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.3
     ORDER BY id_a, id_b
     """,
 )
@@ -536,6 +553,10 @@ def dd04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dd15_containment_pairs",
+    # Same max_df=10000 replay as the dd04 oracle: intersection from the
+    # df-capped exploded index, |S(src)| from the full set (one-sided
+    # underestimate semantics of _capped_inverted_index; a no-op at
+    # driver SFs where no shingle approaches the cap).
     oracle="""
     WITH sh AS (
         SELECT doc_id, lang,
@@ -547,13 +568,18 @@ def dd04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                      list_filter(string_split(lower(text), ' '), w -> w <> '') AS toks
               FROM documents)
         WHERE len(toks) >= 3
-    ),
-    inter AS (
+    ), ex AS (
+        SELECT doc_id, lang, len(shingles) AS n, unnest(shingles) AS s FROM sh
+    ), ok AS (
+        SELECT lang, s FROM ex GROUP BY lang, s HAVING COUNT(*) <= 10000
+    ), exc AS (
+        SELECT ex.doc_id, ex.lang, ex.n, ex.s FROM ex JOIN ok USING (lang, s)
+    ), inter AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               len(list_intersect(a.shingles, b.shingles)) AS i,
-               len(a.shingles) AS na, len(b.shingles) AS nb
-        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+               COUNT(*) AS i, ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+        FROM exc a JOIN exc b
+          ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
     )
     SELECT src_id, dst_id, containment FROM (
         SELECT id_a AS src_id, id_b AS dst_id,
@@ -585,8 +611,9 @@ def dd15_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Shared DuckDB fragment: the dd04 3-gram Jaccard pair graph (threshold 0.3,
-# blocked by lang), symmetrized, plus connected components via a recursive
-# CTE — min label over the transitive closure equals the component minimum.
+# blocked by lang, max_df=10000 cap replayed exactly as in the dd04 oracle),
+# symmetrized, plus connected components via a recursive CTE — min label
+# over the transitive closure equals the component minimum.
 _CC_ORACLE_PREFIX = """
 WITH RECURSIVE sh AS (
     SELECT doc_id, lang,
@@ -599,11 +626,25 @@ WITH RECURSIVE sh AS (
           FROM documents)
     WHERE len(toks) >= 3
 ),
+ex AS (
+    SELECT doc_id, lang, len(shingles) AS n, unnest(shingles) AS s FROM sh
+),
+ok AS (
+    SELECT lang, s FROM ex GROUP BY lang, s HAVING COUNT(*) <= 10000
+),
+exc AS (
+    SELECT ex.doc_id, ex.lang, ex.n, ex.s FROM ex JOIN ok USING (lang, s)
+),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           COUNT(*) AS i, ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+    FROM exc a JOIN exc b
+      ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
 pairs AS (
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.3
+    SELECT id_a, id_b FROM inter
+    WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.3
 ),
 edges AS (
     SELECT id_a AS src, id_b AS dst FROM pairs
