@@ -1119,6 +1119,8 @@ class SnapshotTable:
         cols = schema.fieldNames()
         ar = a.select(*key_cols, F.struct(*cols).alias("_ra"))
         br = b.select(*key_cols, F.struct(*cols).alias("_rb"))
+        # The diff join feeds four change-type projections; caller owns
+        # the cache — the returned union's lineage pins it.
         j = ar.join(br, key_cols, "full_outer").persist()
         ins = j.where(F.col("_ra").isNull()).select("_rb.*").withColumn(
             "_change_type", F.lit("insert")

@@ -15,6 +15,15 @@ Scale notes:
   buckets (boilerplate-heavy shingles) the way production dedup does.
 - Exact verification joins shingle arrays back only for candidate pairs —
   a tiny fraction of n².
+
+Cache contract (applies to EVERY ``persist`` in this module): operators
+return lazy DataFrames whose lineage pins the persisted intermediate
+(signature/banded/inverted-index tables), so the operator itself cannot
+unpersist without forcing a recompute — THE CALLER OWNS THE CACHE. A
+long-lived session that is done with a result should materialize it and
+``spark.catalog.clearCache()`` (or track and ``unpersist`` the inputs);
+MEMORY_AND_DISK + LRU eviction means an unreleased cache degrades to
+recomputation pressure rather than failing.
 """
 
 from __future__ import annotations
@@ -262,7 +271,8 @@ def lsh_candidate_pairs(
     # The banded table (id, band, band_hash — 24 bytes × bands per doc) is
     # consumed three times (bucket sizing + both self-join sides); persist it
     # so the expensive upstream signature projection runs once, not thrice.
-    # MEMORY_AND_DISK spills instead of OOMing at scale.
+    # MEMORY_AND_DISK spills instead of OOMing at scale. Caller owns the
+    # cache (module note): the returned pair lineage pins it.
     banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     bucket_sizes = banded.groupBy("band", "band_hash").agg(F.count(F.lit(1)).alias("_bsz"))
     banded = banded.join(
@@ -306,6 +316,7 @@ def minhash_dedup_pairs(
     identical dedup quality."""
     # Shingles feed the signature AND both verification joins — persist so
     # the text is shingled once (the single most expensive projection here).
+    # Caller owns the cache (module note).
     # At 100 TB this materialization is the "signature table" a production
     # dedup writes out; MEMORY_AND_DISK gives the same effect in-session.
     # Hashed shingles (array<bigint>), not strings: same Jaccard w.h.p.,
@@ -492,8 +503,9 @@ def ngram_jaccard_pairs(
         cols.append(block_col.alias("_blk"))
         join_keys = ["_blk", "_s"]
     sh = df.select(*cols).withColumn("_n", F.size("_sh"))
-    # The exploded index feeds both join sides; persist so shingling runs
-    # once (same pattern as the MinHash pipeline's signature table).
+    # The exploded index feeds both join sides (plus the max_df sizing
+    # aggregate); persist so shingling runs once (same pattern as the
+    # MinHash signature table). Caller owns the cache (module note).
     ex = sh.select(
         *(["_blk"] if block_col is not None else []),
         F.col("_id"),
@@ -754,6 +766,7 @@ def embedding_dedup_pairs(
     # Persist before the explode: the plane projections (num_tables ×
     # num_planes dot products per vector) feed both self-join sides and
     # should run once. The explode itself is a cheap per-row expansion.
+    # Caller owns the cache (dedup module note).
     v = v.withColumn("_tb_arr", tables).persist(StorageLevel.MEMORY_AND_DISK)
     bucketed = v.select("_id", "_vec", F.explode(F.col("_tb_arr")).alias("_tb")).select(
         "_id", "_vec", F.col("_tb.tbl").alias("_tbl"), F.col("_tb.bkt").alias("_bucket")

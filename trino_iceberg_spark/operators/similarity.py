@@ -568,7 +568,9 @@ def semantic_dedup_pairs(
         1,
     )
     # consumed three times (cell sizing + both self-join sides); persist so
-    # the Python routing pass runs once, like dd03's banded signatures
+    # the Python routing pass runs once, like dd03's banded signatures.
+    # Caller owns the cache: the returned pair lineage pins it (the skew
+    # aggregate below materializes it, but the pair join still reads it).
     routed = routed.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = routed.groupBy("_cell").agg(F.count(F.lit(1)).alias("_csz"))
     dropped = sizes.filter(F.col("_csz") > max_cell_size).agg(
