@@ -73,3 +73,18 @@ def test_generated_queries_agree(spark, duck_and_views, seed):
         if s != d:
             bad.append(sql)
     assert not bad, bad
+
+
+def test_dml_rewriter_differential_slice(spark, tmp_path):
+    """Deterministic slice of tools/fuzz_dml.py: generated INSERT/UPDATE/
+    DELETE/MERGE sequences applied through client.execute() against a
+    snapshot table AND a DuckDB twin, comparing per-statement affected
+    counts and final table states. The wider sweeps run via the tool
+    (1,000 sequences per round); this slice replays the seeds that
+    originally caught the non-quote-aware MERGE source scan and the
+    three-valued-logic DELETE bug, so both stay fixed."""
+    from tools.fuzz_dml import run_sequence
+
+    for seq_no in range(6):  # seed 1 seqs 0-5 include both historic bugs
+        problems = run_sequence(spark, seq_no, 1, str(tmp_path))
+        assert not problems, "\n".join(problems)

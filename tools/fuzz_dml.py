@@ -1,0 +1,393 @@
+#!/usr/bin/env python
+"""Differential fuzzing of the SQL-text DML rewriter (client.execute):
+generated INSERT / UPDATE / DELETE / MERGE statement SEQUENCES are applied
+to a registered snapshot table through ``AthenaSparkClient.execute`` — the
+quote/paren-aware SET splitter, the MERGE clause parser, the multi-match
+guard, the column-list INSERT reordering — and to a DuckDB twin table,
+then the FINAL TABLE STATES are compared row-for-row (plus the per-
+statement affected-row counts where DuckDB reports one).
+
+DuckDB 1.0 has no MERGE, so the twin replays the client's own documented
+construction against an explicit pre-state snapshot (``_pre``): kept =
+target rows with no match (or all rows for insert-only merges), updated =
+inner join with SET expressions, inserted = source rows with no target
+match; the multi-match guard (inner count != semi count, checked only
+when an UPDATE/DELETE clause exists — exactly client._snapshot_merge) is
+evaluated in SQL first, and when it fires BOTH sides must refuse: Spark
+with QueryError, the twin by applying nothing.
+
+The expression grammar stays inside the deterministic common dialect
+(||, least/greatest, CASE, abs, upper/lower/substr/trim, coalesce, %,
+IN, IS NULL; no LIKE — escape semantics diverge across the engines —
+and small integers so ANSI overflow never triggers). String literals
+deliberately embed commas, parens and doubled quotes so the SET / VALUES
+splitting is what's actually under test.
+
+Usage:
+    python tools/fuzz_dml.py             # 40 sequences, seed 0
+    python tools/fuzz_dml.py 1000 7      # 1000 sequences, seed 7
+
+Exit 1 on any divergence; each failure prints the full statement sequence
+for replay.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+from trino_iceberg_spark.catalog.snapshots import SnapshotTable  # noqa: E402
+from trino_iceberg_spark.client import AthenaSparkClient  # noqa: E402
+from trino_iceberg_spark.errors import QueryError  # noqa: E402
+from trino_iceberg_spark.session import get_spark  # noqa: E402
+
+COLS = ["id", "grp", "val", "note"]
+SCHEMA = "id long, grp string, val long, note string"
+DUCK_SCHEMA = "id BIGINT, grp VARCHAR, val BIGINT, note VARCHAR"
+
+# String literals with the characters the splitters must survive.
+STRINGS = ["'x'", "'a,b'", "'p(q)'", "'it''s'", "'c,d(e'", "''", "'N,(''y'"]
+GROUPS = ["'gA'", "'gB'", "'gC'"]
+
+
+def _int_expr(rng: random.Random) -> str:
+    return rng.choice(
+        [
+            "val + 3",
+            "val * 2",
+            "- val",
+            "least(val, 40)",
+            "greatest(val, 7)",
+            "abs(val - 10)",
+            "CASE WHEN val % 2 = 0 THEN val + 1 ELSE val - 1 END",
+            "coalesce(val, 0) + id",
+            str(rng.randrange(-50, 100)),
+            "CAST(NULL AS BIGINT)",
+        ]
+    )
+
+
+def _str_expr(rng: random.Random) -> str:
+    return rng.choice(
+        [
+            "upper(note)",
+            "lower(note)",
+            "note || ',t(1)'",
+            "note || grp",
+            "substr(note, 1, 3)",
+            "trim(note)",
+            "coalesce(note, 'none,()')",
+            rng.choice(STRINGS),
+            "CAST(NULL AS STRING)" ,
+        ]
+    )
+
+
+def _cond(rng: random.Random, prefix: str = "") -> str:
+    p = prefix
+    atoms = [
+        f"{p}id % 3 = {rng.randrange(3)}",
+        f"{p}val > {rng.randrange(60)}",
+        f"{p}val < {rng.randrange(20, 90)}",
+        f"{p}grp = {rng.choice(GROUPS)}",
+        f"{p}id IN ({rng.randrange(12)}, {rng.randrange(12)}, {rng.randrange(24)})",
+        f"{p}val IS NULL",
+        f"{p}note IS NOT NULL",
+        f"substr({p}note, 1, 1) = 'n'",
+    ]
+    a = rng.choice(atoms)
+    if rng.random() < 0.4:
+        return f"({a} {rng.choice(['AND', 'OR'])} {rng.choice(atoms)})"
+    return a
+
+
+def _value_cells(rng: random.Random, ids: list[int]) -> list[list[str]]:
+    rows = []
+    for i in ids:
+        grp = rng.choice(GROUPS + ["CAST(NULL AS STRING)"])
+        val = rng.choice([str(rng.randrange(0, 100)), "CAST(NULL AS BIGINT)"])
+        note = rng.choice(STRINGS + ["CAST(NULL AS STRING)"])
+        rows.append([str(i), grp, val, note])
+    return rows
+
+
+def _values_rows(rng: random.Random, ids: list[int]) -> str:
+    return ", ".join(
+        "(" + ", ".join(cells) + ")" for cells in _value_cells(rng, ids)
+    )
+
+
+def gen_statement(rng: random.Random, next_id: list[int]) -> dict:
+    """One DML statement + twin metadata. ``next_id`` is a 1-cell counter
+    so INSERTed ids never collide with seeds unless we want them to."""
+    kind = rng.choices(
+        ["insert", "update", "delete", "merge"], weights=[25, 30, 20, 25]
+    )[0]
+    if kind == "insert":
+        n = rng.randrange(1, 4)
+        ids = [next_id[0] + j for j in range(n)]
+        next_id[0] += n
+        cells = _value_cells(rng, ids)
+        if rng.random() < 0.35:
+            # column-list form, shuffled — exercises the reorder+cast path
+            perm = COLS[:]
+            rng.shuffle(perm)
+            rows = [
+                "(" + ", ".join(row[COLS.index(c)] for c in perm) + ")"
+                for row in cells
+            ]
+            sql = f"INSERT INTO fz_fuzz ({', '.join(perm)}) VALUES {', '.join(rows)}"
+        else:
+            body = ", ".join("(" + ", ".join(row) + ")" for row in cells)
+            sql = f"INSERT INTO fz_fuzz VALUES {body}"
+        return {"kind": kind, "sql": sql, "twin": sql.replace("fz_fuzz", "fz")}
+    if kind == "update":
+        n_sets = rng.randrange(1, 4)
+        targets = rng.sample(["val", "note", "grp"], n_sets)
+        sets = ", ".join(
+            f"{t} = {_int_expr(rng) if t == 'val' else _str_expr(rng)}"
+            for t in targets
+        )
+        cond = _cond(rng)
+        sql = f"UPDATE fz_fuzz SET {sets} WHERE {cond}"
+        return {"kind": kind, "sql": sql, "twin": sql.replace("fz_fuzz", "fz")}
+    if kind == "delete":
+        cond = _cond(rng)
+        sql = f"DELETE FROM fz_fuzz WHERE {cond}"
+        return {"kind": kind, "sql": sql, "twin": sql.replace("fz_fuzz", "fz")}
+
+    # merge
+    n = rng.randrange(1, 4)
+    base = rng.randrange(0, 14)
+    src_ids = sorted({base + 2 * j for j in range(n)})
+    force_dup = rng.random() < 0.12
+    if force_dup:
+        src_ids = src_ids + [src_ids[0]]
+    src_sql = (
+        "SELECT * FROM (VALUES "
+        + _values_rows(rng, src_ids)
+        + ") AS w(id, grp, val, note)"
+    )
+    clause_kind = rng.choice(["upd", "del", "upd_ins", "del_ins", "ins"])
+    clauses, upd_sets, has_del, has_ins = [], None, False, False
+    if clause_kind in ("upd", "upd_ins"):
+        n_sets = rng.randrange(1, 3)
+        targets = rng.sample(["val", "note"], n_sets)
+        upd_sets = {
+            t: (
+                rng.choice(["sa.val", "ta.val + sa.val", "coalesce(sa.val, 0)"])
+                if t == "val"
+                else rng.choice(["sa.note", "ta.note || ',m(' || sa.grp", "upper(sa.note)"])
+            )
+            for t in targets
+        }
+        clauses.append(
+            "WHEN MATCHED THEN UPDATE SET "
+            + ", ".join(f"{c} = {e}" for c, e in upd_sets.items())
+        )
+    if clause_kind in ("del", "del_ins"):
+        has_del = True
+        clauses.append("WHEN MATCHED THEN DELETE")
+    if clause_kind in ("upd_ins", "del_ins", "ins"):
+        has_ins = True
+        clauses.append(
+            "WHEN NOT MATCHED THEN INSERT VALUES (sa.id, sa.grp, sa.val, sa.note)"
+        )
+    cond = "ta.id = sa.id"
+    if rng.random() < 0.3:
+        cond = f"ta.id = sa.id AND ta.val < {rng.randrange(40, 95)}"
+    sql = (
+        f"MERGE INTO fz_fuzz AS ta USING ({src_sql}) AS sa ON {cond} "
+        + " ".join(clauses)
+    )
+    return {
+        "kind": "merge",
+        "sql": sql,
+        "src_sql": src_sql,
+        "cond": cond,
+        "upd_sets": upd_sets,
+        "has_del": has_del,
+        "has_ins": has_ins,
+    }
+
+
+def apply_merge_twin(con: duckdb.DuckDBPyConnection, st: dict) -> tuple[int, bool]:
+    """Replay the client's MERGE construction on DuckDB. Returns
+    (affected, multi_match_fired)."""
+    src, cond = st["src_sql"], st["cond"]
+    con.execute("CREATE OR REPLACE TABLE _pre AS SELECT * FROM fz")
+    pre_cond = cond  # ta binds to _pre below
+    matched = con.execute(
+        f"SELECT count(*) FROM _pre ta WHERE EXISTS "
+        f"(SELECT 1 FROM ({src}) sa WHERE {pre_cond})"
+    ).fetchone()[0]
+    if st["upd_sets"] is not None or st["has_del"]:
+        inner = con.execute(
+            f"SELECT count(*) FROM _pre ta JOIN ({src}) sa ON {pre_cond}"
+        ).fetchone()[0]
+        if inner != matched:
+            return 0, True
+    pieces = []
+    if st["upd_sets"] is not None or st["has_del"]:
+        pieces.append(
+            f"SELECT ta.* FROM _pre ta WHERE NOT EXISTS "
+            f"(SELECT 1 FROM ({src}) sa WHERE {pre_cond})"
+        )
+        if st["upd_sets"] is not None:
+            sel = ", ".join(
+                f"({st['upd_sets'][c]}) AS {c}" if c in st["upd_sets"] else f"ta.{c} AS {c}"
+                for c in COLS
+            )
+            pieces.append(f"SELECT {sel} FROM _pre ta JOIN ({src}) sa ON {pre_cond}")
+    else:
+        pieces.append("SELECT ta.* FROM _pre ta")
+    inserted = 0
+    if st["has_ins"]:
+        inserted = con.execute(
+            f"SELECT count(*) FROM ({src}) sa WHERE NOT EXISTS "
+            f"(SELECT 1 FROM _pre ta WHERE {pre_cond})"
+        ).fetchone()[0]
+        pieces.append(
+            f"SELECT sa.id, sa.grp, sa.val, sa.note FROM ({src}) sa "
+            f"WHERE NOT EXISTS (SELECT 1 FROM _pre ta WHERE {pre_cond})"
+        )
+    con.execute("DELETE FROM fz")
+    con.execute("INSERT INTO fz " + " UNION ALL ".join(f"({p})" for p in pieces))
+    affected = (
+        matched if (st["upd_sets"] is not None or st["has_del"]) else 0
+    ) + inserted
+    return affected, False
+
+
+def seed_rows(rng: random.Random) -> list[tuple]:
+    rows = []
+    for i in range(rng.randrange(6, 12)):
+        rows.append(
+            (
+                i,
+                rng.choice(["gA", "gB", "gC", None]),
+                rng.choice([rng.randrange(0, 100), None]),
+                rng.choice(["n_one", "a,b", "p(q)", "it's", None]),
+            )
+        )
+    return rows
+
+
+def run_sequence(spark, seq_no: int, seed: int, workdir: str) -> list[str]:
+    """Returns a list of divergence descriptions (empty = agree)."""
+    rng = random.Random(seed * 1_000_003 + seq_no)
+    rows = seed_rows(rng)
+    tdir = os.path.join(workdir, f"fz_{seq_no}")
+    table = SnapshotTable(spark, tdir)
+    table.append(spark.createDataFrame(rows, SCHEMA))
+    client = AthenaSparkClient(spark)
+    client.register_snapshot_table("fz_fuzz", tdir)
+    con = duckdb.connect()
+    con.execute(f"CREATE TABLE fz({DUCK_SCHEMA})")
+    if rows:
+        con.executemany("INSERT INTO fz VALUES (?, ?, ?, ?)", rows)
+
+    stmts, problems = [], []
+    next_id = [100 + seq_no % 7]
+    for _ in range(rng.randrange(3, 8)):
+        st = gen_statement(rng, next_id)
+        stmts.append(st["sql"])
+        if st["kind"] == "merge":
+            twin_affected, twin_guard = apply_merge_twin(con, st)
+            try:
+                spark_affected = client.execute(st["sql"])
+                spark_guard = False
+            except QueryError as exc:
+                if "matched more than one source row" not in str(exc):
+                    problems.append(f"spark unexpected QueryError: {exc}")
+                    break
+                spark_affected, spark_guard = 0, True
+            if spark_guard != twin_guard:
+                problems.append(
+                    f"multi-match guard divergence (spark={spark_guard} twin={twin_guard})"
+                )
+                break
+            if spark_affected != twin_affected:
+                problems.append(
+                    f"affected-count divergence on merge: spark={spark_affected} "
+                    f"twin={twin_affected}"
+                )
+                break
+        else:
+            try:
+                spark_affected = client.execute(st["sql"])
+            except QueryError as exc:
+                problems.append(f"spark QueryError: {exc}")
+                break
+            cur = con.execute(st["twin"])
+            twin_affected = cur.fetchone()[0]
+            if spark_affected != twin_affected:
+                problems.append(
+                    f"affected-count divergence on {st['kind']}: "
+                    f"spark={spark_affected} twin={twin_affected}"
+                )
+                break
+    if not problems:
+        got = sorted(
+            tuple(r) for r in table.read().select(*COLS).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute("SELECT id, grp, val, note FROM fz").fetchall()
+        )
+        if got != want:
+            only_spark = [r for r in got if r not in want][:5]
+            only_twin = [r for r in want if r not in got][:5]
+            problems.append(
+                f"final-state divergence: spark={len(got)} rows twin={len(want)} "
+                f"rows; spark-only={only_spark} twin-only={only_twin}"
+            )
+    con.close()
+    shutil.rmtree(tdir, ignore_errors=True)
+    if problems:
+        problems.append("sequence:\n  " + ";\n  ".join(stmts))
+        problems.append(f"seed rows: {rows}")
+    return problems
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    spark = get_spark(app_name="fuzz_dml", master="local[8]", shuffle_partitions=2)
+    spark.sparkContext.setLogLevel("ERROR")
+    workdir = tempfile.mkdtemp(prefix="fuzz_dml_")
+    t0 = time.time()
+    failures = 0
+    try:
+        for i in range(n):
+            problems = run_sequence(spark, i, seed, workdir)
+            if problems:
+                failures += 1
+                print(f"FAIL seq {i}:")
+                for p in problems:
+                    print("  " + p)
+            if (i + 1) % 20 == 0:
+                print(
+                    f"  ...{i + 1}/{n} sequences, {failures} failures, "
+                    f"{time.time() - t0:.0f}s",
+                    flush=True,
+                )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    print(
+        f"fuzz_dml: {n} sequences, seed {seed}: "
+        f"{n - failures} agree, {failures} diverge ({time.time() - t0:.0f}s)"
+    )
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

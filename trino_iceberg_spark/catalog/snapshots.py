@@ -1157,8 +1157,16 @@ class SnapshotTable:
 
     def delete_where(self, condition) -> Snapshot:
         """DELETE WHERE analog: rewrite the table without matching rows,
-        as one overwrite snapshot (copy-on-write row-level delete)."""
-        kept = self.read().filter(~condition)
+        as one overwrite snapshot (copy-on-write row-level delete).
+
+        Three-valued logic (found by tools/fuzz_dml.py): DELETE removes
+        only rows where the condition IS TRUE — a NULL condition keeps
+        the row, so the kept-filter must be ``NOT coalesce(cond, false)``
+        rather than ``~cond`` (which is NULL for NULL and would silently
+        drop those rows)."""
+        from pyspark.sql import functions as F
+
+        kept = self.read().filter(~F.coalesce(condition, F.lit(False)))
         return self._commit(kept, "overwrite")
 
     def update_where(self, condition, assignments: dict) -> Snapshot:

@@ -269,15 +269,29 @@ class AthenaSparkClient:
         ta = m.group("ta")
         rest = rendered[m.end() :].lstrip()
         if rest.startswith("("):
-            depth, end = 0, -1
-            for i, ch in enumerate(rest):
-                if ch == "(":
+            # Quote-aware balance scan: parens inside '…''…' string
+            # literals must not count (found by tools/fuzz_dml.py — a
+            # VALUES source containing '(' in a string broke the naive
+            # counter).
+            depth, end, i, in_str = 0, -1, 0, False
+            while i < len(rest):
+                ch = rest[i]
+                if in_str:
+                    if ch == "'":
+                        if i + 1 < len(rest) and rest[i + 1] == "'":
+                            i += 1  # doubled quote stays inside the literal
+                        else:
+                            in_str = False
+                elif ch == "'":
+                    in_str = True
+                elif ch == "(":
                     depth += 1
                 elif ch == ")":
                     depth -= 1
                     if depth == 0:
                         end = i
                         break
+                i += 1
             if end < 0:
                 raise QueryError("malformed MERGE: unbalanced source subquery", sql=rendered)
             src_sql, rest = rest[1:end], rest[end + 1 :]
