@@ -336,12 +336,16 @@ def run_sequence(spark, seq_no: int, seed: int, workdir: str) -> list[str]:
                 )
                 break
     if not problems:
+        nullsafe = lambda row: tuple((v is not None, v) for v in row)  # noqa: E731
         got = sorted(
-            tuple(r) for r in table.read().select(*COLS).collect()
+            (tuple(r) for r in table.read().select(*COLS).collect()), key=nullsafe
         )
         want = sorted(
-            tuple(r)
-            for r in con.execute("SELECT id, grp, val, note FROM fz").fetchall()
+            (
+                tuple(r)
+                for r in con.execute("SELECT id, grp, val, note FROM fz").fetchall()
+            ),
+            key=nullsafe,
         )
         if got != want:
             only_spark = [r for r in got if r not in want][:5]
