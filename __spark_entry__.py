@@ -16,7 +16,7 @@ Two adapter concerns live here, both driver-facing:
    order: first this round's fixed/changed entries and the entries no
    prior CORRECTNESS run has checked, then drift re-verifies of the
    oldest green cohort (see ``_FRONT``), then any remaining unchecked
-   entries, then families already proved green across the r01–r05
+   entries, then families already proved green across the r01–r06
    union. Nothing is dropped — a driver with budget for the full
    registry still checks every entry.
 
@@ -50,80 +50,40 @@ _TUNED_CONFS = {
 # module docstring. Names absent from the registry are ignored (safety
 # against future renames), and every registered query is always yielded.
 #
-# Round-6 ordering (registry: 213 entries, ALL oracle-backed;
-# sp10_corpus_to_shards — the flagship curation→packing→shard-write
-# chain — and cu08_dsir_selection — DSIR importance resampling — are
-# new). The cross-round union is 209/209 green, so this
-# round's budget goes to the new/changed entries and then the DRIFT
-# RE-VERIFY program: the judge grades verdicts at latest check, and the
-# oldest cohorts (last recorded r01/r02) are the weakest links. Tiers:
-# 1. new this round (sp10) + changed-code re-verifies: dd14's hot-key
-#    fix (collect_set-over-window → distinct+count+join), ev15's
-#    NULL-semantics alignment (oracle COALESCE + build-side NULL drop),
-#    the explicit self-join aliasing in ev09/ev10/ev12, and the
-#    assert→RuntimeError swaps in sp09/st10/ss09/a11;
-# 2. the 25 entries last driver-checked in ROUND 1 (a*/c0*/j04-j09/
-#    s01-s04/w*);
-# 3. the oldest round-2 entries (dd/ev/f/tpch/ss/tx cohort), in
-#    ascending-staleness order up to the ~50-entry budget — the
-#    remainder rotates to the front next round.
-# Everything else was checked r03-r05 and yields after these.
+# Round-7 ordering (registry: 214 entries, ALL oracle-backed;
+# mm08_multimodal_to_shards — the multimodal flagship: curation + real
+# image/audio decodes + joint gate → verified shards — is new). The
+# cross-round union is 213/213 green at latest check, so this round's
+# budget goes to the new/changed entries and then FINISHES the drift
+# re-verify program (after this rotation no verdict is older than r03).
+# Tiers:
+# 1. new this round (mm08) + changed-code re-verifies: the max-df
+#    viral-shingle cap replayed into the dd04/dd15/dd07/dd08 oracles,
+#    the decontaminate k-gram contract (sub-k docs contribute no grams
+#    on either side) feeding cu03/cu07/sp10, curate_documents' pair-
+#    table persist (cu01) and dsir's bucket-cache unpersist (cu08),
+#    and the two DML-rewriter fixes (quote-aware MERGE paren scan,
+#    DELETE cond-IS-TRUE semantics) exercised by tt03/tt07/tt10;
+# 2. the 33 entries last driver-checked in ROUND 2 — the final drift
+#    cohort (f01-f08, the tpch q2-q22 set, ss01/ss04, tx09, w07, ev07).
+# Everything else was checked r03-r06 and yields after these.
 _FRONT = [
     # --- tier 1: new + changed-code re-verifies ---
-    "sp10_corpus_to_shards",
-    "cu08_dsir_selection",
-    "dd15_containment_pairs",
-    "tx16_token_entropy",
-    "dd14_substring_dedup",
-    "ev15_bloom_prefilter",
-    "ev09_sketch_rollup",
-    "ev10_kmv_distinct_rollup",
-    "ev12_quantile_sample_rollup",
-    "sp09_training_shards",
-    "st10_stream_rollup",
-    "ss09_incremental_ivf_index",
-    "a11_unload_roundtrip",
-    # --- tier 2: r01-cohort drift re-verifies (last recorded round 1) ---
-    "a01_count_distinct",
-    "a02_having",
-    "a03_rollup",
-    "a04_cube",
-    "a05_grouping_sets",
-    "a06_pivot_conditional",
-    "a07_approx_and_exact_stats",
-    "c01_cte",
-    "c02_scalar_subquery",
-    "c03_in_subquery",
-    "j04_semi_join",
-    "j05_anti_join",
-    "j06_full_outer",
-    "j07_cross_join",
-    "j08_range_join",
-    "j09_self_join",
-    "s01_union_all",
-    "s02_union_distinct",
-    "s03_intersect",
-    "s04_except",
-    "w01_topk_per_group",
-    "w02_rank_dense",
-    "w04_running_sum",
-    "w05_ntile_percent",
-    "w08_distribution_functions",
-    # --- tier 3: oldest r02-cohort drift re-verifies (the ~50 budget
-    # reaches partway in; the rest rotate forward in round 7) ---
-    "a08_exact_percentiles",
-    "dd01_exact_dedup",
-    "dd02_fingerprint_dedup",
+    "mm08_multimodal_to_shards",
     "dd04_ngram_jaccard",
+    "dd15_containment_pairs",
     "dd07_duplicate_clusters",
     "dd08_near_dedup_survivors",
-    "ev01_funnel",
-    "ev02_retention_cohorts",
-    "ev03_daily_top_users",
-    "ev04_error_rate_hourly",
-    "ev05_props_value_stats",
-    "ev06_hourly_gap_fill",
-    "ev07_value_outliers",
+    "cu01_curated_documents",
+    "cu03_decontaminate",
+    "cu07_end_to_end_pipeline",
+    "cu08_dsir_selection",
+    "sp10_corpus_to_shards",
+    "tt03_snapshot_changelog",
+    "tt07_metadata_tables",
+    "tt10_sql_merge",
+    # --- tier 2: final r02-cohort drift re-verifies (completes the
+    # rotation begun in r05; nothing will be older than r03 after) ---
     "f01_string_functions",
     "f02_date_functions",
     "f03_math_functions",
@@ -136,6 +96,7 @@ _FRONT = [
     "ss04_numpy_topk",
     "tx09_tfidf_top_terms",
     "w07_moving_average",
+    "ev07_value_outliers",
     "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
@@ -158,8 +119,8 @@ _FRONT = [
     "tpch_q22_global_sales_opportunity",
 ]
 
-# Entries a prior CORRECTNESS run already recorded green (r01–r05 union:
-# 209/209 distinct entries checked, all green at latest check) — yielded
+# Entries a prior CORRECTNESS run already recorded green (r01–r06 union:
+# 213/213 distinct entries checked, all green at latest check) — yielded
 # last. Prefix-matched on the name's first underscore token.
 _PROVEN = frozenset(
     [f"b{i:02d}" for i in range(1, 22)]  # b01–b21

@@ -65,6 +65,10 @@ def bare_spark(spark):
         "cu08_dsir_selection",
         # containment: shared inverted shingle index, directed union
         "dd15_containment_pairs",
+        # round-7 multimodal flagship: curation → WAV+BMP render →
+        # chained decode_audio/decode_images mapInPandas → joint gate →
+        # partitioned shard write certified from the read-back
+        "mm08_multimodal_to_shards",
     ],
 )
 def test_entry_runs_on_bare_session(bare_spark, sf_dir, name):

@@ -3296,3 +3296,170 @@ def dd13_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "mm08_multimodal_to_shards",
+    oracle=_CURATION_DECIDED_SQL
+    + """
+    , kept AS (SELECT * FROM decided WHERE reject_reason IS NULL),
+    keeper AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+    curated AS (
+        SELECT k.doc_id, CAST(k.n_tokens AS BIGINT) AS n_tokens
+        FROM kept k WHERE k.doc_id IN (SELECT doc_id FROM keeper)
+    ),
+    audio AS (
+        SELECT c.doc_id,
+               CAST(SUM(POW((c.doc_id * 257 + t.range * 13) % 65536 - 32768, 2))
+                    AS BIGINT) AS sum_sq,
+               CAST(MAX(ABS((c.doc_id * 257 + t.range * 13) % 65536 - 32768))
+                    AS INTEGER) AS peak
+        FROM curated c, range(256) t
+        GROUP BY c.doc_id
+    ),
+    image AS (
+        SELECT c.doc_id,
+               CAST(SUM((c.doc_id * 31 + i.range * 7 + j.range * 3 + ch.range)
+                        % 256) AS BIGINT) AS pixel_sum
+        FROM curated c, range(8) i, range(8) j, range(3) ch
+        GROUP BY c.doc_id
+    ),
+    gated AS (
+        SELECT c.doc_id, c.n_tokens, a.sum_sq, im.pixel_sum
+        FROM curated c
+        JOIN audio a USING (doc_id)
+        JOIN image im USING (doc_id)
+        WHERE a.peak < 24576 AND im.pixel_sum >= 12288
+    ),
+    sharded AS (
+        SELECT doc_id, n_tokens, sum_sq, pixel_sum,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                    % 4 AS INT) AS shard,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM gated
+    )
+    SELECT shard, COUNT(*) AS rows, bit_xor(h) AS id_hash_xor,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+           CAST(SUM(sum_sq) AS BIGINT) AS audio_energy,
+           CAST(SUM(pixel_sum) AS BIGINT) AS pixel_volume
+    FROM sharded GROUP BY shard ORDER BY shard
+    """,
+)
+def mm08_multimodal_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal flagship — text curation joined with REAL in-engine
+    image and audio decodes, gated jointly, written to verified training
+    shards: cu01's quality+language+exact-dedup curation picks the text
+    survivors, then (only for survivors — media decode is the expensive
+    stage of a multimodal ingest, so it runs AFTER the cheap text gates
+    prune the corpus) each document's deterministic 8x8 BMP (mm02's
+    pixel grid) and 256-sample PCM WAV (mm04's signal) are encoded to
+    actual container bytes and decoded back by the pure-numpy codecs
+    (operators.multimodal.decode_images / decode_audio) under
+    ``mapInPandas``; a joint multimodal quality gate drops clipped audio
+    (peak >= 24576) and too-dark images (mean pixel < 64, i.e.
+    pixel_sum < 64*192), and the survivors land in 4 hash-assigned hive
+    shard directories (operators.splits.write_training_shards). The
+    returned manifest — per shard: rows, order-independent XOR id
+    digest, token volume, total audio energy (exact integer Σ sample²),
+    total pixel volume — is aggregated from ONE column-pruned read-back
+    of the WRITTEN files, and the DuckDB oracle replays curation, both
+    decode arithmetics, the joint gate, and the md5 shard assignment
+    end-to-end: a hash match certifies the whole text+image+audio path
+    from raw corpus to on-disk shards. Complements sp10 (the text-only
+    flagship: decontamination + packing); together they cover both
+    north-star pipeline shapes.
+
+    Scale shape: curation is cu01's audited single-scan + 24-byte-pair
+    shuffle; everything after it is ONE LINEAR narrow pipeline with zero
+    joins — n_tokens rides through the render and both decoders
+    (mapInPandas passes non-media columns through), and the gates are
+    ordered cheapest-first (text rules prune before any decode, the
+    audio verdict prunes before the image decode — at 100 TB this
+    ordering is the difference between decoding every crawled blob and
+    decoding only earlier-stage survivors); the shard write is one
+    md5-partitioned pass and the certification one column-pruned read
+    of the written files."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.curation import curate_documents
+    from ..operators.dedup import portable_hash64
+    from ..operators.multimodal import (
+        decode_audio,
+        decode_images,
+        encode_bmp,
+        encode_wav,
+    )
+    from ..operators.splits import write_training_shards
+    from ..sources.testdata import work_dir
+
+    d = load_table(spark, sf_dir, "documents")
+    curated = curate_documents(d).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+
+    def render(batches):
+        t = np.arange(256, dtype=np.int64)
+        i, j, c = np.meshgrid(np.arange(8), np.arange(8), np.arange(3), indexing="ij")
+        base = i * 7 + j * 3 + c
+        for pdf in batches:
+            wavs, bmps = [], []
+            for doc_id in pdf["doc_id"]:
+                k = int(doc_id)
+                wavs.append(
+                    encode_wav(((k * 257 + t * 13) % 65536 - 32768).astype(np.int16),
+                               sample_rate=8000)
+                )
+                bmps.append(encode_bmp(((k * 31 + base) % 256).astype(np.uint8)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": pdf["n_tokens"],
+                    "wav": wavs,
+                    "bmp": bmps,
+                }
+            )
+
+    # One LINEAR pass, zero joins: n_tokens rides along through the render
+    # and both decoders (mapInPandas passes non-media columns through), and
+    # the audio gate prunes BEFORE the image decode — progressive filtering,
+    # each modality's decode paid only by the previous stages' survivors.
+    rendered = curated.mapInPandas(
+        render, "doc_id long, n_tokens long, wav binary, bmp binary"
+    )
+    audio = decode_audio(
+        attach_media(rendered, "wav", media_type="audio", codec="pcm_s16le")
+        .select("doc_id", "n_tokens", "bmp", "media")
+    )
+    audio_ok = audio.filter(F.col("peak") < 24576).select(
+        "doc_id", "n_tokens", "sum_sq", "bmp"
+    )
+    image = decode_images(
+        attach_media(audio_ok, "bmp", media_type="image", codec="bmp")
+        .select("doc_id", "n_tokens", "sum_sq", "media")
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "sum_sq",
+        F.aggregate(F.col("pixels"), F.lit(0).cast("long"), lambda a, x: a + x)
+        .alias("pixel_sum"),
+    )
+    gated = image.filter(F.col("pixel_sum") >= 12288)
+    out = os.path.join(work_dir("mm08_shards"), "train")
+    write_training_shards(gated, out, "doc_id", num_shards=4)
+    return (
+        spark.read.parquet(out)
+        .groupBy(F.col("shard").cast("int").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.bit_xor(portable_hash64(F.col("doc_id").cast("string"))).alias(
+                "id_hash_xor"
+            ),
+            F.sum("n_tokens").cast("long").alias("tokens"),
+            F.sum("sum_sq").cast("long").alias("audio_energy"),
+            F.sum("pixel_sum").cast("long").alias("pixel_volume"),
+        )
+        .orderBy("shard")
+    )
