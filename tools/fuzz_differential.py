@@ -14,6 +14,14 @@ The grammar deliberately stays inside the deterministic common dialect:
   LIKE 'prefix%' with metacharacter-escaped prefixes, CASE, ||,
   upper/lower/substr/coalesce, date_trunc).
 
+Round-7 shapes: window frames + navigation (LAG/LEAD with defaults,
+FIRST_VALUE/LAST_VALUE and bounded ROWS frames, all ordered by the
+unique PK so frames are engine-deterministic); conditional aggregation
+(CASE-in-SUM and the FILTER (WHERE ...) clause); nested aggregation
+over derived tables; uncorrelated IN / NOT IN subqueries on FK links
+(inner side projects a non-null key, so NOT IN's NULL-poisoning rule
+stays out of play — semi/anti planning is the target).
+
 Grammar shapes (round 6 added the first five): LEFT/FULL OUTER joins
 with extra ON predicates so null-extended rows actually occur; set
 operations (UNION/INTERSECT/EXCEPT, ALL and DISTINCT); QUALIFY — run
@@ -371,8 +379,160 @@ def _gen_scalar_subquery(rng: random.Random, pools: dict) -> str:
     return f"SELECT {PK[outer]}, {sub} FROM {outer}{where}"
 
 
+def _gen_window_frames(rng: random.Random, pools: dict) -> str:
+    """Window frames and navigation functions — LAG/LEAD with defaults,
+    FIRST_VALUE/LAST_VALUE under explicit ROWS frames, bounded moving
+    windows. Deterministic by construction: every OVER orders by the
+    table's unique PK (total order), so frame contents are identical on
+    both engines. Doubles route through the DECIMAL-sum convention."""
+    tbl = rng.choice(list(PK))
+    pk, gk = PK[tbl], rng.choice(GROUP_KEYS[tbl])
+    col, kind = rng.choice(
+        [(c, k) for c, k in SCHEMA[tbl].items() if k in ("int", "double")]
+    )
+    val = col if kind == "int" else f"CAST({col} AS DECIMAL(18,2))"
+    over = f"OVER (PARTITION BY {gk} ORDER BY {pk}"
+    k = rng.randrange(1, 4)
+    fns = [
+        f"LAG({col}, {k}) {over})",
+        f"LEAD({col}, {k}) {over})",
+        f"LAG({col}, {k}, {'-1' if kind == 'int' else '-1.0'}) {over})",
+        f"FIRST_VALUE({col}) {over} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+        f"LAST_VALUE({col}) {over} ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)",
+        f"CAST(SUM({val}) {over} ROWS BETWEEN {k} PRECEDING AND CURRENT ROW) AS DOUBLE)",
+        f"MIN({col}) {over} ROWS BETWEEN {k} PRECEDING AND {k} FOLLOWING)",
+        f"COUNT(*) {over} ROWS BETWEEN UNBOUNDED PRECEDING AND {k} FOLLOWING)",
+    ]
+    fcol, fkind = rng.choice(list(SCHEMA[tbl].items()))
+    where = (
+        f" WHERE {_predicate(rng, fcol, fkind, pools)}" if rng.random() < 0.5 else ""
+    )
+    picks = rng.sample(fns, rng.randrange(1, 3))
+    sel = ", ".join(f"{f} AS w{i}" for i, f in enumerate(picks))
+    return f"SELECT {pk}, {gk}, {sel} FROM {tbl}{where}"
+
+
+def _gen_conditional_agg(rng: random.Random, pools: dict) -> str:
+    """Conditional aggregation — CASE-in-SUM pivot columns and the
+    standard FILTER (WHERE ...) clause, the two idioms every reporting
+    query uses; both engines implement both, and the NULL-vs-0 behavior
+    of each (CASE ELSE 0 vs FILTER's empty-set NULL→COUNT 0) must agree."""
+    tbl = rng.choice(list(SCHEMA))
+    gk = rng.choice(GROUP_KEYS[tbl])
+    col, kind = rng.choice(
+        [(c, k) for c, k in SCHEMA[tbl].items() if k in ("int", "double")]
+    )
+    pcol, pkind = rng.choice(list(SCHEMA[tbl].items()))
+    pred = _predicate(rng, pcol, pkind, pools)
+    val = col if kind == "int" else f"CAST({col} AS DECIMAL(18,2))"
+    wrap = (lambda e: e) if kind == "int" else (lambda e: f"CAST({e} AS DOUBLE)")
+    aggs = [
+        (f"SUM(CASE WHEN {pred} THEN {val} ELSE 0 END)", "a_case_sum", True),
+        (f"COUNT(CASE WHEN {pred} THEN 1 END)", "a_case_cnt", False),
+        (f"SUM({val}) FILTER (WHERE {pred})", "a_filter_sum", True),
+        (f"COUNT(*) FILTER (WHERE {pred})", "a_filter_cnt", False),
+        (f"MIN({col}) FILTER (WHERE {pred})", "a_filter_min", False),
+    ]
+    picks = rng.sample(aggs, rng.randrange(2, 4))
+    sel = ", ".join(
+        f"{wrap(e) if is_sum else e} AS {a}" for e, a, is_sum in picks
+    )
+    return f"SELECT {gk}, COUNT(*) AS a_cnt, {sel} FROM {tbl} GROUP BY {gk}"
+
+
+def _gen_nested_agg(rng: random.Random, pools: dict) -> str:
+    """Aggregate over a derived-table aggregate — the re-aggregation
+    shape (per-key rollup, then stats over the rollup) that exercises
+    nested GROUP BY planning and the DECIMAL boundary twice."""
+    left, right, cond = rng.choice(JOINS)
+    inner_key = rng.choice(GROUP_KEYS[left])
+    outer_src = rng.choice([left, right])
+    cols = {**SCHEMA[left], **SCHEMA[right]}
+    col, kind = rng.choice(
+        [(c, k) for c, k in cols.items() if k in ("int", "double")]
+    )
+    inner_agg = (
+        f"SUM({col})" if kind == "int"
+        else f"CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE)"
+    )
+    fcol, fkind = rng.choice(list(cols.items()))
+    where = (
+        f" WHERE {_predicate(rng, fcol, fkind, pools)}" if rng.random() < 0.5 else ""
+    )
+    use_join = rng.random() < 0.5
+    from_sql = f"{left} JOIN {right} ON {cond}" if use_join else outer_src
+    if not use_join:
+        inner_key = rng.choice(GROUP_KEYS[outer_src])
+        scols = SCHEMA[outer_src]
+        col, kind = rng.choice(
+            [(c, k) for c, k in scols.items() if k in ("int", "double")]
+        )
+        inner_agg = (
+            f"SUM({col})" if kind == "int"
+            else f"CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE)"
+        )
+        fcol, fkind = rng.choice(list(scols.items()))
+        where = (
+            f" WHERE {_predicate(rng, fcol, fkind, pools)}"
+            if rng.random() < 0.5
+            else ""
+        )
+    inner = (
+        f"SELECT {inner_key} AS k, {inner_agg} AS v, COUNT(*) AS c"
+        f" FROM {from_sql}{where} GROUP BY {inner_key}"
+    )
+    outer = rng.choice(
+        [
+            "SELECT COUNT(*) AS n_groups, MIN(v) AS a_min, MAX(v) AS a_max,"
+            " SUM(c) AS a_rows",
+            "SELECT COUNT(*) AS n_groups, SUM(c) AS a_rows",
+            "SELECT k, v, c",  # pass-through: derived table as a relation
+        ]
+    )
+    return f"{outer} FROM ({inner}) t"
+
+
+def _gen_in_subquery(rng: random.Random, pools: dict) -> str:
+    """Uncorrelated IN / NOT IN subqueries on the FK links. The inner
+    side projects a KEY column (non-null by construction in this data),
+    so NOT IN's NULL-poisoning rule never makes the comparison engine-
+    ambiguous — what's under test is semi/anti planning and dedup of the
+    inner relation, not three-valued logic."""
+    outer, inner, corr = rng.choice(EXISTS_LINKS)
+    # corr is "inner_col = outer_col"; IN flips it to column membership
+    inner_col, outer_col = corr.split(" = ")
+    icol, ikind = rng.choice(list(SCHEMA[inner].items()))
+    ip = _predicate(rng, icol, ikind, pools)
+    neg = "NOT " if rng.random() < 0.4 else ""
+    sub = f"SELECT {inner_col} FROM {inner} WHERE {ip}"
+    ocol, okind = rng.choice(list(SCHEMA[outer].items()))
+    extra = (
+        f" AND {_predicate(rng, ocol, okind, pools)}" if rng.random() < 0.4 else ""
+    )
+    proj = rng.sample(list(SCHEMA[outer]), rng.randrange(1, 3))
+    if rng.random() < 0.5:
+        return (
+            f"SELECT {', '.join(proj)} FROM {outer}"
+            f" WHERE {outer_col} {neg}IN ({sub}){extra}"
+        )
+    gk = rng.choice(GROUP_KEYS[outer])
+    return (
+        f"SELECT {gk}, COUNT(*) AS a_cnt FROM {outer}"
+        f" WHERE {outer_col} {neg}IN ({sub}){extra} GROUP BY {gk}"
+    )
+
+
 def gen_query(rng: random.Random, pools: dict) -> str:
     shape = rng.random()
+    if shape < 0.08:
+        return _gen_window_frames(rng, pools)
+    if shape < 0.15:
+        return _gen_conditional_agg(rng, pools)
+    if shape < 0.21:
+        return _gen_nested_agg(rng, pools)
+    if shape < 0.27:
+        return _gen_in_subquery(rng, pools)
+    shape = (shape - 0.27) / 0.73  # renormalize the round-6 shapes below
     if shape < 0.10:
         return _gen_outer_join(rng, pools)
     if shape < 0.18:
