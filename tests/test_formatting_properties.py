@@ -287,3 +287,29 @@ def test_qualify_in_nonfinal_branch_keeps_following_branch(col, tbl, tbl2, op, k
     # the predicate region must not contain the set operator
     wrapped = out[: out.rindex(op)]
     assert pred in wrapped
+
+
+# -- shared paren scanner ----------------------------------------------------
+
+
+def test_find_closing_paren_quote_rules():
+    """The MERGE source scan and the SET splitter must share one quote
+    contract: doubled quotes, backslash-escaped quotes (Spark's default
+    string parsing), and double-quoted identifiers all shield parens."""
+    from trino_iceberg_spark.formatting import find_closing_paren
+
+    s = "(SELECT 'a,b(' AS x) tail"
+    assert s[find_closing_paren(s)] == ")" and find_closing_paren(s) == 19
+    s = "(SELECT 'it''s(' )"
+    assert find_closing_paren(s) == len(s) - 1
+    # backslash-escaped quote: the ( inside the literal must not count
+    s = "(SELECT 'p\\'q(' AS x) rest"
+    assert find_closing_paren(s) == s.index(") rest")
+    # double-quoted identifier containing )
+    s = '(SELECT "we)ird" FROM t)'
+    assert find_closing_paren(s) == len(s) - 1
+    assert find_closing_paren("(never closed (") == -1
+    assert find_closing_paren("no paren") == -1
+    # open_idx anchors mid-string
+    s = "USING (SELECT 1) tail"
+    assert find_closing_paren(s, 6) == 15

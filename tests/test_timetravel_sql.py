@@ -263,6 +263,17 @@ def test_sql_text_merge_into_snapshot_table(spark, tmp_path):
     # non-registered target falls through to Catalyst (returns None path)
     assert client._snapshot_merge("MERGE INTO not_registered t USING x s ON 1=1 WHEN MATCHED THEN DELETE") is None
 
+    # backslash-escaped quote inside the source subquery: Spark parses
+    # 'e\\'(' as the literal e'( — the balance scan must not leave the
+    # string at the escaped quote and count the ( (shared-scanner
+    # contract, formatting.find_closing_paren)
+    n = client.execute(
+        "MERGE INTO merge_t t USING (SELECT 5 AS id, 'e\\'(' AS name, 50 AS v) s "
+        "ON t.id = s.id WHEN NOT MATCHED THEN INSERT VALUES (s.id, s.name, s.v)"
+    )
+    assert n == 1
+    assert client.query_scalar("SELECT name FROM merge_t WHERE id = 5") == "e'("
+
 
 class TestQualifyRewrite:
     def test_alias_predicate_and_limit_tail(self, spark):

@@ -445,9 +445,15 @@ def _gen_nested_agg(rng: random.Random, pools: dict) -> str:
     shape (per-key rollup, then stats over the rollup) that exercises
     nested GROUP BY planning and the DECIMAL boundary twice."""
     left, right, cond = rng.choice(JOINS)
-    inner_key = rng.choice(GROUP_KEYS[left])
-    outer_src = rng.choice([left, right])
-    cols = {**SCHEMA[left], **SCHEMA[right]}
+    if rng.random() < 0.5:
+        from_sql = f"{left} JOIN {right} ON {cond}"
+        cols = {**SCHEMA[left], **SCHEMA[right]}
+        inner_key = rng.choice(GROUP_KEYS[left])
+    else:
+        src = rng.choice([left, right])
+        from_sql = src
+        cols = SCHEMA[src]
+        inner_key = rng.choice(GROUP_KEYS[src])
     col, kind = rng.choice(
         [(c, k) for c, k in cols.items() if k in ("int", "double")]
     )
@@ -459,24 +465,6 @@ def _gen_nested_agg(rng: random.Random, pools: dict) -> str:
     where = (
         f" WHERE {_predicate(rng, fcol, fkind, pools)}" if rng.random() < 0.5 else ""
     )
-    use_join = rng.random() < 0.5
-    from_sql = f"{left} JOIN {right} ON {cond}" if use_join else outer_src
-    if not use_join:
-        inner_key = rng.choice(GROUP_KEYS[outer_src])
-        scols = SCHEMA[outer_src]
-        col, kind = rng.choice(
-            [(c, k) for c, k in scols.items() if k in ("int", "double")]
-        )
-        inner_agg = (
-            f"SUM({col})" if kind == "int"
-            else f"CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE)"
-        )
-        fcol, fkind = rng.choice(list(scols.items()))
-        where = (
-            f" WHERE {_predicate(rng, fcol, fkind, pools)}"
-            if rng.random() < 0.5
-            else ""
-        )
     inner = (
         f"SELECT {inner_key} AS k, {inner_agg} AS v, COUNT(*) AS c"
         f" FROM {from_sql}{where} GROUP BY {inner_key}"

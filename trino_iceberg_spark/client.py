@@ -24,7 +24,7 @@ from pyspark.errors import AnalysisException
 
 from .errors import QueryError, UnloadError
 from .fs import FsClient
-from .formatting import format_sql, split_top_level_commas
+from .formatting import find_closing_paren, format_sql, split_top_level_commas
 from .mapping import bind_rows, coerce_scalar
 from .timetravel_sql import SnapshotResolver, rewrite_qualify, rewrite_time_travel
 
@@ -269,29 +269,13 @@ class AthenaSparkClient:
         ta = m.group("ta")
         rest = rendered[m.end() :].lstrip()
         if rest.startswith("("):
-            # Quote-aware balance scan: parens inside '…''…' string
-            # literals must not count (found by tools/fuzz_dml.py — a
-            # VALUES source containing '(' in a string broke the naive
-            # counter).
-            depth, end, i, in_str = 0, -1, 0, False
-            while i < len(rest):
-                ch = rest[i]
-                if in_str:
-                    if ch == "'":
-                        if i + 1 < len(rest) and rest[i + 1] == "'":
-                            i += 1  # doubled quote stays inside the literal
-                        else:
-                            in_str = False
-                elif ch == "'":
-                    in_str = True
-                elif ch == "(":
-                    depth += 1
-                elif ch == ")":
-                    depth -= 1
-                    if depth == 0:
-                        end = i
-                        break
-                i += 1
+            # Quote-aware balance scan: parens inside string literals must
+            # not count (found by tools/fuzz_dml.py — a VALUES source
+            # containing '(' in a string broke the naive counter). Uses
+            # the package-wide scanner so backslash-escaped quotes and
+            # double-quoted identifiers follow the SAME rules as the
+            # UPDATE SET splitter (split_top_level_commas).
+            end = find_closing_paren(rest)
             if end < 0:
                 raise QueryError("malformed MERGE: unbalanced source subquery", sql=rendered)
             src_sql, rest = rest[1:end], rest[end + 1 :]

@@ -251,3 +251,51 @@ def split_top_level_commas(text: str) -> list[str]:
     if tail:
         parts.append(tail)
     return parts
+
+
+def find_closing_paren(text: str, open_idx: int = 0) -> int:
+    """Index of the ``)`` that closes the ``(`` at ``open_idx``, or -1.
+
+    Shares :func:`split_top_level_commas`'s string-literal rules — the
+    one quote/paren contract every SQL-text scanner in this package must
+    agree on (the MERGE source-subquery scan previously used its own
+    reduced state machine and diverged on backslash-escaped quotes):
+
+    - single-quoted literals may contain ``''`` (SQL doubling) and
+      ``\\'`` (Spark's default backslash escape — Spark is the engine
+      that ultimately parses these statements);
+    - double-quoted identifiers may contain anything but ``"``;
+    - parens inside either never count toward depth.
+    """
+    if open_idx >= len(text) or text[open_idx] != "(":
+        return -1
+    depth = 0
+    in_squote = in_dquote = False
+    i = open_idx
+    n = len(text)
+    while i < n:
+        ch = text[i]
+        nxt = text[i + 1] if i + 1 < n else ""
+        if in_squote:
+            if ch == "\\" and nxt:
+                i += 1
+            elif ch == "'":
+                if nxt == "'":
+                    i += 1
+                else:
+                    in_squote = False
+        elif in_dquote:
+            if ch == '"':
+                in_dquote = False
+        elif ch == "'":
+            in_squote = True
+        elif ch == '"':
+            in_dquote = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    return -1

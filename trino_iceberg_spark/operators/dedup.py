@@ -444,14 +444,23 @@ def _capped_inverted_index(
     :func:`minhash_dedup_pairs` and ``semantic_dedup_pairs``'s
     ``max_cell_size``). Dropped shingles are counted and logged loudly,
     mirroring ``semantic_dedup_pairs``'s skew warning — recall loss
-    should be visible, never inferred. The count aggregate runs on the
-    already-persisted index, so the extra action mostly pre-warms the
-    cache the pair join needs anyway."""
+    should be visible, never inferred.
+
+    NOTE: the logged diagnostic makes guard construction EAGER — it runs
+    one job (shingling the corpus + the df aggregate) at call time, even
+    if the caller never executes the returned plan. Both the exploded
+    index and the per-shingle df table are persisted, so the pair join
+    reuses rather than recomputes them (caller owns both caches, module
+    note); ``max_df=None`` restores a fully lazy builder."""
     if max_df is None:
         return ex
     import logging
 
-    sizes = ex.groupBy(*join_keys).agg(F.count(F.lit(1)).alias("_df"))
+    sizes = (
+        ex.groupBy(*join_keys)
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     dropped = (
         sizes.filter(F.col("_df") > max_df)
         .agg(F.count(F.lit(1)).alias("shingles"), F.sum("_df").alias("rows"))
@@ -496,7 +505,10 @@ def ngram_jaccard_pairs(
     :func:`_capped_inverted_index`. The intersection count then misses
     capped shingles while |A| and |B| still count them, so the reported
     Jaccard is a one-sided UNDERESTIMATE bounded by the number of viral
-    shingles a pair shares; exact behavior needs ``max_df=None``."""
+    shingles a pair shares; exact behavior needs ``max_df=None``. With
+    the guard on, CONSTRUCTION IS EAGER (it shingles the corpus once to
+    log the dropped-shingle diagnostic — see
+    :func:`_capped_inverted_index`); ``max_df=None`` is fully lazy."""
     cols = [F.col(id_col).alias("_id"), shingle_hashes(content_col, k).alias("_sh")]
     join_keys = ["_s"]
     if block_col is not None:
@@ -576,8 +588,10 @@ def containment_pairs(
     missing from the intersection count while |S(src)| still counts
     them, so containment is a one-sided underestimate bounded by the
     number of viral shingles the pair shares; ``max_df=None`` restores
-    exact semantics. ``block_col`` narrows the index exactly as in the
-    Jaccard form.
+    exact semantics (and a fully lazy builder — the guard's logged
+    diagnostic makes construction eager, see
+    :func:`_capped_inverted_index`). ``block_col`` narrows the index
+    exactly as in the Jaccard form.
 
     Documents with fewer than ``k`` words have an EMPTY shingle set and
     emit nothing (``empty_when_short=True`` — containment over an empty
