@@ -473,8 +473,13 @@ def _capped_inverted_index(
             "pairs sharing those shingles",
             op_name, dropped["shingles"], dropped["rows"], max_df,
         )
-    ok = sizes.filter(F.col("_df") <= max_df).select(*join_keys)
-    return ex.join(ok, join_keys)
+    # Filter by ANTI-joining the VIRAL set (complement of the ok-filter,
+    # logically identical): viral shingles number at most
+    # index_rows / max_df — usually zero, pathologically still tiny next
+    # to the index — so AQE turns this into a broadcast anti-join, where
+    # an inner join against the huge ok set would shuffle the full index.
+    viral = sizes.filter(F.col("_df") > max_df).select(*join_keys)
+    return ex.join(viral, join_keys, "left_anti")
 
 
 def ngram_jaccard_pairs(
