@@ -313,3 +313,43 @@ def test_find_closing_paren_quote_rules():
     # open_idx anchors mid-string
     s = "USING (SELECT 1) tail"
     assert find_closing_paren(s, 6) == 15
+
+
+@st.composite
+def _paren_body(draw, depth=0):
+    """Balanced SQL-ish fragment: identifiers, string literals stuffed
+    with parens/doubled quotes/backslash escapes, nested paren groups."""
+    parts = draw(
+        st.lists(
+            st.one_of(
+                st.from_regex(r"[a-z][a-z0-9_]{0,6}", fullmatch=True),
+                st.sampled_from(
+                    ["'a,b('", "'it''s)('", "'p\\'q('", "''", "'((('", '"we)ird"']
+                ),
+            )
+            if depth >= 2
+            else st.one_of(
+                st.from_regex(r"[a-z][a-z0-9_]{0,6}", fullmatch=True),
+                st.sampled_from(
+                    ["'a,b('", "'it''s)('", "'p\\'q('", "''", "'((('", '"we)ird"']
+                ),
+                st.deferred(lambda: _paren_body(depth=depth + 1)).map(
+                    lambda b: f"({b})"
+                ),
+            ),
+            min_size=1,
+            max_size=4,
+        )
+    )
+    return " ".join(parts)
+
+
+@given(_paren_body(), st.sampled_from(["", " tail", ") s ON t.id = s.id"]))
+def test_find_closing_paren_property(body, tail):
+    """For any balanced body wrapped in parens, the scanner returns the
+    wrapping close-paren — literals full of parens/escapes never fool it,
+    and trailing text (even with stray parens) is never consumed."""
+    from trino_iceberg_spark.formatting import find_closing_paren
+
+    text = f"({body}){tail}"
+    assert find_closing_paren(text) == len(body) + 1
