@@ -70,6 +70,7 @@ _TUNED_CONFS = {
 _FRONT = [
     # --- tier 1: new + changed-code re-verifies ---
     "mm08_multimodal_to_shards",
+    "sp11_greedy_packing",
     "dd04_ngram_jaccard",
     "dd15_containment_pairs",
     "dd07_duplicate_clusters",

@@ -69,6 +69,9 @@ def bare_spark(spark):
         # chained decode_audio/decode_images mapInPandas → joint gate →
         # partitioned shard write certified from the read-back
         "mm08_multimodal_to_shards",
+        # round-7 no-split packing: hash-routed applyInPandas greedy
+        # first-fit with a recursive-CTE oracle
+        "sp11_greedy_packing",
     ],
 )
 def test_entry_runs_on_bare_session(bare_spark, sf_dir, name):

@@ -228,3 +228,74 @@ def test_fixed_per_group_exact_counts_and_nesting(spark, sf_dir):
 
     with pytest.raises(ValueError):
         sample_fixed_per_group(d, "doc_id", "source", n=0)
+
+
+def test_pack_greedy_nosplit_invariants(spark, sf_dir):
+    """No bin ever exceeds seq_len; documents never straddle (offset +
+    n_packed <= seq_len); within a packer, a document opens a new bin
+    ONLY when it genuinely didn't fit the open one (greedy property);
+    oversized docs truncate; zero-token docs take no space; and the
+    placement is a pure function of ids (stable under repartition)."""
+    from pyspark.sql import functions as F
+
+    from trino_iceberg_spark.operators.packing import pack_greedy_nosplit
+    from trino_iceberg_spark.operators.text import token_count_col
+    from trino_iceberg_spark.sources.testdata import load_table
+
+    L = 128
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count_col(F.col("text")).alias("n_tokens")
+    )
+    rows = pack_greedy_nosplit(
+        d, "doc_id", "n_tokens", seq_len=L, num_packers=4
+    ).collect()
+    assert len(rows) == d.count()
+    fills: dict = {}
+    for r in rows:
+        assert 0 <= r["n_packed"] <= L  # truncation bound
+        assert r["bin_offset"] + r["n_packed"] <= L  # never straddles
+        key = (r["packer"], r["bin"])
+        fills[key] = max(fills.get(key, 0), r["bin_offset"] + r["n_packed"])
+    # greedy property: every non-first bin's predecessor was too full for
+    # the FIRST doc placed in that bin (its bin_offset is 0 and it did
+    # not fit at the predecessor's final fill)
+    first_in_bin = {}
+    for r in sorted(rows, key=lambda r: (r["packer"], r["bin"], r["bin_offset"])):
+        first_in_bin.setdefault((r["packer"], r["bin"]), r)
+    for (packer, b), r in first_in_bin.items():
+        if b == 0:
+            continue
+        assert r["bin_offset"] == 0
+        prev_fill = fills[(packer, b - 1)]
+        assert prev_fill + max(r["n_packed"], 1) > L
+    # stable under physical layout
+    again = {
+        (r["doc_id"]): (r["packer"], r["bin"], r["bin_offset"])
+        for r in pack_greedy_nosplit(
+            d.repartition(17), "doc_id", "n_tokens", seq_len=L, num_packers=4
+        ).collect()
+    }
+    assert again == {
+        r["doc_id"]: (r["packer"], r["bin"], r["bin_offset"]) for r in rows
+    }
+
+
+def test_pack_greedy_nosplit_truncation_and_zero(spark):
+    """A doc longer than seq_len is truncated to a full bin of its own;
+    zero-token docs keep the open bin and offset."""
+    from trino_iceberg_spark.operators.packing import pack_greedy_nosplit
+
+    d = spark.createDataFrame(
+        [(1, 1000), (2, 0), (3, 60), (4, 60)], "id long, n long"
+    )
+    rows = {
+        r["id"]: r
+        for r in pack_greedy_nosplit(
+            d, "id", "n", seq_len=100, num_packers=1
+        ).collect()
+    }
+    assert rows[1]["n_packed"] == 100  # truncated
+    assert rows[2]["n_packed"] == 0
+    assert rows[2]["bin_offset"] + rows[2]["n_packed"] <= 100
+    # all four in packer 0; total bins consistent with greedy
+    assert all(r["packer"] == rows[1]["packer"] for r in rows.values())

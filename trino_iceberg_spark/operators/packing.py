@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["exclusive_cumsum", "pack_sequences"]
+__all__ = ["exclusive_cumsum", "pack_greedy_nosplit", "pack_sequences"]
 
 
 def exclusive_cumsum(
@@ -114,3 +114,98 @@ def pack_sequences(
         .withColumn("last_chunk", last_chunk)
         .withColumn("n_chunks", n_chunks)
     )
+
+
+def pack_greedy_nosplit(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    seq_len: int,
+    num_packers: int = 256,
+    seed: int = 42,
+) -> DataFrame:
+    """Greedy first-fit packing where documents NEVER straddle a sequence
+    boundary — the SFT-style "sample packing" (each training sequence is
+    a concatenation of whole examples plus padding), as opposed to
+    :func:`pack_sequences`' pretraining concat-and-chunk where documents
+    may split across chunks.
+
+    The greedy rule is inherently sequential (whether a document opens a
+    new bin depends on every placement before it), so it is distributed
+    the way production packers actually run: documents are hash-routed
+    to ``num_packers`` independent packers (pure function of the id —
+    deterministic, engine-replayable), and each packer packs ITS
+    documents sequentially in md5-shuffled order inside one
+    ``applyInPandas`` group. Parallelism across packers, bounded
+    sequential work within (corpus/num_packers documents — size the knob
+    so a group fits one task; a 100 TB corpus uses 10^5-10^6 packers).
+    Bin ids are (packer, bin) pairs; no global coordination exists or is
+    needed — a trainer reads any packer's bins independently.
+
+    Rules: a document with ``n > seq_len`` tokens is truncated to
+    ``seq_len`` (``n_packed``); a document fits the OPEN bin iff
+    ``fill + n_packed <= seq_len``, else it opens the next bin;
+    zero-token documents occupy the open bin at the current offset. The
+    within-group loop is a plain Python loop over numpy arrays — the
+    recurrence (a restarting cumsum) has no vectorized form, and group
+    sizes are bounded by construction.
+
+    Returns one row per document: ``id_col``, ``packer``, ``bin``,
+    ``bin_offset`` (first token slot inside the bin), ``n_packed``.
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive (got {seq_len})")
+    if num_packers <= 0:
+        raise ValueError(f"num_packers must be positive (got {num_packers})")
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from .dedup import portable_hash64
+
+    packer = F.pmod(
+        portable_hash64(F.col(id_col).cast("string")), F.lit(num_packers)
+    ).cast("int")
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"-{seed}")))
+    keyed = df.select(
+        F.col(id_col),
+        F.least(F.col(token_count_col).cast("long"), F.lit(seq_len)).alias(
+            "_n_packed"
+        ),
+        packer.alias("packer"),
+        key.alias("_k"),
+    )
+    id_field = [f for f in keyed.schema.fields if f.name == id_col][0]
+    out_schema = T.StructType(
+        [
+            id_field,
+            T.StructField("packer", T.IntegerType(), False),
+            T.StructField("bin", T.LongType(), False),
+            T.StructField("bin_offset", T.LongType(), False),
+            T.StructField("n_packed", T.LongType(), False),
+        ]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_k", kind="mergesort").reset_index(drop=True)
+        ns = pdf["_n_packed"].to_numpy()
+        bins, offs = [], []
+        cur_bin, fill = 0, 0
+        for n in ns:
+            if fill + n > seq_len:
+                cur_bin += 1
+                fill = 0
+            bins.append(cur_bin)
+            offs.append(fill)
+            fill += int(n)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "packer": pdf["packer"],
+                "bin": pd.Series(bins, dtype="int64"),
+                "bin_offset": pd.Series(offs, dtype="int64"),
+                "n_packed": pdf["_n_packed"],
+            }
+        )
+
+    return keyed.groupBy("packer").applyInPandas(pack, out_schema)

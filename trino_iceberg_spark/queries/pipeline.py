@@ -3463,3 +3463,73 @@ def mm08_multimodal_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "sp11_greedy_packing",
+    oracle="""
+    WITH RECURSIVE base AS (
+        SELECT doc_id,
+               LEAST(CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                          w -> w <> '')) AS BIGINT), 512) AS n,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                    % 8 AS INT) AS packer,
+               md5(CAST(doc_id AS VARCHAR) || '-42') AS k
+        FROM documents
+    ),
+    ordered AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY packer ORDER BY k) AS rn
+        FROM base
+    ),
+    g AS (
+        SELECT packer, rn, doc_id, n,
+               CAST(0 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS bin_offset,
+               n AS fill
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.packer, o.rn, o.doc_id, o.n,
+               CASE WHEN g.fill + o.n <= 512 THEN g.bin ELSE g.bin + 1 END,
+               CASE WHEN g.fill + o.n <= 512 THEN g.fill
+                    ELSE CAST(0 AS BIGINT) END,
+               CASE WHEN g.fill + o.n <= 512 THEN g.fill + o.n ELSE o.n END
+        FROM g JOIN ordered o ON o.packer = g.packer AND o.rn = g.rn + 1
+    )
+    SELECT doc_id, packer, bin, bin_offset, n AS n_packed
+    FROM g ORDER BY doc_id
+    """,
+)
+def sp11_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy NO-SPLIT sequence packing (operators.packing.
+    pack_greedy_nosplit): whole documents first-fit into 512-token bins —
+    the SFT-style "sample packing" where an example never straddles a
+    training sequence, complementing sp04's pretraining concat-and-chunk
+    (which splits at chunk boundaries by design). The greedy recurrence
+    is sequential, so it runs the way production packers distribute it:
+    md5-hash routing to 8 independent packers, each packing its bounded
+    document set in shuffled order inside one applyInPandas group —
+    parallel across packers, no global coordination.
+
+    The gate is the FULL per-document placement (packer, bin, offset,
+    truncated length), not an aggregate: the DuckDB oracle replays the
+    exact greedy recurrence per packer with a recursive CTE, so a hash
+    match proves routing, ordering, the fits-or-opens rule, truncation,
+    and zero-token handling all at once.
+
+    Scale shape: one shuffle (groupBy packer — md5-uniform, no skew),
+    then Arrow-batched bounded sequential work per group; num_packers is
+    the parallelism knob (10^5-10^6 at 100 TB). The oracle's recursion
+    is per-packer rows (~corpus/8 deep at test SFs) — replay cost, not
+    engine cost."""
+    from ..operators.packing import pack_greedy_nosplit
+    from ..operators.text import token_count_col
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count_col(F.col("text")).alias("n_tokens")
+    )
+    return (
+        pack_greedy_nosplit(
+            d, "doc_id", "n_tokens", seq_len=512, num_packers=8, seed=42
+        )
+        .select("doc_id", "packer", "bin", "bin_offset", "n_packed")
+        .orderBy("doc_id")
+    )
