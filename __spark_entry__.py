@@ -71,6 +71,7 @@ _FRONT = [
     # --- tier 1: new + changed-code re-verifies ---
     "mm08_multimodal_to_shards",
     "sp11_greedy_packing",
+    "cu09_token_budget_selection",
     "dd04_ngram_jaccard",
     "dd15_containment_pairs",
     "dd07_duplicate_clusters",

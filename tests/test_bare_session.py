@@ -72,6 +72,8 @@ def bare_spark(spark):
         # round-7 no-split packing: hash-routed applyInPandas greedy
         # first-fit with a recursive-CTE oracle
         "sp11_greedy_packing",
+        # round-7 budget selection: hex-key ordering + two-phase cumsum
+        "cu09_token_budget_selection",
     ],
 )
 def test_entry_runs_on_bare_session(bare_spark, sf_dir, name):

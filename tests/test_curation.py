@@ -161,3 +161,55 @@ def test_dsir_log_weights_favor_target_like_documents(spark):
         for r in dsir_log_weights(raw, target, "text", "doc_id").collect()
     }
     assert again == {k: v["log_weight"] for k, v in got.items()}
+
+
+def test_select_token_budget_invariants(spark, sf_dir):
+    """The selection never exceeds the budget, is exactly the fully-funded
+    best-first prefix (any rejected doc either scores below every kept
+    doc's priority or wouldn't fit), rejects float scores, and is stable
+    under repartition."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from trino_iceberg_spark.operators.curation import select_token_budget
+    from trino_iceberg_spark.operators.text import word_tokens_col
+    from trino_iceberg_spark.sources.testdata import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(word_tokens_col(F.col("text"))).cast("long").alias("n"),
+        F.size(F.array_distinct(word_tokens_col(F.lower(F.col("text")))))
+        .cast("int")
+        .alias("score"),
+    )
+    budget = 5000
+    kept = select_token_budget(d, "score", "n", "doc_id", budget, 4096).collect()
+    assert kept and sum(r["n"] for r in kept) <= budget
+    # replay the greedy funding on the driver and compare exactly
+    import hashlib
+
+    rows = d.collect()
+    order = sorted(
+        rows,
+        key=lambda r: (
+            f"{4096 - r['score']:015x}"
+            + hashlib.md5(str(r["doc_id"]).encode()).hexdigest()
+        ),
+    )
+    cum, want = 0, {}
+    for r in order:
+        if cum + r["n"] <= budget:
+            want[r["doc_id"]] = cum
+        cum += r["n"]
+    assert {r["doc_id"]: r["cum_before"] for r in kept} == want
+    # repartition stability
+    again = select_token_budget(
+        d.repartition(13), "score", "n", "doc_id", budget, 4096
+    ).collect()
+    assert {r["doc_id"] for r in again} == set(want)
+    # float scores rejected by contract
+    with pytest.raises(ValueError, match="integer-typed"):
+        select_token_budget(
+            d.withColumn("score", F.col("score").cast("double")),
+            "score", "n", "doc_id", budget, 4096,
+        )

@@ -62,6 +62,11 @@ ALLOW = {
         "SinglePartitionWindow": "offsets window over 256 BUCKET TOTALS, "
         "not data rows — bounded by construction (operators/packing.py)",
     },
+    "cu09_token_budget_selection": {
+        "SinglePartitionWindow": "same exclusive_cumsum bucket-offset "
+        "window as sp04: 256 BUCKET TOTALS, not data rows — bounded by "
+        "construction (operators/packing.py)",
+    },
     "tpch_q11_important_parts": _SCALAR,
     "tpch_q14_promo_revenue": _SCALAR,
     "tpch_q15_top_supplier": _SCALAR,

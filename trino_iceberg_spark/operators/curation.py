@@ -443,3 +443,68 @@ def dsir_log_weights(
             F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
         )
     )
+
+
+def select_token_budget(
+    df: DataFrame,
+    score_col: str,
+    token_count_col: str,
+    id_col: str,
+    budget: int,
+    max_score: int,
+) -> DataFrame:
+    """Keep the highest-scoring documents whose tokens fit a global
+    budget — the FineWeb-Edu-style selection step ("train on the best N
+    tokens"): order the corpus by quality score descending, fund
+    documents in order, stop when the budget is exhausted. A document is
+    kept iff it is FULLY funded (its whole token count fits in the
+    remaining budget), so the selection never exceeds ``budget``.
+
+    ``score_col`` must be an INTEGER in ``[0, max_score]`` — the
+    ordering key is built from it with fixed-width hex formatting, which
+    both Spark and DuckDB render identically (``%015x``), keeping the
+    selection engine-replayable; float scores order differently across
+    engines at the last bit and are rejected by contract. Ties break on
+    the md5 of the id (deterministic, uniform).
+
+    Scale shape: the global "running total in score order" is the same
+    shape as sequence packing's offset assignment, and reuses its
+    two-phase cumsum (:func:`~..packing.exclusive_cumsum`: key-prefix
+    buckets + broadcast bucket offsets) — no single-partition window
+    ever sees the corpus. One shuffle for the bucketed window, one
+    broadcast join; the budget compare is a per-row filter.
+
+    Returns the kept rows of ``df`` plus ``cum_before`` (tokens funded
+    to strictly-higher-priority documents).
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0 (got {budget})")
+    if max_score <= 0:
+        raise ValueError(f"max_score must be positive (got {max_score})")
+    from pyspark.sql import types as T
+
+    from .packing import exclusive_cumsum
+
+    score_type = df.schema[score_col].dataType
+    if not isinstance(score_type, (T.IntegerType, T.LongType, T.ShortType, T.ByteType)):
+        raise ValueError(
+            f"score_col must be integer-typed for engine-replayable ordering "
+            f"(got {score_type.simpleString()})"
+        )
+    key = F.concat(
+        F.format_string(
+            "%015x", (F.lit(max_score) - F.col(score_col)).cast("long")
+        ),
+        F.md5(F.col(id_col).cast("string")),
+    )
+    keyed = df.withColumn("_budget_key", key)
+    cum = exclusive_cumsum(
+        keyed, "_budget_key", token_count_col, out_col="cum_before"
+    )
+    return (
+        cum.filter(
+            F.col("cum_before") + F.col(token_count_col).cast("long")
+            <= F.lit(budget)
+        )
+        .drop("_budget_key")
+    )

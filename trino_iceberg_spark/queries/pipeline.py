@@ -3533,3 +3533,65 @@ def sp11_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "packer", "bin", "bin_offset", "n_packed")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "cu09_token_budget_selection",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                    w -> w <> '')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(list_filter(
+                   regexp_split_to_array(lower(text), '\\s+'),
+                   w -> w <> ''))) AS INT) AS score
+        FROM documents
+    ),
+    keyed AS (
+        SELECT *, printf('%015x', 4096 - score) || md5(CAST(doc_id AS VARCHAR))
+                  AS k
+        FROM scored
+    ),
+    cum AS (
+        SELECT doc_id, score, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY k
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS cum_before
+        FROM keyed
+    )
+    SELECT doc_id, score, n_tokens, cum_before
+    FROM cum WHERE cum_before + n_tokens <= 12000
+    ORDER BY doc_id
+    """,
+)
+def cu09_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget quality selection (operators.curation.
+    select_token_budget): fund the corpus best-first — documents ordered
+    by an integer quality score (distinct-word vocabulary count)
+    descending, md5 tiebreak — and keep exactly the fully-funded prefix
+    under a 12k-token budget, the FineWeb-Edu-style "train on the best N
+    tokens" step that composes after gating (cu01) and ahead of packing
+    (sp04/sp11). The gate hash-checks each kept document's running
+    total, not just membership: the oracle replays the ordering key
+    (fixed-width hex + md5 — bit-identical across engines) with a plain
+    window cumsum, while the Spark side uses the scalable two-phase
+    cumsum (key-prefix buckets + broadcast offsets — no single-partition
+    window over the corpus), so the hash match again proves the two
+    cumsum constructions equivalent on a second ordering shape."""
+    from ..operators.curation import select_token_budget
+    from ..operators.text import word_tokens_col
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(word_tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(word_tokens_col(F.lower(F.col("text")))))
+        .cast("int")
+        .alias("score"),
+    )
+    return (
+        select_token_budget(
+            d, "score", "n_tokens", "doc_id", budget=12_000, max_score=4096
+        )
+        .select("doc_id", "score", "n_tokens", "cum_before")
+        .orderBy("doc_id")
+    )
