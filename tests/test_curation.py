@@ -213,3 +213,19 @@ def test_select_token_budget_invariants(spark, sf_dir):
             d.withColumn("score", F.col("score").cast("double")),
             "score", "n", "doc_id", budget, 4096,
         )
+
+
+def test_select_token_budget_rejects_out_of_contract_scores(spark):
+    """Out-of-range or NULL scores fail LOUDLY at execution instead of
+    silently inverting the funding order (a negative hex difference
+    would sort after every in-range key)."""
+    import pytest
+
+    from trino_iceberg_spark.operators.curation import select_token_budget
+
+    d = spark.createDataFrame([(1, 10, 5), (2, 999, 5)], "id long, s int, n long")
+    with pytest.raises(Exception, match="out of contract"):
+        select_token_budget(d, "s", "n", "id", budget=100, max_score=31).collect()
+    d2 = spark.createDataFrame([(1, None, 5)], "id long, s int, n long")
+    with pytest.raises(Exception, match="out of contract"):
+        select_token_budget(d2, "s", "n", "id", budget=100, max_score=31).collect()

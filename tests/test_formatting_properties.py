@@ -319,28 +319,17 @@ def test_find_closing_paren_quote_rules():
 def _paren_body(draw, depth=0):
     """Balanced SQL-ish fragment: identifiers, string literals stuffed
     with parens/doubled quotes/backslash escapes, nested paren groups."""
-    parts = draw(
-        st.lists(
-            st.one_of(
-                st.from_regex(r"[a-z][a-z0-9_]{0,6}", fullmatch=True),
-                st.sampled_from(
-                    ["'a,b('", "'it''s)('", "'p\\'q('", "''", "'((('", '"we)ird"']
-                ),
-            )
-            if depth >= 2
-            else st.one_of(
-                st.from_regex(r"[a-z][a-z0-9_]{0,6}", fullmatch=True),
-                st.sampled_from(
-                    ["'a,b('", "'it''s)('", "'p\\'q('", "''", "'((('", '"we)ird"']
-                ),
-                st.deferred(lambda: _paren_body(depth=depth + 1)).map(
-                    lambda b: f"({b})"
-                ),
-            ),
-            min_size=1,
-            max_size=4,
-        )
+    base = [
+        st.from_regex(r"[a-z][a-z0-9_]{0,6}", fullmatch=True),
+        st.sampled_from(
+            ["'a,b('", "'it''s)('", "'p\\'q('", "''", "'((('", '"we)ird"']
+        ),
+    ]
+    nested = st.deferred(lambda: _paren_body(depth=depth + 1)).map(
+        lambda b: f"({b})"
     )
+    token = st.one_of(*base) if depth >= 2 else st.one_of(*base, nested)
+    parts = draw(st.lists(token, min_size=1, max_size=4))
     return " ".join(parts)
 
 

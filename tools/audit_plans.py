@@ -63,9 +63,11 @@ ALLOW = {
         "not data rows — bounded by construction (operators/packing.py)",
     },
     "cu09_token_budget_selection": {
-        "SinglePartitionWindow": "same exclusive_cumsum bucket-offset "
-        "window as sp04: 256 BUCKET TOTALS, not data rows — bounded by "
-        "construction (operators/packing.py)",
+        "SinglePartitionWindow": "exclusive_cumsum bucket-offset window "
+        "over 256 x observed-distinct-scores BUCKET TOTALS (prefix len "
+        "17 = score + 2 md5 chars), not data rows — bounded because "
+        "integer quality scores are coarse (operators/curation.py "
+        "select_token_budget)",
     },
     "tpch_q11_important_parts": _SCALAR,
     "tpch_q14_promo_revenue": _SCALAR,

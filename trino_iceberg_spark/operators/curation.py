@@ -460,19 +460,28 @@ def select_token_budget(
     kept iff it is FULLY funded (its whole token count fits in the
     remaining budget), so the selection never exceeds ``budget``.
 
-    ``score_col`` must be an INTEGER in ``[0, max_score]`` — the
+    ``score_col`` must be a NON-NULL INTEGER in ``[0, max_score]`` — the
     ordering key is built from it with fixed-width hex formatting, which
     both Spark and DuckDB render identically (``%015x``), keeping the
     selection engine-replayable; float scores order differently across
-    engines at the last bit and are rejected by contract. Ties break on
-    the md5 of the id (deterministic, uniform).
+    engines at the last bit and are rejected by contract, and an
+    out-of-range or NULL score fails the job loudly at execution
+    (silently it would invert the funding order: a negative difference
+    formats as a 16-char two's-complement key sorting after every
+    in-range key). Ties break on the md5 of the id (deterministic,
+    uniform).
 
-    Scale shape: the global "running total in score order" is the same
-    shape as sequence packing's offset assignment, and reuses its
-    two-phase cumsum (:func:`~..packing.exclusive_cumsum`: key-prefix
-    buckets + broadcast bucket offsets) — no single-partition window
-    ever sees the corpus. One shuffle for the bucketed window, one
-    broadcast join; the budget compare is a per-row filter.
+    Scale shape: the global "running total in score order" reuses
+    sequence packing's two-phase cumsum
+    (:func:`~..packing.exclusive_cumsum`) with the bucket prefix set to
+    score + 2 md5 hex chars: the score part alone is constant-prefixed
+    ('00…' for realistic max_score), so bucketing MUST reach into the
+    tiebreak chars — 256 uniform buckets per distinct score value, and
+    no single-partition window ever sees the corpus. The broadcast
+    bucket-offset table is 256 × observed distinct scores — bounded
+    because integer quality scores are coarse by design. One shuffle for
+    the bucketed window, one broadcast join; the budget compare is a
+    per-row filter.
 
     Returns the kept rows of ``df`` plus ``cum_before`` (tokens funded
     to strictly-higher-priority documents).
@@ -491,15 +500,33 @@ def select_token_budget(
             f"score_col must be integer-typed for engine-replayable ordering "
             f"(got {score_type.simpleString()})"
         )
+    s = F.col(score_col)
+    checked = F.when(
+        s.isNotNull() & (s >= 0) & (s <= max_score),
+        (F.lit(max_score) - s).cast("long"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"select_token_budget: {score_col} out of contract "
+                    f"[0, {max_score}] (got "
+                ),
+                F.coalesce(s.cast("string"), F.lit("NULL")),
+                F.lit(")"),
+            )
+        ).cast("long")
+    )
     key = F.concat(
-        F.format_string(
-            "%015x", (F.lit(max_score) - F.col(score_col)).cast("long")
-        ),
+        F.format_string("%015x", checked),
         F.md5(F.col(id_col).cast("string")),
     )
     keyed = df.withColumn("_budget_key", key)
     cum = exclusive_cumsum(
-        keyed, "_budget_key", token_count_col, out_col="cum_before"
+        keyed,
+        "_budget_key",
+        token_count_col,
+        out_col="cum_before",
+        bucket_prefix_len=17,
     )
     return (
         cum.filter(

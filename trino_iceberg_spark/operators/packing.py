@@ -66,7 +66,7 @@ def exclusive_cumsum(
     return (
         b.join(F.broadcast(offsets), "_bucket")
         .withColumn(out_col, (intra + F.col("_boff")).cast("long"))
-        .drop("_bucket")
+        .drop("_bucket", "_boff")
     )
 
 
@@ -99,8 +99,9 @@ def pack_sequences(
     """
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive (got {seq_len})")
-    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"-{seed}")))
-    keyed = df.withColumn(key_col, key)
+    from .splits import shuffle_key
+
+    keyed = df.withColumn(key_col, shuffle_key(id_col, seed))
     cum = exclusive_cumsum(keyed, key_col, token_count_col, out_col="start_offset")
     n = F.col(token_count_col).cast("long")
     start = F.col("start_offset")
@@ -162,11 +163,12 @@ def pack_greedy_nosplit(
     from pyspark.sql import types as T
 
     from .dedup import portable_hash64
+    from .splits import shuffle_key
 
     packer = F.pmod(
         portable_hash64(F.col(id_col).cast("string")), F.lit(num_packers)
     ).cast("int")
-    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"-{seed}")))
+    key = shuffle_key(id_col, seed)
     keyed = df.select(
         F.col(id_col),
         F.least(F.col(token_count_col).cast("long"), F.lit(seq_len)).alias(

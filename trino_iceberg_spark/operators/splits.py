@@ -22,6 +22,7 @@ __all__ = [
     "sample_stratified",
     "global_shuffle",
     "mix_epochs",
+    "shuffle_key",
     "temperature_weights",
     "kfold_column",
     "sample_fixed_per_group",
@@ -29,6 +30,17 @@ __all__ = [
 ]
 
 _BUCKETS = 1_000_000
+
+
+def shuffle_key(id_col: Column | str, seed: int) -> Column:
+    """THE reproducible shuffle key: ``md5(id ∥ '-' ∥ seed)``. One shared
+    construction because cross-engine oracles replay the exact key TEXT —
+    :func:`global_shuffle`, ``packing.pack_sequences``, and
+    ``packing.pack_greedy_nosplit`` must stay bit-identical or their
+    determinism contracts silently fork. md5 (not xxhash64) so any
+    standard library reproduces the order."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.md5(F.concat(c.cast("string"), F.lit(f"-{seed}")))
 
 
 def split_assignment(
@@ -204,7 +216,7 @@ def global_shuffle(
     = new seed, no data rewrite needed if the key is computed at read
     time. md5 (not xxhash64) so external systems can reproduce the exact
     order with any standard library."""
-    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"-{seed}")))
+    key = shuffle_key(id_col, seed)
     return (
         df.withColumn(key_col, key)
         .repartitionByRange(key_col)
