@@ -72,6 +72,7 @@ _FRONT = [
     "mm08_multimodal_to_shards",
     "sp11_greedy_packing",
     "cu09_token_budget_selection",
+    "ss10_margin_mining",
     "dd04_ngram_jaccard",
     "dd15_containment_pairs",
     "dd07_duplicate_clusters",

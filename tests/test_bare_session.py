@@ -74,6 +74,8 @@ def bare_spark(spark):
         "sp11_greedy_packing",
         # round-7 budget selection: hex-key ordering + two-phase cumsum
         "cu09_token_budget_selection",
+        # round-7 bitext mining: dual cosine_topk + rank-ordered folds
+        "ss10_margin_mining",
     ],
 )
 def test_entry_runs_on_bare_session(bare_spark, sf_dir, name):

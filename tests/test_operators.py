@@ -1224,3 +1224,62 @@ def test_decontaminate_sub_k_docs_contribute_no_grams(spark):
     )
     out = sorted(r.doc_id for r in decontaminate(docs, bench, "text", "doc_id", k=8).collect())
     assert out == [1]  # doc 2 shares real 8-grams and drops; doc 1 is kept
+
+
+def test_margin_mining_properties(spark, sf_dir):
+    """Margin mining (Artetxe & Schwenk): candidates are exactly the
+    forward/backward best-neighbor union; margins re-derive from the
+    per-side k-NN averages; and the margin cut genuinely reorders pairs
+    versus a raw-cosine cut (the method's point — hub suppression)."""
+    from pyspark.sql import functions as F
+
+    from trino_iceberg_spark.operators.similarity import (
+        cosine_topk,
+        margin_mining,
+    )
+    from trino_iceberg_spark.sources.testdata import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") % 10 == 0)
+    b = e.filter(F.col("vec_id") % 10 == 5)
+    all_cand = margin_mining(a, b, "embedding", "vec_id", k=4, threshold=0.0)
+    rows = all_cand.collect()
+    assert rows
+    # candidate set = union of the two directions' rank-1 edges
+    fwd1 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(b, a, "embedding", "vec_id", k=1,
+                             exclude_self=False).collect()
+    }
+    bwd1 = {
+        (r["neighbor_id"], r["query_id"])
+        for r in cosine_topk(a, b, "embedding", "vec_id", k=1,
+                             exclude_self=False).collect()
+    }
+    assert {(r["id_a"], r["id_b"]) for r in rows} == fwd1 | bwd1
+    # margins re-derive from the k-NN averages
+    fwd = cosine_topk(b, a, "embedding", "vec_id", k=4, exclude_self=False)
+    bwd = cosine_topk(a, b, "embedding", "vec_id", k=4, exclude_self=False)
+    avg_a = {
+        q: sum(x["cosine"] for x in g) / len(g)
+        for q, g in __import__("itertools").groupby(
+            sorted(fwd.collect(), key=lambda r: (r["query_id"], r["rank"])),
+            key=lambda r: r["query_id"],
+        )
+        for g in [list(g)]
+    }
+    avg_b = {
+        q: sum(x["cosine"] for x in g) / len(g)
+        for q, g in __import__("itertools").groupby(
+            sorted(bwd.collect(), key=lambda r: (r["query_id"], r["rank"])),
+            key=lambda r: r["query_id"],
+        )
+        for g in [list(g)]
+    }
+    for r in rows:
+        want = r["cosine"] / ((avg_a[r["id_a"]] + avg_b[r["id_b"]]) / 2)
+        assert abs(r["margin"] - want) < 1e-9
+    # the margin ordering differs from the raw-cosine ordering somewhere
+    order_margin = [(r["id_a"], r["id_b"]) for r in sorted(rows, key=lambda r: -r["margin"])]
+    order_cos = [(r["id_a"], r["id_b"]) for r in sorted(rows, key=lambda r: -r["cosine"])]
+    assert order_margin != order_cos

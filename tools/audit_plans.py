@@ -79,6 +79,9 @@ ALLOW = {
     "tx10_bm25_ranking": _SCALAR,
     "tx13_rarity_scores": _SCALAR,
     "ss01_cosine_topk": _QUERYSET,
+    "ss10_margin_mining": _QUERYSET,  # two cosine_topk passes, both
+    # sides are the small mining populations (swap in lsh/ivf_topk for
+    # two LARGE sides — operators/similarity.py margin_mining docstring)
     "ss05_quantized_topk": _QUERYSET,
     "ss07_hard_negatives": _QUERYSET,
     "ir01_retrieval_metrics": _QUERYSET,  # scores ss01's broadcast ranking

@@ -641,3 +641,85 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def margin_mining(
+    side_a: DataFrame,
+    side_b: DataFrame,
+    embedding_col: str,
+    id_col: str,
+    k: int = 4,
+    threshold: float = 1.05,
+    dim: int | None = None,
+) -> DataFrame:
+    """Margin-based parallel-corpus mining (Artetxe & Schwenk 2019,
+    "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    Embeddings" — the LASER/CCMatrix method): mine aligned pairs between
+    two embedding sets by scoring each candidate pair with the RATIO
+    margin ``cos(x, y) / ((avgNN_k(x) + avgNN_k(y)) / 2)`` instead of
+    raw cosine — absolute cosine is miscalibrated across regions of
+    embedding space (hubs score high against everything), while the
+    margin asks "how much better than x's and y's OTHER neighbors is
+    this pair?". Candidates are the union of forward and backward
+    nearest neighbors ("max" strategy); pairs clearing ``threshold``
+    are returned.
+
+    Determinism: the k-NN average is a rank-ordered sequential fold
+    (sort_array over (rank, cosine) structs), never a float SUM in
+    partition order, so the same input always yields bit-identical
+    margins and the DuckDB oracle can replay them.
+
+    Scale shape: two :func:`cosine_topk` passes (broadcast query side —
+    for two LARGE sides swap in :func:`lsh_topk`/:func:`ivf_topk`, the
+    margin algebra is identical), two bounded per-id aggregate tables
+    (n_a·k and n_b·k rows), and id-keyed joins to assemble margins — the
+    pair set never exceeds n_a + n_b candidate rows before the
+    threshold filter."""
+    fwd = cosine_topk(
+        side_b, side_a, embedding_col, id_col, k=k, exclude_self=False, dim=dim
+    )
+    bwd = cosine_topk(
+        side_a, side_b, embedding_col, id_col, k=k, exclude_self=False, dim=dim
+    )
+
+    def _avg(topk: DataFrame, out: str) -> DataFrame:
+        return (
+            topk.groupBy("query_id")
+            .agg(F.sort_array(F.collect_list(F.struct("rank", "cosine"))).alias("_rc"))
+            .select(
+                "query_id",
+                (
+                    F.aggregate(
+                        F.col("_rc"), F.lit(0.0), lambda acc, x: acc + x["cosine"]
+                    )
+                    / F.size("_rc")
+                ).alias(out),
+            )
+        )
+
+    avg_a = _avg(fwd, "_avg_a").withColumnRenamed("query_id", "id_a")
+    avg_b = _avg(bwd, "_avg_b").withColumnRenamed("query_id", "id_b")
+    cand = (
+        fwd.filter(F.col("rank") == 1)
+        .select(
+            F.col("query_id").alias("id_a"),
+            F.col("neighbor_id").alias("id_b"),
+            "cosine",
+        )
+        .unionByName(
+            bwd.filter(F.col("rank") == 1).select(
+                F.col("neighbor_id").alias("id_a"),
+                F.col("query_id").alias("id_b"),
+                "cosine",
+            )
+        )
+        .distinct()
+    )
+    margin = F.col("cosine") / ((F.col("_avg_a") + F.col("_avg_b")) / 2)
+    return (
+        cand.join(avg_a, "id_a")
+        .join(avg_b, "id_b")
+        .withColumn("margin", margin)
+        .filter(F.col("margin") >= threshold)
+        .select("id_a", "id_b", "cosine", "margin")
+    )

@@ -3595,3 +3595,73 @@ def cu09_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "score", "n_tokens", "cum_before")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "ss10_margin_mining",
+    oracle="""
+    WITH av AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    bv AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE vec_id % 10 = 5
+    ),
+    x AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_cosine_similarity(a.v, b.v) AS cos
+        FROM av a CROSS JOIN bv b
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b)
+                 AS fr,
+               ROW_NUMBER() OVER (PARTITION BY id_b ORDER BY cos DESC, id_a)
+                 AS br
+        FROM x
+    ),
+    avg_a AS (
+        SELECT id_a, SUM(cos) / COUNT(*) AS avg_a
+        FROM ranked WHERE fr <= 4 GROUP BY id_a
+    ),
+    avg_b AS (
+        SELECT id_b, SUM(cos) / COUNT(*) AS avg_b
+        FROM ranked WHERE br <= 4 GROUP BY id_b
+    ),
+    cand AS (
+        SELECT id_a, id_b, cos FROM ranked WHERE fr = 1 OR br = 1
+    ),
+    scored AS (
+        SELECT c.id_a, c.id_b, c.cos,
+               c.cos / ((a.avg_a + b.avg_b) / 2) AS margin
+        FROM cand c JOIN avg_a a USING (id_a) JOIN avg_b b USING (id_b)
+    )
+    SELECT id_a, id_b, ROUND(cos, 6) AS cosine, ROUND(margin, 6) AS margin
+    FROM scored WHERE margin >= 1.05
+    ORDER BY id_a, id_b
+    """,
+)
+def ss10_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (operators.similarity.margin_mining —
+    Artetxe & Schwenk 2019, the LASER/CCMatrix method): mine aligned
+    pairs between two embedding populations (vec_id % 10 = 0 vs = 5
+    stand in for the two languages) by the RATIO margin — candidate
+    cosine normalized by the mean of both endpoints' k-NN cosines — so
+    embedding-space hubs that score high against everything don't flood
+    the mined set the way a raw cosine cutoff lets them. Forward+backward
+    best-neighbor candidates ("max" strategy), k=4 neighborhood, keep
+    margin >= 1.05; the gate hash-checks each mined pair's cosine AND
+    margin (ROUND 6 — the few-term float ratio), with the threshold
+    sitting >= 1e-4 from every observed margin at all test SFs so the
+    full-precision cut can't flip cross-engine."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") % 10 == 0)
+    b = e.filter(F.col("vec_id") % 10 == 5)
+    mined = S.margin_mining(a, b, "embedding", "vec_id", k=4, threshold=1.05)
+    return mined.select(
+        "id_a",
+        "id_b",
+        F.round("cosine", 6).alias("cosine"),
+        F.round("margin", 6).alias("margin"),
+    ).orderBy("id_a", "id_b")
