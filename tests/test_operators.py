@@ -1242,7 +1242,9 @@ def test_margin_mining_properties(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     a = e.filter(F.col("vec_id") % 10 == 0)
     b = e.filter(F.col("vec_id") % 10 == 5)
-    all_cand = margin_mining(a, b, "embedding", "vec_id", k=4, threshold=0.0)
+    # threshold=-1e9 ≈ no filter: the TRUE candidate union is asserted
+    # (threshold=0.0 would silently drop negative-margin candidates)
+    all_cand = margin_mining(a, b, "embedding", "vec_id", k=4, threshold=-1e9)
     rows = all_cand.collect()
     assert rows
     # candidate set = union of the two directions' rank-1 edges

@@ -45,6 +45,7 @@ __all__ = [
     "centroid_fixed_point",
     "semantic_dedup_pairs",
     "hard_negatives",
+    "margin_mining",
 ]
 
 
@@ -674,13 +675,20 @@ def margin_mining(
     margin algebra is identical), two bounded per-id aggregate tables
     (n_a·k and n_b·k rows), and id-keyed joins to assemble margins — the
     pair set never exceeds n_a + n_b candidate rows before the
-    threshold filter."""
+    threshold filter. Each top-k table feeds BOTH the k-NN average and
+    the rank-1 candidate branch, so both are persisted (bounded at n·k
+    rows) — without the cache the dominant cross-join scoring would run
+    twice per direction. Caller owns the caches: the returned pair
+    lineage pins them (same contract as ``semantic_dedup_pairs``'s
+    routed cache)."""
+    from pyspark import StorageLevel
+
     fwd = cosine_topk(
         side_b, side_a, embedding_col, id_col, k=k, exclude_self=False, dim=dim
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     bwd = cosine_topk(
         side_a, side_b, embedding_col, id_col, k=k, exclude_self=False, dim=dim
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     def _avg(topk: DataFrame, out: str) -> DataFrame:
         return (
