@@ -342,3 +342,49 @@ def test_find_closing_paren_property(body, tail):
 
     text = f"({body}){tail}"
     assert find_closing_paren(text) == len(body) + 1
+
+
+# -- comment-awareness (round 8): the shared scanner contract says SQL
+# comments are opaque — quotes, parens, commas and semicolons inside
+# '-- ...' and '/* ... */' never affect split/depth state. Previously
+# the comma splitter and paren scanner were comment-blind (ADVICE r7).
+
+
+def test_split_top_level_commas_comment_blindness_fixed():
+    from trino_iceberg_spark.formatting import split_top_level_commas
+
+    # a comma inside a block comment must not split
+    parts = split_top_level_commas("a = 1 /* x, y */, b = 2")
+    assert len(parts) == 2 and parts[0] == "a = 1 /* x, y */" and parts[1] == "b = 2"
+    # an unbalanced paren and a stray quote inside a comment must not
+    # corrupt depth/quote state for the rest of the scan
+    parts = split_top_level_commas("a = f(1, 2) /* ( ' */, b = 'x,y', c = 3")
+    assert [p.split(" =")[0] for p in parts] == ["a", "b", "c"]
+    # line comment swallows to end-of-line only
+    parts = split_top_level_commas("a = 1 -- not, split ( '\n, b = 2")
+    assert len(parts) == 2 and parts[1] == "b = 2"
+
+
+def test_find_closing_paren_comment_blindness_fixed():
+    from trino_iceberg_spark.formatting import find_closing_paren
+
+    s = "(SELECT 1 /* ) ' ( */ + 2) tail"
+    assert find_closing_paren(s) == s.index(") tail")
+    s = "(SELECT 1 -- )\n + 2) tail"
+    assert find_closing_paren(s) == s.index(") tail")
+    # unclosed block comment never finds the paren
+    assert find_closing_paren("(SELECT 1 /* )") == -1
+    # '/*/' does NOT self-close (the opener's '*' is consumed) — all
+    # three scanners agree on this
+    assert find_closing_paren("(a /*/ )") == -1
+
+
+def test_split_statements_opener_star_not_reused():
+    from trino_iceberg_spark.formatting import split_statements
+
+    # '/*/' leaves the comment open: the ';' is comment content
+    stmts = split_statements("SELECT 1 /*/ ; still comment")
+    assert len(stmts) == 1
+    # a real close works and the ';' after it splits
+    stmts = split_statements("SELECT 1 /* c */; SELECT 2")
+    assert len(stmts) == 2

@@ -180,8 +180,13 @@ def split_statements(script: str) -> list[str]:
             in_line_comment = True
             buf.append(ch)
         elif ch == "/" and nxt == "*":
+            # consume the opener's '*' too so '/*/' stays an UNCLOSED
+            # comment (the opener's own '*' must not pair with the next
+            # '/' as a closer) — all three scanners in this module agree.
             in_block_comment = True
             buf.append(ch)
+            buf.append(nxt)
+            i += 1
         elif ch == "'":
             in_squote = True
             buf.append(ch)
@@ -204,17 +209,31 @@ def split_statements(script: str) -> list[str]:
 
 def split_top_level_commas(text: str) -> list[str]:
     """Split ``a = f(x, y), b = 'v,w'`` into assignments on commas that sit
-    outside quotes and parentheses (the UPDATE ... SET clause splitter)."""
+    outside quotes, parentheses and comments (the UPDATE ... SET clause
+    splitter). Comments (``-- ...`` and ``/* ... */``) are opaque — their
+    content is kept verbatim but commas/quotes/parens inside them never
+    affect the split state (same contract as :func:`split_statements` and
+    :func:`find_closing_paren`)."""
     parts: list[str] = []
     buf: list[str] = []
     depth = 0
-    in_squote = in_dquote = False
+    in_squote = in_dquote = in_line_comment = in_block_comment = False
     i = 0
     n = len(text)
     while i < n:
         ch = text[i]
         nxt = text[i + 1] if i + 1 < n else ""
-        if in_squote:
+        if in_line_comment:
+            buf.append(ch)
+            if ch == "\n":
+                in_line_comment = False
+        elif in_block_comment:
+            buf.append(ch)
+            if ch == "*" and nxt == "/":
+                buf.append(nxt)
+                i += 1
+                in_block_comment = False
+        elif in_squote:
             buf.append(ch)
             if ch == "\\" and nxt:
                 buf.append(nxt)
@@ -229,6 +248,14 @@ def split_top_level_commas(text: str) -> list[str]:
             buf.append(ch)
             if ch == '"':
                 in_dquote = False
+        elif ch == "-" and nxt == "-":
+            in_line_comment = True
+            buf.append(ch)
+        elif ch == "/" and nxt == "*":
+            in_block_comment = True
+            buf.append(ch)
+            buf.append(nxt)
+            i += 1
         elif ch == "'":
             in_squote = True
             buf.append(ch)
@@ -265,18 +292,27 @@ def find_closing_paren(text: str, open_idx: int = 0) -> int:
       ``\\'`` (Spark's default backslash escape — Spark is the engine
       that ultimately parses these statements);
     - double-quoted identifiers may contain anything but ``"``;
-    - parens inside either never count toward depth.
+    - ``-- ...`` line comments and ``/* ... */`` block comments are
+      opaque — quotes and parens inside them never affect the scan;
+    - parens inside any of the above never count toward depth.
     """
     if open_idx >= len(text) or text[open_idx] != "(":
         return -1
     depth = 0
-    in_squote = in_dquote = False
+    in_squote = in_dquote = in_line_comment = in_block_comment = False
     i = open_idx
     n = len(text)
     while i < n:
         ch = text[i]
         nxt = text[i + 1] if i + 1 < n else ""
-        if in_squote:
+        if in_line_comment:
+            if ch == "\n":
+                in_line_comment = False
+        elif in_block_comment:
+            if ch == "*" and nxt == "/":
+                i += 1
+                in_block_comment = False
+        elif in_squote:
             if ch == "\\" and nxt:
                 i += 1
             elif ch == "'":
@@ -287,6 +323,11 @@ def find_closing_paren(text: str, open_idx: int = 0) -> int:
         elif in_dquote:
             if ch == '"':
                 in_dquote = False
+        elif ch == "-" and nxt == "-":
+            in_line_comment = True
+        elif ch == "/" and nxt == "*":
+            in_block_comment = True
+            i += 1
         elif ch == "'":
             in_squote = True
         elif ch == '"':
