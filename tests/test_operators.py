@@ -1285,3 +1285,108 @@ def test_margin_mining_properties(spark, sf_dir):
     order_margin = [(r["id_a"], r["id_b"]) for r in sorted(rows, key=lambda r: -r["margin"])]
     order_cos = [(r["id_a"], r["id_b"]) for r in sorted(rows, key=lambda r: -r["cosine"])]
     assert order_margin != order_cos
+
+
+# --- round 8: cache registry, lazy max-df guard, large-x-large mining -----
+
+
+def test_cache_registry_collects_and_releases_exact_pins(spark, docs, embeddings):
+    """CacheRegistry records exactly the tables an operator pinned and
+    unpersist_all releases them — the per-call release lever the
+    caller-owns-cache contract gained in round 8 (ADVICE r7)."""
+    from trino_iceberg_spark.operators.cachectl import CacheRegistry
+    from trino_iceberg_spark.operators.curation import curate_documents
+
+    small = docs.limit(120)
+    reg = CacheRegistry()
+    # ngram_jaccard_pairs pins the exploded index + the df-sizes table
+    pairs = D.ngram_jaccard_pairs(small, "text", "doc_id", caches=reg)
+    assert len(reg) == 2
+    pairs.count()  # materialize while pinned
+    assert all(df.storageLevel.useMemory or df.storageLevel.useDisk for df in reg)
+    assert reg.unpersist_all() == 2
+    assert len(reg) == 0
+    # curate_documents pins the (md5, id) pair table
+    reg2 = CacheRegistry()
+    curate_documents(small, caches=reg2).count()
+    assert len(reg2) == 1 and reg2.unpersist_all() == 1
+    # margin_mining pins fwd + bwd top-k; the context-manager form releases
+    a = embeddings.filter(F.col("vec_id") % 20 == 0)
+    b = embeddings.filter(F.col("vec_id") % 20 == 10)
+    with CacheRegistry() as reg3:
+        S.margin_mining(a, b, "embedding", "vec_id", k=2, caches=reg3).count()
+        assert len(reg3) == 2
+        pinned = list(reg3)
+    assert all(not (df.storageLevel.useMemory or df.storageLevel.useDisk) for df in pinned)
+
+
+def test_capped_index_lazy_diagnostics_identical_output(spark, docs):
+    """eager_diagnostics=False keeps the max-df guard's anti-join (same
+    rows out) while skipping the call-time diagnostic job."""
+    small = docs.limit(150)
+    eager = D.ngram_jaccard_pairs(small, "text", "doc_id", k=3, max_df=5)
+    lazy = D.ngram_jaccard_pairs(
+        small, "text", "doc_id", k=3, max_df=5, eager_diagnostics=False
+    )
+    key = lambda r: (r["id_a"], r["id_b"])  # noqa: E731
+    er = sorted(eager.collect(), key=key)
+    lr = sorted(lazy.collect(), key=key)
+    assert [key(r) for r in er] == [key(r) for r in lr]
+    assert all(abs(x["jaccard"] - y["jaccard"]) < 1e-12 for x, y in zip(er, lr))
+
+
+def test_margin_mining_lsh_backed_large_by_large(spark, embeddings):
+    """The documented two-LARGE-sides configuration (similarity.py): swap
+    the broadcast cosine_topk for lsh_topk via the ``topk`` hook. Pins
+    (a) the margin algebra is identical over the retrieved neighborhood —
+    re-derived from the lsh top-k tables, (b) pair keys are unique even
+    though the two directions score pairs independently (the groupBy-max
+    dedupe — a row-level distinct() would rely on bitwise float
+    equality), and (c) mined-pair recall vs the exact miner."""
+    a = embeddings.filter(F.col("vec_id") % 10 == 0)
+    b = embeddings.filter(F.col("vec_id") % 10 == 5)
+
+    def lsh(cand, qry):
+        return S.lsh_topk(
+            cand, qry, "embedding", "vec_id", k=4, num_planes=2,
+            exclude_self=False,
+        )
+
+    approx = S.margin_mining(
+        a, b, "embedding", "vec_id", k=4, threshold=-1e9, topk=lsh
+    )
+    rows = approx.collect()
+    assert rows
+    # (b) unique pair keys
+    keys = [(r["id_a"], r["id_b"]) for r in rows]
+    assert len(keys) == len(set(keys))
+    # (a) margins re-derive from the lsh neighborhoods' k-NN averages
+    import itertools
+
+    fwd = lsh(b, a).collect()
+    bwd = lsh(a, b).collect()
+
+    def avgs(topk_rows):
+        out = {}
+        for q, g in itertools.groupby(
+            sorted(topk_rows, key=lambda r: (r["query_id"], r["rank"])),
+            key=lambda r: r["query_id"],
+        ):
+            g = list(g)
+            out[q] = sum(x["cosine"] for x in g) / len(g)
+        return out
+
+    avg_a, avg_b = avgs(fwd), avgs(bwd)
+    for r in rows:
+        want = r["cosine"] / ((avg_a[r["id_a"]] + avg_b[r["id_b"]]) / 2)
+        assert abs(r["margin"] - want) < 1e-9
+    # (c) recall vs the exact miner's pair set (2 planes = 4 buckets →
+    # a true mutual-best pair surfaces when the two vectors collide,
+    # ≈(1-θ/π)² per edge on near-orthogonal random embeddings)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in S.margin_mining(
+            a, b, "embedding", "vec_id", k=4, threshold=-1e9
+        ).collect()
+    }
+    assert len(set(keys) & exact) / len(exact) >= 0.2

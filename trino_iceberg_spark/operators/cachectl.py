@@ -1,0 +1,90 @@
+"""Operator cache accounting — release exactly what an operator pinned.
+
+Several operators persist bounded intermediates because their plan
+consumes them more than once (MinHash's banded table, the inverted-index
+explode, margin mining's two top-k tables, curate_documents' (md5, id)
+pair table). The module contract has always been CALLER OWNS THE CACHE:
+the returned DataFrame's lineage pins the persisted table, and the
+operator cannot unpersist without forcing a recompute.
+
+Before round 8 the only release lever was ``spark.catalog.clearCache()``,
+which nukes every cached table in the session — hostile to a long-lived
+session that interleaves library calls with its own caching (ADVICE r7).
+:class:`CacheRegistry` closes that gap: pass ``caches=reg`` to a
+persisting operator and every table it pins is recorded in ``reg``, so
+after materializing the result the caller releases exactly those::
+
+    reg = CacheRegistry()
+    pairs = ngram_jaccard_pairs(df, "text", "doc_id", caches=reg)
+    pairs.write.parquet(out)     # materialize while caches are warm
+    reg.unpersist_all()          # release ONLY what this call pinned
+
+or, scoped::
+
+    with CacheRegistry() as reg:
+        curate_documents(df, caches=reg).write.parquet(out)
+    # caches released on exit
+
+``caches=None`` (every operator's default) keeps the historical
+behavior byte-for-byte: the operator persists, nothing is recorded, the
+caller falls back to ``clearCache()``. The registry never changes WHAT
+is persisted or the storage level — only whether a handle is kept.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+
+__all__ = ["CacheRegistry", "pin"]
+
+
+class CacheRegistry:
+    """Collects the DataFrames an operator run persisted so the caller
+    can release exactly those (and nothing else) when done."""
+
+    def __init__(self) -> None:
+        self._pinned: list[DataFrame] = []
+
+    def add(self, df: DataFrame) -> DataFrame:
+        self._pinned.append(df)
+        return df
+
+    def __len__(self) -> int:
+        return len(self._pinned)
+
+    def __iter__(self):
+        return iter(self._pinned)
+
+    def unpersist_all(self, blocking: bool = False) -> int:
+        """Unpersist every recorded table; returns how many were released.
+        Safe to call twice (the list is drained on first call)."""
+        released = 0
+        while self._pinned:
+            df = self._pinned.pop()
+            try:
+                df.unpersist(blocking)
+                released += 1
+            except Exception:  # noqa: BLE001 — a dead session never blocks cleanup
+                pass
+        return released
+
+    def __enter__(self) -> "CacheRegistry":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.unpersist_all()
+
+
+def pin(
+    df: DataFrame,
+    caches: CacheRegistry | None,
+    level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+) -> DataFrame:
+    """Persist ``df`` at ``level`` and record it in ``caches`` when one is
+    supplied — the single persist call sites in this package route
+    through, so the registry can never miss a pin."""
+    df = df.persist(level)
+    if caches is not None:
+        caches.add(df)
+    return df

@@ -66,7 +66,13 @@ def curation_decisions(
     return annotated.withColumn("reject_reason", reason)
 
 
-def curate_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", **rules) -> DataFrame:
+def curate_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    caches=None,
+    **rules,
+) -> DataFrame:
     """Kept documents after quality+language rules and exact dedup.
 
     Dedup keeps the lowest id per distinct text (deterministic keeper).
@@ -86,16 +92,22 @@ def curate_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     final anti-join), and the two pair-side consumers read the cached
     24-byte rows. CALLER OWNS THE CACHE — the returned DataFrame's
     lineage pins it, so a long-lived session that is done with the
-    result should ``spark.catalog.clearCache()`` or materialize and
-    drop; operators here cannot unpersist without recomputing."""
-    from pyspark import StorageLevel
+    result should pass ``caches=CacheRegistry()`` and
+    ``unpersist_all()`` after materializing (releases exactly this pin;
+    see :mod:`.cachectl`), or fall back to
+    ``spark.catalog.clearCache()``; operators here cannot unpersist
+    without recomputing."""
+    from .cachectl import pin
 
     decided = curation_decisions(df, text_col, id_col, **rules)
     kept = decided.filter(F.col("reject_reason").isNull())
-    pairs = kept.select(
-        F.md5(F.col(text_col).cast("binary")).alias("_h"),
-        F.col(id_col).alias("_vid"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = pin(
+        kept.select(
+            F.md5(F.col(text_col).cast("binary")).alias("_h"),
+            F.col(id_col).alias("_vid"),
+        ),
+        caches,
+    )
     dup_groups = (
         pairs.groupBy("_h")
         .agg(F.min("_vid").alias("_keep"), F.count(F.lit(1)).alias("_c"))

@@ -429,7 +429,12 @@ def incremental_minhash_pairs(
 
 
 def _capped_inverted_index(
-    ex: DataFrame, join_keys: list[str], max_df: int | None, op_name: str
+    ex: DataFrame,
+    join_keys: list[str],
+    max_df: int | None,
+    op_name: str,
+    eager_diagnostics: bool = True,
+    caches=None,
 ) -> DataFrame:
     """Drop viral shingles (document frequency > ``max_df``) from an
     exploded inverted index before it feeds a pair self-join.
@@ -446,33 +451,42 @@ def _capped_inverted_index(
     mirroring ``semantic_dedup_pairs``'s skew warning — recall loss
     should be visible, never inferred.
 
-    NOTE: the logged diagnostic makes guard construction EAGER — it runs
-    one job (shingling the corpus + the df aggregate) at call time, even
-    if the caller never executes the returned plan. Both the exploded
-    index and the per-shingle df table are persisted, so the pair join
-    reuses rather than recomputes them (caller owns both caches, module
-    note); ``max_df=None`` restores a fully lazy builder."""
+    NOTE (changelog r6→r7, flagged as the breaking change it is): the
+    guard became the DEFAULT (``max_df=10_000``) in round 7 per the r6
+    hardening directive — pre-r7 callers implicitly ran ``max_df=None``
+    and now get the documented one-sided underestimate on viral-shingle
+    corpora unless they opt out. With ``eager_diagnostics=True`` (the
+    default, matching r7 behavior) the logged dropped-count makes guard
+    construction EAGER — one job (shingling + the df aggregate) runs at
+    call time even if the caller never executes the returned plan;
+    ``eager_diagnostics=False`` keeps the guard's anti-join (so the
+    RESULT is identical) but skips the diagnostic, restoring a fully
+    lazy builder. Both the exploded index and the per-shingle df table
+    are persisted, so the pair join reuses rather than recomputes them
+    (caller owns both caches — pass ``caches`` to get release handles,
+    :mod:`.cachectl`); ``max_df=None`` skips everything."""
     if max_df is None:
         return ex
     import logging
 
-    sizes = (
-        ex.groupBy(*join_keys)
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    from .cachectl import pin
+
+    sizes = pin(
+        ex.groupBy(*join_keys).agg(F.count(F.lit(1)).alias("_df")), caches
     )
-    dropped = (
-        sizes.filter(F.col("_df") > max_df)
-        .agg(F.count(F.lit(1)).alias("shingles"), F.sum("_df").alias("rows"))
-        .collect()[0]
-    )
-    if dropped["shingles"]:
-        logging.getLogger(__name__).warning(
-            "%s: max_df guard dropped %d viral shingle(s) / %d index row(s) "
-            "over max_df=%d — similarity is underestimated one-sidedly for "
-            "pairs sharing those shingles",
-            op_name, dropped["shingles"], dropped["rows"], max_df,
+    if eager_diagnostics:
+        dropped = (
+            sizes.filter(F.col("_df") > max_df)
+            .agg(F.count(F.lit(1)).alias("shingles"), F.sum("_df").alias("rows"))
+            .collect()[0]
         )
+        if dropped["shingles"]:
+            logging.getLogger(__name__).warning(
+                "%s: max_df guard dropped %d viral shingle(s) / %d index row(s) "
+                "over max_df=%d — similarity is underestimated one-sidedly for "
+                "pairs sharing those shingles",
+                op_name, dropped["shingles"], dropped["rows"], max_df,
+            )
     # Filter by ANTI-joining the VIRAL set (complement of the ok-filter,
     # logically identical): viral shingles number at most
     # index_rows / max_df — usually zero, pathologically still tiny next
@@ -490,6 +504,8 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     block_col: Column | None = None,
     max_df: int | None = 10_000,
+    eager_diagnostics: bool = True,
+    caches=None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs via an inverted index (within optional
     blocks) — the scalable exact algorithm, not pairwise intersects.
@@ -511,9 +527,13 @@ def ngram_jaccard_pairs(
     capped shingles while |A| and |B| still count them, so the reported
     Jaccard is a one-sided UNDERESTIMATE bounded by the number of viral
     shingles a pair shares; exact behavior needs ``max_df=None``. With
-    the guard on, CONSTRUCTION IS EAGER (it shingles the corpus once to
-    log the dropped-shingle diagnostic — see
-    :func:`_capped_inverted_index`); ``max_df=None`` is fully lazy."""
+    the guard on, CONSTRUCTION IS EAGER by default (it shingles the
+    corpus once to log the dropped-shingle diagnostic);
+    ``eager_diagnostics=False`` keeps the guard but skips the logged
+    count (fully lazy, identical output), and ``max_df=None`` disables
+    the guard — see :func:`_capped_inverted_index`."""
+    from .cachectl import pin
+
     cols = [F.col(id_col).alias("_id"), shingle_hashes(content_col, k).alias("_sh")]
     join_keys = ["_s"]
     if block_col is not None:
@@ -522,14 +542,20 @@ def ngram_jaccard_pairs(
     sh = df.select(*cols).withColumn("_n", F.size("_sh"))
     # The exploded index feeds both join sides (plus the max_df sizing
     # aggregate); persist so shingling runs once (same pattern as the
-    # MinHash signature table). Caller owns the cache (module note).
-    ex = sh.select(
-        *(["_blk"] if block_col is not None else []),
-        F.col("_id"),
-        F.col("_n"),
-        F.explode("_sh").alias("_s"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    ex = _capped_inverted_index(ex, join_keys, max_df, "ngram_jaccard_pairs")
+    # MinHash signature table). Caller owns the cache (module note;
+    # ``caches`` collects the release handles).
+    ex = pin(
+        sh.select(
+            *(["_blk"] if block_col is not None else []),
+            F.col("_id"),
+            F.col("_n"),
+            F.explode("_sh").alias("_s"),
+        ),
+        caches,
+    )
+    ex = _capped_inverted_index(
+        ex, join_keys, max_df, "ngram_jaccard_pairs", eager_diagnostics, caches
+    )
     a = ex.select(
         *join_keys, F.col("_id").alias("id_a"), F.col("_n").alias("_n_a")
     )
@@ -564,6 +590,8 @@ def containment_pairs(
     threshold: float = 0.8,
     block_col: Column | None = None,
     max_df: int | None = 10_000,
+    eager_diagnostics: bool = True,
+    caches=None,
 ) -> DataFrame:
     """Exact n-gram CONTAINMENT pairs (Broder 1997, "On the resemblance
     and containment of documents"): the ASYMMETRIC companion to
@@ -612,14 +640,21 @@ def containment_pairs(
     if block_col is not None:
         cols.append(block_col.alias("_blk"))
         join_keys = ["_blk", "_s"]
+    from .cachectl import pin
+
     sh = df.select(*cols).withColumn("_n", F.size("_sh"))
-    ex = sh.select(
-        *(["_blk"] if block_col is not None else []),
-        F.col("_id"),
-        F.col("_n"),
-        F.explode("_sh").alias("_s"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    ex = _capped_inverted_index(ex, join_keys, max_df, "containment_pairs")
+    ex = pin(
+        sh.select(
+            *(["_blk"] if block_col is not None else []),
+            F.col("_id"),
+            F.col("_n"),
+            F.explode("_sh").alias("_s"),
+        ),
+        caches,
+    )
+    ex = _capped_inverted_index(
+        ex, join_keys, max_df, "containment_pairs", eager_diagnostics, caches
+    )
     a = ex.select(*join_keys, F.col("_id").alias("id_a"), F.col("_n").alias("_n_a"))
     b = ex.select(*join_keys, F.col("_id").alias("id_b"), F.col("_n").alias("_n_b"))
     counted = (

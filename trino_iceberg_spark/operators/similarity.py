@@ -652,6 +652,8 @@ def margin_mining(
     k: int = 4,
     threshold: float = 1.05,
     dim: int | None = None,
+    topk=None,
+    caches=None,
 ) -> DataFrame:
     """Margin-based parallel-corpus mining (Artetxe & Schwenk 2019,
     "Margin-based Parallel Corpus Mining with Multilingual Sentence
@@ -670,25 +672,41 @@ def margin_mining(
     partition order, so the same input always yields bit-identical
     margins and the DuckDB oracle can replay them.
 
-    Scale shape: two :func:`cosine_topk` passes (broadcast query side —
-    for two LARGE sides swap in :func:`lsh_topk`/:func:`ivf_topk`, the
-    margin algebra is identical), two bounded per-id aggregate tables
-    (n_a·k and n_b·k rows), and id-keyed joins to assemble margins — the
-    pair set never exceeds n_a + n_b candidate rows before the
-    threshold filter. Each top-k table feeds BOTH the k-NN average and
-    the rank-1 candidate branch, so both are persisted (bounded at n·k
-    rows) — without the cache the dominant cross-join scoring would run
-    twice per direction. Caller owns the caches: the returned pair
-    lineage pins them (same contract as ``semantic_dedup_pairs``'s
-    routed cache)."""
-    from pyspark import StorageLevel
+    Scale shape: two top-k passes (default :func:`cosine_topk`,
+    broadcast query side), two bounded per-id aggregate tables (n_a·k
+    and n_b·k rows), and id-keyed joins to assemble margins — the pair
+    set never exceeds n_a + n_b candidate rows before the threshold
+    filter. **Two LARGE sides** (the CCMatrix regime, where neither side
+    broadcasts): pass ``topk`` — a callable ``(candidates, queries) ->
+    (query_id, neighbor_id, cosine, rank)`` — backed by
+    :func:`lsh_topk` or :func:`ivf_topk`; the margin algebra is
+    identical over approximate neighbor sets (the k-NN average is then
+    taken over the RETRIEVED neighborhood, the standard FAISS-backed
+    CCMatrix construction), and candidate generation becomes one
+    bucket/cell equi-join shuffle per direction instead of a broadcast
+    cross product. Exercised by the ss11 registry entry; recall vs the
+    exact miner is pinned in tests/test_operators.py. Pair dedupe
+    groups on (id_a, id_b) and keeps MAX(cosine), so a pair surfacing
+    in both directions collapses even when the two scoring paths don't
+    produce bit-identical floats (they do for the default exact path;
+    an approximate ``topk`` makes no such promise).
 
-    fwd = cosine_topk(
-        side_b, side_a, embedding_col, id_col, k=k, exclude_self=False, dim=dim
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    bwd = cosine_topk(
-        side_a, side_b, embedding_col, id_col, k=k, exclude_self=False, dim=dim
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    Each top-k table feeds BOTH the k-NN average and the rank-1
+    candidate branch, so both are persisted (bounded at n·k rows) —
+    without the cache the dominant scoring join would run twice per
+    direction. Caller owns the caches: the returned pair lineage pins
+    them; pass ``caches=CacheRegistry()`` (see :mod:`.cachectl`) to
+    release exactly these two pins when done."""
+    from .cachectl import pin
+
+    if topk is None:
+        def topk(cand: DataFrame, qry: DataFrame) -> DataFrame:
+            return cosine_topk(
+                cand, qry, embedding_col, id_col, k=k, exclude_self=False, dim=dim
+            )
+
+    fwd = pin(topk(side_b, side_a), caches)
+    bwd = pin(topk(side_a, side_b), caches)
 
     def _avg(topk: DataFrame, out: str) -> DataFrame:
         return (
@@ -721,7 +739,13 @@ def margin_mining(
                 "cosine",
             )
         )
-        .distinct()
+        # mutual-best dedupe on the PAIR KEY, not the full row: with an
+        # approximate `topk` the two directions may score the same pair
+        # along different float paths, and a row-level distinct() would
+        # keep both copies (ADVICE r7). MAX is direction-symmetric and a
+        # no-op when the cosines are bit-identical (the exact path).
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cosine").alias("cosine"))
     )
     margin = F.col("cosine") / ((F.col("_avg_a") + F.col("_avg_b")) / 2)
     return (
