@@ -16,7 +16,7 @@ Two adapter concerns live here, both driver-facing:
    order: first this round's fixed/changed entries and the entries no
    prior CORRECTNESS run has checked, then drift re-verifies of the
    oldest green cohort (see ``_FRONT``), then any remaining unchecked
-   entries, then families already proved green across the r01–r06
+   entries, then families already proved green across the r01–r07
    union. Nothing is dropped — a driver with budget for the full
    registry still checks every entry.
 
@@ -50,80 +50,80 @@ _TUNED_CONFS = {
 # module docstring. Names absent from the registry are ignored (safety
 # against future renames), and every registered query is always yielded.
 #
-# Round-7 ordering (registry: 214 entries, ALL oracle-backed;
-# mm08_multimodal_to_shards — the multimodal flagship: curation + real
-# image/audio decodes + joint gate → verified shards — is new). The
-# cross-round union is 213/213 green at latest check, so this round's
-# budget goes to the new/changed entries and then FINISHES the drift
-# re-verify program (after this rotation no verdict is older than r03).
-# Tiers:
-# 1. new this round (mm08) + changed-code re-verifies: the max-df
-#    viral-shingle cap replayed into the dd04/dd15/dd07/dd08 oracles,
-#    the decontaminate k-gram contract (sub-k docs contribute no grams
-#    on either side) feeding cu03/cu07/sp10, curate_documents' pair-
-#    table persist (cu01) and dsir's bucket-cache unpersist (cu08),
-#    and the two DML-rewriter fixes (quote-aware MERGE paren scan,
-#    DELETE cond-IS-TRUE semantics) exercised by tt03/tt07/tt10;
-# 2. the 33 entries last driver-checked in ROUND 2 — the final drift
-#    cohort (f01-f08, the tpch q2-q22 set, ss01/ss04, tx09, w07, ev07).
-# Everything else was checked r03-r06 and yields after these.
+# Round-8 ordering (registry: 218 entries, ALL oracle-backed;
+# ss11_margin_mining_lsh — margin mining in the two-LARGE-sides
+# configuration, candidates from LSH-bucketed top-k — is new). The
+# cross-round union is 217/217 green at latest check and nothing is
+# older than r03, so this round's budget goes to the new/changed
+# entries and then rotates the OLDEST green cohort (the 44 entries
+# whose latest verdict is r03). Tiers:
+# 1. new this round (ss11) + changed-code re-verifies: margin_mining's
+#    pair-key dedupe + topk hook (ss10), the cache-registry threading
+#    and optional lazy max-df diagnostic through the inverted-index
+#    builder (dd04/dd15) and curate_documents (cu01, cu07);
+# 2. the 44 entries last driver-checked in ROUND 3 — the oldest cohort
+#    in the union (a09/a10, aj01, c04, cu02/cu04/cu05, dd12, f09/f10,
+#    j10, mm01/mm02/mm04, pr01-pr03, rj01, s05, sp01, st01-st05,
+#    tpch_q1, tt05/tt06/tt08/tt09, tx01-tx03/tx06-tx08/tx10-tx14,
+#    w03/w06/w09).
+# Everything else was checked r04-r07 and yields after these.
 _FRONT = [
     # --- tier 1: new + changed-code re-verifies ---
-    "mm08_multimodal_to_shards",
-    "sp11_greedy_packing",
-    "cu09_token_budget_selection",
+    "ss11_margin_mining_lsh",
     "ss10_margin_mining",
     "dd04_ngram_jaccard",
     "dd15_containment_pairs",
-    "dd07_duplicate_clusters",
-    "dd08_near_dedup_survivors",
     "cu01_curated_documents",
-    "cu03_decontaminate",
     "cu07_end_to_end_pipeline",
-    "cu08_dsir_selection",
-    "sp10_corpus_to_shards",
-    "tt03_snapshot_changelog",
-    "tt07_metadata_tables",
-    "tt10_sql_merge",
-    # --- tier 2: final r02-cohort drift re-verifies (completes the
-    # rotation begun in r05; nothing will be older than r03 after) ---
-    "f01_string_functions",
-    "f02_date_functions",
-    "f03_math_functions",
-    "f04_conditional_functions",
-    "f05_hash_functions",
-    "f06_regex_functions",
-    "f07_array_functions",
-    "f08_map_functions",
-    "ss01_cosine_topk",
-    "ss04_numpy_topk",
-    "tx09_tfidf_top_terms",
-    "w07_moving_average",
-    "ev07_value_outliers",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_nation_revenue",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_parts",
-    "tpch_q12_priority_shipping",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q16_part_supplier_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_discounted_revenue",
-    "tpch_q20_part_promotion_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_global_sales_opportunity",
+    # --- tier 2: r03-cohort drift re-verifies (oldest in the union) ---
+    "a09_unpivot",
+    "a10_grouping_flags",
+    "aj01_asof_join",
+    "c04_recursive_cte",
+    "cu02_curation_report",
+    "cu04_length_band_filter",
+    "cu05_contamination_report",
+    "dd12_passage_dedup",
+    "f09_edit_distance",
+    "f10_bitwise_functions",
+    "j10_bucketed_join",
+    "mm01_media_metadata",
+    "mm02_decode_pipeline",
+    "mm04_audio_decode",
+    "pr01_table_profile",
+    "pr02_correlation_matrix",
+    "pr03_quality_expectations",
+    "rj01_bucketized_range_join",
+    "s05_set_ops_all",
+    "sp01_dataset_split",
+    "st01_windowed_stream",
+    "st02_session_stream",
+    "st03_sliding_stream",
+    "st04_stream_stream_join",
+    "st05_stateful_running_totals",
+    "tpch_q1_pricing_summary",
+    "tt05_schema_evolution",
+    "tt06_stats_pruned_scan",
+    "tt08_wap_publish",
+    "tt09_catalog_transaction",
+    "tx01_token_counts",
+    "tx02_lang_stats",
+    "tx03_quality_features",
+    "tx06_bpe_token_estimate",
+    "tx07_vocabulary",
+    "tx08_bigram_counts",
+    "tx10_bm25_ranking",
+    "tx11_pii_scrub",
+    "tx12_repetition_stats",
+    "tx13_rarity_scores",
+    "tx14_sliding_chunks",
+    "w03_lag_lead",
+    "w06_sessionize",
+    "w09_time_range_frame",
 ]
 
-# Entries a prior CORRECTNESS run already recorded green (r01–r06 union:
-# 213/213 distinct entries checked, all green at latest check) — yielded
+# Entries a prior CORRECTNESS run already recorded green (r01–r07 union:
+# 217/217 distinct entries checked, all green at latest check) — yielded
 # last. Prefix-matched on the name's first underscore token.
 _PROVEN = frozenset(
     [f"b{i:02d}" for i in range(1, 22)]  # b01–b21

@@ -3665,3 +3665,86 @@ def ss10_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cosine", 6).alias("cosine"),
         F.round("margin", 6).alias("margin"),
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "ss11_margin_mining_lsh",
+    oracle=f"""
+    WITH {_UNIT_VEC_CTE},
+    bk AS (
+      SELECT vec_id, u, {_bucket_sql("u", seed=42, num_planes=3)} AS bucket
+      FROM uv
+    ),
+    coll AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(a.u, (x, i) -> x * b.u[i])) AS cos
+      FROM bk a JOIN bk b ON a.bucket = b.bucket
+      WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 = 5
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b)
+               AS fr,
+             ROW_NUMBER() OVER (PARTITION BY id_b ORDER BY cos DESC, id_a)
+               AS br
+      FROM coll
+    ),
+    avg_a AS (
+        SELECT id_a, SUM(cos) / COUNT(*) AS avg_a
+        FROM ranked WHERE fr <= 4 GROUP BY id_a
+    ),
+    avg_b AS (
+        SELECT id_b, SUM(cos) / COUNT(*) AS avg_b
+        FROM ranked WHERE br <= 4 GROUP BY id_b
+    ),
+    cand AS (
+        SELECT id_a, id_b, MAX(cos) AS cos
+        FROM ranked WHERE fr = 1 OR br = 1 GROUP BY id_a, id_b
+    ),
+    scored AS (
+        SELECT c.id_a, c.id_b, c.cos,
+               c.cos / ((a.avg_a + b.avg_b) / 2) AS margin
+        FROM cand c JOIN avg_a a USING (id_a) JOIN avg_b b USING (id_b)
+    )
+    SELECT id_a, id_b, ROUND(cos, 6) AS cosine, ROUND(margin, 6) AS margin
+    FROM scored WHERE margin >= 1.05
+    ORDER BY id_a, id_b
+    """,
+)
+def ss11_margin_mining_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining in the TWO-LARGE-SIDES configuration
+    (operators.similarity.margin_mining with the ``topk`` hook backed by
+    lsh_topk) — the CCMatrix-scale regime ss10's broadcast path can't
+    serve: when neither language side fits in a broadcast, candidate
+    generation must be an equi-join on LSH buckets (one shuffle per
+    direction, no cross product), and the margin algebra runs unchanged
+    over the RETRIEVED neighborhood — exactly the FAISS-backed
+    construction of Artetxe & Schwenk 2019 / Schwenk et al. 2021
+    (CCMatrix), where k-NN averages are taken over approximate
+    neighbors. The oracle replays the seeded hyperplane buckets
+    (_bucket_sql, bit-identical sign tests), the bucket-collision
+    scoring, both direction ranks, the retrieved-k-NN averages, the
+    groupBy-max pair dedupe, and the margin ratio; the hash gate covers
+    each mined pair's cosine AND margin (ROUND 6). The 1.05 threshold
+    sits >= 3.8e-3 from every observed margin at all test SFs, so the
+    full-precision cut can't flip cross-engine. Recall vs the exact
+    miner (ss10's path) is pinned in tests/test_operators.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") % 10 == 0)
+    b = e.filter(F.col("vec_id") % 10 == 5)
+
+    def lshq(cand: DataFrame, qry: DataFrame) -> DataFrame:
+        return S.lsh_topk(
+            cand, qry, "embedding", "vec_id", k=4, num_planes=3,
+            exclude_self=False,
+        )
+
+    mined = S.margin_mining(
+        a, b, "embedding", "vec_id", k=4, threshold=1.05, topk=lshq
+    )
+    return mined.select(
+        "id_a",
+        "id_b",
+        F.round("cosine", 6).alias("cosine"),
+        F.round("margin", 6).alias("margin"),
+    ).orderBy("id_a", "id_b")
