@@ -14,7 +14,9 @@ delta is self-adjudicating (machine drift vs code regression — round 5's
 sampled before and after the run, plus ``calibration_sec`` — a fixed
 byte-identical-every-round aggregate timed like a headliner. If the
 calibration query moved with the headliners, the machine moved; if the
-headliners moved alone, the code did.
+headliners moved alone, the code did. Since round 8 the JSON also
+carries ``passes`` (both same-boot timings per query, not just the
+best) so the within-boot noise band is recorded alongside every number.
 """
 
 from __future__ import annotations
@@ -107,15 +109,23 @@ def main() -> None:
         # its generated code (Janino) — a one-time cost per plan shape that
         # a long-lived cluster amortizes to zero. The reported number is
         # steady-state throughput; the cold pass still bounds it above.
+        # BOTH passes are persisted (``passes``), not just the winner:
+        # the pass-to-pass spread within ONE boot bounds true run-to-run
+        # noise, so a cross-round drift question (like r07's uniform
+        # 1.14x) is adjudicable from the JSON alone — if round N+1's
+        # best is inside round N's same-boot spread, the machine moved,
+        # not the code.
         timings: dict[str, float] = {}
+        passes: dict[str, list[float]] = {}
         for name in BENCH_QUERIES:
-            best = float("inf")
+            ts: list[float] = []
             for _ in range(2):
                 t0 = time.time()
                 df = QUERIES[name](spark, SF_DIR)
                 df.write.format("noop").mode("overwrite").save()
-                best = min(best, time.time() - t0)
-            timings[name] = round(best, 3)
+                ts.append(round(time.time() - t0, 3))
+            passes[name] = ts
+            timings[name] = min(ts)
         total = round(sum(timings.values()), 3)
 
         # Calibration query: a FIXED shape (lineitem scan -> decimal
@@ -129,7 +139,7 @@ def main() -> None:
         # point every headliner has already scanned lineitem, so the
         # calibration sees the same steady-state cache each round.
         li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
-        calibration_sec = float("inf")
+        calibration_passes: list[float] = []
         for _ in range(2):
             t0 = time.time()
             (
@@ -142,8 +152,8 @@ def main() -> None:
                 .mode("overwrite")
                 .save()
             )
-            calibration_sec = min(calibration_sec, time.time() - t0)
-        calibration_sec = round(calibration_sec, 3)
+            calibration_passes.append(round(time.time() - t0, 3))
+        calibration_sec = min(calibration_passes)
         print(
             json.dumps(
                 {
@@ -151,8 +161,10 @@ def main() -> None:
                     "value": total,
                     "unit": "sec",
                     "queries": timings,
+                    "passes": passes,
                     "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                     "calibration_sec": calibration_sec,
+                    "calibration_passes": calibration_passes,
                     "load_1m_before": load_before,
                     "load_1m_after": round(os.getloadavg()[0], 2),
                 }

@@ -88,3 +88,20 @@ def test_dml_rewriter_differential_slice(spark, tmp_path):
     for seq_no in range(6):  # seed 1 seqs 0-5 include both historic bugs
         problems = run_sequence(spark, seq_no, 1, str(tmp_path))
         assert not problems, "\n".join(problems)
+
+
+def test_timetravel_rewriter_differential_slice(spark, tmp_path):
+    """Deterministic slice of tools/fuzz_timetravel.py: generated
+    FOR TIMESTAMP/VERSION AS OF queries (boundary timestamps, branch/tag
+    refs, metadata relations, travel+current self-joins, two travel
+    clauses per statement, string-literal decoys) run through the
+    client's rewrite_time_travel path AND replayed against temp views
+    built from the direct snapshot API (read_as_of/read_version/
+    read_ref), comparing row sets and refusal behavior. The wider sweep
+    runs via the tool (50 cases x ~10 queries per round, round-8
+    campaign: 500 queries agreed)."""
+    from tools.fuzz_timetravel import run_case
+
+    for case_no in range(3):
+        problems = run_case(spark, case_no, 0, str(tmp_path))
+        assert not problems, "\n".join(problems)
