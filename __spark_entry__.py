@@ -50,17 +50,21 @@ _TUNED_CONFS = {
 # module docstring. Names absent from the registry are ignored (safety
 # against future renames), and every registered query is always yielded.
 #
-# Round-8 ordering (registry: 218 entries, ALL oracle-backed;
-# ss11_margin_mining_lsh — margin mining in the two-LARGE-sides
-# configuration, candidates from LSH-bucketed top-k — is new). The
-# cross-round union is 217/217 green at latest check and nothing is
-# older than r03, so this round's budget goes to the new/changed
-# entries and then rotates the OLDEST green cohort (the 44 entries
-# whose latest verdict is r03). Tiers:
-# 1. new this round (ss11) + changed-code re-verifies: margin_mining's
-#    pair-key dedupe + topk hook (ss10), the cache-registry threading
-#    and optional lazy max-df diagnostic through the inverted-index
-#    builder (dd04/dd15) and curate_documents (cu01, cu07);
+# Round-8 ordering (registry: 221 entries, ALL oracle-backed; new this
+# round: ss11_margin_mining_lsh — margin mining in the two-LARGE-sides
+# configuration, candidates from LSH-bucketed top-k; ss12_mmr_rerank —
+# MMR diversity re-ranking with an unrolled greedy oracle;
+# sp12_curriculum_order — curriculum schedule over the two-phase
+# cumsum; tx17_ngram_novelty — first-introduction novelty
+# attribution). The cross-round union is 217/217 green at latest check
+# and nothing is older than r03, so this round's budget goes to the
+# new/changed entries and then rotates the OLDEST green cohort (the 44
+# entries whose latest verdict is r03). Tiers:
+# 1. new this round (ss11/ss12/sp12/tx17) + changed-code re-verifies:
+#    margin_mining's pair-key dedupe + topk hook (ss10), the
+#    cache-registry threading and optional lazy max-df diagnostic
+#    through the inverted-index builder (dd04/dd15) and
+#    curate_documents (cu01, cu07);
 # 2. the 44 entries last driver-checked in ROUND 3 — the oldest cohort
 #    in the union (a09/a10, aj01, c04, cu02/cu04/cu05, dd12, f09/f10,
 #    j10, mm01/mm02/mm04, pr01-pr03, rj01, s05, sp01, st01-st05,
@@ -70,6 +74,9 @@ _TUNED_CONFS = {
 _FRONT = [
     # --- tier 1: new + changed-code re-verifies ---
     "ss11_margin_mining_lsh",
+    "ss12_mmr_rerank",
+    "sp12_curriculum_order",
+    "tx17_ngram_novelty",
     "ss10_margin_mining",
     "dd04_ngram_jaccard",
     "dd15_containment_pairs",

@@ -1390,3 +1390,115 @@ def test_margin_mining_lsh_backed_large_by_large(spark, embeddings):
         ).collect()
     }
     assert len(set(keys) & exact) / len(exact) >= 0.2
+
+
+# --- MMR re-ranking ---------------------------------------------------------
+
+
+def test_mmr_rerank_diversifies_redundant_candidates(spark):
+    """A query whose top candidates contain a near-duplicate pair: plain
+    top-k keeps both duplicates adjacent; MMR must select the diverse
+    third vector BEFORE the second copy of the duplicate."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),          # the query
+        (1, [0.99, 0.14, 0.0, 0.0]),        # best neighbor
+        (2, [0.99, 0.14, 0.0, 0.0]),        # EXACT duplicate of 1
+        (3, [0.5, 0.0, 0.866, 0.0]),        # half-relevant, orthogonal-ish
+        (4, [0.5, 0.0, 0.0, 0.866]),        # same relevance, diverse from 3
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.filter(F.col("vec_id") == 0)
+    plain = S.cosine_topk(df, q, "embedding", "vec_id", k=3)
+    plain_ids = [r["neighbor_id"] for r in plain.orderBy("rank").collect()]
+    assert plain_ids == [1, 2, 3]  # duplicates crowd the top
+    mmr = S.mmr_rerank(df, q, "embedding", "vec_id", k=3, pool=4, lam=0.5)
+    got = [r["neighbor_id"] for r in mmr.orderBy("mmr_rank").collect()]
+    assert got[0] == 1  # relevance still wins step 1
+    assert got[1] == 3  # diversity displaces the near-duplicate
+    assert set(got) == {1, 3, 4}  # the duplicate never makes the cut
+
+
+def test_mmr_rerank_lam_one_is_plain_relevance_ranking(spark, embeddings):
+    q = embeddings.filter(F.col("vec_id") % 100 == 0)
+    plain = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in S.cosine_topk(embeddings, q, "embedding", "vec_id", k=5).collect()
+    }
+    mmr = {
+        (r["query_id"], r["mmr_rank"]): r["neighbor_id"]
+        for r in S.mmr_rerank(
+            embeddings, q, "embedding", "vec_id", k=5, pool=8, lam=1.0
+        ).collect()
+    }
+    assert mmr == plain  # lam=1 => penalty term vanishes => pure top-k
+
+
+def test_mmr_rerank_validates_lam(spark, embeddings):
+    with pytest.raises(ValueError, match="lam"):
+        S.mmr_rerank(embeddings, embeddings, "embedding", "vec_id", lam=1.5)
+
+
+# --- curriculum ordering -----------------------------------------------------
+
+
+def test_curriculum_order_schedule_properties(spark):
+    from trino_iceberg_spark.operators.splits import curriculum_order
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 100) for i in range(300)], "id long, diff long"
+    )
+    out = curriculum_order(df, "id", "diff", thresholds=[30, 60]).collect()
+    n = len(out)
+    assert n == 300
+    # global_step is an exact permutation of 0..n-1
+    assert sorted(r["global_step"] for r in out) == list(range(n))
+    # phase banding matches the thresholds
+    for r in out:
+        want = (1 if r["diff"] >= 30 else 0) + (1 if r["diff"] >= 60 else 0)
+        assert r["phase"] == want
+    # phase-major: every phase-p step precedes every phase-(p+1) step
+    max_step = {p: max(r["global_step"] for r in out if r["phase"] == p) for p in (0, 1, 2)}
+    min_step = {p: min(r["global_step"] for r in out if r["phase"] == p) for p in (0, 1, 2)}
+    assert max_step[0] < min_step[1] < max_step[1] < min_step[2]
+    # hard_first inverts the phase order, keeps the semantic phase column
+    inv = curriculum_order(df, "id", "diff", thresholds=[30, 60], easy_first=False).collect()
+    inv_max = {p: max(r["global_step"] for r in inv if r["phase"] == p) for p in (0, 1, 2)}
+    inv_min = {p: min(r["global_step"] for r in inv if r["phase"] == p) for p in (0, 1, 2)}
+    assert inv_max[2] < inv_min[1] < inv_max[1] < inv_min[0]
+
+
+def test_curriculum_order_validation(spark):
+    from trino_iceberg_spark.operators.splits import curriculum_order
+
+    df = spark.createDataFrame([(1, 1)], "id long, diff long")
+    with pytest.raises(ValueError, match="non-empty"):
+        curriculum_order(df, "id", "diff", thresholds=[])
+    with pytest.raises(ValueError, match="ascending"):
+        curriculum_order(df, "id", "diff", thresholds=[5, 3])
+    with pytest.raises(ValueError, match="16 phases"):
+        curriculum_order(df, "id", "diff", thresholds=list(range(20)))
+
+
+# --- n-gram novelty ----------------------------------------------------------
+
+
+def test_ngram_novelty_attribution(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # grams: 'a b c', 'b c d' — both novel
+            (2, "a b c d"),        # exact dup of 1 — zero novel
+            (3, "a b c x y z"),    # 'a b c' old; 'b c x','c x y','x y z' novel
+            (4, "hi"),             # short-doc contract: ONE whole-text gram
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in TX.ngram_novelty(df, "text", "doc_id").collect()}
+    assert (got[1]["n_grams"], got[1]["n_novel"]) == (2, 2)
+    assert (got[2]["n_grams"], got[2]["n_novel"]) == (2, 0)
+    assert (got[3]["n_grams"], got[3]["n_novel"]) == (4, 3)
+    assert (got[4]["n_grams"], got[4]["n_novel"]) == (1, 1)
+    assert got[2]["novelty"] == 0.0 and got[1]["novelty"] == 1.0
+    assert abs(got[3]["novelty"] - 0.75) < 1e-15

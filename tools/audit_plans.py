@@ -79,6 +79,15 @@ ALLOW = {
     "tx10_bm25_ranking": _SCALAR,
     "tx13_rarity_scores": _SCALAR,
     "ss01_cosine_topk": _QUERYSET,
+    "ss12_mmr_rerank": _QUERYSET,  # pool stage is cosine_topk's broadcast
+    # cross product; the greedy stage is applyInPandas over pool-sized
+    # query groups (operators/similarity.py mmr_rerank)
+    "sp12_curriculum_order": {
+        "SinglePartitionWindow": "exclusive_cumsum bucket-offset window "
+        "over 16^2-per-phase BUCKET TOTALS (prefix len 3 = phase hex + "
+        "2 md5 chars), not data rows (operators/splits.py "
+        "curriculum_order)",
+    },
     "ss10_margin_mining": _QUERYSET,  # two cosine_topk passes, both
     # sides are the small mining populations (swap in lsh/ivf_topk for
     # two LARGE sides — operators/similarity.py margin_mining docstring)

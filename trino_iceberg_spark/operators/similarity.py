@@ -46,6 +46,7 @@ __all__ = [
     "semantic_dedup_pairs",
     "hard_negatives",
     "margin_mining",
+    "mmr_rerank",
 ]
 
 
@@ -755,3 +756,100 @@ def margin_mining(
         .filter(F.col("margin") >= threshold)
         .select("id_a", "id_b", "cosine", "margin")
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    queries: DataFrame,
+    embedding_col: str,
+    id_col: str,
+    k: int = 5,
+    pool: int = 12,
+    lam: float = 0.7,
+    dim: int | None = None,
+    topk=None,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversity re-ranking (Carbonell &
+    Goldstein 1998): for each query, greedily select ``k`` results from
+    its top-``pool`` candidates, at every step taking the candidate that
+    maximizes ``lam * cos(q, c) - (1 - lam) * max_{s in selected}
+    cos(c, s)`` — relevant results that are NOT redundant with what is
+    already selected. The standard diversity pass over retrieved
+    training/RAG context (near-identical passages crowd out coverage;
+    plain top-k returns them all).
+
+    Two-stage scale shape: candidate generation is a normal top-k pass
+    (default exact :func:`cosine_topk`; pass ``topk`` backed by
+    :func:`lsh_topk` / :func:`ivf_topk` for the large-query-set regime,
+    same contract as :func:`margin_mining`). The greedy stage is
+    inherently sequential PER QUERY but embarrassingly parallel across
+    queries, so it runs as ``applyInPandas`` over query groups of at
+    most ``pool`` rows — bounded O(pool * k) numpy work per group, no
+    global state. Candidate vectors are attached with a broadcast of
+    the pool table (n_queries * pool rows — bounded, small by the same
+    argument that lets top-k window on query_id) against the big
+    candidate table, so the embedding table is never shuffled.
+
+    Determinism: candidates are processed in ascending ``neighbor_id``
+    order and ``np.argmax`` keeps the FIRST maximum, so ties break to
+    the smallest neighbor_id — the same tie-break the oracle's
+    ``ORDER BY score DESC, neighbor_id`` expresses. Returned
+    ``mmr_rank`` is the 1-based selection step; ``relevance`` is the
+    query-candidate cosine (gate rankings, not floats, same policy as
+    ss01)."""
+    import numpy as np
+    import pandas as pd
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1] (got {lam})")
+    if topk is None:
+
+        def topk(cand: DataFrame, qry: DataFrame) -> DataFrame:
+            return cosine_topk(
+                cand, qry, embedding_col, id_col, k=pool, exclude_self=True, dim=dim
+            )
+
+    pool_df = topk(candidates, queries).select("query_id", "neighbor_id", "cosine")
+    vecs = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        unit_vec(_as_double(F.col(embedding_col))).alias("_nvec"),
+    )
+    # big side streams against the broadcast pool; output is pool-sized
+    with_vecs = vecs.join(F.broadcast(pool_df), "neighbor_id")
+
+    one_minus = 1.0 - lam
+    out_schema = (
+        "query_id long, neighbor_id long, mmr_rank int, relevance double"
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        mat = np.array(list(pdf["_nvec"]), dtype=np.float64)
+        rel = pdf["cosine"].to_numpy(dtype=np.float64)
+        sims = mat @ mat.T
+        n = len(pdf)
+        remaining = np.ones(n, dtype=bool)
+        selected: list[int] = []
+        picks: list[tuple[int, int]] = []  # (row_idx, step)
+        for step in range(1, min(k, n) + 1):
+            if selected:
+                penalty = sims[:, selected].max(axis=1)
+            else:
+                penalty = np.zeros(n)
+            score = lam * rel - one_minus * penalty
+            score[~remaining] = -np.inf
+            best = int(np.argmax(score))  # first max -> smallest neighbor_id
+            selected.append(best)
+            remaining[best] = False
+            picks.append((best, step))
+        idx = [p[0] for p in picks]
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[idx].to_numpy(),
+                "neighbor_id": pdf["neighbor_id"].iloc[idx].to_numpy(),
+                "mmr_rank": np.array([p[1] for p in picks], dtype=np.int32),
+                "relevance": rel[idx],
+            }
+        )
+
+    return with_vecs.groupBy("query_id").applyInPandas(greedy, out_schema)

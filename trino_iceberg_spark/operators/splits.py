@@ -27,6 +27,7 @@ __all__ = [
     "kfold_column",
     "sample_fixed_per_group",
     "write_training_shards",
+    "curriculum_order",
 ]
 
 _BUCKETS = 1_000_000
@@ -377,4 +378,66 @@ def write_training_shards(
         F.bit_xor(portable_hash64(F.col(id_col).cast("string"))).alias(
             "id_hash_xor"
         ),
+    )
+
+
+def curriculum_order(
+    df: DataFrame,
+    id_col: str,
+    difficulty_col: str,
+    thresholds: list[int | float],
+    seed: int = 42,
+    easy_first: bool = True,
+    phase_col: str = "phase",
+    key_col: str = "curriculum_key",
+    step_col: str = "global_step",
+) -> DataFrame:
+    """Curriculum-learning training order (Bengio et al. 2009,
+    "Curriculum Learning"): band every row into a difficulty phase by
+    fixed ``thresholds`` (phase = number of thresholds the difficulty
+    meets, so ``len(thresholds) + 1`` bands, 0 = easiest), shuffle
+    deterministically WITHIN each phase, and assign an exact 0-based
+    ``global_step`` index over the phase-major order — the schedule a
+    trainer consumes directly.
+
+    Thresholds are fixed by the caller (data-independent banding) —
+    quantile-based banding belongs to a separate percentile pass; fixed
+    bands keep this operator scan-pure and its semantics stable as the
+    corpus grows.
+
+    Scale shape: the order key is one hex char of (sort) phase +
+    :func:`shuffle_key`'s md5 — lexicographic order IS the curriculum
+    order — and the step index comes from
+    :func:`~..operators.packing.exclusive_cumsum` of a literal 1 over
+    that key (two-phase cumsum: 16^2 buckets per phase via
+    ``bucket_prefix_len=3``, never a single-partition global window;
+    the phase char is near-constant per phase, so the extra prefix
+    length is what keeps buckets plentiful — the hex-key bucketing trap).
+    The frame returns range-partitioned and sorted by the key, so a
+    sequential read IS the curriculum. Epoch re-shuffle within phases =
+    new seed, no data rewrite."""
+    n_phases = len(thresholds) + 1
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    if n_phases > 16:
+        raise ValueError(f"at most 16 phases (got {n_phases})")
+    if sorted(thresholds) != list(thresholds):
+        raise ValueError(f"thresholds must be ascending (got {thresholds})")
+    from .packing import exclusive_cumsum
+
+    phase = F.lit(0)
+    for t in thresholds:
+        phase = phase + (F.col(difficulty_col) >= F.lit(t)).cast("int")
+    sort_phase = phase if easy_first else F.lit(n_phases - 1) - phase
+    key = F.concat(F.lower(F.hex(sort_phase)), shuffle_key(id_col, seed))
+    keyed = (
+        df.withColumn(phase_col, phase)
+        .withColumn(key_col, key)
+        .withColumn("_one", F.lit(1))
+    )
+    return (
+        exclusive_cumsum(keyed, key_col, "_one", out_col=step_col, bucket_prefix_len=3)
+        .drop("_one")
+        .repartitionByRange(F.col(key_col))
+        .sortWithinPartitions(key_col)
     )

@@ -30,6 +30,7 @@ __all__ = [
     "sliding_chunks",
     "bigram_surprise_scores",
     "token_entropy",
+    "ngram_novelty",
 ]
 
 # Tiny per-language stopword marker lists for the n-gram/stopword heuristic
@@ -574,4 +575,52 @@ def token_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         n.cast("long").alias("n_words"),
         F.size(F.array_distinct(words)).cast("long").alias("n_distinct_words"),
         entropy.alias("entropy"),
+    )
+
+
+def ngram_novelty(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """Per-document n-gram novelty attribution: the share of a document's
+    distinct word n-grams that the document is the FIRST to introduce
+    (first = minimum ``id_col`` among all documents containing the gram
+    — a total, deterministic order). Corpus curation uses this as the
+    redundancy diagnostic a pair-based dedup report can't give: novelty
+    near 0 means the document is assembled from text the corpus already
+    has even when no single pair clears a near-dup threshold, and the
+    corpus-level novelty-vs-id curve is the classic "how fast does new
+    data stop being new" measurement (cf. the dedup motivation in Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better").
+
+    Shares :func:`~..operators.dedup.shingle`'s tokenizer and contract
+    (distinct grams; documents with fewer than ``n`` words contribute ONE
+    whole-text gram — such a doc is 100% novel unless an earlier doc has
+    the identical short text).
+
+    Scale shape: explode → partial-aggregated ``groupBy(gram).min(id)``
+    (map-side combine absorbs viral grams) → gram-keyed join back (both
+    sides hash-partitioned on gram from the same lineage; AQE skew-join
+    splits any viral gram's reduce side) → per-doc count aggregate.
+    Linear in total gram volume, no all-pairs term anywhere — this is
+    the novelty statistic computable at 100 TB where pairwise similarity
+    is not."""
+    from .dedup import shingle
+
+    grams = df.select(
+        F.col(id_col).alias("_nv_id"), F.explode(shingle(text_col, n)).alias("_gram")
+    )
+    first = grams.groupBy("_gram").agg(F.min("_nv_id").alias("_first_owner"))
+    return (
+        grams.join(first, "_gram")
+        .groupBy(F.col("_nv_id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("_nv_id") == F.col("_first_owner"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .withColumn("novelty", F.col("n_novel") / F.col("n_grams"))
     )

@@ -3748,3 +3748,169 @@ def ss11_margin_mining_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cosine", 6).alias("cosine"),
         F.round("margin", 6).alias("margin"),
     ).orderBy("id_a", "id_b")
+
+
+def _mmr_oracle(k: int = 5, pool: int = 12, lam: float = 0.7) -> str:
+    """Oracle for ss12: the greedy MMR recursion UNROLLED into k plain
+    CTE steps (DuckDB disallows aggregates in a recursive term, and k is
+    a small constant, so unrolling is both legal and readable). Step t
+    scores every not-yet-selected pool candidate as lam*relevance -
+    (1-lam)*max(similarity to the selected set) and picks the row_number
+    winner with the same (score DESC, neighbor_id) tie-break the Spark
+    side's first-max argmax over id-sorted candidates expresses. Float
+    literals are rendered with repr so lam/(1-lam) are bit-identical to
+    the numpy constants."""
+    lam_s = repr(float(lam))
+    om = repr(1.0 - float(lam))
+    parts = [
+        f"""
+    WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 50 = 0),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         pool AS (
+             SELECT query_id, neighbor_id, cosine FROM (
+                 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                        list_cosine_similarity(q.v, c.v) AS cosine,
+                        ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rnk
+                 FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id)
+             WHERE rnk <= {pool}
+         ),
+         pv AS (SELECT p.query_id, p.neighbor_id, c.v
+                FROM pool p JOIN c ON c.vec_id = p.neighbor_id),
+         psim AS (
+             SELECT a.query_id, a.neighbor_id AS i, b.neighbor_id AS j,
+                    list_cosine_similarity(a.v, b.v) AS s
+             FROM pv a JOIN pv b
+               ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+         ),
+         s1 AS (
+             SELECT query_id, neighbor_id, 1 AS mmr_rank FROM (
+                 SELECT query_id, neighbor_id,
+                        ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY {lam_s} * cosine DESC, neighbor_id) AS rn
+                 FROM pool) WHERE rn = 1
+         ),
+         sel1 AS (SELECT * FROM s1)"""
+    ]
+    for t in range(2, k + 1):
+        parts.append(
+            f""",
+         cand{t} AS (
+             SELECT p.query_id, p.neighbor_id,
+                    {lam_s} * p.cosine - {om} * pen.mx AS score
+             FROM pool p
+             JOIN (SELECT ps.query_id, ps.i AS neighbor_id, MAX(ps.s) AS mx
+                   FROM psim ps JOIN sel{t - 1} sl
+                     ON sl.query_id = ps.query_id AND sl.neighbor_id = ps.j
+                   GROUP BY ps.query_id, ps.i) pen
+               ON pen.query_id = p.query_id AND pen.neighbor_id = p.neighbor_id
+             ANTI JOIN sel{t - 1} sl2
+               ON sl2.query_id = p.query_id AND sl2.neighbor_id = p.neighbor_id
+         ),
+         s{t} AS (
+             SELECT query_id, neighbor_id, {t} AS mmr_rank FROM (
+                 SELECT query_id, neighbor_id,
+                        ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rn
+                 FROM cand{t}) WHERE rn = 1
+         ),
+         sel{t} AS (SELECT * FROM sel{t - 1} UNION ALL SELECT * FROM s{t})"""
+        )
+    parts.append(
+        f"""
+    SELECT query_id, neighbor_id, CAST(mmr_rank AS INT) AS mmr_rank
+    FROM sel{k} ORDER BY query_id, mmr_rank"""
+    )
+    return "".join(parts)
+
+
+@register("ss12_mmr_rerank", oracle=_mmr_oracle())
+def ss12_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-ranking (operators.similarity.mmr_rerank,
+    Carbonell & Goldstein 1998) of each query's exact top-12 candidates
+    down to 5 diverse results at lambda=0.7. The hash gate covers the
+    full greedy SELECTION ORDER (query_id, neighbor_id, mmr_rank) — ids
+    and ranks only, not float scores, the ss01 ranking-stability
+    policy."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    return (
+        S.mmr_rerank(e, q, "embedding", "vec_id", k=5, pool=12, lam=0.7)
+        .select("query_id", "neighbor_id", "mmr_rank")
+        .orderBy("query_id", "mmr_rank")
+    )
+
+
+@register(
+    "sp12_curriculum_order",
+    oracle="""
+    WITH banded AS (
+        SELECT doc_id, n_tokens,
+               (CASE WHEN n_tokens >= 40 THEN 1 ELSE 0 END +
+                CASE WHEN n_tokens >= 70 THEN 1 ELSE 0 END) AS phase
+        FROM (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' '),
+                                        w -> w <> '')) AS BIGINT) AS n_tokens
+            FROM documents)
+    )
+    SELECT doc_id, CAST(phase AS INT) AS phase,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY lower(to_hex(phase)) || md5(CAST(doc_id AS VARCHAR) || '-42')
+           ) - 1 AS BIGINT) AS global_step
+    FROM banded ORDER BY doc_id
+    """,
+)
+def sp12_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order (operators.splits.curriculum_order,
+    Bengio et al. 2009): documents banded easy->hard by whitespace token
+    count (thresholds 40/70 => 3 phases), md5-shuffled within a phase,
+    with an exact scalable global_step index from the two-phase cumsum
+    (no single-partition window — the oracle's global ROW_NUMBER is the
+    semantic spec, not the plan). Hash gate: (doc_id, phase,
+    global_step) — the entire schedule."""
+    from ..operators.splits import curriculum_order
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", TX.token_count_col("text")
+    )
+    out = curriculum_order(d, "doc_id", "n_tokens", thresholds=[40, 70], seed=42)
+    return out.select(
+        "doc_id", F.col("phase").cast("int").alias("phase"), "global_step"
+    ).orderBy("doc_id")
+
+
+@register(
+    "tx17_ngram_novelty",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                    ELSE list_distinct(list_transform(
+                        range(len(toks) - 2),
+                        i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+               END AS shingles
+        FROM (SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), w -> w <> '') AS toks
+              FROM documents)
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    fo AS (SELECT s, MIN(doc_id) AS first_owner FROM ex GROUP BY s)
+    SELECT ex.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN fo.first_owner = ex.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN fo.first_owner = ex.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS novelty
+    FROM ex JOIN fo USING (s)
+    GROUP BY ex.doc_id ORDER BY doc_id
+    """,
+)
+def tx17_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty attribution
+    (operators.text.ngram_novelty): the share of each document's
+    distinct shingles it is FIRST (minimum doc_id) to introduce — the
+    linear-cost corpus-redundancy diagnostic. The novelty double is an
+    IEEE division of the two hash-gated longs, so it hashes identically
+    on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.ngram_novelty(d, "text", "doc_id", n=3).orderBy("doc_id")
