@@ -1502,3 +1502,19 @@ def test_ngram_novelty_attribution(spark):
     assert (got[4]["n_grams"], got[4]["n_novel"]) == (1, 1)
     assert got[2]["novelty"] == 0.0 and got[1]["novelty"] == 1.0
     assert abs(got[3]["novelty"] - 0.75) < 1e-15
+
+
+def test_hash_embedding_contract(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta"), (3, "gamma delta")],
+        "id long, t string",
+    )
+    out = {r["id"]: r["v"] for r in df.select("id", S.hash_embedding("t", dim=8).alias("v")).collect()}
+    assert len(out[1]) == 8
+    assert out[1] == out[2]          # identical text => identical vector
+    assert out[1] != out[3]          # different text => different vector
+    assert all(-1.0 <= x <= 1.0 for v in out.values() for x in v)
+    # engine-portable: replay coordinate 0 of doc 1 with hashlib
+    import hashlib
+    h = int(hashlib.md5(b"alpha beta#0").hexdigest()[:15], 16)
+    assert abs(out[1][0] - ((h % 2001) - 1000) / 1000.0) < 1e-15

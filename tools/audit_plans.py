@@ -94,6 +94,9 @@ ALLOW = {
     "ss05_quantized_topk": _QUERYSET,
     "ss07_hard_negatives": _QUERYSET,
     "ir01_retrieval_metrics": _QUERYSET,  # scores ss01's broadcast ranking
+    "rag01_retrieval_pipeline": _QUERYSET,  # first-chunk query set is
+    # broadcast into the chunk-embedding scan (swap lsh/ivf_topk for
+    # large query sets — queries/pipeline.py rag01 docstring)
     "ss08_range_search": _QUERYSET,
     "ev06_hourly_gap_fill": _SPINE,
     "ev11_interpolated_gap_fill": _SPINE,

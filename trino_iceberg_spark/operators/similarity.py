@@ -47,6 +47,7 @@ __all__ = [
     "hard_negatives",
     "margin_mining",
     "mmr_rerank",
+    "hash_embedding",
 ]
 
 
@@ -853,3 +854,33 @@ def mmr_rerank(
         )
 
     return with_vecs.groupBy("query_id").applyInPandas(greedy, out_schema)
+
+
+def hash_embedding(text_col: Column | str, dim: int = 8, buckets: int = 2001) -> Column:
+    """Deterministic feature-hashed text embedding (the hashing trick,
+    Weinberger et al. 2009 — here as a coordinate-wise md5 fold): an
+    array<double> whose j-th coordinate is
+    ``(portable_hash64(text ∥ '#' ∥ j) % buckets - buckets//2) /
+    (buckets//2)`` — pseudo-random in [-1, 1], identical text ⇒
+    identical vector, different text ⇒ decorrelated vectors.
+
+    This is the ENCODER STAND-IN of the retrieval pipeline: real
+    embedding models are external (same boundary the multimodal stubs
+    mark), but every downstream stage — ANN indexing, re-ranking,
+    evaluation — is exercised for real, and because the construction is
+    md5-only, a SQL oracle can replay the exact vectors (DuckDB twin:
+    ``(('0x' || substr(md5(t || '#' || j), 1, 15))::BIGINT % buckets -
+    half) / half``). Swap in a mapInPandas model encoder for production;
+    everything downstream is encoder-agnostic."""
+    from .dedup import portable_hash64
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    half = buckets // 2
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            (portable_hash64(F.concat(c, F.lit("#"), j.cast("string"))) % buckets)
+            - half
+        )
+        / F.lit(float(half)),
+    )

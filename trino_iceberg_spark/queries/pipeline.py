@@ -3914,3 +3914,118 @@ def tx17_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both engines."""
     d = load_table(spark, sf_dir, "documents")
     return TX.ngram_novelty(d, "text", "doc_id", n=3).orderBy("doc_id")
+
+
+@register(
+    "rag01_retrieval_pipeline",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        FROM documents WHERE doc_id < 200
+    ),
+    idx AS (
+        SELECT doc_id, ws,
+               unnest(range(CASE WHEN len(ws) <= 16 THEN 1
+                                 ELSE 1 + CAST(ceil((len(ws) - 16) / 8.0) AS BIGINT)
+                            END)) AS i
+        FROM toks WHERE len(ws) > 0
+    ),
+    ch AS (
+        SELECT doc_id, doc_id * 1000 + i AS chunk_id,
+               array_to_string(list_slice(ws, i*8 + 1, i*8 + 16), ' ') AS chunk
+        FROM idx
+    ),
+    emb AS (
+        SELECT doc_id, chunk_id,
+               list_transform(range(0, 8), j ->
+                   ((('0x' || substr(md5(chunk || '#' || CAST(j AS VARCHAR)), 1, 15))::BIGINT
+                     % 2001) - 1000) / 1000.0) AS v
+        FROM ch
+    ),
+    q AS (SELECT doc_id, chunk_id, v FROM emb
+          WHERE doc_id % 20 = 0 AND chunk_id % 1000 = 0),
+    scored AS (
+        SELECT q.chunk_id AS query_id, q.doc_id AS qdoc,
+               c.chunk_id AS neighbor_id, c.doc_id AS cdoc,
+               list_cosine_similarity(q.v, c.v) AS cosine
+        FROM q CROSS JOIN emb c WHERE q.chunk_id <> c.chunk_id
+    ),
+    ranked AS (
+        SELECT query_id, qdoc, neighbor_id, cdoc,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS r
+        FROM scored
+    ),
+    nrel AS (
+        SELECT q.chunk_id AS query_id, COUNT(*) AS n_relevant
+        FROM q JOIN ch c ON c.doc_id = q.doc_id AND c.chunk_id <> q.chunk_id
+        GROUP BY 1
+    ),
+    hits AS (SELECT query_id, r FROM ranked WHERE r <= 5 AND cdoc = qdoc),
+    agg AS (
+        SELECT query_id, COUNT(*) AS hits, MIN(r) AS first_r,
+               SUM(1.0 / log2(r + 1.0)) AS dcg
+        FROM hits GROUP BY 1
+    ),
+    ideal AS (
+        SELECT n.query_id, n.n_relevant, LEAST(n.n_relevant, 5) AS ideal_n,
+               list_sum(list_transform(
+                   range(1, LEAST(n.n_relevant, 5) + 1),
+                   i -> 1.0 / log2(i + 1.0))) AS idcg
+        FROM nrel n
+    )
+    SELECT i.query_id, i.n_relevant, COALESCE(a.hits, 0) AS hits,
+           ROUND(COALESCE(a.hits, 0) / CAST(i.ideal_n AS DOUBLE), 6) AS recall_at_k,
+           ROUND(COALESCE(1.0 / a.first_r, 0.0), 6) AS mrr_at_k,
+           ROUND(COALESCE(a.dcg / i.idcg, 0.0), 6) AS ndcg_at_k
+    FROM ideal i LEFT JOIN agg a USING (query_id)
+    ORDER BY i.query_id
+    """,
+)
+def rag01_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-corpus pipeline FLAGSHIP: sliding-window chunking
+    (tx14's operator, 16 tokens / stride 8) → deterministic
+    feature-hashed embeddings (operators.similarity.hash_embedding —
+    the SQL-replayable encoder stand-in; swap a mapInPandas model
+    encoder in production, everything downstream is encoder-agnostic)
+    → exact top-5 retrieval with first-chunk queries → TREC-style
+    same-document relevance evaluation (operators.ranking.
+    retrieval_metrics). The standard "did chunking+indexing preserve
+    findability" regression an embedding corpus runs after every data
+    change: a query chunk should retrieve its sibling chunks.
+
+    Composition is chunk-explode (no shuffle) → map-side embed →
+    broadcast-query scoring → one rank window + one judgments join —
+    the retrieval stage swaps to lsh_topk/ivf_topk for large query
+    sets (the hooks ss11 proves). Oracle replays chunk arithmetic, the
+    md5 embedding, ranking, and all three metrics end-to-end; ROUND(6)
+    gates the few-term float metrics (ir01's policy)."""
+    from ..operators.ranking import retrieval_metrics
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    ch = TX.sliding_chunks(d, "text", "doc_id", chunk_tokens=16, stride=8).select(
+        "doc_id",
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("chunk_id"),
+        "chunk",
+    )
+    emb = ch.withColumn("v", S.hash_embedding("chunk", dim=8, buckets=2001))
+    q = emb.filter((F.col("doc_id") % 20 == 0) & (F.col("chunk_id") % 1000 == 0))
+    results = S.cosine_topk(emb, q, "v", "chunk_id", k=5, exclude_self=True)
+    qrels = (
+        q.select(F.col("chunk_id").alias("query_id"), F.col("doc_id").alias("_qd"))
+        .join(
+            ch.select(F.col("chunk_id").alias("neighbor_id"), F.col("doc_id").alias("_cd")),
+            F.col("_qd") == F.col("_cd"),
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    m = retrieval_metrics(results, qrels, k=5)
+    return m.select(
+        "query_id",
+        "n_relevant",
+        "hits",
+        F.round("recall_at_k", 6).alias("recall_at_k"),
+        F.round("mrr_at_k", 6).alias("mrr_at_k"),
+        F.round("ndcg_at_k", 6).alias("ndcg_at_k"),
+    ).orderBy("query_id")
