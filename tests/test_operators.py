@@ -1518,3 +1518,40 @@ def test_hash_embedding_contract(spark):
     import hashlib
     h = int(hashlib.md5(b"alpha beta#0").hexdigest()[:15], 16)
     assert abs(out[1][0] - ((h % 2001) - 1000) / 1000.0) < 1e-15
+
+
+def test_mmr_rerank_lsh_hook_selects_within_pool(spark, embeddings):
+    """The two-stage configuration (ss13): candidates from lsh_topk, MMR
+    greedy unchanged. Selection must be a subset of the retrieved pool
+    with contiguous 1..k ranks per query, and the lam=1 degeneracy must
+    reproduce the pool's own relevance ranking."""
+    q = embeddings.filter(F.col("vec_id") % 100 == 0)
+
+    def lshq(cand, qry):
+        return S.lsh_topk(cand, qry, "embedding", "vec_id", k=8, num_planes=3,
+                          exclude_self=True)
+
+    pool = {
+        (r["query_id"], r["neighbor_id"]) for r in lshq(embeddings, q).collect()
+    }
+    out = S.mmr_rerank(
+        embeddings, q, "embedding", "vec_id", k=4, lam=0.6, topk=lshq
+    ).collect()
+    assert all((r["query_id"], r["neighbor_id"]) in pool for r in out)
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["mmr_rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # lam=1 over the same pool = the pool's own (cosine, id) ranking
+    top = {}
+    for r in lshq(embeddings, q).collect():
+        if r["rank"] <= 4:
+            top[(r["query_id"], r["rank"])] = r["neighbor_id"]
+    deg = {
+        (r["query_id"], r["mmr_rank"]): r["neighbor_id"]
+        for r in S.mmr_rerank(
+            embeddings, q, "embedding", "vec_id", k=4, lam=1.0, topk=lshq
+        ).collect()
+    }
+    assert deg == top

@@ -3750,7 +3750,7 @@ def ss11_margin_mining_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-def _mmr_oracle(k: int = 5, pool: int = 12, lam: float = 0.7) -> str:
+def _mmr_oracle(k: int = 5, pool: int = 12, lam: float = 0.7, lsh_planes: int | None = None) -> str:
     """Oracle for ss12: the greedy MMR recursion UNROLLED into k plain
     CTE steps (DuckDB disallows aggregates in a recursive term, and k is
     a small constant, so unrolling is both legal and readable). Step t
@@ -3759,14 +3759,14 @@ def _mmr_oracle(k: int = 5, pool: int = 12, lam: float = 0.7) -> str:
     winner with the same (score DESC, neighbor_id) tie-break the Spark
     side's first-max argmax over id-sorted candidates expresses. Float
     literals are rendered with repr so lam/(1-lam) are bit-identical to
-    the numpy constants."""
+    the numpy constants. ``lsh_planes`` switches the candidate pool from
+    the exact brute-force ranking to seeded-hyperplane bucket collisions
+    (ss13's two-stage configuration) — the greedy unroll is identical."""
     lam_s = repr(float(lam))
     om = repr(1.0 - float(lam))
-    parts = [
-        f"""
-    WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 50 = 0),
-         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         pool AS (
+    if lsh_planes is None:
+        # exact pool: brute-force ranking, same construction as ss01
+        pool_cte = f"""pool AS MATERIALIZED (
              SELECT query_id, neighbor_id, cosine FROM (
                  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                         list_cosine_similarity(q.v, c.v) AS cosine,
@@ -3774,10 +3774,35 @@ def _mmr_oracle(k: int = 5, pool: int = 12, lam: float = 0.7) -> str:
                             ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rnk
                  FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id)
              WHERE rnk <= {pool}
+         )"""
+    else:
+        # LSH pool: the seeded hyperplane buckets replayed bit-for-bit
+        # (same construction ss11 proves), candidates = bucket collisions
+        pool_cte = f"""{_UNIT_VEC_CTE},
+         bk AS (
+             SELECT vec_id, u,
+                    {_bucket_sql("u", seed=42, num_planes=lsh_planes)} AS bucket
+             FROM uv
          ),
-         pv AS (SELECT p.query_id, p.neighbor_id, c.v
+         pool AS MATERIALIZED (
+             SELECT query_id, neighbor_id, cosine FROM (
+                 SELECT qb.vec_id AS query_id, cb.vec_id AS neighbor_id,
+                        list_sum(list_transform(qb.u, (x, i) -> x * cb.u[i])) AS cosine,
+                        ROW_NUMBER() OVER (PARTITION BY qb.vec_id
+                            ORDER BY list_sum(list_transform(qb.u, (x, i) -> x * cb.u[i])) DESC,
+                                     cb.vec_id) AS rnk
+                 FROM bk qb JOIN bk cb ON qb.bucket = cb.bucket
+                 WHERE qb.vec_id % 50 = 0 AND qb.vec_id <> cb.vec_id)
+             WHERE rnk <= {pool}
+         )"""
+    parts = [
+        f"""
+    WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 50 = 0),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         {pool_cte},
+         pv AS MATERIALIZED (SELECT p.query_id, p.neighbor_id, c.v
                 FROM pool p JOIN c ON c.vec_id = p.neighbor_id),
-         psim AS (
+         psim AS MATERIALIZED (
              SELECT a.query_id, a.neighbor_id AS i, b.neighbor_id AS j,
                     list_cosine_similarity(a.v, b.v) AS s
              FROM pv a JOIN pv b
@@ -3790,7 +3815,7 @@ def _mmr_oracle(k: int = 5, pool: int = 12, lam: float = 0.7) -> str:
                             ORDER BY {lam_s} * cosine DESC, neighbor_id) AS rn
                  FROM pool) WHERE rn = 1
          ),
-         sel1 AS (SELECT * FROM s1)"""
+         sel1 AS MATERIALIZED (SELECT * FROM s1)"""
     ]
     for t in range(2, k + 1):
         parts.append(
@@ -3814,7 +3839,7 @@ def _mmr_oracle(k: int = 5, pool: int = 12, lam: float = 0.7) -> str:
                             ORDER BY score DESC, neighbor_id) AS rn
                  FROM cand{t}) WHERE rn = 1
          ),
-         sel{t} AS (SELECT * FROM sel{t - 1} UNION ALL SELECT * FROM s{t})"""
+         sel{t} AS MATERIALIZED (SELECT * FROM sel{t - 1} UNION ALL SELECT * FROM s{t})"""
         )
     parts.append(
         f"""
@@ -4029,3 +4054,31 @@ def rag01_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mrr_at_k", 6).alias("mrr_at_k"),
         F.round("ndcg_at_k", 6).alias("ndcg_at_k"),
     ).orderBy("query_id")
+
+
+@register("ss13_mmr_rerank_lsh", oracle=_mmr_oracle(lsh_planes=3))
+def ss13_mmr_rerank_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-ranking over an LSH-bucketed candidate pool
+    (operators.similarity.mmr_rerank with the ``topk`` hook backed by
+    lsh_topk) — the large-query-set configuration ss12's broadcast pool
+    stage can't serve: candidate generation becomes one bucket equi-join
+    shuffle (no cross product), and the greedy MMR selection runs
+    unchanged over the RETRIEVED pool — the standard two-stage
+    retrieve-then-rerank layout. The oracle replays the seeded
+    hyperplane buckets (ss11's bit-identical sign tests), the
+    bucket-collision ranking, and the unrolled greedy recursion; the
+    hash gate covers the full selection order."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+
+    def lshq(cand: DataFrame, qry: DataFrame) -> DataFrame:
+        return S.lsh_topk(
+            cand, qry, "embedding", "vec_id", k=12, num_planes=3,
+            exclude_self=True,
+        )
+
+    return (
+        S.mmr_rerank(e, q, "embedding", "vec_id", k=5, pool=12, lam=0.7, topk=lshq)
+        .select("query_id", "neighbor_id", "mmr_rank")
+        .orderBy("query_id", "mmr_rank")
+    )
