@@ -1555,3 +1555,25 @@ def test_mmr_rerank_lsh_hook_selects_within_pool(spark, embeddings):
         ).collect()
     }
     assert deg == top
+
+
+def test_calibration_bins_contract(spark):
+    from trino_iceberg_spark.operators.profiling import calibration_bins
+
+    df = spark.createDataFrame(
+        [(0.05, True), (0.05, False), (0.55, True), (0.55, True),
+         (1.7, True), (-0.3, False), (None, True)],
+        "score double, y boolean",
+    )
+    got = {r["bin"]: r for r in calibration_bins(df, "score", "y", bins=10).collect()}
+    assert (got[0]["n"], got[0]["n_positive"]) == (3, 1)   # -0.3 clamps into bin 0
+    assert (got[5]["n"], got[5]["n_positive"]) == (2, 2)
+    assert (got[9]["n"], got[9]["n_positive"]) == (1, 1)   # 1.7 clamps into bin 9
+    assert set(got) == {0, 5, 9}                            # NULL dropped, empty bins absent
+    assert abs(got[0]["positive_rate"] - 1 / 3) < 1e-15
+    assert abs(got[5]["bin_lo"] - 0.5) < 1e-12 and abs(got[5]["bin_hi"] - 0.6) < 1e-12
+    import pytest as _pt
+    with _pt.raises(ValueError, match="bins"):
+        calibration_bins(df, "score", "y", bins=0)
+    with _pt.raises(ValueError, match="hi > lo"):
+        calibration_bins(df, "score", "y", lo=1.0, hi=1.0)

@@ -22,6 +22,7 @@ __all__ = [
     "column_correlations",
     "expectations_report",
     "psi_report",
+    "calibration_bins",
 ]
 
 
@@ -280,3 +281,53 @@ def psi_report(
     return joined.groupBy(*keys, "n_ref", "n_cur").agg(
         F.round(F.sum(term), 6).alias("psi")
     ).select(*keys, "psi", "n_ref", "n_cur")
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    outcome_col: str,
+    bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Reliability-diagram bins for a score against a binary outcome —
+    the calibration evidence behind every score-thresholded curation
+    gate (Guo et al. 2017, "On Calibration of Modern Neural Networks"):
+    if documents scored ~0.8 aren't ~80% positive, the cu09-style budget
+    threshold selects the wrong corpus slice. ``bins`` equal-width cuts
+    of the FIXED [lo, hi) score range (data-independent, so two runs and
+    two engines always agree — same policy as :func:`psi_report`);
+    out-of-range scores clamp into the edge bins.
+
+    Returns one row per non-empty bin: ``(bin, bin_lo, bin_hi, n,
+    n_positive, positive_rate)``. The per-bin |positive_rate − bin
+    midpoint| gaps aggregate to ECE downstream; kept per-bin here
+    because the diagram, not the scalar, is what a curation review
+    actually reads.
+
+    Scale shape: one map-side bin expression + one groupBy(bin)
+    aggregate with map-side combine — a single scan, one bins-sized
+    shuffle. Outcome accounting is integer (SUM of 0/1), so the rate is
+    one exact IEEE division per emitted row — engine-replayable."""
+    if bins <= 0:
+        raise ValueError(f"bins must be positive (got {bins})")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo (got {lo}, {hi})")
+    s = F.col(score_col).cast("double")
+    raw = F.floor((s - F.lit(float(lo))) / F.lit(float(hi - lo)) * bins).cast("int")
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1))
+    pos = F.when(F.col(outcome_col).cast("boolean"), 1).otherwise(0)
+    width = (hi - lo) / bins
+    return (
+        df.filter(s.isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(pos).cast("long").alias("n_positive"),
+        )
+        .withColumn("bin_lo", F.lit(float(lo)) + F.col("bin") * F.lit(width))
+        .withColumn("bin_hi", F.lit(float(lo)) + (F.col("bin") + 1) * F.lit(width))
+        .withColumn("positive_rate", F.col("n_positive") / F.col("n"))
+        .select("bin", "bin_lo", "bin_hi", "n", "n_positive", "positive_rate")
+    )

@@ -4082,3 +4082,50 @@ def ss13_mmr_rerank_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "mmr_rank")
         .orderBy("query_id", "mmr_rank")
     )
+
+
+@register(
+    "pr05_calibration_bins",
+    oracle="""
+    WITH scored AS (
+        SELECT CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS score,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM (SELECT lang,
+                     list_filter(string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' '),
+                                 w -> w <> '') AS toks
+              FROM documents)
+        WHERE len(toks) > 0
+    ),
+    binned AS (
+        SELECT LEAST(GREATEST(CAST(floor((score - CAST(0.0 AS DOUBLE)) / CAST(1.0 AS DOUBLE) * 10) AS INT), 0), 9) AS bin, pos
+        FROM scored
+    )
+    SELECT bin,
+           bin * CAST(0.1 AS DOUBLE) AS bin_lo,
+           (bin + 1) * CAST(0.1 AS DOUBLE) AS bin_hi,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(pos) AS BIGINT) AS n_positive,
+           CAST(SUM(pos) AS DOUBLE) / COUNT(*) AS positive_rate
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+)
+def pr05_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram calibration bins
+    (operators.profiling.calibration_bins, Guo et al. 2017): lexical
+    diversity (distinct/total tokens) as the score, is-English as the
+    binary outcome, 10 fixed-width bins over [0, 1) — the calibration
+    evidence a score-thresholded curation gate (cu09's budget selection)
+    needs before trusting its threshold. One scan, one bins-sized
+    aggregate; the rate is an exact IEEE division of the two hash-gated
+    longs."""
+    from ..operators.profiling import calibration_bins
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = TX.word_tokens_col("text")
+    scored = d.select(
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("score"),
+        (F.col("lang") == "en").alias("is_en"),
+    ).filter(F.size(toks) > 0)
+    return calibration_bins(
+        scored, "score", "is_en", bins=10, lo=0.0, hi=1.0
+    ).orderBy("bin")
