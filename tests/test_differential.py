@@ -98,8 +98,9 @@ def test_timetravel_rewriter_differential_slice(spark, tmp_path):
     client's rewrite_time_travel path AND replayed against temp views
     built from the direct snapshot API (read_as_of/read_version/
     read_ref), comparing row sets and refusal behavior. The wider sweep
-    runs via the tool (50 cases x ~10 queries per round, round-8
-    campaign: 500 queries agreed)."""
+    runs via the tool (50 cases x ~10 queries per campaign; round-8 ran
+    two campaigns, seeds 8 and 999 — 1,000 generated queries, 0
+    divergences)."""
     from tools.fuzz_timetravel import run_case
 
     for case_no in range(3):
