@@ -106,3 +106,17 @@ def test_timetravel_rewriter_differential_slice(spark, tmp_path):
     for case_no in range(3):
         problems = run_case(spark, case_no, 0, str(tmp_path))
         assert not problems, "\n".join(problems)
+
+
+def test_dml_travel_integration_slice(spark, tmp_path):
+    """Deterministic slice of tools/fuzz_dml_travel.py: DML sequences
+    applied through client.execute build snapshot histories whose every
+    intermediate state must be reconstructable by BOTH travel
+    addressings (FOR VERSION AS OF and inclusive FOR TIMESTAMP AS OF),
+    and a pre-history timestamp must refuse. The wider campaign runs
+    via the tool (40 sequences/round)."""
+    from tools.fuzz_dml_travel import run_sequence
+
+    for seq_no in range(3):
+        problems = run_sequence(spark, seq_no, 0, str(tmp_path))
+        assert not problems, "\n".join(problems)
