@@ -769,6 +769,7 @@ def mmr_rerank(
     lam: float = 0.7,
     dim: int | None = None,
     topk=None,
+    broadcast_pool: bool = True,
 ) -> DataFrame:
     """Maximal Marginal Relevance diversity re-ranking (Carbonell &
     Goldstein 1998): for each query, greedily select ``k`` results from
@@ -786,10 +787,15 @@ def mmr_rerank(
     inherently sequential PER QUERY but embarrassingly parallel across
     queries, so it runs as ``applyInPandas`` over query groups of at
     most ``pool`` rows — bounded O(pool * k) numpy work per group, no
-    global state. Candidate vectors are attached with a broadcast of
-    the pool table (n_queries * pool rows — bounded, small by the same
-    argument that lets top-k window on query_id) against the big
-    candidate table, so the embedding table is never shuffled.
+    global state. Candidate vectors are attached by joining the pool
+    table (n_queries * pool rows) back to the candidate table: with
+    ``broadcast_pool=True`` (default) the pool is broadcast and the big
+    side streams map-side — right whenever n_queries * pool fits a
+    broadcast. For CCMatrix-scale query sets (millions of queries, pool
+    table itself shuffle-sized) pass ``broadcast_pool=False`` — the
+    attach becomes an ordinary equi-join shuffle on id (AQE still
+    converts it back to a broadcast at runtime if the pool turns out
+    small), which is the honest cost at that scale.
 
     Determinism: candidates are processed in ascending ``neighbor_id``
     order and ``np.argmax`` keeps the FIRST maximum, so ties break to
@@ -816,7 +822,8 @@ def mmr_rerank(
         unit_vec(_as_double(F.col(embedding_col))).alias("_nvec"),
     )
     # big side streams against the broadcast pool; output is pool-sized
-    with_vecs = vecs.join(F.broadcast(pool_df), "neighbor_id")
+    attach = F.broadcast(pool_df) if broadcast_pool else pool_df
+    with_vecs = vecs.join(attach, "neighbor_id")
 
     one_minus = 1.0 - lam
     out_schema = (
