@@ -1577,3 +1577,15 @@ def test_calibration_bins_contract(spark):
         calibration_bins(df, "score", "y", bins=0)
     with _pt.raises(ValueError, match="hi > lo"):
         calibration_bins(df, "score", "y", lo=1.0, hi=1.0)
+
+
+def test_curriculum_order_null_difficulty_goes_to_phase_zero(spark):
+    from trino_iceberg_spark.operators.splits import curriculum_order
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 10), (3, 80)], "id long, diff long"
+    )
+    out = {r["id"]: r for r in curriculum_order(df, "id", "diff", thresholds=[50]).collect()}
+    assert out[1]["phase"] == 0 and out[2]["phase"] == 0 and out[3]["phase"] == 1
+    assert sorted(r["global_step"] for r in out.values()) == [0, 1, 2]
+    assert out[3]["global_step"] == 2  # the hard row schedules last

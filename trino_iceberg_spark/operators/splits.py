@@ -425,9 +425,14 @@ def curriculum_order(
         raise ValueError(f"thresholds must be ascending (got {thresholds})")
     from .packing import exclusive_cumsum
 
+    # NULL difficulty meets no threshold -> phase 0 (scheduled first,
+    # like any other easiest-band row) instead of a NULL phase that
+    # would poison the order key and the cumsum bucketing.
     phase = F.lit(0)
     for t in thresholds:
-        phase = phase + (F.col(difficulty_col) >= F.lit(t)).cast("int")
+        phase = phase + F.coalesce(
+            (F.col(difficulty_col) >= F.lit(t)).cast("int"), F.lit(0)
+        )
     sort_phase = phase if easy_first else F.lit(n_phases - 1) - phase
     key = F.concat(F.lower(F.hex(sort_phase)), shuffle_key(id_col, seed))
     keyed = (
