@@ -877,8 +877,10 @@ def hash_embedding(text_col: Column | str, dim: int = 8, buckets: int = 2001) ->
     evaluation — is exercised for real, and because the construction is
     md5-only, a SQL oracle can replay the exact vectors (DuckDB twin:
     ``(('0x' || substr(md5(t || '#' || j), 1, 15))::BIGINT % buckets -
-    half) / half``). Swap in a mapInPandas model encoder for production;
-    everything downstream is encoder-agnostic."""
+    half) / half``). NULL text yields an all-NULL vector (concat
+    propagates NULL) — filter before encoding, as with any encoder.
+    Swap in a mapInPandas model encoder for production; everything
+    downstream is encoder-agnostic."""
     from .dedup import portable_hash64
 
     c = F.col(text_col) if isinstance(text_col, str) else text_col

@@ -596,7 +596,9 @@ def ngram_novelty(
     Shares :func:`~..operators.dedup.shingle`'s tokenizer and contract
     (distinct grams; documents with fewer than ``n`` words contribute ONE
     whole-text gram — such a doc is 100% novel unless an earlier doc has
-    the identical short text).
+    the identical short text). NULL-text rows are dropped (a NULL gram
+    array explodes to nothing — the same on a SQL twin's unnest); empty
+    text contributes one empty whole-text gram.
 
     Scale shape: explode → partial-aggregated ``groupBy(gram).min(id)``
     (map-side combine absorbs viral grams) → gram-keyed join back (both
