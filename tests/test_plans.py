@@ -283,3 +283,49 @@ def test_ivf_index_routing_no_extra_shuffle(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "ss09_incremental_ivf_index")
     assert node_count(plan, "CartesianProduct") == 0
     assert node_count(plan, "SortMergeJoin") == 0
+
+
+def test_mmr_pool_attach_broadcasts(spark, sf_dir):
+    """ss12's pool-vector attach must be a broadcast hash join (the big
+    embedding table streams map-side; the bounded pool table ships), and
+    the only nested-loop join is cosine_topk's documented query-set
+    broadcast — nothing degenerates to a shuffle of the corpus."""
+    plan = plan_of(spark, sf_dir, "ss12_mmr_rerank")
+    assert node_count(plan, "BroadcastHashJoin") >= 1
+    assert node_count(plan, "SortMergeJoin") == 0
+    assert node_count(plan, "CartesianProduct") == 0
+
+
+def test_mmr_lsh_variant_has_no_cross_product(spark, sf_dir):
+    """ss13 (LSH pool) must plan candidate generation as an equi-join on
+    bucket id — zero BroadcastNestedLoopJoin/CartesianProduct anywhere,
+    the property that makes it the two-large-sides scale path."""
+    plan = plan_of(spark, sf_dir, "ss13_mmr_rerank_lsh")
+    assert node_count(plan, "BroadcastNestedLoopJoin") == 0
+    assert node_count(plan, "CartesianProduct") == 0
+
+
+def test_curriculum_order_two_phase_cumsum_windows(spark, sf_dir):
+    """sp12's global_step must come from the two-phase cumsum: the
+    corpus-sized window is PARTITIONED by _bucket (parallel), the only
+    unpartitioned window runs over the bounded bucket-totals table and
+    is fed by a BroadcastExchange back to the data — never a global sort
+    of the corpus into one partition."""
+    plan = plan_of(spark, sf_dir, "sp12_curriculum_order")
+    assert node_count(plan, "Window") == 2
+    # intra-bucket pass: spec carries the _bucket partition column
+    assert re.search(r"windowspecdefinition\(_bucket#\d+, curriculum_key", plan)
+    # offsets pass: ordered by _bucket only (no partition col), and its
+    # result rejoins the data via a broadcast, proving it is tiny
+    assert re.search(r"windowspecdefinition\(_bucket#\d+ ASC", plan)
+    assert node_count(plan, "BroadcastExchange") >= 1
+
+
+def test_ngram_novelty_partial_aggregation(spark, sf_dir):
+    """tx17's gram->min(doc_id) reduction must partial-aggregate before
+    the exchange (viral grams combine map-side) and never plan a
+    cartesian/nested-loop join for the gram join-back."""
+    plan = plan_of(spark, sf_dir, "tx17_ngram_novelty")
+    assert node_count(plan, "HashAggregate") >= 2  # partial + final
+    assert node_count(plan, "CartesianProduct") == 0
+    assert node_count(plan, "BroadcastNestedLoopJoin") == 0

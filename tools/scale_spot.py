@@ -51,7 +51,10 @@ DST = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1.0")
 REPLICAS = 10
 SHIFT = 10_000_000
 
-#: The 10 heaviest entries per BENCH_r07 + the round-7 flagship set.
+#: The 10 heaviest entries per BENCH_r07 + the round-7 flagship set,
+#: plus the exact-vs-bucketed similarity pairs (ss01/ss12 are quadratic
+#: BY CONSTRUCTION — query set scales with sf — while ss02/ss03/ss04/
+#: ss13 are their documented scale paths; the run shows the contrast).
 SPOT_ENTRIES = [
     "cu06_boilerplate_removal",
     "cu07_end_to_end_pipeline",
@@ -62,6 +65,11 @@ SPOT_ENTRIES = [
     "mm08_multimodal_to_shards",
     "sp10_corpus_to_shards",
     "ss01_cosine_topk",
+    "ss02_lsh_topk",
+    "ss03_ivf_topk",
+    "ss04_numpy_topk",
+    "ss12_mmr_rerank",
+    "ss13_mmr_rerank_lsh",
     "tpch_q1_pricing_summary",
 ]
 
