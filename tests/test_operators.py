@@ -1478,6 +1478,8 @@ def test_curriculum_order_validation(spark):
         curriculum_order(df, "id", "diff", thresholds=[])
     with pytest.raises(ValueError, match="ascending"):
         curriculum_order(df, "id", "diff", thresholds=[5, 3])
+    with pytest.raises(ValueError, match="unreachable"):
+        curriculum_order(df, "id", "diff", thresholds=[5, 5])
     with pytest.raises(ValueError, match="16 phases"):
         curriculum_order(df, "id", "diff", thresholds=list(range(20)))
 

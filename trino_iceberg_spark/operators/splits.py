@@ -421,8 +421,11 @@ def curriculum_order(
         raise ValueError("thresholds must be non-empty")
     if n_phases > 16:
         raise ValueError(f"at most 16 phases (got {n_phases})")
-    if sorted(thresholds) != list(thresholds):
-        raise ValueError(f"thresholds must be ascending (got {thresholds})")
+    if any(b <= a for a, b in zip(thresholds, thresholds[1:])):
+        raise ValueError(
+            f"thresholds must be strictly ascending (got {thresholds}) — "
+            "a duplicate threshold makes its phase unreachable"
+        )
     from .packing import exclusive_cumsum
 
     # NULL difficulty meets no threshold -> phase 0 (scheduled first,
