@@ -50,7 +50,7 @@ _TUNED_CONFS = {
 # module docstring. Names absent from the registry are ignored (safety
 # against future renames), and every registered query is always yielded.
 #
-# Round-8 ordering (registry: 224 entries, ALL oracle-backed; new this
+# Round-8 ordering (registry: 225 entries, ALL oracle-backed; new this
 # round: ss11_margin_mining_lsh — margin mining in the two-LARGE-sides
 # configuration, candidates from LSH-bucketed top-k; ss12_mmr_rerank —
 # MMR diversity re-ranking with an unrolled greedy oracle;
@@ -59,11 +59,13 @@ _TUNED_CONFS = {
 # attribution; rag01_retrieval_pipeline — the chunk -> hash-embed ->
 # retrieve -> same-doc-eval retrieval flagship; ss13_mmr_rerank_lsh —
 # MMR over an LSH-bucketed pool, the two-stage retrieve-then-rerank;
-# pr05_calibration_bins — reliability-diagram score calibration). The cross-round union is 217/217 green at latest check
+# pr05_calibration_bins — reliability-diagram score calibration;
+# sp13_mix_manifest — per-(source, split) training-mix accounting over
+# the curated set with a PORTABLE md5 split). The cross-round union is 217/217 green at latest check
 # and nothing is older than r03, so this round's budget goes to the
 # new/changed entries and then rotates the OLDEST green cohort (the 44
 # entries whose latest verdict is r03). Tiers:
-# 1. new this round (ss11/ss12/ss13/sp12/tx17/rag01/pr05) + changed-code
+# 1. new this round (ss11/ss12/ss13/sp12/sp13/tx17/rag01/pr05) + changed-code
 #    re-verifies:
 #    margin_mining's pair-key dedupe + topk hook (ss10), the
 #    cache-registry threading and optional lazy max-df diagnostic
@@ -82,6 +84,7 @@ _FRONT = [
     "ss13_mmr_rerank_lsh",
     "rag01_retrieval_pipeline",
     "pr05_calibration_bins",
+    "sp13_mix_manifest",
     "sp12_curriculum_order",
     "tx17_ngram_novelty",
     "ss10_margin_mining",

@@ -299,3 +299,29 @@ def test_pack_greedy_nosplit_truncation_and_zero(spark):
     assert rows[2]["bin_offset"] + rows[2]["n_packed"] <= 100
     # all four in packer 0; total bins consistent with greedy
     assert all(r["packer"] == rows[1]["packer"] for r in rows.values())
+
+
+def test_portable_split_assignment_replayable(spark):
+    """portable=True must make split membership recomputable from md5
+    alone (the write_training_shards portability contract), keep the
+    xxhash64 default untouched, and hold fractions within tolerance."""
+    import hashlib
+
+    from trino_iceberg_spark.operators.splits import split_by_hash
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    rows = split_by_hash(df, "doc_id", w, seed=42, portable=True).collect()
+    for r in rows[:200]:
+        b = int(hashlib.md5(f"{r['doc_id']}-42".encode()).hexdigest()[:15], 16) % 1_000_000
+        want = "train" if b < 800_000 else ("val" if b < 900_000 else "test")
+        assert r["split"] == want
+    counts = {}
+    for r in rows:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    assert abs(counts["train"] / 2000 - 0.8) < 0.05
+    # the two hash families disagree on membership (different functions)
+    # but both produce the right fractions
+    xx = {r["doc_id"]: r["split"] for r in split_by_hash(df, "doc_id", w, seed=42).collect()}
+    md = {r["doc_id"]: r["split"] for r in rows}
+    assert xx != md

@@ -48,18 +48,35 @@ def split_assignment(
     key: Column | str,
     weights: dict[str, float],
     seed: int = 42,
+    portable: bool = False,
 ) -> Column:
     """Column expression assigning each row a split name by hashed key.
 
     ``weights`` maps split name → fraction (must sum to ~1). The key's
-    xxhash64 (seeded) folds to a bucket in [0, 1e6); cumulative cut points
-    partition the bucket space, so fractions are exact to 1e-6 in
-    expectation and every row's split is a pure function of (key, seed)."""
+    hash folds to a bucket in [0, 1e6); cumulative cut points partition
+    the bucket space, so fractions are exact to 1e-6 in expectation and
+    every row's split is a pure function of (key, seed).
+
+    ``portable=False`` (default) buckets with seeded xxhash64 — the
+    throughput path. ``portable=True`` buckets with
+    :func:`~..operators.dedup.portable_hash64` over the same
+    ``key ∥ '-' ∥ seed`` text :func:`shuffle_key` uses, so any external
+    system (a dataloader, a SQL engine, an audit notebook) can recompute
+    every row's membership from md5 alone — the same portability
+    contract :func:`write_training_shards` already makes for shards."""
     total = sum(weights.values())
     if not 0.999 <= total <= 1.001:
         raise ValueError(f"split weights must sum to 1 (got {total})")
     c = F.col(key) if isinstance(key, str) else key
-    bucket = F.pmod(F.xxhash64(c, F.lit(seed)), F.lit(_BUCKETS))
+    if portable:
+        from .dedup import portable_hash64
+
+        bucket = F.pmod(
+            portable_hash64(F.concat(c.cast("string"), F.lit(f"-{seed}"))),
+            F.lit(_BUCKETS),
+        )
+    else:
+        bucket = F.pmod(F.xxhash64(c, F.lit(seed)), F.lit(_BUCKETS))
     expr = None
     acc = 0.0
     names = list(weights)
@@ -116,10 +133,13 @@ def split_by_hash(
     weights: dict[str, float],
     seed: int = 42,
     split_col: str = "split",
+    portable: bool = False,
 ) -> DataFrame:
     """Annotate ``df`` with a deterministic split column (map-side only —
     no shuffle, no sampling state)."""
-    return df.withColumn(split_col, split_assignment(key, weights, seed))
+    return df.withColumn(
+        split_col, split_assignment(key, weights, seed, portable=portable)
+    )
 
 
 def mix_epochs(

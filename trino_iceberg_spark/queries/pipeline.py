@@ -4129,3 +4129,69 @@ def pr05_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_bins(
         scored, "score", "is_en", bins=10, lo=0.0, hi=1.0
     ).orderBy("bin")
+
+
+@register(
+    "sp13_mix_manifest",
+    oracle=_CURATION_DECIDED_SQL
+    + """
+    , kept AS (SELECT * FROM decided WHERE reject_reason IS NULL),
+    keeper AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+    base AS (
+        SELECT k.doc_id, k.n_tokens, d.source,
+               ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR) || '-42'), 1, 15))::BIGINT
+                 % 1000000 AS bucket
+        FROM kept k JOIN documents d USING (doc_id)
+        WHERE k.doc_id IN (SELECT doc_id FROM keeper)
+    ),
+    labeled AS (
+        SELECT source,
+               CASE WHEN bucket < 800000 THEN 'train'
+                    WHEN bucket < 900000 THEN 'val'
+                    ELSE 'test' END AS split,
+               n_tokens
+        FROM base
+    ),
+    agg AS (
+        SELECT source, split, CAST(COUNT(*) AS BIGINT) AS docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS tokens
+        FROM labeled GROUP BY source, split
+    )
+    SELECT source, split, docs, tokens,
+           CAST(tokens AS DOUBLE) / SUM(tokens) OVER (PARTITION BY split)
+             AS token_share
+    FROM agg ORDER BY source, split
+    """,
+)
+def sp13_mix_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix manifest — the config-facing artifact a run actually
+    consumes: per (source, split) document count, token volume, and
+    within-split token share, computed AFTER curation (cu01's audited
+    kept set) and a PORTABLE md5 split
+    (operators.splits.split_assignment(portable=True), so a dataloader
+    or SQL engine can recompute every row's membership). cu02 reports
+    per-DECISION volumes; this reports what the training job reads.
+    One map-side split expression + one (source, split) aggregate; the
+    share window runs over the aggregated sources x splits rows —
+    bounded by the mixture spec, not the corpus."""
+    from ..operators.curation import curate_documents
+    from ..operators.splits import split_assignment
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = curate_documents(d)
+    labeled = kept.withColumn(
+        "split",
+        split_assignment(
+            "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42,
+            portable=True,
+        ),
+    )
+    from pyspark.sql import Window as W
+
+    agg = labeled.groupBy("source", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("docs"),
+        F.sum("n_tokens").cast("long").alias("tokens"),
+    )
+    share = (F.col("tokens").cast("double") /
+             F.sum("tokens").over(W.partitionBy("split")))
+    return agg.withColumn("token_share", share).orderBy("source", "split")
