@@ -1564,14 +1564,17 @@ def test_calibration_bins_contract(spark):
 
     df = spark.createDataFrame(
         [(0.05, True), (0.05, False), (0.55, True), (0.55, True),
-         (1.7, True), (-0.3, False), (None, True)],
+         (1.7, True), (-0.3, False), (None, True), (0.05, None),
+         (float("nan"), True)],
         "score double, y boolean",
     )
     got = {r["bin"]: r for r in calibration_bins(df, "score", "y", bins=10).collect()}
     assert (got[0]["n"], got[0]["n_positive"]) == (3, 1)   # -0.3 clamps into bin 0
     assert (got[5]["n"], got[5]["n_positive"]) == (2, 2)
     assert (got[9]["n"], got[9]["n_positive"]) == (1, 1)   # 1.7 clamps into bin 9
-    assert set(got) == {0, 5, 9}                            # NULL dropped, empty bins absent
+    # NULL score, NULL outcome, and NaN score rows all dropped;
+    # empty bins absent
+    assert set(got) == {0, 5, 9}
     assert abs(got[0]["positive_rate"] - 1 / 3) < 1e-15
     assert abs(got[5]["bin_lo"] - 0.5) < 1e-12 and abs(got[5]["bin_hi"] - 0.6) < 1e-12
     import pytest as _pt
@@ -1591,3 +1594,50 @@ def test_curriculum_order_null_difficulty_goes_to_phase_zero(spark):
     assert out[1]["phase"] == 0 and out[2]["phase"] == 0 and out[3]["phase"] == 1
     assert sorted(r["global_step"] for r in out.values()) == [0, 1, 2]
     assert out[3]["global_step"] == 2  # the hard row schedules last
+
+
+def test_mmr_rerank_string_ids(spark):
+    """The output schema must follow the id column's type — string keys
+    are as legitimate as longs (review r8: a hardcoded long schema
+    crashed the Arrow conversion for any other id type)."""
+    rows = [("q", [1.0, 0.0]), ("a", [0.9, 0.1]), ("b", [0.1, 0.9]), ("c", [0.5, 0.5])]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    q = df.filter(F.col("vec_id") == "q")
+    out = S.mmr_rerank(df, q, "embedding", "vec_id", k=2, pool=3, lam=0.5).collect()
+    assert {r["neighbor_id"] for r in out} <= {"a", "b", "c"}
+    assert all(isinstance(r["query_id"], str) for r in out)
+    assert sorted(r["mmr_rank"] for r in out) == [1, 2]
+
+
+def test_cache_registry_covers_all_caller_owned_operators(spark, docs, embeddings):
+    """Every operator in the caller-owns-the-cache set must record its
+    pins when given a registry (review r8: several persist sites
+    bypassed pin(), leaving clearCache() as the only release lever)."""
+    from trino_iceberg_spark.operators.cachectl import CacheRegistry
+
+    small_docs = docs.limit(60)
+    small_emb = embeddings.limit(80)
+    cases = [
+        lambda reg: D.minhash_dedup_pairs(
+            small_docs, "text", "doc_id", num_hashes=8, bands=4, caches=reg
+        ),
+        lambda reg: D.incremental_minhash_pairs(
+            small_docs.filter(F.col("doc_id") % 2 == 0),
+            small_docs.filter(F.col("doc_id") % 2 == 1),
+            "text", "doc_id", num_hashes=8, bands=4, caches=reg,
+        ),
+        lambda reg: D.embedding_dedup_pairs(
+            small_emb, "embedding", "vec_id", caches=reg
+        ),
+        lambda reg: S.semantic_dedup_pairs(
+            small_emb, "embedding", "vec_id", num_cells=4, caches=reg
+        ),
+        lambda reg: TX.ngram_novelty(small_docs, "text", "doc_id", caches=reg),
+    ]
+    for build in cases:
+        reg = CacheRegistry()
+        out = build(reg)
+        assert len(reg) >= 1, build
+        out.count()  # materialize through the pinned lineage
+        released = reg.unpersist_all()
+        assert released >= 1 and len(reg) == 0

@@ -1,9 +1,11 @@
 """Operator cache accounting — release exactly what an operator pinned.
 
 Several operators persist bounded intermediates because their plan
-consumes them more than once (MinHash's banded table, the inverted-index
-explode, margin mining's two top-k tables, curate_documents' (md5, id)
-pair table). The module contract has always been CALLER OWNS THE CACHE:
+consumes them more than once (MinHash's shingle + banded tables, the
+inverted-index explode, margin mining's two top-k tables,
+curate_documents' (md5, id) pair table, semantic dedup's routed cells,
+ngram_novelty's gram table). The module contract has always been
+CALLER OWNS THE CACHE:
 the returned DataFrame's lineage pins the persisted table, and the
 operator cannot unpersist without forcing a recompute.
 
@@ -82,8 +84,18 @@ def pin(
     level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
 ) -> DataFrame:
     """Persist ``df`` at ``level`` and record it in ``caches`` when one is
-    supplied — the single persist call sites in this package route
-    through, so the registry can never miss a pin."""
+    supplied.
+
+    Every operator whose persisted intermediate OUTLIVES the call (the
+    caller-owns-the-cache set: curate_documents, ngram_jaccard_pairs,
+    containment_pairs, minhash_dedup_pairs, lsh_candidate_pairs,
+    incremental_minhash_pairs, embedding_dedup_pairs,
+    semantic_dedup_pairs, margin_mining, ngram_novelty) routes its
+    persists through here and exposes ``caches=``. Persists that an
+    operator RELEASES itself before returning (connected_components'
+    per-round labels, dsir's collected weight table) stay direct — they
+    are transient, not caller-owned, and registering them would release
+    them twice."""
     df = df.persist(level)
     if caches is not None:
         caches.add(df)

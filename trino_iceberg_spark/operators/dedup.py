@@ -260,6 +260,7 @@ def lsh_candidate_pairs(
     bands: int = 16,
     max_bucket_size: int = 1000,
     portable: bool = False,
+    caches=None,
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands``, hash each band,
     self-join on (band, band_hash) → candidate id pairs (a < b).
@@ -272,8 +273,11 @@ def lsh_candidate_pairs(
     # consumed three times (bucket sizing + both self-join sides); persist it
     # so the expensive upstream signature projection runs once, not thrice.
     # MEMORY_AND_DISK spills instead of OOMing at scale. Caller owns the
-    # cache (module note): the returned pair lineage pins it.
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    # cache (module note): the returned pair lineage pins it; caches=
+    # records the pin for exact release (cachectl).
+    from .cachectl import pin
+
+    banded = pin(banded, caches)
     bucket_sizes = banded.groupBy("band", "band_hash").agg(F.count(F.lit(1)).alias("_bsz"))
     banded = banded.join(
         bucket_sizes.filter(F.col("_bsz").between(2, max_bucket_size)),
@@ -299,6 +303,7 @@ def minhash_dedup_pairs(
     threshold: float = 0.7,
     seed: int = 42,
     portable: bool = False,
+    caches=None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: returns verified pairs
     (id_a, id_b, jaccard) with exact shingle-Jaccard ≥ threshold.
@@ -322,14 +327,18 @@ def minhash_dedup_pairs(
     # Hashed shingles (array<bigint>), not strings: same Jaccard w.h.p.,
     # ~5× cheaper to build, intersect, and persist.
     sh_col = portable_shingle_hashes(content_col, k) if portable else shingle_hashes(content_col, k)
-    with_shingles = df.select(
-        F.col(id_col).alias("_id"), sh_col.alias("_shingles")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    from .cachectl import pin
+
+    with_shingles = pin(
+        df.select(F.col(id_col).alias("_id"), sh_col.alias("_shingles")), caches
+    )
     with_sig = with_shingles.withColumn(
         "minhash_sig",
         minhash_signature(F.col("_shingles"), num_hashes, seed, pre_hashed=True),
     )
-    candidates = lsh_candidate_pairs(with_sig, "_id", "minhash_sig", bands, portable=portable)
+    candidates = lsh_candidate_pairs(
+        with_sig, "_id", "minhash_sig", bands, portable=portable, caches=caches
+    )
     sh_a = with_shingles.select(
         F.col("_id").alias("id_a"), F.col("_shingles").alias("_sh_a")
     )
@@ -359,6 +368,7 @@ def incremental_minhash_pairs(
     seed: int = 42,
     max_bucket_size: int = 1000,
     portable: bool = False,
+    caches=None,
 ) -> DataFrame:
     """Near-dup pairs for a NEW ingest batch against an existing corpus —
     the production ingest path: every pair touches the increment
@@ -380,12 +390,17 @@ def incremental_minhash_pairs(
 
     sh_col = portable_shingle_hashes(content_col, k) if portable else shingle_hashes(content_col, k)
 
+    from .cachectl import pin
+
     def prep(df: DataFrame) -> DataFrame:
         shingled = df.select(F.col(id_col).alias("_id"), sh_col.alias("_shingles"))
-        return shingled.withColumn(
-            "minhash_sig",
-            minhash_signature(F.col("_shingles"), num_hashes, seed, pre_hashed=True),
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        return pin(
+            shingled.withColumn(
+                "minhash_sig",
+                minhash_signature(F.col("_shingles"), num_hashes, seed, pre_hashed=True),
+            ),
+            caches,
+        )
 
     inc = prep(increment_df)
     cor = prep(corpus_df)
@@ -786,6 +801,7 @@ def embedding_dedup_pairs(
     num_tables: int = 1,
     seed: int = 42,
     dim: int | None = 64,
+    caches=None,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine ≥ threshold.
 
@@ -820,8 +836,10 @@ def embedding_dedup_pairs(
     # Persist before the explode: the plane projections (num_tables ×
     # num_planes dot products per vector) feed both self-join sides and
     # should run once. The explode itself is a cheap per-row expansion.
-    # Caller owns the cache (dedup module note).
-    v = v.withColumn("_tb_arr", tables).persist(StorageLevel.MEMORY_AND_DISK)
+    # Caller owns the cache (dedup module note); caches= records the pin.
+    from .cachectl import pin
+
+    v = pin(v.withColumn("_tb_arr", tables), caches)
     bucketed = v.select("_id", "_vec", F.explode(F.col("_tb_arr")).alias("_tb")).select(
         "_id", "_vec", F.col("_tb.tbl").alias("_tbl"), F.col("_tb.bkt").alias("_bucket")
     )

@@ -306,6 +306,12 @@ def calibration_bins(
     because the diagram, not the scalar, is what a curation review
     actually reads.
 
+    Rows with a NULL/NaN score or a NULL outcome are EXCLUDED — a
+    calibration diagram is defined over labeled, scored rows only
+    (counting unlabeled rows as negatives would deflate every bin's
+    positive_rate and report miscalibration that is really missing
+    labels).
+
     Scale shape: one map-side bin expression + one groupBy(bin)
     aggregate with map-side combine — a single scan, one bins-sized
     shuffle. Outcome accounting is integer (SUM of 0/1), so the rate is
@@ -317,10 +323,11 @@ def calibration_bins(
     s = F.col(score_col).cast("double")
     raw = F.floor((s - F.lit(float(lo))) / F.lit(float(hi - lo)) * bins).cast("int")
     b = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1))
-    pos = F.when(F.col(outcome_col).cast("boolean"), 1).otherwise(0)
+    y = F.col(outcome_col).cast("boolean")
+    pos = F.when(y, 1).otherwise(0)
     width = (hi - lo) / bins
     return (
-        df.filter(s.isNotNull())
+        df.filter(s.isNotNull() & ~F.isnan(s) & y.isNotNull())
         .groupBy(b.alias("bin"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),

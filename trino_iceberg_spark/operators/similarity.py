@@ -534,6 +534,7 @@ def semantic_dedup_pairs(
     num_cells: int | None = None,
     seed: int = 42,
     max_cell_size: int = 100_000,
+    caches=None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dedup over an embedding column
     (cluster-then-compare, after Abbas et al. 2023, "SemDeDup: Data-
@@ -573,8 +574,11 @@ def semantic_dedup_pairs(
     # consumed three times (cell sizing + both self-join sides); persist so
     # the Python routing pass runs once, like dd03's banded signatures.
     # Caller owns the cache: the returned pair lineage pins it (the skew
-    # aggregate below materializes it, but the pair join still reads it).
-    routed = routed.persist(StorageLevel.MEMORY_AND_DISK)
+    # aggregate below materializes it, but the pair join still reads it);
+    # caches= records the pin for exact release (cachectl).
+    from ..operators.cachectl import pin
+
+    routed = pin(routed, caches)
     sizes = routed.groupBy("_cell").agg(F.count(F.lit(1)).alias("_csz"))
     dropped = sizes.filter(F.col("_csz") > max_cell_size).agg(
         F.count(F.lit(1)).alias("cells"), F.sum("_csz").alias("rows")
@@ -826,8 +830,13 @@ def mmr_rerank(
     with_vecs = vecs.join(attach, "neighbor_id")
 
     one_minus = 1.0 - lam
+    # id types follow the inputs (string keys are as legitimate as
+    # longs) — a hardcoded `long` here would crash the Arrow conversion
+    # for any other id type the signature accepts
+    id_type = dict(candidates.dtypes)[id_col]
     out_schema = (
-        "query_id long, neighbor_id long, mmr_rank int, relevance double"
+        f"query_id {id_type}, neighbor_id {id_type}, "
+        "mmr_rank int, relevance double"
     )
 
     def greedy(pdf: pd.DataFrame) -> pd.DataFrame:

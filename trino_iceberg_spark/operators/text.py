@@ -579,7 +579,7 @@ def token_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def ngram_novelty(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, caches=None
 ) -> DataFrame:
     """Per-document n-gram novelty attribution: the share of a document's
     distinct word n-grams that the document is the FIRST to introduce
@@ -601,16 +601,26 @@ def ngram_novelty(
     text contributes one empty whole-text gram.
 
     Scale shape: explode → partial-aggregated ``groupBy(gram).min(id)``
-    (map-side combine absorbs viral grams) → gram-keyed join back (both
-    sides hash-partitioned on gram from the same lineage; AQE skew-join
-    splits any viral gram's reduce side) → per-doc count aggregate.
-    Linear in total gram volume, no all-pairs term anywhere — this is
-    the novelty statistic computable at 100 TB where pairwise similarity
-    is not."""
+    (map-side combine absorbs viral grams) → gram-keyed join back (AQE
+    skew-join splits any viral gram's reduce side) → per-doc count
+    aggregate. Linear in total gram volume, no all-pairs term anywhere —
+    this is the novelty statistic computable at 100 TB where pairwise
+    similarity is not. The exploded gram table feeds BOTH the min-owner
+    aggregate and the join-back, so it is persisted (the same
+    shared-inverted-index contract as
+    :func:`~..operators.dedup.ngram_jaccard_pairs`) — without the cache
+    the corpus would be scanned and shingled twice. Caller owns the
+    cache: pass ``caches=CacheRegistry()`` (see
+    :mod:`~..operators.cachectl`) to release exactly this pin."""
     from .dedup import shingle
+    from .cachectl import pin
 
-    grams = df.select(
-        F.col(id_col).alias("_nv_id"), F.explode(shingle(text_col, n)).alias("_gram")
+    grams = pin(
+        df.select(
+            F.col(id_col).alias("_nv_id"),
+            F.explode(shingle(text_col, n)).alias("_gram"),
+        ),
+        caches,
     )
     first = grams.groupBy("_gram").agg(F.min("_nv_id").alias("_first_owner"))
     return (

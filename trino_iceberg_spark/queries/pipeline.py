@@ -3956,7 +3956,7 @@ def tx17_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM toks WHERE len(ws) > 0
     ),
     ch AS (
-        SELECT doc_id, doc_id * 1000 + i AS chunk_id,
+        SELECT doc_id, doc_id * 1000000 + i AS chunk_id,
                array_to_string(list_slice(ws, i*8 + 1, i*8 + 16), ' ') AS chunk
         FROM idx
     ),
@@ -3968,7 +3968,7 @@ def tx17_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ch
     ),
     q AS (SELECT doc_id, chunk_id, v FROM emb
-          WHERE doc_id % 20 = 0 AND chunk_id % 1000 = 0),
+          WHERE doc_id % 20 = 0 AND chunk_id % 1000000 = 0),
     scored AS (
         SELECT q.chunk_id AS query_id, q.doc_id AS qdoc,
                c.chunk_id AS neighbor_id, c.doc_id AS cdoc,
@@ -4028,13 +4028,17 @@ def rag01_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ranking import retrieval_metrics
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    # chunk_id = doc_id * 1e6 + chunk_idx: collision-free up to 1e6
+    # chunks/doc (~8M tokens at this stride) and doc_id ~9.2e12 before
+    # bigint overflow — both far beyond real corpora; a 1000 multiplier
+    # would collide at ~8k-token documents (review r8)
     ch = TX.sliding_chunks(d, "text", "doc_id", chunk_tokens=16, stride=8).select(
         "doc_id",
-        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("chunk_id"),
+        (F.col("doc_id") * 1_000_000 + F.col("chunk_idx")).alias("chunk_id"),
         "chunk",
     )
     emb = ch.withColumn("v", S.hash_embedding("chunk", dim=8, buckets=2001))
-    q = emb.filter((F.col("doc_id") % 20 == 0) & (F.col("chunk_id") % 1000 == 0))
+    q = emb.filter((F.col("doc_id") % 20 == 0) & (F.col("chunk_id") % 1_000_000 == 0))
     results = S.cosine_topk(emb, q, "v", "chunk_id", k=5, exclude_self=True)
     qrels = (
         q.select(F.col("chunk_id").alias("query_id"), F.col("doc_id").alias("_qd"))
