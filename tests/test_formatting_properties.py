@@ -388,3 +388,33 @@ def test_split_statements_opener_star_not_reused():
     # a real close works and the ';' after it splits
     stmts = split_statements("SELECT 1 /* c */; SELECT 2")
     assert len(stmts) == 2
+
+
+def test_scanners_track_nested_block_comments():
+    """Spark SQL parses NESTED bracketed comments (SPARK-28880): an inner
+    '*/' must close only one level, so a ';' / ',' / ')' between the
+    inner and outer close is still comment content in all three
+    scanners (ADVICE r8)."""
+    from trino_iceberg_spark.formatting import (
+        find_closing_paren,
+        split_statements,
+        split_top_level_commas,
+    )
+
+    # the ';' sits inside the still-open outer comment: one statement
+    assert split_statements("/* a /* b */ ; */ SELECT 1") == [
+        "/* a /* b */ ; */ SELECT 1"
+    ]
+    # after the outer comment really closes, splitting resumes
+    assert len(split_statements("SELECT 1; /* x /* y */ z */ SELECT 2;")) == 2
+    # the ',' between inner and outer close never splits the SET list
+    assert split_top_level_commas("a = 1 /* , /* , */ , */, b = 2") == [
+        "a = 1 /* , /* , */ , */",
+        "b = 2",
+    ]
+    # the ')' between inner and outer close never counts toward depth
+    t = "(f(x /* ) /* ) */ ) */) )"
+    assert find_closing_paren(t, 0) == len(t) - 1
+    # a nested opener inside a comment leaves it open when only one
+    # close follows — the trailing ';' is comment content
+    assert len(split_statements("SELECT 1 /* /* */ ; still open")) == 1

@@ -1641,3 +1641,21 @@ def test_cache_registry_covers_all_caller_owned_operators(spark, docs, embedding
         out.count()  # materialize through the pinned lineage
         released = reg.unpersist_all()
         assert released >= 1 and len(reg) == 0
+
+
+def test_mmr_rerank_mixed_id_types_follow_each_frame(spark):
+    """query_id's output type must come from `queries`, neighbor_id's
+    from `candidates` (ADVICE r8): an int-keyed query frame against a
+    long-keyed candidate frame must not mis-declare the Arrow schema."""
+    cand = spark.createDataFrame(
+        [(int(i), [1.0 if j == i % 4 else 0.1 for j in range(4)]) for i in range(1, 9)],
+        "vec_id long, embedding array<double>",
+    )
+    qry = spark.createDataFrame(
+        [(101, [1.0, 0.0, 0.0, 0.0])], "vec_id int, embedding array<double>"
+    )
+    out = S.mmr_rerank(cand, qry, "embedding", "vec_id", k=3, pool=6, lam=0.7)
+    assert dict(out.dtypes)["query_id"] == "int"
+    assert dict(out.dtypes)["neighbor_id"] == "bigint"
+    rows = out.collect()
+    assert len(rows) == 3 and all(r["query_id"] == 101 for r in rows)

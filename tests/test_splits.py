@@ -325,3 +325,32 @@ def test_portable_split_assignment_replayable(spark):
     xx = {r["doc_id"]: r["split"] for r in split_by_hash(df, "doc_id", w, seed=42).collect()}
     md = {r["doc_id"]: r["split"] for r in rows}
     assert xx != md
+
+
+def test_portable_split_assignment_null_keys_hash_deterministically(spark):
+    """NULL keys must route through the sentinel hash in the portable
+    path — not silently all fall into the LAST split via NULL
+    comparisons (ADVICE r8). Membership stays md5-replayable via the
+    documented '\\x00null' sentinel."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from trino_iceberg_spark.operators.splits import split_by_hash
+
+    df = spark.range(50).select(
+        F.when(F.col("id") % 5 == 0, None).otherwise(F.col("id").cast("string")).alias("doc_id")
+    )
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    rows = split_by_hash(df, "doc_id", w, seed=7, portable=True).collect()
+    b = int(hashlib.md5("\x00null-7".encode()).hexdigest()[:15], 16) % 1_000_000
+    want = "train" if b < 800_000 else ("val" if b < 900_000 else "test")
+    null_splits = {r["split"] for r in rows if r["doc_id"] is None}
+    assert null_splits == {want}
+    # non-null keys are untouched by the guard (coalesce is a no-op)
+    for r in rows[:20]:
+        if r["doc_id"] is None:
+            continue
+        bb = int(hashlib.md5(f"{r['doc_id']}-7".encode()).hexdigest()[:15], 16) % 1_000_000
+        ww = "train" if bb < 800_000 else ("val" if bb < 900_000 else "test")
+        assert r["split"] == ww

@@ -143,7 +143,8 @@ def split_statements(script: str) -> list[str]:
     buf: list[str] = []
     i = 0
     n = len(script)
-    in_squote = in_dquote = in_line_comment = in_block_comment = False
+    in_squote = in_dquote = in_line_comment = False
+    block_depth = 0  # Spark parses NESTED bracketed comments (SPARK-28880)
     while i < n:
         ch = script[i]
         nxt = script[i + 1] if i + 1 < n else ""
@@ -151,12 +152,19 @@ def split_statements(script: str) -> list[str]:
             buf.append(ch)
             if ch == "\n":
                 in_line_comment = False
-        elif in_block_comment:
+        elif block_depth:
             buf.append(ch)
             if ch == "*" and nxt == "/":
                 buf.append(nxt)
                 i += 1
-                in_block_comment = False
+                block_depth -= 1
+            elif ch == "/" and nxt == "*":
+                # nested opener — consume both chars so '/*/' inside a
+                # comment opens a LEVEL, never closes one (same rule as
+                # the top-level opener below)
+                buf.append(nxt)
+                i += 1
+                block_depth += 1
         elif in_squote:
             buf.append(ch)
             if ch == "\\" and nxt:
@@ -183,7 +191,7 @@ def split_statements(script: str) -> list[str]:
             # consume the opener's '*' too so '/*/' stays an UNCLOSED
             # comment (the opener's own '*' must not pair with the next
             # '/' as a closer) — all three scanners in this module agree.
-            in_block_comment = True
+            block_depth = 1
             buf.append(ch)
             buf.append(nxt)
             i += 1
@@ -217,7 +225,8 @@ def split_top_level_commas(text: str) -> list[str]:
     parts: list[str] = []
     buf: list[str] = []
     depth = 0
-    in_squote = in_dquote = in_line_comment = in_block_comment = False
+    in_squote = in_dquote = in_line_comment = False
+    block_depth = 0  # nested bracketed comments (SPARK-28880)
     i = 0
     n = len(text)
     while i < n:
@@ -227,12 +236,16 @@ def split_top_level_commas(text: str) -> list[str]:
             buf.append(ch)
             if ch == "\n":
                 in_line_comment = False
-        elif in_block_comment:
+        elif block_depth:
             buf.append(ch)
             if ch == "*" and nxt == "/":
                 buf.append(nxt)
                 i += 1
-                in_block_comment = False
+                block_depth -= 1
+            elif ch == "/" and nxt == "*":
+                buf.append(nxt)
+                i += 1
+                block_depth += 1
         elif in_squote:
             buf.append(ch)
             if ch == "\\" and nxt:
@@ -252,7 +265,7 @@ def split_top_level_commas(text: str) -> list[str]:
             in_line_comment = True
             buf.append(ch)
         elif ch == "/" and nxt == "*":
-            in_block_comment = True
+            block_depth = 1
             buf.append(ch)
             buf.append(nxt)
             i += 1
@@ -292,14 +305,16 @@ def find_closing_paren(text: str, open_idx: int = 0) -> int:
       ``\\'`` (Spark's default backslash escape — Spark is the engine
       that ultimately parses these statements);
     - double-quoted identifiers may contain anything but ``"``;
-    - ``-- ...`` line comments and ``/* ... */`` block comments are
-      opaque — quotes and parens inside them never affect the scan;
+    - ``-- ...`` line comments and ``/* ... */`` block comments
+      (nesting, per SPARK-28880) are opaque — quotes and parens inside
+      them never affect the scan;
     - parens inside any of the above never count toward depth.
     """
     if open_idx >= len(text) or text[open_idx] != "(":
         return -1
     depth = 0
-    in_squote = in_dquote = in_line_comment = in_block_comment = False
+    in_squote = in_dquote = in_line_comment = False
+    block_depth = 0
     i = open_idx
     n = len(text)
     while i < n:
@@ -308,10 +323,13 @@ def find_closing_paren(text: str, open_idx: int = 0) -> int:
         if in_line_comment:
             if ch == "\n":
                 in_line_comment = False
-        elif in_block_comment:
+        elif block_depth:
             if ch == "*" and nxt == "/":
                 i += 1
-                in_block_comment = False
+                block_depth -= 1
+            elif ch == "/" and nxt == "*":
+                i += 1
+                block_depth += 1
         elif in_squote:
             if ch == "\\" and nxt:
                 i += 1
@@ -326,7 +344,7 @@ def find_closing_paren(text: str, open_idx: int = 0) -> int:
         elif ch == "-" and nxt == "-":
             in_line_comment = True
         elif ch == "/" and nxt == "*":
-            in_block_comment = True
+            block_depth = 1
             i += 1
         elif ch == "'":
             in_squote = True

@@ -832,10 +832,15 @@ def mmr_rerank(
     one_minus = 1.0 - lam
     # id types follow the inputs (string keys are as legitimate as
     # longs) — a hardcoded `long` here would crash the Arrow conversion
-    # for any other id type the signature accepts
-    id_type = dict(candidates.dtypes)[id_col]
+    # for any other id type the signature accepts. query_id values come
+    # from `queries` and neighbor_id values from `candidates`, so each
+    # declares ITS OWN frame's dtype (ADVICE r8: deriving both from
+    # `candidates` mis-cast query ids whenever the two frames carry
+    # different id types, which the signature allows).
+    cand_id_type = dict(candidates.dtypes)[id_col]
+    query_id_type = dict(queries.dtypes)[id_col]
     out_schema = (
-        f"query_id {id_type}, neighbor_id {id_type}, "
+        f"query_id {query_id_type}, neighbor_id {cand_id_type}, "
         "mmr_rank int, relevance double"
     )
 

@@ -63,7 +63,16 @@ def split_assignment(
     ``key ∥ '-' ∥ seed`` text :func:`shuffle_key` uses, so any external
     system (a dataloader, a SQL engine, an audit notebook) can recompute
     every row's membership from md5 alone — the same portability
-    contract :func:`write_training_shards` already makes for shards."""
+    contract :func:`write_training_shards` already makes for shards.
+
+    NULL keys hash a sentinel text (``'\\x00null'``, chosen to collide
+    with no real key) in the portable path, so NULL-key rows land in a
+    deterministic hashed split exactly like the xxhash64 path routes
+    them (which hashes NULL to a seed-determined bucket natively) —
+    without the guard, ``concat(NULL)`` made the bucket NULL, every
+    ``bucket < cut`` comparison NULL, and ALL NULL-key rows silently
+    fell into the last split (ADVICE r8). External replayers must use
+    the same sentinel for NULL keys; prefer non-null keys."""
     total = sum(weights.values())
     if not 0.999 <= total <= 1.001:
         raise ValueError(f"split weights must sum to 1 (got {total})")
@@ -71,10 +80,10 @@ def split_assignment(
     if portable:
         from .dedup import portable_hash64
 
-        bucket = F.pmod(
-            portable_hash64(F.concat(c.cast("string"), F.lit(f"-{seed}"))),
-            F.lit(_BUCKETS),
+        key_text = F.concat(
+            F.coalesce(c.cast("string"), F.lit("\x00null")), F.lit(f"-{seed}")
         )
+        bucket = F.pmod(portable_hash64(key_text), F.lit(_BUCKETS))
     else:
         bucket = F.pmod(F.xxhash64(c, F.lit(seed)), F.lit(_BUCKETS))
     expr = None
