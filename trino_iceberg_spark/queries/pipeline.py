@@ -1061,6 +1061,100 @@ def ss03_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ss14_pq_adc_topk",
+    oracle=f"""
+    WITH {_centroid_route_ctes(num_cells=8)},
+    hq2 AS ({_xxh64_long_sql("vec_id + 7", "embeddings", "vec_id")}),
+    samples AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY xh, cid) AS INTEGER) - 1 AS code, su
+      FROM (
+        SELECT c.vec_id AS cid, c.u AS su, h.xh
+        FROM uv c JOIN hq2 h ON h.vec_id = c.vec_id
+        ORDER BY h.xh, c.vec_id LIMIT 16
+      )
+    ),
+    scw AS (
+      SELECT js.j, s.code, list_slice(s.su, js.j * 8 + 1, js.j * 8 + 8) AS cw
+      FROM samples s
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) js
+    ),
+    pc AS (
+      SELECT vec_id, j, code FROM (
+        SELECT d.vec_id, d.j, d.code,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.j
+                                  ORDER BY d.d2, d.code) AS rn
+        FROM (
+          SELECT v.vec_id, w.j, w.code,
+                 list_sum(list_transform(list_slice(v.u, w.j * 8 + 1, w.j * 8 + 8),
+                          (x, i) -> (x - w.cw[i]) * (x - w.cw[i]))) AS d2
+          FROM uv v CROSS JOIN scw w
+        ) d
+      ) WHERE rn = 1
+    ),
+    cand AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rn
+        FROM cd
+      ) WHERE rn = 1
+    ),
+    qprobe AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rn
+        FROM cd WHERE vec_id % 50 = 0
+      ) WHERE rn <= 3
+    ),
+    adcterm AS (
+      SELECT qp.vec_id AS query_id, ca.vec_id AS neighbor_id, p.j,
+             list_sum(list_transform(list_slice(qu.u, p.j * 8 + 1, p.j * 8 + 8),
+                      (x, i) -> x * w.cw[i])) AS term
+      FROM cand ca
+      JOIN qprobe qp ON ca.cell = qp.cell AND ca.vec_id <> qp.vec_id
+      JOIN pc p ON p.vec_id = ca.vec_id
+      JOIN scw w ON w.j = p.j AND w.code = p.code
+      JOIN uv qu ON qu.vec_id = qp.vec_id
+    ),
+    adc AS (
+      SELECT query_id, neighbor_id, list_sum(list(term ORDER BY j)) AS score
+      FROM adcterm GROUP BY query_id, neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+      FROM adc
+    )
+    SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def ss14_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-5 with asymmetric-distance scoring
+    (operators.similarity.pq_adc_topk, Jégou et al. 2011): candidates
+    live as 8-byte PQ codes (~32× smaller than float32) in 8 IVF cells;
+    queries probe 3 cells and score by LUT-sum. The oracle replays the
+    FULL index construction in SQL — seeded sample codebooks (seed 7,
+    exact Spark xxhash64), per-subspace d² code assignment, IVF cell
+    routing (shared ss03 CTEs), and the per-subspace ADC terms folded in
+    fixed j order — so the hash verdict covers the complete approximate
+    ranking, codebooks included. Recall vs the exact ranking is pinned
+    in tests/test_operators.py. Cell/codebook sizes pinned to the
+    oracle's 8/16 (ss09 convention); production sizing guidance is
+    _derived_num_cells + m/ksub tuning at index-build time."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    return (
+        S.pq_adc_topk(
+            e, q, "embedding", "vec_id",
+            k=5, m=8, ksub=16, codebook_seed=7, num_cells=8, nprobe=3,
+        )
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
