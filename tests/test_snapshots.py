@@ -762,3 +762,101 @@ def test_zorder_prunes_on_both_dimensions(spark, tmp_path):
 
     with pytest.raises(EngineError):
         t.rewrite_zorder(["x", "y", "id", "x"], bits=16)
+
+
+# --- concurrent-writer safety (Nessie-style CAS commits) --------------------
+
+
+def test_concurrent_appends_both_land_serialized(spark, tmp_path):
+    """Two writers committing at once must SERIALIZE — both snapshots
+    land with a linear parent chain and no lost update (the pre-CAS
+    last-committer-wins rename silently dropped one)."""
+    import threading
+
+    path = str(tmp_path / "cas_tt")
+    SnapshotTable(spark, path).append(_events(spark, [0], "base"))
+
+    errs = []
+
+    def writer(ids, etype):
+        try:
+            SnapshotTable(spark, path).append(_events(spark, ids, etype))
+        except Exception as exc:  # noqa: BLE001 — surfaced in the assert below
+            errs.append(exc)
+
+    threads = [
+        threading.Thread(target=writer, args=([10 + i], f"w{i}")) for i in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == []
+
+    table = SnapshotTable(spark, path)
+    snaps = table.main_ancestry()
+    assert len(snaps) == 5  # base + all four concurrent commits
+    # linear serialized chain: each commit's parent is its predecessor
+    for parent, child in zip(snaps, snaps[1:]):
+        assert child.parent_snapshot_id == parent.snapshot_id
+    # no lost rows, and the metadata row_count agrees with a real read
+    got = {r["event_id"] for r in table.read().collect()}
+    assert got == {0, 10, 11, 12, 13}
+    assert snaps[-1].row_count == 5
+
+
+def test_cas_retry_rebuilds_against_refreshed_head(spark, tmp_path):
+    """Deterministic pin of the retry path: a commit whose head moves
+    between assembly and the CAS point must re-assemble against the new
+    head (not clobber it, not fail)."""
+    path = str(tmp_path / "cas_retry_tt")
+    tab = SnapshotTable(spark, path)
+    tab.append(_events(spark, [1], "base"))
+
+    side = SnapshotTable(spark, path)
+    state = {"reads": 0}
+    orig = tab._head_for_commit
+
+    def racing_head(branch):
+        head = orig(branch)
+        if state["reads"] == 0:
+            state["reads"] = 1
+            # lands AFTER this writer read its head, BEFORE its CAS
+            side.append(_events(spark, [2], "intruder"))
+        return head
+
+    tab._head_for_commit = racing_head
+    tab.append(_events(spark, [3], "retried"))
+
+    snaps = tab.main_ancestry()
+    assert [s.snapshot_id for s in snaps] == [1, 2, 3]  # serialized, none lost
+    assert {r["event_id"] for r in tab.read().collect()} == {1, 2, 3}
+    assert snaps[-1].row_count == 3  # recomputed against the refreshed head
+
+
+def test_concurrent_schema_evolution_conflicts_staged_append(spark, tmp_path):
+    """A data commit staged under the old schema must NOT silently land
+    after a concurrent evolution — its files were written under a schema
+    the head no longer has; the writer gets a CommitConflictError."""
+    from trino_iceberg_spark.errors import CommitConflictError
+
+    path = str(tmp_path / "cas_conflict_tt")
+    tab = SnapshotTable(spark, path)
+    tab.append(_events(spark, [1], "base"))
+
+    side = SnapshotTable(spark, path)
+    state = {"reads": 0}
+    orig = tab._head_for_commit
+
+    def racing_head(branch):
+        head = orig(branch)
+        if state["reads"] == 0:
+            state["reads"] = 1
+            side.add_column("extra", "int")
+        return head
+
+    tab._head_for_commit = racing_head
+    with pytest.raises(CommitConflictError, match="schema"):
+        tab.append(_events(spark, [2], "stale"))
+    # the evolution itself is intact and the failed append lost no history
+    assert [s.operation for s in tab.main_ancestry()] == ["append", "evolve"]

@@ -21,27 +21,38 @@ those tests depend on, Spark-natively:
 
 Readers hand Spark an explicit file list — partition pruning and column
 pruning work unchanged since files are plain parquet. Concurrency: commits
-are serialized through an atomic manifest rename (last-committer-wins is
-enough for the single-writer test stack; a real deployment would CAS
-through a catalog service, which is configuration — not engine code —
-exactly as in the reference).
+use Nessie-style optimistic compare-and-swap (the commit model the
+reference's catalog service implements): the manifest is ASSEMBLED against
+the branch head read outside any critical section, and the commit point —
+re-check that the head pointer has not moved, then write the manifest and
+advance the pointer — is atomic (a lockfile is the local-FS stand-in for
+the catalog service's atomic CAS primitive). A moved pointer retries the
+assembly against the refreshed head: appends compose against any new head
+with the same schema/spec; incompatible heads (concurrent schema/spec
+evolution under a staged data write) raise
+:class:`~..errors.CommitConflictError` instead of silently losing either
+commit. Two concurrent writers therefore always serialize — no lost
+updates — which is what lets two ingest jobs share one table.
 """
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import datetime as dt
 import glob
 import json
 import os
+import random
 import re
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..errors import EngineError
+from ..errors import CommitConflictError, EngineError
 
 __all__ = ["SnapshotTable", "Snapshot"]
 
@@ -148,21 +159,25 @@ class SnapshotTable:
     def create_branch(self, name: str, from_snapshot_id: int | None = None) -> None:
         """Branch off the current main head (or an explicit snapshot) —
         the start of a write-audit-publish flow: commit to the branch,
-        validate it, then ``publish`` to move main atomically."""
-        refs = self._load_refs()
-        if name in refs["branches"] or name in refs["tags"]:
-            raise EngineError(f"ref {name!r} already exists in {self.table_dir}")
-        head = from_snapshot_id
-        if head is None:
-            cur = self._branch_head("main")
-            if cur is None:
-                raise EngineError(f"cannot branch an empty table {self.table_dir}")
-            head = cur.snapshot_id
-        else:
-            self._snapshot_by_id(head)  # validate
-        self._pin_main(refs)
-        refs["branches"][name] = head
-        self._save_refs(refs)
+        validate it, then ``publish`` to move main atomically. The refs
+        read-modify-write runs under the commit lock (same atomic
+        primitive the commit CAS uses) so concurrent ref updates never
+        lose each other."""
+        with self._commit_lock():
+            refs = self._load_refs()
+            if name in refs["branches"] or name in refs["tags"]:
+                raise EngineError(f"ref {name!r} already exists in {self.table_dir}")
+            head = from_snapshot_id
+            if head is None:
+                cur = self._branch_head("main")
+                if cur is None:
+                    raise EngineError(f"cannot branch an empty table {self.table_dir}")
+                head = cur.snapshot_id
+            else:
+                self._snapshot_by_id(head)  # validate
+            self._pin_main(refs)
+            refs["branches"][name] = head
+            self._save_refs(refs)
 
     def _pin_main(self, refs: dict) -> None:
         """Before the first named ref exists, ``main`` floats at the newest
@@ -177,19 +192,20 @@ class SnapshotTable:
     def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
         """Immutable named snapshot (release pinning); expire_snapshots
         never drops a tagged snapshot."""
-        refs = self._load_refs()
-        if name in refs["branches"] or name in refs["tags"]:
-            raise EngineError(f"ref {name!r} already exists in {self.table_dir}")
-        if snapshot_id is None:
-            cur = self._branch_head("main")
-            if cur is None:
-                raise EngineError(f"cannot tag an empty table {self.table_dir}")
-            snapshot_id = cur.snapshot_id
-        else:
-            self._snapshot_by_id(snapshot_id)  # validate
-        self._pin_main(refs)
-        refs["tags"][name] = snapshot_id
-        self._save_refs(refs)
+        with self._commit_lock():
+            refs = self._load_refs()
+            if name in refs["branches"] or name in refs["tags"]:
+                raise EngineError(f"ref {name!r} already exists in {self.table_dir}")
+            if snapshot_id is None:
+                cur = self._branch_head("main")
+                if cur is None:
+                    raise EngineError(f"cannot tag an empty table {self.table_dir}")
+                snapshot_id = cur.snapshot_id
+            else:
+                self._snapshot_by_id(snapshot_id)  # validate
+            self._pin_main(refs)
+            refs["tags"][name] = snapshot_id
+            self._save_refs(refs)
 
     def read_ref(self, name: str) -> DataFrame:
         """Read a branch head or tag by name (``main`` always works)."""
@@ -205,19 +221,24 @@ class SnapshotTable:
         """Fast-forward ``to_branch`` to ``branch``'s head (the WAP
         publish step): one atomic pointer swap, no data movement —
         readers of main see the audited commits all at once."""
-        refs = self._load_refs()
-        if branch not in refs["branches"]:
-            raise EngineError(f"branch {branch!r} not found in {self.table_dir}")
-        refs["branches"][to_branch] = refs["branches"][branch]
-        self._save_refs(refs)
+        with self._commit_lock():
+            refs = self._load_refs()
+            if branch not in refs["branches"]:
+                raise EngineError(f"branch {branch!r} not found in {self.table_dir}")
+            refs["branches"][to_branch] = refs["branches"][branch]
+            self._save_refs(refs)
 
     def drop_ref(self, name: str) -> None:
-        refs = self._load_refs()
-        if name == "main":
-            raise EngineError("cannot drop the main branch")
-        if refs["branches"].pop(name, None) is None and refs["tags"].pop(name, None) is None:
-            raise EngineError(f"ref {name!r} not found in {self.table_dir}")
-        self._save_refs(refs)
+        with self._commit_lock():
+            refs = self._load_refs()
+            if name == "main":
+                raise EngineError("cannot drop the main branch")
+            if (
+                refs["branches"].pop(name, None) is None
+                and refs["tags"].pop(name, None) is None
+            ):
+                raise EngineError(f"ref {name!r} not found in {self.table_dir}")
+            self._save_refs(refs)
 
     # -- manifest I/O ----------------------------------------------------
     def _manifest_paths(self) -> list[str]:
@@ -258,6 +279,74 @@ class SnapshotTable:
         return self._branch_head("main")
 
     # -- commits ---------------------------------------------------------
+    @contextlib.contextmanager
+    def _commit_lock(self, timeout: float = 30.0):
+        """The atomic primitive behind commit CAS: an O_EXCL lockfile (the
+        local-FS analog of the catalog service's atomic compare-and-swap;
+        Nessie does this inside its backing store). Held only for the
+        pointer re-check + manifest write + pointer advance — manifest
+        ASSEMBLY (including all Spark jobs) happens outside it. A crashed
+        holder is surfaced by the timeout with the lock path so an
+        operator can remove it."""
+        os.makedirs(self.metadata_dir, exist_ok=True)
+        lock = os.path.join(self.metadata_dir, ".commit.lock")
+        deadline = time.monotonic() + timeout
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                if time.monotonic() > deadline:
+                    raise EngineError(
+                        f"timed out acquiring commit lock {lock} (stale lock "
+                        f"from a crashed writer? remove it to recover)"
+                    ) from None
+                time.sleep(0.002 + random.random() * 0.01)
+        try:
+            yield
+        finally:
+            os.close(fd)
+            os.unlink(lock)
+
+    def _head_for_commit(self, branch: str) -> Snapshot | None:
+        """Branch head for commit purposes; a branch that does not exist
+        yet (the allow_create staging path) reads as an empty head."""
+        refs = self._load_refs()
+        if branch == "main" or branch in refs["branches"]:
+            return self._branch_head(branch)
+        return None
+
+    def _commit_version(
+        self, branch: str, build, max_attempts: int = 10
+    ) -> Snapshot:
+        """Nessie-style optimistic commit. ``build(prev)`` assembles the
+        manifest dict against the head read OUTSIDE the critical section
+        (and may raise :class:`CommitConflictError` if it cannot compose
+        against a refreshed head); the commit point re-checks the pointer
+        under the atomic lock and swaps only if it has not moved since
+        the read — otherwise the attempt retries against the new head.
+        Losing a race costs one manifest re-assembly (metadata-only, no
+        data rewrite), exactly Iceberg/Nessie's retry economics."""
+        for _ in range(max_attempts):
+            prev = self._head_for_commit(branch)
+            manifest = build(prev)
+            with self._commit_lock():
+                cur = self._head_for_commit(branch)
+                if (cur.snapshot_id if cur else None) != (
+                    prev.snapshot_id if prev else None
+                ):
+                    continue  # pointer moved — rebuild against the new head
+                snap = self._write_manifest(prev, manifest)
+                refs = self._load_refs()
+                refs["branches"][branch] = snap.snapshot_id
+                self._save_refs(refs)
+                return snap
+        raise CommitConflictError(
+            f"commit to branch {branch!r} of {self.table_dir} lost the CAS "
+            f"race {max_attempts} times — giving up (raise max_attempts or "
+            f"reduce writer contention)"
+        )
+
     def _write_manifest(self, prev: Snapshot | None, manifest: dict) -> Snapshot:
         all_snaps = self.snapshots()
         # max+1, not prev+1: branch commits chain from their own head but
@@ -346,11 +435,6 @@ class SnapshotTable:
         the predicate through the transform (monotonic transforms prune
         ranges; bucket lays out files but is not used for pruning here,
         matching the conservative side of Iceberg's behavior)."""
-        prev = self.current_snapshot()
-        if prev is None:
-            raise EngineError(
-                f"cannot set partition spec of {self.table_dir}: no snapshots yet"
-            )
         spec_fields = []
         for source, transform in fields:
             if not self._TRANSFORM_RE.match(transform):
@@ -362,12 +446,16 @@ class SnapshotTable:
                     "transform": transform,
                 }
             )
-        specs = dict(prev.partition_specs or {})
-        new_id = max([int(k) for k in specs] or [0]) + 1
-        specs[str(new_id)] = spec_fields
-        snap = self._write_manifest(
-            prev,
-            {
+
+        def build(prev: Snapshot | None) -> dict:
+            if prev is None:
+                raise EngineError(
+                    f"cannot set partition spec of {self.table_dir}: no snapshots yet"
+                )
+            specs = dict(prev.partition_specs or {})
+            new_id = max([int(k) for k in specs] or [0]) + 1
+            specs[str(new_id)] = spec_fields
+            return {
                 "operation": "set-spec",
                 "files": list(prev.files),
                 "row_count": prev.row_count,
@@ -379,12 +467,9 @@ class SnapshotTable:
                 "partition_specs": specs,
                 "default_spec_id": new_id,
                 "file_partitions": dict(prev.file_partitions or {}),
-            },
-        )
-        refs = self._load_refs()
-        refs["branches"]["main"] = snap.snapshot_id
-        self._save_refs(refs)
-        return snap
+            }
+
+        return self._commit_version("main", build)
 
     @staticmethod
     def _transform_col(source: str, transform: str):
@@ -485,8 +570,10 @@ class SnapshotTable:
             # First commit to a new branch (transaction staging on an empty
             # table): pin main to its CURRENT state first — null head on an
             # empty table — so main can never float onto branch commits.
-            self._pin_main(refs)
-            self._save_refs(refs)
+            with self._commit_lock():
+                refs = self._load_refs()
+                self._pin_main(refs)
+                self._save_refs(refs)
         if cluster_by:
             # Range-partition + sort so each data file covers a tight,
             # nearly disjoint key range — this is what makes the zone maps
@@ -582,31 +669,67 @@ class SnapshotTable:
                     *[os.path.join(self.table_dir, f) for f in new_files]
                 ).count()
             )
-        if operation == "append" and prev is not None:
-            files = list(prev.files) + new_files
-        else:
-            files = new_files
-        file_schemas: dict[str, int] = {}
-        file_stats: dict[str, dict] = {}
-        if operation == "append" and prev is not None:
-            # retained files keep the schema they were written under;
-            # legacy files (no record) are pinned to the pre-evolution
-            # schema — id 1 by construction
-            file_schemas = {f: (prev.file_schemas or {}).get(f, 1) for f in prev.files}
-            file_stats = {
-                f: s for f, s in (prev.file_stats or {}).items() if f in file_schemas
-            }
-        file_schemas.update({f: schema_id for f in new_files})
-        file_stats.update({f: self._collect_file_stats(f, cols) for f in new_files})
-        file_partitions: dict[str, dict] = {}
-        if operation == "append" and prev is not None:
-            file_partitions = {
-                f: p for f, p in (prev.file_partitions or {}).items() if f in file_schemas
-            }
-        file_partitions.update(new_file_partitions)
-        snap = self._write_manifest(
-            prev,
-            {
+        stats_new = {f: self._collect_file_stats(f, cols) for f in new_files}
+
+        # The schema/spec identity the staged data files were written
+        # under — a refreshed head must carry the SAME identity for this
+        # commit to compose against it (appends simply take the new
+        # head's file list); anything else is concurrent evolution and a
+        # real conflict.
+        def _fingerprint(s: Snapshot | None):
+            if s is None:
+                return None
+            return (
+                s.schema_id,
+                json.dumps(s.schemas, sort_keys=True) if s.schemas else None,
+                s.default_spec_id,
+                json.dumps(s.partition_specs, sort_keys=True)
+                if s.partition_specs
+                else None,
+            )
+
+        fp_written = (
+            schema_id,
+            json.dumps(schemas, sort_keys=True) if schemas else None,
+            spec_id or None,
+            json.dumps(prev_specs, sort_keys=True) if prev_specs else None,
+        )
+
+        def build(prev: Snapshot | None) -> dict:
+            if prev is not None and _fingerprint(prev) != fp_written:
+                raise CommitConflictError(
+                    f"concurrent schema/partition-spec change on "
+                    f"{self.table_dir} while a {operation!r} commit was "
+                    f"staged — its data files were written under the old "
+                    f"schema; re-run the commit against the new table state"
+                )
+            if operation == "append" and prev is not None:
+                files = list(prev.files) + new_files
+            else:
+                files = new_files
+            file_schemas: dict[str, int] = {}
+            file_stats: dict[str, dict] = {}
+            if operation == "append" and prev is not None:
+                # retained files keep the schema they were written under;
+                # legacy files (no record) are pinned to the pre-evolution
+                # schema — id 1 by construction
+                file_schemas = {
+                    f: (prev.file_schemas or {}).get(f, 1) for f in prev.files
+                }
+                file_stats = {
+                    f: s for f, s in (prev.file_stats or {}).items() if f in file_schemas
+                }
+            file_schemas.update({f: schema_id for f in new_files})
+            file_stats.update(stats_new)
+            file_partitions: dict[str, dict] = {}
+            if operation == "append" and prev is not None:
+                file_partitions = {
+                    f: p
+                    for f, p in (prev.file_partitions or {}).items()
+                    if f in file_schemas
+                }
+            file_partitions.update(new_file_partitions)
+            return {
                 "operation": operation,
                 "files": files,
                 "row_count": row_count
@@ -621,12 +744,9 @@ class SnapshotTable:
                 "partition_specs": prev_specs or None,
                 "default_spec_id": spec_id or None,
                 "file_partitions": file_partitions or None,
-            },
-        )
-        refs = self._load_refs()
-        refs["branches"][branch] = snap.snapshot_id
-        self._save_refs(refs)
-        return snap
+            }
+
+        return self._commit_version(branch, build)
 
     def append(
         self,
@@ -671,49 +791,48 @@ class SnapshotTable:
         are never rewritten; their columns are resolved by FIELD ID at read
         time, which is exactly why Iceberg renames/drops are safe and O(1)
         while Hive-style name-mapped tables corrupt on rename."""
-        prev = self.current_snapshot()
-        if prev is None:
-            raise EngineError(
-                f"cannot evolve schema of {self.table_dir}: no snapshots yet "
-                f"(commit data first)"
-            )
-        if prev.schema_columns is not None:
-            cols = [dict(c) for c in prev.schema_columns]
-            schemas = dict(prev.schemas)
-            schema_id = prev.schema_id
-            last_column_id = prev.last_column_id
-            file_schemas = dict(prev.file_schemas or {})
-        else:
-            # Legacy table: bootstrap ids positionally from the parquet
-            # schema; all existing files were written under this schema.
-            cols = self._columns_from_spark_schema(self._read_files(prev.files).schema)
-            schemas = {"1": [dict(c) for c in cols]}
-            schema_id = 1
-            last_column_id = len(cols)
-            file_schemas = {f: 1 for f in prev.files}
-        new_cols, last_column_id = mutate([dict(c) for c in cols], last_column_id)
-        new_schema_id = schema_id + 1
-        schemas[str(new_schema_id)] = new_cols
-        snap = self._write_manifest(
-            prev,
-            {
+        # Metadata-only commits retry trivially under CAS: build() re-runs
+        # the mutation against whatever head the retry observes.
+        def build(prev: Snapshot | None) -> dict:
+            if prev is None:
+                raise EngineError(
+                    f"cannot evolve schema of {self.table_dir}: no snapshots yet "
+                    f"(commit data first)"
+                )
+            if prev.schema_columns is not None:
+                cols = [dict(c) for c in prev.schema_columns]
+                schemas = dict(prev.schemas)
+                schema_id = prev.schema_id
+                last_column_id = prev.last_column_id
+                file_schemas = dict(prev.file_schemas or {})
+            else:
+                # Legacy table: bootstrap ids positionally from the parquet
+                # schema; all existing files were written under this schema.
+                cols = self._columns_from_spark_schema(
+                    self._read_files(prev.files).schema
+                )
+                schemas = {"1": [dict(c) for c in cols]}
+                schema_id = 1
+                last_column_id = len(cols)
+                file_schemas = {f: 1 for f in prev.files}
+            new_cols, new_last_id = mutate([dict(c) for c in cols], last_column_id)
+            new_schema_id = schema_id + 1
+            schemas[str(new_schema_id)] = new_cols
+            return {
                 "operation": operation,
                 "files": list(prev.files),
                 "row_count": prev.row_count,
                 "schema_id": new_schema_id,
-                "last_column_id": last_column_id,
+                "last_column_id": new_last_id,
                 "schemas": schemas,
                 "file_schemas": file_schemas,
                 "file_stats": dict(prev.file_stats or {}),
                 "partition_specs": dict(prev.partition_specs or {}) or None,
                 "default_spec_id": prev.default_spec_id,
                 "file_partitions": dict(prev.file_partitions or {}) or None,
-            },
-        )
-        refs = self._load_refs()
-        refs["branches"]["main"] = snap.snapshot_id
-        self._save_refs(refs)
-        return snap
+            }
+
+        return self._commit_version("main", build)
 
     def add_column(self, name: str, type_ddl: str) -> Snapshot:
         """ADD COLUMN: new field id, no data rewrite — files written before
@@ -1343,10 +1462,10 @@ class SnapshotTable:
             raise EngineError(
                 f"snapshot {snapshot_id} not found in {self.table_dir}"
             )
-        prev = self._branch_head(branch)
-        snap = self._write_manifest(
-            prev,
-            {
+        self._branch_head(branch)  # unknown branch -> EngineError, not create
+
+        def build(prev: Snapshot | None) -> dict:
+            return {
                 "operation": "rollback",
                 "files": list(target.files),
                 "row_count": target.row_count,
@@ -1359,12 +1478,9 @@ class SnapshotTable:
                 "partition_specs": dict(target.partition_specs or {}) or None,
                 "default_spec_id": target.default_spec_id,
                 "file_partitions": dict(target.file_partitions or {}) or None,
-            },
-        )
-        refs = self._load_refs()
-        refs["branches"][branch] = snap.snapshot_id
-        self._save_refs(refs)
-        return snap
+            }
+
+        return self._commit_version(branch, build)
 
     def remove_orphan_files(self) -> int:
         """Iceberg ``remove_orphan_files`` analog: delete parquet files in

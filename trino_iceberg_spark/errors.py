@@ -10,7 +10,13 @@ exceptions so callers program against one error surface.
 
 from __future__ import annotations
 
-__all__ = ["EngineError", "QueryError", "UnloadError", "StorageError"]
+__all__ = [
+    "EngineError",
+    "QueryError",
+    "UnloadError",
+    "StorageError",
+    "CommitConflictError",
+]
 
 
 class EngineError(Exception):
@@ -36,3 +42,10 @@ class UnloadError(EngineError):
 
 class StorageError(EngineError):
     """Object-store operation failed (missing key, missing local file...)."""
+
+
+class CommitConflictError(EngineError):
+    """A catalog commit lost its compare-and-swap race more times than the
+    retry budget allows (Nessie-style optimistic concurrency), or the
+    refreshed head was incompatible with the staged write (e.g. the schema
+    evolved underneath a data commit)."""
