@@ -73,6 +73,18 @@ BENCH_QUERIES = [
     "cu07_end_to_end_pipeline",
 ]
 
+#: Auxiliary section (round 9): the heaviest round-6–8 flagships, frozen
+#: as a SECOND list so they get round-over-round tracking without
+#: breaking the headliner set's r01-comparability. Reported under
+#: "aux_queries"/"aux_passes" and EXCLUDED from the headline total.
+AUX_QUERIES = [
+    "mm08_multimodal_to_shards",
+    "sp10_corpus_to_shards",
+    "rag01_retrieval_pipeline",
+    "ss13_mmr_rerank_lsh",
+    "cu09_token_budget_selection",
+]
+
 
 def main() -> None:
     load_all()
@@ -115,18 +127,26 @@ def main() -> None:
         # 1.14x) is adjudicable from the JSON alone — if round N+1's
         # best is inside round N's same-boot spread, the machine moved,
         # not the code.
-        timings: dict[str, float] = {}
-        passes: dict[str, list[float]] = {}
-        for name in BENCH_QUERIES:
-            ts: list[float] = []
-            for _ in range(2):
-                t0 = time.time()
-                df = QUERIES[name](spark, SF_DIR)
-                df.write.format("noop").mode("overwrite").save()
-                ts.append(round(time.time() - t0, 3))
-            passes[name] = ts
-            timings[name] = min(ts)
+        def run_list(names: list[str]) -> tuple[dict[str, float], dict[str, list[float]]]:
+            best: dict[str, float] = {}
+            both: dict[str, list[float]] = {}
+            for name in names:
+                ts: list[float] = []
+                for _ in range(2):
+                    t0 = time.time()
+                    df = QUERIES[name](spark, SF_DIR)
+                    df.write.format("noop").mode("overwrite").save()
+                    ts.append(round(time.time() - t0, 3))
+                both[name] = ts
+                best[name] = min(ts)
+            return best, both
+
+        timings, passes = run_list(BENCH_QUERIES)
         total = round(sum(timings.values()), 3)
+        # Aux flagships run AFTER the comparable set so they cannot
+        # perturb its cache state; their total is reported separately.
+        aux_timings, aux_passes = run_list(AUX_QUERIES)
+        aux_total = round(sum(aux_timings.values()), 3)
 
         # Calibration query: a FIXED shape (lineitem scan -> decimal
         # hash-aggregate over l_returnflag/l_linestatus) that no round
@@ -162,6 +182,9 @@ def main() -> None:
                     "unit": "sec",
                     "queries": timings,
                     "passes": passes,
+                    "aux_total_sec": aux_total,
+                    "aux_queries": aux_timings,
+                    "aux_passes": aux_passes,
                     "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                     "calibration_sec": calibration_sec,
                     "calibration_passes": calibration_passes,
