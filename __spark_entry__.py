@@ -16,7 +16,7 @@ Two adapter concerns live here, both driver-facing:
    order: first this round's fixed/changed entries and the entries no
    prior CORRECTNESS run has checked, then drift re-verifies of the
    oldest green cohort (see ``_FRONT``), then any remaining unchecked
-   entries, then families already proved green across the r01–r07
+   entries, then families already proved green across the r01–r08
    union. Nothing is dropped — a driver with budget for the full
    registry still checks every entry.
 
@@ -50,86 +50,29 @@ _TUNED_CONFS = {
 # module docstring. Names absent from the registry are ignored (safety
 # against future renames), and every registered query is always yielded.
 #
-# Round-8 ordering (registry: 225 entries, ALL oracle-backed; new this
-# round: ss11_margin_mining_lsh — margin mining in the two-LARGE-sides
-# configuration, candidates from LSH-bucketed top-k; ss12_mmr_rerank —
-# MMR diversity re-ranking with an unrolled greedy oracle;
-# sp12_curriculum_order — curriculum schedule over the two-phase
-# cumsum; tx17_ngram_novelty — first-introduction novelty
-# attribution; rag01_retrieval_pipeline — the chunk -> hash-embed ->
-# retrieve -> same-doc-eval retrieval flagship; ss13_mmr_rerank_lsh —
-# MMR over an LSH-bucketed pool, the two-stage retrieve-then-rerank;
-# pr05_calibration_bins — reliability-diagram score calibration;
-# sp13_mix_manifest — per-(source, split) training-mix accounting over
-# the curated set with a PORTABLE md5 split). The cross-round union is 217/217 green at latest check
-# and nothing is older than r03, so this round's budget goes to the
-# new/changed entries and then rotates the OLDEST green cohort (the 44
-# entries whose latest verdict is r03). Tiers:
-# 1. new this round (ss11/ss12/ss13/sp12/sp13/tx17/rag01/pr05) + changed-code
-#    re-verifies:
-#    margin_mining's pair-key dedupe + topk hook (ss10), the
-#    cache-registry threading and optional lazy max-df diagnostic
-#    through the inverted-index builder (dd04/dd15) and
-#    curate_documents (cu01, cu07);
-# 2. the 44 entries last driver-checked in ROUND 3 — the oldest cohort
-#    in the union (a09/a10, aj01, c04, cu02/cu04/cu05, dd12, f09/f10,
-#    j10, mm01/mm02/mm04, pr01-pr03, rj01, s05, sp01, st01-st05,
-#    tpch_q1, tt05/tt06/tt08/tt09, tx01-tx03/tx06-tx08/tx10-tx14,
-#    w03/w06/w09).
-# Everything else was checked r04-r07 and yields after these.
+# Round-9 ordering (registry: 226 entries, ALL oracle-backed; new this
+# round: ss14_pq_adc_topk — IVF-PQ ANN with asymmetric-distance
+# scoring, codebook construction replayed in the oracle). Per the
+# round-8 VERDICT directive #1, THIS ROUND ROTATION WINS OVER GROWTH:
+# exactly one new entry, and the budget goes to re-verifying the FULL
+# 45-entry r03+r04 cohort so the cross-round union ends with zero
+# entries older than r05. Tiers (1+4+45 = 50, the driver budget):
+# 1. ss14 (new);
+# 2. changed-code re-verifies: st06 (exactly-once ingest commits now go
+#    through the new CAS commit path), ss12/ss13 (mmr_rerank per-frame
+#    id-dtype fix), sp13 (portable-split NULL-key guard);
+# 3. the 7 r03 entries + 38 r04 entries — the oldest cohort in the
+#    union (computed from the CORRECTNESS_r01–r08 latest-check union).
+# Everything else was checked r05–r08 and yields after these.
 _FRONT = [
-    # --- tier 1: new + changed-code re-verifies ---
-    "ss11_margin_mining_lsh",
+    # --- tier 1: new this round ---
+    "ss14_pq_adc_topk",
+    # --- tier 2: changed-code re-verifies ---
+    "st06_stream_snapshot_ingest",
     "ss12_mmr_rerank",
     "ss13_mmr_rerank_lsh",
-    "rag01_retrieval_pipeline",
-    "pr05_calibration_bins",
     "sp13_mix_manifest",
-    "sp12_curriculum_order",
-    "tx17_ngram_novelty",
-    "ss10_margin_mining",
-    "dd04_ngram_jaccard",
-    "dd15_containment_pairs",
-    "cu01_curated_documents",
-    "cu07_end_to_end_pipeline",
-    # --- tier 2: r03-cohort drift re-verifies (oldest in the union) ---
-    "a09_unpivot",
-    "a10_grouping_flags",
-    "aj01_asof_join",
-    "c04_recursive_cte",
-    "cu02_curation_report",
-    "cu04_length_band_filter",
-    "cu05_contamination_report",
-    "dd12_passage_dedup",
-    "f09_edit_distance",
-    "f10_bitwise_functions",
-    "j10_bucketed_join",
-    "mm01_media_metadata",
-    "mm02_decode_pipeline",
-    "mm04_audio_decode",
-    "pr01_table_profile",
-    "pr02_correlation_matrix",
-    "pr03_quality_expectations",
-    "rj01_bucketized_range_join",
-    "s05_set_ops_all",
-    "sp01_dataset_split",
-    "st01_windowed_stream",
-    "st02_session_stream",
-    "st03_sliding_stream",
-    "st04_stream_stream_join",
-    "st05_stateful_running_totals",
-    "tpch_q1_pricing_summary",
-    "tt05_schema_evolution",
-    "tt06_stats_pruned_scan",
-    "tt08_wap_publish",
-    "tt09_catalog_transaction",
-    "tx01_token_counts",
-    "tx02_lang_stats",
-    "tx03_quality_features",
-    "tx06_bpe_token_estimate",
-    "tx07_vocabulary",
-    "tx08_bigram_counts",
-    "tx10_bm25_ranking",
+    # --- tier 3a: r03 cohort (oldest in the union) ---
     "tx11_pii_scrub",
     "tx12_repetition_stats",
     "tx13_rarity_scores",
@@ -137,10 +80,49 @@ _FRONT = [
     "w03_lag_lead",
     "w06_sessionize",
     "w09_time_range_frame",
+    # --- tier 3b: r04 cohort ---
+    "cu06_boilerplate_removal",
+    "dd03_minhash_lsh_pairs",
+    "dd05_simhash_pairs",
+    "dd06_embedding_dedup",
+    "dd09_fuzzy_linkage",
+    "dd10_incremental_dedup",
+    "dd11_semantic_dedup",
+    "ev08_hypertable_rollup",
+    "ev11_interpolated_gap_fill",
+    "f11_string_functions2",
+    "ir01_retrieval_metrics",
+    "mm03_feature_extraction",
+    "pr04_drift_psi",
+    "sk01_salted_aggregate",
+    "sk02_salted_join",
+    "sp02_stratified_sample",
+    "sp03_global_shuffle",
+    "sp04_sequence_packing",
+    "sp05_epoch_mix",
+    "sp06_temperature_weights",
+    "ss02_lsh_topk",
+    "ss03_ivf_topk",
+    "ss05_quantized_topk",
+    "ss06_embedding_centroids",
+    "ss07_hard_negatives",
+    "st07_stream_dedup",
+    "tpch_q15_top_supplier",
+    "tt01_timestamp_as_of",
+    "tt02_version_as_of",
+    "tt04_sql_text_time_travel",
+    "tt11_partition_evolution",
+    "tt12_sorted_compaction",
+    "tt13_sql_maintenance",
+    "tt14_rollback",
+    "tt15_zorder_rewrite",
+    "tx04_language_id",
+    "tx05_fingerprints",
+    "w10_value_navigation",
 ]
 
-# Entries a prior CORRECTNESS run already recorded green (r01–r07 union:
-# 217/217 distinct entries checked, all green at latest check) — yielded
+# Entries a prior CORRECTNESS run already recorded green (r01–r08 union:
+# 225/225 distinct entries checked, all green at latest check) — yielded
 # last. Prefix-matched on the name's first underscore token.
 _PROVEN = frozenset(
     [f"b{i:02d}" for i in range(1, 22)]  # b01–b21
