@@ -860,3 +860,40 @@ def test_concurrent_schema_evolution_conflicts_staged_append(spark, tmp_path):
         tab.append(_events(spark, [2], "stale"))
     # the evolution itself is intact and the failed append lost no history
     assert [s.operation for s in tab.main_ancestry()] == ["append", "evolve"]
+
+
+def test_concurrent_catalog_transactions_both_recorded(spark, tmp_path):
+    """Two catalog transactions racing on DIFFERENT tables must both
+    land in versions.json — the pre-lock read-modify-write let the
+    second os.replace erase the first's version entry."""
+    import threading
+
+    from trino_iceberg_spark.catalog.multi import MultiTableCatalog
+
+    cat = MultiTableCatalog(spark, str(tmp_path / "cat"))
+    with cat.transaction("seed") as txn:
+        txn.append("t_a", _events(spark, [1], "a"))
+        txn.append("t_b", _events(spark, [1], "b"))
+
+    errs = []
+
+    def worker(name, ids):
+        try:
+            with cat.transaction(f"bulk {name}") as txn:
+                txn.append(name, _events(spark, ids, name))
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    threads = [
+        threading.Thread(target=worker, args=("t_a", [10])),
+        threading.Thread(target=worker, args=("t_b", [20])),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == []
+    assert cat.current_version() == 3  # seed + both racers, none lost
+    # the latest consistent view carries both writes
+    assert {r["event_id"] for r in cat.read("t_a").collect()} == {1, 10}
+    assert {r["event_id"] for r in cat.read("t_b").collect()} == {1, 20}

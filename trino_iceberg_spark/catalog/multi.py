@@ -38,7 +38,7 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame, SparkSession
 
 from ..errors import EngineError
-from .snapshots import SnapshotTable
+from .snapshots import SnapshotTable, fs_lock
 
 __all__ = ["MultiTableCatalog"]
 
@@ -57,14 +57,21 @@ class MultiTableCatalog:
         return []
 
     def _append_version(self, tables: dict[str, int], message: str) -> int:
-        versions = self._load_versions()
-        vid = (versions[-1]["version"] + 1) if versions else 1
-        versions.append({"version": vid, "message": message, "tables": tables})
+        # Read-modify-write of the commit log under the same atomic
+        # primitive single-table commits use (snapshots.fs_lock): two
+        # concurrent catalog transactions serialize instead of the second
+        # os.replace silently erasing the first's version entry. The lock
+        # covers one JSON write — independent of data size, like every
+        # commit point in this catalog.
         os.makedirs(os.path.dirname(self.versions_path), exist_ok=True)
-        tmp = self.versions_path + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as fh:
-            json.dump(versions, fh)
-        os.replace(tmp, self.versions_path)  # the single atomic publish point
+        with fs_lock(os.path.join(os.path.dirname(self.versions_path), ".catalog.lock")):
+            versions = self._load_versions()
+            vid = (versions[-1]["version"] + 1) if versions else 1
+            versions.append({"version": vid, "message": message, "tables": tables})
+            tmp = self.versions_path + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                json.dump(versions, fh)
+            os.replace(tmp, self.versions_path)  # the single atomic publish point
         return vid
 
     def current_version(self) -> int:

@@ -54,7 +54,34 @@ from pyspark.sql import functions as F
 
 from ..errors import CommitConflictError, EngineError
 
-__all__ = ["SnapshotTable", "Snapshot"]
+__all__ = ["SnapshotTable", "Snapshot", "fs_lock"]
+
+
+@contextlib.contextmanager
+def fs_lock(lock_path: str, timeout: float = 30.0):
+    """O_EXCL lockfile — the local-FS atomic primitive behind every
+    commit CAS / refs read-modify-write in this catalog (a real
+    deployment's catalog service provides this as a conditional PUT /
+    Nessie commit call). Spin with jitter; a crashed holder surfaces as
+    a timeout naming the lock path so an operator can remove it."""
+    os.makedirs(os.path.dirname(lock_path), exist_ok=True)
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            if time.monotonic() > deadline:
+                raise EngineError(
+                    f"timed out acquiring commit lock {lock_path} (stale "
+                    f"lock from a crashed writer? remove it to recover)"
+                ) from None
+            time.sleep(0.002 + random.random() * 0.01)
+    try:
+        yield
+    finally:
+        os.close(fd)
+        os.unlink(lock_path)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -279,34 +306,11 @@ class SnapshotTable:
         return self._branch_head("main")
 
     # -- commits ---------------------------------------------------------
-    @contextlib.contextmanager
     def _commit_lock(self, timeout: float = 30.0):
-        """The atomic primitive behind commit CAS: an O_EXCL lockfile (the
-        local-FS analog of the catalog service's atomic compare-and-swap;
-        Nessie does this inside its backing store). Held only for the
-        pointer re-check + manifest write + pointer advance — manifest
-        ASSEMBLY (including all Spark jobs) happens outside it. A crashed
-        holder is surfaced by the timeout with the lock path so an
-        operator can remove it."""
-        os.makedirs(self.metadata_dir, exist_ok=True)
-        lock = os.path.join(self.metadata_dir, ".commit.lock")
-        deadline = time.monotonic() + timeout
-        while True:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                break
-            except FileExistsError:
-                if time.monotonic() > deadline:
-                    raise EngineError(
-                        f"timed out acquiring commit lock {lock} (stale lock "
-                        f"from a crashed writer? remove it to recover)"
-                    ) from None
-                time.sleep(0.002 + random.random() * 0.01)
-        try:
-            yield
-        finally:
-            os.close(fd)
-            os.unlink(lock)
+        """Table-level commit lock (see :func:`fs_lock`). Held only for
+        the pointer re-check + manifest write + pointer advance —
+        manifest ASSEMBLY (including all Spark jobs) happens outside it."""
+        return fs_lock(os.path.join(self.metadata_dir, ".commit.lock"), timeout)
 
     def _head_for_commit(self, branch: str) -> Snapshot | None:
         """Branch head for commit purposes; a branch that does not exist
