@@ -1762,3 +1762,14 @@ def test_pq_adc_ivf_probes_subset_of_flat(spark, embeddings):
     assert len(ivf) > 0
     hits = [p for p in ivf if (p["query_id"], p["neighbor_id"]) in flat]
     assert all(flat[(p["query_id"], p["neighbor_id"])] == p["adc_score"] for p in hits)
+
+
+def test_pq_codebooks_rejects_ksub_beyond_int8(spark, embeddings):
+    """ksub > 127 would silently wrap the persisted int8 codes and
+    corrupt ADC scoring — it must fail loudly (code-review r9)."""
+    with pytest.raises(ValueError, match="ksub"):
+        S.pq_codebooks(embeddings, "embedding", "vec_id", m=8, ksub=256)
+    import numpy as np
+
+    with pytest.raises(ValueError, match="127"):
+        S._pq_codes_for(np.zeros((2, 64)), [np.zeros((200, 8))])

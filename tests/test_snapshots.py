@@ -897,3 +897,25 @@ def test_concurrent_catalog_transactions_both_recorded(spark, tmp_path):
     # the latest consistent view carries both writes
     assert {r["event_id"] for r in cat.read("t_a").collect()} == {1, 10}
     assert {r["event_id"] for r in cat.read("t_b").collect()} == {1, 20}
+
+
+def test_append_to_legacy_manifest_table_still_commits(spark, tmp_path):
+    """A head manifest written before schema tracking (no schema_id)
+    must still accept data commits — the CAS fingerprint check has no
+    identity to conflict with on legacy tables (code-review r9)."""
+    import json as _json
+
+    t = SnapshotTable(spark, str(tmp_path / "legacy_t"))
+    t.append(_events(spark, [1], "a"))
+    # strip the schema-tracking fields to simulate a legacy manifest
+    p = os.path.join(t.metadata_dir, "v1.json")
+    with open(p, "r", encoding="utf-8") as fh:
+        m = _json.load(fh)
+    for k in ("schema_id", "last_column_id", "schemas", "file_schemas"):
+        m.pop(k, None)
+    with open(p, "w", encoding="utf-8") as fh:
+        _json.dump(m, fh)
+
+    snap = t.append(_events(spark, [2], "b"))  # must not raise
+    assert snap.snapshot_id == 2
+    assert {r["event_id"] for r in t.read().collect()} == {1, 2}

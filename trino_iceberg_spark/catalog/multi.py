@@ -60,14 +60,23 @@ class MultiTableCatalog:
         # Read-modify-write of the commit log under the same atomic
         # primitive single-table commits use (snapshots.fs_lock): two
         # concurrent catalog transactions serialize instead of the second
-        # os.replace silently erasing the first's version entry. The lock
+        # os.replace silently erasing the first's version entry. The
+        # carry-forward of tables UNTOUCHED by this commit happens in
+        # here, against the versions read under the lock — reading
+        # versions[-1] outside it would revert a concurrent
+        # transaction's table to its pre-commit snapshot in the new
+        # version (the other half of the lost-update bug). The lock
         # covers one JSON write — independent of data size, like every
         # commit point in this catalog.
         os.makedirs(os.path.dirname(self.versions_path), exist_ok=True)
         with fs_lock(os.path.join(os.path.dirname(self.versions_path), ".catalog.lock")):
             versions = self._load_versions()
+            merged = dict(tables)
+            if versions:
+                for tname, sid in versions[-1]["tables"].items():
+                    merged.setdefault(tname, sid)
             vid = (versions[-1]["version"] + 1) if versions else 1
-            versions.append({"version": vid, "message": message, "tables": tables})
+            versions.append({"version": vid, "message": message, "tables": merged})
             tmp = self.versions_path + ".tmp"
             with open(tmp, "w", encoding="utf-8") as fh:
                 json.dump(versions, fh)
@@ -138,13 +147,9 @@ class MultiTableCatalog:
             t = self.table(name)
             t.publish(txn.branch)
             t.drop_ref(txn.branch)
-        staged = dict(txn.staged)
-        # carry forward tables untouched by this transaction
-        versions = self._load_versions()
-        if versions:
-            for tname, sid in versions[-1]["tables"].items():
-                staged.setdefault(tname, sid)
-        self._append_version(staged, message)
+        # untouched tables are carried forward INSIDE _append_version,
+        # under the catalog lock — see its comment
+        self._append_version(dict(txn.staged), message)
 
 
 class _Transaction:

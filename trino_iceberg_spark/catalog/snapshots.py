@@ -165,9 +165,14 @@ class SnapshotTable:
         os.replace(tmp, self.refs_path)
 
     def _snapshot_by_id(self, snapshot_id: int) -> Snapshot:
-        for snap in self.snapshots():
-            if snap.snapshot_id == snapshot_id:
-                return snap
+        # Manifests are named v<id>.json with ids assigned from the same
+        # counter (_write_manifest), so the lookup is one direct file
+        # read — this sits inside the commit critical section via
+        # _branch_head, where an O(all-manifests) scan would make
+        # lock-hold time grow with table history.
+        p = os.path.join(self.metadata_dir, f"v{snapshot_id}.json")
+        if os.path.isfile(p):
+            return self._load_manifest(p)
         raise EngineError(f"snapshot {snapshot_id} not found in {self.table_dir}")
 
     def _branch_head(self, branch: str) -> Snapshot | None:
@@ -274,31 +279,32 @@ class SnapshotTable:
             key=lambda p: int(os.path.basename(p)[1:-5]),
         )
 
+    @staticmethod
+    def _snapshot_from_dict(m: dict) -> Snapshot:
+        return Snapshot(
+            snapshot_id=m["snapshot_id"],
+            committed_at_us=m["committed_at_us"],
+            operation=m["operation"],
+            files=tuple(m["files"]),
+            row_count=m["row_count"],
+            schema_id=m.get("schema_id"),
+            last_column_id=m.get("last_column_id"),
+            schemas=m.get("schemas"),
+            file_schemas=m.get("file_schemas"),
+            file_stats=m.get("file_stats"),
+            parent_snapshot_id=m.get("parent_snapshot_id"),
+            properties=m.get("properties"),
+            partition_specs=m.get("partition_specs"),
+            default_spec_id=m.get("default_spec_id"),
+            file_partitions=m.get("file_partitions"),
+        )
+
+    def _load_manifest(self, path: str) -> Snapshot:
+        with open(path, "r", encoding="utf-8") as fh:
+            return self._snapshot_from_dict(json.load(fh))
+
     def snapshots(self) -> list[Snapshot]:
-        out = []
-        for p in self._manifest_paths():
-            with open(p, "r", encoding="utf-8") as fh:
-                m = json.load(fh)
-            out.append(
-                Snapshot(
-                    snapshot_id=m["snapshot_id"],
-                    committed_at_us=m["committed_at_us"],
-                    operation=m["operation"],
-                    files=tuple(m["files"]),
-                    row_count=m["row_count"],
-                    schema_id=m.get("schema_id"),
-                    last_column_id=m.get("last_column_id"),
-                    schemas=m.get("schemas"),
-                    file_schemas=m.get("file_schemas"),
-                    file_stats=m.get("file_stats"),
-                    parent_snapshot_id=m.get("parent_snapshot_id"),
-                    properties=m.get("properties"),
-                    partition_specs=m.get("partition_specs"),
-                    default_spec_id=m.get("default_spec_id"),
-                    file_partitions=m.get("file_partitions"),
-                )
-            )
-        return out
+        return [self._load_manifest(p) for p in self._manifest_paths()]
 
     def current_snapshot(self) -> Snapshot | None:
         """Head of the ``main`` branch (the newest manifest on tables that
@@ -352,13 +358,23 @@ class SnapshotTable:
         )
 
     def _write_manifest(self, prev: Snapshot | None, manifest: dict) -> Snapshot:
-        all_snaps = self.snapshots()
-        # max+1, not prev+1: branch commits chain from their own head but
-        # ids stay globally unique across branches
-        snapshot_id = (all_snaps[-1].snapshot_id + 1) if all_snaps else 1
+        # This runs INSIDE the commit lock, so it must stay O(1) in table
+        # history: only the single newest manifest is parsed (id counter +
+        # monotone-timestamp floor), never the whole chain — a streaming
+        # table with thousands of micro-batch commits would otherwise pay
+        # O(n) JSON parses per commit while every other writer spins.
+        paths = self._manifest_paths()
+        if paths:
+            last = self._load_manifest(paths[-1])
+            # max+1, not prev+1: branch commits chain from their own head
+            # but ids stay globally unique across branches
+            snapshot_id = last.snapshot_id + 1
+            floor_us = last.committed_at_us
+        else:
+            snapshot_id, floor_us = 1, -1
         now_us = int(dt.datetime.now(dt.timezone.utc).timestamp() * 1e6)
-        if all_snaps and now_us <= all_snaps[-1].committed_at_us:
-            now_us = all_snaps[-1].committed_at_us + 1  # strictly increasing
+        if now_us <= floor_us:
+            now_us = floor_us + 1  # strictly increasing
         manifest.update(
             {
                 "snapshot_id": snapshot_id,
@@ -373,7 +389,7 @@ class SnapshotTable:
         with open(tmp, "w", encoding="utf-8") as fh:
             json.dump(manifest, fh)
         os.replace(tmp, final)  # atomic commit point
-        return self.snapshots()[-1]
+        return self._snapshot_from_dict(manifest)
 
     @staticmethod
     def _columns_from_spark_schema(schema, start_id: int = 1) -> list[dict]:
@@ -700,7 +716,15 @@ class SnapshotTable:
         )
 
         def build(prev: Snapshot | None) -> dict:
-            if prev is not None and _fingerprint(prev) != fp_written:
+            # A legacy head (pre-schema-tracking manifest, schema_id None)
+            # carries no identity to conflict WITH — commits to legacy
+            # tables bootstrapped their schema positionally before this
+            # check existed and must keep doing so.
+            if (
+                prev is not None
+                and prev.schema_id is not None
+                and _fingerprint(prev) != fp_written
+            ):
                 raise CommitConflictError(
                     f"concurrent schema/partition-spec change on "
                     f"{self.table_dir} while a {operation!r} commit was "

@@ -537,6 +537,11 @@ def pq_codebooks(
 
     Returns ``[m][ksub][dim/m]`` nested lists (collected once — tiny by
     construction, ships in task closures)."""
+    if not 1 <= ksub <= 127:
+        # codes persist as signed int8 (array<tinyint>); 128+ would wrap
+        # silently and corrupt the index. The canonical 256-entry setting
+        # needs a wider code dtype — widen ByteType before raising this.
+        raise ValueError(f"ksub must be in [1, 127] for int8 codes (got {ksub})")
     samples = _seeded_centroids(df, embedding_col, id_col, ksub, seed)
     if not samples:
         raise ValueError("pq_codebooks: empty corpus")
@@ -626,6 +631,9 @@ def _pq_codes_for(U, books):
     lowest code) — replay bit-for-bit in the SQL oracle."""
     import numpy as np
 
+    if any(C.shape[0] > 127 for C in books):
+        # guard externally-built books too, not just pq_codebooks' own
+        raise ValueError("PQ codebooks exceed 127 entries — int8 codes would wrap")
     codes = np.empty((len(U), len(books)), dtype=np.int8)
     for j, C in enumerate(books):
         dsub = C.shape[1]
