@@ -919,3 +919,37 @@ def test_append_to_legacy_manifest_table_still_commits(spark, tmp_path):
     snap = t.append(_events(spark, [2], "b"))  # must not raise
     assert snap.snapshot_id == 2
     assert {r["event_id"] for r in t.read().collect()} == {1, 2}
+
+
+def test_cas_stress_many_writers_many_commits(spark, tmp_path):
+    """8 writers x 3 commits each, all racing on one table: every commit
+    must land exactly once (24 + base snapshots, linear chain, row count
+    = total rows) — the sustained-contention version of the 2-thread
+    pin, sized to stay test-suite-fast."""
+    import threading
+
+    path = str(tmp_path / "cas_stress_tt")
+    SnapshotTable(spark, path).append(_events(spark, [0], "base"))
+    errs = []
+
+    def writer(w):
+        try:
+            t = SnapshotTable(spark, path)
+            for c in range(3):
+                t.append(_events(spark, [w * 3 + c + 1], f"w{w}"))
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == []
+    table = SnapshotTable(spark, path)
+    snaps = table.main_ancestry()
+    assert len(snaps) == 25
+    for parent, child in zip(snaps, snaps[1:]):
+        assert child.parent_snapshot_id == parent.snapshot_id
+    assert table.read().count() == 25
+    assert snaps[-1].row_count == 25

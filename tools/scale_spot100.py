@@ -206,7 +206,22 @@ def _production_entries():
             max_cell_size=5000,
         )
 
-    return {"ss03_production": ss03_production, "dd11_production": dd11_production}
+    def ss14_production(spark, d):
+        # IVF-PQ in production sizing (derived cells) — the round-9
+        # operator's own empirical scale point: per-query work pinned at
+        # nprobe x target_cell_size CODES (m-byte lookups, not vectors)
+        e = _emb(spark, d)
+        q = e.filter(F.col("vec_id") % 50 == 0)
+        return S.pq_adc_topk(
+            e, q, "embedding", "vec_id", k=5, m=8, ksub=16,
+            num_cells=None, nprobe=3, target_cell_size=1000,
+        )
+
+    return {
+        "ss03_production": ss03_production,
+        "dd11_production": dd11_production,
+        "ss14_production": ss14_production,
+    }
 
 
 def main() -> int:
