@@ -1773,3 +1773,55 @@ def test_pq_codebooks_rejects_ksub_beyond_int8(spark, embeddings):
 
     with pytest.raises(ValueError, match="127"):
         S._pq_codes_for(np.zeros((2, 64)), [np.zeros((200, 8))])
+
+
+def test_pq_index_incremental_equals_from_scratch(spark, embeddings):
+    """The persisted IVF-PQ index (ss09 pattern): base ingest freezes
+    centroids + codebooks and commits its rows; the delta routes+encodes
+    with the SAME frozen quantizers and appends. The two-commit table
+    must be row-identical to a from-scratch build of the full corpus —
+    the property that makes PQ index maintenance cost ∝ delta."""
+    import tempfile
+
+    from trino_iceberg_spark.catalog.snapshots import SnapshotTable
+
+    base = embeddings.filter(F.col("vec_id") % 2 == 0)
+    delta = embeddings.filter(F.col("vec_id") % 2 == 1)
+    cents = S._seeded_centroids(base, "embedding", "vec_id", 8, seed=42)
+    books = S.pq_codebooks(base, "embedding", "vec_id", m=8, ksub=16)
+
+    table = SnapshotTable(spark, tempfile.mkdtemp() + "/pq_index")
+    table.append(S.pq_index_rows(base, "embedding", "vec_id", cents, books))
+    table.append(S.pq_index_rows(delta, "embedding", "vec_id", cents, books))
+    assert len(table.snapshots()) == 2  # genuinely incremental
+
+    def rows(df):
+        return {
+            r["vec_id"]: (r["cell"], tuple(r["pq_code"])) for r in df.collect()
+        }
+
+    scratch = rows(S.pq_index_rows(embeddings, "embedding", "vec_id", cents, books))
+    assert rows(table.read()) == scratch
+
+
+def test_mmr_rerank_composes_with_pq_candidate_stage(spark, embeddings):
+    """Two-stage retrieve-then-rerank with IVF-PQ as the candidate
+    stage: pq_adc_topk slots into mmr_rerank's `topk` hook (the ss13
+    pattern with a ~32x-compressed first stage). The reranker only
+    needs (query_id, neighbor_id, cosine) — ADC scores serve as the
+    relevance, and the output contract is unchanged."""
+    books = S.pq_codebooks(embeddings, "embedding", "vec_id", m=16, ksub=16)
+
+    def pq_topk(cand, qry):
+        return S.pq_adc_topk(
+            cand, qry, "embedding", "vec_id", k=8,
+            num_cells=8, nprobe=3, codebooks=books,
+        ).withColumnRenamed("adc_score", "cosine")
+
+    q = embeddings.filter(F.col("vec_id") % 100 == 0)
+    out = S.mmr_rerank(embeddings, q, "embedding", "vec_id", k=3, pool=8, topk=pq_topk)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["mmr_rank"])
+    assert by_q and all(sorted(v) == [1, 2, 3] for v in by_q.values())

@@ -44,6 +44,7 @@ __all__ = [
     "quantized_cosine_topk",
     "pq_codebooks",
     "pq_encode",
+    "pq_index_rows",
     "pq_adc_topk",
     "centroid_fixed_point",
     "semantic_dedup_pairs",
@@ -704,6 +705,60 @@ def pq_encode(
     return src.mapInPandas(encode, out_schema).withColumnRenamed("_id", id_col)
 
 
+def pq_index_rows(
+    df: DataFrame,
+    embedding_col: str,
+    id_col: str,
+    cents: list[list[float]],
+    codebooks: list[list[list[float]]],
+    out_code_col: str = "pq_code",
+) -> DataFrame:
+    """``(id_col, cell, pq_code)`` — the PERSISTED IVF-PQ index rows,
+    the PQ analog of :func:`ivf_assignments`: freeze centroids + books
+    from the base ingest, commit these rows as a catalog table, and on
+    every append route+encode ONLY the delta with the SAME frozen
+    coarse/fine quantizers — maintenance cost ∝ delta, and the stored
+    index is ~dim·4/m× smaller than the vectors it stands for. One
+    map-side numpy pass per Arrow batch (no shuffle); incremental ==
+    from-scratch equality is pinned in tests. :func:`pq_adc_topk` uses
+    this same routine for its candidate side, so a search served from
+    the persisted table is identical to an in-flight encode."""
+    import numpy as np
+    import pandas as pd
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    C = np.asarray(cents, dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0] = 1.0
+    CT = (C / cn[:, None]).T  # same renormalized router as _route_cells
+
+    src = df.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(embedding_col)).alias("_v")
+    )
+    id_field = src.schema["_id"]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_field.name, id_field.dataType),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField(out_code_col, T.ArrayType(T.ByteType())),
+        ]
+    )
+
+    def route_encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+            U = _seq_unit_rows(V)
+            cells = (U @ CT).argmax(axis=1).astype("int32")  # first max = lowest cell
+            codes = _pq_codes_for(U, books)
+            yield pd.DataFrame(
+                {"_id": pdf["_id"].to_numpy(), "cell": cells, out_code_col: list(codes)}
+            )
+
+    return src.mapInPandas(route_encode, out_schema).withColumnRenamed("_id", id_col)
+
+
 def pq_adc_topk(
     candidates: DataFrame,
     queries: DataFrame,
@@ -768,30 +823,10 @@ def pq_adc_topk(
     def _src(df: DataFrame) -> DataFrame:
         return df.select(F.col(id_col).alias("_id"), vcol.alias("_v"))
 
-    cand_src = _src(candidates)
-    id_field = cand_src.schema["_id"]
-    cand_schema = T.StructType(
-        [
-            T.StructField(id_field.name, id_field.dataType),
-            T.StructField("_cell", T.IntegerType()),
-            T.StructField("_code", T.ArrayType(T.ByteType())),
-        ]
-    )
-
-    def route_encode(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
-            U = _seq_unit_rows(V)
-            cells = (U @ CT).argmax(axis=1).astype("int32")  # first max = lowest cell
-            codes = _pq_codes_for(U, books)
-            yield pd.DataFrame(
-                {"_id": pdf["_id"].to_numpy(), "_cell": cells, "_code": list(codes)}
-            )
-
-    c = cand_src.mapInPandas(route_encode, cand_schema).select(
-        F.col("_id").alias("neighbor_id"), "_cell", "_code"
+    c = pq_index_rows(candidates, embedding_col, id_col, cents, codebooks).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("cell").alias("_cell"),
+        F.col("pq_code").alias("_code"),
     )
 
     qry_src = _src(queries)
