@@ -1775,14 +1775,12 @@ def test_pq_codebooks_rejects_ksub_beyond_int8(spark, embeddings):
         S._pq_codes_for(np.zeros((2, 64)), [np.zeros((200, 8))])
 
 
-def test_pq_index_incremental_equals_from_scratch(spark, embeddings):
+def test_pq_index_incremental_equals_from_scratch(spark, embeddings, tmp_path):
     """The persisted IVF-PQ index (ss09 pattern): base ingest freezes
     centroids + codebooks and commits its rows; the delta routes+encodes
     with the SAME frozen quantizers and appends. The two-commit table
     must be row-identical to a from-scratch build of the full corpus —
     the property that makes PQ index maintenance cost ∝ delta."""
-    import tempfile
-
     from trino_iceberg_spark.catalog.snapshots import SnapshotTable
 
     base = embeddings.filter(F.col("vec_id") % 2 == 0)
@@ -1790,7 +1788,7 @@ def test_pq_index_incremental_equals_from_scratch(spark, embeddings):
     cents = S._seeded_centroids(base, "embedding", "vec_id", 8, seed=42)
     books = S.pq_codebooks(base, "embedding", "vec_id", m=8, ksub=16)
 
-    table = SnapshotTable(spark, tempfile.mkdtemp() + "/pq_index")
+    table = SnapshotTable(spark, str(tmp_path / "pq_index"))
     table.append(S.pq_index_rows(base, "embedding", "vec_id", cents, books))
     table.append(S.pq_index_rows(delta, "embedding", "vec_id", cents, books))
     assert len(table.snapshots()) == 2  # genuinely incremental
@@ -1800,6 +1798,9 @@ def test_pq_index_incremental_equals_from_scratch(spark, embeddings):
             r["vec_id"]: (r["cell"], tuple(r["pq_code"])) for r in df.collect()
         }
 
+    # count first: the dict keying below would silently collapse
+    # duplicated ids, so row-identity needs both checks
+    assert table.read().count() == embeddings.count()
     scratch = rows(S.pq_index_rows(embeddings, "embedding", "vec_id", cents, books))
     assert rows(table.read()) == scratch
 

@@ -934,7 +934,10 @@ def test_cas_stress_many_writers_many_commits(spark, tmp_path):
 
     def writer(w):
         try:
-            t = SnapshotTable(spark, path)
+            # 24 commits race on one table, so a single append can lose up
+            # to 23 CAS rounds — size the retry budget above the worst
+            # case (the default 10 would make this test flaky by design).
+            t = SnapshotTable(spark, path, commit_attempts=64)
             for c in range(3):
                 t.append(_events(spark, [w * 3 + c + 1], f"w{w}"))
         except Exception as exc:  # noqa: BLE001

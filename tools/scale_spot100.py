@@ -10,10 +10,11 @@ What runs at 100x:
 - ``dd03_minhash_lsh_pairs``: the registry entry as-is (banded
   equi-join; band-bucket occupancy + viral-shingle cap are the paths
   under test).
-- ``ss03_production`` / ``dd11_production``: the ivf_topk /
-  semantic_dedup_pairs OPERATORS in production sizing — ``num_cells``
-  DERIVED from the corpus (the `_derived_num_cells` path) instead of
-  the oracle-pinned 8/16 cells the registry entries carry. The pinned
+- ``ss03_production`` / ``dd11_production`` / ``ss14_production``:
+  the ivf_topk / semantic_dedup_pairs / pq_adc_topk OPERATORS in
+  production sizing — ``num_cells`` DERIVED from the corpus (the
+  `_derived_num_cells` path) instead of the oracle-pinned 8/16 cells
+  the registry entries carry. The pinned
   variants are quadratic BY CONSTRUCTION (fixed cell count => cell
   size grows with n => pair work ~n^2/cells — same documented status
   as ss01's exact baseline); the derived path holds pair work at

@@ -138,12 +138,18 @@ class Snapshot:
 class SnapshotTable:
     """A snapshot-versioned parquet table rooted at ``table_dir``."""
 
-    def __init__(self, spark: SparkSession, table_dir: str):
+    def __init__(
+        self, spark: SparkSession, table_dir: str, commit_attempts: int = 10
+    ):
         self.spark = spark
         self.table_dir = os.path.abspath(table_dir)
         self.data_dir = os.path.join(self.table_dir, "data")
         self.metadata_dir = os.path.join(self.table_dir, "metadata")
         self.refs_path = os.path.join(self.metadata_dir, "refs.json")
+        # Iceberg's commit.retry.num-retries analog: CAS-race retry budget
+        # per commit. The worst case a writer can lose is (concurrent
+        # commits - 1), so heavily-contended writers should size this up.
+        self.commit_attempts = commit_attempts
 
     # -- named refs (Nessie-style branches & tags) -----------------------
     def _load_refs(self) -> dict:
@@ -327,7 +333,7 @@ class SnapshotTable:
         return None
 
     def _commit_version(
-        self, branch: str, build, max_attempts: int = 10
+        self, branch: str, build, max_attempts: int | None = None
     ) -> Snapshot:
         """Nessie-style optimistic commit. ``build(prev)`` assembles the
         manifest dict against the head read OUTSIDE the critical section
@@ -337,6 +343,8 @@ class SnapshotTable:
         the read — otherwise the attempt retries against the new head.
         Losing a race costs one manifest re-assembly (metadata-only, no
         data rewrite), exactly Iceberg/Nessie's retry economics."""
+        if max_attempts is None:
+            max_attempts = self.commit_attempts
         for _ in range(max_attempts):
             prev = self._head_for_commit(branch)
             manifest = build(prev)

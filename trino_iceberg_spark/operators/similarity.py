@@ -287,6 +287,19 @@ def _derived_num_cells(n_rows: int, target_cell_size: int) -> int:
     return max(16, math.ceil(n_rows / max(1, target_cell_size)))
 
 
+def _unit_centroids(cent_rows: list[list[float]]):
+    """``(dim, cells)`` transposed unit-row centroid matrix — the one
+    renormalized router every cell-routing path shares (zero-norm
+    centroids pass through unnormalized, matching the expression
+    semantics this numpy path replaced)."""
+    import numpy as np
+
+    C = np.asarray(cent_rows, dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0] = 1.0
+    return (C / cn[:, None]).T
+
+
 def _route_cells(src: DataFrame, cent_rows: list[list[float]], nprobe: int = 1) -> DataFrame:
     """Route ``(_id, _v array<double>)`` rows to their ``nprobe`` nearest
     centroid cells via one numpy GEMM per Arrow batch, emitting
@@ -303,10 +316,7 @@ def _route_cells(src: DataFrame, cent_rows: list[list[float]], nprobe: int = 1) 
     import numpy as np
     import pandas as pd
 
-    C = np.asarray(cent_rows, dtype=np.float64)
-    cn = np.linalg.norm(C, axis=1)
-    cn[cn == 0] = 1.0
-    CT = (C / cn[:, None]).T  # (dim, cells); centroids re-unit for safety
+    CT = _unit_centroids(cent_rows)  # (dim, cells)
 
     id_field = src.schema["_id"]
     out_schema = T.StructType(
@@ -726,11 +736,13 @@ def pq_index_rows(
     import numpy as np
     import pandas as pd
 
+    if id_col in ("cell", out_code_col):
+        raise ValueError(
+            f"id_col {id_col!r} collides with an index output column "
+            f"('cell', {out_code_col!r}) — rename the id or the code column"
+        )
     books = [np.asarray(b, dtype=np.float64) for b in codebooks]
-    C = np.asarray(cents, dtype=np.float64)
-    cn = np.linalg.norm(C, axis=1)
-    cn[cn == 0] = 1.0
-    CT = (C / cn[:, None]).T  # same renormalized router as _route_cells
+    CT = _unit_centroids(cents)  # same renormalized router as _route_cells
 
     src = df.select(
         F.col(id_col).alias("_id"), _as_double(F.col(embedding_col)).alias("_v")
@@ -813,18 +825,24 @@ def pq_adc_topk(
     if num_cells is None:
         num_cells = _derived_num_cells(candidates.count(), target_cell_size)
     cents = _seeded_centroids(candidates, embedding_col, id_col, num_cells, seed)
-    C = np.asarray(cents, dtype=np.float64)
-    cn = np.linalg.norm(C, axis=1)
-    cn[cn == 0] = 1.0
-    CT = (C / cn[:, None]).T  # same renormalized router as _route_cells
+    CT = _unit_centroids(cents)  # same renormalized router as _route_cells
 
     vcol = _as_double(F.col(embedding_col))
 
     def _src(df: DataFrame) -> DataFrame:
         return df.select(F.col(id_col).alias("_id"), vcol.alias("_v"))
 
-    c = pq_index_rows(candidates, embedding_col, id_col, cents, codebooks).select(
-        F.col(id_col).alias("neighbor_id"),
+    # route through a collision-proof internal id so id_col may be
+    # anything (incl. "cell"/"pq_code", which pq_index_rows' own output
+    # contract reserves)
+    c = pq_index_rows(
+        candidates.select(F.col(id_col).alias("_pq_id"), vcol.alias("_pq_v")),
+        "_pq_v",
+        "_pq_id",
+        cents,
+        codebooks,
+    ).select(
+        F.col("_pq_id").alias("neighbor_id"),
         F.col("cell").alias("_cell"),
         F.col("pq_code").alias("_code"),
     )
