@@ -956,3 +956,24 @@ def test_cas_stress_many_writers_many_commits(spark, tmp_path):
         assert child.parent_snapshot_id == parent.snapshot_id
     assert table.read().count() == 25
     assert snaps[-1].row_count == 25
+
+
+def test_fs_lock_releases_and_reports_stale_holder(tmp_path):
+    """The commit lockfile must vanish on release, and a stale lock (a
+    crashed writer's leftover) must time out with an error naming the
+    path and the recorded holder — the operator-recovery contract the
+    docstring promises."""
+    from trino_iceberg_spark.catalog.snapshots import fs_lock
+
+    lock = str(tmp_path / "metadata" / ".commit.lock")
+    with fs_lock(lock):
+        with open(lock, encoding="utf-8") as fh:
+            assert fh.read() == f"pid={os.getpid()}"
+        with pytest.raises(EngineError) as exc:
+            with fs_lock(lock, timeout=0.05):
+                pass
+        assert ".commit.lock" in str(exc.value)
+        assert f"pid={os.getpid()}" in str(exc.value)
+    assert not os.path.exists(lock)  # released
+    with fs_lock(lock, timeout=0.05):  # and re-acquirable
+        pass

@@ -72,12 +72,25 @@ def fs_lock(lock_path: str, timeout: float = 30.0):
             break
         except FileExistsError:
             if time.monotonic() > deadline:
+                # Surface WHO holds it and for how long, so the operator
+                # can tell a crashed writer (old lock, dead pid) from a
+                # live slow one before removing the file.
+                holder = "<unreadable>"
+                try:
+                    with open(lock_path, "r", encoding="utf-8") as fh:
+                        holder = fh.read().strip() or holder
+                    age = time.time() - os.path.getmtime(lock_path)
+                    holder += f", age {age:.1f}s"
+                except OSError:
+                    pass
                 raise EngineError(
-                    f"timed out acquiring commit lock {lock_path} (stale "
-                    f"lock from a crashed writer? remove it to recover)"
+                    f"timed out acquiring commit lock {lock_path} held by "
+                    f"[{holder}] (stale lock from a crashed writer? remove "
+                    f"it to recover)"
                 ) from None
             time.sleep(0.002 + random.random() * 0.01)
     try:
+        os.write(fd, f"pid={os.getpid()}".encode())
         yield
     finally:
         os.close(fd)
