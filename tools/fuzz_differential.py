@@ -14,6 +14,15 @@ The grammar deliberately stays inside the deterministic common dialect:
   LIKE 'prefix%' with metacharacter-escaped prefixes, CASE, ||,
   upper/lower/substr/coalesce, date_trunc).
 
+Round-9 shapes: date/time expressions (date_trunc buckets as GROUP BY
+keys — CAST AS TIMESTAMP on both sides since DuckDB returns DATE for
+timestamp input while Spark returns TIMESTAMP; EXTRACT field keys;
+INTERVAL '+k MONTH/DAY' arithmetic in predicates — week truncation and
+month-end clamping probed equal before wiring) and three-valued-logic
+shapes over REAL null-extended rows (LEFT JOIN with a filtered ON
+manufactures NULLs, then IS [NOT] DISTINCT FROM, NULLIF/COALESCE
+sentinel keys, and FILTER-counted null-safe comparisons run over them).
+
 Round-7 shapes: window frames + navigation (LAG/LEAD with defaults,
 FIRST_VALUE/LAST_VALUE and bounded ROWS frames, all ordered by the
 unique PK so frames are engine-deterministic); conditional aggregation
@@ -510,8 +519,122 @@ def _gen_in_subquery(rng: random.Random, pools: dict) -> str:
     )
 
 
+# tables with a timestamp column the datetime shapes can bucket on
+TS_COLS = [("orders", "o_orderdate"), ("lineitem", "l_shipdate")]
+
+
+def _gen_datetime(rng: random.Random, pools: dict) -> str:
+    """Date/time expression shapes (round 9): date_trunc buckets as
+    GROUP BY keys, EXTRACT fields, and INTERVAL arithmetic in
+    predicates — TPC-H's bread and butter. Dialect notes verified
+    before wiring: DuckDB's date_trunc on TIMESTAMP returns DATE while
+    Spark returns TIMESTAMP, so buckets are CAST AS TIMESTAMP on both;
+    week truncation (ISO Monday) and month-end INTERVAL clamping
+    (Jan 31 + 1 MONTH = Feb 28) were probed equal on both engines."""
+    tbl, ts = rng.choice(TS_COLS)
+    lo, hi = pools[ts]
+    k = rng.randrange(1, 7)
+    unit_iv = rng.choice(["MONTH", "DAY"])
+    anchor = rng.choice(
+        [
+            f"{ts} >= TIMESTAMP '{lo}' + INTERVAL '{k}' {unit_iv}",
+            f"{ts} < TIMESTAMP '{hi}' - INTERVAL '{k}' {unit_iv}",
+        ]
+    )
+    mode = rng.randrange(3)
+    if mode == 0:
+        unit = rng.choice(["year", "quarter", "month", "week", "day"])
+        bucket = f"CAST(date_trunc('{unit}', {ts}) AS TIMESTAMP)"
+        agg_e, agg_a = _aggregate(rng, SCHEMA[tbl])
+        return (
+            f"SELECT {bucket} AS bucket, COUNT(*) AS a_cnt, {agg_e} AS {agg_a}"
+            f" FROM {tbl} WHERE {anchor} GROUP BY {bucket}"
+        )
+    if mode == 1:
+        fields = rng.sample(["YEAR", "MONTH", "DAY"], rng.randrange(1, 3))
+        keys = [f"EXTRACT({f} FROM {ts})" for f in fields]
+        sel = ", ".join(f"{k_} AS e_{f.lower()}" for k_, f in zip(keys, fields))
+        fcol, fkind = rng.choice(list(SCHEMA[tbl].items()))
+        where = (
+            f" WHERE {_predicate(rng, fcol, fkind, pools)}"
+            if rng.random() < 0.5
+            else ""
+        )
+        return (
+            f"SELECT {sel}, COUNT(*) AS a_cnt FROM {tbl}{where}"
+            f" GROUP BY {', '.join(keys)}"
+        )
+    # mode 2: interval predicate only, plain aggregate — the pushdown shape
+    agg_e, agg_a = _aggregate(rng, SCHEMA[tbl])
+    gk = rng.choice(GROUP_KEYS[tbl])
+    return (
+        f"SELECT {gk}, {agg_e} AS {agg_a} FROM {tbl}"
+        f" WHERE {anchor} GROUP BY {gk}"
+    )
+
+
+def _gen_null_logic(rng: random.Random, pools: dict) -> str:
+    """Three-valued-logic shapes (round 9) over REAL null-extended rows:
+    a LEFT JOIN whose ON clause filters the right side manufactures
+    NULLs, then IS [NOT] DISTINCT FROM / NULLIF / COALESCE run over
+    them — the null-semantics corners plain predicates never reach.
+    IS DISTINCT FROM was probed supported+equal on both engines."""
+    left, right, cond = rng.choice(JOINS)
+    rcol, rkind = rng.choice(list(SCHEMA[right].items()))
+    extra = _predicate(rng, rcol, rkind, pools)
+    from_sql = f"{left} LEFT JOIN {right} ON {cond} AND {extra}"
+    # ts columns stay out: CAST(TIMESTAMP AS DOUBLE) is a DuckDB error
+    ncol, nkind = rng.choice(
+        [(c, k) for c, k in SCHEMA[right].items() if k != "ts"]
+    )
+    mode = rng.randrange(3)
+    if mode == 0:
+        # IS [NOT] DISTINCT FROM a data-derived literal — unlike <> it is
+        # TRUE/FALSE (never UNKNOWN) on the null-extended rows
+        if nkind == "str":
+            lit = _sql_str(rng.choice(pools[ncol]))
+        else:
+            lit = str(rng.choice(pools[ncol]))
+        neg = "NOT " if rng.random() < 0.5 else ""
+        gk = rng.choice(GROUP_KEYS[left])
+        return (
+            f"SELECT {gk}, COUNT(*) AS a_cnt FROM {from_sql}"
+            f" WHERE {ncol} IS {neg}DISTINCT FROM {lit} GROUP BY {gk}"
+        )
+    if mode == 1:
+        # COALESCE the null-extended group key to a sentinel; NULLIF makes
+        # extra NULLs from matched rows equal to the pool literal
+        if nkind == "str":
+            sent, v = "'<missing>'", _sql_str(rng.choice(pools[ncol]))
+            key = f"COALESCE(NULLIF({ncol}, {v}), {sent})"
+        else:
+            key = f"COALESCE(CAST({ncol} AS DOUBLE), -1.0)"
+        return (
+            f"SELECT {key} AS k, COUNT(*) AS a_cnt, COUNT({ncol}) AS a_matched"
+            f" FROM {from_sql} GROUP BY {key}"
+        )
+    # mode 2: null-safe self-comparison between the two sides' columns —
+    # grouped counts of the DISTINCT-FROM verdicts
+    lcol = rng.choice([c for c, k in SCHEMA[left].items() if k == "str"])
+    rstr = [c for c, k in SCHEMA[right].items() if k == "str"]
+    if not rstr:
+        rstr = list(SCHEMA[right])
+    ncol2 = rng.choice(rstr)
+    return (
+        f"SELECT COUNT(*) AS a_cnt,"
+        f" COUNT(*) FILTER (WHERE {lcol} IS DISTINCT FROM {ncol2}) AS a_diff,"
+        f" COUNT(*) FILTER (WHERE {ncol2} IS NULL) AS a_null"
+        f" FROM {from_sql}"
+    )
+
+
 def gen_query(rng: random.Random, pools: dict) -> str:
     shape = rng.random()
+    if shape < 0.06:
+        return _gen_datetime(rng, pools)
+    if shape < 0.12:
+        return _gen_null_logic(rng, pools)
+    shape = (shape - 0.12) / 0.88  # renormalize the round-6/7 shapes below
     if shape < 0.08:
         return _gen_window_frames(rng, pools)
     if shape < 0.15:
