@@ -958,6 +958,19 @@ def test_cas_stress_many_writers_many_commits(spark, tmp_path):
     assert snaps[-1].row_count == 25
 
 
+def test_concurrent_schedule_fuzz_slice(spark, tmp_path):
+    """Deterministic slice of tools/fuzz_concurrent.py: one generated
+    multi-writer schedule (seed 0: 4 writers x 3 ops mixing append/
+    overwrite/add_column) checked for linearizability — linear chain,
+    success-set == chain-set, serialized-fold row replay, metadata row
+    count, evolved columns present. Full sweeps run per round with
+    fresh seeds."""
+    from tools.fuzz_concurrent import run_schedule
+
+    ok, conflict = run_schedule(spark, str(tmp_path), seed=0, writers=4, ops=3)
+    assert ok + conflict == 12  # every op adjudicated ok-or-legal-conflict
+
+
 def test_fs_lock_releases_and_reports_stale_holder(tmp_path):
     """The commit lockfile must vanish on release, and a stale lock (a
     crashed writer's leftover) must time out with an error naming the

@@ -1,0 +1,230 @@
+#!/usr/bin/env python
+"""Generative concurrency fuzz for the snapshot catalog's CAS commit
+protocol (round 9): random multi-writer schedules of append / overwrite
+/ add_column race on one table, and the outcome must be LINEARIZABLE —
+exactly the guarantee Nessie/Iceberg's optimistic commit model makes
+and `_commit_version` claims.
+
+Each schedule: W writer threads each run K operations against the same
+table (fresh per schedule). Operations tag themselves with an `op_id`
+commit property, so after the threads join the main-branch ancestry IS
+the serialization order. The checker then asserts, per schedule:
+
+1. the ancestry is one linear chain (every child's parent pointer is
+   the previous snapshot — no fork, no orphan);
+2. the set of op_ids in the chain equals the set of operations that
+   RETURNED SUCCESS, each exactly once — a writer that saw success is
+   never lost (the lost-update bug CAS replaced), a writer that saw
+   CommitConflictError never half-lands;
+3. replaying the chain's operations in ancestry order over a model
+   multiset (append adds its rows, overwrite resets to its rows,
+   evolve changes nothing) reproduces the final table's rows AND the
+   final snapshot's row_count metadata;
+4. every successfully added column is present in the final schema.
+
+Conflicts are legal outcomes only where the design says so: a data
+commit staged under a schema that a concurrent add_column replaced
+(CommitConflictError from the fingerprint check), or a writer whose
+schema read went stale before staging (EngineError schema mismatch).
+Plain append/append and append/overwrite races must all succeed —
+writers carry a retry budget sized above worst-case contention.
+
+Usage:
+    python tools/fuzz_concurrent.py            # 6 schedules, seed 0
+    python tools/fuzz_concurrent.py 10 7       # 10 schedules, seed 7
+
+Exit code 1 on any violation; prints the schedule plan for replay.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import shutil
+import sys
+import tempfile
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import types as T  # noqa: E402
+
+from trino_iceberg_spark.catalog.snapshots import (  # noqa: E402
+    CommitConflictError,
+    SnapshotTable,
+)
+from trino_iceberg_spark.errors import EngineError  # noqa: E402
+
+
+def _plan_schedule(rng: random.Random, writers: int, ops: int) -> list[list[dict]]:
+    """Per-writer op lists, planned deterministically from the seed.
+    op_ids are globally unique; append/overwrite values are disjoint
+    ranges derived from the op_id so the model fold is unambiguous."""
+    plan = []
+    op_id = 0
+    for _w in range(writers):
+        mine = []
+        for _k in range(ops):
+            op_id += 1
+            roll = rng.random()
+            if roll < 0.62:
+                kind = "append"
+            elif roll < 0.80:
+                kind = "overwrite"
+            else:
+                kind = "evolve"
+            vals = [op_id * 100 + j for j in range(rng.randrange(1, 4))]
+            mine.append({"op_id": op_id, "kind": kind, "vals": vals})
+        plan.append(mine)
+    return plan
+
+
+def _df_for(spark, table: SnapshotTable, vals: list[int]):
+    """Build a DataFrame matching the table's CURRENT schema: base
+    columns (v INT, tag STRING) plus NULL for any concurrently-evolved
+    c_* column. A stale schema read is one of the legal race windows."""
+    cols = table.schema_columns or [
+        {"name": "v", "type": "integer"},
+        {"name": "tag", "type": "string"},
+    ]
+    fields, template = [], []
+    for c in cols:
+        if c["name"] == "v":
+            fields.append(T.StructField("v", T.IntegerType()))
+        elif c["name"] == "tag":
+            fields.append(T.StructField("tag", T.StringType()))
+        else:
+            fields.append(T.StructField(c["name"], T.IntegerType()))
+        template.append(c["name"])
+    rows = [
+        tuple(v if n == "v" else ("t" if n == "tag" else None) for n in template)
+        for v in vals
+    ]
+    return spark.createDataFrame(rows, T.StructType(fields)).coalesce(1)
+
+
+def run_schedule(spark, base_dir: str, seed: int, writers: int = 4, ops: int = 3):
+    """One fuzzed schedule; raises AssertionError on any violation.
+    Returns (n_ok, n_conflict) for reporting."""
+    rng = random.Random(seed)
+    path = os.path.join(base_dir, f"cc_{seed}")
+    shutil.rmtree(path, ignore_errors=True)
+    plan = _plan_schedule(rng, writers, ops)
+    boot = SnapshotTable(spark, path, commit_attempts=128)
+    boot.append(_df_for(spark, boot, [0]), properties={"op_id": "base"})
+
+    results: dict[int, str] = {}
+    errs: list[BaseException] = []
+
+    def run_writer(my_ops: list[dict]) -> None:
+        try:
+            t = SnapshotTable(spark, path, commit_attempts=128)
+            for op in my_ops:
+                try:
+                    if op["kind"] == "evolve":
+                        t.add_column(f"c_{op['op_id']}", "INT")
+                    else:
+                        df = _df_for(spark, t, op["vals"])
+                        fn = t.append if op["kind"] == "append" else t.overwrite
+                        fn(df, properties={"op_id": str(op["op_id"])})
+                    results[op["op_id"]] = "ok"
+                except CommitConflictError:
+                    results[op["op_id"]] = "conflict"
+                except EngineError as exc:
+                    if "schema mismatch" not in str(exc):
+                        raise
+                    results[op["op_id"]] = "conflict"  # stale schema read
+        except BaseException as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    threads = [threading.Thread(target=run_writer, args=(w,)) for w in plan]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, f"unexpected writer errors: {errs!r}"
+
+    by_id = {op["op_id"]: op for mine in plan for op in mine}
+    ok_ids = {i for i, r in results.items() if r == "ok"}
+    conflict_ids = {i for i, r in results.items() if r == "conflict"}
+    # conflicts are only legal for ops that can race evolution
+    evolving = any(op["kind"] == "evolve" for mine in plan for op in mine)
+    for i in conflict_ids:
+        assert by_id[i]["kind"] != "evolve", f"evolve op {i} conflicted"
+        assert evolving, f"op {i} conflicted with no evolution in the schedule"
+
+    table = SnapshotTable(spark, path)
+    snaps = table.main_ancestry()
+    # 1. linear chain
+    for parent, child in zip(snaps, snaps[1:]):
+        assert child.parent_snapshot_id == parent.snapshot_id, "forked chain"
+    # 2. chain ops == successful ops, each exactly once
+    chain_data_ids = [
+        int(s.properties["op_id"])
+        for s in snaps[1:]
+        if s.properties and s.properties.get("op_id")
+    ]
+    evolve_snaps = [
+        s for s in snaps[1:] if not (s.properties and s.properties.get("op_id"))
+    ]
+    ok_data = {i for i in ok_ids if by_id[i]["kind"] != "evolve"}
+    ok_evolve = {i for i in ok_ids if by_id[i]["kind"] == "evolve"}
+    assert len(chain_data_ids) == len(set(chain_data_ids)), "op landed twice"
+    assert set(chain_data_ids) == ok_data, (
+        f"chain/data mismatch: chain={sorted(chain_data_ids)} ok={sorted(ok_data)}"
+    )
+    assert len(evolve_snaps) == len(ok_evolve), "evolve count mismatch"
+    # 3. model fold in serialization order == table rows == metadata count
+    model: list[int] = [0]
+    for s in snaps[1:]:
+        if s.properties and s.properties.get("op_id"):
+            op = by_id[int(s.properties["op_id"])]
+            if op["kind"] == "append":
+                model.extend(op["vals"])
+            else:
+                model = list(op["vals"])
+    got = sorted(r["v"] for r in table.read().select("v").collect())
+    assert got == sorted(model), f"rows diverge: got={got} model={sorted(model)}"
+    assert snaps[-1].row_count == len(model), "row_count metadata diverges"
+    # 4. every successful evolve's column exists
+    names = {c["name"] for c in (table.schema_columns or [])}
+    for i in ok_evolve:
+        assert f"c_{i}" in names, f"evolved column c_{i} missing"
+    return len(ok_ids), len(conflict_ids)
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    seed0 = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    from trino_iceberg_spark.session import get_spark
+
+    spark = get_spark(app_name="fuzz_concurrent", shuffle_partitions=4)
+    base = tempfile.mkdtemp(prefix="fuzz_concurrent_")
+    t0 = time.time()
+    total_ok = total_conflict = 0
+    try:
+        for i in range(n):
+            seed = seed0 + i
+            rng = random.Random(seed)
+            writers = rng.choice([3, 4, 5])
+            ops = rng.choice([2, 3])
+            ok, conflict = run_schedule(spark, base, seed, writers, ops)
+            total_ok += ok
+            total_conflict += conflict
+            print(
+                f"  schedule {i + 1}/{n} (seed={seed}, {writers}x{ops}): "
+                f"{ok} committed, {conflict} legal conflicts"
+            )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    print(
+        f"fuzz_concurrent: {n} schedules, seed {seed0}: all linearizable "
+        f"({total_ok} commits, {total_conflict} legal conflicts, "
+        f"{time.time() - t0:.0f}s)"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
