@@ -958,10 +958,64 @@ def test_cas_stress_many_writers_many_commits(spark, tmp_path):
     assert snaps[-1].row_count == 25
 
 
+def test_delete_where_does_not_erase_concurrent_append(spark, tmp_path):
+    """The copy-on-write DML lost-update window: a DELETE staged against
+    snapshot N used to commit fine after an append landed at N+1 —
+    silently erasing the appended rows, because the overwrite composed
+    against any same-schema head. With based_on validation the first
+    attempt conflicts and the retry re-derives against the new head, so
+    the racer's row survives."""
+    path = str(tmp_path / "rmw_tt")
+    t = SnapshotTable(spark, path)
+    t.append(_events(spark, [1, 2], "base"))
+    other = SnapshotTable(spark, path)
+    real_read = t._read_snapshot
+    injections = {"n": 0}
+
+    def racing_read(snap):
+        df = real_read(snap)
+        if injections["n"] == 0:  # racer lands between read and commit
+            injections["n"] += 1
+            other.append(_events(spark, [3], "racer"))
+        return df
+
+    t._read_snapshot = racing_read
+    t.delete_where(F.col("event_id") == 1)
+    assert injections["n"] == 1
+    assert {r["event_id"] for r in t.read().collect()} == {2, 3}
+    snaps = t.main_ancestry()
+    assert [s.operation for s in snaps] == ["append", "append", "overwrite"]
+    assert snaps[-1].row_count == 2
+
+
+def test_maintenance_rewrite_conflicts_instead_of_erasing(spark, tmp_path):
+    """Compaction validates its read snapshot and has NO retry loop: a
+    commit landing mid-compaction surfaces as CommitConflictError and
+    the concurrent rows stay intact — never silently rewritten away."""
+    from trino_iceberg_spark.errors import CommitConflictError
+
+    path = str(tmp_path / "compact_tt")
+    t = SnapshotTable(spark, path)
+    t.append(_events(spark, [1], "a"))
+    t.append(_events(spark, [2], "b"))
+    other = SnapshotTable(spark, path)
+    real_read = t._read_snapshot
+
+    def racing_read(snap):
+        df = real_read(snap)
+        other.append(_events(spark, [3], "racer"))
+        return df
+
+    t._read_snapshot = racing_read
+    with pytest.raises(CommitConflictError):
+        t.compact_small_files(target_files=1)
+    assert {r["event_id"] for r in t.read().collect()} == {1, 2, 3}
+
+
 def test_concurrent_schedule_fuzz_slice(spark, tmp_path):
     """Deterministic slice of tools/fuzz_concurrent.py: one generated
     multi-writer schedule (seed 0: 4 writers x 3 ops mixing append/
-    overwrite/add_column) checked for linearizability — linear chain,
+    overwrite/delete_where/add_column) checked for linearizability — linear chain,
     success-set == chain-set, serialized-fold row replay, metadata row
     count, evolved columns present. Full sweeps run per round with
     fresh seeds."""

@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """Generative concurrency fuzz for the snapshot catalog's CAS commit
 protocol (round 9): random multi-writer schedules of append / overwrite
-/ add_column race on one table, and the outcome must be LINEARIZABLE —
+/ delete_where / add_column race on one table, and the outcome must be
+LINEARIZABLE —
 exactly the guarantee Nessie/Iceberg's optimistic commit model makes
 and `_commit_version` claims.
 
@@ -18,15 +19,19 @@ the serialization order. The checker then asserts, per schedule:
    CommitConflictError never half-lands;
 3. replaying the chain's operations in ancestry order over a model
    multiset (append adds its rows, overwrite resets to its rows,
-   evolve changes nothing) reproduces the final table's rows AND the
-   final snapshot's row_count metadata;
+   delete filters by its predicate, evolve changes nothing) reproduces
+   the final table's rows AND the final snapshot's row_count metadata —
+   in particular, a delete landing AFTER a concurrent append must keep
+   the appended rows its predicate doesn't match (the copy-on-write
+   lost-update window based_on validation closed);
 4. every successfully added column is present in the final schema.
 
 Conflicts are legal outcomes only where the design says so: a data
 commit staged under a schema that a concurrent add_column replaced
 (CommitConflictError from the fingerprint check), or a writer whose
 schema read went stale before staging (EngineError schema mismatch).
-Plain append/append and append/overwrite races must all succeed —
+Plain append/append and append/overwrite races must all succeed, and
+read-modify-write deletes retry internally so they must ALWAYS land —
 writers carry a retry budget sized above worst-case contention.
 
 Usage:
@@ -68,14 +73,23 @@ def _plan_schedule(rng: random.Random, writers: int, ops: int) -> list[list[dict
         for _k in range(ops):
             op_id += 1
             roll = rng.random()
-            if roll < 0.62:
+            if roll < 0.52:
                 kind = "append"
-            elif roll < 0.80:
+            elif roll < 0.67:
                 kind = "overwrite"
+            elif roll < 0.82:
+                kind = "delete"
             else:
                 kind = "evolve"
             vals = [op_id * 100 + j for j in range(rng.randrange(1, 4))]
-            mine.append({"op_id": op_id, "kind": kind, "vals": vals})
+            mine.append(
+                {
+                    "op_id": op_id,
+                    "kind": kind,
+                    "vals": vals,
+                    "digit": rng.randrange(10),
+                }
+            )
         plan.append(mine)
     return plan
 
@@ -124,6 +138,16 @@ def run_schedule(spark, base_dir: str, seed: int, writers: int = 4, ops: int = 3
                 try:
                     if op["kind"] == "evolve":
                         t.add_column(f"c_{op['op_id']}", "INT")
+                    elif op["kind"] == "delete":
+                        # read-modify-write: retries internally on races,
+                        # so under any schedule it must SUCCEED — a lost
+                        # concurrent append surfaces in the model fold
+                        from pyspark.sql import functions as F
+
+                        t.delete_where(
+                            F.col("v") % 10 == op["digit"],
+                            properties={"op_id": str(op["op_id"])},
+                        )
                     else:
                         df = _df_for(spark, t, op["vals"])
                         fn = t.append if op["kind"] == "append" else t.overwrite
@@ -148,10 +172,13 @@ def run_schedule(spark, base_dir: str, seed: int, writers: int = 4, ops: int = 3
     by_id = {op["op_id"]: op for mine in plan for op in mine}
     ok_ids = {i for i, r in results.items() if r == "ok"}
     conflict_ids = {i for i, r in results.items() if r == "conflict"}
-    # conflicts are only legal for ops that can race evolution
+    # conflicts are only legal for STAGED data commits racing evolution;
+    # evolves and read-modify-write deletes retry internally and must land
     evolving = any(op["kind"] == "evolve" for mine in plan for op in mine)
     for i in conflict_ids:
-        assert by_id[i]["kind"] != "evolve", f"evolve op {i} conflicted"
+        assert by_id[i]["kind"] in ("append", "overwrite"), (
+            f"{by_id[i]['kind']} op {i} conflicted — its retry loop failed"
+        )
         assert evolving, f"op {i} conflicted with no evolution in the schedule"
 
     table = SnapshotTable(spark, path)
@@ -182,6 +209,8 @@ def run_schedule(spark, base_dir: str, seed: int, writers: int = 4, ops: int = 3
             op = by_id[int(s.properties["op_id"])]
             if op["kind"] == "append":
                 model.extend(op["vals"])
+            elif op["kind"] == "delete":
+                model = [v for v in model if v % 10 != op["digit"]]
             else:
                 model = list(op["vals"])
     got = sorted(r["v"] for r in table.read().select("v").collect())

@@ -52,7 +52,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..errors import CommitConflictError, EngineError
+from ..errors import CommitConflictError, EngineError, SchemaMismatchError
 
 __all__ = ["SnapshotTable", "Snapshot", "fs_lock"]
 
@@ -95,6 +95,12 @@ def fs_lock(lock_path: str, timeout: float = 30.0):
     finally:
         os.close(fd)
         os.unlink(lock_path)
+
+
+# Sentinel for _commit's based_on: "this commit derived from no read and
+# composes against any same-schema head" (appends, INSERT OVERWRITE) —
+# distinct from based_on=None, which means "derived from an EMPTY table".
+_UNVALIDATED = object()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -599,6 +605,7 @@ class SnapshotTable:
         cluster_partitions: int | None = None,
         allow_create: bool = False,
         properties: dict[str, str] | None = None,
+        based_on: int | None | object = _UNVALIDATED,
     ) -> Snapshot:
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.metadata_dir, exist_ok=True)
@@ -643,7 +650,7 @@ class SnapshotTable:
             last_column_id = prev.last_column_id
             want = [c["name"] for c in cols]
             if set(df.columns) != set(want):
-                raise EngineError(
+                raise SchemaMismatchError(
                     f"commit schema mismatch for {self.table_dir}: table columns "
                     f"{want}, data columns {list(df.columns)} (use add_column/"
                     f"drop_column/rename_column to evolve the schema first)"
@@ -737,6 +744,24 @@ class SnapshotTable:
         )
 
         def build(prev: Snapshot | None) -> dict:
+            # Serializable isolation for read-modify-write commits
+            # (Iceberg's validateNoConflictingData for copy-on-write
+            # DML): the staged files were DERIVED from snapshot
+            # `based_on`, so any other head means this rewrite would
+            # silently drop rows committed since the read — conflict
+            # instead, and let the caller re-derive (delete_where/
+            # update_where/merge retry the whole read-modify-write).
+            # Plain INSERT OVERWRITE passes based_on=_UNVALIDATED:
+            # last-writer-wins is its correct semantics.
+            if based_on is not _UNVALIDATED and (
+                prev.snapshot_id if prev else None
+            ) != based_on:
+                raise CommitConflictError(
+                    f"concurrent update on {self.table_dir}: this rewrite "
+                    f"read snapshot {based_on} but the table advanced to "
+                    f"{prev.snapshot_id if prev else None} — re-derive "
+                    f"against the current state and re-commit"
+                )
             # A legacy head (pre-schema-tracking manifest, schema_id None)
             # carries no identity to conflict WITH — commits to legacy
             # tables bootstrapped their schema positionally before this
@@ -1306,26 +1331,67 @@ class SnapshotTable:
         return ins.unionByName(dels).unionByName(upd_b).unionByName(upd_a)
 
     # -- row-level operations (copy-on-write) ----------------------------
-    def merge(self, source: DataFrame, key_cols: list[str]) -> Snapshot:
+    def _rewrite_commit(self, derive, properties=None) -> Snapshot:
+        """Read-modify-write commit with serializable isolation:
+        ``derive(current_df)`` produces the rewritten table, which commits
+        as an overwrite VALIDATED against the snapshot the read saw
+        (``based_on``). If another writer advanced the table between the
+        read and the commit point, the commit conflicts instead of
+        silently dropping the concurrent rows (the lost-update window
+        copy-on-write DML otherwise has — Iceberg closes it the same way,
+        validateNoConflictingData + operation-level retry), and the whole
+        read-modify-write re-derives against the new head, up to
+        ``commit_attempts`` times."""
+        last: EngineError | None = None
+        for _ in range(self.commit_attempts):
+            snap = self.current_snapshot()
+            if snap is None:
+                raise EngineError(f"table {self.table_dir} has no snapshots")
+            try:
+                return self._commit(
+                    derive(self._read_snapshot(snap)),
+                    "overwrite",
+                    properties=properties,
+                    based_on=snap.snapshot_id,
+                )
+            except (CommitConflictError, SchemaMismatchError) as exc:
+                # head moved past our read (or the schema evolved before
+                # our staging write landed) — re-derive and try again
+                last = exc
+        raise CommitConflictError(
+            f"read-modify-write on {self.table_dir} lost the validation "
+            f"race {self.commit_attempts} times — giving up"
+        ) from last
+
+    def merge(
+        self, source: DataFrame, key_cols: list[str], properties=None
+    ) -> Snapshot:
         """MERGE INTO analog (upsert): rows in ``source`` replace current
         rows with the same key; unmatched source rows append. Committed as
         one overwrite snapshot — readers see either the pre- or post-merge
         table, never a partial state (the same atomicity Iceberg's MERGE
-        gets from its snapshot commit).
+        gets from its snapshot commit). Validated against the read
+        snapshot and retried on concurrent commits (_rewrite_commit).
 
         Copy-on-write: the non-matching remainder is rewritten. At 100 TB
         you'd partition the table and rewrite only touched partitions —
         same algorithm, narrower remainder; merge-on-read (delete files) is
         the Iceberg v2 alternative this deliberately trades away for
         zero-cost reads."""
-        current = self.read()
-        remainder = current.join(source.select(*key_cols), key_cols, "left_anti")
-        merged = remainder.unionByName(source)
-        return self._commit(merged, "overwrite")
 
-    def delete_where(self, condition) -> Snapshot:
+        def derive(current: DataFrame) -> DataFrame:
+            remainder = current.join(
+                source.select(*key_cols), key_cols, "left_anti"
+            )
+            return remainder.unionByName(source)
+
+        return self._rewrite_commit(derive, properties)
+
+    def delete_where(self, condition, properties=None) -> Snapshot:
         """DELETE WHERE analog: rewrite the table without matching rows,
-        as one overwrite snapshot (copy-on-write row-level delete).
+        as one overwrite snapshot (copy-on-write row-level delete),
+        validated against the read snapshot and retried on concurrent
+        commits (_rewrite_commit).
 
         Three-valued logic (found by tools/fuzz_dml.py): DELETE removes
         only rows where the condition IS TRUE — a NULL condition keeps
@@ -1334,22 +1400,26 @@ class SnapshotTable:
         drop those rows)."""
         from pyspark.sql import functions as F
 
-        kept = self.read().filter(~F.coalesce(condition, F.lit(False)))
-        return self._commit(kept, "overwrite")
+        return self._rewrite_commit(
+            lambda cur: cur.filter(~F.coalesce(condition, F.lit(False))),
+            properties,
+        )
 
-    def update_where(self, condition, assignments: dict) -> Snapshot:
+    def update_where(self, condition, assignments: dict, properties=None) -> Snapshot:
         """UPDATE WHERE analog: rewrite with ``assignments`` (col → Column
-        expression) applied to matching rows."""
+        expression) applied to matching rows; validated against the read
+        snapshot and retried on concurrent commits (_rewrite_commit)."""
         from pyspark.sql import functions as F
 
-        df = self.read()
-        updated = df.withColumns(
-            {
-                col: F.when(condition, expr).otherwise(F.col(col))
-                for col, expr in assignments.items()
-            }
+        return self._rewrite_commit(
+            lambda cur: cur.withColumns(
+                {
+                    col: F.when(condition, expr).otherwise(F.col(col))
+                    for col, expr in assignments.items()
+                }
+            ),
+            properties,
         )
-        return self._commit(updated, "overwrite")
 
     # -- maintenance -----------------------------------------------------
     def expire_snapshots(self, older_than: dt.datetime | None = None, retain_last: int = 1) -> int:
@@ -1405,7 +1475,10 @@ class SnapshotTable:
         df = self._read_snapshot(snap)  # schema-aware: rewrites under the current mapping
         if target_files is not None:
             df = df.coalesce(target_files)
-        return self._commit(df, "overwrite")
+        # based_on: a commit landing mid-compaction surfaces as a
+        # CommitConflictError rather than being silently erased by the
+        # rewrite; maintenance is re-runnable, so no auto-retry loop here
+        return self._commit(df, "overwrite", based_on=snap.snapshot_id)
 
     def rewrite_sorted(
         self, sort_cols: list[str], target_files: int | None = None
@@ -1435,6 +1508,7 @@ class SnapshotTable:
             "overwrite",
             cluster_by=list(sort_cols),
             cluster_partitions=target_files or len(snap.files),
+            based_on=snap.snapshot_id,  # concurrent commits conflict, not vanish
         )
 
     def rewrite_zorder(
@@ -1493,7 +1567,11 @@ class SnapshotTable:
             .sortWithinPartitions("_z")
             .select(*df.columns)
         )
-        return self._commit(clustered, "overwrite")
+        return self._commit(
+            clustered,
+            "overwrite",
+            based_on=snap.snapshot_id,  # concurrent commits conflict, not vanish
+        )
 
     def rollback_to(self, snapshot_id: int, branch: str = "main") -> Snapshot:
         """Iceberg ``rollback_to_snapshot`` analog: a METADATA-ONLY commit

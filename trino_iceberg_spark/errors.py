@@ -16,6 +16,7 @@ __all__ = [
     "UnloadError",
     "StorageError",
     "CommitConflictError",
+    "SchemaMismatchError",
 ]
 
 
@@ -49,3 +50,11 @@ class CommitConflictError(EngineError):
     retry budget allows (Nessie-style optimistic concurrency), or the
     refreshed head was incompatible with the staged write (e.g. the schema
     evolved underneath a data commit)."""
+
+
+class SchemaMismatchError(EngineError):
+    """A data commit's columns do not match the table's current schema.
+    On a direct append this is a caller error (evolve the schema first);
+    inside a read-modify-write commit it can only mean concurrent
+    evolution between the read and the staging write, so
+    ``_rewrite_commit`` treats it as retryable."""
