@@ -75,7 +75,12 @@ def test_remove_orphan_files(spark, table):
     orphan = os.path.join(table.data_dir, "deadbeef-99999.parquet")
     with open(orphan, "wb") as fh:
         fh.write(b"not a real parquet")
-    assert table.remove_orphan_files() == 1
+    # the default age floor spares RECENT unreferenced files — they may
+    # be an in-flight commit's staged data (Iceberg's 3-day rule)
+    assert table.remove_orphan_files() == 0
+    assert os.path.exists(orphan)
+    # explicit zero floor: caller asserts no writer is active
+    assert table.remove_orphan_files(older_than_s=0.0) == 1
     assert not os.path.exists(orphan)
     assert table.read().count() == 1
 
@@ -1010,6 +1015,28 @@ def test_maintenance_rewrite_conflicts_instead_of_erasing(spark, tmp_path):
     with pytest.raises(CommitConflictError):
         t.compact_small_files(target_files=1)
     assert {r["event_id"] for r in t.read().collect()} == {1, 2, 3}
+
+
+def test_expire_serializes_with_commits(spark, tmp_path):
+    """expire_snapshots must take the commit lock for its liveness
+    decision + manifest removal: a concurrent metadata-only rollback_to
+    re-references an old snapshot's files, so an unserialized expire
+    could delete data a just-committed rollback resurrected."""
+    path = str(tmp_path / "expire_tt")
+    t = SnapshotTable(spark, path)
+    t.append(_events(spark, [1], "a"))
+    t.append(_events(spark, [2], "b"))
+    acquired = []
+    real = t._commit_lock
+
+    def spy(timeout: float = 30.0):
+        acquired.append(True)
+        return real(timeout)
+
+    t._commit_lock = spy
+    assert t.expire_snapshots(retain_last=1) == 1
+    assert acquired  # the decision ran under the lock
+    assert t.read().count() == 2  # head intact
 
 
 def test_concurrent_schedule_fuzz_slice(spark, tmp_path):

@@ -1427,28 +1427,46 @@ class SnapshotTable:
         ``older_than`` (keeping at least ``retain_last`` newest), then
         delete data files no surviving snapshot references
         (TrinoConfigurationProvider.cs:62 min-retention=0s behavior)."""
-        snaps = self.snapshots()
-        if not snaps:
-            return 0
-        cutoff_us = (
-            int(older_than.timestamp() * 1e6)
-            if older_than is not None
-            else snaps[-1].committed_at_us + 1
-        )
-        keep = [s for s in snaps if s.committed_at_us >= cutoff_us]
-        must_keep = snaps[-retain_last:] if retain_last > 0 else []
-        keep_ids = {s.snapshot_id for s in keep} | {s.snapshot_id for s in must_keep}
-        # named refs pin their snapshots: a tagged release or a live branch
-        # head never expires out from under its readers
-        refs = self._load_refs()
-        keep_ids |= set(refs["branches"].values()) | set(refs["tags"].values())
-        expired = [s for s in snaps if s.snapshot_id not in keep_ids]
-        live_files = set()
-        for s in snaps:
-            if s.snapshot_id in keep_ids:
-                live_files.update(s.files)
+        # Phase 1 UNDER THE COMMIT LOCK: decide liveness and remove the
+        # expired MANIFESTS — the reachability change. Serializing this
+        # against commits closes the expire-vs-rollback race: a
+        # metadata-only rollback_to re-references an old snapshot's data
+        # files, so deciding liveness from a stale snapshot list could
+        # delete files a just-committed rollback resurrected. Under the
+        # lock, the rollback either lands first (its head pins the files
+        # below) or resolves the already-removed manifest and fails
+        # cleanly. Lock hold is O(manifests) metadata work — expire is
+        # rare maintenance; the data-file unlinks happen OUTSIDE the
+        # lock, where the files are already unreachable from any
+        # surviving manifest.
+        with self._commit_lock():
+            snaps = self.snapshots()
+            if not snaps:
+                return 0
+            cutoff_us = (
+                int(older_than.timestamp() * 1e6)
+                if older_than is not None
+                else snaps[-1].committed_at_us + 1
+            )
+            keep = [s for s in snaps if s.committed_at_us >= cutoff_us]
+            must_keep = snaps[-retain_last:] if retain_last > 0 else []
+            keep_ids = {s.snapshot_id for s in keep} | {
+                s.snapshot_id for s in must_keep
+            }
+            # named refs pin their snapshots: a tagged release or a live
+            # branch head never expires out from under its readers
+            refs = self._load_refs()
+            keep_ids |= set(refs["branches"].values()) | set(refs["tags"].values())
+            expired = [s for s in snaps if s.snapshot_id not in keep_ids]
+            live_files = set()
+            for s in snaps:
+                if s.snapshot_id in keep_ids:
+                    live_files.update(s.files)
+            for s in expired:
+                os.remove(os.path.join(self.metadata_dir, f"v{s.snapshot_id}.json"))
+        # Phase 2, lock released: unlink data files no surviving snapshot
+        # references (they are unreachable — nothing can re-pin them now).
         for s in expired:
-            os.remove(os.path.join(self.metadata_dir, f"v{s.snapshot_id}.json"))
             for f in s.files:
                 if f not in live_files:
                     path = os.path.join(self.table_dir, f)
@@ -1609,17 +1627,27 @@ class SnapshotTable:
 
         return self._commit_version(branch, build)
 
-    def remove_orphan_files(self) -> int:
+    def remove_orphan_files(self, older_than_s: float = 3 * 24 * 3600.0) -> int:
         """Iceberg ``remove_orphan_files`` analog: delete parquet files in
-        data/ referenced by no manifest (failed-write leftovers)."""
+        data/ referenced by no manifest (failed-write leftovers).
+
+        ``older_than_s`` mirrors Iceberg's 3-day default for the same
+        reason Iceberg has it: an IN-FLIGHT commit moves its staged files
+        into data/ BEFORE writing the manifest that references them, so a
+        concurrent orphan sweep with no age floor would delete the files
+        out from under the commit. Only files untouched for the window
+        are candidates; pass ``older_than_s=0.0`` only when no writer can
+        be active (tests, decommissioned tables)."""
         referenced = set()
         for s in self.snapshots():
             referenced.update(s.files)
+        cutoff = time.time() - older_than_s
         removed = 0
         if os.path.isdir(self.data_dir):
             for fn in os.listdir(self.data_dir):
                 rel = f"data/{fn}"
-                if rel not in referenced:
-                    os.remove(os.path.join(self.data_dir, fn))
+                full = os.path.join(self.data_dir, fn)
+                if rel not in referenced and os.path.getmtime(full) <= cutoff:
+                    os.remove(full)
                     removed += 1
         return removed
