@@ -475,6 +475,57 @@ def test_failed_transaction_publishes_nothing(spark, tmp_path):
     assert cat.read("t").count() == 5
 
 
+def test_conflicting_transactions_never_lose_commits(spark, tmp_path):
+    """Two transactions branch the same table off the same base; the one
+    publishing second must CONFLICT (base CAS at the publish point), not
+    silently move main past the first's commits — and a conflicted
+    transaction publishes NOTHING (no table pointer, no catalog
+    version): Nessie's all-or-nothing multi-table commit."""
+    from trino_iceberg_spark.catalog.multi import MultiTableCatalog
+    from trino_iceberg_spark.errors import CommitConflictError
+
+    cat = MultiTableCatalog(spark, str(tmp_path / "cat_conflict"))
+    with cat.transaction("init") as txn:
+        txn.append("t1", spark.range(5).toDF("id"))
+        txn.append("t2", spark.range(5).toDF("id"))
+    v_init = cat.current_version()
+    with pytest.raises(CommitConflictError):
+        with cat.transaction("loser") as txn:
+            txn.append("t1", spark.range(100, 103).toDF("id"))
+            txn.append("t2", spark.range(100, 103).toDF("id"))
+            # a whole competing transaction lands on an overlapping
+            # table while this one is still staging
+            with cat.transaction("winner") as inner:
+                inner.append("t1", spark.range(50, 52).toDF("id"))
+    # the winner's commit survives; the loser published NOTHING on
+    # either table (t2 untouched despite its staged snapshot)
+    assert sorted(r["id"] for r in cat.read("t1").collect()) == [0, 1, 2, 3, 4, 50, 51]
+    assert cat.read("t2").count() == 5
+    assert cat.current_version() == v_init + 1  # only the winner's version
+    # staging refs dropped on both tables
+    for name in ("t1", "t2"):
+        refs = cat.table(name)._load_refs()
+        assert not [b for b in refs["branches"] if b.startswith("_txn_")]
+
+
+def test_publish_requires_fast_forward(spark, tmp_path):
+    """WAP publish validates the fast-forward rule: main advancing after
+    the branch point makes the publish a conflict (it would erase the
+    newer main commits), and force=True remains the escape hatch."""
+    from trino_iceberg_spark.errors import CommitConflictError
+
+    t = SnapshotTable(spark, str(tmp_path / "ff_tt"))
+    t.append(spark.range(3).toDF("id"))
+    t.create_branch("audit")
+    t.append(spark.range(10, 12).toDF("id"), branch="audit")
+    t.append(spark.range(20, 21).toDF("id"))  # main advances independently
+    with pytest.raises(CommitConflictError):
+        t.publish("audit")
+    assert t.read().count() == 4  # main intact: 3 + 1
+    t.publish("audit", force=True)  # explicit override still available
+    assert t.read().count() == 5  # audit chain: 3 + 2
+
+
 def test_untouched_tables_carry_forward(spark, tmp_path):
     from trino_iceberg_spark.catalog.multi import MultiTableCatalog
 
@@ -1050,6 +1101,20 @@ def test_concurrent_schedule_fuzz_slice(spark, tmp_path):
 
     ok, conflict = run_schedule(spark, str(tmp_path), seed=0, writers=4, ops=3)
     assert ok + conflict == 12  # every op adjudicated ok-or-legal-conflict
+
+
+def test_concurrent_txn_fuzz_slice(spark, tmp_path):
+    """Deterministic slice of tools/fuzz_concurrent.py's multi-table
+    schedule: 3 writers x 2 transactions race on overlapping tables;
+    conflicted transactions restage wholesale, and the checker proves
+    the version log is a lossless serialization with cross-table
+    atomicity at EVERY version."""
+    from tools.fuzz_concurrent import run_txn_schedule
+
+    n_txn, n_versions = run_txn_schedule(
+        spark, str(tmp_path), seed=0, writers=3, txns=2
+    )
+    assert (n_txn, n_versions) == (6, 6)
 
 
 def test_fs_lock_releases_and_reports_stale_holder(tmp_path):

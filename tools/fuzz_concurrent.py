@@ -223,6 +223,126 @@ def run_schedule(spark, base_dir: str, seed: int, writers: int = 4, ops: int = 3
     return len(ok_ids), len(conflict_ids)
 
 
+def run_txn_schedule(spark, base_dir: str, seed: int, writers: int = 3, txns: int = 2):
+    """Concurrent MULTI-TABLE transactions racing on overlapping table
+    sets (the round-9 all-or-nothing publish). Writers retry conflicted
+    transactions wholesale (restage + republish, the documented
+    contract). Afterward the catalog version log is the serialization
+    order and the checker asserts:
+
+    - every successful transaction appears in the log exactly once and
+      every version id is consecutive (no lost or duplicated publish);
+    - per table, the final rows are the base plus exactly the appends of
+      every successful transaction touching it;
+    - CROSS-TABLE ATOMICITY: at every catalog version, a transaction's
+      rows are present in either ALL the tables it touched or NONE —
+      the partial-publish state the single publish atom forbids."""
+    import itertools
+
+    from trino_iceberg_spark.catalog.multi import MultiTableCatalog
+
+    rng = random.Random(seed)
+    root = os.path.join(base_dir, f"txn_{seed}")
+    shutil.rmtree(root, ignore_errors=True)
+    cat = MultiTableCatalog(spark, root)
+    tables = ["ta", "tb", "tc"]
+    with cat.transaction("base") as txn:
+        for name in tables:
+            txn.append(name, _df_for(spark, cat.table(name), [0]))
+
+    plan = []
+    op_id = 0
+    for _w in range(writers):
+        mine = []
+        for _k in range(txns):
+            op_id += 1
+            touched = rng.sample(tables, rng.randrange(1, 3))
+            mine.append(
+                {
+                    "op_id": op_id,
+                    "touched": touched,
+                    "vals": {
+                        name: [op_id * 100 + j]
+                        for j, name in enumerate(touched)
+                    },
+                }
+            )
+        plan.append(mine)
+    results: dict[int, str] = {}
+    errs: list[BaseException] = []
+
+    def run_writer(my_txns: list[dict]) -> None:
+        try:
+            from trino_iceberg_spark.errors import CommitConflictError
+
+            mycat = MultiTableCatalog(spark, root)
+            for op in my_txns:
+                for _attempt in range(30):
+                    try:
+                        with mycat.transaction(str(op["op_id"])) as txn:
+                            for name in op["touched"]:
+                                txn.append(
+                                    name,
+                                    _df_for(
+                                        spark, mycat.table(name), op["vals"][name]
+                                    ),
+                                )
+                        results[op["op_id"]] = "ok"
+                        break
+                    except CommitConflictError:
+                        continue  # restage the whole transaction
+                else:
+                    results[op["op_id"]] = "gave_up"
+        except BaseException as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    threads = [threading.Thread(target=run_writer, args=(w,)) for w in plan]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, f"unexpected writer errors: {errs!r}"
+    assert all(r == "ok" for r in results.values()), f"gave up: {results!r}"
+
+    by_id = {op["op_id"]: op for mine in plan for op in mine}
+    versions = cat._load_versions()
+    msgs = [v["message"] for v in versions]
+    assert msgs[0] == "base"
+    landed = [int(m) for m in msgs[1:]]
+    assert sorted(landed) == sorted(by_id), f"log/success mismatch: {landed}"
+    assert [v["version"] for v in versions] == list(
+        range(1, len(versions) + 1)
+    ), "version ids not consecutive"
+    # final per-table rows == base + all successful appends touching it
+    for name in tables:
+        want = sorted(
+            [0]
+            + list(
+                itertools.chain.from_iterable(
+                    op["vals"][name] for op in by_id.values() if name in op["touched"]
+                )
+            )
+        )
+        got = sorted(r["v"] for r in cat.read(name).select("v").collect())
+        assert got == want, f"{name}: got={got} want={want}"
+    # cross-table atomicity at every version
+    for v in versions:
+        vid = v["version"]
+        present_at = {
+            name: {r["v"] for r in cat.read(name, version=vid).collect()}
+            for name in tables
+        }
+        for op in by_id.values():
+            flags = {
+                name: op["vals"][name][0] in present_at[name]
+                for name in op["touched"]
+            }
+            assert len(set(flags.values())) == 1, (
+                f"txn {op['op_id']} partially visible at version {vid}: {flags}"
+            )
+    return len(by_id), len(versions) - 1
+
+
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 6
     seed0 = int(sys.argv[2]) if len(sys.argv) > 2 else 0
@@ -232,10 +352,22 @@ def main() -> int:
     base = tempfile.mkdtemp(prefix="fuzz_concurrent_")
     t0 = time.time()
     total_ok = total_conflict = 0
+    total_txn = total_txn_v = 0
     try:
         for i in range(n):
             seed = seed0 + i
             rng = random.Random(seed)
+            if i % 3 == 2:  # every third schedule fuzzes transactions
+                writers = rng.choice([2, 3])
+                txns = rng.choice([2, 3])
+                n_txn, n_v = run_txn_schedule(spark, base, seed, writers, txns)
+                total_txn += n_txn
+                total_txn_v += n_v
+                print(
+                    f"  schedule {i + 1}/{n} (seed={seed}, txn {writers}x{txns}):"
+                    f" {n_txn} transactions, {n_v} versions, atomic at every one"
+                )
+                continue
             writers = rng.choice([3, 4, 5])
             ops = rng.choice([2, 3])
             ok, conflict = run_schedule(spark, base, seed, writers, ops)
@@ -250,6 +382,7 @@ def main() -> int:
     print(
         f"fuzz_concurrent: {n} schedules, seed {seed0}: all linearizable "
         f"({total_ok} commits, {total_conflict} legal conflicts, "
+        f"{total_txn} multi-table transactions over {total_txn_v} versions, "
         f"{time.time() - t0:.0f}s)"
     )
     return 0

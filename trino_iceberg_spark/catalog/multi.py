@@ -68,19 +68,28 @@ class MultiTableCatalog:
         # version (the other half of the lost-update bug). The lock
         # covers one JSON write — independent of data size, like every
         # commit point in this catalog.
+        with fs_lock(self._catalog_lock_path()):
+            return self._append_version_locked(tables, message)
+
+    def _catalog_lock_path(self) -> str:
         os.makedirs(os.path.dirname(self.versions_path), exist_ok=True)
-        with fs_lock(os.path.join(os.path.dirname(self.versions_path), ".catalog.lock")):
-            versions = self._load_versions()
-            merged = dict(tables)
-            if versions:
-                for tname, sid in versions[-1]["tables"].items():
-                    merged.setdefault(tname, sid)
-            vid = (versions[-1]["version"] + 1) if versions else 1
-            versions.append({"version": vid, "message": message, "tables": merged})
-            tmp = self.versions_path + ".tmp"
-            with open(tmp, "w", encoding="utf-8") as fh:
-                json.dump(versions, fh)
-            os.replace(tmp, self.versions_path)  # the single atomic publish point
+        return os.path.join(os.path.dirname(self.versions_path), ".catalog.lock")
+
+    def _append_version_locked(self, tables: dict[str, int], message: str) -> int:
+        """The version-log append body; caller holds the catalog lock
+        (``_append_version`` for standalone appends, the transaction
+        publish phase when the append is part of a larger atom)."""
+        versions = self._load_versions()
+        merged = dict(tables)
+        if versions:
+            for tname, sid in versions[-1]["tables"].items():
+                merged.setdefault(tname, sid)
+        vid = (versions[-1]["version"] + 1) if versions else 1
+        versions.append({"version": vid, "message": message, "tables": merged})
+        tmp = self.versions_path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(versions, fh)
+        os.replace(tmp, self.versions_path)  # the single atomic publish point
         return vid
 
     def current_version(self) -> int:
@@ -140,16 +149,54 @@ class MultiTableCatalog:
         except BaseException:
             txn._drop_staging_refs()
             raise
-        # Success: move each table's main to the audited staging head (one
-        # pointer swap per table), then the single catalog publish makes
-        # the cross-table state visible to catalog readers atomically.
-        for name in txn.staged:
-            t = self.table(name)
-            t.publish(txn.branch)
-            t.drop_ref(txn.branch)
-        # untouched tables are carried forward INSIDE _append_version,
-        # under the catalog lock — see its comment
-        self._append_version(dict(txn.staged), message)
+        try:
+            self._publish_transaction(txn, message)
+        except BaseException:
+            txn._drop_staging_refs()
+            raise
+        txn._drop_staging_refs()
+
+    def _publish_transaction(self, txn: "_Transaction", message: str) -> None:
+        """The transaction commit point, made a single atom: under the
+        CATALOG lock (serializing transactions) plus EVERY touched
+        table's commit lock in sorted-name order (keeping direct
+        single-table writers out of the window; the fixed order makes
+        deadlock impossible), CAS-check each table's main against the
+        snapshot the transaction branched from, then — only if every
+        check passed — move all pointers and append the catalog version.
+        A conflict therefore publishes NOTHING (no partial cross-table
+        state), exactly Nessie's all-or-nothing multi-table commit; the
+        caller drops the staging refs and the transaction can re-run
+        against the new state. Lock hold is O(tables) JSON writes —
+        independent of data size."""
+        from contextlib import ExitStack
+
+        from .snapshots import CommitConflictError
+
+        names = sorted(txn.staged)
+        with ExitStack() as stack:
+            stack.enter_context(fs_lock(self._catalog_lock_path()))
+            tables = {n: self.table(n) for n in names}
+            for n in names:
+                stack.enter_context(tables[n]._commit_lock())
+            for n in names:  # all checks BEFORE any pointer moves
+                head = tables[n]._branch_head("main")
+                head_id = head.snapshot_id if head else None
+                if head_id != txn._base[n]:
+                    raise CommitConflictError(
+                        f"multi-table transaction conflict on table {n!r}: "
+                        f"main advanced from {txn._base[n]} to {head_id} "
+                        f"since the transaction branched — re-run the "
+                        f"transaction against the current state"
+                    )
+            for n in names:
+                t = tables[n]
+                refs = t._load_refs()
+                refs["branches"]["main"] = txn.staged[n]
+                t._save_refs(refs)
+            # untouched tables are carried forward inside the version
+            # append, against the log read under the same catalog lock
+            self._append_version_locked(dict(txn.staged), message)
 
 
 class _Transaction:
@@ -160,11 +207,16 @@ class _Transaction:
         self.branch = f"_txn_{uuid.uuid4().hex[:12]}"
         self.staged: dict[str, int] = {}
         self._touched: set[str] = set()
+        self._base: dict[str, int | None] = {}
 
     def _stage(self, name: str, df: DataFrame, op: str, kwargs) -> None:
         table = self.catalog.table(name)
         if name not in self._touched:
             head = table.current_snapshot()
+            # the base this transaction branched from — publish CAS-checks
+            # each table's main against it, so a concurrent transaction's
+            # (or direct writer's) commits are never silently erased
+            self._base[name] = head.snapshot_id if head is not None else None
             if head is not None:
                 # branch off the table's current main head; on an empty
                 # table the first commit creates the branch (allow_create)

@@ -274,15 +274,47 @@ class SnapshotTable:
             raise EngineError(f"table {self.table_dir} has no snapshots")
         return self._read_snapshot(head)
 
-    def publish(self, branch: str, to_branch: str = "main") -> None:
+    def _is_ancestor(self, ancestor_id: int | None, head_id: int) -> bool:
+        """True if ``ancestor_id`` is on ``head_id``'s parent chain (an
+        empty branch, ``ancestor_id=None``, is everyone's ancestor).
+        O(history) manifest walks — publish-time validation only."""
+        if ancestor_id is None:
+            return True
+        cur: int | None = head_id
+        while cur:  # root snapshots carry parent_snapshot_id=0
+            if cur == ancestor_id:
+                return True
+            cur = self._snapshot_by_id(cur).parent_snapshot_id
+        return False
+
+    def publish(self, branch: str, to_branch: str = "main", force: bool = False) -> None:
         """Fast-forward ``to_branch`` to ``branch``'s head (the WAP
         publish step): one atomic pointer swap, no data movement —
-        readers of main see the audited commits all at once."""
+        readers of main see the audited commits all at once.
+
+        VALIDATED fast-forward (Nessie's merge rule): ``to_branch``'s
+        current head must be an ancestor of the published head, else the
+        publish would silently erase commits that landed on ``to_branch``
+        after the branch point — CommitConflictError instead (rebase the
+        staging branch and retry). ``force=True`` restores the
+        unconditional pointer move (the rollback-style escape hatch)."""
         with self._commit_lock():
             refs = self._load_refs()
             if branch not in refs["branches"]:
                 raise EngineError(f"branch {branch!r} not found in {self.table_dir}")
-            refs["branches"][to_branch] = refs["branches"][branch]
+            new_head = refs["branches"][branch]
+            cur_head = refs["branches"].get(to_branch)
+            if to_branch == "main" and cur_head is None:
+                cur = self._branch_head("main")
+                cur_head = cur.snapshot_id if cur else None
+            if not force and not self._is_ancestor(cur_head, new_head):
+                raise CommitConflictError(
+                    f"publish of {branch!r} onto {to_branch!r} in "
+                    f"{self.table_dir} is not a fast-forward: {to_branch!r} "
+                    f"advanced to {cur_head} since the branch point — "
+                    f"rebase the staging branch or pass force=True"
+                )
+            refs["branches"][to_branch] = new_head
             self._save_refs(refs)
 
     def drop_ref(self, name: str) -> None:
