@@ -526,6 +526,27 @@ def test_publish_requires_fast_forward(spark, tmp_path):
     assert t.read().count() == 5  # audit chain: 3 + 2
 
 
+def test_publish_with_expired_history_fails_safe(spark, tmp_path):
+    """expire_snapshots pins ref HEADS, not a head's ancestors, so the
+    ancestry walk can hit a deleted intermediate manifest. publish must
+    then fail SAFE with the documented CommitConflictError (ancestry
+    unprovable — not an EngineError crash), and force=True publishes a
+    working table."""
+    from trino_iceberg_spark.errors import CommitConflictError
+
+    t = SnapshotTable(spark, str(tmp_path / "exp_ff_tt"))
+    t.append(spark.range(3).toDF("id"))
+    t.create_branch("audit")
+    t.append(spark.range(10, 12).toDF("id"), branch="audit")
+    t.append(spark.range(20, 22).toDF("id"), branch="audit")
+    # expires the middle audit commit; both ref heads survive
+    assert t.expire_snapshots(retain_last=1) == 1
+    with pytest.raises(CommitConflictError):
+        t.publish("audit")
+    t.publish("audit", force=True)
+    assert t.read().count() == 7  # 3 + 2 + 2 — chained files all live
+
+
 def test_untouched_tables_carry_forward(spark, tmp_path):
     from trino_iceberg_spark.catalog.multi import MultiTableCatalog
 

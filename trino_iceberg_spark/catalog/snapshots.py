@@ -274,18 +274,37 @@ class SnapshotTable:
             raise EngineError(f"table {self.table_dir} has no snapshots")
         return self._read_snapshot(head)
 
-    def _is_ancestor(self, ancestor_id: int | None, head_id: int) -> bool:
-        """True if ``ancestor_id`` is on ``head_id``'s parent chain (an
-        empty branch, ``ancestor_id=None``, is everyone's ancestor).
-        O(history) manifest walks — publish-time validation only."""
+    def _is_ancestor(
+        self, ancestor_id: int | None, head_id: int | None
+    ) -> bool | None:
+        """Whether ``ancestor_id`` is on ``head_id``'s parent chain. An
+        empty branch (``ancestor_id=None``) is everyone's ancestor.
+        Returns ``None`` when UNPROVABLE — the chain passes through an
+        intermediate manifest `expire_snapshots` already deleted (expiry
+        pins ref heads, not a head's ancestors) — so the caller can fail
+        safe instead of guessing. Mirrors ``main_ancestry``'s chain
+        conventions: legacy manifests (no recorded parent) imply the
+        id-ordered linear prefix; snapshot ids are monotone along parent
+        links, so the walk early-exits below the target. O(history)
+        manifest reads — callers run it OUTSIDE the commit lock."""
         if ancestor_id is None:
             return True
-        cur: int | None = head_id
-        while cur:  # root snapshots carry parent_snapshot_id=0
-            if cur == ancestor_id:
+        if head_id is None:
+            return False
+        by_id = {s.snapshot_id: s for s in self.snapshots()}
+        cur = by_id.get(head_id)
+        while cur is not None:
+            if cur.snapshot_id == ancestor_id:
                 return True
-            cur = self._snapshot_by_id(cur).parent_snapshot_id
-        return False
+            if cur.snapshot_id < ancestor_id:
+                return False  # ids only decrease down the chain
+            pid = cur.parent_snapshot_id
+            if pid is None:  # legacy manifest: linear id-ordered history
+                return ancestor_id < cur.snapshot_id
+            if pid == 0:  # root commit
+                return False
+            cur = by_id.get(pid)
+        return None  # expired intermediate — ancestry unprovable
 
     def publish(self, branch: str, to_branch: str = "main", force: bool = False) -> None:
         """Fast-forward ``to_branch`` to ``branch``'s head (the WAP
@@ -296,9 +315,15 @@ class SnapshotTable:
         current head must be an ancestor of the published head, else the
         publish would silently erase commits that landed on ``to_branch``
         after the branch point — CommitConflictError instead (rebase the
-        staging branch and retry). ``force=True`` restores the
-        unconditional pointer move (the rollback-style escape hatch)."""
-        with self._commit_lock():
+        staging branch and retry). Ancestry the expired history can no
+        longer prove also conflicts (fail-safe). ``force=True`` restores
+        the unconditional pointer move (the rollback-style escape hatch).
+
+        The ancestry walk is O(history), so it runs OUTSIDE the commit
+        lock against optimistically-read heads; the lock section only
+        re-checks both pointers and swaps — the same O(1)-hold discipline
+        as ``_commit_version``, retrying if either pointer moved."""
+        for _ in range(self.commit_attempts):
             refs = self._load_refs()
             if branch not in refs["branches"]:
                 raise EngineError(f"branch {branch!r} not found in {self.table_dir}")
@@ -307,15 +332,44 @@ class SnapshotTable:
             if to_branch == "main" and cur_head is None:
                 cur = self._branch_head("main")
                 cur_head = cur.snapshot_id if cur else None
-            if not force and not self._is_ancestor(cur_head, new_head):
-                raise CommitConflictError(
-                    f"publish of {branch!r} onto {to_branch!r} in "
-                    f"{self.table_dir} is not a fast-forward: {to_branch!r} "
-                    f"advanced to {cur_head} since the branch point — "
-                    f"rebase the staging branch or pass force=True"
-                )
-            refs["branches"][to_branch] = new_head
-            self._save_refs(refs)
+            if not force:
+                ok = self._is_ancestor(cur_head, new_head)
+                if ok is False:
+                    raise CommitConflictError(
+                        f"publish of {branch!r} onto {to_branch!r} in "
+                        f"{self.table_dir} is not a fast-forward: "
+                        f"{to_branch!r} advanced to {cur_head} since the "
+                        f"branch point — rebase the staging branch or pass "
+                        f"force=True"
+                    )
+                if ok is None:
+                    raise CommitConflictError(
+                        f"publish of {branch!r} onto {to_branch!r} in "
+                        f"{self.table_dir}: expired history makes the "
+                        f"fast-forward unprovable — pass force=True after "
+                        f"verifying {to_branch!r}'s commits are included"
+                    )
+            with self._commit_lock():
+                refs2 = self._load_refs()
+                if branch not in refs2["branches"]:
+                    raise EngineError(
+                        f"branch {branch!r} not found in {self.table_dir}"
+                    )
+                if refs2["branches"][branch] != new_head:
+                    continue  # branch advanced mid-validation — re-check
+                cur2 = refs2["branches"].get(to_branch)
+                if to_branch == "main" and cur2 is None:
+                    cur = self._branch_head("main")
+                    cur2 = cur.snapshot_id if cur else None
+                if cur2 != cur_head:
+                    continue  # target moved mid-validation — re-check
+                refs2["branches"][to_branch] = new_head
+                self._save_refs(refs2)
+                return
+        raise CommitConflictError(
+            f"publish of {branch!r} onto {to_branch!r} in {self.table_dir} "
+            f"lost the pointer race {self.commit_attempts} times — giving up"
+        )
 
     def drop_ref(self, name: str) -> None:
         with self._commit_lock():
@@ -852,7 +906,19 @@ class SnapshotTable:
                 "file_partitions": file_partitions or None,
             }
 
-        return self._commit_version(branch, build)
+        try:
+            return self._commit_version(branch, build)
+        except CommitConflictError:
+            # The staged files were moved into data/ before the commit
+            # point; on a definitive conflict they are exclusively ours
+            # and dead — reclaim them now rather than leaving whole-table
+            # copy-on-write rewrites for the (age-floored) orphan sweep.
+            for f in new_files:
+                try:
+                    os.remove(os.path.join(self.table_dir, f))
+                except OSError:
+                    pass
+            raise
 
     def append(
         self,
@@ -1410,12 +1476,25 @@ class SnapshotTable:
         same algorithm, narrower remainder; merge-on-read (delete files) is
         the Iceberg v2 alternative this deliberately trades away for
         zero-cost reads."""
+        want = self.schema_columns
+        if want is not None:
+            names = {c["name"] for c in want}
+            if set(source.columns) != names:
+                raise SchemaMismatchError(
+                    f"merge source columns {sorted(source.columns)} do not "
+                    f"match table columns {sorted(names)} for "
+                    f"{self.table_dir} (evolve the schema first)"
+                )
 
         def derive(current: DataFrame) -> DataFrame:
             remainder = current.join(
                 source.select(*key_cols), key_cols, "left_anti"
             )
-            return remainder.unionByName(source)
+            # allowMissingColumns: a column added by CONCURRENT evolution
+            # mid-retry exists in `current` but not in the (entry-validated)
+            # source — upserted rows take NULL for it, and the commit
+            # proceeds under the new schema instead of failing resolution
+            return remainder.unionByName(source, allowMissingColumns=True)
 
         return self._rewrite_commit(derive, properties)
 
@@ -1504,7 +1583,6 @@ class SnapshotTable:
                     path = os.path.join(self.table_dir, f)
                     if os.path.exists(path):
                         os.remove(path)
-                        live_files.discard(f)
         return len(expired)
 
     def compact_small_files(self, target_files: int | None = None) -> Snapshot | None:
@@ -1679,7 +1757,10 @@ class SnapshotTable:
             for fn in os.listdir(self.data_dir):
                 rel = f"data/{fn}"
                 full = os.path.join(self.data_dir, fn)
-                if rel not in referenced and os.path.getmtime(full) <= cutoff:
-                    os.remove(full)
-                    removed += 1
+                try:  # a concurrent expiry sweep may unlink between
+                    if rel not in referenced and os.path.getmtime(full) <= cutoff:
+                        os.remove(full)
+                        removed += 1
+                except OSError:
+                    pass  # already gone — nothing to reclaim
         return removed
