@@ -232,8 +232,12 @@ def run_txn_schedule(spark, base_dir: str, seed: int, writers: int = 3, txns: in
 
     - every successful transaction appears in the log exactly once and
       every version id is consecutive (no lost or duplicated publish);
-    - per table, the final rows are the base plus exactly the appends of
-      every successful transaction touching it;
+    - per table, the final TABLE-LEVEL rows are the base plus exactly
+      the appends of every successful transaction touching it AND every
+      DIRECT single-table append racing the transactions (one extra
+      direct-writer thread commits straight to main, exercising the
+      publish atom's table-lock CAS against non-transactional writers —
+      nothing is lost on either path);
     - CROSS-TABLE ATOMICITY: at every catalog version, a transaction's
       rows are present in either ALL the tables it touched or NONE —
       the partial-publish state the single publish atom forbids."""
@@ -296,7 +300,27 @@ def run_txn_schedule(spark, base_dir: str, seed: int, writers: int = 3, txns: in
         except BaseException as exc:  # noqa: BLE001
             errs.append(exc)
 
-    threads = [threading.Thread(target=run_writer, args=(w,)) for w in plan]
+    # one DIRECT single-table writer commits straight to main while the
+    # transactions race — its appends go through the ordinary table CAS,
+    # not the catalog; the publish atom's table locks must neither lose
+    # them nor be lost to them (planned deterministically from the seed)
+    direct_plan = [
+        (rng.choice(tables), [9000 + 10 * j]) for j in range(txns + 1)
+    ]
+
+    def run_direct() -> None:
+        try:
+            for name, vals in direct_plan:
+                t = SnapshotTable(
+                    spark, os.path.join(root, name), commit_attempts=128
+                )
+                t.append(_df_for(spark, t, vals))
+        except BaseException as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    threads = [threading.Thread(target=run_writer, args=(w,)) for w in plan] + [
+        threading.Thread(target=run_direct)
+    ]
     for th in threads:
         th.start()
     for th in threads:
@@ -313,7 +337,9 @@ def run_txn_schedule(spark, base_dir: str, seed: int, writers: int = 3, txns: in
     assert [v["version"] for v in versions] == list(
         range(1, len(versions) + 1)
     ), "version ids not consecutive"
-    # final per-table rows == base + all successful appends touching it
+    # final TABLE-LEVEL rows == base + all successful transactional
+    # appends + all direct appends (read via SnapshotTable, not the
+    # catalog version log — direct commits bypass the log by design)
     for name in tables:
         want = sorted(
             [0]
@@ -322,8 +348,15 @@ def run_txn_schedule(spark, base_dir: str, seed: int, writers: int = 3, txns: in
                     op["vals"][name] for op in by_id.values() if name in op["touched"]
                 )
             )
+            + list(
+                itertools.chain.from_iterable(
+                    vals for dname, vals in direct_plan if dname == name
+                )
+            )
         )
-        got = sorted(r["v"] for r in cat.read(name).select("v").collect())
+        got = sorted(
+            r["v"] for r in cat.table(name).read().select("v").collect()
+        )
         assert got == want, f"{name}: got={got} want={want}"
     # cross-table atomicity at every version
     for v in versions:

@@ -21,7 +21,8 @@ INTERVAL '+k MONTH/DAY' arithmetic in predicates — week truncation and
 month-end clamping probed equal before wiring) and three-valued-logic
 shapes over REAL null-extended rows (LEFT JOIN with a filtered ON
 manufactures NULLs, then IS [NOT] DISTINCT FROM, NULLIF/COALESCE
-sentinel keys, and FILTER-counted null-safe comparisons run over them).
+sentinel keys, and FILTER-counted null-safe comparisons run over them);
+deterministic ORDER-BY-PK LIMIT/OFFSET paging windows.
 
 Round-7 shapes: window frames + navigation (LAG/LEAD with defaults,
 FIRST_VALUE/LAST_VALUE and bounded ROWS frames, all ordered by the
@@ -628,13 +629,39 @@ def _gen_null_logic(rng: random.Random, pools: dict) -> str:
     )
 
 
+def _gen_limit_offset(rng: random.Random, pools: dict) -> str:
+    """Deterministic top-k paging (round 9): ORDER BY the unique PK
+    (total order → the selected WINDOW is engine-independent even
+    though canon compares as multisets) with LIMIT and OFFSET — the
+    TakeOrderedAndProject / paging path the fixed registry pins but the
+    fuzzer never composed with generated predicates."""
+    tbl = rng.choice(list(PK))
+    pk = PK[tbl]
+    fcol, fkind = rng.choice(list(SCHEMA[tbl].items()))
+    where = (
+        f" WHERE {_predicate(rng, fcol, fkind, pools)}" if rng.random() < 0.6 else ""
+    )
+    proj = rng.sample(list(SCHEMA[tbl]), rng.randrange(1, 3))
+    if pk not in proj:
+        proj = [pk] + proj
+    direction = rng.choice(["ASC", "DESC"])
+    k = rng.randrange(1, 20)
+    offset = f" OFFSET {rng.randrange(0, 15)}" if rng.random() < 0.5 else ""
+    return (
+        f"SELECT {', '.join(proj)} FROM {tbl}{where}"
+        f" ORDER BY {pk} {direction} LIMIT {k}{offset}"
+    )
+
+
 def gen_query(rng: random.Random, pools: dict) -> str:
     shape = rng.random()
     if shape < 0.06:
         return _gen_datetime(rng, pools)
     if shape < 0.12:
         return _gen_null_logic(rng, pools)
-    shape = (shape - 0.12) / 0.88  # renormalize the round-6/7 shapes below
+    if shape < 0.16:
+        return _gen_limit_offset(rng, pools)
+    shape = (shape - 0.16) / 0.84  # renormalize the round-6/7 shapes below
     if shape < 0.08:
         return _gen_window_frames(rng, pools)
     if shape < 0.15:
