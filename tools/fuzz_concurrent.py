@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Generative concurrency fuzz for the snapshot catalog's CAS commit
 protocol (round 9): random multi-writer schedules of append / overwrite
-/ delete_where / add_column race on one table, and the outcome must be
+/ delete_where / update_where / add_column race on one table, and the outcome must be
 LINEARIZABLE —
 exactly the guarantee Nessie/Iceberg's optimistic commit model makes
 and `_commit_version` claims.
@@ -19,7 +19,8 @@ the serialization order. The checker then asserts, per schedule:
    CommitConflictError never half-lands;
 3. replaying the chain's operations in ancestry order over a model
    multiset (append adds its rows, overwrite resets to its rows,
-   delete filters by its predicate, evolve changes nothing) reproduces
+   delete filters by its predicate, update shifts matching rows,
+   evolve changes nothing) reproduces
    the final table's rows AND the final snapshot's row_count metadata —
    in particular, a delete landing AFTER a concurrent append must keep
    the appended rows its predicate doesn't match (the copy-on-write
@@ -31,7 +32,7 @@ commit staged under a schema that a concurrent add_column replaced
 (CommitConflictError from the fingerprint check), or a writer whose
 schema read went stale before staging (EngineError schema mismatch).
 Plain append/append and append/overwrite races must all succeed, and
-read-modify-write deletes retry internally so they must ALWAYS land —
+read-modify-write deletes/updates retry internally so they must ALWAYS land —
 writers carry a retry budget sized above worst-case contention.
 
 Usage:
@@ -73,12 +74,14 @@ def _plan_schedule(rng: random.Random, writers: int, ops: int) -> list[list[dict
         for _k in range(ops):
             op_id += 1
             roll = rng.random()
-            if roll < 0.52:
+            if roll < 0.50:
                 kind = "append"
-            elif roll < 0.67:
+            elif roll < 0.64:
                 kind = "overwrite"
-            elif roll < 0.82:
+            elif roll < 0.74:
                 kind = "delete"
+            elif roll < 0.84:
+                kind = "update"
             else:
                 kind = "evolve"
             vals = [op_id * 100 + j for j in range(rng.randrange(1, 4))]
@@ -138,16 +141,23 @@ def run_schedule(spark, base_dir: str, seed: int, writers: int = 4, ops: int = 3
                 try:
                     if op["kind"] == "evolve":
                         t.add_column(f"c_{op['op_id']}", "INT")
-                    elif op["kind"] == "delete":
+                    elif op["kind"] in ("delete", "update"):
                         # read-modify-write: retries internally on races,
                         # so under any schedule it must SUCCEED — a lost
                         # concurrent append surfaces in the model fold
                         from pyspark.sql import functions as F
 
-                        t.delete_where(
-                            F.col("v") % 10 == op["digit"],
-                            properties={"op_id": str(op["op_id"])},
-                        )
+                        if op["kind"] == "delete":
+                            t.delete_where(
+                                F.col("v") % 10 == op["digit"],
+                                properties={"op_id": str(op["op_id"])},
+                            )
+                        else:  # shift matching rows out of digit space
+                            t.update_where(
+                                F.col("v") % 10 == op["digit"],
+                                {"v": F.col("v") + 1_000_000},
+                                properties={"op_id": str(op["op_id"])},
+                            )
                     else:
                         df = _df_for(spark, t, op["vals"])
                         fn = t.append if op["kind"] == "append" else t.overwrite
@@ -211,6 +221,10 @@ def run_schedule(spark, base_dir: str, seed: int, writers: int = 4, ops: int = 3
                 model.extend(op["vals"])
             elif op["kind"] == "delete":
                 model = [v for v in model if v % 10 != op["digit"]]
+            elif op["kind"] == "update":
+                model = [
+                    v + 1_000_000 if v % 10 == op["digit"] else v for v in model
+                ]
             else:
                 model = list(op["vals"])
     got = sorted(r["v"] for r in table.read().select("v").collect())
