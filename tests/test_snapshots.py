@@ -1065,6 +1065,33 @@ def test_delete_where_does_not_erase_concurrent_append(spark, tmp_path):
     assert snaps[-1].row_count == 2
 
 
+def test_rewrite_commit_gives_up_after_budget(spark, tmp_path):
+    """_rewrite_commit's give-up path: a racer advancing the head on
+    EVERY attempt exhausts commit_attempts and surfaces the typed
+    CommitConflictError (never an infinite loop, never a lost update —
+    the racer's rows all survive)."""
+    from trino_iceberg_spark.errors import CommitConflictError
+
+    path = str(tmp_path / "rmw_budget_tt")
+    t = SnapshotTable(spark, path, commit_attempts=2)
+    t.append(_events(spark, [1], "base"))
+    other = SnapshotTable(spark, path)
+    real_read = t._read_snapshot
+    n = {"i": 0}
+
+    def always_racing_read(snap):
+        df = real_read(snap)
+        n["i"] += 1
+        other.append(_events(spark, [10 + n["i"]], "racer"))
+        return df
+
+    t._read_snapshot = always_racing_read
+    with pytest.raises(CommitConflictError, match="validation race"):
+        t.delete_where(F.col("event_id") == 1)
+    assert n["i"] == 2  # exactly commit_attempts derivations
+    assert {r["event_id"] for r in t.read().collect()} == {1, 11, 12}
+
+
 def test_maintenance_rewrite_conflicts_instead_of_erasing(spark, tmp_path):
     """Compaction validates its read snapshot and has NO retry loop: a
     commit landing mid-compaction surfaces as CommitConflictError and
