@@ -274,6 +274,19 @@ class SnapshotTable:
             raise EngineError(f"table {self.table_dir} has no snapshots")
         return self._read_snapshot(head)
 
+    def _main_head_id_fast(self, refs: dict) -> int | None:
+        """Head SNAPSHOT ID of ``main`` given already-loaded refs, without
+        parsing any manifest: a pinned main reads the pointer; an unpinned
+        (legacy) main floats at the newest manifest, whose id is its
+        FILENAME — the same O(1)-parse discipline ``_write_manifest``
+        keeps inside the commit lock. ``publish`` uses this in its lock
+        section so resolving a floating main never costs an
+        O(all-manifests) JSON scan while every other writer spins."""
+        if "main" in refs["branches"]:
+            return refs["branches"]["main"]
+        paths = self._manifest_paths()
+        return int(os.path.basename(paths[-1])[1:-5]) if paths else None
+
     def _is_ancestor(
         self, ancestor_id: int | None, head_id: int | None
     ) -> bool | None:
@@ -328,10 +341,11 @@ class SnapshotTable:
             if branch not in refs["branches"]:
                 raise EngineError(f"branch {branch!r} not found in {self.table_dir}")
             new_head = refs["branches"][branch]
-            cur_head = refs["branches"].get(to_branch)
-            if to_branch == "main" and cur_head is None:
-                cur = self._branch_head("main")
-                cur_head = cur.snapshot_id if cur else None
+            cur_head = (
+                self._main_head_id_fast(refs)
+                if to_branch == "main"
+                else refs["branches"].get(to_branch)
+            )
             if not force:
                 ok = self._is_ancestor(cur_head, new_head)
                 if ok is False:
@@ -357,10 +371,11 @@ class SnapshotTable:
                     )
                 if refs2["branches"][branch] != new_head:
                     continue  # branch advanced mid-validation — re-check
-                cur2 = refs2["branches"].get(to_branch)
-                if to_branch == "main" and cur2 is None:
-                    cur = self._branch_head("main")
-                    cur2 = cur.snapshot_id if cur else None
+                cur2 = (
+                    self._main_head_id_fast(refs2)
+                    if to_branch == "main"
+                    else refs2["branches"].get(to_branch)
+                )
                 if cur2 != cur_head:
                     continue  # target moved mid-validation — re-check
                 refs2["branches"][to_branch] = new_head
@@ -1577,12 +1592,17 @@ class SnapshotTable:
                 os.remove(os.path.join(self.metadata_dir, f"v{s.snapshot_id}.json"))
         # Phase 2, lock released: unlink data files no surviving snapshot
         # references (they are unreachable — nothing can re-pin them now).
+        # A concurrent orphan sweep or second expire can unlink the same
+        # file between the two calls, so the remove tolerates
+        # already-gone (the same guard remove_orphan_files carries for
+        # the symmetric race).
         for s in expired:
             for f in s.files:
                 if f not in live_files:
-                    path = os.path.join(self.table_dir, f)
-                    if os.path.exists(path):
-                        os.remove(path)
+                    try:
+                        os.remove(os.path.join(self.table_dir, f))
+                    except OSError:
+                        pass  # already reclaimed by a concurrent sweep
         return len(expired)
 
     def compact_small_files(self, target_files: int | None = None) -> Snapshot | None:

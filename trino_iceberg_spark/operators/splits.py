@@ -65,14 +65,18 @@ def split_assignment(
     every row's membership from md5 alone — the same portability
     contract :func:`write_training_shards` already makes for shards.
 
-    NULL keys hash a sentinel text (``'\\x00null'``, chosen to collide
-    with no real key) in the portable path, so NULL-key rows land in a
-    deterministic hashed split exactly like the xxhash64 path routes
-    them (which hashes NULL to a seed-determined bucket natively) —
-    without the guard, ``concat(NULL)`` made the bucket NULL, every
-    ``bucket < cut`` comparison NULL, and ALL NULL-key rows silently
-    fell into the last split (ADVICE r8). External replayers must use
-    the same sentinel for NULL keys; prefer non-null keys."""
+    NULL keys hash a sentinel text (``'\\x00null'``) in the portable
+    path, so NULL-key rows land in a deterministic hashed split exactly
+    like the xxhash64 path routes them (which hashes NULL to a
+    seed-determined bucket natively) — without the guard,
+    ``concat(NULL)`` made the bucket NULL, every ``bucket < cut``
+    comparison NULL, and ALL NULL-key rows silently fell into the last
+    split (ADVICE r8). A GENUINE key equal to the sentinel would hash
+    identically to NULL keys and silently merge their assignment, so the
+    expression raises on one (ADVICE r9) — one JVM-side comparison per
+    row, zero cost on real data, where a NUL control byte never starts a
+    key. External replayers must use the same sentinel for NULL keys;
+    prefer non-null keys."""
     total = sum(weights.values())
     if not 0.999 <= total <= 1.001:
         raise ValueError(f"split weights must sum to 1 (got {total})")
@@ -80,8 +84,20 @@ def split_assignment(
     if portable:
         from .dedup import portable_hash64
 
+        _SENTINEL = "\x00null"
+        key_str = c.cast("string")
         key_text = F.concat(
-            F.coalesce(c.cast("string"), F.lit("\x00null")), F.lit(f"-{seed}")
+            F.when(
+                key_str == _SENTINEL,
+                F.raise_error(
+                    F.lit(
+                        "split_assignment(portable=True): a key equals the "
+                        "reserved NULL sentinel '\\x00null' — its split "
+                        "would silently merge with NULL-key rows"
+                    )
+                ).cast("string"),
+            ).otherwise(F.coalesce(key_str, F.lit(_SENTINEL))),
+            F.lit(f"-{seed}"),
         )
         bucket = F.pmod(portable_hash64(key_text), F.lit(_BUCKETS))
     else:
