@@ -16,7 +16,7 @@ Two adapter concerns live here, both driver-facing:
    order: first this round's fixed/changed entries and the entries no
    prior CORRECTNESS run has checked, then drift re-verifies of the
    oldest green cohort (see ``_FRONT``), then any remaining unchecked
-   entries, then families already proved green across the r01–r08
+   entries, then families already proved green across the r01–r09
    union. Nothing is dropped — a driver with budget for the full
    registry still checks every entry.
 
@@ -50,79 +50,79 @@ _TUNED_CONFS = {
 # module docstring. Names absent from the registry are ignored (safety
 # against future renames), and every registered query is always yielded.
 #
-# Round-9 ordering (registry: 226 entries, ALL oracle-backed; new this
-# round: ss14_pq_adc_topk — IVF-PQ ANN with asymmetric-distance
-# scoring, codebook construction replayed in the oracle). Per the
-# round-8 VERDICT directive #1, THIS ROUND ROTATION WINS OVER GROWTH:
-# exactly one new entry, and the budget goes to re-verifying the FULL
-# 45-entry r03+r04 cohort so the cross-round union ends with zero
-# entries older than r05. Tiers (1+4+45 = 50, the driver budget):
-# 1. ss14 (new);
-# 2. changed-code re-verifies: st06 (exactly-once ingest commits now go
-#    through the new CAS commit path), ss12/ss13 (mmr_rerank per-frame
-#    id-dtype fix), sp13 (portable-split NULL-key guard);
-# 3. the 7 r03 entries + 38 r04 entries — the oldest cohort in the
-#    union (computed from the CORRECTNESS_r01–r08 latest-check union).
-# Everything else was checked r05–r08 and yields after these.
+# Round-10 ordering (registry: 228 entries, ALL oracle-backed; new this
+# round: tt17_merge_on_read_delete — Iceberg v2 position deletes with
+# the anti-join read path replayed in the oracle — and
+# cu10_domain_curation — C4/RefinedWeb-style per-domain gating). Per the
+# round-9 VERDICT directive #1, rotation keeps winning: new entries
+# capped at 2, and the budget re-verifies the FULL 40-entry r05 cohort
+# so the cross-round union ends with zero entries older than r06.
+# Tiers (2+4+40 = 46, under the ~50 driver budget):
+# 1. tt17/cu10 (new);
+# 2. changed-code re-verifies: the catalog's metadata format moved to
+#    two-level manifest lists this round (catalog/snapshots.py), so the
+#    catalog-heavy entries NOT already in the r05 cohort re-verify —
+#    st06 (exactly-once ingest commits), tt03 (changelog, now with the
+#    MOR fallback), tt10 (SQL MERGE through _rewrite_commit), plus sp13
+#    (portable-split sentinel guard landed in split_assignment);
+# 3. the 40-entry r05 cohort — the oldest in the union (computed from
+#    the CORRECTNESS_r01–r09 latest-check union; tt16/st08/st09/aj02 et
+#    al. double as changed-code coverage for the catalog format change).
+# Everything else was checked r06–r09 and yields after these.
 _FRONT = [
     # --- tier 1: new this round ---
-    "ss14_pq_adc_topk",
+    "tt17_merge_on_read_delete",
+    "cu10_domain_curation",
     # --- tier 2: changed-code re-verifies ---
     "st06_stream_snapshot_ingest",
-    "ss12_mmr_rerank",
-    "ss13_mmr_rerank_lsh",
+    "tt03_snapshot_changelog",
+    "tt10_sql_merge",
     "sp13_mix_manifest",
-    # --- tier 3a: r03 cohort (oldest in the union) ---
-    "tx11_pii_scrub",
-    "tx12_repetition_stats",
-    "tx13_rarity_scores",
-    "tx14_sliding_chunks",
-    "w03_lag_lead",
-    "w06_sessionize",
-    "w09_time_range_frame",
-    # --- tier 3b: r04 cohort ---
-    "cu06_boilerplate_removal",
-    "dd03_minhash_lsh_pairs",
-    "dd05_simhash_pairs",
-    "dd06_embedding_dedup",
-    "dd09_fuzzy_linkage",
-    "dd10_incremental_dedup",
-    "dd11_semantic_dedup",
-    "ev08_hypertable_rollup",
-    "ev11_interpolated_gap_fill",
-    "f11_string_functions2",
-    "ir01_retrieval_metrics",
-    "mm03_feature_extraction",
-    "pr04_drift_psi",
-    "sk01_salted_aggregate",
-    "sk02_salted_join",
-    "sp02_stratified_sample",
-    "sp03_global_shuffle",
-    "sp04_sequence_packing",
-    "sp05_epoch_mix",
-    "sp06_temperature_weights",
-    "ss02_lsh_topk",
-    "ss03_ivf_topk",
-    "ss05_quantized_topk",
-    "ss06_embedding_centroids",
-    "ss07_hard_negatives",
-    "st07_stream_dedup",
-    "tpch_q15_top_supplier",
-    "tt01_timestamp_as_of",
-    "tt02_version_as_of",
-    "tt04_sql_text_time_travel",
-    "tt11_partition_evolution",
-    "tt12_sorted_compaction",
-    "tt13_sql_maintenance",
-    "tt14_rollback",
-    "tt15_zorder_rewrite",
-    "tx04_language_id",
-    "tx05_fingerprints",
-    "w10_value_navigation",
+    # --- tier 3: r05 cohort (oldest in the union) ---
+    "aj02_asof_forward_tolerance",
+    "b01_projection",
+    "b02_filter_comparisons",
+    "b03_empty_result",
+    "b04_sort_multi",
+    "b05_count_star",
+    "b06_sum",
+    "b07_avg_cast",
+    "b08_min_max",
+    "b09_groupby_agg_sort",
+    "b10_scalar_literals",
+    "b11_concat",
+    "b12_string_escaping",
+    "b13_case_arithmetic",
+    "b14_cast_matrix",
+    "b15_null_handling",
+    "b16_in_between_like",
+    "b17_distinct",
+    "b18_limit_topk",
+    "b19_json_extraction",
+    "b20_lateral_explode",
+    "b21_variant_extraction",
+    "b23_qualify",
+    "dd13_crossmodal_dedup",
+    "ev13_level_shifts",
+    "ev14_incremental_rollup",
+    "io01_format_roundtrip",
+    "j01_inner_join",
+    "j02_multi_join",
+    "j03_left_join",
+    "mm05_frame_sampling",
+    "mm06_image_resize",
+    "mm07_audio_frame_features",
+    "sp07_kfold",
+    "sp08_fixed_per_group",
+    "ss08_range_search",
+    "st08_stream_cdc_upsert",
+    "st09_stream_enrich",
+    "tt16_catalog_version_travel",
+    "tx15_bigram_fluency",
 ]
 
-# Entries a prior CORRECTNESS run already recorded green (r01–r08 union:
-# 225/225 distinct entries checked, all green at latest check) — yielded
+# Entries a prior CORRECTNESS run already recorded green (r01–r09 union:
+# 226/226 distinct entries checked, all green at latest check) — yielded
 # last. Prefix-matched on the name's first underscore token.
 _PROVEN = frozenset(
     [f"b{i:02d}" for i in range(1, 22)]  # b01–b21

@@ -90,6 +90,22 @@ def test_dml_rewriter_differential_slice(spark, tmp_path):
         assert not problems, "\n".join(problems)
 
 
+def test_dml_rewriter_differential_slice_merge_on_read(spark, tmp_path):
+    """Same differential harness with the Iceberg table property
+    ``write.delete.mode=merge-on-read``: every generated DELETE commits
+    position-delete files instead of a copy-on-write rewrite, while the
+    DuckDB twin is untouched — the two delete modes must be
+    observationally identical, including CoW UPDATE/MERGE landing on a
+    table with outstanding delete files."""
+    from tools.fuzz_dml import run_sequence
+
+    for seq_no in range(4):
+        problems = run_sequence(
+            spark, seq_no, 2, str(tmp_path), delete_mode="merge-on-read"
+        )
+        assert not problems, "\n".join(problems)
+
+
 def test_timetravel_rewriter_differential_slice(spark, tmp_path):
     """Deterministic slice of tools/fuzz_timetravel.py: generated
     FOR TIMESTAMP/VERSION AS OF queries (boundary timestamps, branch/tag

@@ -1140,9 +1140,10 @@ def test_expire_serializes_with_commits(spark, tmp_path):
 
 def test_concurrent_schedule_fuzz_slice(spark, tmp_path):
     """Deterministic slice of tools/fuzz_concurrent.py: one generated
-    multi-writer schedule (seed 0: 4 writers x 3 ops mixing append/
-    overwrite/delete_where/add_column) checked for linearizability — linear chain,
-    success-set == chain-set, serialized-fold row replay, metadata row
+    multi-writer schedule (seed 0: 4 writers x 3 ops drawn from append/
+    overwrite/delete_where/update_where/merge/add_column) checked for
+    linearizability — linear chain, success-set == chain-set,
+    serialized-fold row replay (merge = upsert-by-key), metadata row
     count, evolved columns present. Full sweeps run per round with
     fresh seeds."""
     from tools.fuzz_concurrent import run_schedule
@@ -1184,3 +1185,267 @@ def test_fs_lock_releases_and_reports_stale_holder(tmp_path):
     assert not os.path.exists(lock)  # released
     with fs_lock(lock, timeout=0.05):  # and re-acquirable
         pass
+
+
+# -- two-level metadata (manifest-list) -----------------------------------
+
+
+def _segments_on_disk(t: SnapshotTable) -> set[str]:
+    return {f for f in os.listdir(t.metadata_dir) if f.startswith("seg-")}
+
+
+def test_manifest_list_append_writes_one_segment_delta(spark, tmp_path):
+    """Commit metadata I/O must be O(delta): each append writes exactly
+    ONE new segment (its own files) and reuses the parent's list;
+    metadata-only commits (evolve, set-spec, rollback) write ZERO — the
+    Iceberg manifest-list property that keeps commit cost flat as the
+    table grows (tools/commit_bench.py measures it at 10k/100k files)."""
+    t = SnapshotTable(spark, str(tmp_path / "ml_t"))
+    s1 = t.append(_events(spark, [1, 2], "a"))
+    assert len(s1.manifest_list) == 1
+    s2 = t.append(_events(spark, [3], "b"))
+    assert len(s2.manifest_list) == 2
+    assert s2.manifest_list[:1] == s1.manifest_list  # parent list reused
+    assert len(_segments_on_disk(t)) == 2
+
+    s3 = t.add_column("extra", "int")  # metadata-only: zero segments
+    assert s3.manifest_list == s2.manifest_list
+    s4 = t.set_partition_spec([("event_id", "bucket[4]")])
+    assert s4.manifest_list == s2.manifest_list
+    s5 = t.rollback_to(s1.snapshot_id)
+    assert s5.manifest_list == s1.manifest_list  # target's segments verbatim
+    assert len(_segments_on_disk(t)) == 2  # nothing new on disk
+
+    # resolved per-file metadata identical through the indirection —
+    # a FRESH handle (cold segment cache) resolves the same snapshot
+    assert s2.files == s1.files + tuple(f for f in s2.files if f not in s1.files)
+    assert set(s2.file_schemas) == set(s2.files)
+    cold = SnapshotTable(spark, str(tmp_path / "ml_t"))
+    r2 = next(s for s in cold.snapshots() if s.snapshot_id == s2.snapshot_id)
+    assert (r2.files, r2.file_schemas, r2.file_stats) == (
+        s2.files,
+        s2.file_schemas,
+        s2.file_stats,
+    )
+    # stats recorded for every non-empty data file (empty partitions have
+    # no row groups, hence no zone maps — legitimately absent)
+    assert any(r2.file_stats.values())
+
+
+def test_manifest_list_overwrite_and_expire_gc_segments(spark, tmp_path):
+    """An overwrite starts a fresh one-segment list; expire_snapshots
+    garbage-collects segments referenced only by expired manifests and
+    keeps shared ones live."""
+    t = SnapshotTable(spark, str(tmp_path / "ml_gc"))
+    s1 = t.append(_events(spark, [1], "a"))
+    s2 = t.append(_events(spark, [2], "b"))
+    assert len(s2.manifest_list) == 2
+    s3 = t.overwrite(_events(spark, [9], "c"))
+    assert len(s3.manifest_list) == 1
+    assert s3.manifest_list[0] not in s2.manifest_list
+    assert len(_segments_on_disk(t)) == 3
+
+    n = t.expire_snapshots(retain_last=1)
+    assert n == 2
+    assert _segments_on_disk(t) == set(s3.manifest_list)
+    assert {r["event_id"] for r in t.read().collect()} == {9}
+    # the expired snapshots' data files went with their segments
+    assert not any(
+        f in set(os.listdir(t.data_dir))
+        for f in [os.path.basename(x) for x in s1.files + s2.files]
+    )
+
+
+def test_manifest_list_migrates_legacy_inline_manifest(spark, tmp_path):
+    """A table whose head is a legacy single-JSON manifest (inline file
+    entries) migrates on its next commit: the new snapshot factors ALL
+    entries into a fresh segment and reads stay identical."""
+    import json as _json
+
+    t = SnapshotTable(spark, str(tmp_path / "ml_legacy"))
+    t.append(_events(spark, [1, 2], "a"))
+    # rewrite v1.json to the legacy inline format
+    p = os.path.join(t.metadata_dir, "v1.json")
+    with open(p, "r", encoding="utf-8") as fh:
+        m = _json.load(fh)
+    snap = t.current_snapshot()
+    m.pop("manifest_list", None)
+    m["files"] = list(snap.files)
+    m["file_schemas"] = dict(snap.file_schemas or {})
+    m["file_stats"] = dict(snap.file_stats or {})
+    with open(p, "w", encoding="utf-8") as fh:
+        _json.dump(m, fh)
+    for seg in snap.manifest_list:
+        os.remove(os.path.join(t.metadata_dir, seg))
+    t._segment_cache.clear()
+
+    legacy = SnapshotTable(spark, str(tmp_path / "ml_legacy"))
+    head = legacy.current_snapshot()
+    assert head.manifest_list is None  # reads as legacy
+    assert {r["event_id"] for r in legacy.read().collect()} == {1, 2}
+    s2 = legacy.append(_events(spark, [3], "b"))
+    assert s2.manifest_list is not None and len(s2.manifest_list) == 1
+    assert {r["event_id"] for r in legacy.read().collect()} == {1, 2, 3}
+
+
+def test_orphan_sweep_reclaims_unreferenced_segments(spark, tmp_path):
+    """A segment written by a crashed commit (never referenced by any
+    v*.json) is swept by remove_orphan_files under the same age floor as
+    staged data files."""
+    import json as _json
+
+    t = SnapshotTable(spark, str(tmp_path / "ml_orphan"))
+    t.append(_events(spark, [1], "a"))
+    orphan = os.path.join(t.metadata_dir, "seg-deadbeef.json")
+    with open(orphan, "w", encoding="utf-8") as fh:
+        _json.dump({"entries": []}, fh)
+    assert t.remove_orphan_files(older_than_s=3600.0) == 0  # age-floored
+    assert os.path.exists(orphan)
+    assert t.remove_orphan_files(older_than_s=0.0) == 1
+    assert not os.path.exists(orphan)
+    assert {r["event_id"] for r in t.read().collect()} == {1}
+
+
+# -- merge-on-read position deletes (Iceberg v2) --------------------------
+
+
+def _orders(spark, n=20):
+    return spark.createDataFrame(
+        [(i, i % 7, float(i) * 10) for i in range(n)],
+        "k long, bucket long, price double",
+    )
+
+
+def test_mor_delete_leaves_files_and_accrues_delete_files(spark, tmp_path):
+    """delete_where(mode='merge-on-read') must not touch data files:
+    same file tuple, one position-delete file per DML commit, row_count
+    metadata tracking the visible rows, reads anti-joined exactly."""
+    t = SnapshotTable(spark, str(tmp_path / "mor_t"))
+    s1 = t.append(_orders(spark).coalesce(3))
+    s2 = t.delete_where(F.col("k") % 3 == 0, mode="merge-on-read")
+    assert s2.files == s1.files  # zero data movement
+    assert len(s2.position_deletes) == 1
+    assert s2.operation == "delete"
+    assert s2.row_count == 20 - 7
+    live = sorted(r["k"] for r in t.read().collect())
+    assert live == [k for k in range(20) if k % 3 != 0]
+
+    s3 = t.delete_where(F.col("k") % 5 == 1, mode="merge-on-read")
+    assert s3.files == s1.files
+    assert len(s3.position_deletes) == 2  # accrual
+    want = [k for k in range(20) if k % 3 != 0 and k % 5 != 1]
+    assert sorted(r["k"] for r in t.read().collect()) == want
+    assert s3.row_count == len(want)
+    # a MOR delete is metadata+delete-file only: parent segments reused
+    assert s3.manifest_list == s1.manifest_list
+
+
+def test_mor_delete_null_condition_keeps_row(spark, tmp_path):
+    """Three-valued logic parity with copy-on-write: a NULL condition
+    must KEEP the row (DELETE removes only IS TRUE matches)."""
+    t = SnapshotTable(spark, str(tmp_path / "mor_null"))
+    t.append(
+        spark.createDataFrame(
+            [(1, 10), (2, None), (3, 30)], "k long, v int"
+        ).coalesce(1)
+    )
+    t.delete_where(F.col("v") > 15, mode="merge-on-read")
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2]
+
+
+def test_mor_delete_time_travel_and_compaction_materializes(spark, tmp_path):
+    """Old snapshots still read the pre-delete rows (delete files travel
+    with their snapshot); compact_small_files reads THROUGH the deletes
+    and commits an overwrite carrying none — and expire then reclaims
+    the dead delete files."""
+    t = SnapshotTable(spark, str(tmp_path / "mor_tt"))
+    s1 = t.append(_orders(spark).coalesce(2))
+    t.delete_where(F.col("k") < 5, mode="merge-on-read")
+    assert sorted(r["k"] for r in t.read_version(s1.snapshot_id).collect()) == list(
+        range(20)
+    )
+    s3 = t.compact_small_files(target_files=1)
+    assert s3 is not None and not s3.position_deletes
+    assert sorted(r["k"] for r in t.read().collect()) == list(range(5, 20))
+    t.expire_snapshots(retain_last=1)
+    leftover = [f for f in os.listdir(t.data_dir) if f.startswith("del-")]
+    assert leftover == []  # expired delete files reclaimed
+
+
+def test_mor_delete_append_carries_deletes_forward(spark, tmp_path):
+    """An append after a MOR delete keeps the outstanding delete files
+    (they apply to the retained files) while new rows are untouched;
+    a copy-on-write rewrite (update/merge/overwrite) clears them."""
+    t = SnapshotTable(spark, str(tmp_path / "mor_fwd"))
+    t.append(_orders(spark, 10).coalesce(1))
+    t.delete_where(F.col("k") % 2 == 0, mode="merge-on-read")
+    s3 = t.append(
+        spark.createDataFrame(
+            [(100, 0, 0.0), (102, 0, 0.0)], "k long, bucket long, price double"
+        ).coalesce(1)
+    )
+    assert len(s3.position_deletes) == 1  # carried
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 3, 5, 7, 9, 100, 102]
+
+    s4 = t.update_where(F.col("k") == 100, {"price": F.lit(1.0)})
+    assert not s4.position_deletes  # CoW rewrite materialized them
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 3, 5, 7, 9, 100, 102]
+
+
+def test_mor_delete_scan_prunes_and_stays_exact(spark, tmp_path):
+    """Zone-map file pruning composes with MOR deletes: the pruned scan
+    still anti-joins the delete files, so results equal the plain
+    filtered read."""
+    t = SnapshotTable(spark, str(tmp_path / "mor_scan"))
+    t.append(_orders(spark, 100), cluster_by=["k"], cluster_partitions=4)
+    t.delete_where((F.col("k") >= 10) & (F.col("k") < 15), mode="merge-on-read")
+    got = sorted(r["k"] for r in t.scan([("k", "<", 30)]).collect())
+    assert got == [k for k in range(30) if not 10 <= k < 15]
+
+
+def test_mor_delete_concurrent_append_never_lost(spark, tmp_path):
+    """Serializable isolation: a MOR delete racing appends must neither
+    lose the appended rows nor delete rows its matched snapshot never
+    saw — the based_on validation re-derives the match set."""
+    import threading
+
+    t = SnapshotTable(spark, str(tmp_path / "mor_race"), commit_attempts=64)
+    t.append(_orders(spark, 10).coalesce(1))
+    errs = []
+
+    def do_appends():
+        try:
+            w = SnapshotTable(spark, str(tmp_path / "mor_race"), commit_attempts=64)
+            for j in range(3):
+                w.append(
+                    spark.createDataFrame(
+                        [(1000 + j, 0, 0.0)], "k long, bucket long, price double"
+                    ).coalesce(1)
+                )
+        except BaseException as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    def do_delete():
+        try:
+            w = SnapshotTable(spark, str(tmp_path / "mor_race"), commit_attempts=64)
+            w.delete_where(F.col("k") % 2 == 1, mode="merge-on-read")
+        except BaseException as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    ths = [threading.Thread(target=do_appends), threading.Thread(target=do_delete)]
+    for th in ths:
+        th.start()
+    for th in ths:
+        th.join()
+    assert not errs, errs
+    got = sorted(r["k"] for r in t.read().collect())
+    # the delete always lands (internal retries) and removes every odd
+    # row present at its matched snapshot; the original odds predate it,
+    # so they are always gone. The appended odd row (1001) is deleted or
+    # kept depending on which side of the delete its append serialized —
+    # both orders are legal, nothing else is.
+    assert got in (
+        [0, 2, 4, 6, 8, 1000, 1002],
+        [0, 2, 4, 6, 8, 1000, 1001, 1002],
+    ), got
+    assert t.current_snapshot().row_count == len(got)

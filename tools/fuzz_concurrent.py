@@ -1,8 +1,8 @@
 #!/usr/bin/env python
 """Generative concurrency fuzz for the snapshot catalog's CAS commit
-protocol (round 9): random multi-writer schedules of append / overwrite
-/ delete_where / update_where / add_column race on one table, and the outcome must be
-LINEARIZABLE —
+protocol (round 9; merge added round 10): random multi-writer schedules
+of append / overwrite / delete_where / update_where / merge /
+add_column race on one table, and the outcome must be LINEARIZABLE —
 exactly the guarantee Nessie/Iceberg's optimistic commit model makes
 and `_commit_version` claims.
 
@@ -20,7 +20,8 @@ the serialization order. The checker then asserts, per schedule:
 3. replaying the chain's operations in ancestry order over a model
    multiset (append adds its rows, overwrite resets to its rows,
    delete filters by its predicate, update shifts matching rows,
-   evolve changes nothing) reproduces
+   merge upserts by key — drop existing rows with a source key, then
+   add every source row — evolve changes nothing) reproduces
    the final table's rows AND the final snapshot's row_count metadata —
    in particular, a delete landing AFTER a concurrent append must keep
    the appended rows its predicate doesn't match (the copy-on-write
@@ -29,11 +30,14 @@ the serialization order. The checker then asserts, per schedule:
 
 Conflicts are legal outcomes only where the design says so: a data
 commit staged under a schema that a concurrent add_column replaced
-(CommitConflictError from the fingerprint check), or a writer whose
-schema read went stale before staging (EngineError schema mismatch).
-Plain append/append and append/overwrite races must all succeed, and
-read-modify-write deletes/updates retry internally so they must ALWAYS land —
-writers carry a retry budget sized above worst-case contention.
+(CommitConflictError from the fingerprint check), a writer whose
+schema read went stale before staging (EngineError schema mismatch),
+or a merge whose entry validation read a schema a concurrent evolve
+replaced (SchemaMismatchError). Plain append/append and
+append/overwrite races must all succeed, and read-modify-write
+deletes/updates (and merges past their entry validation) retry
+internally so they must ALWAYS land — writers carry a retry budget
+sized above worst-case contention.
 
 Usage:
     python tools/fuzz_concurrent.py            # 6 schedules, seed 0
@@ -60,7 +64,7 @@ from trino_iceberg_spark.catalog.snapshots import (  # noqa: E402
     CommitConflictError,
     SnapshotTable,
 )
-from trino_iceberg_spark.errors import EngineError  # noqa: E402
+from trino_iceberg_spark.errors import EngineError, SchemaMismatchError  # noqa: E402
 
 
 def _plan_schedule(rng: random.Random, writers: int, ops: int) -> list[list[dict]]:
@@ -74,17 +78,24 @@ def _plan_schedule(rng: random.Random, writers: int, ops: int) -> list[list[dict
         for _k in range(ops):
             op_id += 1
             roll = rng.random()
-            if roll < 0.50:
+            if roll < 0.42:
                 kind = "append"
-            elif roll < 0.64:
+            elif roll < 0.54:
                 kind = "overwrite"
-            elif roll < 0.74:
+            elif roll < 0.64:
                 kind = "delete"
-            elif roll < 0.84:
+            elif roll < 0.74:
                 kind = "update"
+            elif roll < 0.86:
+                kind = "merge"
             else:
                 kind = "evolve"
             vals = [op_id * 100 + j for j in range(rng.randrange(1, 4))]
+            if kind == "merge" and rng.random() < 0.5:
+                # upsert a key that exists at schedule start (the base
+                # row) so the MATCHED branch is exercised, not just the
+                # not-matched append path
+                vals = [0] + vals
             mine.append(
                 {
                     "op_id": op_id,
@@ -141,6 +152,15 @@ def run_schedule(spark, base_dir: str, seed: int, writers: int = 4, ops: int = 3
                 try:
                     if op["kind"] == "evolve":
                         t.add_column(f"c_{op['op_id']}", "INT")
+                    elif op["kind"] == "merge":
+                        # upsert by key: retries internally past its entry
+                        # validation (_rewrite_commit); only a stale-schema
+                        # entry read may legally conflict, racing an evolve
+                        t.merge(
+                            _df_for(spark, t, op["vals"]),
+                            ["v"],
+                            properties={"op_id": str(op["op_id"])},
+                        )
                     elif op["kind"] in ("delete", "update"):
                         # read-modify-write: retries internally on races,
                         # so under any schedule it must SUCCEED — a lost
@@ -163,7 +183,9 @@ def run_schedule(spark, base_dir: str, seed: int, writers: int = 4, ops: int = 3
                         fn = t.append if op["kind"] == "append" else t.overwrite
                         fn(df, properties={"op_id": str(op["op_id"])})
                     results[op["op_id"]] = "ok"
-                except CommitConflictError:
+                except (CommitConflictError, SchemaMismatchError):
+                    # stale-schema entry validation (merge) or a staged
+                    # data commit racing evolution — both legal conflicts
                     results[op["op_id"]] = "conflict"
                 except EngineError as exc:
                     if "schema mismatch" not in str(exc):
@@ -186,7 +208,7 @@ def run_schedule(spark, base_dir: str, seed: int, writers: int = 4, ops: int = 3
     # evolves and read-modify-write deletes retry internally and must land
     evolving = any(op["kind"] == "evolve" for mine in plan for op in mine)
     for i in conflict_ids:
-        assert by_id[i]["kind"] in ("append", "overwrite"), (
+        assert by_id[i]["kind"] in ("append", "overwrite", "merge"), (
             f"{by_id[i]['kind']} op {i} conflicted — its retry loop failed"
         )
         assert evolving, f"op {i} conflicted with no evolution in the schedule"
@@ -225,6 +247,11 @@ def run_schedule(spark, base_dir: str, seed: int, writers: int = 4, ops: int = 3
                 model = [
                     v + 1_000_000 if v % 10 == op["digit"] else v for v in model
                 ]
+            elif op["kind"] == "merge":
+                # upsert by key: rows with a source key are replaced,
+                # unmatched source rows append
+                keys = set(op["vals"])
+                model = [v for v in model if v not in keys] + list(op["vals"])
             else:
                 model = list(op["vals"])
     got = sorted(r["v"] for r in table.read().select("v").collect())

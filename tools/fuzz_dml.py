@@ -26,6 +26,15 @@ splitting is what's actually under test.
 Usage:
     python tools/fuzz_dml.py             # 40 sequences, seed 0
     python tools/fuzz_dml.py 1000 7      # 1000 sequences, seed 7
+    python tools/fuzz_dml.py 40 0 --mor  # DELETE via merge-on-read
+
+``--mor`` sets the Iceberg table property ``write.delete.mode=
+merge-on-read`` on every fuzzed table, so each generated DELETE commits
+position-delete files instead of a copy-on-write rewrite while the DuckDB
+twin is UNCHANGED — the two delete modes must be observationally
+identical, including their interleaving with UPDATE/MERGE (copy-on-write
+rewrites that must materialize outstanding deletes) and the affected-row
+counts.
 
 Exit 1 on any divergence; each failure prints the full statement sequence
 for replay.
@@ -281,12 +290,16 @@ def seed_rows(rng: random.Random) -> list[tuple]:
     return rows
 
 
-def run_sequence(spark, seq_no: int, seed: int, workdir: str) -> list[str]:
+def run_sequence(
+    spark, seq_no: int, seed: int, workdir: str, delete_mode: str = "copy-on-write"
+) -> list[str]:
     """Returns a list of divergence descriptions (empty = agree)."""
     rng = random.Random(seed * 1_000_003 + seq_no)
     rows = seed_rows(rng)
     tdir = os.path.join(workdir, f"fz_{seq_no}")
     table = SnapshotTable(spark, tdir)
+    if delete_mode != "copy-on-write":
+        table.set_table_property("write.delete.mode", delete_mode)
     table.append(spark.createDataFrame(rows, SCHEMA))
     client = AthenaSparkClient(spark)
     client.register_snapshot_table("fz_fuzz", tdir)
@@ -363,8 +376,10 @@ def run_sequence(spark, seq_no: int, seed: int, workdir: str) -> list[str]:
 
 
 def main() -> int:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 40
-    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    mode = "merge-on-read" if "--mor" in sys.argv[1:] else "copy-on-write"
+    n = int(args[0]) if len(args) > 0 else 40
+    seed = int(args[1]) if len(args) > 1 else 0
     spark = get_spark(app_name="fuzz_dml", master="local[8]", shuffle_partitions=2)
     spark.sparkContext.setLogLevel("ERROR")
     workdir = tempfile.mkdtemp(prefix="fuzz_dml_")
@@ -372,7 +387,7 @@ def main() -> int:
     failures = 0
     try:
         for i in range(n):
-            problems = run_sequence(spark, i, seed, workdir)
+            problems = run_sequence(spark, i, seed, workdir, delete_mode=mode)
             if problems:
                 failures += 1
                 print(f"FAIL seq {i}:")
@@ -387,7 +402,7 @@ def main() -> int:
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
     print(
-        f"fuzz_dml: {n} sequences, seed {seed}: "
+        f"fuzz_dml: {n} sequences, seed {seed}, delete_mode={mode}: "
         f"{n - failures} agree, {failures} diverge ({time.time() - t0:.0f}s)"
     )
     return 1 if failures else 0

@@ -9,11 +9,18 @@ available offline, so this module reimplements the *table-format contract*
 those tests depend on, Spark-natively:
 
 - a table is a directory: ``data/*.parquet`` + ``metadata/vN.json``
-  manifests (the same data/metadata split the reference's UNLOAD relies
-  on, AthenaClient.cs:162-172);
-- each commit (append/overwrite) writes new data files plus a new manifest
-  listing the *complete* file set of that snapshot — O(1) readers, no
-  log replay;
+  snapshot manifests (the same data/metadata split the reference's UNLOAD
+  relies on, AthenaClient.cs:162-172);
+- metadata is TWO-LEVEL, Iceberg's manifest-list model: each snapshot
+  file carries snapshot-level fields plus an ordered list of immutable
+  SEGMENT files (``metadata/seg-*.json``) holding per-file entries
+  (path, write-schema id, zone-map stats, partition values). An append
+  writes one segment for its delta and reuses the parent's list;
+  metadata-only commits write zero segments — commit metadata I/O is
+  O(files touched), never O(files in table), so a 100k-file table's
+  commit cost stays flat (measured in tools/commit_bench.py). Readers
+  resolve the list once per snapshot (segments cached; no log replay);
+  legacy single-JSON manifests keep reading forever;
 - time travel resolves the latest snapshot with ``committed_at <= ts``
   (Iceberg's nearest-snapshot-≤ semantics) and reads exactly its files;
 - ``expire_snapshots`` / ``remove_orphan_files`` mirror the maintenance
@@ -141,6 +148,18 @@ class Snapshot:
     # data file → {"spec": spec_id, "values": {partition field name:
     # value}} parsed back from the hive-style staging layout at commit.
     file_partitions: dict[str, dict] | None = None
+    # Two-level metadata (Iceberg's manifest-list model): the ordered
+    # SEGMENT files this snapshot's file entries were resolved from
+    # (metadata/seg-*.json, immutable, shared across snapshots). None on
+    # legacy single-JSON manifests. files/file_schemas/file_stats/
+    # file_partitions above are always fully resolved either way —
+    # readers never look at this; commits extend it (O(delta) metadata
+    # I/O per commit) and expiry garbage-collects unshared segments.
+    manifest_list: tuple[str, ...] | None = None
+    # Merge-on-read row-level deletes (Iceberg v2 position deletes):
+    # parquet files of (file_path, pos) rows, paths relative to
+    # table_dir, anti-joined at read time. None/() = none outstanding.
+    position_deletes: tuple[str, ...] | None = None
 
     @property
     def committed_at(self) -> dt.datetime:
@@ -169,6 +188,37 @@ class SnapshotTable:
         # per commit. The worst case a writer can lose is (concurrent
         # commits - 1), so heavily-contended writers should size this up.
         self.commit_attempts = commit_attempts
+        # Segment files are immutable once written (content-addressed by
+        # uuid name), so parsed entries cache safely per table handle —
+        # loading a 1000-commit history re-reads each shared segment once,
+        # not once per referencing snapshot.
+        self._segment_cache: dict[str, list[dict]] = {}
+
+    # -- table properties (Iceberg table-level configuration) -------------
+    def table_properties(self) -> dict:
+        """Table-level configuration k/v (Iceberg table properties), e.g.
+        ``write.delete.mode=merge-on-read`` to route DELETE through v2
+        position deletes by default. Distinct from per-snapshot
+        ``properties`` (commit summaries)."""
+        p = os.path.join(self.metadata_dir, "properties.json")
+        if os.path.isfile(p):
+            with open(p, "r", encoding="utf-8") as fh:
+                return json.load(fh)
+        return {}
+
+    def set_table_property(self, key: str, value: str) -> None:
+        """Read-modify-write one table property under the commit lock
+        (the same atomic primitive refs use, so concurrent property
+        updates never lose each other)."""
+        with self._commit_lock():
+            props = self.table_properties()
+            props[key] = value
+            os.makedirs(self.metadata_dir, exist_ok=True)
+            p = os.path.join(self.metadata_dir, "properties.json")
+            tmp = p + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                json.dump(props, fh)
+            os.replace(tmp, p)
 
     # -- named refs (Nessie-style branches & tags) -----------------------
     def _load_refs(self) -> dict:
@@ -243,8 +293,9 @@ class SnapshotTable:
         follow another branch's commits. On an empty table main pins to an
         explicit null head ("no commits yet") for the same reason."""
         if "main" not in refs["branches"]:
-            snaps = self.snapshots()
-            refs["branches"]["main"] = snaps[-1].snapshot_id if snaps else None
+            # newest-manifest FILENAME, not snapshots(): this runs under
+            # the commit lock and must not scan the whole manifest chain
+            refs["branches"]["main"] = self._main_head_id_fast(refs)
 
     def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
         """Immutable named snapshot (release pinning); expire_snapshots
@@ -423,11 +474,74 @@ class SnapshotTable:
             partition_specs=m.get("partition_specs"),
             default_spec_id=m.get("default_spec_id"),
             file_partitions=m.get("file_partitions"),
+            manifest_list=tuple(m["manifest_list"])
+            if m.get("manifest_list") is not None
+            else None,
+            position_deletes=tuple(m["position_deletes"])
+            if m.get("position_deletes")
+            else None,
         )
+
+    # -- two-level metadata (Iceberg manifest-list model) -----------------
+    # A v2 snapshot file (v<id>.json) holds snapshot-level fields plus a
+    # "manifest_list": ordered metadata/seg-*.json SEGMENT files, each an
+    # immutable {"entries": [{"path", "schema_id", "stats", "partition"},
+    # ...]} chunk. An append writes ONE segment for its delta and reuses
+    # the parent's list; metadata-only commits (evolve/set-spec/rollback)
+    # write ZERO segments — so commit metadata I/O is O(files touched),
+    # not O(files in table), which is what keeps a 100k-file table's
+    # commit cost flat (tools/commit_bench.py measures it). Legacy
+    # single-JSON manifests (inline "files") keep reading forever.
+    def _load_segment(self, name: str) -> list[dict]:
+        entries = self._segment_cache.get(name)
+        if entries is None:
+            with open(
+                os.path.join(self.metadata_dir, name), "r", encoding="utf-8"
+            ) as fh:
+                entries = json.load(fh)["entries"]
+            self._segment_cache[name] = entries
+        return entries
+
+    def _resolve_snapshot(self, m: dict) -> Snapshot:
+        """Snapshot from a manifest dict of either format: v2 dicts get
+        their per-file fields resolved from segments; legacy dicts carry
+        them inline already."""
+        if m.get("manifest_list") is None:
+            return self._snapshot_from_dict(m)
+        files: list[str] = []
+        file_schemas: dict[str, int] = {}
+        file_stats: dict[str, dict] = {}
+        file_partitions: dict[str, dict] = {}
+        for seg in m["manifest_list"]:
+            for e in self._load_segment(seg):
+                p = e["path"]
+                files.append(p)
+                if e.get("schema_id") is not None:
+                    file_schemas[p] = e["schema_id"]
+                if e.get("stats"):
+                    file_stats[p] = e["stats"]
+                if e.get("partition"):
+                    file_partitions[p] = e["partition"]
+        m2 = dict(
+            m,
+            files=files,
+            file_schemas=file_schemas or None,
+            file_stats=file_stats or None,
+            file_partitions=file_partitions or None,
+        )
+        return self._snapshot_from_dict(m2)
+
+    @staticmethod
+    def _load_manifest_header(path: str) -> dict:
+        """Manifest dict WITHOUT segment resolution — for code that needs
+        only snapshot-level fields (id counter, timestamp floor) and must
+        stay O(1) inside the commit lock."""
+        with open(path, "r", encoding="utf-8") as fh:
+            return json.load(fh)
 
     def _load_manifest(self, path: str) -> Snapshot:
         with open(path, "r", encoding="utf-8") as fh:
-            return self._snapshot_from_dict(json.load(fh))
+            return self._resolve_snapshot(json.load(fh))
 
     def snapshots(self) -> list[Snapshot]:
         return [self._load_manifest(p) for p in self._manifest_paths()]
@@ -452,33 +566,124 @@ class SnapshotTable:
             return self._branch_head(branch)
         return None
 
+    def _head_id_for_commit(self, branch: str) -> int | None:
+        """Head SNAPSHOT ID with :meth:`_head_for_commit` semantics but
+        zero manifest parses — the CAS re-check inside the commit lock
+        needs only the id, and resolving a full Snapshot there would put
+        an O(files) segment read inside the critical section."""
+        refs = self._load_refs()
+        if branch == "main":
+            return self._main_head_id_fast(refs)
+        return refs["branches"].get(branch)
+
+    def _prepare_manifest(
+        self, prev: Snapshot | None, manifest: dict
+    ) -> tuple[dict, list[str]]:
+        """Factor an assembled manifest's per-file fields into segment
+        files (the Iceberg manifest-list write path). Runs OUTSIDE the
+        commit lock — segments are uuid-named and invisible until a
+        v<id>.json references them, so a lost CAS race just orphans them
+        (the caller unlinks its own; a crash leaves them to the
+        age-floored orphan sweep, like staged data files).
+
+        Returns the v2 manifest dict (per-file fields replaced by
+        "manifest_list") plus the segment files THIS call wrote:
+
+        - entries identical to ``prev``'s (metadata-only commits:
+          evolve/set-spec) → reuse prev's list, zero segments written;
+        - ``prev``'s entries are an unchanged prefix (appends) → one
+          segment for the suffix delta;
+        - anything else (overwrite, legacy migration) → one full segment.
+
+        A build may also supply "manifest_list" directly when it copied
+        an existing snapshot's entries verbatim (rollback) — zero
+        segments written and no comparison needed, since segments are
+        immutable."""
+        if manifest.get("manifest_list") is not None:
+            for k in ("files", "file_schemas", "file_stats", "file_partitions"):
+                manifest.pop(k, None)
+            return manifest, []
+        files = list(manifest.pop("files"))
+        file_schemas = manifest.pop("file_schemas", None) or {}
+        file_stats = manifest.pop("file_stats", None) or {}
+        file_partitions = manifest.pop("file_partitions", None) or {}
+
+        def entry_of(f: str) -> dict:
+            return {
+                "path": f,
+                "schema_id": file_schemas.get(f),
+                "stats": file_stats.get(f) or None,
+                "partition": file_partitions.get(f) or None,
+            }
+
+        reuse: list[str] = []
+        delta = files
+        if prev is not None and prev.manifest_list is not None:
+            prev_files = list(prev.files)
+            n = len(prev_files)
+            psch = prev.file_schemas or {}
+            psta = prev.file_stats or {}
+            ppar = prev.file_partitions or {}
+            if files[:n] == prev_files and all(
+                psch.get(f) == file_schemas.get(f)
+                and (psta.get(f) or None) == (file_stats.get(f) or None)
+                and (ppar.get(f) or None) == (file_partitions.get(f) or None)
+                for f in prev_files
+            ):
+                reuse, delta = list(prev.manifest_list), files[n:]
+        written: list[str] = []
+        if delta:
+            name = f"seg-{uuid.uuid4().hex}.json"
+            os.makedirs(self.metadata_dir, exist_ok=True)
+            tmp = os.path.join(self.metadata_dir, f".{name}.tmp")
+            with open(tmp, "w", encoding="utf-8") as fh:
+                json.dump({"entries": [entry_of(f) for f in delta]}, fh)
+            os.replace(tmp, os.path.join(self.metadata_dir, name))
+            written.append(name)
+        manifest["manifest_list"] = reuse + written
+        return manifest, written
+
     def _commit_version(
         self, branch: str, build, max_attempts: int | None = None
     ) -> Snapshot:
         """Nessie-style optimistic commit. ``build(prev)`` assembles the
         manifest dict against the head read OUTSIDE the critical section
         (and may raise :class:`CommitConflictError` if it cannot compose
-        against a refreshed head); the commit point re-checks the pointer
-        under the atomic lock and swaps only if it has not moved since
-        the read — otherwise the attempt retries against the new head.
-        Losing a race costs one manifest re-assembly (metadata-only, no
-        data rewrite), exactly Iceberg/Nessie's retry economics."""
+        against a refreshed head); segment files for the delta are also
+        written outside it (:meth:`_prepare_manifest`). The commit point
+        re-checks the head POINTER ID under the atomic lock and swaps
+        only if it has not moved since the read — otherwise the attempt
+        unlinks its segments and retries against the new head. Losing a
+        race costs one manifest re-assembly (metadata-only, no data
+        rewrite), exactly Iceberg/Nessie's retry economics; lock hold is
+        one small-JSON write + one refs write, independent of both data
+        size and file count."""
         if max_attempts is None:
             max_attempts = self.commit_attempts
         for _ in range(max_attempts):
             prev = self._head_for_commit(branch)
             manifest = build(prev)
-            with self._commit_lock():
-                cur = self._head_for_commit(branch)
-                if (cur.snapshot_id if cur else None) != (
-                    prev.snapshot_id if prev else None
-                ):
-                    continue  # pointer moved — rebuild against the new head
-                snap = self._write_manifest(prev, manifest)
-                refs = self._load_refs()
-                refs["branches"][branch] = snap.snapshot_id
-                self._save_refs(refs)
-                return snap
+            prepared, new_segs = self._prepare_manifest(prev, manifest)
+            committed = False
+            try:
+                with self._commit_lock():
+                    if self._head_id_for_commit(branch) != (
+                        prev.snapshot_id if prev else None
+                    ):
+                        continue  # pointer moved — rebuild against new head
+                    snap = self._write_manifest(prev, prepared)
+                    refs = self._load_refs()
+                    refs["branches"][branch] = snap.snapshot_id
+                    self._save_refs(refs)
+                    committed = True
+                    return snap
+            finally:
+                if not committed:
+                    for s in new_segs:  # lost the race: reclaim our segments
+                        try:
+                            os.remove(os.path.join(self.metadata_dir, s))
+                        except OSError:
+                            pass
         raise CommitConflictError(
             f"commit to branch {branch!r} of {self.table_dir} lost the CAS "
             f"race {max_attempts} times — giving up (raise max_attempts or "
@@ -487,17 +692,18 @@ class SnapshotTable:
 
     def _write_manifest(self, prev: Snapshot | None, manifest: dict) -> Snapshot:
         # This runs INSIDE the commit lock, so it must stay O(1) in table
-        # history: only the single newest manifest is parsed (id counter +
-        # monotone-timestamp floor), never the whole chain — a streaming
+        # history AND file count: only the single newest manifest's
+        # HEADER is parsed (id counter + monotone-timestamp floor) —
+        # never the whole chain, never the segment entries — a streaming
         # table with thousands of micro-batch commits would otherwise pay
         # O(n) JSON parses per commit while every other writer spins.
         paths = self._manifest_paths()
         if paths:
-            last = self._load_manifest(paths[-1])
+            hdr = self._load_manifest_header(paths[-1])
             # max+1, not prev+1: branch commits chain from their own head
             # but ids stay globally unique across branches
-            snapshot_id = last.snapshot_id + 1
-            floor_us = last.committed_at_us
+            snapshot_id = hdr["snapshot_id"] + 1
+            floor_us = hdr["committed_at_us"]
         else:
             snapshot_id, floor_us = 1, -1
         now_us = int(dt.datetime.now(dt.timezone.utc).timestamp() * 1e6)
@@ -517,7 +723,7 @@ class SnapshotTable:
         with open(tmp, "w", encoding="utf-8") as fh:
             json.dump(manifest, fh)
         os.replace(tmp, final)  # atomic commit point
-        return self._snapshot_from_dict(manifest)
+        return self._resolve_snapshot(manifest)
 
     @staticmethod
     def _columns_from_spark_schema(schema, start_id: int = 1) -> list[dict]:
@@ -615,6 +821,7 @@ class SnapshotTable:
                 "partition_specs": specs,
                 "default_spec_id": new_id,
                 "file_partitions": dict(prev.file_partitions or {}),
+                "position_deletes": list(prev.position_deletes or []) or None,
             }
 
         return self._commit_version("main", build)
@@ -919,6 +1126,13 @@ class SnapshotTable:
                 "partition_specs": prev_specs or None,
                 "default_spec_id": spec_id or None,
                 "file_partitions": file_partitions or None,
+                # appends keep the retained files' outstanding deletes;
+                # overwrites replace the file set, so nothing to delete from
+                "position_deletes": (
+                    list(prev.position_deletes or []) or None
+                )
+                if operation == "append" and prev is not None
+                else None,
             }
 
         try:
@@ -1017,6 +1231,7 @@ class SnapshotTable:
                 "partition_specs": dict(prev.partition_specs or {}) or None,
                 "default_spec_id": prev.default_spec_id,
                 "file_partitions": dict(prev.file_partitions or {}) or None,
+                "position_deletes": list(prev.position_deletes or []) or None,
             }
 
         return self._commit_version("main", build)
@@ -1090,12 +1305,19 @@ class SnapshotTable:
         return self.spark.read.parquet(*[os.path.join(self.table_dir, f) for f in files])
 
     @staticmethod
-    def _resolve_columns(df: DataFrame, write_cols: list[dict], target_cols: list[dict]):
+    def _resolve_columns(
+        df: DataFrame,
+        write_cols: list[dict],
+        target_cols: list[dict],
+        extra=None,
+    ):
         """Project a raw file-group DataFrame (written under ``write_cols``)
         onto ``target_cols``, matching by field id: renamed columns re-map,
         dropped columns vanish, added columns surface as typed NULLs, and
         promoted types up-cast (same-type casts are elided by Catalyst's
-        SimplifyCasts, so pushdown/pruning are unaffected)."""
+        SimplifyCasts, so pushdown/pruning are unaffected). ``extra``
+        appends non-schema columns (the merge-on-read read path's
+        file/position identity)."""
         from pyspark.sql import functions as F
 
         by_id = {c["id"]: c for c in write_cols}
@@ -1106,18 +1328,49 @@ class SnapshotTable:
                 sel.append(F.col(w["name"]).cast(c["type"]).alias(c["name"]))
             else:
                 sel.append(F.lit(None).cast(c["type"]).alias(c["name"]))
-        return df.select(*sel)
+        return df.select(*sel, *(extra or []))
 
-    def _read_snapshot(
-        self, snap: Snapshot, target_cols: list[dict] | None = None
+    # Reserved helper-column names for the merge-on-read read path; a user
+    # schema can never carry them (guarded at read time).
+    _POS_FILE = "__tis_file"
+    _POS_IDX = "__tis_pos"
+
+    def _pos_identity_cols(self) -> list:
+        """(relative file path, row position) of every row, from parquet's
+        hidden ``_metadata`` column — the same per-file row index Iceberg's
+        position deletes address. Data files live flat under ``data/`` by
+        construction (:meth:`_commit`), so the relative path is
+        ``data/<basename>``."""
+        return [
+            F.concat(
+                F.lit("data/"),
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+            ).alias(self._POS_FILE),
+            F.col("_metadata.row_index").alias(self._POS_IDX),
+        ]
+
+    def _read_snapshot_files(
+        self,
+        snap: Snapshot,
+        target_cols: list[dict] | None = None,
+        with_pos: bool = False,
     ) -> DataFrame:
-        """Read a snapshot under its own schema (time-travel semantics: the
-        schema travels with the snapshot) or an explicit ``target_cols``."""
+        """Raw snapshot read (no position-delete application), optionally
+        carrying each row's (file, position) identity columns."""
         target = target_cols if target_cols is not None else snap.schema_columns
         if target is None:
-            return self._read_files(snap.files)
+            df = self._read_files(snap.files)
+            if with_pos:
+                df = df.select("*", *self._pos_identity_cols())
+            return df
         if not snap.files:
             raise EngineError(f"table {self.table_dir} has no data in this snapshot")
+        if with_pos and any(
+            c["name"] in (self._POS_FILE, self._POS_IDX) for c in target
+        ):
+            raise EngineError(
+                f"column names {self._POS_FILE}/{self._POS_IDX} are reserved"
+            )
         groups: dict[int, list[str]] = {}
         for f in snap.files:
             sid = (snap.file_schemas or {}).get(f, snap.schema_id)
@@ -1130,11 +1383,49 @@ class SnapshotTable:
             # Files with no recorded write schema (legacy manifests) are
             # assumed to carry the target column names on disk.
             write_cols = (snap.schemas or {}).get(str(sid), target)
-            parts.append(self._resolve_columns(raw, write_cols, target))
+            extra = self._pos_identity_cols() if with_pos else None
+            parts.append(self._resolve_columns(raw, write_cols, target, extra))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def _apply_position_deletes(
+        self, df: DataFrame, delete_files: tuple[str, ...], keep_pos: bool = False
+    ) -> DataFrame:
+        """Anti-join outstanding position deletes (Iceberg v2 read path).
+        Delete files are small by design — kilobytes of (file_path, pos)
+        per DML commit — so they broadcast; every executor filters its
+        rows locally with zero shuffle of the data side, which is what
+        makes a 0.1% delete on a 100 TB table readable without
+        re-shuffling terabytes. A table that accrues a LARGE delete set
+        should be compacted (:meth:`compact_small_files` materializes
+        deletes away), same as Iceberg operational guidance."""
+        dele = self.spark.read.parquet(
+            *[os.path.join(self.table_dir, f) for f in delete_files]
+        ).select(
+            F.col("file_path").alias("__tis_dfile"),
+            F.col("pos").alias("__tis_dpos"),
+        )
+        out = df.join(
+            F.broadcast(dele),
+            (F.col(self._POS_FILE) == F.col("__tis_dfile"))
+            & (F.col(self._POS_IDX) == F.col("__tis_dpos")),
+            "left_anti",
+        )
+        return out if keep_pos else out.drop(self._POS_FILE, self._POS_IDX)
+
+    def _read_snapshot(
+        self, snap: Snapshot, target_cols: list[dict] | None = None
+    ) -> DataFrame:
+        """Read a snapshot under its own schema (time-travel semantics: the
+        schema travels with the snapshot) or an explicit ``target_cols``,
+        with outstanding merge-on-read position deletes applied."""
+        dele = tuple(snap.position_deletes or ())
+        df = self._read_snapshot_files(snap, target_cols, with_pos=bool(dele))
+        if dele:
+            df = self._apply_position_deletes(df, dele)
+        return df
 
     def read(self) -> DataFrame:
         snap = self.current_snapshot()
@@ -1400,6 +1691,13 @@ class SnapshotTable:
             ) from None
         removed = tuple(sorted(set(before.files) - set(after.files)))
         added = tuple(sorted(set(after.files) - set(before.files)))
+        if (before.position_deletes or ()) != (after.position_deletes or ()):
+            # Merge-on-read deletes change VISIBLE rows without changing
+            # the file sets, so the files-diff pruning is unsound across a
+            # MOR boundary — fall back to a full logical diff (each side
+            # reads with its own deletes applied). Pruned diffs resume
+            # once compaction materializes the deletes.
+            removed, added = before.files, after.files
 
         # Both sides resolve to the AFTER snapshot's schema (by field id),
         # so a diff across an evolution boundary compares aligned columns.
@@ -1513,23 +1811,151 @@ class SnapshotTable:
 
         return self._rewrite_commit(derive, properties)
 
-    def delete_where(self, condition, properties=None) -> Snapshot:
-        """DELETE WHERE analog: rewrite the table without matching rows,
-        as one overwrite snapshot (copy-on-write row-level delete),
-        validated against the read snapshot and retried on concurrent
-        commits (_rewrite_commit).
+    def delete_where(
+        self, condition, properties=None, mode: str | None = None
+    ) -> Snapshot:
+        """DELETE WHERE analog, in either Iceberg row-level-delete mode.
+        ``mode=None`` resolves the table property ``write.delete.mode``
+        (Iceberg's own property name), defaulting to copy-on-write:
+
+        - ``copy-on-write`` (default, Iceberg v1 semantics): rewrite the
+          table without matching rows as one overwrite snapshot,
+          validated against the read snapshot and retried on concurrent
+          commits (_rewrite_commit). Zero-cost reads afterward; the
+          rewrite cost is O(table).
+        - ``merge-on-read`` (Iceberg v2 position deletes — Trino's
+          production default for frequent DML on big tables): write
+          small (file_path, pos) DELETE FILES and leave every data file
+          in place; reads anti-join them (broadcast). A 0.1% DELETE on a
+          100 TB table writes kilobytes instead of re-shuffling
+          terabytes; ``compact_small_files`` materializes accrued
+          deletes away. Same CAS/based_on serializable isolation.
 
         Three-valued logic (found by tools/fuzz_dml.py): DELETE removes
         only rows where the condition IS TRUE — a NULL condition keeps
         the row, so the kept-filter must be ``NOT coalesce(cond, false)``
         rather than ``~cond`` (which is NULL for NULL and would silently
-        drop those rows)."""
+        drop those rows); the merge-on-read match filter is the same
+        ``coalesce`` for the identical reason."""
         from pyspark.sql import functions as F
 
+        if mode is None:
+            mode = self.table_properties().get(
+                "write.delete.mode", "copy-on-write"
+            )
+        if mode == "merge-on-read":
+            return self._mor_delete(condition, properties)
+        if mode != "copy-on-write":
+            raise EngineError(
+                f"unknown delete mode {mode!r} (copy-on-write | merge-on-read)"
+            )
         return self._rewrite_commit(
             lambda cur: cur.filter(~F.coalesce(condition, F.lit(False))),
             properties,
         )
+
+    def _mor_delete(self, condition, properties=None) -> Snapshot:
+        """Merge-on-read DELETE: commit position-delete files against the
+        snapshot the match scan read (``based_on`` validation — a
+        concurrent commit means the positions may be stale, so the whole
+        match-and-write re-derives, the same retry economics as
+        ``_rewrite_commit``). Matching runs over the VISIBLE rows
+        (existing deletes applied), so re-deleting already-dead positions
+        never inflates the delete set."""
+        last: EngineError | None = None
+        for _ in range(self.commit_attempts):
+            snap = self.current_snapshot()
+            if snap is None:
+                raise EngineError(f"table {self.table_dir} has no snapshots")
+            df = self._read_snapshot_files(snap, with_pos=True)
+            if snap.position_deletes:
+                df = self._apply_position_deletes(
+                    df, snap.position_deletes, keep_pos=True
+                )
+            matches = df.filter(F.coalesce(condition, F.lit(False)))
+            commit_uuid = uuid.uuid4().hex[:12]
+            staging = os.path.join(self.table_dir, f"_staging_{uuid.uuid4().hex}")
+            (
+                matches.select(
+                    F.col(self._POS_FILE).alias("file_path"),
+                    F.col(self._POS_IDX).alias("pos"),
+                )
+                # one delete file per commit: delete sets are small by
+                # design (a production writer would target delete-file
+                # size instead and split on it), sorted for locality
+                .coalesce(1)
+                .sortWithinPartitions("file_path", "pos")
+                .write.mode("errorifexists")
+                .parquet(staging)
+            )
+            new_deletes: list[str] = []
+            for fn in sorted(os.listdir(staging)):
+                if fn.endswith(".parquet"):
+                    dest = f"data/del-{commit_uuid}-{len(new_deletes):05d}.parquet"
+                    shutil.move(
+                        os.path.join(staging, fn), os.path.join(self.table_dir, dest)
+                    )
+                    new_deletes.append(dest)
+            shutil.rmtree(staging, ignore_errors=True)
+            n_deleted = 0
+            if new_deletes:
+                n_deleted = self.spark.read.parquet(
+                    *[os.path.join(self.table_dir, f) for f in new_deletes]
+                ).count()
+            if n_deleted == 0:  # nothing matched: commit no (empty) delete file
+                for f in new_deletes:
+                    try:
+                        os.remove(os.path.join(self.table_dir, f))
+                    except OSError:
+                        pass
+                new_deletes = []
+
+            def build(prev: Snapshot | None) -> dict:
+                if (prev.snapshot_id if prev else None) != snap.snapshot_id:
+                    raise CommitConflictError(
+                        f"concurrent update on {self.table_dir}: this "
+                        f"merge-on-read delete matched against snapshot "
+                        f"{snap.snapshot_id} but the table advanced — "
+                        f"re-deriving"
+                    )
+                return {
+                    "operation": "delete",
+                    "files": list(prev.files),
+                    "row_count": prev.row_count - n_deleted,
+                    "schema_id": prev.schema_id,
+                    "last_column_id": prev.last_column_id,
+                    "schemas": dict(prev.schemas or {}) or None,
+                    "file_schemas": dict(prev.file_schemas or {}),
+                    "file_stats": dict(prev.file_stats or {}),
+                    "properties": properties or {},
+                    "partition_specs": dict(prev.partition_specs or {}) or None,
+                    "default_spec_id": prev.default_spec_id,
+                    "file_partitions": dict(prev.file_partitions or {}) or None,
+                    "position_deletes": (
+                        list(prev.position_deletes or []) + new_deletes
+                    )
+                    or None,
+                    # file entries are untouched — reuse the parent's
+                    # segment list verbatim: a MOR delete is a
+                    # metadata+delete-file commit, O(1) in table file count
+                    "manifest_list": list(prev.manifest_list)
+                    if prev is not None and prev.manifest_list is not None
+                    else None,
+                }
+
+            try:
+                return self._commit_version("main", build, max_attempts=1)
+            except CommitConflictError as exc:
+                for f in new_deletes:  # stale positions — reclaim and re-derive
+                    try:
+                        os.remove(os.path.join(self.table_dir, f))
+                    except OSError:
+                        pass
+                last = exc
+        raise CommitConflictError(
+            f"merge-on-read delete on {self.table_dir} lost the validation "
+            f"race {self.commit_attempts} times — giving up"
+        ) from last
 
     def update_where(self, condition, assignments: dict, properties=None) -> Snapshot:
         """UPDATE WHERE analog: rewrite with ``assignments`` (col → Column
@@ -1584,25 +2010,38 @@ class SnapshotTable:
             refs = self._load_refs()
             keep_ids |= set(refs["branches"].values()) | set(refs["tags"].values())
             expired = [s for s in snaps if s.snapshot_id not in keep_ids]
-            live_files = set()
+            live_files: set[str] = set()
+            live_segments: set[str] = set()
             for s in snaps:
                 if s.snapshot_id in keep_ids:
                     live_files.update(s.files)
+                    live_files.update(s.position_deletes or ())
+                    live_segments.update(s.manifest_list or ())
             for s in expired:
                 os.remove(os.path.join(self.metadata_dir, f"v{s.snapshot_id}.json"))
-        # Phase 2, lock released: unlink data files no surviving snapshot
-        # references (they are unreachable — nothing can re-pin them now).
-        # A concurrent orphan sweep or second expire can unlink the same
-        # file between the two calls, so the remove tolerates
-        # already-gone (the same guard remove_orphan_files carries for
-        # the symmetric race).
+        # Phase 2, lock released: unlink data/delete files and metadata
+        # segments no surviving snapshot references (they are unreachable —
+        # nothing can re-pin them now). A concurrent orphan sweep or second
+        # expire can unlink the same file between the two calls, so the
+        # remove tolerates already-gone (the same guard remove_orphan_files
+        # carries for the symmetric race).
+        dead_files: set[str] = set()
+        dead_segments: set[str] = set()
         for s in expired:
-            for f in s.files:
-                if f not in live_files:
-                    try:
-                        os.remove(os.path.join(self.table_dir, f))
-                    except OSError:
-                        pass  # already reclaimed by a concurrent sweep
+            dead_files.update(s.files)
+            dead_files.update(s.position_deletes or ())
+            dead_segments.update(s.manifest_list or ())
+        for f in sorted(dead_files - live_files):
+            try:
+                os.remove(os.path.join(self.table_dir, f))
+            except OSError:
+                pass  # already reclaimed by a concurrent sweep
+        for seg in sorted(dead_segments - live_segments):
+            try:
+                os.remove(os.path.join(self.metadata_dir, seg))
+            except OSError:
+                pass
+            self._segment_cache.pop(seg, None)
         return len(expired)
 
     def compact_small_files(self, target_files: int | None = None) -> Snapshot | None:
@@ -1616,9 +2055,15 @@ class SnapshotTable:
         scale: every micro-batch commit adds files, scan planning cost grows
         linearly with file count, and readers lose large sequential reads.
         Compaction is metadata-transparent here exactly like Iceberg's: the
-        table's visible rows are identical before and after."""
+        table's visible rows are identical before and after.
+
+        Also MATERIALIZES outstanding merge-on-read position deletes: the
+        rewrite reads through them and the overwrite commit carries none —
+        the accrued-delete cleanup Iceberg gets from rewrite_data_files."""
         snap = self.current_snapshot()
-        if snap is None or len(snap.files) <= (target_files or 1):
+        if snap is None or (
+            len(snap.files) <= (target_files or 1) and not snap.position_deletes
+        ):
             return None
         df = self._read_snapshot(snap)  # schema-aware: rewrites under the current mapping
         if target_files is not None:
@@ -1753,6 +2198,14 @@ class SnapshotTable:
                 "partition_specs": dict(target.partition_specs or {}) or None,
                 "default_spec_id": target.default_spec_id,
                 "file_partitions": dict(target.file_partitions or {}) or None,
+                "position_deletes": list(target.position_deletes or []) or None,
+                # the rollback copies the target's entries verbatim, so its
+                # immutable segments are reused directly — a metadata-only
+                # commit regardless of file count (legacy targets fall back
+                # to the inline fields above)
+                "manifest_list": list(target.manifest_list)
+                if target.manifest_list is not None
+                else None,
             }
 
         return self._commit_version(branch, build)
@@ -1769,8 +2222,11 @@ class SnapshotTable:
         are candidates; pass ``older_than_s=0.0`` only when no writer can
         be active (tests, decommissioned tables)."""
         referenced = set()
+        referenced_segments = set()
         for s in self.snapshots():
             referenced.update(s.files)
+            referenced.update(s.position_deletes or ())
+            referenced_segments.update(s.manifest_list or ())
         cutoff = time.time() - older_than_s
         removed = 0
         if os.path.isdir(self.data_dir):
@@ -1783,4 +2239,19 @@ class SnapshotTable:
                         removed += 1
                 except OSError:
                     pass  # already gone — nothing to reclaim
+        # metadata segments orphaned by a crashed commit (written outside
+        # the lock, never referenced by a v*.json) — same age floor: an
+        # IN-FLIGHT commit writes its segment before the manifest that
+        # references it
+        if os.path.isdir(self.metadata_dir):
+            for fn in os.listdir(self.metadata_dir):
+                if not fn.startswith("seg-"):
+                    continue
+                full = os.path.join(self.metadata_dir, fn)
+                try:
+                    if fn not in referenced_segments and os.path.getmtime(full) <= cutoff:
+                        os.remove(full)
+                        removed += 1
+                except OSError:
+                    pass
         return removed

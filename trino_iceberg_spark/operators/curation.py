@@ -27,6 +27,7 @@ __all__ = [
     "contamination_report",
     "boilerplate_removal",
     "dsir_log_weights",
+    "domain_curation",
 ]
 
 
@@ -547,3 +548,71 @@ def select_token_budget(
         )
         .drop("_budget_key")
     )
+
+
+def domain_curation(
+    docs: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    chars_col: str = "n_chars",
+    deny: list[str] | None = None,
+    min_docs: int = 1,
+    min_avg_chars: int = 0,
+    max_per_domain: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Domain/URL-level corpus gating — the per-DOMAIN curation layer the
+    big public web-corpus pipelines (C4, RefinedWeb, FineWeb) run on top
+    of per-document filters: a domain's aggregate statistics gate ALL its
+    documents at once, deny-listed domains drop wholesale, and surviving
+    mega-domains are capped so no single site dominates the mixture.
+
+    Gates (a document survives iff its domain passes all three):
+
+    - ``deny``: explicit domain deny-list (a literal IN filter — at
+      production size this is a broadcast anti-join against the deny
+      table; the literal form keeps small lists map-side with zero join);
+    - ``min_docs``: domains with fewer documents are dropped (thin
+      domains carry no signal and are disproportionately spam);
+    - ``min_avg_chars``: average document length per domain, evaluated
+      EXACTLY as ``sum(chars) >= count * min_avg_chars`` over integer
+      aggregates — no float division, so the gate is bit-reproducible in
+      any replaying engine;
+    - ``max_per_domain``: keep at most N documents per surviving domain,
+      chosen by portable md5-hash rank (:func:`..operators.splits.
+      sample_fixed_per_group`) — deterministic, engine-replayable
+      membership, and nested (a cap of 50 is a subset of a cap of 100).
+
+    Returns the surviving documents' (id, domain, chars) columns plus the
+    domain aggregates ``domain_docs``/``domain_chars`` (and ``kept_rank``
+    when capped).
+
+    Scale shape (100 TB story): the domain aggregate is ONE partial-agg
+    groupBy whose output is #domains rows — a viral mega-domain costs
+    nothing extra because map-side combine collapses it per task
+    (operators/skew.py's salted aggregate exists for the pathological
+    single-key case). The gate join broadcasts the (tiny) surviving-domain
+    table, so the corpus scan is one pass with a map-side filter. The cap
+    is a per-domain rank window whose ≤ N filter Spark pushes into the
+    sort (WindowGroupLimit) — no domain ever materializes beyond its
+    top-N in a task."""
+    from .splits import sample_fixed_per_group
+
+    stats = docs.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("domain_docs"),
+        F.sum(chars_col).cast("long").alias("domain_chars"),
+    )
+    gate = (F.col("domain_docs") >= min_docs) & (
+        F.col("domain_chars") >= F.col("domain_docs") * min_avg_chars
+    )
+    if deny:
+        gate = gate & ~F.col(domain_col).isin(list(deny))
+    allowed = stats.filter(gate)
+    out = docs.select(id_col, domain_col, chars_col).join(
+        F.broadcast(allowed), domain_col
+    )
+    if max_per_domain is not None:
+        out = sample_fixed_per_group(
+            out, id_col, domain_col, max_per_domain, seed
+        ).withColumnRenamed("_rank", "kept_rank")
+    return out

@@ -4293,3 +4293,63 @@ def sp13_mix_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     share = (F.col("tokens").cast("double") /
              F.sum("tokens").over(W.partitionBy("split")))
     return agg.withColumn("token_share", share).orderBy("source", "split")
+
+
+@register(
+    "cu10_domain_curation",
+    oracle="""
+    WITH stats AS (
+        SELECT source, COUNT(*) AS domain_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS domain_chars
+        FROM documents GROUP BY source
+    ),
+    allowed AS (
+        SELECT * FROM stats
+        WHERE domain_docs >= 20
+          AND domain_chars >= domain_docs * 290
+          AND source NOT IN ('src4', 'src7')
+    ),
+    capped AS (
+        SELECT d.doc_id, d.source, d.n_chars, a.domain_docs, a.domain_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.source
+                   ORDER BY ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#42'), 1, 15))::BIGINT,
+                            CAST(d.doc_id AS VARCHAR)
+               ) AS kept_rank
+        FROM documents d JOIN allowed a USING (source)
+    )
+    SELECT doc_id, source, n_chars, domain_docs, domain_chars,
+           CAST(kept_rank AS INT) AS kept_rank
+    FROM capped WHERE kept_rank <= 15
+    ORDER BY source, kept_rank
+    """,
+)
+def cu10_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/URL-level curation (operators.curation.domain_curation —
+    the per-DOMAIN gating layer of C4/RefinedWeb/FineWeb-style web-corpus
+    pipelines, on top of the per-document cu01-cu09 family): domain
+    aggregates gate all of a domain's documents at once (min doc count +
+    exact integer min-avg-length), deny-listed domains drop wholesale,
+    and surviving domains are capped at 15 documents each by portable
+    md5-hash rank. One partial-agg groupBy over domains, one broadcast
+    gate join, one WindowGroupLimit-pushed rank — the oracle replays
+    every gate and the exact cap membership."""
+    from ..operators.curation import domain_curation
+
+    d = load_table(spark, sf_dir, "documents")
+    out = domain_curation(
+        d,
+        deny=["src4", "src7"],
+        min_docs=20,
+        min_avg_chars=290,
+        max_per_domain=15,
+        seed=42,
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "domain_docs",
+        "domain_chars",
+        F.col("kept_rank").cast("int").alias("kept_rank"),
+    ).orderBy("source", "kept_rank")

@@ -620,3 +620,46 @@ def tt16_catalog_version_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(agg(cat.read("active", version=v1), "v1_active"))
         .orderBy("state")
     )
+
+
+@register(
+    "tt17_merge_on_read_delete",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey <= 3000
+    ),
+    dead AS (
+        SELECT o_orderkey FROM base
+        WHERE o_orderkey % 7 = 0 OR o_custkey % 5 = 2
+    )
+    SELECT b.o_orderkey, b.o_custkey, b.o_totalprice
+    FROM base b ANTI JOIN dead d ON b.o_orderkey = d.o_orderkey
+    ORDER BY o_orderkey
+    """,
+)
+def tt17_merge_on_read_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read row-level DELETE (catalog.snapshots.SnapshotTable.
+    delete_where(mode='merge-on-read') — Iceberg v2 position deletes,
+    Trino's production default for frequent DML on its Iceberg tables,
+    the reference's storage engine): two appends land the base corpus
+    across multiple files; two DML commits then write only small
+    (file_path, pos) DELETE FILES — zero data files rewritten, the
+    property that makes a 0.1% DELETE on a 100 TB table a kilobyte
+    commit instead of a terabyte shuffle. The final read anti-joins the
+    accrued delete files (broadcast); the oracle replays it as an ANTI
+    JOIN over the defining predicates, so a hash match proves the
+    position-addressed read path end to end. Delete-file accrual,
+    time-travel isolation, and compaction materialization are pinned in
+    tests/test_snapshots.py."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base = o.filter(F.col("o_orderkey") <= 3000)
+    tdir = work_dir("tt17_table")
+    table = SnapshotTable(spark, tdir)
+    table.append(base.filter(F.col("o_orderkey") % 2 == 0))
+    table.append(base.filter(F.col("o_orderkey") % 2 == 1))
+    table.delete_where(F.col("o_orderkey") % 7 == 0, mode="merge-on-read")
+    table.delete_where(F.col("o_custkey") % 5 == 2, mode="merge-on-read")
+    return table.read().orderBy("o_orderkey")
