@@ -1449,3 +1449,75 @@ def test_mor_delete_concurrent_append_never_lost(spark, tmp_path):
         [0, 2, 4, 6, 8, 1000, 1001, 1002],
     ), got
     assert t.current_snapshot().row_count == len(got)
+
+
+def test_mor_update_deletes_old_images_and_appends_new(spark, tmp_path):
+    """update_where(mode='merge-on-read') is ONE commit: old images
+    position-deleted, new images appended as data files under the
+    current schema — row count unchanged, retained files untouched,
+    results identical to the copy-on-write semantics."""
+    t = SnapshotTable(spark, str(tmp_path / "moru"))
+    s1 = t.append(_orders(spark).coalesce(2))
+    s2 = t.update_where(
+        F.col("k") % 4 == 1, {"price": F.col("price") + 1000.0},
+        mode="merge-on-read",
+    )
+    assert s2.operation == "update"
+    assert s2.row_count == 20
+    assert set(s1.files) <= set(s2.files)  # originals retained
+    assert len(s2.files) > len(s1.files)  # new image files appended
+    assert len(s2.position_deletes) == 1
+    rows = {r["k"]: r["price"] for r in t.read().collect()}
+    assert len(rows) == 20
+    for k in range(20):
+        want = k * 10.0 + (1000.0 if k % 4 == 1 else 0.0)
+        assert rows[k] == want, (k, rows[k], want)
+    # time travel still shows pre-update images
+    pre = {r["k"]: r["price"] for r in t.read_version(s1.snapshot_id).collect()}
+    assert pre[1] == 10.0
+    # a second MOR update compounds on the previous one's new files
+    s3 = t.update_where(
+        F.col("k") == 1, {"price": F.lit(-1.0)}, mode="merge-on-read"
+    )
+    assert len(s3.position_deletes) == 2
+    rows = {r["k"]: r["price"] for r in t.read().collect()}
+    assert rows[1] == -1.0 and rows[5] == 1050.0
+    # compaction materializes both deletes and the update chain
+    s4 = t.compact_small_files(target_files=1)
+    assert not s4.position_deletes
+    rows = {r["k"]: r["price"] for r in t.read().collect()}
+    assert rows[1] == -1.0 and rows[5] == 1050.0 and len(rows) == 20
+
+
+def test_mor_update_null_condition_and_empty_match(spark, tmp_path):
+    """NULL conditions keep rows unchanged (IS TRUE semantics, parity
+    with copy-on-write); an update matching nothing commits no delete
+    file and no data file."""
+    t = SnapshotTable(spark, str(tmp_path / "moru_null"))
+    s1 = t.append(
+        spark.createDataFrame(
+            [(1, 10), (2, None), (3, 30)], "k long, v int"
+        ).coalesce(1)
+    )
+    s2 = t.update_where(
+        F.col("v") > 15, {"v": F.lit(0)}, mode="merge-on-read"
+    )
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == {1: 10, 2: None, 3: 0}
+    s3 = t.update_where(
+        F.col("k") > 100, {"v": F.lit(9)}, mode="merge-on-read"
+    )
+    assert s3.files == s2.files and (s3.position_deletes or ()) == (
+        s2.position_deletes or ()
+    )
+
+
+def test_mor_update_respects_table_property(spark, tmp_path):
+    """write.update.mode=merge-on-read routes plain update_where calls
+    (the SQL-text client path) through position deletes."""
+    t = SnapshotTable(spark, str(tmp_path / "moru_prop"))
+    t.set_table_property("write.update.mode", "merge-on-read")
+    s1 = t.append(_orders(spark, 8).coalesce(1))
+    s2 = t.update_where(F.col("k") < 2, {"price": F.lit(0.0)})
+    assert s2.operation == "update" and s2.position_deletes
+    assert s2.files[: len(s1.files)] == s1.files

@@ -7,14 +7,25 @@ throughput scales with commit RATE, not volume, exactly like Iceberg").
 Method: build two tables, one with a SHORT history/file list and one
 with a LONG one (many prior single-file appends), then time M identical
 1-row appends to each. The data written per commit is constant, so any
-wall-clock growth with table size is commit-protocol overhead (manifest
-assembly is O(files) JSON, the lock section one manifest write + one
-refs write — both metadata; nothing scans data). Also times M appends
-from 4 CONCURRENT writers on one table to show contention degrades
-throughput by retries, not by data volume.
+wall-clock growth with table size is commit-protocol overhead. With the
+two-level manifest-list metadata (round 10) an append's metadata I/O is
+one DELTA segment + one small snapshot JSON + one refs write — O(files
+touched), never O(files in table); the only remaining table-size terms
+are in-memory bookkeeping (the retained-file dict/prefix check), which
+this bench measures directly. Also times M appends from 4 CONCURRENT
+writers on one table to show contention degrades throughput by retries,
+not by data volume.
+
+The SYNTHETIC section stresses the metadata ceiling the single-JSON
+format had (~100k files/table, SCALE.md): it fabricates snapshots whose
+manifests reference 10k and 100k fake file entries through the ordinary
+commit machinery (no data written — the entries are never read), then
+times real 1-row appends on top. Flat sec/commit across 10 → 10k →
+100k entries is the manifest-list claim, measured.
 
 Usage:
     python tools/commit_bench.py          # defaults: 10 vs 200 files, M=15
+    python tools/commit_bench.py 10 200 15 --synthetic   # + 10k/100k section
 """
 
 from __future__ import annotations
@@ -51,10 +62,61 @@ def _time_appends(spark, t: SnapshotTable, m: int, base: int) -> float:
     return (time.time() - t0) / m
 
 
+def _fabricate_files(t: SnapshotTable, n: int) -> None:
+    """Grow the CURRENT snapshot's file list to ``n`` entries without
+    writing data: one synthetic overwrite whose manifest references fake
+    file paths, committed through the ordinary build/_commit_version
+    machinery (so the resulting segments/manifest are exactly what a real
+    n-file table carries). The fake entries are never read — subsequent
+    appends only touch their own new file."""
+    prev = t.current_snapshot()
+    assert prev is not None
+
+    def build(p):
+        extra = [
+            f"data/fake-{i:07d}.parquet" for i in range(n - len(p.files))
+        ]
+        files = list(p.files) + extra
+        fs = dict(p.file_schemas or {})
+        fs.update({f: p.schema_id for f in extra})
+        return {
+            "operation": "overwrite",
+            "files": files,
+            "row_count": p.row_count,
+            "schema_id": p.schema_id,
+            "last_column_id": p.last_column_id,
+            "schemas": dict(p.schemas),
+            "file_schemas": fs,
+            "file_stats": dict(p.file_stats or {}),
+            "properties": {"synthetic": "bench"},
+        }
+
+    t._commit_version("main", build)
+
+
+def _synthetic_section(spark, base: str, m: int) -> dict:
+    out = {}
+    for n in (10, 10_000, 100_000):
+        t = SnapshotTable(spark, os.path.join(base, f"syn_{n}"), commit_attempts=128)
+        t.append(_one_row(spark, 0))
+        _fabricate_files(t, n)
+        _time_appends(spark, t, 2, 50_000)  # warm
+        out[f"sec_per_commit_{n}_files"] = round(
+            _time_appends(spark, t, m, 60_000), 3
+        )
+        assert len(t.current_snapshot().files) >= n
+    out["synthetic_100k_over_10"] = round(
+        out["sec_per_commit_100000_files"] / out["sec_per_commit_10_files"], 2
+    )
+    return out
+
+
 def main() -> int:
-    small_n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    big_n = int(sys.argv[2]) if len(sys.argv) > 2 else 200
-    m = int(sys.argv[3]) if len(sys.argv) > 3 else 15
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    synthetic = "--synthetic" in sys.argv[1:]
+    small_n = int(args[0]) if len(args) > 0 else 10
+    big_n = int(args[1]) if len(args) > 1 else 200
+    m = int(args[2]) if len(args) > 2 else 15
     spark = get_spark(app_name="commit_bench", shuffle_partitions=4)
     base = tempfile.mkdtemp(prefix="commit_bench_")
     try:
@@ -91,19 +153,18 @@ def main() -> int:
         n_commits = 4 * max(2, m // 2)
         assert not errs, errs
         assert len(cont.main_ancestry()) == n_commits + 1
-        print(
-            json.dumps(
-                {
-                    "sec_per_commit_small_table": round(s, 3),
-                    "sec_per_commit_big_table": round(b, 3),
-                    "small_files": small_n,
-                    "big_files": big_n,
-                    "big_over_small": round(b / s, 2),
-                    "concurrent_commits_per_sec": round(n_commits / wall, 2),
-                    "concurrent_writers": 4,
-                }
-            )
-        )
+        report = {
+            "sec_per_commit_small_table": round(s, 3),
+            "sec_per_commit_big_table": round(b, 3),
+            "small_files": small_n,
+            "big_files": big_n,
+            "big_over_small": round(b / s, 2),
+            "concurrent_commits_per_sec": round(n_commits / wall, 2),
+            "concurrent_writers": 4,
+        }
+        if synthetic:
+            report.update(_synthetic_section(spark, base, m))
+        print(json.dumps(report))
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return 0

@@ -28,12 +28,13 @@ Usage:
     python tools/fuzz_dml.py 1000 7      # 1000 sequences, seed 7
     python tools/fuzz_dml.py 40 0 --mor  # DELETE via merge-on-read
 
-``--mor`` sets the Iceberg table property ``write.delete.mode=
-merge-on-read`` on every fuzzed table, so each generated DELETE commits
-position-delete files instead of a copy-on-write rewrite while the DuckDB
-twin is UNCHANGED — the two delete modes must be observationally
-identical, including their interleaving with UPDATE/MERGE (copy-on-write
-rewrites that must materialize outstanding deletes) and the affected-row
+``--mor`` sets the Iceberg table properties ``write.delete.mode`` and
+``write.update.mode`` to ``merge-on-read`` on every fuzzed table, so each
+generated DELETE commits position-delete files and each UPDATE commits
+position-deletes + new data files, instead of copy-on-write rewrites —
+while the DuckDB twin is UNCHANGED. The two modes must be observationally
+identical, including their interleaving with MERGE (a copy-on-write
+rewrite that must materialize outstanding deletes) and the affected-row
 counts.
 
 Exit 1 on any divergence; each failure prints the full statement sequence
@@ -300,6 +301,7 @@ def run_sequence(
     table = SnapshotTable(spark, tdir)
     if delete_mode != "copy-on-write":
         table.set_table_property("write.delete.mode", delete_mode)
+        table.set_table_property("write.update.mode", delete_mode)
     table.append(spark.createDataFrame(rows, SCHEMA))
     client = AthenaSparkClient(spark)
     client.register_snapshot_table("fz_fuzz", tdir)

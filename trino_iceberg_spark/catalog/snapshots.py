@@ -904,6 +904,67 @@ class SnapshotTable:
                 return raw
         return raw  # month/day/hour: ISO strings compare lexicographically
 
+    def _stage_data_files(
+        self, df: DataFrame, spec, spec_id: int, cols: list[dict]
+    ) -> tuple[list[str], dict[str, dict], int, dict[str, dict]]:
+        """Write ``df`` as new data files under the active partition spec
+        (hive staging parsed back into per-file partition values) and move
+        them into ``data/``. Returns (new_files, new_file_partitions,
+        row_count, per-file footer stats). Shared by every data-writing
+        commit (_commit, merge-on-read update); files are invisible until
+        a manifest references them, so a failed commit just orphans them
+        for the age-floored sweep."""
+        staging = os.path.join(self.table_dir, f"_staging_{uuid.uuid4().hex}")
+        new_file_partitions: dict[str, dict] = {}
+        if spec:
+            write_df = df
+            for fld in spec:
+                # cast to string so the hive dir value is the canonical
+                # text form the manifest stores and pruning parses back
+                write_df = write_df.withColumn(
+                    fld["name"],
+                    self._transform_col(fld["source"], fld["transform"]).cast("string"),
+                )
+            write_df.write.mode("errorifexists").partitionBy(
+                *[fld["name"] for fld in spec]
+            ).parquet(staging)
+        else:
+            df.write.mode("errorifexists").parquet(staging)
+        commit_uuid = uuid.uuid4().hex[:12]
+        new_files: list[str] = []
+        row_count = 0
+        if spec:
+            for root, _dirs, fns in sorted(os.walk(staging)):
+                rel = os.path.relpath(root, staging)
+                vals: dict[str, str] = {}
+                if rel != ".":
+                    parts = [c.partition("=") for c in rel.split(os.sep)]
+                    if any(not sep for _, sep, _ in parts):
+                        continue  # non-partition dir (spark markers)
+                    vals = {k: raw for k, _, raw in parts}
+                for fn in sorted(fns):
+                    if fn.endswith(".parquet"):
+                        dest = f"data/{commit_uuid}-{len(new_files):05d}.parquet"
+                        shutil.move(os.path.join(root, fn), os.path.join(self.table_dir, dest))
+                        new_files.append(dest)
+                        new_file_partitions[dest] = {"spec": spec_id, "values": dict(vals)}
+        else:
+            for fn in sorted(os.listdir(staging)):
+                if fn.endswith(".parquet"):
+                    dest = f"data/{commit_uuid}-{len(new_files):05d}.parquet"
+                    shutil.move(os.path.join(staging, fn), os.path.join(self.table_dir, dest))
+                    new_files.append(dest)
+        shutil.rmtree(staging, ignore_errors=True)
+        # Row count from the files just written (no second job over the input).
+        if new_files:
+            row_count = (
+                self.spark.read.parquet(
+                    *[os.path.join(self.table_dir, f) for f in new_files]
+                ).count()
+            )
+        stats_new = {f: self._collect_file_stats(f, cols) for f in new_files}
+        return new_files, new_file_partitions, row_count, stats_new
+
     def _commit(
         self,
         df: DataFrame,
@@ -977,55 +1038,9 @@ class SnapshotTable:
         prev_specs = dict(prev.partition_specs or {}) if prev is not None else {}
         spec_id = (prev.default_spec_id or 0) if prev is not None else 0
         spec = prev_specs.get(str(spec_id)) if spec_id else None
-        staging = os.path.join(self.table_dir, f"_staging_{uuid.uuid4().hex}")
-        new_file_partitions: dict[str, dict] = {}
-        if spec:
-            write_df = df
-            for fld in spec:
-                # cast to string so the hive dir value is the canonical
-                # text form the manifest stores and pruning parses back
-                write_df = write_df.withColumn(
-                    fld["name"],
-                    self._transform_col(fld["source"], fld["transform"]).cast("string"),
-                )
-            write_df.write.mode("errorifexists").partitionBy(
-                *[fld["name"] for fld in spec]
-            ).parquet(staging)
-        else:
-            df.write.mode("errorifexists").parquet(staging)
-        commit_uuid = uuid.uuid4().hex[:12]
-        new_files: list[str] = []
-        row_count = 0
-        if spec:
-            for root, _dirs, fns in sorted(os.walk(staging)):
-                rel = os.path.relpath(root, staging)
-                vals: dict[str, str] = {}
-                if rel != ".":
-                    parts = [c.partition("=") for c in rel.split(os.sep)]
-                    if any(not sep for _, sep, _ in parts):
-                        continue  # non-partition dir (spark markers)
-                    vals = {k: raw for k, _, raw in parts}
-                for fn in sorted(fns):
-                    if fn.endswith(".parquet"):
-                        dest = f"data/{commit_uuid}-{len(new_files):05d}.parquet"
-                        shutil.move(os.path.join(root, fn), os.path.join(self.table_dir, dest))
-                        new_files.append(dest)
-                        new_file_partitions[dest] = {"spec": spec_id, "values": dict(vals)}
-        else:
-            for fn in sorted(os.listdir(staging)):
-                if fn.endswith(".parquet"):
-                    dest = f"data/{commit_uuid}-{len(new_files):05d}.parquet"
-                    shutil.move(os.path.join(staging, fn), os.path.join(self.table_dir, dest))
-                    new_files.append(dest)
-        shutil.rmtree(staging, ignore_errors=True)
-        # Row count from the files just written (no second job over the input).
-        if new_files:
-            row_count = (
-                self.spark.read.parquet(
-                    *[os.path.join(self.table_dir, f) for f in new_files]
-                ).count()
-            )
-        stats_new = {f: self._collect_file_stats(f, cols) for f in new_files}
+        new_files, new_file_partitions, row_count, stats_new = self._stage_data_files(
+            df, spec, spec_id, cols
+        )
 
         # The schema/spec identity the staged data files were written
         # under — a refreshed head must carry the SAME identity for this
@@ -1957,12 +1972,39 @@ class SnapshotTable:
             f"race {self.commit_attempts} times — giving up"
         ) from last
 
-    def update_where(self, condition, assignments: dict, properties=None) -> Snapshot:
-        """UPDATE WHERE analog: rewrite with ``assignments`` (col → Column
-        expression) applied to matching rows; validated against the read
-        snapshot and retried on concurrent commits (_rewrite_commit)."""
+    def update_where(
+        self,
+        condition,
+        assignments: dict,
+        properties=None,
+        mode: str | None = None,
+    ) -> Snapshot:
+        """UPDATE WHERE analog: ``assignments`` (col → Column expression)
+        applied to matching rows. ``mode=None`` resolves the table
+        property ``write.update.mode`` (Iceberg's property), defaulting to
+        copy-on-write:
+
+        - ``copy-on-write``: rewrite the whole table as one overwrite
+          snapshot, validated against the read snapshot and retried on
+          concurrent commits (_rewrite_commit);
+        - ``merge-on-read`` (Iceberg v2): ONE commit that position-deletes
+          the matched rows and appends new data files holding their
+          updated images — a 0.1% UPDATE on a 100 TB table touches the
+          matched rows' worth of data, not the table. Same based_on
+          serializable isolation; new files land under the current
+          partition spec like any commit."""
         from pyspark.sql import functions as F
 
+        if mode is None:
+            mode = self.table_properties().get(
+                "write.update.mode", "copy-on-write"
+            )
+        if mode == "merge-on-read":
+            return self._mor_update(condition, assignments, properties)
+        if mode != "copy-on-write":
+            raise EngineError(
+                f"unknown update mode {mode!r} (copy-on-write | merge-on-read)"
+            )
         return self._rewrite_commit(
             lambda cur: cur.withColumns(
                 {
@@ -1972,6 +2014,123 @@ class SnapshotTable:
             ),
             properties,
         )
+
+    def _mor_update(self, condition, assignments: dict, properties=None) -> Snapshot:
+        """Merge-on-read UPDATE: position-delete the matched rows' old
+        images and append data files with their new images, committed as
+        ONE snapshot (readers see either every update or none). Matching
+        runs over the visible rows against the snapshot the scan read
+        (``based_on``); a concurrent commit re-derives everything, same
+        retry economics as ``_rewrite_commit``. Row count is unchanged by
+        construction."""
+        last: EngineError | None = None
+        for _ in range(self.commit_attempts):
+            snap = self.current_snapshot()
+            if snap is None:
+                raise EngineError(f"table {self.table_dir} has no snapshots")
+            df = self._read_snapshot_files(snap, with_pos=True)
+            if snap.position_deletes:
+                df = self._apply_position_deletes(
+                    df, snap.position_deletes, keep_pos=True
+                )
+            matched = df.filter(F.coalesce(condition, F.lit(False)))
+            # old images → one position-delete file
+            commit_uuid = uuid.uuid4().hex[:12]
+            staging = os.path.join(self.table_dir, f"_staging_{uuid.uuid4().hex}")
+            (
+                matched.select(
+                    F.col(self._POS_FILE).alias("file_path"),
+                    F.col(self._POS_IDX).alias("pos"),
+                )
+                .coalesce(1)
+                .sortWithinPartitions("file_path", "pos")
+                .write.mode("errorifexists")
+                .parquet(staging)
+            )
+            new_deletes: list[str] = []
+            for fn in sorted(os.listdir(staging)):
+                if fn.endswith(".parquet"):
+                    dest = f"data/del-{commit_uuid}-{len(new_deletes):05d}.parquet"
+                    shutil.move(
+                        os.path.join(staging, fn), os.path.join(self.table_dir, dest)
+                    )
+                    new_deletes.append(dest)
+            shutil.rmtree(staging, ignore_errors=True)
+            # new images → ordinary data files under the current spec
+            cols = snap.schema_columns
+            updated = matched.withColumns(
+                {col: expr for col, expr in assignments.items()}
+            )
+            if cols is not None:
+                # cast assigned columns back to their DECLARED types so the
+                # new files share one physical parquet schema with the
+                # retained files (a mixed int/long column across files in
+                # one schema group would break the grouped read)
+                updated = updated.select(
+                    *[F.col(c["name"]).cast(c["type"]).alias(c["name"]) for c in cols]
+                )
+            else:  # legacy table: original columns, positional
+                updated = updated.select(*df.columns[:-2])
+            prev_specs = dict(snap.partition_specs or {})
+            spec_id = snap.default_spec_id or 0
+            spec = prev_specs.get(str(spec_id)) if spec_id else None
+            new_files, new_parts, n_updated, stats_new = self._stage_data_files(
+                updated, spec, spec_id, cols or []
+            )
+            if n_updated == 0:  # nothing matched: no delete file, no data
+                for f in new_deletes + new_files:
+                    try:
+                        os.remove(os.path.join(self.table_dir, f))
+                    except OSError:
+                        pass
+                new_deletes, new_files, new_parts, stats_new = [], [], {}, {}
+
+            def build(prev: Snapshot | None) -> dict:
+                if (prev.snapshot_id if prev else None) != snap.snapshot_id:
+                    raise CommitConflictError(
+                        f"concurrent update on {self.table_dir}: this "
+                        f"merge-on-read update matched against snapshot "
+                        f"{snap.snapshot_id} but the table advanced — "
+                        f"re-deriving"
+                    )
+                file_schemas = dict(prev.file_schemas or {})
+                file_schemas.update({f: prev.schema_id for f in new_files})
+                file_stats = dict(prev.file_stats or {})
+                file_stats.update(stats_new)
+                file_partitions = dict(prev.file_partitions or {})
+                file_partitions.update(new_parts)
+                return {
+                    "operation": "update",
+                    "files": list(prev.files) + new_files,
+                    "row_count": prev.row_count,  # delete n + insert n
+                    "schema_id": prev.schema_id,
+                    "last_column_id": prev.last_column_id,
+                    "schemas": dict(prev.schemas or {}) or None,
+                    "file_schemas": file_schemas,
+                    "file_stats": file_stats,
+                    "properties": properties or {},
+                    "partition_specs": dict(prev.partition_specs or {}) or None,
+                    "default_spec_id": prev.default_spec_id,
+                    "file_partitions": file_partitions or None,
+                    "position_deletes": (
+                        list(prev.position_deletes or []) + new_deletes
+                    )
+                    or None,
+                }
+
+            try:
+                return self._commit_version("main", build, max_attempts=1)
+            except CommitConflictError as exc:
+                for f in new_deletes + new_files:
+                    try:
+                        os.remove(os.path.join(self.table_dir, f))
+                    except OSError:
+                        pass
+                last = exc
+        raise CommitConflictError(
+            f"merge-on-read update on {self.table_dir} lost the validation "
+            f"race {self.commit_attempts} times — giving up"
+        ) from last
 
     # -- maintenance -----------------------------------------------------
     def expire_snapshots(self, older_than: dt.datetime | None = None, retain_last: int = 1) -> int:
