@@ -50,15 +50,17 @@ _TUNED_CONFS = {
 # module docstring. Names absent from the registry are ignored (safety
 # against future renames), and every registered query is always yielded.
 #
-# Round-10 ordering (registry: 228 entries, ALL oracle-backed; new this
+# Round-10 ordering (registry: 229 entries, ALL oracle-backed; new this
 # round: tt17_merge_on_read_delete — Iceberg v2 position deletes with
-# the anti-join read path replayed in the oracle — and
-# cu10_domain_curation — C4/RefinedWeb-style per-domain gating). Per the
-# round-9 VERDICT directive #1, rotation keeps winning: new entries
-# capped at 2, and the budget re-verifies the FULL 40-entry r05 cohort
+# the anti-join read path replayed in the oracle — tt18_equality_delete_cdc
+# — Iceberg v2 equality deletes, the streaming-CDC upsert mechanism,
+# horizon rule replayed in the oracle — and cu10_domain_curation —
+# C4/RefinedWeb-style per-domain gating). Per the round-9 VERDICT
+# directive #1, rotation keeps winning: new entries capped at 3 (under
+# the ~5 cap), and the budget re-verifies the FULL 40-entry r05 cohort
 # so the cross-round union ends with zero entries older than r06.
-# Tiers (2+4+40 = 46, under the ~50 driver budget):
-# 1. tt17/cu10 (new);
+# Tiers (3+4+40 = 47, under the ~50 driver budget):
+# 1. tt17/tt18/cu10 (new);
 # 2. changed-code re-verifies: the catalog's metadata format moved to
 #    two-level manifest lists this round (catalog/snapshots.py), so the
 #    catalog-heavy entries NOT already in the r05 cohort re-verify —
@@ -72,6 +74,7 @@ _TUNED_CONFS = {
 _FRONT = [
     # --- tier 1: new this round ---
     "tt17_merge_on_read_delete",
+    "tt18_equality_delete_cdc",
     "cu10_domain_curation",
     # --- tier 2: changed-code re-verifies ---
     "st06_stream_snapshot_ingest",

@@ -1521,3 +1521,81 @@ def test_mor_update_respects_table_property(spark, tmp_path):
     s2 = t.update_where(F.col("k") < 2, {"price": F.lit(0.0)})
     assert s2.operation == "update" and s2.position_deletes
     assert s2.files[: len(s1.files)] == s1.files
+
+
+def test_equality_delete_horizon_and_gc(spark, tmp_path):
+    """delete_by_key (Iceberg v2 equality deletes): key-matched rows in
+    files present at delete time are gone; rows appended LATER with the
+    same key survive (the sequence-number rule via manifest-list
+    prefixes); row_count stays exact in count_matches mode; compaction
+    materializes; expiry reclaims dead delete files."""
+    t = SnapshotTable(spark, str(tmp_path / "eqd"))
+    df = spark.createDataFrame(
+        [(i, f"u{i % 5}", float(i)) for i in range(20)],
+        "k long, user string, val double",
+    )
+    s1 = t.append(df.coalesce(2))
+    s2 = t.delete_by_key(
+        spark.createDataFrame([("u1",), ("u3",)], "user string"), ["user"]
+    )
+    want = [k for k in range(20) if k % 5 not in (1, 3)]
+    assert sorted(r["k"] for r in t.read().collect()) == want
+    assert s2.row_count == len(want)
+    assert s2.files == s1.files  # zero rewrite
+    assert len(s2.equality_deletes) == 1
+    # same-key row appended AFTER the delete survives
+    t.append(
+        spark.createDataFrame(
+            [(100, "u1", 0.0)], "k long, user string, val double"
+        ).coalesce(1)
+    )
+    assert sorted(r["k"] for r in t.read().collect()) == want + [100]
+    # position + equality deletes compose
+    t.delete_where(F.col("k") == 2, mode="merge-on-read")
+    want2 = [k for k in want if k != 2] + [100]
+    assert sorted(r["k"] for r in t.read().collect()) == want2
+    # time travel unaffected; compaction materializes both kinds
+    assert sorted(
+        r["k"] for r in t.read_version(s1.snapshot_id).collect()
+    ) == list(range(20))
+    s5 = t.compact_small_files(target_files=1)
+    assert not s5.equality_deletes and not s5.position_deletes
+    assert sorted(r["k"] for r in t.read().collect()) == want2
+    t.expire_snapshots(retain_last=1)
+    leftovers = [
+        f
+        for f in os.listdir(t.data_dir)
+        if f.startswith(("eqdel-", "del-"))
+    ]
+    assert leftovers == []
+
+
+def test_equality_delete_null_keys_and_blind_mode(spark, tmp_path):
+    """NULL key values never match (join equality semantics, like
+    Iceberg); count_matches=False commits blind — zero table reads,
+    row_count becomes an upper bound until compaction."""
+    t = SnapshotTable(spark, str(tmp_path / "eqd_null"))
+    t.append(
+        spark.createDataFrame([(1, None), (2, "a")], "k long, g string").coalesce(1)
+    )
+    t.delete_by_key(
+        spark.createDataFrame([(None,), ("a",)], "g string"), ["g"]
+    )
+    assert sorted(r["k"] for r in t.read().collect()) == [1]
+
+    t2 = SnapshotTable(spark, str(tmp_path / "eqd_blind"))
+    t2.append(spark.createDataFrame([(i,) for i in range(6)], "k long").coalesce(1))
+    s = t2.delete_by_key(
+        spark.createDataFrame([(1,), (4,)], "k long"), ["k"], count_matches=False
+    )
+    assert sorted(r["k"] for r in t2.read().collect()) == [0, 2, 3, 5]
+    assert s.row_count == 6  # documented upper bound in blind mode
+    s2 = t2.compact_small_files(target_files=1)
+    assert s2.row_count == 4  # exact again after materialization
+
+
+def test_equality_delete_unknown_key_column_raises(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "eqd_err"))
+    t.append(spark.createDataFrame([(1,)], "k long").coalesce(1))
+    with pytest.raises(EngineError):
+        t.delete_by_key(spark.createDataFrame([(1,)], "nope long"), ["nope"])

@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """Generative concurrency fuzz for the snapshot catalog's CAS commit
-protocol (round 9; merge added round 10): random multi-writer schedules
-of append / overwrite / delete_where / update_where / merge /
-add_column race on one table, and the outcome must be LINEARIZABLE —
+protocol (round 9; merge + equality deletes added round 10): random
+multi-writer schedules of append / overwrite / delete_where /
+update_where / merge / delete_by_key / add_column race on one table,
+and the outcome must be LINEARIZABLE —
 exactly the guarantee Nessie/Iceberg's optimistic commit model makes
 and `_commit_version` claims.
 
@@ -21,7 +22,9 @@ the serialization order. The checker then asserts, per schedule:
    multiset (append adds its rows, overwrite resets to its rows,
    delete filters by its predicate, update shifts matching rows,
    merge upserts by key — drop existing rows with a source key, then
-   add every source row — evolve changes nothing) reproduces
+   add every source row — eqdelete removes every row whose key is in
+   its set AT ITS CHAIN POSITION (rows appended later survive, the
+   manifest-list-prefix horizon), evolve changes nothing) reproduces
    the final table's rows AND the final snapshot's row_count metadata —
    in particular, a delete landing AFTER a concurrent append must keep
    the appended rows its predicate doesn't match (the copy-on-write
@@ -78,23 +81,25 @@ def _plan_schedule(rng: random.Random, writers: int, ops: int) -> list[list[dict
         for _k in range(ops):
             op_id += 1
             roll = rng.random()
-            if roll < 0.42:
+            if roll < 0.40:
                 kind = "append"
-            elif roll < 0.54:
+            elif roll < 0.50:
                 kind = "overwrite"
-            elif roll < 0.64:
+            elif roll < 0.60:
                 kind = "delete"
-            elif roll < 0.74:
+            elif roll < 0.68:
                 kind = "update"
-            elif roll < 0.86:
+            elif roll < 0.78:
                 kind = "merge"
+            elif roll < 0.88:
+                kind = "eqdelete"
             else:
                 kind = "evolve"
             vals = [op_id * 100 + j for j in range(rng.randrange(1, 4))]
-            if kind == "merge" and rng.random() < 0.5:
-                # upsert a key that exists at schedule start (the base
-                # row) so the MATCHED branch is exercised, not just the
-                # not-matched append path
+            if kind in ("merge", "eqdelete") and rng.random() < 0.5:
+                # target a key that exists at schedule start (the base
+                # row) so the MATCHED/horizon branch is exercised, not
+                # just the not-matched/absent-key path
                 vals = [0] + vals
             mine.append(
                 {
@@ -152,6 +157,16 @@ def run_schedule(spark, base_dir: str, seed: int, writers: int = 4, ops: int = 3
                 try:
                     if op["kind"] == "evolve":
                         t.add_column(f"c_{op['op_id']}", "INT")
+                    elif op["kind"] == "eqdelete":
+                        # equality delete: removes its keys as of its
+                        # serialization point; retries internally
+                        # (count_matches mode), so it must always land
+                        keys = spark.createDataFrame(
+                            [(v,) for v in op["vals"]], "v int"
+                        ).coalesce(1)
+                        t.delete_by_key(
+                            keys, ["v"], properties={"op_id": str(op["op_id"])}
+                        )
                     elif op["kind"] == "merge":
                         # upsert by key: retries internally past its entry
                         # validation (_rewrite_commit); only a stale-schema
@@ -252,6 +267,9 @@ def run_schedule(spark, base_dir: str, seed: int, writers: int = 4, ops: int = 3
                 # unmatched source rows append
                 keys = set(op["vals"])
                 model = [v for v in model if v not in keys] + list(op["vals"])
+            elif op["kind"] == "eqdelete":
+                keys = set(op["vals"])
+                model = [v for v in model if v not in keys]
             else:
                 model = list(op["vals"])
     got = sorted(r["v"] for r in table.read().select("v").collect())

@@ -160,6 +160,13 @@ class Snapshot:
     # parquet files of (file_path, pos) rows, paths relative to
     # table_dir, anti-joined at read time. None/() = none outstanding.
     position_deletes: tuple[str, ...] | None = None
+    # Iceberg v2 EQUALITY deletes: [{"file": rel parquet of key rows,
+    # "key_cols": [...], "segments": [manifest-list prefix the delete
+    # applies to]}]. A row is deleted iff its key matches AND its data
+    # file belongs to one of the recorded segments — files appended
+    # AFTER the delete are untouched (Iceberg's sequence-number rule,
+    # expressed via the append-only manifest list). None = none.
+    equality_deletes: tuple[dict, ...] | None = None
 
     @property
     def committed_at(self) -> dt.datetime:
@@ -479,6 +486,9 @@ class SnapshotTable:
             else None,
             position_deletes=tuple(m["position_deletes"])
             if m.get("position_deletes")
+            else None,
+            equality_deletes=tuple(m["equality_deletes"])
+            if m.get("equality_deletes")
             else None,
         )
 
@@ -822,6 +832,7 @@ class SnapshotTable:
                 "default_spec_id": new_id,
                 "file_partitions": dict(prev.file_partitions or {}),
                 "position_deletes": list(prev.position_deletes or []) or None,
+                "equality_deletes": list(prev.equality_deletes or []) or None,
             }
 
         return self._commit_version("main", build)
@@ -1148,6 +1159,11 @@ class SnapshotTable:
                 )
                 if operation == "append" and prev is not None
                 else None,
+                "equality_deletes": (
+                    list(prev.equality_deletes or []) or None
+                )
+                if operation == "append" and prev is not None
+                else None,
             }
 
         try:
@@ -1247,6 +1263,7 @@ class SnapshotTable:
                 "default_spec_id": prev.default_spec_id,
                 "file_partitions": dict(prev.file_partitions or {}) or None,
                 "position_deletes": list(prev.position_deletes or []) or None,
+                "equality_deletes": list(prev.equality_deletes or []) or None,
             }
 
         return self._commit_version("main", build)
@@ -1430,16 +1447,78 @@ class SnapshotTable:
         )
         return out if keep_pos else out.drop(self._POS_FILE, self._POS_IDX)
 
+    def _apply_equality_deletes(self, snap: Snapshot, df: DataFrame) -> DataFrame:
+        """Anti-join outstanding EQUALITY deletes (Iceberg v2). A row is
+        deleted iff its key matches a delete's key set AND its data file
+        was already in the table when the delete committed — expressed as
+        segment membership: each delete records the manifest-list PREFIX
+        it applies to, so a row's applicability test is ``its segment
+        index < the delete's prefix length`` (the manifest list only
+        grows by appending while deletes are outstanding; any rewrite
+        materializes them away). Rows from files appended after the
+        delete survive even on key match — Iceberg's sequence-number
+        rule. NULL keys never match (join equality semantics), same as
+        Iceberg. Delete key sets broadcast like position deletes."""
+        cur_list = list(snap.manifest_list or ())
+        # row's data file → index of its containing segment (legacy
+        # tables: every file is index 0 and deletes record explicit files)
+        file_seq: dict[str, int] = {}
+        if cur_list:
+            for i, seg in enumerate(cur_list):
+                for e in self._load_segment(seg):
+                    file_seq.setdefault(e["path"], i)
+        else:
+            file_seq = {f: 0 for f in snap.files}
+        seq_df = F.broadcast(
+            self.spark.createDataFrame(
+                [(f, i) for f, i in sorted(file_seq.items())],
+                f"{self._POS_FILE} string, __tis_seq int",
+            )
+        )
+        out = df.join(seq_df, self._POS_FILE, "left")
+        for rec in snap.equality_deletes or ():
+            keys = self.spark.read.parquet(
+                os.path.join(self.table_dir, rec["file"])
+            )
+            segs = list(rec.get("segments") or ())
+            if segs:
+                if cur_list[: len(segs)] != segs:
+                    # fail-safe: outstanding deletes only ever see their
+                    # prefix extended; anything else is table corruption
+                    raise EngineError(
+                        f"equality delete {rec['file']} in {self.table_dir} "
+                        f"records segments that are not a prefix of the "
+                        f"current manifest list"
+                    )
+                applicable = F.col("__tis_seq") < F.lit(len(segs))
+            else:
+                # delete recorded against a legacy inline-manifest head:
+                # its horizon is the explicit file list it pinned (small
+                # by definition — legacy tables predate this feature)
+                applicable = F.col(self._POS_FILE).isin(
+                    list(rec.get("applies_files") or ())
+                )
+            cond = applicable
+            for c in rec["key_cols"]:
+                cond = cond & (out[c] == keys[c])
+            out = out.join(F.broadcast(keys), cond, "left_anti")
+        return out.drop("__tis_seq", self._POS_FILE, self._POS_IDX)
+
     def _read_snapshot(
         self, snap: Snapshot, target_cols: list[dict] | None = None
     ) -> DataFrame:
         """Read a snapshot under its own schema (time-travel semantics: the
         schema travels with the snapshot) or an explicit ``target_cols``,
-        with outstanding merge-on-read position deletes applied."""
-        dele = tuple(snap.position_deletes or ())
-        df = self._read_snapshot_files(snap, target_cols, with_pos=bool(dele))
-        if dele:
-            df = self._apply_position_deletes(df, dele)
+        with outstanding merge-on-read position/equality deletes applied."""
+        pos = tuple(snap.position_deletes or ())
+        eq = tuple(snap.equality_deletes or ())
+        df = self._read_snapshot_files(
+            snap, target_cols, with_pos=bool(pos) or bool(eq)
+        )
+        if pos:
+            df = self._apply_position_deletes(df, pos, keep_pos=bool(eq))
+        if eq:
+            df = self._apply_equality_deletes(snap, df)
         return df
 
     def read(self) -> DataFrame:
@@ -1706,7 +1785,9 @@ class SnapshotTable:
             ) from None
         removed = tuple(sorted(set(before.files) - set(after.files)))
         added = tuple(sorted(set(after.files) - set(before.files)))
-        if (before.position_deletes or ()) != (after.position_deletes or ()):
+        if (before.position_deletes or ()) != (after.position_deletes or ()) or (
+            before.equality_deletes or ()
+        ) != (after.equality_deletes or ()):
             # Merge-on-read deletes change VISIBLE rows without changing
             # the file sets, so the files-diff pruning is unsound across a
             # MOR boundary — fall back to a full logical diff (each side
@@ -1950,6 +2031,8 @@ class SnapshotTable:
                         list(prev.position_deletes or []) + new_deletes
                     )
                     or None,
+                    "equality_deletes": list(prev.equality_deletes or [])
+                    or None,
                     # file entries are untouched — reuse the parent's
                     # segment list verbatim: a MOR delete is a
                     # metadata+delete-file commit, O(1) in table file count
@@ -1969,6 +2052,154 @@ class SnapshotTable:
                 last = exc
         raise CommitConflictError(
             f"merge-on-read delete on {self.table_dir} lost the validation "
+            f"race {self.commit_attempts} times — giving up"
+        ) from last
+
+    def delete_by_key(
+        self,
+        keys: DataFrame,
+        key_cols: list[str] | None = None,
+        properties=None,
+        count_matches: bool = True,
+    ) -> Snapshot:
+        """Iceberg v2 EQUALITY DELETE — the streaming-CDC building block
+        (Flink's Iceberg upsert sink writes exactly these): commit a
+        parquet file of KEY ROWS; every existing row whose key matches is
+        deleted, rows appended later are not (enforced via the
+        manifest-list prefix the delete records — Iceberg's
+        sequence-number rule). No positions are computed and nothing is
+        rewritten, so the write cost is O(keys) regardless of table size
+        — this is what lets a CDC stream retract keys against a 100 TB
+        table at per-batch cost.
+
+        ``count_matches=True`` (default) keeps ``row_count`` exact with
+        one KEY-COLUMN-PRUNED scan (reads only the key columns — still
+        no rewrite) and therefore validates against the scanned snapshot
+        (serializable, re-derives on a concurrent commit).
+        ``count_matches=False`` is the fully BLIND path: zero table
+        reads, composes against any same-schema head like an append, and
+        ``row_count`` becomes an upper bound until the next
+        compaction/rewrite materializes the deletes (documented Iceberg
+        behavior — equality deletes make live-row counts estimates).
+
+        NULL key values never match (join equality semantics, like
+        Iceberg); duplicate key rows are deduplicated."""
+        key_cols = list(key_cols or keys.columns)
+        want = self.schema_columns
+        if want is not None:
+            by_name = {c["name"]: c for c in want}
+            missing = [c for c in key_cols if c not in by_name]
+            if missing:
+                raise EngineError(
+                    f"delete_by_key key columns {missing} not in table "
+                    f"columns {sorted(by_name)} for {self.table_dir}"
+                )
+            # cast to the declared types so the read-path equality join
+            # compares like against like
+            key_df = keys.select(
+                *[F.col(c).cast(by_name[c]["type"]).alias(c) for c in key_cols]
+            ).distinct()
+        else:
+            key_df = keys.select(*key_cols).distinct()
+
+        last: EngineError | None = None
+        for _ in range(self.commit_attempts):
+            snap = self.current_snapshot()
+            if snap is None:
+                raise EngineError(f"table {self.table_dir} has no snapshots")
+            commit_uuid = uuid.uuid4().hex[:12]
+            staging = os.path.join(self.table_dir, f"_staging_{uuid.uuid4().hex}")
+            (
+                key_df.coalesce(1)
+                .sortWithinPartitions(*key_cols)
+                .write.mode("errorifexists")
+                .parquet(staging)
+            )
+            del_file = None
+            for fn in sorted(os.listdir(staging)):
+                if fn.endswith(".parquet"):
+                    del_file = f"data/eqdel-{commit_uuid}.parquet"
+                    shutil.move(
+                        os.path.join(staging, fn),
+                        os.path.join(self.table_dir, del_file),
+                    )
+                    break
+            shutil.rmtree(staging, ignore_errors=True)
+            if del_file is None:
+                raise EngineError("empty key set for delete_by_key")
+            n_deleted = 0
+            if count_matches:
+                # key-column projection only: parquet column pruning makes
+                # this orders cheaper than the rewrite it replaces
+                visible = self._read_snapshot(snap).select(*key_cols)
+                n_deleted = visible.join(
+                    F.broadcast(key_df), key_cols, "left_semi"
+                ).count()
+
+            def build(prev: Snapshot | None) -> dict:
+                if count_matches and (
+                    prev.snapshot_id if prev else None
+                ) != snap.snapshot_id:
+                    raise CommitConflictError(
+                        f"concurrent update on {self.table_dir}: this "
+                        f"equality delete counted against snapshot "
+                        f"{snap.snapshot_id} but the table advanced — "
+                        f"re-deriving"
+                    )
+                if prev is None:
+                    raise EngineError(
+                        f"table {self.table_dir} has no snapshots"
+                    )
+                rec = {
+                    "file": del_file,
+                    "key_cols": key_cols,
+                    # the applies-to horizon is the head AT COMMIT TIME
+                    # (build re-runs against the refreshed head on every
+                    # retry), so a racing append that serializes first is
+                    # correctly covered — Iceberg's smaller-sequence rule
+                    "segments": list(prev.manifest_list or ()),
+                }
+                if prev.manifest_list is None:
+                    # legacy inline-manifest head: no segments to anchor
+                    # the horizon — pin the applicable files explicitly
+                    # (stays correct after the table migrates to v2)
+                    rec["applies_files"] = list(prev.files)
+                return {
+                    "operation": "delete",
+                    "files": list(prev.files),
+                    "row_count": prev.row_count - n_deleted,
+                    "schema_id": prev.schema_id,
+                    "last_column_id": prev.last_column_id,
+                    "schemas": dict(prev.schemas or {}) or None,
+                    "file_schemas": dict(prev.file_schemas or {}),
+                    "file_stats": dict(prev.file_stats or {}),
+                    "properties": properties or {},
+                    "partition_specs": dict(prev.partition_specs or {}) or None,
+                    "default_spec_id": prev.default_spec_id,
+                    "file_partitions": dict(prev.file_partitions or {}) or None,
+                    "position_deletes": list(prev.position_deletes or [])
+                    or None,
+                    "equality_deletes": list(prev.equality_deletes or [])
+                    + [rec],
+                    "manifest_list": list(prev.manifest_list)
+                    if prev.manifest_list is not None
+                    else None,
+                }
+
+            try:
+                return self._commit_version(
+                    "main", build, max_attempts=1 if count_matches else None
+                )
+            except CommitConflictError as exc:
+                try:
+                    os.remove(os.path.join(self.table_dir, del_file))
+                except OSError:
+                    pass
+                if not count_matches:
+                    raise  # blind mode exhausted _commit_version's budget
+                last = exc
+        raise CommitConflictError(
+            f"equality delete on {self.table_dir} lost the validation "
             f"race {self.commit_attempts} times — giving up"
         ) from last
 
@@ -2116,6 +2347,8 @@ class SnapshotTable:
                         list(prev.position_deletes or []) + new_deletes
                     )
                     or None,
+                    "equality_deletes": list(prev.equality_deletes or [])
+                    or None,
                 }
 
             try:
@@ -2175,6 +2408,7 @@ class SnapshotTable:
                 if s.snapshot_id in keep_ids:
                     live_files.update(s.files)
                     live_files.update(s.position_deletes or ())
+                    live_files.update(r["file"] for r in s.equality_deletes or ())
                     live_segments.update(s.manifest_list or ())
             for s in expired:
                 os.remove(os.path.join(self.metadata_dir, f"v{s.snapshot_id}.json"))
@@ -2189,6 +2423,7 @@ class SnapshotTable:
         for s in expired:
             dead_files.update(s.files)
             dead_files.update(s.position_deletes or ())
+            dead_files.update(r["file"] for r in s.equality_deletes or ())
             dead_segments.update(s.manifest_list or ())
         for f in sorted(dead_files - live_files):
             try:
@@ -2221,7 +2456,9 @@ class SnapshotTable:
         the accrued-delete cleanup Iceberg gets from rewrite_data_files."""
         snap = self.current_snapshot()
         if snap is None or (
-            len(snap.files) <= (target_files or 1) and not snap.position_deletes
+            len(snap.files) <= (target_files or 1)
+            and not snap.position_deletes
+            and not snap.equality_deletes
         ):
             return None
         df = self._read_snapshot(snap)  # schema-aware: rewrites under the current mapping
@@ -2358,6 +2595,7 @@ class SnapshotTable:
                 "default_spec_id": target.default_spec_id,
                 "file_partitions": dict(target.file_partitions or {}) or None,
                 "position_deletes": list(target.position_deletes or []) or None,
+                "equality_deletes": list(target.equality_deletes or []) or None,
                 # the rollback copies the target's entries verbatim, so its
                 # immutable segments are reused directly — a metadata-only
                 # commit regardless of file count (legacy targets fall back
@@ -2385,6 +2623,7 @@ class SnapshotTable:
         for s in self.snapshots():
             referenced.update(s.files)
             referenced.update(s.position_deletes or ())
+            referenced.update(r["file"] for r in s.equality_deletes or ())
             referenced_segments.update(s.manifest_list or ())
         cutoff = time.time() - older_than_s
         removed = 0

@@ -663,3 +663,46 @@ def tt17_merge_on_read_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     table.delete_where(F.col("o_orderkey") % 7 == 0, mode="merge-on-read")
     table.delete_where(F.col("o_custkey") % 5 == 2, mode="merge-on-read")
     return table.read().orderBy("o_orderkey")
+
+
+@register(
+    "tt18_equality_delete_cdc",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey <= 2000
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM base WHERE o_orderkey % 5 <> 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, CAST(-1 AS DOUBLE) AS o_totalprice
+    FROM base WHERE o_orderkey % 5 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def tt18_equality_delete_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality deletes as the streaming-CDC upsert mechanism
+    (catalog.snapshots.SnapshotTable.delete_by_key — Iceberg v2
+    equality delete files, what Flink's Iceberg upsert sink writes; the
+    reference's storage engine is the same Iceberg v2 via Trino): the
+    base corpus lands, one equality-delete commit retracts every
+    orderkey divisible by 5 by KEY ONLY (no positions computed, no file
+    rewritten — O(keys) cost at any table size), and the retracted
+    keys' replacement images append AFTERWARD (o_totalprice = -1).
+    The horizon rule makes this an upsert: old images are dead because
+    their files predate the delete, new images survive because theirs
+    don't — Iceberg's sequence-number semantics, expressed via
+    manifest-list prefixes. The oracle restates the upsert directly;
+    NULL-key semantics, blind mode, GC, and the race pins live in
+    tests/test_snapshots.py."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base = o.filter(F.col("o_orderkey") <= 2000)
+    tdir = work_dir("tt18_table")
+    table = SnapshotTable(spark, tdir)
+    table.append(base)
+    retracted = base.filter(F.col("o_orderkey") % 5 == 0)
+    table.delete_by_key(retracted.select("o_orderkey"), ["o_orderkey"])
+    table.append(retracted.withColumn("o_totalprice", F.lit(-1.0)))
+    return table.read().orderBy("o_orderkey")
