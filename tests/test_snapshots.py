@@ -1599,3 +1599,53 @@ def test_equality_delete_unknown_key_column_raises(spark, tmp_path):
     t.append(spark.createDataFrame([(1,)], "k long").coalesce(1))
     with pytest.raises(EngineError):
         t.delete_by_key(spark.createDataFrame([(1,)], "nope long"), ["nope"])
+
+
+def test_mor_dml_respects_outstanding_equality_deletes(spark, tmp_path):
+    """Regression (code review, round 10): a merge-on-read UPDATE/DELETE
+    must match only VISIBLE rows — including rows dead to an outstanding
+    EQUALITY delete. Without the equality pass in the match scan, a MOR
+    UPDATE re-appended an equality-deleted row's new image into a file
+    past every delete's horizon, resurrecting it; a MOR DELETE counted
+    the dead row into n_deleted, corrupting row_count."""
+    t = SnapshotTable(spark, str(tmp_path / "eqd_mor"))
+    t.append(
+        spark.createDataFrame(
+            [(k, float(k)) for k in range(10)], "k long, price double"
+        ).coalesce(1)
+    )
+    t.delete_by_key(spark.createDataFrame([(5,)], "k long"), ["k"])
+    # MOR update matching k >= 5: must NOT resurrect the dead k=5
+    s = t.update_where(
+        F.col("k") >= 5, {"price": F.col("price") + 100.0},
+        mode="merge-on-read",
+    )
+    got = sorted((r["k"], r["price"]) for r in t.read().collect())
+    want = [(k, float(k)) for k in range(5)] + [
+        (k, k + 100.0) for k in (6, 7, 8, 9)
+    ]
+    assert got == want, got
+    assert s.row_count == len(want)
+    # MOR delete matching k >= 8 (visible: 8, 9): row_count stays exact
+    s2 = t.delete_where(F.col("k") >= 8, mode="merge-on-read")
+    got = sorted(r["k"] for r in t.read().collect())
+    assert got == [0, 1, 2, 3, 4, 6, 7]
+    assert s2.row_count == 7
+
+
+def test_domain_curation_null_domain_independent_of_deny(spark, tmp_path):
+    """Regression (code review, round 10): NULL-domain handling must not
+    depend on whether a deny list is supplied. The documented contract:
+    documents with a NULL domain are ALWAYS dropped (no provenance ⇒
+    fail domain curation; the gate join's SQL NULL-equality enforces it
+    identically in Spark and any SQL replayer)."""
+    from trino_iceberg_spark.operators.curation import domain_curation
+
+    docs = spark.createDataFrame(
+        [(1, None, 100), (2, None, 100), (3, "a.com", 100), (4, "b.com", 100)],
+        "doc_id long, source string, n_chars long",
+    )
+    no_deny = domain_curation(docs, min_docs=1)
+    with_deny = domain_curation(docs, min_docs=1, deny=["b.com"])
+    assert sorted(r["doc_id"] for r in no_deny.collect()) == [3, 4]
+    assert sorted(r["doc_id"] for r in with_deny.collect()) == [3]

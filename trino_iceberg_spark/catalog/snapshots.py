@@ -674,33 +674,39 @@ class SnapshotTable:
             prev = self._head_for_commit(branch)
             manifest = build(prev)
             prepared, new_segs = self._prepare_manifest(prev, manifest)
-            committed = False
+            written: dict | None = None
             try:
                 with self._commit_lock():
                     if self._head_id_for_commit(branch) != (
                         prev.snapshot_id if prev else None
                     ):
                         continue  # pointer moved — rebuild against new head
-                    snap = self._write_manifest(prev, prepared)
+                    written = self._write_manifest(prev, prepared)
                     refs = self._load_refs()
-                    refs["branches"][branch] = snap.snapshot_id
+                    refs["branches"][branch] = written["snapshot_id"]
                     self._save_refs(refs)
-                    committed = True
-                    return snap
             finally:
-                if not committed:
-                    for s in new_segs:  # lost the race: reclaim our segments
+                # Reclaim our segments ONLY if the manifest never
+                # persisted: once v<id>.json references them, deleting
+                # them would corrupt the table even when a later step
+                # (the refs write) failed — the manifest must stay
+                # self-consistent for readers and the orphan sweep.
+                if written is None:
+                    for s in new_segs:
                         try:
                             os.remove(os.path.join(self.metadata_dir, s))
                         except OSError:
                             pass
+            # O(files) Snapshot resolution happens OUTSIDE the lock — the
+            # critical section wrote two small JSONs and nothing else.
+            return self._resolve_snapshot(written)
         raise CommitConflictError(
             f"commit to branch {branch!r} of {self.table_dir} lost the CAS "
             f"race {max_attempts} times — giving up (raise max_attempts or "
             f"reduce writer contention)"
         )
 
-    def _write_manifest(self, prev: Snapshot | None, manifest: dict) -> Snapshot:
+    def _write_manifest(self, prev: Snapshot | None, manifest: dict) -> dict:
         # This runs INSIDE the commit lock, so it must stay O(1) in table
         # history AND file count: only the single newest manifest's
         # HEADER is parsed (id counter + monotone-timestamp floor) —
@@ -733,7 +739,10 @@ class SnapshotTable:
         with open(tmp, "w", encoding="utf-8") as fh:
             json.dump(manifest, fh)
         os.replace(tmp, final)  # atomic commit point
-        return self._resolve_snapshot(manifest)
+        # return the raw dict — the caller resolves it into a Snapshot
+        # AFTER releasing the lock (resolution iterates segment entries,
+        # an O(files) term that must not sit in the critical section)
+        return manifest
 
     @staticmethod
     def _columns_from_spark_schema(schema, start_id: int = 1) -> list[dict]:
@@ -1173,11 +1182,7 @@ class SnapshotTable:
             # point; on a definitive conflict they are exclusively ours
             # and dead — reclaim them now rather than leaving whole-table
             # copy-on-write rewrites for the (age-floored) orphan sweep.
-            for f in new_files:
-                try:
-                    os.remove(os.path.join(self.table_dir, f))
-                except OSError:
-                    pass
+            self._remove_quiet(new_files)
             raise
 
     def append(
@@ -1397,11 +1402,18 @@ class SnapshotTable:
             return df
         if not snap.files:
             raise EngineError(f"table {self.table_dir} has no data in this snapshot")
-        if with_pos and any(
-            c["name"] in (self._POS_FILE, self._POS_IDX) for c in target
-        ):
+        reserved = {
+            self._POS_FILE,
+            self._POS_IDX,
+            "__tis_seq",
+            "__tis_dfile",
+            "__tis_dpos",
+            "__tis_k",
+        }
+        if with_pos and any(c["name"] in reserved for c in target):
             raise EngineError(
-                f"column names {self._POS_FILE}/{self._POS_IDX} are reserved"
+                f"column names {sorted(reserved)} are reserved for the "
+                f"merge-on-read read path"
             )
         groups: dict[int, list[str]] = {}
         for f in snap.files:
@@ -1447,7 +1459,9 @@ class SnapshotTable:
         )
         return out if keep_pos else out.drop(self._POS_FILE, self._POS_IDX)
 
-    def _apply_equality_deletes(self, snap: Snapshot, df: DataFrame) -> DataFrame:
+    def _apply_equality_deletes(
+        self, snap: Snapshot, df: DataFrame, keep_pos: bool = False
+    ) -> DataFrame:
         """Anti-join outstanding EQUALITY deletes (Iceberg v2). A row is
         deleted iff its key matches a delete's key set AND its data file
         was already in the table when the delete committed — expressed as
@@ -1502,7 +1516,24 @@ class SnapshotTable:
             for c in rec["key_cols"]:
                 cond = cond & (out[c] == keys[c])
             out = out.join(F.broadcast(keys), cond, "left_anti")
-        return out.drop("__tis_seq", self._POS_FILE, self._POS_IDX)
+        out = out.drop("__tis_seq")
+        return out if keep_pos else out.drop(self._POS_FILE, self._POS_IDX)
+
+    def _visible_rows_with_pos(self, snap: Snapshot) -> DataFrame:
+        """The snapshot's VISIBLE rows — BOTH outstanding delete kinds
+        applied — carrying (file, pos) identity columns: the match-scan
+        input for merge-on-read DML, so already-dead rows are never
+        re-matched (or re-counted into row_count). Skipping the equality
+        pass here would resurrect equality-deleted rows through a MOR
+        UPDATE's re-appended images (found by code review, round 10)."""
+        df = self._read_snapshot_files(snap, with_pos=True)
+        if snap.position_deletes:
+            df = self._apply_position_deletes(
+                df, snap.position_deletes, keep_pos=True
+            )
+        if snap.equality_deletes:
+            df = self._apply_equality_deletes(snap, df, keep_pos=True)
+        return df
 
     def _read_snapshot(
         self, snap: Snapshot, target_cols: list[dict] | None = None
@@ -1950,6 +1981,45 @@ class SnapshotTable:
             properties,
         )
 
+    def _stage_delete_files(
+        self, rows: DataFrame, sort_cols: list[str], prefix: str
+    ) -> list[str]:
+        """Write ``rows`` as ONE sorted delete parquet under data/ and
+        return its relative path in a list. One file per DML commit:
+        delete sets are small by design (a production writer would
+        target delete-file size and split on it), sorted for locality.
+        Invisible until a manifest references it — a lost commit
+        reclaims it; a crash leaves it to the age-floored orphan
+        sweep. Shared by position deletes (_mor_delete/_mor_update)
+        and equality deletes (delete_by_key)."""
+        staging = os.path.join(self.table_dir, f"_staging_{uuid.uuid4().hex}")
+        (
+            rows.coalesce(1)
+            .sortWithinPartitions(*sort_cols)
+            .write.mode("errorifexists")
+            .parquet(staging)
+        )
+        commit_uuid = uuid.uuid4().hex[:12]
+        out: list[str] = []
+        for fn in sorted(os.listdir(staging)):
+            if fn.endswith(".parquet"):
+                dest = f"data/{prefix}-{commit_uuid}-{len(out):05d}.parquet"
+                shutil.move(
+                    os.path.join(staging, fn), os.path.join(self.table_dir, dest)
+                )
+                out.append(dest)
+        shutil.rmtree(staging, ignore_errors=True)
+        return out
+
+    def _remove_quiet(self, rel_files) -> None:
+        """Best-effort unlink of table-relative files (already-gone is
+        fine — a concurrent sweep may have raced us)."""
+        for f in rel_files:
+            try:
+                os.remove(os.path.join(self.table_dir, f))
+            except OSError:
+                pass
+
     def _mor_delete(self, condition, properties=None) -> Snapshot:
         """Merge-on-read DELETE: commit position-delete files against the
         snapshot the match scan read (``based_on`` validation — a
@@ -1963,47 +2033,23 @@ class SnapshotTable:
             snap = self.current_snapshot()
             if snap is None:
                 raise EngineError(f"table {self.table_dir} has no snapshots")
-            df = self._read_snapshot_files(snap, with_pos=True)
-            if snap.position_deletes:
-                df = self._apply_position_deletes(
-                    df, snap.position_deletes, keep_pos=True
-                )
+            df = self._visible_rows_with_pos(snap)
             matches = df.filter(F.coalesce(condition, F.lit(False)))
-            commit_uuid = uuid.uuid4().hex[:12]
-            staging = os.path.join(self.table_dir, f"_staging_{uuid.uuid4().hex}")
-            (
+            new_deletes = self._stage_delete_files(
                 matches.select(
                     F.col(self._POS_FILE).alias("file_path"),
                     F.col(self._POS_IDX).alias("pos"),
-                )
-                # one delete file per commit: delete sets are small by
-                # design (a production writer would target delete-file
-                # size instead and split on it), sorted for locality
-                .coalesce(1)
-                .sortWithinPartitions("file_path", "pos")
-                .write.mode("errorifexists")
-                .parquet(staging)
+                ),
+                ["file_path", "pos"],
+                "del",
             )
-            new_deletes: list[str] = []
-            for fn in sorted(os.listdir(staging)):
-                if fn.endswith(".parquet"):
-                    dest = f"data/del-{commit_uuid}-{len(new_deletes):05d}.parquet"
-                    shutil.move(
-                        os.path.join(staging, fn), os.path.join(self.table_dir, dest)
-                    )
-                    new_deletes.append(dest)
-            shutil.rmtree(staging, ignore_errors=True)
             n_deleted = 0
             if new_deletes:
                 n_deleted = self.spark.read.parquet(
                     *[os.path.join(self.table_dir, f) for f in new_deletes]
                 ).count()
             if n_deleted == 0:  # nothing matched: commit no (empty) delete file
-                for f in new_deletes:
-                    try:
-                        os.remove(os.path.join(self.table_dir, f))
-                    except OSError:
-                        pass
+                self._remove_quiet(new_deletes)
                 new_deletes = []
 
             def build(prev: Snapshot | None) -> dict:
@@ -2044,11 +2090,8 @@ class SnapshotTable:
             try:
                 return self._commit_version("main", build, max_attempts=1)
             except CommitConflictError as exc:
-                for f in new_deletes:  # stale positions — reclaim and re-derive
-                    try:
-                        os.remove(os.path.join(self.table_dir, f))
-                    except OSError:
-                        pass
+                # stale positions — reclaim and re-derive
+                self._remove_quiet(new_deletes)
                 last = exc
         raise CommitConflictError(
             f"merge-on-read delete on {self.table_dir} lost the validation "
@@ -2107,26 +2150,10 @@ class SnapshotTable:
             snap = self.current_snapshot()
             if snap is None:
                 raise EngineError(f"table {self.table_dir} has no snapshots")
-            commit_uuid = uuid.uuid4().hex[:12]
-            staging = os.path.join(self.table_dir, f"_staging_{uuid.uuid4().hex}")
-            (
-                key_df.coalesce(1)
-                .sortWithinPartitions(*key_cols)
-                .write.mode("errorifexists")
-                .parquet(staging)
-            )
-            del_file = None
-            for fn in sorted(os.listdir(staging)):
-                if fn.endswith(".parquet"):
-                    del_file = f"data/eqdel-{commit_uuid}.parquet"
-                    shutil.move(
-                        os.path.join(staging, fn),
-                        os.path.join(self.table_dir, del_file),
-                    )
-                    break
-            shutil.rmtree(staging, ignore_errors=True)
-            if del_file is None:
+            staged = self._stage_delete_files(key_df, key_cols, "eqdel")
+            if not staged:
                 raise EngineError("empty key set for delete_by_key")
+            del_file = staged[0]
             n_deleted = 0
             if count_matches:
                 # key-column projection only: parquet column pruning makes
@@ -2191,10 +2218,7 @@ class SnapshotTable:
                     "main", build, max_attempts=1 if count_matches else None
                 )
             except CommitConflictError as exc:
-                try:
-                    os.remove(os.path.join(self.table_dir, del_file))
-                except OSError:
-                    pass
+                self._remove_quiet([del_file])
                 if not count_matches:
                     raise  # blind mode exhausted _commit_version's budget
                 last = exc
@@ -2259,61 +2283,51 @@ class SnapshotTable:
             snap = self.current_snapshot()
             if snap is None:
                 raise EngineError(f"table {self.table_dir} has no snapshots")
-            df = self._read_snapshot_files(snap, with_pos=True)
-            if snap.position_deletes:
-                df = self._apply_position_deletes(
-                    df, snap.position_deletes, keep_pos=True
+            df = self._visible_rows_with_pos(snap)
+            # the match scan feeds TWO jobs (delete-file write, new-image
+            # staging) — persist it so the snapshot read + delete
+            # anti-joins + condition filter run once, not twice per
+            # attempt
+            matched = df.filter(F.coalesce(condition, F.lit(False))).persist()
+            try:
+                # old images → one position-delete file
+                new_deletes = self._stage_delete_files(
+                    matched.select(
+                        F.col(self._POS_FILE).alias("file_path"),
+                        F.col(self._POS_IDX).alias("pos"),
+                    ),
+                    ["file_path", "pos"],
+                    "del",
                 )
-            matched = df.filter(F.coalesce(condition, F.lit(False)))
-            # old images → one position-delete file
-            commit_uuid = uuid.uuid4().hex[:12]
-            staging = os.path.join(self.table_dir, f"_staging_{uuid.uuid4().hex}")
-            (
-                matched.select(
-                    F.col(self._POS_FILE).alias("file_path"),
-                    F.col(self._POS_IDX).alias("pos"),
+                # new images → ordinary data files under the current spec
+                cols = snap.schema_columns
+                updated = matched.withColumns(
+                    {col: expr for col, expr in assignments.items()}
                 )
-                .coalesce(1)
-                .sortWithinPartitions("file_path", "pos")
-                .write.mode("errorifexists")
-                .parquet(staging)
-            )
-            new_deletes: list[str] = []
-            for fn in sorted(os.listdir(staging)):
-                if fn.endswith(".parquet"):
-                    dest = f"data/del-{commit_uuid}-{len(new_deletes):05d}.parquet"
-                    shutil.move(
-                        os.path.join(staging, fn), os.path.join(self.table_dir, dest)
+                if cols is not None:
+                    # cast assigned columns back to their DECLARED types so
+                    # the new files share one physical parquet schema with
+                    # the retained files (a mixed int/long column across
+                    # files in one schema group would break the grouped
+                    # read)
+                    updated = updated.select(
+                        *[
+                            F.col(c["name"]).cast(c["type"]).alias(c["name"])
+                            for c in cols
+                        ]
                     )
-                    new_deletes.append(dest)
-            shutil.rmtree(staging, ignore_errors=True)
-            # new images → ordinary data files under the current spec
-            cols = snap.schema_columns
-            updated = matched.withColumns(
-                {col: expr for col, expr in assignments.items()}
-            )
-            if cols is not None:
-                # cast assigned columns back to their DECLARED types so the
-                # new files share one physical parquet schema with the
-                # retained files (a mixed int/long column across files in
-                # one schema group would break the grouped read)
-                updated = updated.select(
-                    *[F.col(c["name"]).cast(c["type"]).alias(c["name"]) for c in cols]
+                else:  # legacy table: original columns, positional
+                    updated = updated.select(*df.columns[:-2])
+                prev_specs = dict(snap.partition_specs or {})
+                spec_id = snap.default_spec_id or 0
+                spec = prev_specs.get(str(spec_id)) if spec_id else None
+                new_files, new_parts, n_updated, stats_new = self._stage_data_files(
+                    updated, spec, spec_id, cols or []
                 )
-            else:  # legacy table: original columns, positional
-                updated = updated.select(*df.columns[:-2])
-            prev_specs = dict(snap.partition_specs or {})
-            spec_id = snap.default_spec_id or 0
-            spec = prev_specs.get(str(spec_id)) if spec_id else None
-            new_files, new_parts, n_updated, stats_new = self._stage_data_files(
-                updated, spec, spec_id, cols or []
-            )
+            finally:
+                matched.unpersist()
             if n_updated == 0:  # nothing matched: no delete file, no data
-                for f in new_deletes + new_files:
-                    try:
-                        os.remove(os.path.join(self.table_dir, f))
-                    except OSError:
-                        pass
+                self._remove_quiet(new_deletes + new_files)
                 new_deletes, new_files, new_parts, stats_new = [], [], {}, {}
 
             def build(prev: Snapshot | None) -> dict:
@@ -2354,11 +2368,7 @@ class SnapshotTable:
             try:
                 return self._commit_version("main", build, max_attempts=1)
             except CommitConflictError as exc:
-                for f in new_deletes + new_files:
-                    try:
-                        os.remove(os.path.join(self.table_dir, f))
-                    except OSError:
-                        pass
+                self._remove_quiet(new_deletes + new_files)
                 last = exc
         raise CommitConflictError(
             f"merge-on-read update on {self.table_dir} lost the validation "
@@ -2643,11 +2653,14 @@ class SnapshotTable:
         # references it
         if os.path.isdir(self.metadata_dir):
             for fn in os.listdir(self.metadata_dir):
-                if not fn.startswith("seg-"):
+                is_tmp = fn.startswith(".seg-") and fn.endswith(".tmp")
+                if not fn.startswith("seg-") and not is_tmp:
                     continue
                 full = os.path.join(self.metadata_dir, fn)
                 try:
-                    if fn not in referenced_segments and os.path.getmtime(full) <= cutoff:
+                    if (
+                        is_tmp or fn not in referenced_segments
+                    ) and os.path.getmtime(full) <= cutoff:
                         os.remove(full)
                         removed += 1
                 except OSError:

@@ -585,7 +585,10 @@ def domain_curation(
 
     Returns the surviving documents' (id, domain, chars) columns plus the
     domain aggregates ``domain_docs``/``domain_chars`` (and ``kept_rank``
-    when capped).
+    when capped). Documents with a NULL domain are ALWAYS dropped — no
+    provenance fails domain curation by contract (the gate join's SQL
+    NULL-equality enforces it identically here and in any SQL replayer,
+    independent of the deny list).
 
     Scale shape (100 TB story): the domain aggregate is ONE partial-agg
     groupBy whose output is #domains rows — a viral mega-domain costs
@@ -606,7 +609,14 @@ def domain_curation(
         F.col("domain_chars") >= F.col("domain_docs") * min_avg_chars
     )
     if deny:
-        gate = gate & ~F.col(domain_col).isin(list(deny))
+        # NULL domains are never deny-listed: isin(NULL) is NULL, which
+        # would silently drop the whole NULL-domain group only when a
+        # deny list happens to be supplied — coalesce keeps NULL-domain
+        # handling independent of this parameter (they still face the
+        # min_docs/min_avg_chars gates like any group)
+        gate = gate & ~F.coalesce(
+            F.col(domain_col).isin(list(deny)), F.lit(False)
+        )
     allowed = stats.filter(gate)
     out = docs.select(id_col, domain_col, chars_col).join(
         F.broadcast(allowed), domain_col
