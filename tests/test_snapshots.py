@@ -1649,3 +1649,50 @@ def test_domain_curation_null_domain_independent_of_deny(spark, tmp_path):
     with_deny = domain_curation(docs, min_docs=1, deny=["b.com"])
     assert sorted(r["doc_id"] for r in no_deny.collect()) == [3, 4]
     assert sorted(r["doc_id"] for r in with_deny.collect()) == [3]
+
+
+def test_mor_merge_upsert_equivalent_to_cow(spark, tmp_path):
+    """merge(mode='merge-on-read') — equality-delete(source keys) +
+    append(source) in ONE commit, the Flink-Iceberg upsert shape: old
+    images die via the delete horizon, the commit's own new files
+    survive it by construction, and results are identical to the
+    copy-on-write merge. A second upsert of the same key must kill the
+    FIRST upsert's image too (its file is inside the second delete's
+    horizon). write.merge.mode routes plain merge() calls."""
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(10)], "k long, val string")
+    src = spark.createDataFrame(
+        [(3, "NEW3"), (7, "NEW7"), (100, "NEW100")], "k long, val string"
+    )
+    newer = spark.createDataFrame([(3, "NEWER3")], "k long, val string")
+
+    mor = SnapshotTable(spark, str(tmp_path / "mor"))
+    s1 = mor.append(df.coalesce(2))
+    s2 = mor.merge(src, ["k"], mode="merge-on-read")
+    assert s2.operation == "merge"
+    assert set(s1.files) <= set(s2.files)  # nothing rewritten
+    assert len(s2.equality_deletes) == 1
+    s3 = mor.merge(newer, ["k"], mode="merge-on-read")
+
+    cow = SnapshotTable(spark, str(tmp_path / "cow"))
+    cow.append(df.coalesce(2))
+    cow.merge(src, ["k"])
+    cow.merge(newer, ["k"])
+
+    got = sorted((r["k"], r["val"]) for r in mor.read().collect())
+    assert got == sorted((r["k"], r["val"]) for r in cow.read().collect())
+    assert s3.row_count == len(got) == 11
+
+    # property-routed; compaction materializes; empty source is a no-op
+    prop = SnapshotTable(spark, str(tmp_path / "prop"))
+    prop.set_table_property("write.merge.mode", "merge-on-read")
+    prop.append(df.coalesce(1))
+    sp = prop.merge(src, ["k"])
+    assert sp.operation == "merge" and sp.equality_deletes
+    s4 = mor.compact_small_files(target_files=1)
+    assert not s4.equality_deletes
+    assert sorted((r["k"], r["val"]) for r in mor.read().collect()) == got
+    s5 = mor.merge(
+        spark.createDataFrame([], "k long, val string"), ["k"],
+        mode="merge-on-read",
+    )
+    assert s5.files == s4.files and not s5.equality_deletes

@@ -107,6 +107,10 @@ def _plan_schedule(rng: random.Random, writers: int, ops: int) -> list[list[dict
                     "kind": kind,
                     "vals": vals,
                     "digit": rng.randrange(10),
+                    # merges flip between copy-on-write and merge-on-read
+                    # (equality-delete + append): both modes must satisfy
+                    # the SAME upsert model fold under races
+                    "mor": rng.random() < 0.5,
                 }
             )
         plan.append(mine)
@@ -175,6 +179,7 @@ def run_schedule(spark, base_dir: str, seed: int, writers: int = 4, ops: int = 3
                             _df_for(spark, t, op["vals"]),
                             ["v"],
                             properties={"op_id": str(op["op_id"])},
+                            mode="merge-on-read" if op["mor"] else None,
                         )
                     elif op["kind"] in ("delete", "update"):
                         # read-modify-write: retries internally on races,

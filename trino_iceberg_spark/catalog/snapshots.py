@@ -1902,20 +1902,37 @@ class SnapshotTable:
         ) from last
 
     def merge(
-        self, source: DataFrame, key_cols: list[str], properties=None
+        self,
+        source: DataFrame,
+        key_cols: list[str],
+        properties=None,
+        mode: str | None = None,
     ) -> Snapshot:
         """MERGE INTO analog (upsert): rows in ``source`` replace current
         rows with the same key; unmatched source rows append. Committed as
-        one overwrite snapshot — readers see either the pre- or post-merge
-        table, never a partial state (the same atomicity Iceberg's MERGE
-        gets from its snapshot commit). Validated against the read
-        snapshot and retried on concurrent commits (_rewrite_commit).
+        ONE snapshot — readers see either the pre- or post-merge table,
+        never a partial state (the same atomicity Iceberg's MERGE gets
+        from its snapshot commit). ``mode=None`` resolves the table
+        property ``write.merge.mode`` (Iceberg's property), defaulting to
+        copy-on-write:
 
-        Copy-on-write: the non-matching remainder is rewritten. At 100 TB
-        you'd partition the table and rewrite only touched partitions —
-        same algorithm, narrower remainder; merge-on-read (delete files) is
-        the Iceberg v2 alternative this deliberately trades away for
-        zero-cost reads."""
+        - ``copy-on-write``: the non-matching remainder is rewritten as
+          one overwrite snapshot, validated against the read snapshot and
+          retried on concurrent commits (_rewrite_commit). Zero-cost
+          reads afterward; rewrite cost O(table).
+        - ``merge-on-read`` (Iceberg v2 — the Flink Iceberg upsert sink's
+          exact write shape): ONE commit carrying an EQUALITY DELETE of
+          the source's key set plus the source rows as new data files —
+          old images die via the delete's horizon, the new files land in
+          a later segment and survive it by construction. Write cost is
+          O(source) regardless of table size: this is what lets a CDC
+          stream upsert into a 100 TB table at per-batch cost. The SQL
+          client's general-condition MERGE keeps copy-on-write (same as
+          Trino's fallback for non-key conditions).
+
+        At 100 TB with copy-on-write you'd partition the table and
+        rewrite only touched partitions — same algorithm, narrower
+        remainder; merge-on-read removes the rewrite entirely."""
         want = self.schema_columns
         if want is not None:
             names = {c["name"] for c in want}
@@ -1925,6 +1942,14 @@ class SnapshotTable:
                     f"match table columns {sorted(names)} for "
                     f"{self.table_dir} (evolve the schema first)"
                 )
+        if mode is None:
+            mode = self.table_properties().get("write.merge.mode", "copy-on-write")
+        if mode == "merge-on-read":
+            return self._mor_merge(source, key_cols, properties)
+        if mode != "copy-on-write":
+            raise EngineError(
+                f"unknown merge mode {mode!r} (copy-on-write | merge-on-read)"
+            )
 
         def derive(current: DataFrame) -> DataFrame:
             remainder = current.join(
@@ -1937,6 +1962,117 @@ class SnapshotTable:
             return remainder.unionByName(source, allowMissingColumns=True)
 
         return self._rewrite_commit(derive, properties)
+
+    def _mor_merge(
+        self, source: DataFrame, key_cols: list[str], properties=None
+    ) -> Snapshot:
+        """Merge-on-read upsert: one commit = equality-delete(source keys)
+        + append(source rows). The delete's horizon is the manifest list
+        BEFORE this commit's segment, so the appended rows survive it by
+        construction while every earlier same-key image dies — exactly
+        Iceberg's Flink-upsert write shape. row_count stays exact via a
+        key-column-pruned matched count validated against the scanned
+        snapshot (based_on; full re-derive on a concurrent commit)."""
+        key_df = source.select(*key_cols).distinct()
+        last: EngineError | None = None
+        for _ in range(self.commit_attempts):
+            snap = self.current_snapshot()
+            if snap is None:
+                raise EngineError(f"table {self.table_dir} has no snapshots")
+            cols = snap.schema_columns
+            # stage the delete-keys file and the source data files; both
+            # are invisible until the manifest references them
+            new_deletes = self._stage_delete_files(key_df, key_cols, "eqdel")
+            src = source
+            if cols is not None:
+                # a column added by CONCURRENT evolution mid-retry exists
+                # in the table schema but not in the (entry-validated)
+                # source — upserted rows take NULL for it, the same
+                # allowMissingColumns semantics the copy-on-write path has
+                src_cols = set(source.columns)
+                src = source.select(
+                    *[
+                        (
+                            F.col(c["name"])
+                            if c["name"] in src_cols
+                            else F.lit(None)
+                        )
+                        .cast(c["type"])
+                        .alias(c["name"])
+                        for c in cols
+                    ]
+                )
+            prev_specs = dict(snap.partition_specs or {})
+            spec_id = snap.default_spec_id or 0
+            spec = prev_specs.get(str(spec_id)) if spec_id else None
+            new_files, new_parts, n_source, stats_new = self._stage_data_files(
+                src, spec, spec_id, cols or []
+            )
+            # exact row_count: matched = visible rows whose key is upserted
+            n_matched = (
+                self._read_snapshot(snap)
+                .select(*key_cols)
+                .join(F.broadcast(key_df), key_cols, "left_semi")
+                .count()
+            )
+            if n_source == 0:  # empty source: a no-op upsert commits no files
+                self._remove_quiet(new_deletes + new_files)
+                new_deletes, new_files, new_parts, stats_new = [], [], {}, {}
+
+            def build(prev: Snapshot | None) -> dict:
+                if (prev.snapshot_id if prev else None) != snap.snapshot_id:
+                    raise CommitConflictError(
+                        f"concurrent update on {self.table_dir}: this "
+                        f"merge-on-read upsert staged against snapshot "
+                        f"{snap.snapshot_id} but the table advanced — "
+                        f"re-deriving"
+                    )
+                recs = []
+                if new_deletes:
+                    rec = {
+                        "file": new_deletes[0],
+                        "key_cols": list(key_cols),
+                        "segments": list(prev.manifest_list or ()),
+                    }
+                    if prev.manifest_list is None:
+                        rec["applies_files"] = list(prev.files)
+                    recs.append(rec)
+                file_schemas = dict(prev.file_schemas or {})
+                file_schemas.update({f: prev.schema_id for f in new_files})
+                file_stats = dict(prev.file_stats or {})
+                file_stats.update(stats_new)
+                file_partitions = dict(prev.file_partitions or {})
+                file_partitions.update(new_parts)
+                return {
+                    "operation": "merge",
+                    "files": list(prev.files) + new_files,
+                    "row_count": prev.row_count - n_matched + n_source,
+                    "schema_id": prev.schema_id,
+                    "last_column_id": prev.last_column_id,
+                    "schemas": dict(prev.schemas or {}) or None,
+                    "file_schemas": file_schemas,
+                    "file_stats": file_stats,
+                    "properties": properties or {},
+                    "partition_specs": dict(prev.partition_specs or {}) or None,
+                    "default_spec_id": prev.default_spec_id,
+                    "file_partitions": file_partitions or None,
+                    "position_deletes": list(prev.position_deletes or [])
+                    or None,
+                    "equality_deletes": (
+                        list(prev.equality_deletes or []) + recs
+                    )
+                    or None,
+                }
+
+            try:
+                return self._commit_version("main", build, max_attempts=1)
+            except CommitConflictError as exc:
+                self._remove_quiet(new_deletes + new_files)
+                last = exc
+        raise CommitConflictError(
+            f"merge-on-read upsert on {self.table_dir} lost the validation "
+            f"race {self.commit_attempts} times — giving up"
+        ) from last
 
     def delete_where(
         self, condition, properties=None, mode: str | None = None
