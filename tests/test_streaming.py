@@ -256,3 +256,65 @@ def test_checkpoint_restart_resumes_and_stays_exactly_once(spark, sf_dir, tmp_pa
     # resumed, not replayed: batch ids strictly increase across the restart
     assert sorted(batch_ids) == batch_ids and len(batch_ids) == len(set(batch_ids))
     assert len(table.snapshots()) == first_commits + 1  # exactly one new commit
+
+
+def test_streaming_upsert_merge_on_read_append_only_commits(spark, tmp_path):
+    """Streaming CDC upsert with write.merge.mode=merge-on-read: the
+    foreachBatch merge sink commits equality-delete + append per batch —
+    append-only data files (the Flink-Iceberg upsert write shape; no
+    micro-batch ever rewrites the table) — and the final state equals
+    the copy-on-write twin's latest-row-per-key result."""
+    from pyspark.sql import Window
+
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    rows1 = [(1, "a", 10), (2, "a", 10), (3, "a", 10)]
+    rows2 = [(2, "b", 20), (4, "b", 20)]  # upserts key 2, inserts key 4
+    spark.createDataFrame(rows1, "user_id long, ev string, ts long").coalesce(
+        1
+    ).write.parquet(str(stage / "b1"))
+    spark.createDataFrame(rows2, "user_id long, ev string, ts long").coalesce(
+        1
+    ).write.parquet(str(stage / "b2"))
+
+    def run(table: SnapshotTable) -> None:
+        w = Window.partitionBy("user_id").orderBy(F.col("ts").desc())
+        schema = "user_id long, ev string, ts long"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(stage / "*"))
+        )
+
+        def upsert(batch, _bid):
+            latest = (
+                batch.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            if table.current_snapshot() is None:
+                table.append(latest)
+            else:
+                table.merge(latest, ["user_id"])
+
+        q = stream.writeStream.foreachBatch(upsert).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    mor = SnapshotTable(spark, str(tmp_path / "mor"))
+    mor.set_table_property("write.merge.mode", "merge-on-read")
+    run(mor)
+    cow = SnapshotTable(spark, str(tmp_path / "cow"))
+    run(cow)
+
+    got = sorted(tuple(r) for r in mor.read().collect())
+    assert got == sorted(tuple(r) for r in cow.read().collect())
+    assert {r[0] for r in got} == {1, 2, 3, 4}
+    # every MOR merge commit kept the prior files (append-only) and the
+    # merge snapshots carry equality deletes
+    snaps = mor.main_ancestry()
+    for prev, cur in zip(snaps, snaps[1:]):
+        assert set(prev.files) <= set(cur.files)
+    assert any(s.equality_deletes for s in snaps)

@@ -27,6 +27,14 @@ reconstruction, which is itself part of the contract.
 Usage:
     python tools/fuzz_dml_travel.py          # 30 sequences, seed 0
     python tools/fuzz_dml_travel.py 50 7     # 50 sequences, seed 7
+    python tools/fuzz_dml_travel.py 30 0 --mor   # DELETE/UPDATE via
+                                                 # merge-on-read v2 deletes
+
+``--mor`` sets write.delete.mode/write.update.mode=merge-on-read on
+every fuzzed table, so the HISTORIES contain position-delete snapshots
+— each checkpoint reconstruction then exercises time travel over the
+anti-join read path (old snapshots with fewer/no delete files, new ones
+with accrued files), the composition the dedicated fuzzers don't reach.
 
 Exit 1 on any divergence; failures print the statement sequence.
 """
@@ -63,11 +71,16 @@ def _state(client: AthenaSparkClient, rel: str) -> list[tuple]:
     return sorted((tuple(r) for r in client.query(f"SELECT * FROM {rel}")), key=_key)
 
 
-def run_sequence(spark, seq_no: int, seed: int, workdir: str) -> list[str]:
+def run_sequence(
+    spark, seq_no: int, seed: int, workdir: str, delete_mode: str = "copy-on-write"
+) -> list[str]:
     """Returns a list of divergence descriptions (empty = agree)."""
     rng = random.Random(seed * 9_000_011 + seq_no)
     tdir = os.path.join(workdir, f"fzt_{seq_no}")
     table = SnapshotTable(spark, tdir)
+    if delete_mode != "copy-on-write":
+        table.set_table_property("write.delete.mode", delete_mode)
+        table.set_table_property("write.update.mode", delete_mode)
     table.append(spark.createDataFrame(seed_rows(rng), SCHEMA))
     client = AthenaSparkClient(spark)
     client.register_snapshot_table("fz_fuzz", tdir)  # gen_statement targets fz_fuzz
@@ -126,8 +139,10 @@ def run_sequence(spark, seq_no: int, seed: int, workdir: str) -> list[str]:
 
 
 def main() -> int:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 30
-    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    mode = "merge-on-read" if "--mor" in sys.argv[1:] else "copy-on-write"
+    n = int(args[0]) if len(args) > 0 else 30
+    seed = int(args[1]) if len(args) > 1 else 0
     spark = get_spark(
         app_name="fuzz_dml_travel", master="local[8]", shuffle_partitions=2
     )
@@ -137,7 +152,7 @@ def main() -> int:
     failures = 0
     try:
         for i in range(n):
-            problems = run_sequence(spark, i, seed, workdir)
+            problems = run_sequence(spark, i, seed, workdir, delete_mode=mode)
             if problems:
                 failures += 1
                 print(f"FAIL case {i}:")
@@ -152,7 +167,7 @@ def main() -> int:
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
     print(
-        f"fuzz_dml_travel: {n} sequences, seed {seed}: "
+        f"fuzz_dml_travel: {n} sequences, seed {seed}, delete_mode={mode}: "
         f"{n - failures} agree, {failures} diverge ({time.time() - t0:.0f}s)"
     )
     return 1 if failures else 0
