@@ -1696,3 +1696,30 @@ def test_mor_merge_upsert_equivalent_to_cow(spark, tmp_path):
         mode="merge-on-read",
     )
     assert s5.files == s4.files and not s5.equality_deletes
+
+
+def test_delete_files_metadata_table(spark, tmp_path):
+    """$delete_files (Iceberg's metadata relation): lists outstanding
+    position and equality delete files with record counts and key
+    columns, reachable in SQL text, and empties after compaction — the
+    operator signal for 'this table needs a compaction pass'."""
+    from trino_iceberg_spark.client import AthenaSparkClient
+
+    t = SnapshotTable(spark, str(tmp_path / "dfmeta"))
+    t.append(_orders(spark, 12).coalesce(1))
+    t.delete_where(F.col("k") % 3 == 0, mode="merge-on-read")
+    t.delete_by_key(spark.createDataFrame([(1,), (2,)], "k long"), ["k"])
+    rows = {r["kind"]: r for r in t.delete_files_df().collect()}
+    assert set(rows) == {"position", "equality"}
+    assert rows["position"]["record_count"] == 4  # k in {0,3,6,9}
+    assert rows["equality"]["record_count"] == 2
+    assert rows["equality"]["equality_key_cols"] == "k"
+    assert rows["position"]["size_bytes"] > 0
+
+    client = AthenaSparkClient(spark)
+    client.register_snapshot_table("dfmeta", str(tmp_path / "dfmeta"))
+    got = client.query("SELECT kind, record_count FROM dfmeta$delete_files ORDER BY kind")
+    assert [(r[0], r[1]) for r in got] == [("equality", 2), ("position", 4)]
+
+    t.compact_small_files(target_files=1)
+    assert t.delete_files_df().count() == 0

@@ -1596,6 +1596,50 @@ class SnapshotTable:
             rows, "file string, size_bytes long, schema_id int, stats_columns int"
         )
 
+    def delete_files_df(self) -> DataFrame:
+        """The ``table$delete_files`` relation (Iceberg's metadata table
+        of the same name): one row per OUTSTANDING merge-on-read delete
+        file of the current snapshot — kind (position | equality), path,
+        size, record count, and the equality key columns. Empties after
+        compaction/rewrite materializes the deletes; the operator signal
+        for "this table needs a compaction pass" at scale."""
+        snap = self.current_snapshot()
+        if snap is None:
+            raise EngineError(f"table {self.table_dir} has no snapshots")
+
+        def _rows_of(rel: str) -> int | None:
+            try:
+                import pyarrow.parquet as pq
+
+                return pq.ParquetFile(
+                    os.path.join(self.table_dir, rel)
+                ).metadata.num_rows
+            except Exception:  # noqa: BLE001 — metadata only, never fatal
+                return None
+
+        def _size_of(rel: str) -> int | None:
+            full = os.path.join(self.table_dir, rel)
+            return os.path.getsize(full) if os.path.exists(full) else None
+
+        rows = [
+            (f, "position", _size_of(f), _rows_of(f), None)
+            for f in snap.position_deletes or ()
+        ] + [
+            (
+                rec["file"],
+                "equality",
+                _size_of(rec["file"]),
+                _rows_of(rec["file"]),
+                ",".join(rec["key_cols"]),
+            )
+            for rec in snap.equality_deletes or ()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "file string, kind string, size_bytes long, record_count long, "
+            "equality_key_cols string",
+        )
+
     def history_df(self) -> DataFrame:
         """The ``table$history`` relation: the MAIN branch's commit lineage
         (Iceberg $history lists the current branch's ancestry — staging
