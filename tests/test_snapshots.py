@@ -1723,3 +1723,36 @@ def test_delete_files_metadata_table(spark, tmp_path):
 
     t.compact_small_files(target_files=1)
     assert t.delete_files_df().count() == 0
+
+
+def test_rewrite_delete_files_consolidates_all_kinds(spark, tmp_path):
+    """rewrite_position_delete_files analog: many small position-delete
+    files plus equality deletes consolidate into ONE position-delete
+    file without touching data files — rows identical, equality records
+    gone, old snapshots still time-travel, and subsequent reads carry a
+    single anti-join."""
+    t = SnapshotTable(spark, str(tmp_path / "rdf"))
+    s1 = t.append(_orders(spark, 30).coalesce(2))
+    t.delete_where(F.col("k") % 7 == 0, mode="merge-on-read")
+    t.delete_where(F.col("k") % 11 == 3, mode="merge-on-read")
+    t.delete_by_key(spark.createDataFrame([(1,), (2,)], "k long"), ["k"])
+    before = sorted(r["k"] for r in t.read().collect())
+    pre = t.current_snapshot()
+    assert len(pre.position_deletes) == 2 and len(pre.equality_deletes) == 1
+
+    s = t.rewrite_delete_files()
+    assert s is not None
+    assert s.files == pre.files  # zero data movement
+    assert len(s.position_deletes) == 1 and not s.equality_deletes
+    assert sorted(r["k"] for r in t.read().collect()) == before
+    assert s.row_count == pre.row_count == len(before)
+    # old snapshot still reads its own delete set
+    assert sorted(r["k"] for r in t.read_version(s1.snapshot_id).collect()) == list(
+        range(30)
+    )
+    # nothing outstanding → no-op
+    assert t.rewrite_delete_files() is None
+    # expire reclaims the superseded delete files
+    t.expire_snapshots(retain_last=1)
+    dels = [f for f in os.listdir(t.data_dir) if f.startswith(("del-", "eqdel-"))]
+    assert len(dels) == 1  # only the consolidated file remains

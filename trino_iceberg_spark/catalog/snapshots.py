@@ -2628,6 +2628,74 @@ class SnapshotTable:
             self._segment_cache.pop(seg, None)
         return len(expired)
 
+    def rewrite_delete_files(self) -> Snapshot | None:
+        """Iceberg ``rewrite_position_delete_files`` analog: consolidate
+        ALL outstanding merge-on-read deletes — every position-delete
+        file AND every equality delete (converted to exact positions) —
+        into ONE sorted position-delete file, committed without touching
+        a single data file. This is the cheap maintenance pass between
+        full compactions: a CDC stream that lands hundreds of small
+        delete files per hour keeps its read path at one broadcast
+        anti-join instead of one per commit, at the cost of one
+        key-column scan — not the full-table rewrite
+        ``compact_small_files`` pays. Returns None when nothing is
+        outstanding. Validated against the scanned snapshot (based_on);
+        re-runnable, so no internal retry loop (same policy as the other
+        maintenance rewrites)."""
+        snap = self.current_snapshot()
+        if snap is None or not (
+            snap.equality_deletes or len(snap.position_deletes or ()) > 1
+        ):
+            return None  # nothing outstanding, or already one position file
+        raw = self._read_snapshot_files(snap, with_pos=True).select(
+            self._POS_FILE, self._POS_IDX
+        )
+        visible = self._visible_rows_with_pos(snap).select(
+            self._POS_FILE, self._POS_IDX
+        )
+        dead = raw.join(visible, [self._POS_FILE, self._POS_IDX], "left_anti")
+        new_deletes = self._stage_delete_files(
+            dead.select(
+                F.col(self._POS_FILE).alias("file_path"),
+                F.col(self._POS_IDX).alias("pos"),
+            ),
+            ["file_path", "pos"],
+            "del",
+        )
+
+        def build(prev: Snapshot | None) -> dict:
+            if (prev.snapshot_id if prev else None) != snap.snapshot_id:
+                raise CommitConflictError(
+                    f"concurrent update on {self.table_dir}: delete-file "
+                    f"rewrite derived from snapshot {snap.snapshot_id} but "
+                    f"the table advanced — re-run the maintenance pass"
+                )
+            return {
+                "operation": "rewrite-deletes",
+                "files": list(prev.files),
+                "row_count": prev.row_count,
+                "schema_id": prev.schema_id,
+                "last_column_id": prev.last_column_id,
+                "schemas": dict(prev.schemas or {}) or None,
+                "file_schemas": dict(prev.file_schemas or {}),
+                "file_stats": dict(prev.file_stats or {}),
+                "properties": {"rewrote_delete_files": "true"},
+                "partition_specs": dict(prev.partition_specs or {}) or None,
+                "default_spec_id": prev.default_spec_id,
+                "file_partitions": dict(prev.file_partitions or {}) or None,
+                "position_deletes": new_deletes or None,
+                "equality_deletes": None,
+                "manifest_list": list(prev.manifest_list)
+                if prev.manifest_list is not None
+                else None,
+            }
+
+        try:
+            return self._commit_version("main", build, max_attempts=1)
+        except CommitConflictError:
+            self._remove_quiet(new_deletes)
+            raise
+
     def compact_small_files(self, target_files: int | None = None) -> Snapshot | None:
         """Iceberg ``rewrite_data_files`` analog: rewrite the current
         snapshot's data into ``target_files`` right-sized files and commit
