@@ -556,3 +556,60 @@ def test_qualify_per_branch_in_multiple_branches(spark):
         "QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) = 1"
     )
     assert sorted((r.g, r.v) for r in rows) == [(1, 10), (1, 20), (2, 5), (2, 30)]
+
+
+def test_sql_set_properties_routes_dml_merge_on_read(spark, tmp_path):
+    """Trino/Iceberg property DDL end to end in SQL text: ALTER TABLE
+    SET PROPERTIES flips write.delete.mode/write.update.mode to
+    merge-on-read, subsequent SQL DELETE/UPDATE statements commit v2
+    delete files instead of rewrites, EXECUTE rewrite_delete_files
+    consolidates them, and the visible rows match plain-SQL semantics
+    throughout."""
+    from pyspark.sql import functions as F
+
+    from trino_iceberg_spark.catalog.snapshots import SnapshotTable
+    from trino_iceberg_spark.client import AthenaSparkClient
+
+    tdir = str(tmp_path / "props_t")
+    table = SnapshotTable(spark, tdir)
+    table.append(
+        spark.createDataFrame(
+            [(i, i % 5, float(i)) for i in range(20)],
+            "k long, g long, price double",
+        ).coalesce(2)
+    )
+    client = AthenaSparkClient(spark)
+    client.register_snapshot_table("props_t", tdir)
+    assert (
+        client.execute(
+            "ALTER TABLE props_t SET PROPERTIES "
+            "'write.delete.mode' = 'merge-on-read', "
+            "write.update.mode = 'merge-on-read'"
+        )
+        == 0
+    )
+    assert table.table_properties() == {
+        "write.delete.mode": "merge-on-read",
+        "write.update.mode": "merge-on-read",
+    }
+
+    n = client.execute("DELETE FROM props_t WHERE k % 4 = 0")
+    assert n == 5
+    snap = table.current_snapshot()
+    assert snap.position_deletes and snap.operation == "delete"
+    n = client.execute("UPDATE props_t SET price = price + 100 WHERE g = 1")
+    assert n == 3  # k in {1, 6, 11} — 16 already deleted above
+    snap = table.current_snapshot()
+    assert len(snap.position_deletes) == 2 and snap.operation == "update"
+
+    client.execute("ALTER TABLE props_t EXECUTE rewrite_delete_files")
+    snap = table.current_snapshot()
+    assert len(snap.position_deletes) == 1 and not snap.equality_deletes
+
+    got = {r["k"]: r["price"] for r in table.read().collect()}
+    want = {
+        k: k + (100.0 if k % 5 == 1 else 0.0)
+        for k in range(20)
+        if k % 4 != 0
+    }
+    assert got == want

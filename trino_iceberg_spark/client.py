@@ -163,10 +163,20 @@ class AthenaSparkClient:
 
     _SNAP_EXEC_RE = re.compile(
         r"^\s*ALTER\s+TABLE\s+`?(?P<tbl>[A-Za-z_][\w.]*)`?\s+EXECUTE\s+"
-        r"(?P<proc>optimize|expire_snapshots|remove_orphan_files|rollback_to_snapshot)\b"
+        r"(?P<proc>optimize|expire_snapshots|remove_orphan_files"
+        r"|rollback_to_snapshot|rewrite_delete_files)\b"
         r"\s*(?:\((?P<args>[^)]*)\))?\s*;?\s*$",
         re.IGNORECASE,
     )
+    # Trino/Iceberg table-property DDL: ALTER TABLE t SET PROPERTIES
+    # k = 'v' [, k2 = 'v2'] — how an operator flips write.delete.mode /
+    # write.update.mode / write.merge.mode to merge-on-read in SQL.
+    _SNAP_SET_PROPS_RE = re.compile(
+        r"^\s*ALTER\s+TABLE\s+`?(?P<tbl>[A-Za-z_][\w.]*)`?\s+SET\s+PROPERTIES\s+"
+        r"(?P<props>.+?)\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _PROP_RE = re.compile(r"^\s*['\"`]?(?P<k>[\w.\-]+)['\"`]?\s*=\s*'(?P<v>[^']*)'\s*$")
     _EXEC_ARG_RE = re.compile(r"(\w+)\s*=>\s*(?:'([^']*)'|(\d+))")
     _RETENTION_RE = re.compile(r"^\s*(\d+)\s*([dhms])\s*$", re.IGNORECASE)
 
@@ -190,9 +200,37 @@ class AthenaSparkClient:
         - ``rollback_to_snapshot(snapshot_id => N)`` — metadata-only
           restore of the table state as of snapshot N (Trino's
           ``system.rollback_to_snapshot`` procedure).
+        - ``rewrite_delete_files`` — consolidate outstanding
+          merge-on-read position/equality delete files into one sorted
+          position-delete file (Iceberg's
+          ``rewrite_position_delete_files``), zero data files touched.
+
+        Also handles ``ALTER TABLE t SET PROPERTIES k = 'v' [, ...]``
+        (Trino/Iceberg property DDL) — e.g. ``write.delete.mode =
+        'merge-on-read'`` to route subsequent SQL DELETE statements
+        through v2 position deletes.
 
         Returns None when the statement isn't a maintenance call (the
         caller falls through to DML/Catalyst)."""
+        sp = self._SNAP_SET_PROPS_RE.match(rendered)
+        if sp is not None and not self._SNAP_EXEC_RE.match(rendered):
+            table = self.snapshots.resolve(self.spark, sp.group("tbl"))
+            if table is None:
+                raise QueryError(
+                    f"SET PROPERTIES on unregistered snapshot table "
+                    f"{sp.group('tbl')!r}",
+                    sql=rendered,
+                )
+            from .formatting import split_top_level_commas
+
+            for part in split_top_level_commas(sp.group("props")):
+                pm = self._PROP_RE.match(part)
+                if pm is None:
+                    raise QueryError(
+                        f"malformed SET PROPERTIES item: {part!r}", sql=rendered
+                    )
+                table.set_table_property(pm.group("k"), pm.group("v"))
+            return 0
         m = self._SNAP_EXEC_RE.match(rendered)
         if m is None:
             return None
@@ -247,6 +285,9 @@ class AthenaSparkClient:
                     "rollback_to_snapshot requires snapshot_id => <n>", sql=rendered
                 )
             table.rollback_to(int(sid))
+            return 0
+        if proc == "rewrite_delete_files":
+            table.rewrite_delete_files()
             return 0
         return table.remove_orphan_files()
 
