@@ -46,7 +46,6 @@ def _timed(fn):
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     replicas = 1
     for a in sys.argv[1:]:
         if a.startswith("--replicas"):
