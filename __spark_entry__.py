@@ -16,7 +16,7 @@ Two adapter concerns live here, both driver-facing:
    order: first this round's fixed/changed entries and the entries no
    prior CORRECTNESS run has checked, then drift re-verifies of the
    oldest green cohort (see ``_FRONT``), then any remaining unchecked
-   entries, then families already proved green across the r01–r09
+   entries, then families already proved green across the r01–r10
    union. Nothing is dropped — a driver with budget for the full
    registry still checks every entry.
 
@@ -50,82 +50,84 @@ _TUNED_CONFS = {
 # module docstring. Names absent from the registry are ignored (safety
 # against future renames), and every registered query is always yielded.
 #
-# Round-10 ordering (registry: 229 entries, ALL oracle-backed; new this
-# round: tt17_merge_on_read_delete — Iceberg v2 position deletes with
-# the anti-join read path replayed in the oracle — tt18_equality_delete_cdc
-# — Iceberg v2 equality deletes, the streaming-CDC upsert mechanism,
-# horizon rule replayed in the oracle — and cu10_domain_curation —
-# C4/RefinedWeb-style per-domain gating). Per the round-9 VERDICT
-# directive #1, rotation keeps winning: new entries capped at 3 (under
-# the ~5 cap), and the budget re-verifies the FULL 40-entry r05 cohort
-# so the cross-round union ends with zero entries older than r06.
-# Tiers (3+4+40 = 47, under the ~50 driver budget):
-# 1. tt17/tt18/cu10 (new);
-# 2. changed-code re-verifies: the catalog's metadata format moved to
-#    two-level manifest lists this round (catalog/snapshots.py), so the
-#    catalog-heavy entries NOT already in the r05 cohort re-verify —
-#    st06 (exactly-once ingest commits), tt03 (changelog, now with the
-#    MOR fallback), tt10 (SQL MERGE through _rewrite_commit), plus sp13
-#    (portable-split sentinel guard landed in split_assignment);
-# 3. the 40-entry r05 cohort — the oldest in the union (computed from
-#    the CORRECTNESS_r01–r09 latest-check union; tt16/st08/st09/aj02 et
-#    al. double as changed-code coverage for the catalog format change).
-# Everything else was checked r06–r09 and yields after these.
+# Round-11 ordering (registry: 232 entries, ALL oracle-backed; new this
+# round: tt19_eqdelete_field_id_evolution — the round-10 judge's
+# wrong-answer repro fixed and oracle-gated: equality deletes key by
+# FIELD ID so key-column rename/re-add can't brick reads or resurrect
+# rows — tt20_mor_changelog_from_deletes — CDC changelog derived FROM
+# the delete files at O(affected files) — and tt21_mor_pruned_read —
+# the MOR read tax with delete-file→data-file pruning, also added to
+# bench.py's aux list). Per the round-10 VERDICT directive #2, rotation
+# keeps winning: new entries capped at 3 (under the ~5 cap), and the
+# budget re-verifies the FULL 43-entry r06 cohort so the cross-round
+# union ends with zero entries older than r07.
+# Tiers (3+3+43 = 49, under the ~50 driver budget):
+# 1. tt19/tt20/tt21 (new);
+# 2. changed-code re-verifies: the MOR read path gained clean/dirty
+#    file splitting and equality deletes moved to field-id keying this
+#    round (catalog/snapshots.py), so the MOR-heavy entries re-verify —
+#    tt17 (position-delete read path), tt18 (equality-delete horizon),
+#    tt03 (changelog, now with the delete-file-derived delta);
+# 3. the 43-entry r06 cohort — the oldest in the union (computed from
+#    the CORRECTNESS_r01–r10 latest-check union).
+# Everything else was checked r07–r10 and yields after these.
 _FRONT = [
     # --- tier 1: new this round ---
+    "tt19_eqdelete_field_id_evolution",
+    "tt20_mor_changelog_from_deletes",
+    "tt21_mor_pruned_read",
+    # --- tier 2: changed-code re-verifies (MOR read path + field ids) ---
     "tt17_merge_on_read_delete",
     "tt18_equality_delete_cdc",
-    "cu10_domain_curation",
-    # --- tier 2: changed-code re-verifies ---
-    "st06_stream_snapshot_ingest",
     "tt03_snapshot_changelog",
-    "tt10_sql_merge",
-    "sp13_mix_manifest",
-    # --- tier 3: r05 cohort (oldest in the union) ---
-    "aj02_asof_forward_tolerance",
-    "b01_projection",
-    "b02_filter_comparisons",
-    "b03_empty_result",
-    "b04_sort_multi",
-    "b05_count_star",
-    "b06_sum",
-    "b07_avg_cast",
-    "b08_min_max",
-    "b09_groupby_agg_sort",
-    "b10_scalar_literals",
-    "b11_concat",
-    "b12_string_escaping",
-    "b13_case_arithmetic",
-    "b14_cast_matrix",
-    "b15_null_handling",
-    "b16_in_between_like",
-    "b17_distinct",
-    "b18_limit_topk",
-    "b19_json_extraction",
-    "b20_lateral_explode",
-    "b21_variant_extraction",
-    "b23_qualify",
-    "dd13_crossmodal_dedup",
-    "ev13_level_shifts",
-    "ev14_incremental_rollup",
-    "io01_format_roundtrip",
-    "j01_inner_join",
-    "j02_multi_join",
-    "j03_left_join",
-    "mm05_frame_sampling",
-    "mm06_image_resize",
-    "mm07_audio_frame_features",
-    "sp07_kfold",
-    "sp08_fixed_per_group",
-    "ss08_range_search",
-    "st08_stream_cdc_upsert",
-    "st09_stream_enrich",
-    "tt16_catalog_version_travel",
-    "tx15_bigram_fluency",
+    # --- tier 3: r06 cohort (oldest in the union) ---
+    "a01_count_distinct",
+    "a02_having",
+    "a03_rollup",
+    "a04_cube",
+    "a05_grouping_sets",
+    "a06_pivot_conditional",
+    "a07_approx_and_exact_stats",
+    "a08_exact_percentiles",
+    "c01_cte",
+    "c02_scalar_subquery",
+    "c03_in_subquery",
+    "dd01_exact_dedup",
+    "dd02_fingerprint_dedup",
+    "dd14_substring_dedup",
+    "ev01_funnel",
+    "ev02_retention_cohorts",
+    "ev03_daily_top_users",
+    "ev04_error_rate_hourly",
+    "ev05_props_value_stats",
+    "ev06_hourly_gap_fill",
+    "ev09_sketch_rollup",
+    "ev10_kmv_distinct_rollup",
+    "ev12_quantile_sample_rollup",
+    "ev15_bloom_prefilter",
+    "j04_semi_join",
+    "j05_anti_join",
+    "j06_full_outer",
+    "j07_cross_join",
+    "j08_range_join",
+    "j09_self_join",
+    "s01_union_all",
+    "s02_union_distinct",
+    "s03_intersect",
+    "s04_except",
+    "sp09_training_shards",
+    "ss09_incremental_ivf_index",
+    "st10_stream_rollup",
+    "tx16_token_entropy",
+    "w01_topk_per_group",
+    "w02_rank_dense",
+    "w04_running_sum",
+    "w05_ntile_percent",
+    "w08_distribution_functions",
 ]
 
-# Entries a prior CORRECTNESS run already recorded green (r01–r09 union:
-# 226/226 distinct entries checked, all green at latest check) — yielded
+# Entries a prior CORRECTNESS run already recorded green (r01–r10 union:
+# 229/229 distinct entries checked, all green at latest check) — yielded
 # last. Prefix-matched on the name's first underscore token.
 _PROVEN = frozenset(
     [f"b{i:02d}" for i in range(1, 22)]  # b01–b21

@@ -83,6 +83,9 @@ AUX_QUERIES = [
     "rag01_retrieval_pipeline",
     "ss13_mmr_rerank_lsh",
     "cu09_token_budget_selection",
+    # round 11: merge-on-read read tax under delete-file→data-file
+    # pruning, tracked per round (VERDICT r10 directive #4)
+    "tt21_mor_pruned_read",
 ]
 
 

@@ -329,3 +329,38 @@ def test_ngram_novelty_partial_aggregation(spark, sf_dir):
     assert node_count(plan, "HashAggregate") >= 2  # partial + final
     assert node_count(plan, "CartesianProduct") == 0
     assert node_count(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_mor_pruned_read_isolates_delete_machinery(spark, tmp_path):
+    """Round-11 delete-file→data-file pruning: after a CONTAINED
+    position delete on a range-clustered table, the read plan must be a
+    UNION of a clean scan (untouched files — no (file, pos) identity
+    projection, no anti-join) with one small dirty subtree carrying the
+    single broadcast anti-join. Before the fix every file paid the MOR
+    machinery (one monolithic scan, no union) — the measured ~3× read
+    tax on untouched data."""
+    from pyspark.sql import functions as F
+
+    from trino_iceberg_spark.catalog.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "morplan"))
+    t.append(
+        spark.range(4000).select(
+            F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+        ),
+        cluster_by=["k"],
+        cluster_partitions=8,
+    )
+    t.delete_where(F.col("k") < 100, mode="merge-on-read")
+    snap = t.current_snapshot()
+    assert len(snap.files) == 8
+    assert len(t._mor_touched_files(snap)) == 1  # only the low-band file
+    df = t.read()
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert node_count(plan, "Union") == 1
+    assert node_count(plan, "BroadcastHashJoin") == 1  # dirty subtree only
+    assert df.count() == 3900

@@ -189,6 +189,103 @@ def test_changelog_missing_snapshot_raises(spark, tmp_path):
         t.changelog(1, 99)
 
 
+def _clustered_ids(spark, t, n=1000, files=4):
+    df = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") % 13).cast("long").alias("v")
+    )
+    return t.append(df, cluster_by=["k"], cluster_partitions=files)
+
+
+def test_changelog_position_delete_reads_only_named_files(spark, tmp_path):
+    """Round-11 directive #3: a changelog across a MOR position-delete
+    boundary derives the delta FROM the delete file, reading only the
+    data files it names — proved behaviorally by HIDING every untouched
+    data file on disk before calling changelog: if the O(table) fallback
+    were still in play, the read would crash on the missing files."""
+    t = SnapshotTable(spark, str(tmp_path / "clp"))
+    s1 = _clustered_ids(spark, t)
+    s2 = t.delete_where(F.col("k") < 50, mode="merge-on-read")
+    touched = t._mor_touched_files(s2)
+    assert len(touched) == 1 and len(s2.files) == 4
+    hidden = []
+    for f in s2.files:
+        if f not in touched:
+            p = os.path.join(t.table_dir, f)
+            os.rename(p, p + ".hidden")
+            hidden.append(p)
+    try:
+        out = t.changelog(s1.snapshot_id, s2.snapshot_id).collect()
+    finally:
+        for p in hidden:
+            os.rename(p + ".hidden", p)
+    assert sorted(r["k"] for r in out) == list(range(50))
+    assert {r["_change_type"] for r in out} == {"delete"}
+
+
+def test_changelog_equality_delete_prunes_by_zone_maps(spark, tmp_path):
+    """Equality-delete changelog delta: the dead keys' [min, max]
+    envelope zone-map-prunes the horizon (by key FIELD ID), so a
+    contained key retraction reads only the file(s) whose range can hold
+    the keys — again proved by hiding the rest of the table. A row
+    killed by BOTH a new position delete and a new equality delete
+    surfaces exactly once."""
+    t = SnapshotTable(spark, str(tmp_path / "cle"))
+    s1 = _clustered_ids(spark, t)
+    t.delete_where(F.col("k") == 10, mode="merge-on-read")
+    # the key ENVELOPE [10, 20] fits one clustered file; a wide envelope
+    # would conservatively keep every file (correct, just unpruned)
+    keys = spark.createDataFrame([(10,), (20,)], "k long")
+    s3 = t.delete_by_key(keys, ["k"])
+    assert len(s3.files) == 4
+    # hide every file whose k-range cannot hold any dead key — the
+    # changelog's zone-map pruning (by key FIELD ID) must never open them
+    kfid = str(next(c["id"] for c in s3.schema_columns if c["name"] == "k"))
+    hidden = []
+    for f in s3.files:
+        lo, _hi = s3.file_stats[f][kfid]
+        if lo > 20:
+            p = os.path.join(t.table_dir, f)
+            os.rename(p, p + ".hidden")
+            hidden.append(p)
+    assert hidden, "zone-map pruning left nothing to hide"
+    try:
+        out = t.changelog(s1.snapshot_id, s3.snapshot_id).collect()
+    finally:
+        for p in hidden:
+            os.rename(p + ".hidden", p)
+    # k=10 died twice (position + equality) but surfaces once
+    assert sorted(r["k"] for r in out) == [10, 20]
+    assert {r["_change_type"] for r in out} == {"delete"}
+
+
+def test_changelog_mor_upsert_pairs_updates(spark, tmp_path):
+    """A merge-on-read upsert's changelog (equality delete + append in
+    one commit) pairs old/new images into update_before/update_after
+    under the key contract — via the delete-file-derived delta, not a
+    full diff."""
+    t = SnapshotTable(spark, str(tmp_path / "clu"))
+    s1 = t.append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+        ).coalesce(1)
+    )
+    t.merge(
+        spark.createDataFrame([(2, "B"), (9, "new")], "k long, v string"),
+        ["k"],
+        mode="merge-on-read",
+    )
+    s2 = t.current_snapshot()
+    got = sorted(
+        (r.k, r._change_type, r.v)
+        for r in t.changelog(s1.snapshot_id, s2.snapshot_id, ["k"]).collect()
+    )
+    assert got == [
+        (2, "update_after", "B"),
+        (2, "update_before", "b"),
+        (9, "insert", "new"),
+    ]
+
+
 # --- schema evolution (Iceberg-style id-based column mapping) --------------
 
 
@@ -1166,6 +1263,34 @@ def test_concurrent_txn_fuzz_slice(spark, tmp_path):
     assert (n_txn, n_versions) == (6, 6)
 
 
+def test_expire_race_fuzz_slice(spark, tmp_path):
+    """Deterministic slice of tools/fuzz_concurrent.py's expiry-race
+    schedule (round-11 directive: maintenance-vs-DML races): aggressive
+    ``expire_snapshots`` loops while writers commit appends and BLIND
+    equality deletes; no commit may be lost, the retained chain stays
+    linear and readable, and post-race compaction restores exact
+    row_count. Full sweeps run per round with fresh seeds."""
+    from tools.fuzz_concurrent import run_expire_schedule
+
+    n_ops, _n_expired = run_expire_schedule(
+        spark, str(tmp_path), seed=0, writers=3, ops=3
+    )
+    assert n_ops == 9
+
+
+def test_evolution_eqdelete_fuzz_slice(spark, tmp_path):
+    """Deterministic slice of tools/fuzz_evolution.py (round-11, from the
+    round-10 judge repro): one 12-op sequence mixing equality deletes /
+    MOR upserts / rename / drop / re-add-old-name / maintenance against a
+    field-id-faithful model — every step's visible rows must agree and
+    eq-keyed drops must be refused. Full sweeps run per round with fresh
+    seeds."""
+    from tools.fuzz_evolution import run_sequence
+
+    log = run_sequence(spark, str(tmp_path), seed=2)
+    assert len(log) >= 10
+
+
 def test_fs_lock_releases_and_reports_stale_holder(tmp_path):
     """The commit lockfile must vanish on release, and a stale lock (a
     crashed writer's leftover) must time out with an error naming the
@@ -1599,6 +1724,95 @@ def test_equality_delete_unknown_key_column_raises(spark, tmp_path):
     t.append(spark.createDataFrame([(1,)], "k long").coalesce(1))
     with pytest.raises(EngineError):
         t.delete_by_key(spark.createDataFrame([(1,)], "nope long"), ["nope"])
+
+
+def test_equality_delete_survives_key_column_rename(spark, tmp_path):
+    """Regression (round-10 judge repro): equality deletes key by FIELD ID
+    (Iceberg's equality_ids), so renaming a key column while the delete is
+    outstanding neither bricks reads nor changes which rows are dead — and
+    re-adding a column under the OLD name mints a new field id, so the
+    delete can never rebind to it and resurrect rows."""
+    t = SnapshotTable(spark, str(tmp_path / "eqd_rename"))
+    t.append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+        ).coalesce(1)
+    )
+    s = t.delete_by_key(spark.createDataFrame([(2,)], "k int"), ["k"])
+    assert s.equality_deletes[0]["key_ids"] == [1]  # field id, not name
+    t.rename_column("k", "k2")
+    assert sorted(r["k2"] for r in t.read().collect()) == [1, 3]
+    # the old judge repro's resurrection step: re-add the old NAME
+    t.add_column("k", "int")
+    rows = t.read().collect()
+    assert len(rows) == 2 and sorted(r["k2"] for r in rows) == [1, 3]
+    assert all(r["k"] is None for r in rows)
+    # a NEW delete keyed by the renamed column resolves too
+    t.delete_by_key(spark.createDataFrame([(3,)], "k2 int"), ["k2"])
+    assert sorted(r["k2"] for r in t.read().collect()) == [1]
+    # compaction (the escape hatch the old bug also bricked) still works
+    s2 = t.compact_small_files(target_files=1)
+    assert not s2.equality_deletes
+    assert sorted(r["k2"] for r in t.read().collect()) == [1]
+
+
+def test_drop_key_column_with_outstanding_equality_delete_refused(
+    spark, tmp_path
+):
+    """Dropping a column referenced by an outstanding equality delete is
+    refused (the delete could never be applied again); materializing the
+    delete via rewrite_delete_files unblocks the drop. Renames of NON-key
+    columns are untouched by the guard."""
+    t = SnapshotTable(spark, str(tmp_path / "eqd_drop"))
+    t.append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+        ).coalesce(1)
+    )
+    t.delete_by_key(spark.createDataFrame([(2,)], "k int"), ["k"])
+    with pytest.raises(EngineError, match="rewrite_delete_files"):
+        t.drop_column("k")
+    t.rename_column("v", "val")  # non-key evolution stays open
+    t.rewrite_delete_files()
+    t.drop_column("k")
+    assert sorted(r["val"] for r in t.read().collect()) == ["a", "c"]
+
+
+def test_mor_merge_casts_source_key_types(spark, tmp_path):
+    """Regression (round-10 advisor): the MOR upsert's equality-delete key
+    file must carry the TABLE's declared key types — a bigint-typed source
+    key against an int table column would otherwise fail to kill the old
+    image at read time, leaving both rows visible."""
+    t = SnapshotTable(spark, str(tmp_path / "mor_cast"))
+    t.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string").coalesce(1)
+    )
+    t.merge(
+        spark.createDataFrame([(2, "B2"), (9, "new")], "k bigint, v string"),
+        ["k"],
+        mode="merge-on-read",
+    )
+    assert sorted((r["k"], r["v"]) for r in t.read().collect()) == [
+        (1, "a"),
+        (2, "B2"),
+        (9, "new"),
+    ]
+
+
+def test_rewrite_delete_files_drops_empty_dead_set(spark, tmp_path):
+    """Regression (round-10 advisor): consolidating an equality delete
+    that matched NOTHING must clear the delete records without committing
+    a permanent zero-row position-delete file (which would force the MOR
+    anti-join read path forever)."""
+    t = SnapshotTable(spark, str(tmp_path / "rdf_empty"))
+    t.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string").coalesce(1)
+    )
+    t.delete_by_key(spark.createDataFrame([(99,)], "k int"), ["k"])
+    s = t.rewrite_delete_files()
+    assert s.position_deletes is None and s.equality_deletes is None
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2]
+    assert not [f for f in os.listdir(t.data_dir) if f.startswith("del-")]
 
 
 def test_mor_dml_respects_outstanding_equality_deletes(spark, tmp_path):

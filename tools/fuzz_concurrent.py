@@ -1,9 +1,10 @@
 #!/usr/bin/env python
 """Generative concurrency fuzz for the snapshot catalog's CAS commit
-protocol (round 9; merge + equality deletes added round 10): random
-multi-writer schedules of append / overwrite / delete_where /
-update_where / merge / delete_by_key / add_column race on one table,
-and the outcome must be LINEARIZABLE —
+protocol (round 9; merge + equality deletes added round 10; maintenance
+races added round 11): random multi-writer schedules of append /
+overwrite / delete_where / update_where / merge / delete_by_key /
+add_column / compact_small_files / rewrite_delete_files race on one
+table, and the outcome must be LINEARIZABLE —
 exactly the guarantee Nessie/Iceberg's optimistic commit model makes
 and `_commit_version` claims.
 
@@ -81,20 +82,24 @@ def _plan_schedule(rng: random.Random, writers: int, ops: int) -> list[list[dict
         for _k in range(ops):
             op_id += 1
             roll = rng.random()
-            if roll < 0.40:
+            if roll < 0.36:
                 kind = "append"
-            elif roll < 0.50:
+            elif roll < 0.45:
                 kind = "overwrite"
-            elif roll < 0.60:
+            elif roll < 0.54:
                 kind = "delete"
-            elif roll < 0.68:
+            elif roll < 0.62:
                 kind = "update"
-            elif roll < 0.78:
+            elif roll < 0.71:
                 kind = "merge"
-            elif roll < 0.88:
+            elif roll < 0.80:
                 kind = "eqdelete"
-            else:
+            elif roll < 0.88:
                 kind = "evolve"
+            elif roll < 0.94:
+                kind = "compact"
+            else:
+                kind = "rewritedel"
             vals = [op_id * 100 + j for j in range(rng.randrange(1, 4))]
             if kind in ("merge", "eqdelete") and rng.random() < 0.5:
                 # target a key that exists at schedule start (the base
@@ -159,6 +164,23 @@ def run_schedule(spark, base_dir: str, seed: int, writers: int = 4, ops: int = 3
             t = SnapshotTable(spark, path, commit_attempts=128)
             for op in my_ops:
                 try:
+                    if op["kind"] in ("compact", "rewritedel"):
+                        # maintenance racing DML (round-11 directive):
+                        # both validate against the scanned snapshot with
+                        # NO internal retry (re-runnable by contract), so
+                        # losing to any concurrent commit is a legal
+                        # conflict; succeeding must be a visible-rows
+                        # no-op (asserted by the model fold, which skips
+                        # maintenance snapshots entirely)
+                        snap = (
+                            t.compact_small_files(target_files=2)
+                            if op["kind"] == "compact"
+                            else t.rewrite_delete_files()
+                        )
+                        results[op["op_id"]] = (
+                            "ok" if snap is not None else "noop"
+                        )
+                        continue
                     if op["kind"] == "evolve":
                         t.add_column(f"c_{op['op_id']}", "INT")
                     elif op["kind"] == "eqdelete":
@@ -224,10 +246,15 @@ def run_schedule(spark, base_dir: str, seed: int, writers: int = 4, ops: int = 3
     by_id = {op["op_id"]: op for mine in plan for op in mine}
     ok_ids = {i for i, r in results.items() if r == "ok"}
     conflict_ids = {i for i, r in results.items() if r == "conflict"}
-    # conflicts are only legal for STAGED data commits racing evolution;
+    maint_kinds = ("compact", "rewritedel")
+    # conflicts are only legal for STAGED data commits racing evolution,
+    # and for maintenance (validated against its scanned snapshot, no
+    # internal retry — ANY concurrent commit legally conflicts it);
     # evolves and read-modify-write deletes retry internally and must land
     evolving = any(op["kind"] == "evolve" for mine in plan for op in mine)
     for i in conflict_ids:
+        if by_id[i]["kind"] in maint_kinds:
+            continue
         assert by_id[i]["kind"] in ("append", "overwrite", "merge"), (
             f"{by_id[i]['kind']} op {i} conflicted — its retry loop failed"
         )
@@ -244,11 +271,28 @@ def run_schedule(spark, base_dir: str, seed: int, writers: int = 4, ops: int = 3
         for s in snaps[1:]
         if s.properties and s.properties.get("op_id")
     ]
-    evolve_snaps = [
-        s for s in snaps[1:] if not (s.properties and s.properties.get("op_id"))
+    evolve_snaps = [s for s in snaps[1:] if s.operation == "evolve"]
+    # maintenance commits carry no op_id: a compact is an op_id-less
+    # overwrite, a delete-file rewrite is operation rewrite-deletes
+    maint_snaps = [
+        s
+        for s in snaps[1:]
+        if s.operation == "rewrite-deletes"
+        or (
+            s.operation == "overwrite"
+            and not (s.properties and s.properties.get("op_id"))
+        )
     ]
-    ok_data = {i for i in ok_ids if by_id[i]["kind"] != "evolve"}
+    ok_data = {
+        i
+        for i in ok_ids
+        if by_id[i]["kind"] not in ("evolve",) + maint_kinds
+    }
     ok_evolve = {i for i in ok_ids if by_id[i]["kind"] == "evolve"}
+    ok_maint = {i for i in ok_ids if by_id[i]["kind"] in maint_kinds}
+    assert len(maint_snaps) == len(ok_maint), (
+        f"maintenance count mismatch: chain={len(maint_snaps)} ok={len(ok_maint)}"
+    )
     assert len(chain_data_ids) == len(set(chain_data_ids)), "op landed twice"
     assert set(chain_data_ids) == ok_data, (
         f"chain/data mismatch: chain={sorted(chain_data_ids)} ok={sorted(ok_data)}"
@@ -284,7 +328,119 @@ def run_schedule(spark, base_dir: str, seed: int, writers: int = 4, ops: int = 3
     names = {c["name"] for c in (table.schema_columns or [])}
     for i in ok_evolve:
         assert f"c_{i}" in names, f"evolved column c_{i} missing"
-    return len(ok_ids), len(conflict_ids)
+    # a maintenance op that found nothing to do (returned None) is a
+    # successful adjudication too
+    n_noop = sum(1 for r in results.values() if r == "noop")
+    return len(ok_ids) + n_noop, len(conflict_ids)
+
+
+def run_expire_schedule(spark, base_dir: str, seed: int, writers: int = 3, ops: int = 3):
+    """``expire_snapshots`` racing NON-READING merge-on-read writers
+    (round-11 directive: maintenance-vs-DML races). Writers commit only
+    appends and BLIND equality deletes (count_matches=False — zero table
+    reads), so aggressive expiry can never break an in-flight scan; what
+    it must never break is the COMMITS: no writer loses its commit to an
+    expiry, the retained chain stays linear, and the final visible rows
+    equal an order-free model (each writer only ever touches its own
+    disjoint value range; the shared base row dies iff anyone eqdeleted
+    it — it exists from schedule start, so every delete's horizon covers
+    it regardless of interleaving). Afterward one compaction must restore
+    EXACT row_count (blind deletes leave it an upper bound by contract),
+    and every surviving snapshot must still read."""
+    rng = random.Random(seed)
+    path = os.path.join(base_dir, f"exp_{seed}")
+    shutil.rmtree(path, ignore_errors=True)
+    boot = SnapshotTable(spark, path, commit_attempts=128)
+    boot.append(_df_for(spark, boot, [0]), properties={"op_id": "base"})
+
+    # plan: per-writer sequential op lists over a private value range
+    plan: list[list[dict]] = []
+    for w in range(writers):
+        lo = (w + 1) * 1000
+        mine, appended, nxt = [], [], lo
+        for _k in range(ops):
+            if not appended or rng.random() < 0.6:
+                vals = [nxt + j for j in range(rng.randrange(1, 4))]
+                nxt += len(vals)
+                mine.append({"kind": "append", "vals": vals})
+                appended.extend(vals)
+            else:
+                keys = rng.sample(appended, rng.randrange(1, len(appended) + 1))
+                if rng.random() < 0.3:
+                    keys = keys + [0]  # the shared base row
+                mine.append({"kind": "eqdelete", "vals": keys})
+        plan.append(mine)
+
+    errs: list[BaseException] = []
+    done = threading.Event()
+    expiries = [0]
+
+    def run_writer(my_ops: list[dict]) -> None:
+        try:
+            t = SnapshotTable(spark, path, commit_attempts=128)
+            for op in my_ops:
+                if op["kind"] == "append":
+                    t.append(_df_for(spark, t, op["vals"]))
+                else:
+                    keys = spark.createDataFrame(
+                        [(v,) for v in op["vals"]], "v int"
+                    ).coalesce(1)
+                    t.delete_by_key(keys, ["v"], count_matches=False)
+        except BaseException as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    def run_expirer() -> None:
+        try:
+            t = SnapshotTable(spark, path, commit_attempts=128)
+            while not done.is_set():
+                expiries[0] += t.expire_snapshots(
+                    retain_last=rng.randrange(1, 4)
+                )
+                time.sleep(0.01)
+        except BaseException as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    threads = [threading.Thread(target=run_writer, args=(w,)) for w in plan]
+    expirer = threading.Thread(target=run_expirer)
+    for th in threads:
+        th.start()
+    expirer.start()
+    for th in threads:
+        th.join()
+    done.set()
+    expirer.join()
+    assert not errs, f"unexpected errors under expiry race: {errs!r}"
+
+    # order-free model: per-writer fold + shared base row
+    base_alive = True
+    final: list[int] = []
+    for mine in plan:
+        live: list[int] = []
+        for op in mine:
+            if op["kind"] == "append":
+                live.extend(op["vals"])
+            else:
+                keys = set(op["vals"])
+                live = [v for v in live if v not in keys]
+                if 0 in keys:
+                    base_alive = False
+        final.extend(live)
+    want = sorted(final + ([0] if base_alive else []))
+
+    table = SnapshotTable(spark, path)
+    got = sorted(r["v"] for r in table.read().select("v").collect())
+    assert got == want, f"rows diverge under expiry race: got={got} want={want}"
+    snaps = table.main_ancestry()
+    for parent, child in zip(snaps, snaps[1:]):
+        assert child.parent_snapshot_id == parent.snapshot_id, "forked chain"
+    for s in snaps:  # every retained snapshot still reads
+        table.read_version(s.snapshot_id).collect()
+    table.compact_small_files(target_files=1)
+    final_snap = table.current_snapshot()
+    assert final_snap.row_count == len(want), (
+        f"row_count {final_snap.row_count} != {len(want)} after compaction"
+    )
+    return sum(len(m) for m in plan), expiries[0]
 
 
 def run_txn_schedule(spark, base_dir: str, seed: int, writers: int = 3, txns: int = 2):
@@ -454,7 +610,7 @@ def main() -> int:
         for i in range(n):
             seed = seed0 + i
             rng = random.Random(seed)
-            if i % 3 == 2:  # every third schedule fuzzes transactions
+            if i % 4 == 2:  # every fourth schedule fuzzes transactions
                 writers = rng.choice([2, 3])
                 txns = rng.choice([2, 3])
                 n_txn, n_v = run_txn_schedule(spark, base, seed, writers, txns)
@@ -463,6 +619,15 @@ def main() -> int:
                 print(
                     f"  schedule {i + 1}/{n} (seed={seed}, txn {writers}x{txns}):"
                     f" {n_txn} transactions, {n_v} versions, atomic at every one"
+                )
+                continue
+            if i % 4 == 3:  # and every fourth races snapshot expiry
+                n_ops, n_exp = run_expire_schedule(
+                    spark, base, seed, rng.choice([2, 3]), rng.choice([2, 3])
+                )
+                print(
+                    f"  schedule {i + 1}/{n} (seed={seed}, expiry race): "
+                    f"{n_ops} writer ops, {n_exp} snapshots expired mid-race"
                 )
                 continue
             writers = rng.choice([3, 4, 5])

@@ -111,6 +111,37 @@ def main() -> int:
         report["rewrite_delete_files_sec"] = round(sec, 2)
         sec, _ = _timed(lambda: tables["mor"].read().count())
         report["read_after_consolidation_sec"] = round(sec, 2)
+
+        # round-11 delete-file→data-file pruning: a CONTAINED delete (the
+        # lowest orderkey band of a range-clustered table) names only the
+        # file(s) holding it, so the untouched rest must read down the
+        # clean path — the tax vs a delete-free baseline should be ≈1×
+        # (it was ~3× when EVERY file paid the identity projection +
+        # anti-join). The %1024 delete above is the adversarial opposite:
+        # it scatters across every file, so nothing prunes there.
+        tp = SnapshotTable(spark, os.path.join(base, "morp"))
+        tp.append(li, cluster_by=["l_orderkey"], cluster_partitions=16 * replicas)
+        sec, _ = _timed(lambda: tp.read().count())
+        report["read_baseline_sec"] = round(sec, 2)
+        bound = li.selectExpr(
+            "approx_percentile(l_orderkey, 0.001) AS b"
+        ).first()["b"]
+        sec, _ = _timed(
+            lambda: tp.delete_where(
+                F.col("l_orderkey") <= bound, mode="merge-on-read"
+            )
+        )
+        report["contained_delete_sec"] = round(sec, 2)
+        snap = tp.current_snapshot()
+        report["files_total"] = len(snap.files)
+        report["files_touched_by_delete"] = len(tp._mor_touched_files(snap))
+        sec, _ = _timed(lambda: tp.read().count())
+        report["read_after_contained_delete_sec"] = round(sec, 2)
+        report["untouched_read_tax"] = round(
+            report["read_after_contained_delete_sec"]
+            / max(report["read_baseline_sec"], 1e-9),
+            2,
+        )
         # both tables end with identical visible rows for the shared DML
         print(json.dumps(report))
     finally:
