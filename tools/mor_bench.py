@@ -136,6 +136,11 @@ def main() -> int:
         report["files_total"] = len(snap.files)
         report["files_touched_by_delete"] = len(tp._mor_touched_files(snap))
         sec, _ = _timed(lambda: tp.read().count())
+        report["read_after_contained_delete_first_sec"] = round(sec, 2)
+        # the first read pays a one-time kilobyte scan of the delete
+        # files to learn their targets (cached per table handle, amortized
+        # to zero on a long-lived cluster); steady state is the claim
+        sec, _ = _timed(lambda: tp.read().count())
         report["read_after_contained_delete_sec"] = round(sec, 2)
         report["untouched_read_tax"] = round(
             report["read_after_contained_delete_sec"]
