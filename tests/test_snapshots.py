@@ -258,6 +258,38 @@ def test_changelog_equality_delete_prunes_by_zone_maps(spark, tmp_path):
     assert {r["_change_type"] for r in out} == {"delete"}
 
 
+def test_changelog_maintenance_range_is_o1_empty(spark, tmp_path):
+    """A changelog range consisting ONLY of maintenance commits
+    (compaction, delete-file consolidation, sorted/z-order rewrites) is
+    a visible-rows no-op by construction — proved by the parent-chain
+    walk, answering empty with ZERO data reads (pinned by hiding every
+    data file). A range that also contains real DML still diffs."""
+    t = SnapshotTable(spark, str(tmp_path / "clm"))
+    s1 = _clustered_ids(spark, t)
+    t.delete_where(F.col("k") < 5, mode="merge-on-read")
+    s2 = t.current_snapshot()
+    t.rewrite_delete_files()
+    t.compact_small_files(target_files=2)
+    t.rewrite_sorted(["k"], target_files=2)
+    s5 = t.current_snapshot()
+    hidden = []
+    for f in set(s2.files) | set(s5.files):
+        p = os.path.join(t.table_dir, f)
+        if os.path.exists(p):
+            os.rename(p, p + ".hidden")
+            hidden.append(p)
+    try:
+        out = t.changelog(s2.snapshot_id, s5.snapshot_id)
+        assert out.count() == 0
+        assert "_change_type" in out.columns and "k" in out.columns
+    finally:
+        for p in hidden:
+            os.rename(p + ".hidden", p)
+    # a range that includes the DML itself is NOT empty
+    real = t.changelog(s1.snapshot_id, s5.snapshot_id).collect()
+    assert sorted(r["k"] for r in real) == list(range(5))
+
+
 def test_changelog_mor_upsert_pairs_updates(spark, tmp_path):
     """A merge-on-read upsert's changelog (equality delete + append in
     one commit) pairs old/new images into update_before/update_after

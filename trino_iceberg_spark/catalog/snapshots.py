@@ -2240,6 +2240,35 @@ class SnapshotTable:
             raise EngineError(
                 f"snapshot {missing} not found in {self.table_dir}"
             ) from None
+        # Maintenance-only ranges (compaction / sorted / z-order rewrites /
+        # delete-file consolidation) are visible-rows NO-OPS by
+        # construction — prove it by walking the parent chain (O(hops)
+        # metadata, zero data reads) and answer empty instead of the full
+        # diff a file-replacing rewrite would otherwise force. This is
+        # what keeps a CDC consumer's poll O(1) across a nightly
+        # compaction of a 100 TB table.
+        if after.schema_columns is not None and before is not after:
+            cur: Snapshot | None = after
+            maint_only = True
+            while cur is not None and cur.snapshot_id != before.snapshot_id:
+                if cur.operation != "rewrite-deletes" and not (
+                    cur.properties or {}
+                ).get("maintenance"):
+                    maint_only = False
+                    break
+                pid = cur.parent_snapshot_id
+                cur = snaps.get(pid) if pid else None
+            if (
+                maint_only
+                and cur is not None
+                and cur.snapshot_id == before.snapshot_id
+            ):
+                ddl = ", ".join(
+                    f"`{c['name']}` {c['type']}" for c in after.schema_columns
+                )
+                return self.spark.createDataFrame(
+                    [], ddl + ", `_change_type` string"
+                )
         removed = tuple(sorted(set(before.files) - set(after.files)))
         added = tuple(sorted(set(after.files) - set(before.files)))
         pos_b = list(before.position_deletes or ())
@@ -3185,8 +3214,15 @@ class SnapshotTable:
             df = df.coalesce(target_files)
         # based_on: a commit landing mid-compaction surfaces as a
         # CommitConflictError rather than being silently erased by the
-        # rewrite; maintenance is re-runnable, so no auto-retry loop here
-        return self._commit(df, "overwrite", based_on=snap.snapshot_id)
+        # rewrite; maintenance is re-runnable, so no auto-retry loop here.
+        # The maintenance marker lets changelog prove the commit is a
+        # visible-rows no-op without reading a byte.
+        return self._commit(
+            df,
+            "overwrite",
+            based_on=snap.snapshot_id,
+            properties={"maintenance": "compaction"},
+        )
 
     def rewrite_sorted(
         self, sort_cols: list[str], target_files: int | None = None
@@ -3217,6 +3253,7 @@ class SnapshotTable:
             cluster_by=list(sort_cols),
             cluster_partitions=target_files or len(snap.files),
             based_on=snap.snapshot_id,  # concurrent commits conflict, not vanish
+            properties={"maintenance": "rewrite-sorted"},
         )
 
     def rewrite_zorder(
@@ -3279,6 +3316,7 @@ class SnapshotTable:
             clustered,
             "overwrite",
             based_on=snap.snapshot_id,  # concurrent commits conflict, not vanish
+            properties={"maintenance": "rewrite-zorder"},
         )
 
     def rollback_to(self, snapshot_id: int, branch: str = "main") -> Snapshot:
