@@ -161,7 +161,9 @@ def run_sequence(spark, base_dir: str, seed: int, n_ops: int = 12) -> list[str]:
         elif kind == "eqdelete":
             # key on 1-2 current columns; values drawn from live data so
             # matches actually happen (plus a miss sometimes)
-            key_cols = rng.sample(model.names(), rng.randrange(1, 3))
+            key_cols = rng.sample(
+                model.names(), min(len(model.names()), rng.randrange(1, 3))
+            )
             key_fids = [model.by_name(n)["fid"] for n in key_cols]
             pool = [
                 tuple(r.get(f) for f in key_fids)

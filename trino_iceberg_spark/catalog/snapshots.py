@@ -1585,12 +1585,18 @@ class SnapshotTable:
         different target schema project AFTER this pass."""
         cur_list = list(snap.manifest_list or ())
         # row's data file → index of its containing segment (legacy
-        # tables: every file is index 0 and deletes record explicit files)
+        # tables: every file is index 0 and deletes record explicit
+        # files). Restricted to the passed snapshot's file set, so a
+        # caller applying deletes to a pruned sub-snapshot (the dirty
+        # half of a read, a changelog's affected files) broadcasts rows
+        # for THOSE files only, not the whole table.
+        want = set(snap.files)
         file_seq: dict[str, int] = {}
         if cur_list:
             for i, seg in enumerate(cur_list):
                 for e in self._load_segment(seg):
-                    file_seq.setdefault(e["path"], i)
+                    if e["path"] in want:
+                        file_seq.setdefault(e["path"], i)
         else:
             file_seq = {f: 0 for f in snap.files}
         seq_df = F.broadcast(
@@ -1738,7 +1744,7 @@ class SnapshotTable:
                 df = self._read_snapshot_files(sub, with_pos=True)
                 if pos:
                     df = self._apply_position_deletes(df, pos, keep_pos=True)
-                df = self._apply_equality_deletes(snap, df)
+                df = self._apply_equality_deletes(sub, df)
                 dirty = self._resolve_columns(df, own, target_cols)
             else:
                 df = self._read_snapshot_files(
@@ -1747,7 +1753,7 @@ class SnapshotTable:
                 if pos:
                     df = self._apply_position_deletes(df, pos, keep_pos=bool(eq))
                 if eq:
-                    df = self._apply_equality_deletes(snap, df)
+                    df = self._apply_equality_deletes(sub, df)
                 dirty = df
         if not clean_files:
             if dirty is None:
