@@ -290,6 +290,54 @@ def test_changelog_maintenance_range_is_o1_empty(spark, tmp_path):
     assert sorted(r["k"] for r in real) == list(range(5))
 
 
+def test_changelog_eqdelete_on_column_added_mid_range(spark, tmp_path):
+    """Regression (round-11 code review, reproduced): an equality delete
+    keyed on a column ADDED after the changelog's from-snapshot must
+    contribute NOTHING to that range's delta (rows there read the column
+    as NULL; NULL keys never match) — not raise through field-id
+    resolution against the older schema. A later from-snapshot that HAS
+    the column still sees the delete."""
+    t = SnapshotTable(spark, str(tmp_path / "cladd"))
+    s1 = t.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").coalesce(1)
+    )
+    t.add_column("c", "int")
+    s2 = t.append(
+        spark.createDataFrame(
+            [(3, "c", 7), (4, "d", 8)], "k long, v string, c int"
+        ).coalesce(1)
+    )
+    s3 = t.delete_by_key(spark.createDataFrame([(7,)], "c int"), ["c"])
+    # from s1 (no column c): the delete kills nothing visible there; the
+    # delta is the appended rows minus the one the delete killed
+    out = t.changelog(s1.snapshot_id, s3.snapshot_id).collect()
+    assert sorted((r["k"], r["_change_type"]) for r in out) == [
+        (4, "insert")
+    ]
+    # from s2 (has column c): the same delete surfaces as a delete
+    out2 = t.changelog(s2.snapshot_id, s3.snapshot_id).collect()
+    assert [(r["k"], r["_change_type"]) for r in out2] == [(3, "delete")]
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2, 4]
+
+
+def test_changelog_maintenance_marker_not_forgeable(spark, tmp_path):
+    """Regression (round-11 code review): the maintenance no-op shortcut
+    keys off an ENGINE-set snapshot field, so a caller tagging a real DML
+    commit with properties={'maintenance': ...} cannot make the changelog
+    silently swallow its deletes."""
+    t = SnapshotTable(spark, str(tmp_path / "clforge"))
+    s1 = _clustered_ids(spark, t, n=100, files=2)
+    s2 = t.delete_where(
+        F.col("k") < 10,
+        mode="merge-on-read",
+        properties={"maintenance": "totally-a-nightly-job"},
+    )
+    out = t.changelog(s1.snapshot_id, s2.snapshot_id).collect()
+    assert sorted(r["k"] for r in out) == list(range(10))
+    assert {r["_change_type"] for r in out} == {"delete"}
+    assert s2.maintenance is None  # the caller's tag never became engine state
+
+
 def test_changelog_mor_upsert_pairs_updates(spark, tmp_path):
     """A merge-on-read upsert's changelog (equality delete + append in
     one commit) pairs old/new images into update_before/update_after

@@ -132,11 +132,14 @@ def main() -> int:
             )
         )
         report["contained_delete_sec"] = round(sec, 2)
+        sec, _ = _timed(lambda: tp.read().count())
+        report["read_after_contained_delete_first_sec"] = round(sec, 2)
+        # probe AFTER the first timed read — _mor_touched_files fills the
+        # delete-target cache, which would otherwise pre-warm the 'first'
+        # read it is supposed to measure (found by code review)
         snap = tp.current_snapshot()
         report["files_total"] = len(snap.files)
         report["files_touched_by_delete"] = len(tp._mor_touched_files(snap))
-        sec, _ = _timed(lambda: tp.read().count())
-        report["read_after_contained_delete_first_sec"] = round(sec, 2)
         # the first read pays a one-time kilobyte scan of the delete
         # files to learn their targets (cached per table handle, amortized
         # to zero on a long-lived cluster); steady state is the claim

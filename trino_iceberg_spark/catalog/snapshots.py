@@ -167,6 +167,12 @@ class Snapshot:
     # AFTER the delete are untouched (Iceberg's sequence-number rule,
     # expressed via the append-only manifest list). None = none.
     equality_deletes: tuple[dict, ...] | None = None
+    # ENGINE-set marker for visible-rows-no-op maintenance rewrites
+    # (compaction, sorted/z-order rewrites). Deliberately NOT part of
+    # the user-writable ``properties`` dict: changelog trusts it to
+    # answer maintenance-only ranges empty, so a caller must not be able
+    # to forge it onto a real DML commit. None on every other commit.
+    maintenance: str | None = None
 
     @property
     def committed_at(self) -> dt.datetime:
@@ -506,6 +512,7 @@ class SnapshotTable:
             equality_deletes=tuple(m["equality_deletes"])
             if m.get("equality_deletes")
             else None,
+            maintenance=m.get("maintenance"),
         )
 
     # -- two-level metadata (Iceberg manifest-list model) -----------------
@@ -1011,6 +1018,7 @@ class SnapshotTable:
         allow_create: bool = False,
         properties: dict[str, str] | None = None,
         based_on: int | None | object = _UNVALIDATED,
+        maintenance: str | None = None,
     ) -> Snapshot:
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.metadata_dir, exist_ok=True)
@@ -1189,6 +1197,8 @@ class SnapshotTable:
                 )
                 if operation == "append" and prev is not None
                 else None,
+                # engine-set, never from the caller's properties dict
+                "maintenance": maintenance,
             }
 
         try:
@@ -1503,14 +1513,20 @@ class SnapshotTable:
             ) from None
 
     def _resolve_delete_keys(
-        self, rec: dict, target_cols: list[dict] | None
-    ) -> list[tuple[str, str]]:
+        self, rec: dict, target_cols: list[dict] | None, missing_ok: bool = False
+    ) -> list[tuple[str, str]] | None:
         """(row column name, delete-file column name) pairs for one
         equality-delete record. Records carrying ``key_ids`` resolve by
         FIELD ID against the reading snapshot's schema, so key-column
         renames are transparent; a dropped key field raises cleanly
         (reads would otherwise silently mis-apply the delete — the
-        round-10 judge repro). Legacy records match by name."""
+        round-10 judge repro). Legacy records match by name.
+
+        ``missing_ok=True`` returns None instead of raising — for
+        resolving against an OLDER snapshot's schema (the changelog's
+        before side), where an unresolvable field id means the key
+        column was ADDED after that snapshot: every row there reads it
+        as NULL, NULL keys never match, so the record kills nothing."""
         key_cols = rec["key_cols"]
         key_ids = rec.get("key_ids")
         if key_ids is None or target_cols is None:
@@ -1520,6 +1536,8 @@ class SnapshotTable:
         for fid, kc in zip(key_ids, key_cols):
             name = by_id.get(fid)
             if name is None:
+                if missing_ok:
+                    return None
                 raise EngineError(
                     f"equality delete {rec['file']} in {self.table_dir} "
                     f"keys on field id {fid} (written as column {kc!r}), "
@@ -2066,7 +2084,24 @@ class SnapshotTable:
         if new_pos:
             affected |= self._pos_delete_targets(new_pos)
         own = before.schema_columns
+        # Resolve + read each new equality-delete record ONCE: the keys
+        # DataFrame serves both the zone-map envelope here and the match
+        # join below. A record whose key field id is absent from
+        # ``before``'s schema was keyed on a column ADDED after the from-
+        # snapshot — every row there reads it as NULL and NULL keys never
+        # match, so the record kills nothing and is skipped entirely
+        # (found by code review: the old code raised through
+        # _resolve_delete_keys where the pre-round-11 full diff answered
+        # correctly).
+        eq_live: list[tuple[dict, list, DataFrame]] = []
         for rec in new_eq:
+            pairs = self._resolve_delete_keys(rec, own, missing_ok=True)
+            if pairs is None:
+                continue
+            keys = self.spark.read.parquet(
+                os.path.join(self.table_dir, rec["file"])
+            )
+            eq_live.append((rec, pairs, keys))
             segs = rec.get("segments") or ()
             if segs:
                 horizon = {
@@ -2080,10 +2115,8 @@ class SnapshotTable:
             if key_ids is not None and before.file_stats:
                 # zone-map prune: a file whose [min, max] for some key
                 # column cannot contain ANY delete key is unaffected
-                keys = self.spark.read.parquet(
-                    os.path.join(self.table_dir, rec["file"])
-                )
-                pairs = self._resolve_delete_keys(rec, own)
+                # (one small agg job per new record — new records per
+                # changelog poll are few by construction)
                 env = keys.agg(
                     *[
                         f
@@ -2155,15 +2188,16 @@ class SnapshotTable:
                 "left",
             ).drop("__tis_dfile", "__tis_dpos")
             flags.append(F.col("__tis_pm").isNotNull())
-        if new_eq:
+        if eq_live:
             cur_list = list(after.manifest_list or ())
             file_seq: dict[str, int] = {}
             if cur_list:
                 for i, seg in enumerate(cur_list):
                     for e in self._load_segment(seg):
-                        file_seq.setdefault(e["path"], i)
+                        if e["path"] in affected:
+                            file_seq.setdefault(e["path"], i)
             else:
-                file_seq = {f: 0 for f in after.files}
+                file_seq = {f: 0 for f in affected}
             seq_df = F.broadcast(
                 self.spark.createDataFrame(
                     [(f, i) for f, i in sorted(file_seq.items())],
@@ -2171,10 +2205,7 @@ class SnapshotTable:
                 )
             )
             out = out.join(seq_df, self._POS_FILE, "left")
-            for i, rec in enumerate(new_eq):
-                keys = self.spark.read.parquet(
-                    os.path.join(self.table_dir, rec["file"])
-                )
+            for i, (rec, pairs, keys) in enumerate(eq_live):
                 segs = list(rec.get("segments") or ())
                 if segs:
                     if cur_list[: len(segs)] != segs:
@@ -2188,7 +2219,6 @@ class SnapshotTable:
                     applicable = F.col(self._POS_FILE).isin(
                         list(rec.get("applies_files") or ())
                     )
-                pairs = self._resolve_delete_keys(rec, own)
                 knames = [f"__tis_k{i}_{j}" for j in range(len(pairs))]
                 keys_r = keys.select(
                     *[
@@ -2257,9 +2287,7 @@ class SnapshotTable:
             cur: Snapshot | None = after
             maint_only = True
             while cur is not None and cur.snapshot_id != before.snapshot_id:
-                if cur.operation != "rewrite-deletes" and not (
-                    cur.properties or {}
-                ).get("maintenance"):
+                if cur.operation != "rewrite-deletes" and not cur.maintenance:
                     maint_only = False
                     break
                 pid = cur.parent_snapshot_id
@@ -3227,7 +3255,7 @@ class SnapshotTable:
             df,
             "overwrite",
             based_on=snap.snapshot_id,
-            properties={"maintenance": "compaction"},
+            maintenance="compaction",
         )
 
     def rewrite_sorted(
@@ -3259,7 +3287,7 @@ class SnapshotTable:
             cluster_by=list(sort_cols),
             cluster_partitions=target_files or len(snap.files),
             based_on=snap.snapshot_id,  # concurrent commits conflict, not vanish
-            properties={"maintenance": "rewrite-sorted"},
+            maintenance="rewrite-sorted",
         )
 
     def rewrite_zorder(
@@ -3322,7 +3350,7 @@ class SnapshotTable:
             clustered,
             "overwrite",
             based_on=snap.snapshot_id,  # concurrent commits conflict, not vanish
-            properties={"maintenance": "rewrite-zorder"},
+            maintenance="rewrite-zorder",
         )
 
     def rollback_to(self, snapshot_id: int, branch: str = "main") -> Snapshot:
