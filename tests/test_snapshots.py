@@ -293,10 +293,11 @@ def test_changelog_maintenance_range_is_o1_empty(spark, tmp_path):
 def test_changelog_eqdelete_on_column_added_mid_range(spark, tmp_path):
     """Regression (round-11 code review, reproduced): an equality delete
     keyed on a column ADDED after the changelog's from-snapshot must
-    contribute NOTHING to that range's delta (rows there read the column
-    as NULL; NULL keys never match) — not raise through field-id
-    resolution against the older schema. A later from-snapshot that HAS
-    the column still sees the delete."""
+    contribute NOTHING to that range's delta when its key set has no
+    NULLs (rows there read the column as NULL, and per the Iceberg
+    null-matching rule only a NULL delete key matches those) — not raise
+    through field-id resolution against the older schema. A later
+    from-snapshot that HAS the column still sees the delete."""
     t = SnapshotTable(spark, str(tmp_path / "cladd"))
     s1 = t.append(
         spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").coalesce(1)
@@ -318,6 +319,38 @@ def test_changelog_eqdelete_on_column_added_mid_range(spark, tmp_path):
     out2 = t.changelog(s2.snapshot_id, s3.snapshot_id).collect()
     assert [(r["k"], r["_change_type"]) for r in out2] == [(3, "delete")]
     assert sorted(r["k"] for r in t.read().collect()) == [1, 2, 4]
+
+
+def test_changelog_null_keyed_delete_on_added_column_kills_old_rows(
+    spark, tmp_path
+):
+    """The sharp edge of Iceberg's null-matching rule: rows written
+    BEFORE a column was added read it as NULL, so an equality delete
+    keyed on (k, newcol) with a NULL newcol key kills matching pre-add
+    rows — and the changelog's delete-file-derived delta must say so
+    even though the column doesn't resolve against the from-snapshot's
+    schema."""
+    t = SnapshotTable(spark, str(tmp_path / "clnulladd"))
+    s1 = t.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").coalesce(1)
+    )
+    t.add_column("c", "int")
+    t.append(
+        spark.createDataFrame(
+            [(3, "c", 7), (1, "z", None)], "k long, v string, c int"
+        ).coalesce(1)
+    )
+    # kills k=1 rows whose c IS NULL: the pre-add row (reads c as NULL)
+    # AND the post-add row written with c = NULL
+    s3 = t.delete_by_key(
+        spark.createDataFrame([(1, None)], "k long, c int"), ["k", "c"]
+    )
+    assert sorted(r["k"] for r in t.read().collect()) == [2, 3]
+    out = t.changelog(s1.snapshot_id, s3.snapshot_id).collect()
+    assert sorted((r["k"], r["_change_type"]) for r in out) == [
+        (1, "delete"),
+        (3, "insert"),
+    ]
 
 
 def test_changelog_maintenance_marker_not_forgeable(spark, tmp_path):
@@ -1776,17 +1809,44 @@ def test_equality_delete_horizon_and_gc(spark, tmp_path):
 
 
 def test_equality_delete_null_keys_and_blind_mode(spark, tmp_path):
-    """NULL key values never match (join equality semantics, like
-    Iceberg); count_matches=False commits blind — zero table reads,
-    row_count becomes an upper bound until compaction."""
+    """NULL key values match rows where the column IS NULL — the Iceberg
+    spec's null-matching rule for equality deletes ("a null value in a
+    delete column matches a row if the row's value is null"), which is
+    how Trino/Flink read v2 delete files. count_matches=False commits
+    blind — zero table reads, row_count becomes an upper bound until
+    compaction."""
     t = SnapshotTable(spark, str(tmp_path / "eqd_null"))
-    t.append(
-        spark.createDataFrame([(1, None), (2, "a")], "k long, g string").coalesce(1)
+    s0 = t.append(
+        spark.createDataFrame(
+            [(1, None), (2, "a"), (3, "b")], "k long, g string"
+        ).coalesce(1)
     )
-    t.delete_by_key(
+    s1 = t.delete_by_key(
         spark.createDataFrame([(None,), ("a",)], "g string"), ["g"]
     )
-    assert sorted(r["k"] for r in t.read().collect()) == [1]
+    assert sorted(r["k"] for r in t.read().collect()) == [3]
+    assert s1.row_count == 1  # count_matches stayed exact through NULLs
+    # multi-column: (4, NULL) means id = 4 AND category IS NULL — the
+    # spec's own example; it must not touch (4, 'x') or (5, NULL)
+    t2m = SnapshotTable(spark, str(tmp_path / "eqd_null_multi"))
+    t2m.append(
+        spark.createDataFrame(
+            [(4, None), (4, "x"), (5, None)], "id long, category string"
+        ).coalesce(1)
+    )
+    t2m.delete_by_key(
+        spark.createDataFrame([(4, None)], "id long, category string"),
+        ["id", "category"],
+    )
+    assert sorted(
+        (r["id"], r["category"]) for r in t2m.read().collect()
+    ) == [(4, "x"), (5, None)]
+    # the changelog derives the same null-keyed deaths from the delete file
+    out = t.changelog(s0.snapshot_id, s1.snapshot_id).collect()
+    assert sorted((r["k"], r["_change_type"]) for r in out) == [
+        (1, "delete"),
+        (2, "delete"),
+    ]
 
     t2 = SnapshotTable(spark, str(tmp_path / "eqd_blind"))
     t2.append(spark.createDataFrame([(i,) for i in range(6)], "k long").coalesce(1))
@@ -1856,6 +1916,41 @@ def test_drop_key_column_with_outstanding_equality_delete_refused(
     t.rewrite_delete_files()
     t.drop_column("k")
     assert sorted(r["val"] for r in t.read().collect()) == ["a", "c"]
+
+
+def test_merge_null_key_mode_parity(spark, tmp_path):
+    """A NULL source key replaces rows whose key IS NULL in BOTH write
+    modes: merge-on-read inherits the Iceberg equality-delete null-
+    matching rule, and copy-on-write's anti-join is null-safe to match —
+    flipping write.merge.mode must never change visible results."""
+    src = spark.createDataFrame(
+        [(None, "new-null"), (2, "new-two")], "k int, v string"
+    )
+    results = {}
+    for mode in ("copy-on-write", "merge-on-read"):
+        t = SnapshotTable(spark, str(tmp_path / f"mp_{mode}"))
+        t.append(
+            spark.createDataFrame(
+                [(None, "old-null"), (1, "one"), (2, "two")], "k int, v string"
+            ).coalesce(1)
+        )
+        s = t.merge(src, ["k"], mode=mode)
+        results[mode] = (
+            sorted(
+                ((r["k"] is not None, r["k"]), r["v"])
+                for r in t.read().collect()
+            ),
+            s.row_count,
+        )
+    expect = sorted(
+        [
+            ((False, None), "new-null"),
+            ((True, 1), "one"),
+            ((True, 2), "new-two"),
+        ]
+    )
+    assert results["copy-on-write"] == (expect, 3)
+    assert results["merge-on-read"] == (expect, 3)
 
 
 def test_mor_merge_casts_source_key_types(spark, tmp_path):

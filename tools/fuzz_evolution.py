@@ -165,11 +165,10 @@ def run_sequence(spark, base_dir: str, seed: int, n_ops: int = 12) -> list[str]:
                 model.names(), min(len(model.names()), rng.randrange(1, 3))
             )
             key_fids = [model.by_name(n)["fid"] for n in key_cols]
-            pool = [
-                tuple(r.get(f) for f in key_fids)
-                for r in model.rows
-                if all(r.get(f) is not None for f in key_fids)
-            ]
+            # NULL key values are fair game: the Iceberg null-matching
+            # rule says they delete rows where the column IS NULL, so
+            # the pool deliberately includes null-keyed live tuples
+            pool = [tuple(r.get(f) for f in key_fids) for r in model.rows]
             keys = rng.sample(pool, min(len(pool), rng.randrange(1, 3))) if pool else []
             if rng.random() < 0.3 or not keys:
                 miss = tuple(
@@ -193,8 +192,10 @@ def run_sequence(spark, base_dir: str, seed: int, n_ops: int = 12) -> list[str]:
             keyset = set(keys)
             survivors = []
             for r in model.rows:
+                # Python tuple equality treats None == None, which is
+                # exactly the engine's null-safe (<=>) match rule
                 kt = tuple(r.get(f) for f in key_fids)
-                if any(v is None for v in kt) or kt not in keyset:
+                if kt not in keyset:
                     survivors.append(r)
             model.rows = survivors
             model.outstanding_eq_fids.append(list(key_fids))

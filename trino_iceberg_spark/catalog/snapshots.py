@@ -1492,6 +1492,18 @@ class SnapshotTable:
         return out if keep_pos else out.drop(self._POS_FILE, self._POS_IDX)
 
     @staticmethod
+    def _nullsafe_key_cond(left: DataFrame, right: DataFrame, key_cols):
+        """AND of per-column ``<=>`` predicates — the Iceberg
+        equality-delete match rule (NULL matches NULL). Still a hash-
+        joinable equi-condition: Spark plans EqualNullSafe keys into
+        Broadcast/SortMergeHashJoin the same as EqualTo."""
+        cond = None
+        for c in key_cols:
+            e = left[c].eqNullSafe(right[c])
+            cond = e if cond is None else cond & e
+        return cond
+
+    @staticmethod
     def _key_field_ids(snap: Snapshot, key_cols: list[str]) -> list[int] | None:
         """Resolve delete key column NAMES → FIELD IDS against the schema
         the delete commits under — Iceberg's ``equality_ids``. Keys must
@@ -1522,11 +1534,14 @@ class SnapshotTable:
         (reads would otherwise silently mis-apply the delete — the
         round-10 judge repro). Legacy records match by name.
 
-        ``missing_ok=True`` returns None instead of raising — for
-        resolving against an OLDER snapshot's schema (the changelog's
-        before side), where an unresolvable field id means the key
-        column was ADDED after that snapshot: every row there reads it
-        as NULL, NULL keys never match, so the record kills nothing."""
+        ``missing_ok=True`` yields ``(None, delete column)`` pairs
+        instead of raising — for resolving against an OLDER snapshot's
+        schema (the changelog's before side), where an unresolvable
+        field id means the key column was ADDED after that snapshot:
+        every row there reads it as NULL, so per the Iceberg spec's
+        null-matching rule the record applies only through delete rows
+        whose value for that column IS NULL (the caller restricts the
+        key set accordingly)."""
         key_cols = rec["key_cols"]
         key_ids = rec.get("key_ids")
         if key_ids is None or target_cols is None:
@@ -1537,7 +1552,8 @@ class SnapshotTable:
             name = by_id.get(fid)
             if name is None:
                 if missing_ok:
-                    return None
+                    pairs.append((None, kc))
+                    continue
                 raise EngineError(
                     f"equality delete {rec['file']} in {self.table_dir} "
                     f"keys on field id {fid} (written as column {kc!r}), "
@@ -1594,8 +1610,12 @@ class SnapshotTable:
         grows by appending while deletes are outstanding; any rewrite
         materializes them away). Rows from files appended after the
         delete survive even on key match — Iceberg's sequence-number
-        rule. NULL keys never match (join equality semantics), same as
-        Iceberg. Delete key sets broadcast like position deletes.
+        rule. Key matching is NULL-SAFE, per the Iceberg spec: "a null
+        value in a delete column matches a row if the row's value is
+        null, equivalent to col IS NULL" — so a delete key row (4,
+        NULL) kills rows where id = 4 AND category IS NULL, exactly as
+        Trino/Flink on Iceberg v2 would. Delete key sets broadcast like
+        position deletes.
 
         ``df`` must carry the snapshot's OWN schema columns: key fields
         resolve by field id against ``snap.schema_columns``
@@ -1650,7 +1670,7 @@ class SnapshotTable:
             for row_c, key_c in self._resolve_delete_keys(
                 rec, snap.schema_columns
             ):
-                cond = cond & (out[row_c] == keys[key_c])
+                cond = cond & out[row_c].eqNullSafe(keys[key_c])
             out = out.join(F.broadcast(keys), cond, "left_anti")
         out = out.drop("__tis_seq")
         return out if keep_pos else out.drop(self._POS_FILE, self._POS_IDX)
@@ -2088,19 +2108,25 @@ class SnapshotTable:
         # DataFrame serves both the zone-map envelope here and the match
         # join below. A record whose key field id is absent from
         # ``before``'s schema was keyed on a column ADDED after the from-
-        # snapshot — every row there reads it as NULL and NULL keys never
-        # match, so the record kills nothing and is skipped entirely
-        # (found by code review: the old code raised through
-        # _resolve_delete_keys where the pre-round-11 full diff answered
-        # correctly).
+        # snapshot — every row there reads it as NULL, so per the
+        # Iceberg null-matching rule only delete rows whose value for
+        # that column IS NULL can kill anything: the key set is
+        # restricted to those rows and the column drops out of the match
+        # condition; a record left with zero such rows kills nothing and
+        # is skipped entirely (the common case — the pre-fix code raised
+        # through _resolve_delete_keys here, found by code review).
         eq_live: list[tuple[dict, list, DataFrame]] = []
         for rec in new_eq:
             pairs = self._resolve_delete_keys(rec, own, missing_ok=True)
-            if pairs is None:
-                continue
             keys = self.spark.read.parquet(
                 os.path.join(self.table_dir, rec["file"])
             )
+            added_later = [kc for row_c, kc in pairs if row_c is None]
+            if added_later:
+                for kc in added_later:
+                    keys = keys.where(F.col(kc).isNull())
+                if keys.limit(1).count() == 0:
+                    continue
             eq_live.append((rec, pairs, keys))
             segs = rec.get("segments") or ()
             if segs:
@@ -2116,7 +2142,10 @@ class SnapshotTable:
                 # zone-map prune: a file whose [min, max] for some key
                 # column cannot contain ANY delete key is unaffected
                 # (one small agg job per new record — new records per
-                # changelog poll are few by construction)
+                # changelog poll are few by construction). A key column
+                # whose delete set contains NULL can never prune: min/max
+                # stats cannot witness the absence of NULL rows, and a
+                # NULL delete key matches them (Iceberg's IS NULL rule).
                 env = keys.agg(
                     *[
                         f
@@ -2124,6 +2153,7 @@ class SnapshotTable:
                         for f in (
                             F.min(kc).alias(f"lo_{kc}"),
                             F.max(kc).alias(f"hi_{kc}"),
+                            F.max(F.col(kc).isNull()).alias(f"nl_{kc}"),
                         )
                     ]
                 ).first()
@@ -2131,9 +2161,11 @@ class SnapshotTable:
                 for f in horizon:
                     stats = (before.file_stats or {}).get(f) or {}
                     keep = True
-                    for fid, (_, kc) in zip(key_ids, pairs):
+                    for fid, (row_c, kc) in zip(key_ids, pairs):
                         mm = stats.get(str(fid))
                         lo, hi = env[f"lo_{kc}"], env[f"hi_{kc}"]
+                        if row_c is None or env[f"nl_{kc}"]:
+                            continue
                         if mm is None or lo is None:
                             continue
                         try:
@@ -2219,17 +2251,21 @@ class SnapshotTable:
                     applicable = F.col(self._POS_FILE).isin(
                         list(rec.get("applies_files") or ())
                     )
-                knames = [f"__tis_k{i}_{j}" for j in range(len(pairs))]
+                # columns the before-snapshot lacks (added later) dropped
+                # out above: the key set is already restricted to rows
+                # that are NULL there, which every before-row matches
+                live = [(r, k) for r, k in pairs if r is not None]
+                knames = [f"__tis_k{i}_{j}" for j in range(len(live))]
                 keys_r = keys.select(
                     *[
                         F.col(kc).alias(kn)
-                        for kn, (_, kc) in zip(knames, pairs)
+                        for kn, (_, kc) in zip(knames, live)
                     ],
                     F.lit(1).alias(f"__tis_em{i}"),
                 ).distinct()
                 cond = applicable
-                for kn, (row_c, _) in zip(knames, pairs):
-                    cond = cond & (out[row_c] == keys_r[kn])
+                for kn, (row_c, _) in zip(knames, live):
+                    cond = cond & out[row_c].eqNullSafe(keys_r[kn])
                 out = out.join(F.broadcast(keys_r), cond, "left").drop(
                     *knames
                 )
@@ -2452,6 +2488,12 @@ class SnapshotTable:
           client's general-condition MERGE keeps copy-on-write (same as
           Trino's fallback for non-key conditions).
 
+        Key matching is NULL-SAFE in both modes (a NULL source key
+        replaces rows whose key IS NULL) — merge-on-read inherits this
+        from the Iceberg equality-delete spec's null-matching rule, and
+        copy-on-write matches it so flipping ``write.merge.mode`` never
+        changes visible results.
+
         At 100 TB with copy-on-write you'd partition the table and
         rewrite only touched partitions — same algorithm, narrower
         remainder; merge-on-read removes the rewrite entirely."""
@@ -2474,8 +2516,15 @@ class SnapshotTable:
             )
 
         def derive(current: DataFrame) -> DataFrame:
+            # null-safe key match so both write modes agree: the
+            # merge-on-read path's equality delete matches NULL keys
+            # (Iceberg's IS NULL rule), so the copy-on-write anti-join
+            # must too
+            src_keys = source.select(*key_cols)
             remainder = current.join(
-                source.select(*key_cols), key_cols, "left_anti"
+                src_keys,
+                self._nullsafe_key_cond(current, src_keys, key_cols),
+                "left_anti",
             )
             # allowMissingColumns: a column added by CONCURRENT evolution
             # mid-retry exists in `current` but not in the (entry-validated)
@@ -2552,12 +2601,13 @@ class SnapshotTable:
                 src, spec, spec_id, cols or []
             )
             # exact row_count: matched = visible rows whose key is upserted
-            n_matched = (
-                self._read_snapshot(snap)
-                .select(*key_cols)
-                .join(F.broadcast(key_df), key_cols, "left_semi")
-                .count()
-            )
+            # (null-safe, like the equality delete the commit carries)
+            vis_keys = self._read_snapshot(snap).select(*key_cols)
+            n_matched = vis_keys.join(
+                F.broadcast(key_df),
+                self._nullsafe_key_cond(vis_keys, key_df, key_cols),
+                "left_semi",
+            ).count()
             if n_source == 0:  # empty source: a no-op upsert commits no files
                 self._remove_quiet(new_deletes + new_files)
                 new_deletes, new_files, new_parts, stats_new = [], [], {}, {}
@@ -2809,8 +2859,11 @@ class SnapshotTable:
         compaction/rewrite materializes the deletes (documented Iceberg
         behavior — equality deletes make live-row counts estimates).
 
-        NULL key values never match (join equality semantics, like
-        Iceberg); duplicate key rows are deduplicated."""
+        Key matching is NULL-SAFE, per the Iceberg spec: a NULL value in
+        a delete column matches rows where that column IS NULL (a key
+        row ``(4, NULL)`` deletes rows with ``id = 4 AND category IS
+        NULL``), exactly as Trino/Flink read Iceberg v2 equality
+        deletes. Duplicate key rows are deduplicated."""
         key_cols = list(key_cols or keys.columns)
         want = self.schema_columns
         if want is not None:
@@ -2841,10 +2894,14 @@ class SnapshotTable:
             n_deleted = 0
             if count_matches:
                 # key-column projection only: parquet column pruning makes
-                # this orders cheaper than the rewrite it replaces
+                # this orders cheaper than the rewrite it replaces; the
+                # semi-join is null-safe to count exactly what the read
+                # path's null-safe anti-join will drop
                 visible = self._read_snapshot(snap).select(*key_cols)
                 n_deleted = visible.join(
-                    F.broadcast(key_df), key_cols, "left_semi"
+                    F.broadcast(key_df),
+                    self._nullsafe_key_cond(visible, key_df, key_cols),
+                    "left_semi",
                 ).count()
 
             def build(prev: Snapshot | None) -> dict:
