@@ -28,6 +28,31 @@ def test_time_spine_dense(spark):
     assert hours == [dt.datetime(2024, 5, 1, h) for h in range(4)]
 
 
+def test_time_spine_minute_granularity_multiyear(spark):
+    """The spark.range spine (round 11) is memory-flat at any length: a
+    4-year minute spine (~2.1M buckets) would have been a single 2.1M-
+    element array under the old sequence+explode construction. Endpoint
+    and count pin the timestampadd arithmetic against the old interval
+    semantics."""
+    df = spark.createDataFrame(
+        [(dt.datetime(2020, 1, 1, 0, 0, 30),), (dt.datetime(2023, 12, 31, 23, 59, 59),)],
+        "ts timestamp",
+    )
+    spine = time_spine(df, "ts", "minute")
+    n = (366 + 365 * 3) * 1440  # 2020 is a leap year
+    assert spine.count() == n
+    lo, hi = spine.agg(F.min("bucket"), F.max("bucket")).first()
+    assert lo == dt.datetime(2020, 1, 1, 0, 0)
+    assert hi == dt.datetime(2023, 12, 31, 23, 59)
+
+
+def test_time_spine_empty_input(spark):
+    df = spark.createDataFrame([], "ts timestamp")
+    spine = time_spine(df, "ts", "hour")
+    assert spine.count() == 0
+    assert spine.columns == ["bucket"]
+
+
 def test_gap_fill_zero_and_locf(spark):
     out = gap_fill(
         _events(spark),

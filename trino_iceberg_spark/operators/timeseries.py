@@ -8,11 +8,11 @@ these are north-star pipeline operators. Hypertable-style engines call this
 
 Scale design (100 TB rule):
 
-- The spine's bounds come from a single-row aggregate that stays a
-  DataFrame — no ``collect()``; the bucket array is generated with
-  ``sequence`` + ``explode`` on that one row. An hourly grid over a
-  century is <1M elements; for second-granularity spines over years,
-  swap in a ``spark.range``-based spine before the cross join.
+- The spine is a ``spark.range`` over the bucket count (bounds from a
+  one-row, constant-size aggregate collect): distributed and memory-flat
+  at any spine length — second-granularity over years is just a longer
+  range — where a ``sequence``+``explode`` spine would build the whole
+  bucket array inside a single row.
 - The group-key roster (``distinct`` over the group columns) is tiny by
   construction (it is the series cardinality) and is broadcast into the
   spine cross join, so grid construction never shuffles the fact table.
@@ -46,15 +46,38 @@ __all__ = [
 
 def time_spine(df: DataFrame, ts_col: str, unit: str = "hour") -> DataFrame:
     """Dense ``bucket`` column covering [trunc(min ts), trunc(max ts)] at
-    1-``unit`` steps (unit: 'day' | 'hour' | 'minute'), derived entirely
-    on executors from a one-row bounds aggregate."""
-    bounds = df.agg(
-        F.date_trunc(unit, F.min(ts_col)).alias("_lo"),
-        F.date_trunc(unit, F.max(ts_col)).alias("_hi"),
+    1-``unit`` steps (unit: 'day' | 'hour' | 'minute').
+
+    Built on ``spark.range`` over the bucket COUNT, so the spine is
+    distributed and memory-flat at any length — a second-granularity
+    spine over years is just a longer range split across tasks. (The
+    previous ``sequence``+``explode`` construction materialized the whole
+    bucket array inside one row, capping practical spines at ~1M
+    buckets.) The bounds are a one-row aggregate collected driver-side —
+    a constant-size metadata collect, same policy as the centroid/
+    codebook collects elsewhere in this repo; ``timestampdiff``/
+    ``timestampadd`` keep the calendar-step semantics ``sequence`` with
+    an INTERVAL step had."""
+    u = unit.upper()
+    row = (
+        df.agg(
+            F.date_trunc(unit, F.min(ts_col)).alias("_lo"),
+            F.date_trunc(unit, F.max(ts_col)).alias("_hi"),
+        )
+        .select("_lo", F.expr(f"timestampdiff({u}, _lo, _hi)").alias("_n"))
+        .first()
     )
-    step = F.expr(f"INTERVAL 1 {unit}")
-    return bounds.select(
-        F.explode(F.sequence(F.col("_lo"), F.col("_hi"), step)).alias("bucket")
+    spark = df.sparkSession
+    if row["_lo"] is None:  # empty input: empty spine, right schema
+        return spark.range(0).select(
+            F.lit(None).cast("timestamp").alias("bucket")
+        )
+    return (
+        spark.range(int(row["_n"]) + 1)
+        .select(F.lit(row["_lo"]).alias("_lo"), "id")
+        .select(
+            F.expr(f"timestampadd({u}, CAST(id AS INT), _lo)").alias("bucket")
+        )
     )
 
 
