@@ -2303,7 +2303,11 @@ class SnapshotTable:
 
         With ``key_cols`` (unique key contract), rewritten rows pair into
         update_before/update_after via a key full-outer join; without, the
-        diff is multiset except-style inserts/deletes only.
+        diff is multiset except-style inserts/deletes only. The pairing
+        join matches keys with plain equality: the unique-key contract
+        implies non-null keys (like a primary key), so a row whose key is
+        NULL surfaces as separate delete + insert rather than an update
+        pair — the delta itself stays correct either way.
         """
         snaps = {s.snapshot_id: s for s in self.snapshots()}
         try:
