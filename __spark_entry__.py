@@ -50,7 +50,10 @@ _TUNED_CONFS = {
 # module docstring. Names absent from the registry are ignored (safety
 # against future renames), and every registered query is always yielded.
 #
-# Round-11 ordering (registry: 233 entries, ALL oracle-backed; new this
+# Round-11 ordering (registry: 234 entries, ALL oracle-backed — the
+# 234th, tt23_null_key_equality_delete, oracle-gates the Iceberg spec's
+# NULL-matching rule and deliberately yields AFTER the 50-entry front so
+# the rotation budget below is untouched; new this
 # round: tt19_eqdelete_field_id_evolution — the round-10 judge's
 # wrong-answer repro fixed and oracle-gated: equality deletes key by
 # FIELD ID so key-column rename/re-add can't brick reads or resurrect

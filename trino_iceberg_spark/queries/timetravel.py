@@ -957,3 +957,61 @@ def tt22_changelog_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("cnt") > 0)
         .orderBy("bucket")
     )
+
+
+@register(
+    "tt23_null_key_equality_delete",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                    ELSE CAST(o_custkey % 7 AS INTEGER) END AS grp,
+               o_totalprice
+        FROM orders WHERE o_orderkey <= 2000
+    )
+    SELECT o_orderkey, grp, o_totalprice FROM base
+    WHERE NOT (grp IS NULL OR grp = 3)
+    UNION ALL
+    SELECT o_orderkey + 1000000 AS o_orderkey,
+           CAST(NULL AS INTEGER) AS grp, o_totalprice
+    FROM base WHERE o_orderkey % 50 = 7
+    ORDER BY o_orderkey
+    """,
+)
+def tt23_null_key_equality_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Iceberg spec's NULL-matching rule for equality deletes,
+    oracle-gated end-to-end (catalog/snapshots.py:_apply_equality_deletes;
+    spec: "a null value in a delete column matches a row if the row's
+    value is null, equivalent to col IS NULL" — how Trino/Flink read v2
+    delete files, and the reference's storage engine is Iceberg v2 via
+    Trino): a nullable group column lands with NULLs sprinkled in, ONE
+    equality delete commits the key set {NULL, 3} — killing both the
+    grp = 3 rows and every grp IS NULL row — and NULL-keyed rows
+    appended AFTER the delete survive via the manifest-list-prefix
+    horizon, proving the sequence-number rule applies to null matches
+    exactly as to value matches. The oracle restates the survivor set
+    with explicit IS NULL logic; the multi-column (4, NULL) spec example
+    and merge mode parity live in tests/test_snapshots.py."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base = o.filter(F.col("o_orderkey") <= 2000).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit(None))
+        .otherwise((F.col("o_custkey") % 7).cast("int"))
+        .alias("grp"),
+        "o_totalprice",
+    )
+    tdir = work_dir("tt23_table")
+    table = SnapshotTable(spark, tdir)
+    table.append(base)
+    table.delete_by_key(
+        spark.createDataFrame([(None,), (3,)], "grp int"), ["grp"]
+    )
+    late = base.filter(F.col("o_orderkey") % 50 == 7).select(
+        (F.col("o_orderkey") + 1000000).alias("o_orderkey"),
+        F.lit(None).cast("int").alias("grp"),
+        "o_totalprice",
+    )
+    table.append(late)
+    return table.read().orderBy("o_orderkey")
