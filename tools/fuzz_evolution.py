@@ -3,10 +3,12 @@
 from the round-10 judge repro): random sequential op sequences on one
 snapshot table mix
 
-    append / delete_by_key (equality deletes) / merge-on-read upsert /
-    rename_column / drop_column / add_column (including re-adding a
-    previously dropped or renamed-away NAME — the resurrection trap) /
-    rewrite_delete_files / compact_small_files
+    append / delete_by_key (equality deletes, NULL keys included) /
+    merge-on-read upsert / rename_column / drop_column / add_column
+    (including re-adding a previously dropped or renamed-away NAME —
+    the resurrection trap) / promote_column (int → bigint widening,
+    also on eq-keyed columns) / rewrite_delete_files /
+    compact_small_files
 
 against a pure-Python model that tracks rows and schema BY FIELD ID.
 After every op the engine's visible rows must equal the model's, the
@@ -150,6 +152,8 @@ def run_sequence(spark, base_dir: str, seed: int, n_ops: int = 12) -> list[str]:
             kind = "drop"
         elif roll < 0.89:
             kind = "add"
+        elif roll < 0.94:
+            kind = "promote"
         else:
             kind = rng.choice(["rewrite_deletes", "compact"])
 
@@ -266,6 +270,18 @@ def run_sequence(spark, base_dir: str, seed: int, n_ops: int = 12) -> list[str]:
             t.add_column(name, "int")
             model.add_col(name, "int")
             log.append(f"add {name} (retired-name bait: {name in retired_names})")
+        elif kind == "promote":
+            # type widening (int → bigint) is allowed even on an
+            # eq-keyed column: the field id survives, stored int keys
+            # up-cast against the widened column at read time — the
+            # model's Python ints compare identically either way.
+            # Appends keep writing IntegerType frames afterward; commit
+            # checks names only and reads cast by field id, exactly the
+            # old-files-up-cast path promote_column documents.
+            ints = [c["name"] for c in model.cols if c["kind"] == "int"]
+            name = rng.choice(ints)
+            t.promote_column(name, "bigint")
+            log.append(f"promote {name} -> bigint")
         elif kind == "rewrite_deletes":
             t.rewrite_delete_files()
             model.outstanding_eq_fids = []
