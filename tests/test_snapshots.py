@@ -2145,3 +2145,86 @@ def test_rewrite_delete_files_consolidates_all_kinds(spark, tmp_path):
     t.expire_snapshots(retain_last=1)
     dels = [f for f in os.listdir(t.data_dir) if f.startswith(("del-", "eqdel-"))]
     assert len(dels) == 1  # only the consolidated file remains
+
+
+def test_add_data_files_registers_without_rewrite(spark, tmp_path):
+    """Iceberg's add_files migration: existing parquet registers as table
+    data via hardlink + footer read — row_count exact, zone maps real
+    (scan prunes registered files), appended segment survives nothing
+    being rewritten, and the files keep their original inodes (proof no
+    data bytes moved)."""
+    ext = str(tmp_path / "ext")
+    spark.range(0, 100).selectExpr("id AS k", "CAST(id % 5 AS INT) AS g").coalesce(
+        2
+    ).write.parquet(ext)
+    t = SnapshotTable(spark, str(tmp_path / "addf"))
+    t.append(
+        spark.createDataFrame([(1000, 9)], "k long, g int").coalesce(1)
+    )
+    s = t.add_data_files([ext])
+    assert s.row_count == 101
+    assert t.read().count() == 101
+    # hardlinked, not copied: registered files share inodes with sources
+    import os as _os
+
+    srcs = {
+        _os.stat(_os.path.join(ext, fn)).st_ino
+        for fn in _os.listdir(ext)
+        if fn.endswith(".parquet")
+    }
+    added = {
+        _os.stat(_os.path.join(t.table_dir, f)).st_ino
+        for f in s.files
+        if "/add-" in f
+    }
+    assert added and added <= srcs
+    # zone maps from the real footers: a contained predicate prunes
+    kept = t.prune_files(t.current_snapshot(), [("k", ">=", 1000)])
+    assert len(kept) < len(s.files)
+    got = sorted(r["k"] for r in t.scan([("k", "<", 3)]).collect())
+    assert got == [0, 1, 2]
+
+
+def test_add_data_files_schema_rules(spark, tmp_path):
+    """Names must match the table schema (mismatch raises); physical
+    types may differ where the field-id cast resolves them; an empty
+    table bootstraps its schema from the files."""
+    from trino_iceberg_spark.errors import SchemaMismatchError
+
+    ext_int = str(tmp_path / "ext_int")
+    spark.range(0, 10).selectExpr(
+        "CAST(id AS INT) AS k", "CAST(id AS STRING) AS v"
+    ).coalesce(1).write.parquet(ext_int)
+    # bootstrap on an empty table
+    t = SnapshotTable(spark, str(tmp_path / "addboot"))
+    s = t.add_data_files([ext_int])
+    assert s.row_count == 10 and t.read().count() == 10
+    # bigint-declared table accepts int32 physical files (cast by id)
+    t2 = SnapshotTable(spark, str(tmp_path / "addcast"))
+    t2.append(spark.createDataFrame([(100, "x")], "k long, v string").coalesce(1))
+    t2.add_data_files([ext_int])
+    rows = t2.read().collect()
+    assert len(rows) == 11 and all(isinstance(r["k"], int) for r in rows)
+    assert dict(t2.read().dtypes)["k"] == "bigint"
+    # name mismatch refused
+    ext_bad = str(tmp_path / "ext_bad")
+    spark.range(0, 3).selectExpr("id AS nope", "CAST(id AS STRING) AS v").coalesce(
+        1
+    ).write.parquet(ext_bad)
+    with pytest.raises(SchemaMismatchError):
+        t2.add_data_files([ext_bad])
+
+
+def test_add_data_files_respects_equality_delete_horizon(spark, tmp_path):
+    """Registered files land in a NEW manifest segment, so rows they
+    carry survive an equality delete committed BEFORE the registration —
+    the same sequence-number rule appended rows get."""
+    t = SnapshotTable(spark, str(tmp_path / "addhor"))
+    t.append(
+        spark.createDataFrame([(1,), (2,), (3,)], "k bigint").coalesce(1)
+    )
+    t.delete_by_key(spark.createDataFrame([(2,)], "k bigint"), ["k"])
+    ext = str(tmp_path / "ext_hor")
+    spark.createDataFrame([(2,), (9,)], "k bigint").coalesce(1).write.parquet(ext)
+    t.add_data_files([ext])
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2, 3, 9]

@@ -774,6 +774,38 @@ class SnapshotTable:
             for i, f in enumerate(schema.fields)
         ]
 
+    def _ddl_of_arrow(self, t, name: str, src: str) -> str:
+        """Spark DDL type string for one arrow field — used by
+        ``add_data_files`` to record a registered file's PHYSICAL schema.
+        Rare/exotic types fall back to one Spark footer read of the
+        source file (driver-side schema inference, no data pages)."""
+        import pyarrow as pa
+
+        if pa.types.is_int8(t) or pa.types.is_int16(t) or pa.types.is_int32(t):
+            return "int"
+        if pa.types.is_int64(t):
+            return "bigint"
+        if pa.types.is_float32(t):
+            return "float"
+        if pa.types.is_float64(t):
+            return "double"
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return "string"
+        if pa.types.is_boolean(t):
+            return "boolean"
+        if pa.types.is_date(t):
+            return "date"
+        if pa.types.is_timestamp(t):
+            return "timestamp"
+        if pa.types.is_decimal(t):
+            return f"decimal({t.precision},{t.scale})"
+        if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            return "binary"
+        return {
+            f.name: f.dataType.simpleString()
+            for f in self.spark.read.parquet(src).schema.fields
+        }[name]
+
     def _collect_file_stats(self, rel_path: str, cols: list[dict]) -> dict:
         """Per-column [min, max] zone map from the parquet FOOTER of one
         just-written file (metadata-only read — no data pages). Keyed by
@@ -1232,6 +1264,180 @@ class SnapshotTable:
         return self._commit(
             df, "append", branch, cluster_by, cluster_partitions, allow_create, properties
         )
+
+    def add_data_files(
+        self, paths: list[str], properties: dict[str, str] | None = None
+    ) -> Snapshot:
+        """Iceberg's ``add_files`` migration procedure: register EXISTING
+        parquet files as table data WITHOUT rewriting a row. Each source
+        is hardlinked into ``data/`` (O(1) per file on the same
+        filesystem; falls back to a copy across devices), its footer is
+        read once for schema validation + row count + zone-map stats,
+        and ONE append-shaped commit lands — cost O(new files) metadata,
+        zero data bytes rewritten on the hardlink path. This is what
+        makes registering an existing 100 TB parquet lake into a table
+        tractable: no job ever touches the data pages.
+
+        ``paths`` mixes files and directories (a directory contributes
+        its ``*.parquet`` children, sorted). Physical column names must
+        match the table schema exactly (evolve first, like ``append``);
+        physical TYPES may differ where a cast resolves them — each
+        file's ACTUAL schema is recorded (Iceberg records the written
+        schema per data file for the same reason), so files whose
+        physical types differ from the declared ones get their own
+        schema entry and the read path casts them by field id to the
+        declared types, the same old-files-up-cast rule schema
+        evolution relies on. Without this, one schema-id read group
+        would mix physical types and the parquet reader would fail on
+        whichever file it did not sample for inference. On an empty
+        table the schema bootstraps from the files themselves. Added
+        files land in a NEW manifest segment, so they survive
+        outstanding equality deletes by the horizon rule, exactly like
+        appended rows. Zone-map stats come from the real footers, so
+        ``scan`` prunes registered files as well as written ones."""
+        import pyarrow.parquet as pq
+
+        srcs: list[str] = []
+        for p in paths:
+            if os.path.isdir(p):
+                srcs += [
+                    os.path.join(p, fn)
+                    for fn in sorted(os.listdir(p))
+                    if fn.endswith(".parquet")
+                ]
+            elif os.path.isfile(p):
+                srcs.append(p)
+            else:
+                raise EngineError(f"add_data_files: {p!r} not found")
+        if not srcs:
+            raise EngineError("add_data_files: no parquet files to add")
+
+        prev0 = self.current_snapshot()
+        if prev0 is not None and prev0.schema_columns is not None:
+            cols = prev0.schema_columns
+            schema_id = prev0.schema_id
+            schemas = dict(prev0.schemas)
+            last_column_id = prev0.last_column_id
+            want = {c["name"] for c in cols}
+            for s in srcs:
+                names = set(pq.ParquetFile(s).schema_arrow.names)
+                if names != want:
+                    raise SchemaMismatchError(
+                        f"add_data_files: {s} columns {sorted(names)} do "
+                        f"not match table columns {sorted(want)} for "
+                        f"{self.table_dir} (evolve the schema first)"
+                    )
+        else:
+            cols = self._columns_from_spark_schema(
+                self.spark.read.parquet(*srcs).schema
+            )
+            schema_id = 1
+            schemas = {"1": cols}
+            last_column_id = len(cols)
+
+        # Record each file under its PHYSICAL schema: files whose types
+        # already match the declared schema pin the current schema id;
+        # mismatched physical type tuples mint (or reuse) a dedicated
+        # schema entry with the SAME field ids, so every read group is
+        # physically homogeneous and resolves to the declared types via
+        # the field-id cast.
+        declared = {c["name"]: c["type"].lower() for c in cols}
+        by_name_id = {c["name"]: c["id"] for c in cols}
+        extra_schemas: dict[str, list[dict]] = {}
+        next_sid = max([int(k) for k in schemas] + [schema_id or 1])
+
+        def _schema_id_for(src: str) -> int:
+            nonlocal next_sid
+            arrow = pq.ParquetFile(src).schema_arrow
+            phys = {
+                f.name: self._ddl_of_arrow(f.type, f.name, src)
+                for f in arrow
+            }
+            if all(phys[n] == declared[n] for n in phys):
+                return schema_id
+            file_cols = [
+                {"id": by_name_id[c["name"]], "name": c["name"],
+                 "type": phys[c["name"]]}
+                for c in cols
+            ]
+            for sid, sc in {**schemas, **extra_schemas}.items():
+                if sc == file_cols:
+                    return int(sid)
+            next_sid += 1
+            extra_schemas[str(next_sid)] = file_cols
+            return next_sid
+
+        commit_uuid = uuid.uuid4().hex[:12]
+        os.makedirs(self.data_dir, exist_ok=True)
+        new_files: list[str] = []
+        file_sids: dict[str, int] = {}
+        n_rows = 0
+        for i, s in enumerate(srcs):
+            dest = f"data/add-{commit_uuid}-{i:05d}.parquet"
+            dst_abs = os.path.join(self.table_dir, dest)
+            try:
+                os.link(s, dst_abs)
+            except OSError:  # cross-device or fs without hardlinks
+                shutil.copy2(s, dst_abs)
+            new_files.append(dest)
+            file_sids[dest] = _schema_id_for(dst_abs)
+            n_rows += pq.ParquetFile(dst_abs).metadata.num_rows
+        stats_new = {f: self._collect_file_stats(f, cols) for f in new_files}
+
+        def build(prev: Snapshot | None) -> dict:
+            if prev is None:
+                return {
+                    "operation": "append",
+                    "files": list(new_files),
+                    "row_count": n_rows,
+                    "schema_id": schema_id,
+                    "last_column_id": last_column_id,
+                    "schemas": {**schemas, **extra_schemas},
+                    "file_schemas": dict(file_sids),
+                    "file_stats": dict(stats_new),
+                    "properties": properties or {},
+                }
+            # same discipline as _commit: the files were validated
+            # against the entry schema, so a concurrent evolution means
+            # this registration must be re-validated by the caller
+            if prev.schema_id is not None and prev.schema_id != schema_id:
+                raise CommitConflictError(
+                    f"concurrent schema change on {self.table_dir} while "
+                    f"add_data_files was staged — re-run against the new "
+                    f"table state"
+                )
+            file_schemas = {
+                f: (prev.file_schemas or {}).get(f, 1) for f in prev.files
+            }
+            file_schemas.update(file_sids)
+            file_stats = {
+                f: st
+                for f, st in (prev.file_stats or {}).items()
+                if f in file_schemas
+            }
+            file_stats.update(stats_new)
+            return {
+                "operation": "append",
+                "files": list(prev.files) + new_files,
+                "row_count": prev.row_count + n_rows,
+                "schema_id": schema_id,
+                "last_column_id": last_column_id,
+                "schemas": {**schemas, **extra_schemas} or None,
+                "file_schemas": file_schemas,
+                "file_stats": file_stats,
+                "properties": properties or {},
+                "partition_specs": dict(prev.partition_specs or {}) or None,
+                "default_spec_id": prev.default_spec_id,
+                "file_partitions": dict(prev.file_partitions or {}) or None,
+                "position_deletes": list(prev.position_deletes or []) or None,
+                "equality_deletes": list(prev.equality_deletes or []) or None,
+            }
+
+        try:
+            return self._commit_version("main", build)
+        except CommitConflictError:
+            self._remove_quiet(new_files)
+            raise
 
     def overwrite(
         self,
