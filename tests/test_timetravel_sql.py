@@ -380,6 +380,27 @@ class TestSqlMaintenance:
                 "ALTER TABLE mt4 EXECUTE expire_snapshots(retention_threshold => 'soon')"
             )
 
+    def test_add_files_registers_by_reference(self, spark, tmp_path):
+        """Trino/Spark's add_files migration procedure in SQL text:
+        registers existing parquet (hardlink + footer read, zero rows
+        rewritten) and returns the number of rows registered; a missing
+        location raises instead of silently doing something else."""
+        from trino_iceberg_spark.errors import QueryError
+
+        t, c = self._table(spark, tmp_path, "mt5")
+        ext = str(tmp_path / "mt5_lake")
+        spark.range(1000, 1100).toDF("id").selectExpr(
+            "id", "id * 3 AS v"
+        ).coalesce(2).write.parquet(ext)
+        n = c.execute(
+            f"ALTER TABLE mt5 EXECUTE add_files(location => '{ext}')"
+        )
+        assert n == 100
+        assert t.read().count() == 500
+        assert t.current_snapshot().row_count == 500
+        with pytest.raises(QueryError):
+            c.execute("ALTER TABLE mt5 EXECUTE add_files")
+
 
 def test_qualify_named_column_is_untouched(spark):
     """A column literally named `qualify` must analyze as plain SQL — the

@@ -164,7 +164,7 @@ class AthenaSparkClient:
     _SNAP_EXEC_RE = re.compile(
         r"^\s*ALTER\s+TABLE\s+`?(?P<tbl>[A-Za-z_][\w.]*)`?\s+EXECUTE\s+"
         r"(?P<proc>optimize|expire_snapshots|remove_orphan_files"
-        r"|rollback_to_snapshot|rewrite_delete_files)\b"
+        r"|rollback_to_snapshot|rewrite_delete_files|add_files)\b"
         r"\s*(?:\((?P<args>[^)]*)\))?\s*;?\s*$",
         re.IGNORECASE,
     )
@@ -204,6 +204,10 @@ class AthenaSparkClient:
           merge-on-read position/equality delete files into one sorted
           position-delete file (Iceberg's
           ``rewrite_position_delete_files``), zero data files touched.
+        - ``add_files(location => '/lake/dir')`` — register existing
+          parquet as table data by reference (Iceberg's ``add_files``
+          migration procedure: hardlink + footer read, zero rows
+          rewritten); returns the number of rows registered.
 
         Also handles ``ALTER TABLE t SET PROPERTIES k = 'v' [, ...]``
         (Trino/Iceberg property DDL) — e.g. ``write.delete.mode =
@@ -289,6 +293,19 @@ class AthenaSparkClient:
         if proc == "rewrite_delete_files":
             table.rewrite_delete_files()
             return 0
+        if proc == "add_files":
+            # Trino/Spark's add_files migration procedure in SQL text:
+            # ALTER TABLE t EXECUTE add_files(location => '/lake/dir')
+            # — registers existing parquet by reference (hardlink +
+            # footer read, zero rows rewritten); returns rows registered
+            loc = args.get("location")
+            if not loc:
+                raise QueryError(
+                    "add_files requires location => '<path>'", sql=rendered
+                )
+            before = table.current_snapshot()
+            snap = table.add_data_files([str(loc)])
+            return snap.row_count - (before.row_count if before else 0)
         return table.remove_orphan_files()
 
     def _snapshot_merge(self, rendered: str) -> int | None:
