@@ -2228,3 +2228,43 @@ def test_add_data_files_respects_equality_delete_horizon(spark, tmp_path):
     spark.createDataFrame([(2,), (9,)], "k bigint").coalesce(1).write.parquet(ext)
     t.add_data_files([ext])
     assert sorted(r["k"] for r in t.read().collect()) == [1, 2, 3, 9]
+
+
+def test_append_after_promote_writes_declared_types(spark, tmp_path):
+    """Regression (found by tools/fuzz_evolution.py seed 88001): after
+    promote_column, an IntegerType source frame must be cast to the
+    DECLARED type at write — otherwise one schema id groups INT32 pages
+    (plain append) with INT64 pages (the MOR-merge cast-through path)
+    and the group read fails on whichever file schema inference did not
+    sample. Engine-written files under one schema id are physically
+    homogeneous."""
+    t = SnapshotTable(spark, str(tmp_path / "promix"))
+    t.append(spark.createDataFrame([(1, "a")], "k int, v string").coalesce(1))
+    t.promote_column("k", "bigint")
+    t.append(spark.createDataFrame([(2, "b")], "k int, v string").coalesce(1))
+    t.merge(
+        spark.createDataFrame([(3, "c")], "k int, v string"),
+        ["k"],
+        mode="merge-on-read",
+    )
+    for _ in range(3):  # inference sampling made the old failure flaky
+        rows = sorted((r["k"], r["v"]) for r in t.read().collect())
+        assert rows == [(1, "a"), (2, "b"), (3, "c")]
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    # the pre-promote file keeps int32 under the OLD schema id (that is
+    # the id-mapped up-cast path working as designed); every file pinned
+    # to the CURRENT schema id must be physically int64
+    snap = t.current_snapshot()
+    phys = {
+        str(
+            _pq.ParquetFile(_os.path.join(t.table_dir, f))
+            .schema_arrow.field("k")
+            .type
+        )
+        for f in snap.files
+        if (snap.file_schemas or {}).get(f) == snap.schema_id
+    }
+    assert phys == {"int64"}

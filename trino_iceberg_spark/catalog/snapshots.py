@@ -1100,7 +1100,22 @@ class SnapshotTable:
                     f"{want}, data columns {list(df.columns)} (use add_column/"
                     f"drop_column/rename_column to evolve the schema first)"
                 )
-            df = df.select(*want)  # canonical column order
+            # canonical column order AND canonical DECLARED types: every
+            # engine-written file under one schema id must be physically
+            # homogeneous (after promote_column, an IntegerType source
+            # frame would otherwise write INT32 pages while a cast-
+            # through path writes INT64 under the SAME schema id, and
+            # the group read fails on whichever file inference did not
+            # sample — found by tools/fuzz_evolution.py). Iceberg
+            # writers normalize to the table schema the same way; a
+            # same-type cast is elided by SimplifyCasts, so the common
+            # path is unchanged.
+            df = df.select(
+                *[
+                    F.col(c["name"]).cast(c["type"]).alias(c["name"])
+                    for c in cols
+                ]
+            )
         else:
             cols = self._columns_from_spark_schema(df.schema)
             schema_id = 1
