@@ -2268,3 +2268,230 @@ def test_append_after_promote_writes_declared_types(spark, tmp_path):
         if (snap.file_schemas or {}).get(f) == snap.schema_id
     }
     assert phys == {"int64"}
+
+
+def test_add_data_files_hive_partitioned(spark, tmp_path):
+    """Hive-layout lake registration (round-12): col=value/ partition
+    values come from the PATHS, land as identity-partition values in
+    the manifest, prune under scan, and are re-attached at read —
+    zero data bytes rewritten (hardlinks preserved)."""
+    lake = str(tmp_path / "lake")
+    spark.range(0, 120).selectExpr(
+        "id AS k", "CAST(id % 4 AS INT) AS g"
+    ).write.partitionBy("g").parquet(lake)
+    t = SnapshotTable(spark, str(tmp_path / "hive"))
+    s = t.add_data_files([lake])
+    assert s.row_count == 120
+    assert int(s.properties["added-records"]) == 120
+    # path column reconstructed with an int-inferred type
+    assert dict(t.read().dtypes)["g"] == "int"
+    assert t.read().filter(F.col("g") == 2).count() == 30
+    assert sorted(
+        r["k"] for r in t.scan([("g", "=", 1), ("k", "<", 10)]).collect()
+    ) == [1, 5, 9]
+    # partition pruning: a g-predicate must skip files of other g dirs
+    kept = t.prune_files(t.current_snapshot(), [("g", "=", 1)])
+    assert 0 < len(kept) < len(s.files)
+    # hardlinked (no rewrite): registered files share inodes with sources
+    src_inodes = set()
+    for root, _d, fns in os.walk(lake):
+        src_inodes |= {
+            os.stat(os.path.join(root, fn)).st_ino
+            for fn in fns
+            if fn.endswith(".parquet")
+        }
+    added = {os.stat(os.path.join(t.table_dir, f)).st_ino for f in s.files}
+    assert added <= src_inodes
+
+
+def test_add_data_files_hive_into_declared_table(spark, tmp_path):
+    """Registering a hive lake into an EXISTING table casts path values
+    to the declared type (bigint here) and the partition column counts
+    toward the schema-name match."""
+    from trino_iceberg_spark.errors import SchemaMismatchError
+
+    lake = str(tmp_path / "lake2")
+    spark.range(0, 40).selectExpr(
+        "id AS k", "CAST(id % 2 AS INT) AS g"
+    ).write.partitionBy("g").parquet(lake)
+    t = SnapshotTable(spark, str(tmp_path / "decl"))
+    t.append(spark.createDataFrame([(999, 7)], "k long, g long").coalesce(1))
+    t.add_data_files([lake])
+    assert t.read().count() == 41
+    assert dict(t.read().dtypes)["g"] == "bigint"
+    assert t.read().filter(F.col("g") == 1).count() == 20
+    # a lake whose partition column is unknown to the table is refused
+    bad = str(tmp_path / "lake3")
+    spark.range(0, 4).selectExpr(
+        "id AS k", "CAST(id % 2 AS INT) AS nope"
+    ).write.partitionBy("nope").parquet(bad)
+    with pytest.raises(SchemaMismatchError):
+        t.add_data_files([bad])
+
+
+def test_add_data_files_hive_mor_and_travel(spark, tmp_path):
+    """Path-reconstructed columns flow through the whole MOR stack:
+    equality deletes keyed ON the path column, position deletes, time
+    travel, and compaction all see the same values."""
+    lake = str(tmp_path / "lakemor")
+    spark.range(0, 100).selectExpr(
+        "id AS k", "CAST(id % 5 AS INT) AS g"
+    ).write.partitionBy("g").parquet(lake)
+    t = SnapshotTable(spark, str(tmp_path / "mor"))
+    s0 = t.add_data_files([lake])
+    t.delete_where(F.col("g") == 3, mode="merge-on-read")
+    assert t.read().count() == 80
+    t.delete_by_key(spark.createDataFrame([(1,)], "g int"), ["g"])
+    assert t.read().count() == 60
+    assert t.read_version(s0.snapshot_id).count() == 100
+    t.compact_small_files(target_files=2)
+    got = t.read().groupBy("g").count().collect()
+    assert sorted((r["g"], r["count"]) for r in got) == [
+        (0, 20), (2, 20), (4, 20)
+    ]
+
+
+def test_add_data_files_conflict_fingerprint(spark, tmp_path):
+    """Round-11 advisor (medium): a racing commit that changes the
+    schema closure between staging and the CAS point must CONFLICT —
+    schema_id alone cannot see a concurrently-minted extra schema entry
+    or a first append landing under an empty-table bootstrap."""
+    from trino_iceberg_spark.errors import CommitConflictError
+
+    ext = str(tmp_path / "ext")
+    spark.range(0, 10).selectExpr("CAST(id AS INT) AS k").coalesce(
+        1
+    ).write.parquet(ext)
+
+    # empty-table bootstrap racing a first append
+    t = SnapshotTable(spark, str(tmp_path / "race1"))
+    orig = t._head_for_commit
+
+    def sneak_append(branch):
+        prev = orig(branch)
+        if prev is None:
+            t2 = SnapshotTable(spark, t.table_dir)
+            t2._head_for_commit = orig  # plain append through a twin handle
+            t2.append(
+                spark.createDataFrame([(50,)], "k bigint").coalesce(1)
+            )
+            t._head_for_commit = orig
+            return orig(branch)
+        return prev
+
+    t._head_for_commit = sneak_append
+    with pytest.raises(CommitConflictError):
+        t.add_data_files([ext])
+    # the survivor is the append; a clean retry then composes correctly
+    assert t.read().count() == 1
+    t.add_data_files([ext])
+    assert t.read().count() == 11
+
+    # schema-closure divergence: a concurrent promote between staging
+    # and commit (extra schema content changes, schemas map differs)
+    t3 = SnapshotTable(spark, str(tmp_path / "race2"))
+    t3.append(spark.createDataFrame([(1,)], "k int").coalesce(1))
+    orig3 = t3._head_for_commit
+    fired = {"done": False}
+
+    def sneak_promote(branch):
+        prev = orig3(branch)
+        if not fired["done"]:
+            fired["done"] = True
+            t4 = SnapshotTable(spark, t3.table_dir)
+            t4.promote_column("k", "bigint")
+            return orig3(branch)
+        return prev
+
+    t3._head_for_commit = sneak_promote
+    with pytest.raises(CommitConflictError):
+        t3.add_data_files([ext])
+
+
+def test_append_rejects_incompatible_source_types(spark, tmp_path):
+    """Round-11 advisor: the writer validates source types against the
+    declared schema — arbitrary strings into an int column (or any
+    narrowing) raise instead of silently becoming NULL/truncated; the
+    sanctioned widenings (int→bigint, float→double, decimal
+    precision-up) still cast implicitly."""
+    from trino_iceberg_spark.errors import SchemaMismatchError
+
+    t = SnapshotTable(spark, str(tmp_path / "strict"))
+    t.append(
+        spark.createDataFrame(
+            [(1, 1.5, "a")], "k bigint, x double, v string"
+        ).coalesce(1)
+    )
+    # widenings accepted
+    t.append(
+        spark.createDataFrame(
+            [(2, 2.5, "b")], "k int, x float, v string"
+        ).coalesce(1)
+    )
+    assert t.read().count() == 2
+    for bad_schema, row in [
+        ("k string, x double, v string", ("oops", 1.0, "c")),
+        ("k double, x double, v string", (3.5, 1.0, "c")),
+        ("k bigint, x double, v bigint", (3, 1.0, 9)),
+    ]:
+        with pytest.raises(SchemaMismatchError):
+            t.append(spark.createDataFrame([row], bad_schema).coalesce(1))
+    # decimal: precision-up ok, scale-down (integer-digit loss) refused
+    td = SnapshotTable(spark, str(tmp_path / "strictdec"))
+    td.append(
+        spark.createDataFrame([("12.34",)], "d string")
+        .select(F.col("d").cast("decimal(12,2)").alias("d"))
+        .coalesce(1)
+    )
+    td.append(
+        spark.createDataFrame([("1.00",)], "d string")
+        .select(F.col("d").cast("decimal(10,2)").alias("d"))
+        .coalesce(1)
+    )
+    with pytest.raises(SchemaMismatchError):
+        td.append(
+            spark.createDataFrame([("1.0",)], "d string")
+            .select(F.col("d").cast("decimal(12,4)").alias("d"))
+            .coalesce(1)
+        )
+
+
+def test_health_df_recommendation_lifecycle(spark, tmp_path):
+    """$health pins (round-11 directive #3): baseline ok → blind
+    equality delete drives dirty_fraction to 1.0 and flips the
+    recommendation to rewrite_delete_files → the rewrite converts the
+    delete to positions, the dirty set DROPS to the files that actually
+    contained matches, and the recommendation clears."""
+    t = SnapshotTable(spark, str(tmp_path / "health"))
+    t.append(
+        spark.range(0, 4000).selectExpr(
+            "id AS k", "CAST(id % 97 AS INT) AS g"
+        ),
+        cluster_by=["k"],
+        cluster_partitions=8,
+    )
+    h0 = t.health_df().first()
+    assert (h0["dirty_fraction"], h0["recommendation"]) == (0.0, "ok")
+    assert h0["data_files"] == 8
+    # blind equality delete on the UNclustered column: every file dirty
+    t.delete_by_key(spark.createDataFrame([(13,)], "g int"), ["g"])
+    h1 = t.health_df().first()
+    assert h1["equality_delete_files"] == 1
+    assert h1["dirty_fraction"] == 1.0
+    assert h1["recommendation"] == "rewrite_delete_files"
+    before = t.read().count()
+    t.rewrite_delete_files()
+    h2 = t.health_df().first()
+    assert h2["equality_delete_files"] == 0
+    assert h2["position_delete_files"] == 1
+    assert h2["recommendation"] == "ok"
+    assert h2["dirty_fraction"] <= h1["dirty_fraction"]
+    assert t.read().count() == before
+    # many position-delete files → compaction recommendation
+    tp = SnapshotTable(spark, str(tmp_path / "healthpos"))
+    tp.append(spark.range(0, 500).selectExpr("id AS k"))
+    for i in range(9):
+        tp.delete_where(F.col("k") == i, mode="merge-on-read")
+    hp = tp.health_df().first()
+    assert hp["position_delete_files"] == 9
+    assert hp["recommendation"] == "compact_small_files"

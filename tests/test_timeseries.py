@@ -262,3 +262,25 @@ def test_apply_rollup_delta_handles_all_change_types(spark):
     assert maintained == recomputed
     # the zero-count 'b' cell dropped out
     assert all(k[1] != "b" for k in maintained)
+
+
+def test_time_spine_validates_unit_and_long_range(spark):
+    """Round-11 advisor: the spine quantity stays BIGINT (no int32 wrap
+    past 2^31-1 buckets) and the unit is allowlisted before it reaches
+    F.expr interpolation."""
+    import datetime as dt
+
+    import pytest
+
+    from trino_iceberg_spark.operators.timeseries import time_spine
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2020, 1, 1),), (dt.datetime(2020, 1, 2),)],
+        "ts timestamp",
+    )
+    with pytest.raises(ValueError):
+        time_spine(df, "ts", unit="fortnight; DROP TABLE x")
+    # bigint quantity: the physical plan must carry no CAST(... AS INT)
+    plan = time_spine(df, "ts", unit="hour")._jdf.queryExecution().toString()
+    assert "cast(id as int)" not in plan.lower()
+    assert time_spine(df, "ts", unit="hour").count() == 25

@@ -767,6 +767,32 @@ class SnapshotTable:
         # an O(files) term that must not sit in the critical section)
         return manifest
 
+    _INT_RANK = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+    _DECIMAL_RE = re.compile(r"^decimal\((\d+),(\d+)\)$")
+
+    @classmethod
+    def _write_promotable(cls, src: str, decl: str) -> bool:
+        """True when data of Spark type ``src`` may be written into a
+        column declared ``decl`` — identical, or one of the sanctioned
+        widenings Iceberg writers accept (spec §Schema Evolution, applied
+        on the write side): integral rank-up, float→double, and decimal
+        precision growth that preserves every integer digit at
+        same-or-wider scale. NullType (``void`` — untyped NULL literals)
+        writes into anything as typed NULLs."""
+        src, decl = src.lower(), decl.lower()
+        if src == decl or src == "void":
+            return True
+        if src in cls._INT_RANK and decl in cls._INT_RANK:
+            return cls._INT_RANK[src] <= cls._INT_RANK[decl]
+        if src == "float" and decl == "double":
+            return True
+        ms, md = cls._DECIMAL_RE.match(src), cls._DECIMAL_RE.match(decl)
+        if ms and md:
+            ps, ss = int(ms.group(1)), int(ms.group(2))
+            pd_, sd = int(md.group(1)), int(md.group(2))
+            return sd >= ss and pd_ - sd >= ps - ss
+        return False
+
     @staticmethod
     def _columns_from_spark_schema(schema, start_id: int = 1) -> list[dict]:
         return [
@@ -827,10 +853,19 @@ class SnapshotTable:
             for ci in range(group.num_columns):
                 col = group.column(ci)
                 field_id = by_name.get(col.path_in_schema)
-                stats = col.statistics
-                if field_id is None or stats is None or not stats.has_min_max:
+                try:
+                    stats = col.statistics
+                    if (
+                        field_id is None
+                        or stats is None
+                        or not stats.has_min_max
+                    ):
+                        continue
+                    lo, hi = stats.min, stats.max
+                except Exception:  # noqa: BLE001 — e.g. pyarrow cannot
+                    # extract stats for some physical types (decimal FLBA);
+                    # the column is simply unprunable, never fatal
                     continue
-                lo, hi = stats.min, stats.max
                 if not isinstance(lo, (int, float, bool, str)) or not isinstance(
                     hi, (int, float, bool, str)
                 ):
@@ -1100,6 +1135,26 @@ class SnapshotTable:
                     f"{want}, data columns {list(df.columns)} (use add_column/"
                     f"drop_column/rename_column to evolve the schema first)"
                 )
+            # Writer-side type acceptance (Iceberg write contract): each
+            # source column must already BE the declared type or an
+            # allowed widening (int→bigint, float→double, decimal
+            # precision-up at same-or-wider scale). A blanket non-ANSI
+            # cast here would instead turn arbitrary strings in an int
+            # column into NULLs and silently truncate double→int —
+            # corruption, not coercion (found by round-11 advisor).
+            decl_by_name = {c["name"]: c["type"] for c in cols}
+            for fld in df.schema.fields:
+                if not self._write_promotable(
+                    fld.dataType.simpleString(), decl_by_name[fld.name]
+                ):
+                    raise SchemaMismatchError(
+                        f"cannot write {fld.dataType.simpleString()!r} data "
+                        f"into column {fld.name!r} declared "
+                        f"{decl_by_name[fld.name]!r} in {self.table_dir} — "
+                        f"cast the source explicitly (only widening "
+                        f"promotions are implicit: int→bigint, "
+                        f"float→double, decimal precision-up)"
+                    )
             # canonical column order AND canonical DECLARED types: every
             # engine-written file under one schema id must be physically
             # homogeneous (after promote_column, an IntegerType source
@@ -1109,7 +1164,8 @@ class SnapshotTable:
             # sample — found by tools/fuzz_evolution.py). Iceberg
             # writers normalize to the table schema the same way; a
             # same-type cast is elided by SimplifyCasts, so the common
-            # path is unchanged.
+            # path is unchanged. The cast is safe by the acceptance
+            # check above: only sanctioned widenings reach it.
             df = df.select(
                 *[
                     F.col(c["name"]).cast(c["type"]).alias(c["name"])
@@ -1293,10 +1349,18 @@ class SnapshotTable:
         makes registering an existing 100 TB parquet lake into a table
         tractable: no job ever touches the data pages.
 
-        ``paths`` mixes files and directories (a directory contributes
-        its ``*.parquet`` children, sorted). Physical column names must
-        match the table schema exactly (evolve first, like ``append``);
-        physical TYPES may differ where a cast resolves them — each
+        ``paths`` mixes files and directories. A directory contributes
+        its ``*.parquet`` descendants; HIVE-PARTITIONED trees
+        (``col=value/`` path components — the canonical lake layout
+        Iceberg's and Trino's ``add_files`` procedures accept) derive
+        the partition columns from the paths: the values live only in
+        the manifest (recorded as identity-partition values, so ``scan``
+        prunes on them) and are re-attached at read time via a broadcast
+        file→value map — the data files are still never rewritten.
+        Physical column names (plus any path-derived partition columns)
+        must match the table schema exactly (evolve first, like
+        ``append``); physical TYPES may differ where a cast resolves
+        them — each
         file's ACTUAL schema is recorded (Iceberg records the written
         schema per data file for the same reason), so files whose
         physical types differ from the declared ones get their own
@@ -1310,22 +1374,52 @@ class SnapshotTable:
         outstanding equality deletes by the horizon rule, exactly like
         appended rows. Zone-map stats come from the real footers, so
         ``scan`` prunes registered files as well as written ones."""
+        import urllib.parse
+
         import pyarrow.parquet as pq
 
+        # -- source discovery: files, flat dirs, hive col=value/ trees --
         srcs: list[str] = []
+        path_vals: dict[str, dict[str, str]] = {}  # src → raw path values
+        part_cols: list[str] | None = None  # path order, uniform across srcs
+
+        def _add_src(f: str, vals: dict[str, str], order: list[str]) -> None:
+            nonlocal part_cols
+            if part_cols is None:
+                part_cols = order
+            elif order != part_cols:
+                raise EngineError(
+                    f"add_data_files: inconsistent partition layout — {f} "
+                    f"carries path partition columns {order}, expected "
+                    f"{part_cols}"
+                )
+            srcs.append(f)
+            if vals:
+                path_vals[f] = vals
+
         for p in paths:
-            if os.path.isdir(p):
-                srcs += [
-                    os.path.join(p, fn)
-                    for fn in sorted(os.listdir(p))
-                    if fn.endswith(".parquet")
-                ]
-            elif os.path.isfile(p):
-                srcs.append(p)
+            if os.path.isfile(p):
+                _add_src(p, {}, [])
+            elif os.path.isdir(p):
+                for root, dirs, fns in os.walk(p):
+                    dirs.sort()
+                    rel = os.path.relpath(root, p)
+                    vals: dict[str, str] = {}
+                    order: list[str] = []
+                    if rel != ".":
+                        comps = [c.partition("=") for c in rel.split(os.sep)]
+                        if any(not sep for _, sep, _ in comps):
+                            continue  # non-hive subdir (spark markers etc.)
+                        vals = {k: v for k, _, v in comps}
+                        order = [k for k, _, _ in comps]
+                    for fn in sorted(fns):
+                        if fn.endswith(".parquet"):
+                            _add_src(os.path.join(root, fn), vals, order)
             else:
                 raise EngineError(f"add_data_files: {p!r} not found")
         if not srcs:
             raise EngineError("add_data_files: no parquet files to add")
+        part_cols = part_cols or []
 
         prev0 = self.current_snapshot()
         if prev0 is not None and prev0.schema_columns is not None:
@@ -1334,18 +1428,70 @@ class SnapshotTable:
             schemas = dict(prev0.schemas)
             last_column_id = prev0.last_column_id
             want = {c["name"] for c in cols}
+            if part_cols and not set(part_cols) <= want:
+                raise SchemaMismatchError(
+                    f"add_data_files: path partition columns {part_cols} "
+                    f"are not in table columns {sorted(want)} for "
+                    f"{self.table_dir} (evolve the schema first)"
+                )
+            want_phys = want - set(part_cols)
             for s in srcs:
                 names = set(pq.ParquetFile(s).schema_arrow.names)
-                if names != want:
+                if names != want_phys:
                     raise SchemaMismatchError(
-                        f"add_data_files: {s} columns {sorted(names)} do "
-                        f"not match table columns {sorted(want)} for "
+                        f"add_data_files: {s} columns {sorted(names)}"
+                        + (f" plus path partition columns {part_cols}"
+                           if part_cols else "")
+                        + f" do not match table columns {sorted(want)} for "
                         f"{self.table_dir} (evolve the schema first)"
                     )
         else:
-            cols = self._columns_from_spark_schema(
-                self.spark.read.parquet(*srcs).schema
-            )
+            # Bootstrap an empty (or legacy) table's schema from the
+            # FIRST file's footer, then hold every other file to the
+            # same column names — the previous merged-footer inference
+            # sampled one footer and registered heterogeneous-named
+            # files silently, reading their missing columns as NULL
+            # (round-11 advisor). Path partition columns append after
+            # the physical ones, typed int when every path value parses
+            # as an integer (hive convention), string otherwise.
+            first = pq.ParquetFile(srcs[0]).schema_arrow
+            cols = [
+                {
+                    "id": i + 1,
+                    "name": f.name,
+                    "type": self._ddl_of_arrow(f.type, f.name, srcs[0]),
+                }
+                for i, f in enumerate(first)
+            ]
+            want_phys = {c["name"] for c in cols}
+            if set(part_cols) & want_phys:
+                raise SchemaMismatchError(
+                    f"add_data_files: path partition columns "
+                    f"{sorted(set(part_cols) & want_phys)} also exist "
+                    f"inside the files — a column cannot be both physical "
+                    f"and path-derived"
+                )
+            for s in srcs[1:]:
+                names = set(pq.ParquetFile(s).schema_arrow.names)
+                if names != want_phys:
+                    raise SchemaMismatchError(
+                        f"add_data_files: {s} columns {sorted(names)} do "
+                        f"not match the first file's columns "
+                        f"{sorted(want_phys)} (register heterogeneous "
+                        f"lakes through an existing table schema)"
+                    )
+            for pc in part_cols:
+                ptype = (
+                    "int"
+                    if all(
+                        re.fullmatch(
+                            r"-?\d+", urllib.parse.unquote(v.get(pc, ""))
+                        )
+                        for v in path_vals.values()
+                    )
+                    else "string"
+                )
+                cols = cols + [{"id": len(cols) + 1, "name": pc, "type": ptype}]
             schema_id = 1
             schemas = {"1": cols}
             last_column_id = len(cols)
@@ -1368,6 +1514,8 @@ class SnapshotTable:
                 f.name: self._ddl_of_arrow(f.type, f.name, src)
                 for f in arrow
             }
+            for pc in part_cols:
+                phys[pc] = "string"  # injected from the path, pre-cast
             if all(phys[n] == declared[n] for n in phys):
                 return schema_id
             file_cols = [
@@ -1382,10 +1530,32 @@ class SnapshotTable:
             extra_schemas[str(next_sid)] = file_cols
             return next_sid
 
+        # Hive sources: an identity partition spec over the path columns
+        # (reused if one already exists) so prune_files skips registered
+        # files by partition value exactly like engine-clustered ones.
+        base_specs = (
+            dict(prev0.partition_specs or {}) if prev0 is not None else {}
+        )
+        specs_out = dict(base_specs)
+        hive_spec_id = None
+        if part_cols:
+            spec_fields = [
+                {"name": f"_p_{c}_identity", "source": c, "transform": "identity"}
+                for c in part_cols
+            ]
+            for sid_, sf_ in base_specs.items():
+                if sf_ == spec_fields:
+                    hive_spec_id = int(sid_)
+                    break
+            if hive_spec_id is None:
+                hive_spec_id = max([int(k) for k in base_specs] or [0]) + 1
+                specs_out[str(hive_spec_id)] = spec_fields
+
         commit_uuid = uuid.uuid4().hex[:12]
         os.makedirs(self.data_dir, exist_ok=True)
         new_files: list[str] = []
         file_sids: dict[str, int] = {}
+        new_parts: dict[str, dict] = {}
         n_rows = 0
         for i, s in enumerate(srcs):
             dest = f"data/add-{commit_uuid}-{i:05d}.parquet"
@@ -1396,10 +1566,55 @@ class SnapshotTable:
                 shutil.copy2(s, dst_abs)
             new_files.append(dest)
             file_sids[dest] = _schema_id_for(dst_abs)
+            if s in path_vals:
+                # in_path: the source columns live ONLY in the manifest —
+                # the read path re-attaches them (_attach_path_partitions)
+                new_parts[dest] = {
+                    "spec": hive_spec_id,
+                    "values": {
+                        f"_p_{pc}_identity": path_vals[s][pc]
+                        for pc in part_cols
+                    },
+                    "in_path": True,
+                }
             n_rows += pq.ParquetFile(dst_abs).metadata.num_rows
         stats_new = {f: self._collect_file_stats(f, cols) for f in new_files}
+        # Engine-computed commit summary (Iceberg's snapshot summary
+        # fields): the SQL surface reports rows-registered from THIS
+        # commit's own record, never by differencing two head reads a
+        # concurrent commit could skew (round-11 advisor).
+        props = dict(properties or {})
+        props["added-records"] = str(n_rows)
+        props["added-data-files"] = str(len(new_files))
 
         def build(prev: Snapshot | None) -> dict:
+            # _commit's fingerprint discipline (round-11 advisor): the
+            # staged validation, extra schema ids, and spec id were all
+            # minted against prev0's closure. schema_id alone cannot
+            # detect a racing add_data_files (it mints extra schema
+            # entries WITHOUT bumping schema_id) or a first append
+            # landing under an empty-table bootstrap — a retry from the
+            # stale closure would drop or sid-collide the concurrent
+            # entries and resolve retained files under the wrong
+            # physical schema. Conflict on ANY schema/spec divergence;
+            # plain same-schema appends still compose.
+            if (prev is None) != (prev0 is None):
+                raise CommitConflictError(
+                    f"concurrent first commit on {self.table_dir} while "
+                    f"add_data_files was staged against an "
+                    f"{'empty' if prev0 is None else 'existing'} table — "
+                    f"re-run against the new table state"
+                )
+            if prev is not None and prev.schema_id is not None and (
+                prev.schema_id != schema_id
+                or (prev.schemas or {}) != schemas
+                or (prev.partition_specs or {}) != base_specs
+            ):
+                raise CommitConflictError(
+                    f"concurrent schema/partition-spec change on "
+                    f"{self.table_dir} while add_data_files was staged — "
+                    f"re-run against the new table state"
+                )
             if prev is None:
                 return {
                     "operation": "append",
@@ -1410,17 +1625,10 @@ class SnapshotTable:
                     "schemas": {**schemas, **extra_schemas},
                     "file_schemas": dict(file_sids),
                     "file_stats": dict(stats_new),
-                    "properties": properties or {},
+                    "properties": props,
+                    "partition_specs": specs_out or None,
+                    "file_partitions": dict(new_parts) or None,
                 }
-            # same discipline as _commit: the files were validated
-            # against the entry schema, so a concurrent evolution means
-            # this registration must be re-validated by the caller
-            if prev.schema_id is not None and prev.schema_id != schema_id:
-                raise CommitConflictError(
-                    f"concurrent schema change on {self.table_dir} while "
-                    f"add_data_files was staged — re-run against the new "
-                    f"table state"
-                )
             file_schemas = {
                 f: (prev.file_schemas or {}).get(f, 1) for f in prev.files
             }
@@ -1431,6 +1639,8 @@ class SnapshotTable:
                 if f in file_schemas
             }
             file_stats.update(stats_new)
+            file_partitions = dict(prev.file_partitions or {})
+            file_partitions.update(new_parts)
             return {
                 "operation": "append",
                 "files": list(prev.files) + new_files,
@@ -1440,10 +1650,10 @@ class SnapshotTable:
                 "schemas": {**schemas, **extra_schemas} or None,
                 "file_schemas": file_schemas,
                 "file_stats": file_stats,
-                "properties": properties or {},
-                "partition_specs": dict(prev.partition_specs or {}) or None,
+                "properties": props,
+                "partition_specs": specs_out or None,
                 "default_spec_id": prev.default_spec_id,
-                "file_partitions": dict(prev.file_partitions or {}) or None,
+                "file_partitions": file_partitions or None,
                 "position_deletes": list(prev.position_deletes or []) or None,
                 "equality_deletes": list(prev.equality_deletes or []) or None,
             }
@@ -1662,6 +1872,7 @@ class SnapshotTable:
             "__tis_dfile",
             "__tis_dpos",
             "__tis_k",
+            "__tis_fname",
         }
         if with_pos and any(c["name"] in reserved for c in target):
             raise EngineError(
@@ -1674,18 +1885,110 @@ class SnapshotTable:
             groups.setdefault(sid, []).append(f)
         parts = []
         for sid in sorted(groups, key=lambda s: (s is None, s)):
-            raw = self.spark.read.parquet(
-                *[os.path.join(self.table_dir, f) for f in groups[sid]]
-            )
             # Files with no recorded write schema (legacy manifests) are
             # assumed to carry the target column names on disk.
             write_cols = (snap.schemas or {}).get(str(sid), target)
             extra = self._pos_identity_cols() if with_pos else None
-            parts.append(self._resolve_columns(raw, write_cols, target, extra))
+            # Hive-registered files (add_data_files on a col=value/ lake)
+            # carry their partition columns only in the manifest — split
+            # them out and re-attach the values before resolving.
+            inpath = [
+                f
+                for f in groups[sid]
+                if ((snap.file_partitions or {}).get(f) or {}).get("in_path")
+            ]
+            inpath_set = set(inpath)
+            plain = [f for f in groups[sid] if f not in inpath_set]
+            for sub, inject in ((plain, False), (inpath, True)):
+                if not sub:
+                    continue
+                raw = self.spark.read.parquet(
+                    *[os.path.join(self.table_dir, f) for f in sub]
+                )
+                if inject:
+                    # _metadata only resolves directly on the scan, so the
+                    # attach captures the join key AND the (file, pos)
+                    # identity in one select before joining
+                    raw = self._attach_path_partitions(
+                        snap, raw, sub, with_pos=with_pos
+                    )
+                    ex = (
+                        [F.col(self._POS_FILE), F.col(self._POS_IDX)]
+                        if with_pos
+                        else None
+                    )
+                    parts.append(
+                        self._resolve_columns(raw, write_cols, target, ex)
+                    )
+                else:
+                    parts.append(
+                        self._resolve_columns(raw, write_cols, target, extra)
+                    )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def _attach_path_partitions(
+        self,
+        snap: Snapshot,
+        df: DataFrame,
+        files: list[str],
+        with_pos: bool = False,
+    ) -> DataFrame:
+        """Re-attach hive-path partition values to files registered by
+        :meth:`add_data_files` from a ``col=value/`` lake. The values
+        live only in the manifest (the files were never rewritten), so
+        the read joins a tiny broadcast (file basename → raw values) map
+        keyed on parquet's ``_metadata.file_name``: ONE scan for the
+        whole group plus a map-side broadcast hash join — never a
+        per-partition-value union, which would explode the plan on a
+        10k-partition lake. Values arrive as strings (the path is the
+        storage format) and the field-id resolve casts them to the
+        declared types downstream."""
+        import urllib.parse
+
+        if "__tis_fname" in df.columns:
+            raise EngineError(
+                "column name '__tis_fname' is reserved for the "
+                "path-partition read path"
+            )
+        src_cols: list[str] | None = None
+        rows = []
+        for f in files:
+            fp = (snap.file_partitions or {})[f]
+            fields = (snap.partition_specs or {}).get(str(fp.get("spec"))) or []
+            decoded: dict[str, str | None] = {}
+            for sf in fields:
+                raw = (fp.get("values") or {}).get(sf["name"])
+                if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+                    decoded[sf["source"]] = None
+                else:
+                    decoded[sf["source"]] = urllib.parse.unquote(raw)
+            order = sorted(decoded)
+            if src_cols is None:
+                src_cols = order
+            elif order != src_cols:
+                raise EngineError(
+                    f"inconsistent path-partition columns across registered "
+                    f"files of {self.table_dir}: {order} vs {src_cols}"
+                )
+            rows.append(
+                (os.path.basename(f), *[decoded[c] for c in src_cols])
+            )
+        schema = ", ".join(
+            ["__tis_fname string"]
+            + [f"`{c}` string" for c in (src_cols or [])]
+        )
+        vmap = self.spark.createDataFrame(rows, schema)
+        sel = ["*", F.col("_metadata.file_name").alias("__tis_fname")]
+        if with_pos:
+            sel += self._pos_identity_cols()
+        return (
+            df.select(*sel)
+            .join(F.broadcast(vmap), "__tis_fname", "left")
+            .drop("__tis_fname")
+        )
 
     def _apply_position_deletes(
         self, df: DataFrame, delete_files: tuple[str, ...], keep_pos: bool = False
@@ -2111,6 +2414,51 @@ class SnapshotTable:
             rows,
             "file string, kind string, size_bytes long, record_count long, "
             "equality_key_cols string",
+        )
+
+    # Maintenance-recommendation thresholds for health_df: past these, the
+    # MOR read tax (dirty files pay an identity projection + anti-join per
+    # read) outweighs the one-off cost of consolidating the delete files.
+    _HEALTH_DIRTY_FRACTION = 0.25
+    _HEALTH_MAX_POS_FILES = 8
+
+    def health_df(self) -> DataFrame:
+        """The ``table$health`` metadata relation: the operator signal for
+        merge-on-read delete drift. A blind equality delete on an
+        unclustered key makes every pre-horizon file "dirty" (zone maps
+        exclude nothing), silently reinstating the full MOR read tax until
+        ``rewrite_delete_files`` converts it to positions — nothing else
+        surfaces that the dirty fraction drifted to 100%. One row for the
+        current snapshot: file counts by kind, the dirty-file count /
+        fraction from :meth:`_mor_touched_files` (exactly the set the read
+        path routes through the MOR machinery, so the number IS the read
+        tax), and a recommendation — ``rewrite_delete_files`` when any
+        equality delete is outstanding and the dirty fraction crosses
+        0.25, ``compact_small_files`` when position-delete files pile past
+        8 (a rewrite pass merges them; compaction also materializes them
+        away), ``ok`` otherwise. Trino exposes the same raw signals via
+        Iceberg's metadata tables; the thresholds are operational
+        heuristics — the counts are the contract, pinned by the tt25
+        oracle entry and tests/test_snapshots.py."""
+        snap = self.current_snapshot()
+        if snap is None:
+            raise EngineError(f"table {self.table_dir} has no snapshots")
+        pos = list(snap.position_deletes or ())
+        eq = list(snap.equality_deletes or ())
+        dirty = len(self._mor_touched_files(snap)) if (pos or eq) else 0
+        nfiles = len(snap.files)
+        frac = (dirty / nfiles) if nfiles else 0.0
+        if eq and frac >= self._HEALTH_DIRTY_FRACTION:
+            rec = "rewrite_delete_files"
+        elif len(pos) > self._HEALTH_MAX_POS_FILES:
+            rec = "compact_small_files"
+        else:
+            rec = "ok"
+        return self.spark.createDataFrame(
+            [(nfiles, len(pos), len(eq), dirty, float(frac), rec)],
+            "data_files int, position_delete_files int, "
+            "equality_delete_files int, dirty_files int, "
+            "dirty_fraction double, recommendation string",
         )
 
     def history_df(self) -> DataFrame:

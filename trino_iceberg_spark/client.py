@@ -303,9 +303,11 @@ class AthenaSparkClient:
                 raise QueryError(
                     "add_files requires location => '<path>'", sql=rendered
                 )
-            before = table.current_snapshot()
+            # rows-registered from the commit's OWN summary — differencing
+            # two head reads would skew under a concurrent commit landing
+            # between them (round-11 advisor)
             snap = table.add_data_files([str(loc)])
-            return snap.row_count - (before.row_count if before else 0)
+            return int((snap.properties or {}).get("added-records", 0))
         return table.remove_orphan_files()
 
     def _snapshot_merge(self, rendered: str) -> int | None:

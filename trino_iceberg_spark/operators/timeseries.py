@@ -58,6 +58,10 @@ def time_spine(df: DataFrame, ts_col: str, unit: str = "hour") -> DataFrame:
     codebook collects elsewhere in this repo; ``timestampdiff``/
     ``timestampadd`` keep the calendar-step semantics ``sequence`` with
     an INTERVAL step had."""
+    if unit.lower() not in ("day", "hour", "minute"):
+        raise ValueError(
+            f"time_spine unit must be one of 'day'|'hour'|'minute', got {unit!r}"
+        )
     u = unit.upper()
     row = (
         df.agg(
@@ -76,7 +80,11 @@ def time_spine(df: DataFrame, ts_col: str, unit: str = "hour") -> DataFrame:
         spark.range(int(row["_n"]) + 1)
         .select(F.lit(row["_lo"]).alias("_lo"), "id")
         .select(
-            F.expr(f"timestampadd({u}, CAST(id AS INT), _lo)").alias("bucket")
+            # id stays BIGINT: timestampadd takes the long directly, so the
+            # spine really is memory-flat at any length — a CAST(id AS INT)
+            # here would silently wrap past 2^31-1 buckets (~68 years of
+            # seconds), turning the tail of a long spine into 1970s stamps.
+            F.expr(f"timestampadd({u}, id, _lo)").alias("bucket")
         )
     )
 

@@ -1015,3 +1015,118 @@ def tt23_null_key_equality_delete(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     table.append(late)
     return table.read().orderBy("o_orderkey")
+
+
+@register(
+    "tt24_add_files_hive_partitioned",
+    oracle="""
+    SELECT o_orderkey, CAST(o_custkey % 4 AS INTEGER) AS bucket, o_totalprice
+    FROM orders WHERE o_orderkey <= 3000 AND o_custkey % 4 = 2
+    ORDER BY o_orderkey
+    """,
+)
+def tt24_add_files_hive_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``add_data_files`` over a HIVE-PARTITIONED lake (``bucket=N/``
+    directories — the canonical migration shape Iceberg's and Trino's
+    ``add_files`` procedures accept, and the round-11 verdict's "most
+    likely next real-user collision"): the partition column exists ONLY
+    in the paths, never inside the files. Registration derives it from
+    the directory names, records it as identity-partition values in the
+    manifest (zero data bytes rewritten — the files are hardlinked), and
+    the read re-attaches it via a broadcast file→value map
+    (catalog/snapshots.py:_attach_path_partitions). The query scans with
+    a predicate on the path-derived column, so a hash match proves both
+    the value reconstruction and that partition pruning over registered
+    files returns exactly the right rows; the plan-level pruning pin
+    (fewer files scanned than registered) lives in
+    tests/test_snapshots.py."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base = o.filter(F.col("o_orderkey") <= 3000).select(
+        "o_orderkey",
+        (F.col("o_custkey") % 4).cast("int").alias("bucket"),
+        "o_totalprice",
+    )
+    lake = work_dir("tt24_lake")
+    base.write.mode("overwrite").partitionBy("bucket").parquet(lake)
+    tdir = work_dir("tt24_table")
+    table = SnapshotTable(spark, tdir)
+    table.add_data_files([lake])
+    return (
+        table.scan([("bucket", "=", 2)])
+        .select("o_orderkey", "bucket", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "tt25_table_health",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey <= 3000
+    ),
+    survivors AS (SELECT * FROM base WHERE o_custkey % 13 <> 3)
+    SELECT CAST('a_baseline' AS VARCHAR) AS phase,
+           0 AS position_delete_files, 0 AS equality_delete_files,
+           CAST(0.0 AS DOUBLE) AS dirty_fraction,
+           CAST('ok' AS VARCHAR) AS recommendation,
+           (SELECT COUNT(*) FROM base) AS visible_rows
+    UNION ALL
+    SELECT 'b_blind_eq_delete', 0, 1, CAST(1.0 AS DOUBLE),
+           'rewrite_delete_files', (SELECT COUNT(*) FROM survivors)
+    UNION ALL
+    SELECT 'c_after_rewrite', 1, 0, CAST(NULL AS DOUBLE), 'ok',
+           (SELECT COUNT(*) FROM survivors)
+    ORDER BY phase
+    """,
+)
+def tt25_table_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``$health`` metadata relation (catalog/snapshots.py:health_df
+    — round-11 directive #3): equality-delete dirty-set drift made
+    observable and actionable. A blind equality delete on o_custkey — a
+    column the o_orderkey-clustered files are NOT clustered by — makes
+    every pre-horizon file dirty (dirty_fraction exactly 1.0 by the
+    horizon rule, sf-independent), flipping the recommendation to
+    ``rewrite_delete_files``; running that maintenance converts the
+    outstanding equality delete into one consolidated position-delete
+    file and the recommendation clears back to ``ok`` while the visible
+    rows stay identical (the oracle recomputes them per phase).
+    Phase c's dirty_fraction is reported NULL by this entry: positions
+    name exactly the files that contained matches, which is file-layout-
+    dependent and so not oracle-expressible across scale factors — the
+    monotone dirty-set DROP after rewrite is pinned in
+    tests/test_snapshots.py instead."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base = o.filter(F.col("o_orderkey") <= 3000)
+    tdir = work_dir("tt25_table")
+    table = SnapshotTable(spark, tdir)
+    table.append(base, cluster_by=["o_orderkey"], cluster_partitions=8)
+
+    def phase(name: str, dirty_known: bool = True):
+        h = table.health_df().first()
+        return (
+            name,
+            int(h["position_delete_files"]),
+            int(h["equality_delete_files"]),
+            float(h["dirty_fraction"]) if dirty_known else None,
+            h["recommendation"],
+            table.read().count(),
+        )
+
+    rows = [phase("a_baseline")]
+    table.delete_by_key(
+        base.filter(F.col("o_custkey") % 13 == 3).select("o_custkey").distinct(),
+        ["o_custkey"],
+    )
+    rows.append(phase("b_blind_eq_delete"))
+    table.rewrite_delete_files()
+    rows.append(phase("c_after_rewrite", dirty_known=False))
+    return spark.createDataFrame(
+        rows,
+        "phase string, position_delete_files int, equality_delete_files int, "
+        "dirty_fraction double, recommendation string, visible_rows long",
+    ).orderBy("phase")

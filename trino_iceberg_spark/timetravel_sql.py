@@ -159,19 +159,20 @@ def rewrite_time_travel(
     repls: list[tuple[int, int, str]] = []
     if "$" in sql and registered:
         # Trino-style metadata relations: <table>$snapshots / $files /
-        # $delete_files / $history / $refs (optionally backtick-quoted), served fresh from
-        # the manifests at rewrite time.
+        # $delete_files / $history / $refs / $health (optionally
+        # backtick-quoted), served fresh from the manifests at rewrite time.
         _META_DF = {
             "snapshots": lambda t: t.snapshots_df(),
             "files": lambda t: t.files_df(),
             "delete_files": lambda t: t.delete_files_df(),
             "history": lambda t: t.history_df(),
             "refs": lambda t: t.refs_df(),
+            "health": lambda t: t.health_df(),
         }
         for name in registered:
             pat = (
                 rf"(?<![\w.$])`?(?P<tbl>{re.escape(name)})"
-                rf"\$(?P<kind>snapshots|delete_files|files|history|refs)`?(?!\w)"
+                rf"\$(?P<kind>snapshots|delete_files|files|history|refs|health)`?(?!\w)"
             )
             meta_views: dict[str, str] = {}
             for m in re.finditer(pat, sql, re.IGNORECASE):
