@@ -53,26 +53,28 @@ _TUNED_CONFS = {
 # Round-12 ordering (registry: 236 entries, ALL oracle-backed). Per the
 # round-11 VERDICT directive #1, the front is: tt23 FIRST (the one entry
 # no driver CORRECTNESS run has ever checked — it yielded after the r11
-# front by design), then this round's new entries (2, under the ~4 cap),
+# front by design), then this round's new entries (3, under the ~4 cap),
 # then changed-code re-verifies, then the FULL 42-entry r07 cohort (the
 # oldest in the r01–r11 latest-check union: f-family, 13 tpch, ss01/
 # ss04, cu03/cu08/cu09, dd07/dd08, w07, ev07, mm08, sp10/sp11, tt07,
 # tx09) so the union staleness floor moves r07 → r08 with zero
 # never-checked entries.
-# Tiers (1+2+5+42 = 50, at the ~50 driver budget):
+# Tiers (1+3+4+42 = 50, exactly the ~50 driver budget):
 # 1. tt23 (never driver-checked; judge-green twice);
 # 2. new this round: tt24_add_files_hive_partitioned — add_data_files
 #    over a col=value/ hive lake, partition values from the PATHS
 #    recorded as identity-partition manifest values, pruned and
-#    re-attached at read — and tt25_table_health — the $health metadata
+#    re-attached at read — tt25_table_health — the $health metadata
 #    relation making equality-delete dirty-set drift observable
 #    (recommendation flips to rewrite_delete_files at dirty ≥ 0.25 and
-#    clears after the rewrite);
+#    clears after the rewrite) — and tt26_partitions_metadata — the
+#    $partitions relation: per-partition file/record counts from the
+#    manifest's per-file record_count, labels following renames by id;
 # 3. changed-code re-verifies: _commit gained writer-side type
 #    acceptance (every catalog writer) and add_data_files the
 #    fingerprint conflict check — tt17/tt18/tt19 are the MOR-heavy
 #    representatives; operators/timeseries.py's spine went
-#    bigint-quantity — ev06/ev11 ride it;
+#    bigint-quantity — ev06 rides it;
 # 4. the 42-entry r07 cohort.
 # Everything else was checked r08–r11 and yields after these.
 _FRONT = [
@@ -81,12 +83,12 @@ _FRONT = [
     # --- tier 2: new this round ---
     "tt24_add_files_hive_partitioned",
     "tt25_table_health",
+    "tt26_partitions_metadata",
     # --- tier 3: changed-code re-verifies ---
     "tt17_merge_on_read_delete",
     "tt18_equality_delete_cdc",
     "tt19_eqdelete_field_id_evolution",
     "ev06_hourly_gap_fill",
-    "ev11_interpolated_gap_fill",
     # --- tier 4: r07 cohort (oldest in the union) ---
     "cu03_decontaminate",
     "cu08_dsir_selection",

@@ -1402,6 +1402,11 @@ def test_evolution_eqdelete_fuzz_slice(spark, tmp_path):
 
     log = run_sequence(spark, str(tmp_path), seed=2)
     assert len(log) >= 10
+    # round 12: a slice whose seed exercises the new ops — partition-spec
+    # evolution and a hive-partitioned add_data_files — in one sequence
+    log2 = run_sequence(spark, str(tmp_path), seed=9100)
+    assert any("set_partition_spec" in e for e in log2), log2
+    assert any("hive-partitioned" in e for e in log2), log2
 
 
 def test_fs_lock_releases_and_reports_stale_holder(tmp_path):
@@ -2495,3 +2500,37 @@ def test_health_df_recommendation_lifecycle(spark, tmp_path):
     hp = tp.health_df().first()
     assert hp["position_delete_files"] == 9
     assert hp["recommendation"] == "compact_small_files"
+
+
+def test_partitions_df_counts_and_rename(spark, tmp_path):
+    """$partitions pins: per-partition file/record counts from the
+    manifest's per-file record_count (no footer reads on new manifests),
+    labels follow a source-column RENAME by field id, unpartitioned
+    files aggregate under NULL, and SQL text serves the relation."""
+    t = SnapshotTable(spark, str(tmp_path / "parts"))
+    t.append(spark.range(0, 10).selectExpr("id AS k", "CAST(id % 2 AS INT) AS g"))
+    t.set_partition_spec([("g", "identity")])
+    t.append(spark.range(10, 40).selectExpr("id AS k", "CAST(id % 2 AS INT) AS g"))
+    rows = {r["partition"]: (r["file_count"], r["record_count"])
+            for r in t.partitions_df().collect()}
+    assert rows[None][1] == 10  # pre-spec files under the NULL partition
+    assert rows["g=0"][1] == 15 and rows["g=1"][1] == 15
+    assert all(fc >= 1 for fc, _ in rows.values())
+    # rename: labels re-resolve the source by field id
+    t.rename_column("g", "grp")
+    labels = {r["partition"] for r in t.partitions_df().collect()}
+    assert labels == {None, "grp=0", "grp=1"}
+    # SQL surface
+    from trino_iceberg_spark.client import AthenaSparkClient
+    from trino_iceberg_spark.timetravel_sql import SnapshotResolver
+
+    res = SnapshotResolver()
+    res.register("demo.parts", t.table_dir)
+    client = AthenaSparkClient(spark, snapshot_resolver=res)
+    got = client.query(
+        "SELECT partition, record_count FROM demo.parts$partitions "
+        "WHERE partition IS NOT NULL ORDER BY partition"
+    )
+    assert [(r["partition"], r["record_count"]) for r in got] == [
+        ("grp=0", 15), ("grp=1", 15)
+    ]

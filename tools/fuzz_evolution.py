@@ -5,12 +5,18 @@ snapshot table mix
 
     append / add_data_files (external-parquet registration — after a
     promote the physical type differs from the declared one, the
-    physical-schema recording path) / delete_by_key (equality deletes,
-    NULL keys included) / merge-on-read upsert / rename_column /
-    drop_column / add_column (including re-adding a previously dropped
-    or renamed-away NAME — the resurrection trap) / promote_column
-    (int → bigint widening, also on eq-keyed columns) /
-    rewrite_delete_files / compact_small_files
+    physical-schema recording path; HALF the registrations use a
+    hive col=value/ layout, so the partition column exists only in the
+    paths and must reconstruct through every later op) / delete_by_key
+    (equality deletes, NULL keys included) / merge-on-read upsert /
+    rename_column / drop_column / add_column (including re-adding a
+    previously dropped or renamed-away NAME — the resurrection trap) /
+    promote_column (int → bigint widening, also on eq-keyed columns) /
+    set_partition_spec (round 12: partition evolution in the mix —
+    appends re-layout under the new spec, spec sources rename
+    transparently by source_id, and dropping a default-spec source must
+    be REFUSED until a new spec replaces it) / rewrite_delete_files /
+    compact_small_files
 
 against a pure-Python model that tracks rows and schema BY FIELD ID.
 After every op the engine's visible rows must equal the model's, the
@@ -60,6 +66,7 @@ class Model:
         self.rows: list[dict] = []  # {fid: value}
         self.next_fid = 1
         self.outstanding_eq_fids: list[list[int]] = []
+        self.default_spec_fids: list[int] = []  # current default spec sources
 
     def names(self) -> list[str]:
         return [c["name"] for c in self.cols]
@@ -154,10 +161,12 @@ def run_sequence(spark, base_dir: str, seed: int, n_ops: int = 12) -> list[str]:
             kind = "rename"
         elif roll < 0.79:
             kind = "drop"
-        elif roll < 0.89:
+        elif roll < 0.87:
             kind = "add"
-        elif roll < 0.94:
+        elif roll < 0.91:
             kind = "promote"
+        elif roll < 0.95:
+            kind = "setspec"
         else:
             kind = rng.choice(["rewrite_deletes", "compact"])
 
@@ -175,12 +184,25 @@ def run_sequence(spark, base_dir: str, seed: int, n_ops: int = 12) -> list[str]:
             # like appends (they land in a new segment)
             rows = fresh_rows(rng.randrange(1, 3))
             ext = f"{path}_ext{step}"  # sibling of the table dir
-            _df(spark, model, rows).write.parquet(ext)
+            hive = rng.random() < 0.5 and len(model.cols) > 1
+            if hive:
+                # hive col=value/ lake: the partition column lives ONLY
+                # in the paths (NULL → __HIVE_DEFAULT_PARTITION__) and
+                # must reconstruct through every subsequent op
+                pc = rng.choice(
+                    [c["name"] for c in model.cols if c["fid"] != KEY_FID]
+                )
+                _df(spark, model, rows).write.partitionBy(pc).parquet(ext)
+            else:
+                _df(spark, model, rows).write.parquet(ext)
             t.add_data_files([ext])
             # hardlinked into data/: the source dir can vanish
             shutil.rmtree(ext, ignore_errors=True)
             model.rows.extend(rows)
-            log.append(f"add_data_files x{len(rows)}")
+            log.append(
+                f"add_data_files x{len(rows)}"
+                + (f" hive-partitioned by {pc}" if hive else "")
+            )
         elif kind == "eqdelete":
             # key on 1-2 current columns; values drawn from live data so
             # matches actually happen (plus a miss sometimes)
@@ -258,15 +280,20 @@ def run_sequence(spark, base_dir: str, seed: int, n_ops: int = 12) -> list[str]:
             keyed = any(
                 fid in fids for fids in model.outstanding_eq_fids
             )
-            if keyed:
+            spec_src = fid in model.default_spec_fids
+            if keyed or spec_src:
                 try:
                     t.drop_column(name)
                     raise AssertionError(
-                        f"drop of eq-keyed column {name} was NOT refused"
+                        f"drop of {'eq-keyed' if keyed else 'default-spec-source'} "
+                        f"column {name} was NOT refused"
                     )
                 except EngineError:
                     pass
-                log.append(f"drop {name} refused (eq-keyed) OK")
+                log.append(
+                    f"drop {name} refused "
+                    f"({'eq-keyed' if keyed else 'spec-source'}) OK"
+                )
             else:
                 t.drop_column(name)
                 retired_names.append(name)
@@ -301,6 +328,23 @@ def run_sequence(spark, base_dir: str, seed: int, n_ops: int = 12) -> list[str]:
             name = rng.choice(ints)
             t.promote_column(name, "bigint")
             log.append(f"promote {name} -> bigint")
+        elif kind == "setspec":
+            # partition evolution: future appends re-layout under the new
+            # spec; visible rows must never change. Sources resolve by
+            # field id, so later renames stay transparent and dropping a
+            # source is refused while this spec is the default.
+            n_fields = rng.randrange(1, min(3, len(model.cols)) + 1)
+            chosen = rng.sample(model.cols, n_fields)
+            fields = []
+            for c in chosen:
+                if c["kind"] == "int":
+                    tr = rng.choice(["identity", "truncate[4]", "bucket[4]"])
+                else:
+                    tr = rng.choice(["identity", "bucket[4]"])
+                fields.append((c["name"], tr))
+            t.set_partition_spec(fields)
+            model.default_spec_fids = [c["fid"] for c in chosen]
+            log.append(f"set_partition_spec {fields}")
         elif kind == "rewrite_deletes":
             t.rewrite_delete_files()
             model.outstanding_eq_fids = []

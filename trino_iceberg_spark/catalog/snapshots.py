@@ -839,7 +839,14 @@ class SnapshotTable:
         writers record into manifests; it is what lets a 100 TB scan plan
         touch only the files a predicate can match. Only JSON-portable
         scalar types are recorded (int/float/bool/str); anything else is
-        simply unprunable, never wrong."""
+        simply unprunable, never wrong.
+
+        The reserved ``"__rows"`` key records the file's record count
+        (Iceberg manifests carry ``record_count`` per data file) — free
+        here since the footer is already open, and what lets
+        ``partitions_df`` report per-partition row counts without
+        re-reading O(files) footers per query. Field-id lookups never
+        collide with it (they key by stringified ints)."""
         try:
             import pyarrow.parquet as pq
 
@@ -876,7 +883,9 @@ class SnapshotTable:
                 else:
                     cur[0] = min(cur[0], lo)
                     cur[1] = max(cur[1], hi)
-        return {str(k): v for k, v in agg.items()}
+        out: dict = {str(k): v for k, v in agg.items()}
+        out["__rows"] = meta.num_rows
+        return out
 
     # -- partition-spec evolution (Iceberg hidden partitioning) ----------
     _TRANSFORM_RE = re.compile(
@@ -897,24 +906,43 @@ class SnapshotTable:
         schema — so queries filter on the SOURCE column and pruning maps
         the predicate through the transform (monotonic transforms prune
         ranges; bucket lays out files but is not used for pruning here,
-        matching the conservative side of Iceberg's behavior)."""
-        spec_fields = []
+        matching the conservative side of Iceberg's behavior).
+
+        Spec fields record the source column's FIELD ID alongside its
+        name (Iceberg's ``source-id``) on id-mapped tables: renaming the
+        source column later stays transparent (staging and pruning
+        re-resolve the id to the current name), and a NEW column re-added
+        under a retired name can never capture an old spec's stored
+        partition values — the same resurrection trap equality-delete
+        keys had (found by extending tools/fuzz_evolution.py with spec
+        evolution, round 12)."""
         for source, transform in fields:
             if not self._TRANSFORM_RE.match(transform):
                 raise EngineError(f"unsupported partition transform {transform!r}")
-            spec_fields.append(
-                {
-                    "name": f"_p_{source}_{re.sub(r'[^A-Za-z0-9]', '_', transform)}",
-                    "source": source,
-                    "transform": transform,
-                }
-            )
 
         def build(prev: Snapshot | None) -> dict:
             if prev is None:
                 raise EngineError(
                     f"cannot set partition spec of {self.table_dir}: no snapshots yet"
                 )
+            name_to_id = {
+                c["name"]: c["id"] for c in (prev.schema_columns or [])
+            }
+            spec_fields = []
+            for source, transform in fields:
+                if name_to_id and source not in name_to_id:
+                    raise EngineError(
+                        f"partition source column {source!r} not found in "
+                        f"{self.table_dir}"
+                    )
+                fld = {
+                    "name": f"_p_{source}_{re.sub(r'[^A-Za-z0-9]', '_', transform)}",
+                    "source": source,
+                    "transform": transform,
+                }
+                if name_to_id:
+                    fld["source_id"] = name_to_id[source]
+                spec_fields.append(fld)
             specs = dict(prev.partition_specs or {})
             new_id = max([int(k) for k in specs] or [0]) + 1
             specs[str(new_id)] = spec_fields
@@ -1027,13 +1055,18 @@ class SnapshotTable:
         staging = os.path.join(self.table_dir, f"_staging_{uuid.uuid4().hex}")
         new_file_partitions: dict[str, dict] = {}
         if spec:
+            # resolve each field's source by FIELD ID against the current
+            # schema when recorded (source names go stale across renames;
+            # ids never do — Iceberg's source-id)
+            by_id_name = {c["id"]: c["name"] for c in cols}
             write_df = df
             for fld in spec:
+                src_name = by_id_name.get(fld.get("source_id")) or fld["source"]
                 # cast to string so the hive dir value is the canonical
                 # text form the manifest stores and pruning parses back
                 write_df = write_df.withColumn(
                     fld["name"],
-                    self._transform_col(fld["source"], fld["transform"]).cast("string"),
+                    self._transform_col(src_name, fld["transform"]).cast("string"),
                 )
             write_df.write.mode("errorifexists").partitionBy(
                 *[fld["name"] for fld in spec]
@@ -1540,7 +1573,12 @@ class SnapshotTable:
         hive_spec_id = None
         if part_cols:
             spec_fields = [
-                {"name": f"_p_{c}_identity", "source": c, "transform": "identity"}
+                {
+                    "name": f"_p_{c}_identity",
+                    "source": c,
+                    "transform": "identity",
+                    "source_id": by_name_id[c],
+                }
                 for c in part_cols
             ]
             for sid_, sf_ in base_specs.items():
@@ -1714,6 +1752,10 @@ class SnapshotTable:
             # id-keyed key column is fine; drop is not) — see
             # _check_eq_deletes_survive.
             self._check_eq_deletes_survive(prev, new_cols)
+            # Likewise refuse to strand the CURRENT partition spec's
+            # source columns (Iceberg: "cannot delete field used by
+            # partition spec") — appends could no longer stage.
+            self._check_spec_sources_survive(prev, new_cols)
             new_schema_id = schema_id + 1
             schemas[str(new_schema_id)] = new_cols
             return {
@@ -1910,7 +1952,7 @@ class SnapshotTable:
                     # attach captures the join key AND the (file, pos)
                     # identity in one select before joining
                     raw = self._attach_path_partitions(
-                        snap, raw, sub, with_pos=with_pos
+                        snap, raw, sub, write_cols, with_pos=with_pos
                     )
                     ex = (
                         [F.col(self._POS_FILE), F.col(self._POS_IDX)]
@@ -1934,6 +1976,7 @@ class SnapshotTable:
         snap: Snapshot,
         df: DataFrame,
         files: list[str],
+        write_cols: list[dict],
         with_pos: bool = False,
     ) -> DataFrame:
         """Re-attach hive-path partition values to files registered by
@@ -1953,6 +1996,11 @@ class SnapshotTable:
                 "column name '__tis_fname' is reserved for the "
                 "path-partition read path"
             )
+        # Injected columns are named per the file group's WRITE schema
+        # (resolved from the spec field's source_id): _resolve_columns
+        # maps write names → current names by field id downstream, so a
+        # post-registration rename of the path column stays transparent.
+        wname_by_id = {c["id"]: c["name"] for c in write_cols}
         src_cols: list[str] | None = None
         rows = []
         for f in files:
@@ -1960,11 +2008,14 @@ class SnapshotTable:
             fields = (snap.partition_specs or {}).get(str(fp.get("spec"))) or []
             decoded: dict[str, str | None] = {}
             for sf in fields:
+                out_name = (
+                    wname_by_id.get(sf.get("source_id")) or sf["source"]
+                )
                 raw = (fp.get("values") or {}).get(sf["name"])
                 if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
-                    decoded[sf["source"]] = None
+                    decoded[out_name] = None
                 else:
-                    decoded[sf["source"]] = urllib.parse.unquote(raw)
+                    decoded[out_name] = urllib.parse.unquote(raw)
             order = sorted(decoded)
             if src_cols is None:
                 src_cols = order
@@ -2087,6 +2138,35 @@ class SnapshotTable:
                 )
             pairs.append((name, kc))
         return pairs
+
+    def _check_spec_sources_survive(
+        self, prev: Snapshot, new_cols: list[dict]
+    ) -> None:
+        """Refuse an evolution that removes a column the CURRENT default
+        partition spec partitions by (Iceberg's "cannot delete field …
+        used by partition spec"): subsequent appends could no longer
+        stage their layout. Only the DEFAULT spec blocks — retired and
+        hive-registration specs match predicates by ``source_id``, so a
+        dropped (or re-added-under-the-same-name) column can never
+        mis-prune through them. Set a new partition spec to unblock.
+        Renames are transparent on id-recorded specs (the id survives);
+        legacy name-recorded specs conservatively refuse both."""
+        if not prev.partition_specs or not prev.default_spec_id:
+            return
+        fields = prev.partition_specs.get(str(prev.default_spec_id)) or []
+        ids = {c["id"] for c in new_cols}
+        names = {c["name"] for c in new_cols}
+        cur_by_id = {c["id"]: c["name"] for c in (prev.schema_columns or [])}
+        for sf in fields:
+            sid = sf.get("source_id")
+            ok = (sid in ids) if sid is not None else (sf["source"] in names)
+            if not ok:
+                cur = cur_by_id.get(sid, sf["source"])
+                raise EngineError(
+                    f"cannot drop column {cur!r}: the current partition "
+                    f"spec of {self.table_dir} partitions by it — set a "
+                    f"new partition spec first"
+                )
 
     def _check_eq_deletes_survive(
         self, prev: Snapshot, new_cols: list[dict]
@@ -2366,7 +2446,11 @@ class SnapshotTable:
             full = os.path.join(self.table_dir, f)
             size = os.path.getsize(full) if os.path.exists(full) else None
             sid = (snap.file_schemas or {}).get(f, snap.schema_id)
-            nstats = len((snap.file_stats or {}).get(f) or {})
+            nstats = sum(
+                1
+                for k in ((snap.file_stats or {}).get(f) or {})
+                if not k.startswith("__")  # "__rows" is a record count
+            )
             rows.append((f, size, sid, nstats))
         return self.spark.createDataFrame(
             rows, "file string, size_bytes long, schema_id int, stats_columns int"
@@ -2461,6 +2545,63 @@ class SnapshotTable:
             "dirty_fraction double, recommendation string",
         )
 
+    def partitions_df(self) -> DataFrame:
+        """The ``table$partitions`` metadata relation (Iceberg's table of
+        the same name): one row per live partition of the current
+        snapshot — the partition rendered as ``col=value/...`` with the
+        source column resolved to its CURRENT name by field id (so the
+        listing follows renames), plus file and record counts. Files
+        written under no spec aggregate under a NULL partition. Record
+        counts come from the ``"__rows"`` entry the writer records per
+        file (Iceberg's ``record_count``); legacy files without one fall
+        back to a single footer read each — new manifests never pay
+        per-query footer I/O. The skew/size view an operator reads
+        before choosing a repartition or compaction target."""
+        snap = self.current_snapshot()
+        if snap is None:
+            raise EngineError(f"table {self.table_dir} has no snapshots")
+        cur_name = {
+            c["id"]: c["name"] for c in (snap.schema_columns or [])
+        }
+
+        def _rows_of(rel: str) -> int:
+            n = ((snap.file_stats or {}).get(rel) or {}).get("__rows")
+            if n is not None:
+                return int(n)
+            try:
+                import pyarrow.parquet as pq
+
+                return pq.ParquetFile(
+                    os.path.join(self.table_dir, rel)
+                ).metadata.num_rows
+            except Exception:  # noqa: BLE001 — metadata only, never fatal
+                return 0
+
+        agg: dict[str | None, list[int]] = {}
+        for f in snap.files:
+            fp = (snap.file_partitions or {}).get(f)
+            label: str | None = None
+            if fp and snap.partition_specs:
+                fields = snap.partition_specs.get(str(fp.get("spec"))) or []
+                parts = []
+                for sf in fields:
+                    src = cur_name.get(sf.get("source_id"), sf["source"])
+                    raw = (fp.get("values") or {}).get(sf["name"])
+                    parts.append(f"{src}={raw}")
+                label = "/".join(parts) if parts else None
+            cur = agg.setdefault(label, [0, 0])
+            cur[0] += 1
+            cur[1] += _rows_of(f)
+        rows = [
+            (label, n_files, n_rows)
+            for label, (n_files, n_rows) in sorted(
+                agg.items(), key=lambda kv: (kv[0] is None, kv[0])
+            )
+        ]
+        return self.spark.createDataFrame(
+            rows, "partition string, file_count int, record_count long"
+        )
+
     def history_df(self) -> DataFrame:
         """The ``table$history`` relation: the MAIN branch's commit lineage
         (Iceberg $history lists the current branch's ancestry — staging
@@ -2518,9 +2659,24 @@ class SnapshotTable:
             keep = True
             if fp and snap.partition_specs:
                 spec_fields = snap.partition_specs.get(str(fp.get("spec"))) or []
-                by_source = {sf["source"]: sf for sf in spec_fields}
                 for col, op, v in filters:
-                    sf = by_source.get(col)
+                    # match the predicate column to a spec field by FIELD
+                    # ID when the spec records one (rename-transparent; a
+                    # re-added name can never capture an old spec's
+                    # values); stored source NAME only for legacy specs
+                    fid_ = name_to_id.get(col)
+                    sf = next(
+                        (
+                            s_
+                            for s_ in spec_fields
+                            if (
+                                s_.get("source_id") == fid_
+                                if s_.get("source_id") is not None
+                                else s_["source"] == col
+                            )
+                        ),
+                        None,
+                    )
                     if sf is None:
                         continue
                     tv = self._transform_literal(sf["transform"], v)

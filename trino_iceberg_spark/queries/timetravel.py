@@ -1130,3 +1130,46 @@ def tt25_table_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         "phase string, position_delete_files int, equality_delete_files int, "
         "dirty_fraction double, recommendation string, visible_rows long",
     ).orderBy("phase")
+
+
+@register(
+    "tt26_partitions_metadata",
+    oracle="""
+    SELECT 'bucket=' || CAST(o_custkey % 4 AS VARCHAR) AS partition,
+           COUNT(*) AS record_count
+    FROM orders WHERE o_orderkey <= 3000
+    GROUP BY o_custkey % 4
+    ORDER BY partition
+    """,
+)
+def tt26_partitions_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``$partitions`` metadata relation
+    (catalog/snapshots.py:partitions_df — Iceberg's table of the same
+    name): per-partition file and record counts, the skew/size view an
+    operator reads before choosing a compaction or repartition target.
+    Here the table is a hive-layout lake registered by reference
+    (``add_data_files``), so the partition values being counted exist
+    ONLY in the manifest — record counts come from the per-file
+    ``record_count`` the writer stores (no per-query footer reads), and
+    the partition labels resolve the source column to its CURRENT name
+    by field id. The oracle recomputes the per-partition row counts
+    straight from the source table; file counts are layout-dependent and
+    pinned in tests/test_snapshots.py instead."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base = o.filter(F.col("o_orderkey") <= 3000).select(
+        "o_orderkey",
+        (F.col("o_custkey") % 4).cast("int").alias("bucket"),
+        "o_totalprice",
+    )
+    lake = work_dir("tt26_lake")
+    base.write.mode("overwrite").partitionBy("bucket").parquet(lake)
+    tdir = work_dir("tt26_table")
+    table = SnapshotTable(spark, tdir)
+    table.add_data_files([lake])
+    return (
+        table.partitions_df()
+        .select("partition", "record_count")
+        .orderBy("partition")
+    )

@@ -159,8 +159,9 @@ def rewrite_time_travel(
     repls: list[tuple[int, int, str]] = []
     if "$" in sql and registered:
         # Trino-style metadata relations: <table>$snapshots / $files /
-        # $delete_files / $history / $refs / $health (optionally
-        # backtick-quoted), served fresh from the manifests at rewrite time.
+        # $delete_files / $history / $refs / $health / $partitions
+        # (optionally backtick-quoted), served fresh from the manifests at
+        # rewrite time.
         _META_DF = {
             "snapshots": lambda t: t.snapshots_df(),
             "files": lambda t: t.files_df(),
@@ -168,11 +169,13 @@ def rewrite_time_travel(
             "history": lambda t: t.history_df(),
             "refs": lambda t: t.refs_df(),
             "health": lambda t: t.health_df(),
+            "partitions": lambda t: t.partitions_df(),
         }
         for name in registered:
             pat = (
                 rf"(?<![\w.$])`?(?P<tbl>{re.escape(name)})"
-                rf"\$(?P<kind>snapshots|delete_files|files|history|refs|health)`?(?!\w)"
+                rf"\$(?P<kind>snapshots|delete_files|files|history|refs"
+                rf"|health|partitions)`?(?!\w)"
             )
             meta_views: dict[str, str] = {}
             for m in re.finditer(pat, sql, re.IGNORECASE):
