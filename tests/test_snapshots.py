@@ -2534,3 +2534,47 @@ def test_partitions_df_counts_and_rename(spark, tmp_path):
     assert [(r["partition"], r["record_count"]) for r in got] == [
         ("grp=0", 15), ("grp=1", 15)
     ]
+
+
+def test_analyze_and_show_stats(spark, tmp_path):
+    """Trino ANALYZE / SHOW STATS pins: one-scan stats persisted by
+    field id — exact-ish NDV (HLL) and null fractions, low/high for
+    orderable types, labels follow renames, dropped columns vanish,
+    the summary row_count always tracks the CURRENT snapshot, and a
+    partial ANALYZE refreshes only its columns."""
+    from trino_iceberg_spark.client import AthenaSparkClient
+    from trino_iceberg_spark.timetravel_sql import SnapshotResolver
+
+    t = SnapshotTable(spark, str(tmp_path / "stats"))
+    t.append(
+        spark.range(0, 500).selectExpr(
+            "id AS k",
+            "CAST(id % 5 AS INT) AS g",
+            "CASE WHEN id % 4 = 0 THEN NULL ELSE CAST(id AS STRING) END AS v",
+        )
+    )
+    res = SnapshotResolver()
+    res.register("demo.stats", t.table_dir)
+    c = AthenaSparkClient(spark, snapshot_resolver=res)
+    assert c.execute("ANALYZE demo.stats") == 3
+    rows = {r["column_name"]: r for r in c.query("SHOW STATS FOR demo.stats")}
+    assert rows["g"]["distinct_values_count"] == 5.0  # HLL exact at 5
+    assert rows["g"]["low_value"] == "0" and rows["g"]["high_value"] == "4"
+    assert rows["v"]["nulls_fraction"] == 0.25
+    assert abs(rows["k"]["distinct_values_count"] - 500) / 500 < 0.1
+    assert rows[None]["row_count"] == 500.0
+    # summary row_count tracks the current snapshot even with stale stats
+    t.append(spark.range(500, 600).selectExpr(
+        "id AS k", "CAST(id % 5 AS INT) AS g", "CAST(id AS STRING) AS v"
+    ))
+    rows = {r["column_name"]: r for r in c.query("SHOW STATS FOR demo.stats")}
+    assert rows[None]["row_count"] == 600.0
+    assert rows["g"]["distinct_values_count"] == 5.0  # stale but served
+    # rename follows; drop vanishes; partial analyze refreshes one column
+    t.rename_column("g", "grp")
+    t.drop_column("v")
+    rows = {r["column_name"]: r for r in c.query("SHOW STATS FOR demo.stats")}
+    assert "grp" in rows and "g" not in rows and "v" not in rows
+    assert c.execute("ANALYZE demo.stats WITH (columns = [k])") == 1
+    with pytest.raises(EngineError):
+        t.analyze(["nope"])

@@ -634,3 +634,50 @@ def test_sql_set_properties_routes_dml_merge_on_read(spark, tmp_path):
         if k % 4 != 0
     }
     assert got == want
+
+
+def test_branch_tag_ddl_and_fast_forward(spark, tmp_path):
+    """Spark-Iceberg ref DDL in SQL text (round 12): CREATE/DROP
+    BRANCH/TAG + EXECUTE fast_forward as the WAP publish — a full
+    write-audit-publish flow driven purely through SQL statements,
+    with the non-fast-forward publish refused."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from trino_iceberg_spark.catalog.snapshots import SnapshotTable
+    from trino_iceberg_spark.client import AthenaSparkClient
+    from trino_iceberg_spark.errors import CommitConflictError, EngineError
+    from trino_iceberg_spark.timetravel_sql import SnapshotResolver
+
+    t = SnapshotTable(spark, str(tmp_path / "wap"))
+    t.append(spark.range(0, 10).selectExpr("id AS k"))
+    res = SnapshotResolver()
+    res.register("demo.wap", t.table_dir)
+    c = AthenaSparkClient(spark, snapshot_resolver=res)
+
+    assert c.execute("ALTER TABLE demo.wap CREATE BRANCH audit") == 0
+    assert c.execute("ALTER TABLE demo.wap CREATE TAG v1") == 0
+    t.append(spark.range(10, 15).selectExpr("id AS k"), branch="audit")
+    # main unchanged until publish; branch readable by ref travel
+    assert c.query_scalar("SELECT COUNT(*) FROM demo.wap", type_=int) == 10
+    assert t.read_ref("audit").count() == 15
+    assert (
+        c.execute("ALTER TABLE demo.wap EXECUTE fast_forward(branch => 'audit')")
+        == 0
+    )
+    assert c.query_scalar("SELECT COUNT(*) FROM demo.wap", type_=int) == 15
+    # diverged main → non-fast-forward publish refused
+    c.execute("ALTER TABLE demo.wap CREATE BRANCH stale")
+    t.append(spark.range(15, 20).selectExpr("id AS k"), branch="stale")
+    t.append(spark.range(100, 101).selectExpr("id AS k"))  # main advances
+    with pytest.raises(CommitConflictError):
+        c.execute("ALTER TABLE demo.wap EXECUTE fast_forward(branch => 'stale')")
+    # DROP with the wrong noun refused; right noun works; main protected
+    with pytest.raises(EngineError):
+        c.execute("ALTER TABLE demo.wap DROP TAG audit")
+    assert c.execute("ALTER TABLE demo.wap DROP BRANCH audit") == 0
+    assert c.execute("ALTER TABLE demo.wap DROP TAG v1") == 0
+    with pytest.raises(EngineError):
+        c.execute("ALTER TABLE demo.wap DROP BRANCH main")
+    refs = {r["name"] for r in t.refs_df().collect()}
+    assert refs == {"main", "stale"}

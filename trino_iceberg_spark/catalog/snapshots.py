@@ -466,16 +466,30 @@ class SnapshotTable:
             f"lost the pointer race {self.commit_attempts} times — giving up"
         )
 
-    def drop_ref(self, name: str) -> None:
+    def drop_ref(self, name: str, kind: str = "any") -> None:
+        """Drop a branch or tag pointer (Spark-Iceberg's ``DROP BRANCH``
+        / ``DROP TAG`` DDL). Metadata-only and O(1): snapshots the ref
+        pointed to keep existing until ``expire_snapshots`` decides
+        reachability without it. ``main`` is never droppable. ``kind``
+        ('branch' | 'tag' | 'any') enforces the DDL's noun so ``DROP
+        TAG`` can never silently remove a branch of the same name."""
         with self._commit_lock():
             refs = self._load_refs()
             if name == "main":
                 raise EngineError("cannot drop the main branch")
-            if (
-                refs["branches"].pop(name, None) is None
-                and refs["tags"].pop(name, None) is None
-            ):
-                raise EngineError(f"ref {name!r} not found in {self.table_dir}")
+            in_b = name in refs["branches"]
+            in_t = name in refs["tags"]
+            found = (
+                in_b
+                if kind == "branch"
+                else in_t if kind == "tag" else (in_b or in_t)
+            )
+            if not found:
+                raise EngineError(
+                    f"{'ref' if kind == 'any' else kind} {name!r} not found "
+                    f"in {self.table_dir}"
+                )
+            (refs["branches"] if in_b else refs["tags"]).pop(name)
             self._save_refs(refs)
 
     # -- manifest I/O ----------------------------------------------------
@@ -2600,6 +2614,151 @@ class SnapshotTable:
         ]
         return self.spark.createDataFrame(
             rows, "partition string, file_count int, record_count long"
+        )
+
+    # -- table statistics (Trino ANALYZE / SHOW STATS) ---------------------
+    _STATS_ORDERABLE = re.compile(
+        r"^(tinyint|smallint|int|bigint|float|double|decimal\(\d+,\d+\)"
+        r"|string|date|timestamp(_ntz)?|boolean)$"
+    )
+
+    @staticmethod
+    def _stats_portable(v):
+        """JSON-portable rendering of a min/max value (dates/decimals →
+        canonical strings; everything else is already a JSON scalar)."""
+        import datetime as _dt
+        import decimal as _dec
+
+        if isinstance(v, (_dt.datetime, _dt.date)):
+            return v.isoformat(sep=" ") if isinstance(v, _dt.datetime) else v.isoformat()
+        if isinstance(v, _dec.Decimal):
+            return str(v)
+        return v
+
+    def analyze(self, columns: list[str] | None = None) -> int:
+        """Trino's ``ANALYZE`` for Iceberg tables: compute per-column NDV,
+        null fraction, and min/max in ONE wide-aggregate scan and persist
+        them as table statistics. NDV uses ``approx_count_distinct`` —
+        the mergeable HyperLogLog sketch computed JVM-side with partial
+        aggregation per partition and a single-row combine, the same
+        shape (and the same sketch family) Trino stores for Iceberg via
+        Puffin files; exact distinct counting would be a full shuffle per
+        column, untenable at 100 TB. Statistics persist in
+        ``metadata/statistics.json`` keyed by FIELD ID (rename-proof,
+        like every manifest structure here) with the snapshot id they
+        were computed at; ``stats_df`` serves them resolved to current
+        names. Returns the number of columns analyzed."""
+        snap = self.current_snapshot()
+        if snap is None:
+            raise EngineError(f"table {self.table_dir} has no snapshots")
+        cols = snap.schema_columns
+        if cols is None:  # legacy: bootstrap positional ids from the files
+            cols = self._columns_from_spark_schema(
+                self._read_files(snap.files).schema
+            )
+        if columns is not None:
+            missing = [c for c in columns if c not in {x["name"] for x in cols}]
+            if missing:
+                raise EngineError(
+                    f"ANALYZE: columns {missing} not in {self.table_dir}"
+                )
+            cols = [c for c in cols if c["name"] in set(columns)]
+        df = self._read_snapshot(snap)
+        exprs = [F.count(F.lit(1)).alias("__n")]
+        for c in cols:
+            name = c["name"]
+            exprs.append(
+                F.approx_count_distinct(F.col(name)).alias(f"__ndv_{name}")
+            )
+            exprs.append(
+                F.avg(F.col(name).isNull().cast("double")).alias(
+                    f"__nf_{name}"
+                )
+            )
+            if self._STATS_ORDERABLE.match(c["type"].lower()):
+                exprs.append(F.min(F.col(name)).alias(f"__lo_{name}"))
+                exprs.append(F.max(F.col(name)).alias(f"__hi_{name}"))
+        row = df.agg(*exprs).first()
+        out_cols: dict[str, dict] = {}
+        for c in cols:
+            name = c["name"]
+            ent: dict = {
+                "ndv": int(row[f"__ndv_{name}"]),
+                "nulls_fraction": float(row[f"__nf_{name}"] or 0.0),
+            }
+            if f"__lo_{name}" in row.__fields__:
+                ent["low"] = self._stats_portable(row[f"__lo_{name}"])
+                ent["high"] = self._stats_portable(row[f"__hi_{name}"])
+            out_cols[str(c["id"])] = ent
+        stats = {
+            "snapshot_id": snap.snapshot_id,
+            "row_count": int(row["__n"]),
+            "columns": out_cols,
+        }
+        with self._commit_lock():
+            # merge per-column (a partial-column ANALYZE refreshes only
+            # its columns, like Trino's ANALYZE ... WITH (columns=...))
+            prior = self._load_statistics()
+            if prior and prior.get("snapshot_id") == snap.snapshot_id:
+                merged = dict(prior.get("columns") or {})
+                merged.update(out_cols)
+                stats["columns"] = merged
+            p = os.path.join(self.metadata_dir, "statistics.json")
+            tmp = p + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                json.dump(stats, fh)
+            os.replace(tmp, p)
+        return len(cols)
+
+    def _load_statistics(self) -> dict | None:
+        p = os.path.join(self.metadata_dir, "statistics.json")
+        if not os.path.isfile(p):
+            return None
+        with open(p, "r", encoding="utf-8") as fh:
+            return json.load(fh)
+
+    def stats_df(self) -> DataFrame:
+        """Trino's ``SHOW STATS FOR <table>`` relation, served from the
+        last ``ANALYZE``: one row per analyzed column (NDV, null
+        fraction, low/high rendered as strings) plus the Trino summary
+        row (NULL column_name, row_count only). The row count in the
+        summary is always the CURRENT snapshot's exact metadata count —
+        free from the manifest — while per-column stats carry whatever
+        snapshot ANALYZE last saw (Trino serves stale stats the same
+        way; re-ANALYZE after large ingests). Field-id keying means the
+        listing follows renames, and stats for dropped columns vanish."""
+        snap = self.current_snapshot()
+        if snap is None:
+            raise EngineError(f"table {self.table_dir} has no snapshots")
+        stats = self._load_statistics() or {}
+        by_id = {
+            c["id"]: c["name"] for c in (snap.schema_columns or [])
+        }
+        rows = []
+        for fid_str, ent in sorted((stats.get("columns") or {}).items()):
+            name = by_id.get(int(fid_str))
+            if name is None:
+                continue  # dropped column
+            rows.append(
+                (
+                    name,
+                    None,
+                    float(ent["ndv"]),
+                    float(ent["nulls_fraction"]),
+                    None,
+                    None if "low" not in ent else str(ent["low"]),
+                    None if "high" not in ent else str(ent["high"]),
+                )
+            )
+        rows.sort(key=lambda r: r[0])
+        rows.append(
+            (None, None, None, None, float(snap.row_count), None, None)
+        )
+        return self.spark.createDataFrame(
+            rows,
+            "column_name string, data_size double, "
+            "distinct_values_count double, nulls_fraction double, "
+            "row_count double, low_value string, high_value string",
         )
 
     def history_df(self) -> DataFrame:

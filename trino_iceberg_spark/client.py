@@ -67,10 +67,32 @@ class AthenaSparkClient:
         catalog/snapshots.py table directory)."""
         self.snapshots.register(name, table_dir)
 
+    # Trino's statistics statements against registered snapshot tables:
+    # ANALYZE computes+persists column stats; SHOW STATS FOR serves them.
+    _ANALYZE_RE = re.compile(
+        r"^\s*ANALYZE\s+`?(?P<tbl>[A-Za-z_][\w.]*)`?"
+        r"\s*(?:WITH\s*\(\s*columns\s*=\s*\[(?P<cols>[^\]]*)\]\s*\))?\s*;?\s*$",
+        re.IGNORECASE,
+    )
+    _SHOW_STATS_RE = re.compile(
+        r"^\s*SHOW\s+STATS\s+FOR\s+`?(?P<tbl>[A-Za-z_][\w.]*)`?\s*;?\s*$",
+        re.IGNORECASE,
+    )
+
     # -- core ------------------------------------------------------------
     def sql_df(self, sql: str, *params: Any) -> DataFrame:
         """Render params and hand the statement to Catalyst (lazy)."""
         rendered = format_sql(sql, *params) if params else sql
+        sm = self._SHOW_STATS_RE.match(rendered)
+        if sm is not None:
+            table = self.snapshots.resolve(self.spark, sm.group("tbl"))
+            if table is None:
+                raise QueryError(
+                    f"SHOW STATS FOR unregistered snapshot table "
+                    f"{sm.group('tbl')!r}",
+                    sql=rendered,
+                )
+            return table.stats_df()
         rendered = rewrite_time_travel(self.spark, rendered, self.snapshots)
         try:
             return self.spark.sql(rendered)
@@ -164,8 +186,17 @@ class AthenaSparkClient:
     _SNAP_EXEC_RE = re.compile(
         r"^\s*ALTER\s+TABLE\s+`?(?P<tbl>[A-Za-z_][\w.]*)`?\s+EXECUTE\s+"
         r"(?P<proc>optimize|expire_snapshots|remove_orphan_files"
-        r"|rollback_to_snapshot|rewrite_delete_files|add_files)\b"
+        r"|rollback_to_snapshot|rewrite_delete_files|add_files|fast_forward)\b"
         r"\s*(?:\((?P<args>[^)]*)\))?\s*;?\s*$",
+        re.IGNORECASE,
+    )
+    # Spark-Iceberg branch/tag DDL: ALTER TABLE t CREATE BRANCH b /
+    # CREATE TAG v [AS OF VERSION n] / DROP BRANCH b / DROP TAG v
+    _SNAP_REF_RE = re.compile(
+        r"^\s*ALTER\s+TABLE\s+`?(?P<tbl>[A-Za-z_][\w.]*)`?\s+"
+        r"(?P<verb>CREATE|DROP)\s+(?P<kind>BRANCH|TAG)\s+"
+        r"(?:IF\s+(?:NOT\s+)?EXISTS\s+)?`?(?P<name>[A-Za-z_]\w*)`?"
+        r"(?:\s+AS\s+OF\s+VERSION\s+(?P<ver>\d+))?\s*;?\s*$",
         re.IGNORECASE,
     )
     # Trino/Iceberg table-property DDL: ALTER TABLE t SET PROPERTIES
@@ -207,15 +238,46 @@ class AthenaSparkClient:
         - ``add_files(location => '/lake/dir')`` — register existing
           parquet as table data by reference (Iceberg's ``add_files``
           migration procedure: hardlink + footer read, zero rows
-          rewritten); returns the number of rows registered.
+          rewritten; hive ``col=value/`` trees derive partition columns
+          from the paths); returns the number of rows registered.
+        - ``fast_forward(branch => 'b' [, to_branch => 'x', force =>
+          'true'])`` — the WAP publish: validated fast-forward of main
+          (or ``to_branch``) onto the branch head, one atomic pointer
+          swap (Iceberg's ``system.fast_forward`` procedure).
 
         Also handles ``ALTER TABLE t SET PROPERTIES k = 'v' [, ...]``
         (Trino/Iceberg property DDL) — e.g. ``write.delete.mode =
         'merge-on-read'`` to route subsequent SQL DELETE statements
         through v2 position deletes.
 
+        Branch/tag DDL (Spark-Iceberg spellings) also lands here:
+        ``ALTER TABLE t CREATE BRANCH b`` / ``CREATE TAG v [AS OF
+        VERSION n]`` / ``DROP BRANCH b`` / ``DROP TAG v``, plus
+        ``EXECUTE fast_forward(branch => 'b')`` — the WAP publish as a
+        validated fast-forward of main onto the branch head.
+
         Returns None when the statement isn't a maintenance call (the
         caller falls through to DML/Catalyst)."""
+        rm = self._SNAP_REF_RE.match(rendered)
+        if rm is not None:
+            table = self.snapshots.resolve(self.spark, rm.group("tbl"))
+            if table is None:
+                raise QueryError(
+                    f"ref DDL on unregistered snapshot table "
+                    f"{rm.group('tbl')!r}",
+                    sql=rendered,
+                )
+            verb = rm.group("verb").upper()
+            kind = rm.group("kind").lower()
+            name = rm.group("name")
+            ver = int(rm.group("ver")) if rm.group("ver") else None
+            if verb == "CREATE" and kind == "branch":
+                table.create_branch(name, from_snapshot_id=ver)
+            elif verb == "CREATE":
+                table.create_tag(name, snapshot_id=ver)
+            else:
+                table.drop_ref(name, kind=kind)
+            return 0
         sp = self._SNAP_SET_PROPS_RE.match(rendered)
         if sp is not None and not self._SNAP_EXEC_RE.match(rendered):
             table = self.snapshots.resolve(self.spark, sp.group("tbl"))
@@ -292,6 +354,21 @@ class AthenaSparkClient:
             return 0
         if proc == "rewrite_delete_files":
             table.rewrite_delete_files()
+            return 0
+        if proc == "fast_forward":
+            # WAP publish: fast-forward main (or to_branch) onto the
+            # audited branch head — one validated atomic pointer swap
+            br = args.get("branch")
+            if not br:
+                raise QueryError(
+                    "fast_forward requires branch => '<name>'", sql=rendered
+                )
+            table.publish(
+                str(br),
+                to_branch=str(args.get("to_branch", "main")),
+                # arg values parse as strings: 'false' must stay falsy
+                force=str(args.get("force", "")).lower() == "true",
+            )
             return 0
         if proc == "add_files":
             # Trino/Spark's add_files migration procedure in SQL text:
@@ -530,6 +607,23 @@ class AthenaSparkClient:
         against registered snapshot tables commit copy-on-write snapshots
         (Trino-on-Iceberg row-level DML) and report matched-row counts."""
         rendered = format_sql(sql, *params) if params else sql
+        am = self._ANALYZE_RE.match(rendered)
+        if am is not None:
+            table = self.snapshots.resolve(self.spark, am.group("tbl"))
+            if table is not None:
+                # Trino's ANALYZE [WITH (columns = [a, b])]: one
+                # wide-aggregate scan, stats persisted by field id;
+                # returns the number of columns analyzed
+                cols = None
+                if am.group("cols"):
+                    cols = [
+                        c.strip().strip("'\"`")
+                        for c in am.group("cols").split(",")
+                        if c.strip()
+                    ]
+                return table.analyze(cols)
+            # not a snapshot table: fall through (Spark has its own
+            # ANALYZE TABLE syntax for catalog tables)
         maintained = self._snapshot_maintenance(rendered)
         if maintained is not None:
             return maintained
