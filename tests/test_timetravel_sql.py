@@ -681,3 +681,48 @@ def test_branch_tag_ddl_and_fast_forward(spark, tmp_path):
         c.execute("ALTER TABLE demo.wap DROP BRANCH main")
     refs = {r["name"] for r in t.refs_df().collect()}
     assert refs == {"main", "stale"}
+
+
+def test_schema_evolution_ddl_sql(spark, tmp_path):
+    """Schema-evolution DDL in SQL text (round 12): ADD/DROP/RENAME/
+    ALTER COLUMN against a registered snapshot table are metadata-only
+    commits through the id-based column mapping — old files re-map at
+    read, Trino type spellings (integer/varchar) normalize, IF [NOT]
+    EXISTS is honored, and a DROP the catalog must refuse (equality-
+    delete key) still raises through the SQL surface."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from trino_iceberg_spark.catalog.snapshots import SnapshotTable
+    from trino_iceberg_spark.client import AthenaSparkClient
+    from trino_iceberg_spark.errors import EngineError
+    from trino_iceberg_spark.timetravel_sql import SnapshotResolver
+
+    t = SnapshotTable(spark, str(tmp_path / "evo"))
+    t.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string").coalesce(1)
+    )
+    res = SnapshotResolver()
+    res.register("demo.evo", t.table_dir)
+    c = AthenaSparkClient(spark, snapshot_resolver=res)
+
+    assert c.execute("ALTER TABLE demo.evo ADD COLUMN score double") == 0
+    assert c.execute("ALTER TABLE demo.evo ADD COLUMN IF NOT EXISTS score double") == 0
+    assert c.execute("ALTER TABLE demo.evo RENAME COLUMN v TO label") == 0
+    assert c.execute("ALTER TABLE demo.evo ALTER COLUMN k SET DATA TYPE bigint") == 0
+    rows = c.query("SELECT k, label, score FROM demo.evo ORDER BY k")
+    assert [(r["k"], r["label"], r["score"]) for r in rows] == [
+        (1, "a", None), (2, "b", None)
+    ]
+    assert dict(t.read().dtypes) == {"k": "bigint", "label": "string", "score": "double"}
+    # Trino spellings normalize; drop + IF EXISTS no-op
+    assert c.execute("ALTER TABLE demo.evo ADD COLUMN note varchar") == 0
+    assert dict(t.read().dtypes)["note"] == "string"
+    assert c.execute("ALTER TABLE demo.evo DROP COLUMN note") == 0
+    assert c.execute("ALTER TABLE demo.evo DROP COLUMN IF EXISTS note") == 0
+    with pytest.raises(EngineError):
+        c.execute("ALTER TABLE demo.evo DROP COLUMN nope")
+    # catalog refusals surface through SQL: dropping an eq-delete key
+    t.delete_by_key(spark.createDataFrame([(9.9,)], "score double"), ["score"])
+    with pytest.raises(EngineError):
+        c.execute("ALTER TABLE demo.evo DROP COLUMN score")

@@ -190,6 +190,32 @@ class AthenaSparkClient:
         r"\s*(?:\((?P<args>[^)]*)\))?\s*;?\s*$",
         re.IGNORECASE,
     )
+    # Schema-evolution DDL (Trino/Spark-Iceberg spellings) against
+    # registered snapshot tables — metadata-only commits via the id-based
+    # column mapping (add_column / drop_column / rename_column /
+    # promote_column):
+    #   ALTER TABLE t ADD COLUMN [IF NOT EXISTS] c <type>
+    #   ALTER TABLE t DROP COLUMN [IF EXISTS] c
+    #   ALTER TABLE t RENAME COLUMN a TO b
+    #   ALTER TABLE t ALTER COLUMN c SET DATA TYPE <type>   (Trino)
+    #   ALTER TABLE t ALTER COLUMN c TYPE <type>            (Spark)
+    _SNAP_COL_DDL_RE = re.compile(
+        r"^\s*ALTER\s+TABLE\s+`?(?P<tbl>[A-Za-z_][\w.]*)`?\s+(?:"
+        r"ADD\s+COLUMN\s+(?P<addine>IF\s+NOT\s+EXISTS\s+)?`?(?P<add>[A-Za-z_]\w*)`?\s+(?P<addtype>[A-Za-z_][\w(), ]*?)"
+        r"|DROP\s+COLUMN\s+(?P<dropie>IF\s+EXISTS\s+)?`?(?P<drop>[A-Za-z_]\w*)`?"
+        r"|RENAME\s+COLUMN\s+`?(?P<old>[A-Za-z_]\w*)`?\s+TO\s+`?(?P<new>[A-Za-z_]\w*)`?"
+        r"|ALTER\s+COLUMN\s+`?(?P<alt>[A-Za-z_]\w*)`?\s+(?:SET\s+DATA\s+)?TYPE\s+(?P<alttype>[A-Za-z_][\w(), ]*?)"
+        r")\s*;?\s*$",
+        re.IGNORECASE,
+    )
+    # Trino type spellings → Spark DDL types (identity where equal)
+    _TRINO_TYPES = {
+        "integer": "int",
+        "varchar": "string",
+        "real": "float",
+        "varbinary": "binary",
+    }
+
     # Spark-Iceberg branch/tag DDL: ALTER TABLE t CREATE BRANCH b /
     # CREATE TAG v [AS OF VERSION n] / DROP BRANCH b / DROP TAG v
     _SNAP_REF_RE = re.compile(
@@ -256,8 +282,40 @@ class AthenaSparkClient:
         ``EXECUTE fast_forward(branch => 'b')`` — the WAP publish as a
         validated fast-forward of main onto the branch head.
 
+        Schema-evolution DDL (ADD/DROP/RENAME/ALTER COLUMN — metadata-only
+        commits, old files re-map by field id) is handled here too; an
+        unregistered table falls through so Spark's own ALTER TABLE keeps
+        working for catalog tables.
+
         Returns None when the statement isn't a maintenance call (the
         caller falls through to DML/Catalyst)."""
+        cm = self._SNAP_COL_DDL_RE.match(rendered)
+        if cm is not None:
+            table = self.snapshots.resolve(self.spark, cm.group("tbl"))
+            if table is not None:
+                def _ddl_type(t: str) -> str:
+                    t = re.sub(r"\s+", "", t.strip().lower())
+                    base = t.split("(", 1)[0]
+                    mapped = self._TRINO_TYPES.get(base, base)
+                    return mapped + t[len(base):] if "(" in t else mapped
+
+                names = {c["name"] for c in (table.schema_columns or [])}
+                if cm.group("add"):
+                    if cm.group("addine") and cm.group("add") in names:
+                        return 0  # IF NOT EXISTS: present → no-op
+                    table.add_column(cm.group("add"), _ddl_type(cm.group("addtype")))
+                elif cm.group("drop"):
+                    if cm.group("dropie") and cm.group("drop") not in names:
+                        return 0  # IF EXISTS: absent → no-op
+                    table.drop_column(cm.group("drop"))
+                elif cm.group("old"):
+                    table.rename_column(cm.group("old"), cm.group("new"))
+                else:
+                    table.promote_column(
+                        cm.group("alt"), _ddl_type(cm.group("alttype"))
+                    )
+                return 0
+            # not a snapshot table: Spark's own ALTER TABLE handles it
         rm = self._SNAP_REF_RE.match(rendered)
         if rm is not None:
             table = self.snapshots.resolve(self.spark, rm.group("tbl"))
