@@ -2578,3 +2578,29 @@ def test_analyze_and_show_stats(spark, tmp_path):
     assert c.execute("ANALYZE demo.stats WITH (columns = [k])") == 1
     with pytest.raises(EngineError):
         t.analyze(["nope"])
+
+
+def test_evolve_never_collides_with_minted_ids(spark, tmp_path):
+    """Regression (found by tools/fuzz_evolution.py seed block 91000,
+    round 12): add_data_files mints extra schema ids (per-file physical
+    schemas) at max+1, while _evolve minted schema_id+1 — a rename after
+    a type-mismatched registration OVERWROTE the minted entry, and the
+    registered file then resolved under the renamed entry's names
+    (unresolved-column read failure; silent wrong types when names
+    coincide). Evolution ids must never collide with minted ones."""
+    ext = str(tmp_path / "ext")
+    spark.range(0, 5).selectExpr(
+        "CAST(id AS INT) AS k", "CAST(id AS STRING) AS v"
+    ).coalesce(1).write.parquet(ext)
+    t = SnapshotTable(spark, str(tmp_path / "collide"))
+    t.append(spark.createDataFrame([(100, "x")], "k long, v string").coalesce(1))
+    t.add_data_files([ext])  # int32 k vs declared bigint → extra schema id
+    t.rename_column("v", "label")
+    snap = t.current_snapshot()
+    # the minted physical-schema entry must still exist alongside the new one
+    assert len(snap.schemas) == 3
+    rows = sorted((r["k"], r["label"]) for r in t.read().collect())
+    assert rows == [(0, "0"), (1, "1"), (2, "2"), (3, "3"), (4, "4"), (100, "x")]
+    # and a promote after registration keeps resolving the int32 file
+    t.promote_column("label", "string")  # same-type promote: still a new id
+    assert t.read().count() == 6

@@ -726,3 +726,49 @@ def test_schema_evolution_ddl_sql(spark, tmp_path):
     t.delete_by_key(spark.createDataFrame([(9.9,)], "score double"), ["score"])
     with pytest.raises(EngineError):
         c.execute("ALTER TABLE demo.evo DROP COLUMN score")
+
+
+def test_call_procedure_spelling(spark, tmp_path):
+    """Spark-Iceberg's CALL invocation form (round 12): CALL
+    cat.system.<proc>(table => 't', ...) dispatches to the same
+    procedures as ALTER TABLE t EXECUTE — incl. the Iceberg procedure
+    names rewrite_position_delete_files and rewrite_data_files, and
+    retain_last on expire_snapshots."""
+    from pyspark.sql import functions as F
+
+    from trino_iceberg_spark.catalog.snapshots import SnapshotTable
+    from trino_iceberg_spark.client import AthenaSparkClient
+    from trino_iceberg_spark.timetravel_sql import SnapshotResolver
+
+    t = SnapshotTable(spark, str(tmp_path / "callp"))
+    for lo in (0, 10, 20):
+        t.append(spark.range(lo, lo + 10).selectExpr("id AS k"))
+    res = SnapshotResolver()
+    res.register("demo.callp", t.table_dir)
+    c = AthenaSparkClient(spark, snapshot_resolver=res)
+
+    # MOR delete, then the Iceberg-named consolidation via CALL
+    t.delete_where(F.col("k") == 5, mode="merge-on-read")
+    assert c.execute(
+        "CALL local.system.rewrite_position_delete_files(table => 'demo.callp')"
+    ) == 0
+    assert t.read().count() == 29
+    # rewrite_data_files → optimize (compaction)
+    assert c.execute(
+        "CALL local.system.rewrite_data_files(table => 'demo.callp', file_count => 2)"
+    ) == 0
+    assert len(t.current_snapshot().files) <= 2 and t.read().count() == 29
+    # rollback + expiry with retain_last
+    sid = t.current_snapshot().snapshot_id
+    t.append(spark.range(100, 105).selectExpr("id AS k"))
+    assert c.execute(
+        f"CALL local.system.rollback_to_snapshot(table => 'demo.callp', snapshot_id => {sid})"
+    ) == 0
+    assert t.read().count() == 29
+    n_before = len(t.snapshots())
+    expired = c.execute(
+        "CALL local.system.expire_snapshots(table => 'demo.callp', "
+        "retention_threshold => '0s', retain_last => 2)"
+    )
+    assert expired >= 1 and len(t.snapshots()) < n_before
+    assert t.read().count() == 29

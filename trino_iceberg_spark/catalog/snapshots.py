@@ -1770,7 +1770,15 @@ class SnapshotTable:
             # source columns (Iceberg: "cannot delete field used by
             # partition spec") — appends could no longer stage.
             self._check_spec_sources_survive(prev, new_cols)
-            new_schema_id = schema_id + 1
+            # max+1, NOT schema_id+1: add_data_files mints extra schema
+            # entries (per-file physical schemas) above the current id,
+            # and an evolution that reused schema_id+1 would OVERWRITE
+            # one — the registered file then resolves under the evolved
+            # entry's names/types instead of its own physical schema
+            # (read failure, or silent wrong types when names coincide).
+            # Found by tools/fuzz_evolution.py seed block 91000 (round
+            # 12); pinned by test_evolve_never_collides_with_minted_ids.
+            new_schema_id = max(int(k) for k in schemas) + 1
             schemas[str(new_schema_id)] = new_cols
             return {
                 "operation": operation,

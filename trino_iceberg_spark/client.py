@@ -233,6 +233,17 @@ class AthenaSparkClient:
         r"(?P<props>.+?)\s*;?\s*$",
         re.IGNORECASE | re.DOTALL,
     )
+    # Spark-Iceberg's procedure invocation form: CALL cat.system.proc(
+    # table => 'db.t', ...) — same procedures as ALTER TABLE t EXECUTE,
+    # so the handler rewrites into that form and dispatches once.
+    _SNAP_CALL_RE = re.compile(
+        r"^\s*CALL\s+(?:[A-Za-z_]\w*\.)*system\.(?P<proc>[A-Za-z_]\w*)\s*"
+        r"\((?P<args>[^)]*)\)\s*;?\s*$",
+        re.IGNORECASE,
+    )
+    _CALL_TABLE_ARG_RE = re.compile(
+        r"\btable\s*=>\s*'(?P<t>[^']+)'\s*,?\s*", re.IGNORECASE
+    )
     _PROP_RE = re.compile(r"^\s*['\"`]?(?P<k>[\w.\-]+)['\"`]?\s*=\s*'(?P<v>[^']*)'\s*$")
     _EXEC_ARG_RE = re.compile(r"(\w+)\s*=>\s*(?:'([^']*)'|(\d+))")
     _RETENTION_RE = re.compile(r"^\s*(\d+)\s*([dhms])\s*$", re.IGNORECASE)
@@ -287,8 +298,29 @@ class AthenaSparkClient:
         unregistered table falls through so Spark's own ALTER TABLE keeps
         working for catalog tables.
 
+        Spark-Iceberg's ``CALL <cat>.system.<proc>(table => 't', ...)``
+        spelling dispatches to the same procedures (with
+        ``rewrite_position_delete_files`` accepted as the Iceberg name
+        for ``rewrite_delete_files`` and ``rewrite_data_files`` for
+        ``optimize``), so both the Trino and the Spark invocation forms
+        work against the same tables.
+
         Returns None when the statement isn't a maintenance call (the
         caller falls through to DML/Catalyst)."""
+        cc = self._SNAP_CALL_RE.match(rendered)
+        if cc is not None:
+            tm = self._CALL_TABLE_ARG_RE.search(cc.group("args") or "")
+            if tm is not None:
+                proc = cc.group("proc").lower()
+                proc = {
+                    "rewrite_position_delete_files": "rewrite_delete_files",
+                    "rewrite_data_files": "optimize",
+                }.get(proc, proc)
+                rest = self._CALL_TABLE_ARG_RE.sub("", cc.group("args"), count=1)
+                return self._snapshot_maintenance(
+                    f"ALTER TABLE {tm.group('t')} EXECUTE {proc}({rest})"
+                )
+            # no table arg: not ours (Spark's own CALL support, if any)
         cm = self._SNAP_COL_DDL_RE.match(rendered)
         if cm is not None:
             table = self.snapshots.resolve(self.spark, cm.group("tbl"))
@@ -401,7 +433,10 @@ class AthenaSparkClient:
             older_than = _dt.datetime.now(_dt.timezone.utc) - _dt.timedelta(
                 seconds=int(tm.group(1)) * unit
             )
-            return table.expire_snapshots(older_than=older_than, retain_last=1)
+            # retain_last: Spark's CALL-procedure arg, honored in the
+            # Trino spelling too (floor 1: the head always survives)
+            keep = max(1, int(args.get("retain_last", 1)))
+            return table.expire_snapshots(older_than=older_than, retain_last=keep)
         if proc == "rollback_to_snapshot":
             sid = args.get("snapshot_id")
             if sid is None:
