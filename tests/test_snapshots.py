@@ -2604,3 +2604,44 @@ def test_evolve_never_collides_with_minted_ids(spark, tmp_path):
     # and a promote after registration keeps resolving the int32 file
     t.promote_column("label", "string")  # same-type promote: still a new id
     assert t.read().count() == 6
+
+
+# --- round-13: advisor pins -------------------------------------------------
+
+
+def test_promote_column_refuses_narrowing(spark, tmp_path):
+    """API-level guard (round-12 advisor, high): a non-widening promote
+    would cast old files DOWN at read time — double→int silently reads
+    1.9 as 1, out-of-range bigint→int throws CAST_OVERFLOW mid-job."""
+    t = SnapshotTable(spark, str(tmp_path / "promo_guard"))
+    t.append(spark.createDataFrame([(2**40, 1.9)], "k bigint, v double"))
+    for col, bad in (("v", "int"), ("k", "int"), ("v", "float"), ("k", "string")):
+        with pytest.raises(EngineError, match="widening"):
+            t.promote_column(col, bad)
+    # values untouched, sanctioned widening unaffected
+    assert t.read().first()["v"] == 1.9
+    t.promote_column("v", "double")  # same-type: allowed
+    assert dict(t.read().dtypes)["v"] == "double"
+
+
+def test_add_data_files_hive_bigint_partition_values(spark, tmp_path):
+    """Path-derived partition values >= 2^31 must infer bigint, not int —
+    an int32 read-side cast of the path value overflows on every read
+    (round-12 advisor, low)."""
+    lake = str(tmp_path / "biglake")
+    spark.createDataFrame(
+        [(i, 2**31 + (i % 2)) for i in range(20)], "k long, shard long"
+    ).write.partitionBy("shard").parquet(lake)
+    t = SnapshotTable(spark, str(tmp_path / "bigreg"))
+    s = t.add_data_files([lake])
+    assert s.row_count == 20
+    assert dict(t.read().dtypes)["shard"] == "bigint"
+    assert t.read().filter(F.col("shard") == 2**31).count() == 10
+    # small values still infer int (the common hive case)
+    lake2 = str(tmp_path / "smalllake")
+    spark.range(10).selectExpr("id AS k", "CAST(id % 2 AS INT) AS g").write.partitionBy(
+        "g"
+    ).parquet(lake2)
+    t2 = SnapshotTable(spark, str(tmp_path / "smallreg"))
+    t2.add_data_files([lake2])
+    assert dict(t2.read().dtypes)["g"] == "int"

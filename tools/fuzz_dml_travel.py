@@ -96,6 +96,20 @@ def run_sequence(
     for _ in range(rng.randrange(3, 8)):
         st = gen_statement(rng, next_id)
         stmts.append(st["sql"])
+        if st["kind"] == "lossy":
+            # ill-typed by construction: the client must refuse and the
+            # table must be unchanged — no checkpoint to record
+            try:
+                client.execute(st["sql"])
+                problems.append(f"lossy statement ACCEPTED: {st['sql']}")
+                break
+            except QueryError as exc:
+                if "cannot coerce" not in str(exc):
+                    problems.append(
+                        f"lossy refusal with wrong error: {exc}\n  sql: {st['sql']}"
+                    )
+                    break
+            continue
         try:
             client.execute(st["sql"])
         except QueryError as exc:
