@@ -136,3 +136,19 @@ def test_dml_travel_integration_slice(spark, tmp_path):
     for seq_no in range(3):
         problems = run_sequence(spark, seq_no, 0, str(tmp_path))
         assert not problems, "\n".join(problems)
+
+
+def test_ddl_surface_differential_slice(spark, tmp_path):
+    """Deterministic slice of tools/fuzz_ddl.py (round-13): generated
+    schema-evolution / branch-tag / ANALYZE / SET PROPERTIES statements
+    with hostile spelling (mixed keyword case, backquotes, whitespace,
+    ARRAY vs bracket column lists, SET DATA TYPE vs TYPE, IF [NOT]
+    EXISTS) replayed against a pure-Python model of the table. The
+    regex-dispatched SQL arms are exactly where a spelling variant can
+    fall through to Catalyst and die opaquely — accept/refuse parity
+    plus final schema/ref/stats/property parity is the contract."""
+    from tools.fuzz_ddl import run_sequence
+
+    for seq_no in range(8):
+        problems = run_sequence(spark, seq_no, 1, str(tmp_path))
+        assert not problems, "\n".join(problems)

@@ -2645,3 +2645,87 @@ def test_add_data_files_hive_bigint_partition_values(spark, tmp_path):
     t2 = SnapshotTable(spark, str(tmp_path / "smallreg"))
     t2.add_data_files([lake2])
     assert dict(t2.read().dtypes)["g"] == "int"
+
+
+def test_partial_analyze_keeps_stale_entries_marked(spark, tmp_path):
+    """Round-13 staleness contract: full ANALYZE → commit → partial
+    ANALYZE must leave the other columns' stats PRESENT and marked
+    stale (round-12 the whole stats file was replaced and they were
+    silently dropped)."""
+    t = SnapshotTable(spark, str(tmp_path / "stale_t"))
+    t.append(
+        spark.range(100).selectExpr(
+            "id AS k", "CAST(id % 4 AS INT) AS g", "CAST(id AS STRING) AS v"
+        )
+    )
+    assert t.analyze() == 3
+    rows = {r["column_name"]: r for r in t.stats_df().collect()}
+    assert rows["k"]["stale"] is False and rows["g"]["stale"] is False
+    # new commit: everything analyzed before it is now stale
+    t.append(
+        spark.range(100, 150).selectExpr(
+            "id AS k", "CAST(id % 4 AS INT) AS g", "CAST(id AS STRING) AS v"
+        )
+    )
+    rows = {r["column_name"]: r for r in t.stats_df().collect()}
+    assert rows["k"]["stale"] is True and rows["g"]["stale"] is True
+    # partial re-ANALYZE freshens only k; g/v stay present, still stale
+    assert t.analyze(["k"]) == 1
+    rows = {r["column_name"]: r for r in t.stats_df().collect()}
+    assert rows["k"]["stale"] is False
+    assert rows["g"]["stale"] is True and rows["v"]["stale"] is True
+    assert rows["g"]["distinct_values_count"] == 4.0  # served, not dropped
+    # the fresh k reflects the post-commit data
+    assert rows["k"]["high_value"] == "149"
+    # summary row: exact current count, stale is NULL by contract
+    assert rows[None]["row_count"] == 150.0 and rows[None]["stale"] is None
+
+
+def test_health_thresholds_are_table_properties(spark, tmp_path):
+    """Round-13: $health thresholds read table properties the same way
+    write.delete.mode does — an operator can tune the boundary per
+    table and the recommendation flips accordingly."""
+    t = SnapshotTable(spark, str(tmp_path / "health_props"))
+    t.append(spark.range(200).selectExpr("id AS k", "id * 2 AS v"),
+             cluster_by=["k"], cluster_partitions=8)
+    # one equality delete on an unclustered value column → every file
+    # dirty (frac 1.0) → default threshold 0.25 recommends rewrite
+    t.delete_by_key(
+        spark.createDataFrame([(4,)], "v bigint"), ["v"]
+    )
+    assert t.health_df().first()["recommendation"] == "rewrite_delete_files"
+    # raising the dirty threshold past 1.0 silences it
+    t.set_table_property("health.dirty-fraction-threshold", "1.5")
+    assert t.health_df().first()["recommendation"] == "ok"
+    t.set_table_property("health.dirty-fraction-threshold", "0.25")
+    assert t.health_df().first()["recommendation"] == "rewrite_delete_files"
+    # position-delete-file pile-up boundary is tunable the same way
+    t.rewrite_delete_files()  # eq → one position-delete file
+    assert t.health_df().first()["recommendation"] == "ok"
+    t.set_table_property("health.max-position-delete-files", "0")
+    assert t.health_df().first()["recommendation"] == "compact_small_files"
+
+
+def test_health_recommends_analyze_on_growth(spark, tmp_path):
+    """Round-13 stats consumer: once the table grows past the
+    health.analyze-growth-threshold (default 2×) since the last
+    ANALYZE, $health recommends re-ANALYZE — stale NDV/min-max degrade
+    every stats-driven decision silently otherwise. Zero scan cost
+    (manifest row counts both sides). Never fires when no ANALYZE has
+    ever run (nothing to be stale) and never outranks delete-drift."""
+    t = SnapshotTable(spark, str(tmp_path / "health_grow"))
+    t.append(spark.range(100).selectExpr("id AS k"))
+    assert t.health_df().first()["recommendation"] == "ok"  # no stats: ok
+    t.analyze()
+    assert t.health_df().first()["recommendation"] == "ok"  # fresh
+    t.append(spark.range(100, 150).selectExpr("id AS k"))  # 1.5×: under 2×
+    assert t.health_df().first()["recommendation"] == "ok"
+    t.append(spark.range(150, 260).selectExpr("id AS k"))  # 2.6×
+    assert t.health_df().first()["recommendation"] == "analyze"
+    # tunable boundary
+    t.set_table_property("health.analyze-growth-threshold", "3.0")
+    assert t.health_df().first()["recommendation"] == "ok"
+    t.set_table_property("health.analyze-growth-threshold", "2.0")
+    # re-ANALYZE clears it
+    t.analyze()
+    assert t.health_df().first()["recommendation"] == "ok"
