@@ -78,60 +78,62 @@ _TUNED_CONFS = {
 # 4. the 42-entry r07 cohort.
 # Everything else was checked r08–r11 and yields after these.
 _FRONT = [
-    # --- tier 1: the one never-driver-checked entry ---
-    "tt23_null_key_equality_delete",
-    # --- tier 2: new this round ---
-    "tt24_add_files_hive_partitioned",
-    "tt25_table_health",
-    "tt26_partitions_metadata",
-    # --- tier 3: changed-code re-verifies ---
-    "tt17_merge_on_read_delete",
-    "tt18_equality_delete_cdc",
-    "tt19_eqdelete_field_id_evolution",
-    "ev06_hourly_gap_fill",
-    # --- tier 4: r07 cohort (oldest in the union) ---
-    "cu03_decontaminate",
-    "cu08_dsir_selection",
-    "cu09_token_budget_selection",
-    "dd07_duplicate_clusters",
-    "dd08_near_dedup_survivors",
-    "ev07_value_outliers",
-    "f01_string_functions",
-    "f02_date_functions",
-    "f03_math_functions",
-    "f04_conditional_functions",
-    "f05_hash_functions",
-    "f06_regex_functions",
-    "f07_array_functions",
-    "f08_map_functions",
-    "mm08_multimodal_to_shards",
-    "sp10_corpus_to_shards",
-    "sp11_greedy_packing",
-    "ss01_cosine_topk",
-    "ss04_numpy_topk",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_nation_revenue",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_parts",
-    "tpch_q12_priority_shipping",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q16_part_supplier_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_discounted_revenue",
-    "tpch_q20_part_promotion_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_global_sales_opportunity",
-    "tt07_metadata_tables",
-    "tx09_tfidf_top_terms",
-    "w07_moving_average",
+    # --- tier 1: new this round (never driver-checked) ---
+    "tt27_sql_insert_coercions",
+    "tt28_stats_staleness",
+    # --- tier 2: changed-code re-verify (round-13 rewrote the SQL
+    # INSERT/UPDATE/MERGE dispatch's type handling; tt10 is the DML
+    # representative that routes through all of it) ---
+    "tt10_sql_merge",
+    # --- tier 3: FULL r08 cohort (oldest in the r01–r12 union, 47
+    # entries — checking all of them moves the staleness floor to r09) ---
+    "a09_unpivot",
+    "a10_grouping_flags",
+    "aj01_asof_join",
+    "c04_recursive_cte",
+    "cu01_curated_documents",
+    "cu02_curation_report",
+    "cu04_length_band_filter",
+    "cu05_contamination_report",
+    "cu07_end_to_end_pipeline",
+    "dd04_ngram_jaccard",
+    "dd12_passage_dedup",
+    "dd15_containment_pairs",
+    "f09_edit_distance",
+    "f10_bitwise_functions",
+    "j10_bucketed_join",
+    "mm01_media_metadata",
+    "mm02_decode_pipeline",
+    "mm04_audio_decode",
+    "pr01_table_profile",
+    "pr02_correlation_matrix",
+    "pr03_quality_expectations",
+    "pr05_calibration_bins",
+    "rag01_retrieval_pipeline",
+    "rj01_bucketized_range_join",
+    "s05_set_ops_all",
+    "sp01_dataset_split",
+    "sp12_curriculum_order",
+    "ss10_margin_mining",
+    "ss11_margin_mining_lsh",
+    "st01_windowed_stream",
+    "st02_session_stream",
+    "st03_sliding_stream",
+    "st04_stream_stream_join",
+    "st05_stateful_running_totals",
+    "tpch_q1_pricing_summary",
+    "tt05_schema_evolution",
+    "tt06_stats_pruned_scan",
+    "tt08_wap_publish",
+    "tt09_catalog_transaction",
+    "tx01_token_counts",
+    "tx02_lang_stats",
+    "tx03_quality_features",
+    "tx06_bpe_token_estimate",
+    "tx07_vocabulary",
+    "tx08_bigram_counts",
+    "tx10_bm25_ranking",
+    "tx17_ngram_novelty",
 ]
 
 # Entries a prior CORRECTNESS run already recorded green (r01–r11 union:

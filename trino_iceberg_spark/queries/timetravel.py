@@ -1173,3 +1173,174 @@ def tt26_partitions_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("partition", "record_count")
         .orderBy("partition")
     )
+
+
+@register(
+    "tt27_sql_insert_coercions",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
+               o_orderpriority AS prio
+        FROM orders WHERE o_orderkey <= 2000
+    ),
+    lit AS (
+        SELECT CAST(9000001 AS BIGINT) AS o_orderkey,
+               CAST(7 AS DOUBLE) AS price, CAST('int-into-double' AS VARCHAR) AS prio
+        UNION ALL
+        SELECT 9000002, 3.25, 'decimal-into-double'
+        UNION ALL
+        SELECT 9000003, NULL, 'partial-null-fill'
+        UNION ALL
+        SELECT 9000004, 2.0, NULL
+        UNION ALL
+        SELECT 9000005, 1.5, 'cast-escape'
+    ),
+    sel AS (
+        SELECT o_orderkey + 1000000 AS o_orderkey, price, prio
+        FROM base WHERE o_orderkey <= 100
+    )
+    SELECT * FROM base
+    UNION ALL SELECT * FROM lit
+    UNION ALL SELECT * FROM sel
+    ORDER BY o_orderkey
+    """,
+)
+def tt27_sql_insert_coercions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL INSERT dispatch surface after the round-13 type-safety fix
+    (client.py:_snapshot_dml — Trino's INSERT semantics on Iceberg):
+    every statement here is a sanctioned IMPLICIT coercion or a partial
+    column list, exercised end-to-end through ``client.execute`` into a
+    registered snapshot table and read back. Covered: int literal into
+    double (exact→approximate), decimal literal into double, a PARTIAL
+    column list NULL-filling each unlisted column (Trino fill), an
+    explicit-CAST escape hatch (CAST(1.5 AS DOUBLE) stays the documented
+    out for anything the lattice refuses), and INSERT ... SELECT whose
+    source reads the same registered table. The REFUSAL side (fractional
+    into bigint raises) is not oracle-expressible and is pinned in
+    tests/test_timetravel_sql.py + tools/fuzz_dml.py's lossy arm."""
+    from ..client import AthenaSparkClient
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"),
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    tdir = work_dir("tt27_table")
+    table = SnapshotTable(spark, tdir)
+    table.append(o.filter(F.col("o_orderkey") <= 2000))
+    client = AthenaSparkClient(spark)
+    client.register_snapshot_table("tt27_orders", tdir)
+    # int literal into double column; decimal literal into double
+    client.execute(
+        "INSERT INTO tt27_orders VALUES "
+        "(9000001, 7, 'int-into-double'), "
+        "(9000002, 3.25, 'decimal-into-double')"
+    )
+    # partial column lists: unlisted columns NULL-fill (Trino semantics)
+    client.execute(
+        "INSERT INTO tt27_orders (o_orderkey, prio) "
+        "VALUES (9000003, 'partial-null-fill')"
+    )
+    client.execute("INSERT INTO tt27_orders (price, o_orderkey) VALUES (2.0, 9000004)")
+    # explicit CAST escape hatch
+    client.execute(
+        "INSERT INTO tt27_orders VALUES (9000005, CAST(1.5 AS DOUBLE), 'cast-escape')"
+    )
+    # INSERT ... SELECT reading the registered table itself
+    client.execute(
+        "INSERT INTO tt27_orders "
+        "SELECT o_orderkey + 1000000, price, prio FROM tt27_orders "
+        "WHERE o_orderkey <= 100"
+    )
+    return table.read().orderBy("o_orderkey")
+
+
+@register(
+    "tt28_stats_staleness",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey <= 2000
+    ),
+    grown AS (
+        SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey <= 6000
+    ),
+    b AS (
+        SELECT CAST(MIN(o_orderkey) AS VARCHAR) AS lo_k,
+               CAST(MAX(o_orderkey) AS VARCHAR) AS hi_k,
+               CAST(MIN(o_custkey) AS VARCHAR) AS lo_c,
+               CAST(MAX(o_custkey) AS VARCHAR) AS hi_c
+        FROM base
+    ),
+    g AS (
+        SELECT CAST(MIN(o_orderkey) AS VARCHAR) AS lo_k,
+               CAST(MAX(o_orderkey) AS VARCHAR) AS hi_k
+        FROM grown
+    )
+    SELECT * FROM (
+        SELECT 'a_full' AS phase, 'o_custkey' AS column_name, FALSE AS stale,
+               b.lo_c AS low_value, b.hi_c AS high_value,
+               CAST('ok' AS VARCHAR) AS recommendation
+        FROM b
+        UNION ALL
+        SELECT 'a_full', 'o_orderkey', FALSE, b.lo_k, b.hi_k, 'ok' FROM b
+        UNION ALL
+        SELECT 'b_grown', 'o_custkey', TRUE, b.lo_c, b.hi_c, 'analyze' FROM b
+        UNION ALL
+        SELECT 'b_grown', 'o_orderkey', TRUE, b.lo_k, b.hi_k, 'analyze' FROM b
+        UNION ALL
+        SELECT 'c_partial', 'o_custkey', TRUE, b.lo_c, b.hi_c, 'ok' FROM b
+        UNION ALL
+        SELECT 'c_partial', 'o_orderkey', FALSE, g.lo_k, g.hi_k, 'ok' FROM b, g
+    )
+    ORDER BY phase, column_name
+    """,
+)
+def tt28_stats_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-13 statistics staleness contract plus its first
+    consumer, end to end (snapshots.py:analyze/stats_df/health_df):
+    phase a — full ANALYZE, both columns fresh with exact min/max;
+    phase b — a ~3× growth commit makes both columns STALE (their
+    low/high still describe phase-a data: that persistence is the
+    point) and flips ``$health`` to the ``analyze`` recommendation
+    (manifest row count ≥ 2× the analyzed row count, zero scan cost);
+    phase c — a PARTIAL re-ANALYZE of o_orderkey freshens only it (new
+    min/max) while o_custkey's entry is RETAINED and still marked stale
+    (round-12 dropped it wholesale), and the growth signal clears. The
+    oracle recomputes every min/max from the raw table per phase; NDV
+    is approximate by design and pinned in pytest instead."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    tdir = work_dir("tt28_table")
+    table = SnapshotTable(spark, tdir)
+    table.append(o.filter(F.col("o_orderkey") <= 2000))
+    table.analyze()
+
+    def phase(name: str):
+        rec = table.health_df().first()["recommendation"]
+        out = []
+        for r in table.stats_df().collect():
+            if r["column_name"] is None:
+                continue
+            out.append(
+                (
+                    name,
+                    r["column_name"],
+                    r["stale"],
+                    r["low_value"],
+                    r["high_value"],
+                    rec,
+                )
+            )
+        return out
+
+    rows = phase("a_full")
+    table.append(
+        o.filter((F.col("o_orderkey") > 2000) & (F.col("o_orderkey") <= 6000))
+    )
+    rows += phase("b_grown")
+    table.analyze(["o_orderkey"])
+    rows += phase("c_partial")
+    return spark.createDataFrame(
+        rows,
+        "phase string, column_name string, stale boolean, "
+        "low_value string, high_value string, recommendation string",
+    ).orderBy("phase", "column_name")
