@@ -968,3 +968,102 @@ def test_analyze_accepts_array_spelling(spark, tmp_path):
     }
     assert names == {"k", "g"}
     assert client.execute("ANALYZE an_arr WITH (columns = [k])") == 1
+
+
+# --- round-13: Trino SQL-surface parity batch ------------------------------
+
+
+def test_delete_update_without_where_and_truncate(spark, tmp_path):
+    """Trino allows bare DELETE FROM t / UPDATE t SET ... (all rows) and
+    TRUNCATE TABLE t; all three commit snapshots so time travel still
+    reads the pre-statement data."""
+    tdir = str(tmp_path / "bare_dml")
+    t = SnapshotTable(spark, tdir)
+    t.append(spark.range(10).selectExpr("id AS k", "id * 2 AS v"))
+    client = AthenaSparkClient(spark)
+    client.register_snapshot_table("bare_t", tdir)
+
+    assert client.execute("UPDATE bare_t SET v = v + 1") == 10
+    assert client.query_scalar("SELECT SUM(v) AS s FROM bare_t") == sum(
+        2 * i + 1 for i in range(10)
+    )
+    assert client.execute("DELETE FROM bare_t") == 10
+    assert client.query_scalar("SELECT COUNT(*) FROM bare_t") == 0
+    # history intact
+    assert t.read_version(1).count() == 10
+
+    # TRUNCATE: rows gone, returns 0 (Trino reports no count)
+    t2dir = str(tmp_path / "trunc")
+    t2 = SnapshotTable(spark, t2dir)
+    t2.append(spark.range(7).selectExpr("id AS k"))
+    client.register_snapshot_table("trunc_t", t2dir)
+    assert client.execute("TRUNCATE TABLE trunc_t") == 0
+    assert client.query_scalar("SELECT COUNT(*) FROM trunc_t") == 0
+    assert t2.read_version(1).count() == 7
+    assert client.execute("truncate trunc_t") == 0  # TABLE keyword optional
+
+
+def test_alter_table_rename_to(spark, tmp_path):
+    tdir = str(tmp_path / "ren")
+    t = SnapshotTable(spark, tdir)
+    t.append(spark.range(4).selectExpr("id AS k"))
+    client = AthenaSparkClient(spark)
+    client.register_snapshot_table("old_name", tdir)
+    assert client.execute("ALTER TABLE old_name RENAME TO new_name") == 0
+    assert client.query_scalar("SELECT COUNT(*) FROM new_name") == 4
+    with pytest.raises(QueryError):
+        client.query("SELECT * FROM old_name")
+    # DML keeps working under the new name (directory unchanged)
+    assert client.execute("DELETE FROM new_name WHERE k >= 2") == 2
+    # renaming onto a taken name refuses
+    client.register_snapshot_table("other", str(tmp_path / "ren"))
+    from trino_iceberg_spark.errors import EngineError
+
+    with pytest.raises(EngineError, match="already registered"):
+        client.execute("ALTER TABLE new_name RENAME TO other")
+
+
+def test_describe_and_show_create_table(spark, tmp_path):
+    tdir = str(tmp_path / "desc_t")
+    t = SnapshotTable(spark, tdir)
+    t.append(spark.createDataFrame([(1, 1.5, "a")], "k bigint, p double, s string"))
+    t.set_table_property("write.delete.mode", "merge-on-read")
+    client = AthenaSparkClient(spark)
+    client.register_snapshot_table("desc_t", tdir)
+    rows = client.query("DESCRIBE desc_t")
+    assert [(r["Column"], r["Type"]) for r in rows] == [
+        ("k", "bigint"), ("p", "double"), ("s", "string")
+    ]
+    # declared types follow evolution, and SHOW COLUMNS FROM is an alias
+    client.execute("ALTER TABLE desc_t ALTER COLUMN p TYPE double")
+    rows = client.query("SHOW COLUMNS FROM desc_t")
+    assert len(rows) == 3
+    ddl = client.query_scalar("SHOW CREATE TABLE desc_t")
+    assert "CREATE TABLE desc_t" in ddl and "k bigint" in ddl
+    assert "write.delete.mode = 'merge-on-read'" in ddl
+
+
+def test_properties_and_manifests_metadata_relations(spark, tmp_path):
+    """$properties / $manifests in SQL text (Iceberg's same-named
+    metadata tables): properties audit the config the engine reads;
+    manifests list the current snapshot's segment files with entry
+    counts (O(segments), no data files touched)."""
+    tdir = str(tmp_path / "meta13")
+    t = SnapshotTable(spark, tdir)
+    t.append(spark.range(5).selectExpr("id AS k"))
+    t.append(spark.range(5, 9).selectExpr("id AS k"))
+    t.set_table_property("write.merge.mode", "merge-on-read")
+    client = AthenaSparkClient(spark)
+    client.register_snapshot_table("meta13", tdir)
+    props = {
+        r["key"]: r["value"]
+        for r in client.query("SELECT * FROM `meta13$properties`")
+    }
+    assert props == {"write.merge.mode": "merge-on-read"}
+    mans = client.query(
+        "SELECT * FROM meta13$manifests ORDER BY path"
+    )
+    # two appends → two segments, entry counts sum to the file count
+    assert len(mans) == 2
+    assert sum(r["entry_count"] for r in mans) == len(t.current_snapshot().files)
+    assert all(r["length"] > 0 for r in mans)

@@ -2874,6 +2874,35 @@ class SnapshotTable:
             "stale boolean",
         )
 
+    def properties_df(self) -> DataFrame:
+        """The ``table$properties`` relation (Iceberg's same-named
+        metadata table, exposed by Trino): one (key, value) row per
+        table property — how an operator audits the write-mode /
+        health-threshold configuration this engine reads."""
+        rows = sorted(self.table_properties().items())
+        return self.spark.createDataFrame(rows, "key string, value string")
+
+    def manifests_df(self) -> DataFrame:
+        """The ``table$manifests`` relation: one row per manifest-list
+        SEGMENT of the current snapshot (Iceberg's $manifests lists its
+        avro manifests the same way) — path, byte length, file-entry
+        count. O(segments) metadata reads, no data files touched; a
+        segment count that keeps growing while entry counts stay tiny is
+        the compaction-needed signal at the METADATA level (expiry GCs
+        unshared segments). Legacy inline manifests list zero rows."""
+        snap = self.current_snapshot()
+        if snap is None:
+            raise EngineError(f"table {self.table_dir} has no snapshots")
+        rows = []
+        for seg in snap.manifest_list or ():
+            p = os.path.join(self.metadata_dir, seg)
+            rows.append(
+                (seg, os.path.getsize(p), len(self._load_segment(seg)))
+            )
+        return self.spark.createDataFrame(
+            rows, "path string, length long, entry_count int"
+        )
+
     def history_df(self) -> DataFrame:
         """The ``table$history`` relation: the MAIN branch's commit lineage
         (Iceberg $history lists the current branch's ancestry — staging

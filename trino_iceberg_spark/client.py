@@ -82,6 +82,18 @@ class AthenaSparkClient:
         r"^\s*SHOW\s+STATS\s+FOR\s+`?(?P<tbl>[A-Za-z_][\w.]*)`?\s*;?\s*$",
         re.IGNORECASE,
     )
+    # Trino's table introspection: DESCRIBE t / DESC t / SHOW COLUMNS
+    # FROM t (Column|Type|Extra|Comment rows) and SHOW CREATE TABLE t.
+    # Unregistered names fall through to Spark's own statements.
+    _DESCRIBE_RE = re.compile(
+        r"^\s*(?:DESCRIBE|DESC|SHOW\s+COLUMNS\s+FROM)\s+"
+        r"`?(?P<tbl>[A-Za-z_][\w.]*)`?\s*;?\s*$",
+        re.IGNORECASE,
+    )
+    _SHOW_CREATE_RE = re.compile(
+        r"^\s*SHOW\s+CREATE\s+TABLE\s+`?(?P<tbl>[A-Za-z_][\w.]*)`?\s*;?\s*$",
+        re.IGNORECASE,
+    )
 
     # -- core ------------------------------------------------------------
     def sql_df(self, sql: str, *params: Any) -> DataFrame:
@@ -97,6 +109,43 @@ class AthenaSparkClient:
                     sql=rendered,
                 )
             return table.stats_df()
+        dm = self._DESCRIBE_RE.match(rendered)
+        if dm is not None:
+            table = self.snapshots.resolve(self.spark, dm.group("tbl"))
+            if table is not None:
+                # Trino's DESCRIBE shape (Column|Type|Extra|Comment) from
+                # the current schema — declared types, not file types
+                cols = table.schema_columns or []
+                if not cols:  # pre-evolution legacy table: file schema
+                    cols = [
+                        {"name": f.name, "type": f.dataType.simpleString()}
+                        for f in table.read().schema.fields
+                    ]
+                return self.spark.createDataFrame(
+                    [(c["name"], c["type"], "", "") for c in cols],
+                    "Column string, Type string, Extra string, Comment string",
+                )
+            # unregistered → Spark's own DESCRIBE below
+        sc = self._SHOW_CREATE_RE.match(rendered)
+        if sc is not None:
+            table = self.snapshots.resolve(self.spark, sc.group("tbl"))
+            if table is not None:
+                cols = table.schema_columns or [
+                    {"name": f.name, "type": f.dataType.simpleString()}
+                    for f in table.read().schema.fields
+                ]
+                body = ",\n".join(f"   {c['name']} {c['type']}" for c in cols)
+                ddl = f"CREATE TABLE {sc.group('tbl')} (\n{body}\n)"
+                props = table.table_properties()
+                if props:
+                    kv = ",\n".join(
+                        f"   {k} = '{v}'" for k, v in sorted(props.items())
+                    )
+                    ddl += f"\nWITH (\n{kv}\n)"
+                return self.spark.createDataFrame(
+                    [(ddl,)], "`Create Table` string"
+                )
+            # unregistered → Spark's own SHOW CREATE TABLE below
         rendered = rewrite_time_travel(self.spark, rendered, self.snapshots)
         try:
             return self.spark.sql(rendered)
@@ -168,13 +217,31 @@ class AthenaSparkClient:
         )
 
     # -- DDL / DML -------------------------------------------------------
+    # WHERE is optional, as in Trino: a bare DELETE FROM t / UPDATE t SET
+    # ... applies to every row (one copy-on-write or MOR commit)
     _SNAP_DELETE_RE = re.compile(
-        r"^\s*DELETE\s+FROM\s+(?P<tbl>[A-Za-z_][\w.]*)\s+WHERE\s+(?P<cond>.+?)\s*;?\s*$",
+        r"^\s*DELETE\s+FROM\s+(?P<tbl>[A-Za-z_][\w.]*)"
+        r"(?:\s+WHERE\s+(?P<cond>.+?))?\s*;?\s*$",
         re.IGNORECASE | re.DOTALL,
     )
     _SNAP_UPDATE_RE = re.compile(
-        r"^\s*UPDATE\s+(?P<tbl>[A-Za-z_][\w.]*)\s+SET\s+(?P<sets>.+?)\s+WHERE\s+(?P<cond>.+?)\s*;?\s*$",
+        r"^\s*UPDATE\s+(?P<tbl>[A-Za-z_][\w.]*)\s+SET\s+(?P<sets>.+?)"
+        r"(?:\s+WHERE\s+(?P<cond>.+?))?\s*;?\s*$",
         re.IGNORECASE | re.DOTALL,
+    )
+    # Trino's TRUNCATE TABLE: remove every row, keep the table (and its
+    # history — this engine commits it as a full DELETE snapshot, so
+    # time travel still reads the pre-truncate data)
+    _SNAP_TRUNCATE_RE = re.compile(
+        r"^\s*TRUNCATE\s+(?:TABLE\s+)?`?(?P<tbl>[A-Za-z_][\w.]*)`?\s*;?\s*$",
+        re.IGNORECASE,
+    )
+    # Trino's catalog rename: ALTER TABLE x RENAME TO y (the table
+    # directory is untouched; the SQL name re-keys in the resolver)
+    _SNAP_RENAME_TABLE_RE = re.compile(
+        r"^\s*ALTER\s+TABLE\s+`?(?P<tbl>[A-Za-z_][\w.]*)`?\s+RENAME\s+TO\s+"
+        r"`?(?P<new>[A-Za-z_][\w.]*)`?\s*;?\s*$",
+        re.IGNORECASE,
     )
     _SNAP_INSERT_RE = re.compile(
         r"^\s*INSERT\s+INTO\s+(?P<tbl>[A-Za-z_][\w.]*)\s*"
@@ -327,6 +394,23 @@ class AthenaSparkClient:
                     f"ALTER TABLE {tm.group('t')} EXECUTE {proc}({rest})"
                 )
             # no table arg: not ours (Spark's own CALL support, if any)
+        tm_ = self._SNAP_TRUNCATE_RE.match(rendered)
+        if tm_ is not None:
+            table = self.snapshots.resolve(self.spark, tm_.group("tbl"))
+            if table is not None:
+                # one full-delete snapshot: rows gone, history intact
+                # (time travel still reads pre-truncate data). Trino's
+                # TRUNCATE reports no row count.
+                table.delete_where(F.lit(True))
+                return 0
+            # unregistered: Spark's own TRUNCATE TABLE handles catalog tables
+        rn = self._SNAP_RENAME_TABLE_RE.match(rendered)
+        if rn is not None:
+            key = rn.group("tbl").lower()
+            if key in self.snapshots.registered_names():
+                self.snapshots.rename(rn.group("tbl"), rn.group("new"))
+                return 0
+            # unregistered: Spark's own ALTER TABLE ... RENAME TO
         cm = self._SNAP_COL_DDL_RE.match(rendered)
         if cm is not None:
             table = self.snapshots.resolve(self.spark, cm.group("tbl"))
@@ -809,7 +893,10 @@ class AthenaSparkClient:
             table = self.snapshots.resolve(self.spark, m.group("tbl"))
             if table is None:
                 return None  # not a snapshot table → ordinary SQL path
-            cond = F.expr(m.group("cond"))
+            # no WHERE → every row (Trino's bare DELETE FROM / UPDATE)
+            cond = (
+                F.expr(m.group("cond")) if m.group("cond") else F.lit(True)
+            )
             cur = table.read()
             matched = cur.filter(cond).count()
             if is_update:

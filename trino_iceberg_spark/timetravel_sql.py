@@ -36,7 +36,7 @@ import uuid
 from pyspark.sql import SparkSession
 
 from .catalog.snapshots import SnapshotTable
-from .errors import QueryError
+from .errors import EngineError, QueryError
 
 __all__ = ["rewrite_time_travel", "SnapshotResolver"]
 
@@ -109,6 +109,19 @@ class SnapshotResolver:
     def register(self, name: str, table_dir: str) -> None:
         self._tables[name.lower()] = table_dir
 
+    def rename(self, old: str, new: str) -> None:
+        """Re-key a registration (Trino's ``ALTER TABLE x RENAME TO y``
+        catalog rename — the table DIRECTORY is untouched, only the SQL
+        name moves). Only explicitly-registered names rename; a
+        warehouse-convention name's SQL identity IS its directory path,
+        so renaming it would require moving data."""
+        ko, kn = old.lower(), new.lower()
+        if ko not in self._tables:
+            raise EngineError(f"unknown snapshot table {old!r} (not registered)")
+        if kn in self._tables:
+            raise EngineError(f"snapshot table {new!r} already registered")
+        self._tables[kn] = self._tables.pop(ko)
+
     def registered_names(self) -> list[str]:
         return list(self._tables)
 
@@ -159,9 +172,9 @@ def rewrite_time_travel(
     repls: list[tuple[int, int, str]] = []
     if "$" in sql and registered:
         # Trino-style metadata relations: <table>$snapshots / $files /
-        # $delete_files / $history / $refs / $health / $partitions
-        # (optionally backtick-quoted), served fresh from the manifests at
-        # rewrite time.
+        # $delete_files / $history / $refs / $health / $partitions /
+        # $properties / $manifests (optionally backtick-quoted), served
+        # fresh from the manifests at rewrite time.
         _META_DF = {
             "snapshots": lambda t: t.snapshots_df(),
             "files": lambda t: t.files_df(),
@@ -170,12 +183,14 @@ def rewrite_time_travel(
             "refs": lambda t: t.refs_df(),
             "health": lambda t: t.health_df(),
             "partitions": lambda t: t.partitions_df(),
+            "properties": lambda t: t.properties_df(),
+            "manifests": lambda t: t.manifests_df(),
         }
         for name in registered:
             pat = (
                 rf"(?<![\w.$])`?(?P<tbl>{re.escape(name)})"
                 rf"\$(?P<kind>snapshots|delete_files|files|history|refs"
-                rf"|health|partitions)`?(?!\w)"
+                rf"|health|partitions|properties|manifests)`?(?!\w)"
             )
             meta_views: dict[str, str] = {}
             for m in re.finditer(pat, sql, re.IGNORECASE):
