@@ -1067,3 +1067,28 @@ def test_properties_and_manifests_metadata_relations(spark, tmp_path):
     assert len(mans) == 2
     assert sum(r["entry_count"] for r in mans) == len(t.current_snapshot().files)
     assert all(r["length"] > 0 for r in mans)
+
+
+def test_merge_insert_partial_column_list_null_fills(spark, tmp_path):
+    """Trino's MERGE ... WHEN NOT MATCHED THEN INSERT (partial cols)
+    NULL-fills the unlisted columns, same as plain INSERT."""
+    tdir = str(tmp_path / "merge_partial")
+    t = SnapshotTable(spark, tdir)
+    t.append(
+        spark.createDataFrame([(1, "a", 10)], "id long, name string, v long")
+    )
+    client = AthenaSparkClient(spark)
+    client.register_snapshot_table("mp_t", tdir)
+    spark.createDataFrame([(2,), (1,)], "id long").createOrReplaceTempView("mp_src")
+    n = client.execute(
+        "MERGE INTO mp_t t USING (SELECT * FROM mp_src) s ON t.id = s.id "
+        "WHEN NOT MATCHED THEN INSERT (id) VALUES (s.id)"
+    )
+    assert n == 1
+    row = client.query("SELECT * FROM mp_t WHERE id = 2")[0]
+    assert row["name"] is None and row["v"] is None
+    with pytest.raises(QueryError, match="unknown columns"):
+        client.execute(
+            "MERGE INTO mp_t t USING (SELECT * FROM mp_src) s ON t.id = s.id "
+            "WHEN NOT MATCHED THEN INSERT (nope) VALUES (s.id)"
+        )

@@ -773,20 +773,29 @@ class AthenaSparkClient:
                 raise QueryError("MERGE INSERT column/value arity mismatch", sql=rendered)
             if len(ins_vals) != len(fields) and ins_cols is None:
                 raise QueryError("MERGE INSERT arity != table arity", sql=rendered)
+            if ins_cols is not None:
+                unknown = set(ins_cols) - set(names)
+                if unknown:
+                    raise QueryError(
+                        f"MERGE INSERT of unknown columns: {sorted(unknown)}",
+                        sql=rendered,
+                    )
+                if len(set(ins_cols)) != len(ins_cols):
+                    raise QueryError(
+                        "MERGE INSERT: duplicate column in column list",
+                        sql=rendered,
+                    )
             rows = nm_src.select(
                 *[F.expr(v).alias((ins_cols or names)[i]) for i, v in enumerate(ins_vals)]
             )
-            if ins_cols is not None:
-                missing = set(names) - set(ins_cols)
-                if missing:
-                    raise QueryError(
-                        f"MERGE INSERT must cover all columns (missing {sorted(missing)})",
-                        sql=rendered,
-                    )
             # validate insert-value types before the alignment cast
-            # (lossy coercions refused, same lattice as SQL INSERT)
+            # (lossy coercions refused, same lattice as SQL INSERT); a
+            # PARTIAL column list NULL-fills unlisted columns, as Trino
+            # does for MERGE INSERT
             rtypes = {f.name: f.dataType.simpleString() for f in rows.schema.fields}
             for f in fields:
+                if f.name not in rtypes:
+                    continue  # unlisted → typed NULL below
                 if not table._insert_coercible(
                     rtypes[f.name], f.dataType.simpleString()
                 ):
@@ -798,7 +807,16 @@ class AthenaSparkClient:
                     )
             inserted = rows.count()
             pieces.append(
-                rows.select(*[F.col(f.name).cast(f.dataType) for f in fields])
+                rows.select(
+                    *[
+                        (
+                            F.col(f.name).cast(f.dataType)
+                            if f.name in rtypes
+                            else F.lit(None).cast(f.dataType)
+                        ).alias(f.name)
+                        for f in fields
+                    ]
+                )
             )
         final = pieces[0]
         for p in pieces[1:]:
