@@ -2729,3 +2729,112 @@ def test_health_recommends_analyze_on_growth(spark, tmp_path):
     # re-ANALYZE clears it
     t.analyze()
     assert t.health_df().first()["recommendation"] == "ok"
+
+
+# --- round-13: incremental ANALYZE (sketch-merged statistics) ---------------
+
+
+def _stats_map(t):
+    return {
+        r["column_name"]: r
+        for r in t.stats_df().collect()
+        if r["column_name"] is not None
+    }
+
+
+def test_incremental_analyze_matches_full(spark, tmp_path):
+    """A whole-table ANALYZE after an append-only delta merges stored HLL
+    sketches / null counts / bounds over ONLY the new files — and must
+    land the exact same statistics a forced full scan computes."""
+
+    def build(tag):
+        t = SnapshotTable(spark, str(tmp_path / tag))
+        t.append(
+            spark.range(300).selectExpr(
+                "id AS k",
+                "CAST(id % 7 AS STRING) AS g",
+                "CASE WHEN id % 5 = 0 THEN NULL ELSE CAST(id AS DOUBLE) END AS v",
+                "CAST(id AS DECIMAL(10,2)) / 4 AS d",
+            )
+        )
+        return t
+
+    inc, full = build("inc"), build("full")
+    inc.analyze()
+    delta = spark.range(300, 500).selectExpr(
+        "id AS k",
+        "CAST(id % 7 AS STRING) AS g",
+        "CASE WHEN id % 5 = 0 THEN NULL ELSE CAST(id AS DOUBLE) END AS v",
+        "CAST(id AS DECIMAL(10,2)) / 4 AS d",
+    )
+    inc.append(delta)
+    full.append(delta)
+    # forced incremental must be eligible AND produce full-scan-identical
+    # stats (same sketch family both ways: HLL union is lossless here)
+    assert inc.analyze(mode="incremental") == 4
+    assert full.analyze(mode="full") == 4
+    si, sf = _stats_map(inc), _stats_map(full)
+    for col in ("k", "g", "v", "d"):
+        for field in ("nulls_fraction", "low_value", "high_value", "stale"):
+            assert si[col][field] == sf[col][field], (col, field)
+        # HLL estimates: a union of two sketches and a single-pass sketch
+        # agree to sketch precision, not bit-for-bit (both are ~1.6% at
+        # the default lgK) — low cardinalities are exact either way
+        a, b = si[col]["distinct_values_count"], sf[col]["distinct_values_count"]
+        assert abs(a - b) <= 0.02 * max(a, b, 1), (col, a, b)
+    assert si["k"]["low_value"] == "0" and si["k"]["high_value"] == "499"
+    assert si["v"]["nulls_fraction"] == 0.2
+    # decimal bound merged in the DECIMAL domain (scale-preserving text)
+    assert float(si["d"]["high_value"]) == 499 / 4
+    assert si["g"]["distinct_values_count"] == 7.0
+
+
+def test_incremental_analyze_zero_delta_freshens(spark, tmp_path):
+    """Same files since the last ANALYZE (only metadata-only commits):
+    incremental mode freshens provenance with zero scan — stale flags
+    clear and the stats follow the rename by field id."""
+    t = SnapshotTable(spark, str(tmp_path / "fresh"))
+    t.append(spark.range(50).selectExpr("id AS k", "CAST(id AS STRING) AS s"))
+    t.analyze()
+    t.rename_column("s", "label")  # metadata-only commit: data unchanged
+    assert _stats_map(t)["label"]["stale"] is True
+    assert t.analyze(mode="incremental") == 2
+    m = _stats_map(t)
+    assert m["label"]["stale"] is False and m["k"]["stale"] is False
+    assert m["k"]["high_value"] == "49"
+
+
+def test_incremental_analyze_ineligibility(spark, tmp_path):
+    """Outstanding delete files, removed files (compaction), or a
+    sketch-less column (after a partial ANALYZE) refuse mode=incremental;
+    auto falls back to a full scan and re-baselines."""
+    t = SnapshotTable(spark, str(tmp_path / "inel"))
+    t.append(spark.range(100).selectExpr("id AS k", "id * 2 AS v"))
+    t.analyze()
+    # outstanding MOR delete → ineligible (sketches can't subtract)
+    t.delete_where(F.col("k") == 5, mode="merge-on-read")
+    with pytest.raises(EngineError, match="ineligible"):
+        t.analyze(mode="incremental")
+    assert t.analyze() == 2  # auto falls back to full over VISIBLE rows
+    assert _stats_map(t)["k"]["distinct_values_count"] == 99.0
+    # dirty prior (clean=False) keeps later runs full even after rewrite
+    t.rewrite_delete_files()
+    with pytest.raises(EngineError, match="ineligible"):
+        t.analyze(mode="incremental")
+    # compaction rewrites files → removed-file delta → ineligible
+    t2 = SnapshotTable(spark, str(tmp_path / "inel2"))
+    for lo in (0, 50):
+        t2.append(spark.range(lo, lo + 50).selectExpr("id AS k"))
+    t2.analyze()
+    t2.compact_small_files(target_files=1)
+    with pytest.raises(EngineError, match="ineligible"):
+        t2.analyze(mode="incremental")
+    assert t2.analyze() == 1  # full fallback re-baselines
+    assert t2.analyze(mode="incremental") == 1  # eligible again (no delta)
+    # partial ANALYZE stores no sketch → whole-table incremental refuses
+    t3 = SnapshotTable(spark, str(tmp_path / "inel3"))
+    t3.append(spark.range(30).selectExpr("id AS k", "id AS v"))
+    t3.analyze()
+    t3.analyze(["k"])  # partial: k loses its sketch by design
+    with pytest.raises(EngineError, match="ineligible"):
+        t3.analyze(mode="incremental")

@@ -2723,19 +2723,40 @@ class SnapshotTable:
             return str(v)
         return v
 
-    def analyze(self, columns: list[str] | None = None) -> int:
-        """Trino's ``ANALYZE`` for Iceberg tables: compute per-column NDV,
-        null fraction, and min/max in ONE wide-aggregate scan and persist
-        them as table statistics. NDV uses ``approx_count_distinct`` —
-        the mergeable HyperLogLog sketch computed JVM-side with partial
-        aggregation per partition and a single-row combine, the same
-        shape (and the same sketch family) Trino stores for Iceberg via
-        Puffin files; exact distinct counting would be a full shuffle per
-        column, untenable at 100 TB. Statistics persist in
-        ``metadata/statistics.json`` keyed by FIELD ID (rename-proof,
-        like every manifest structure here) with the snapshot id they
-        were computed at; ``stats_df`` serves them resolved to current
-        names. Returns the number of columns analyzed."""
+    def analyze(self, columns: list[str] | None = None, mode: str = "auto") -> int:
+        """Trino's ``ANALYZE`` for Iceberg tables: per-column NDV, null
+        fraction, and min/max in ONE wide-aggregate scan, persisted as
+        table statistics in ``metadata/statistics.json`` keyed by FIELD
+        ID (rename-proof) with per-column ``analyzed_snapshot_id``
+        provenance. NDV comes from Apache DataSketches HLL
+        (``hll_sketch_agg`` over a canonical string encoding — the SAME
+        sketch family Trino persists for Iceberg in Puffin files), and
+        the sketch BINARY itself is stored per column, which is what
+        makes statistics maintenance incremental:
+
+        **Incremental ANALYZE (round 13 — the 100 TB path).** When
+        ``mode`` is ``auto`` (default) a whole-table ANALYZE scans ONLY
+        the files appended since the last whole-table ANALYZE and MERGES:
+        HLL union for NDV, exact addition for null/row counts, bound
+        comparison for min/max — O(delta) cost instead of O(table),
+        exactly Iceberg/Puffin's incremental-stats model. Nightly stats
+        after a 0.1% ingest cost 0.1% of the table scan. Eligibility
+        (else silent fallback to a full scan): a prior whole-table
+        ANALYZE with sketches exists, the file delta is append-only
+        (compaction/CoW-DML rewrites remove files → full), and no
+        delete files are outstanding now or at the prior run (delete
+        visibility can't be subtracted from a sketch). A delta of ZERO
+        files freshens the provenance without any scan. ``mode="full"``
+        forces the scan; ``mode="incremental"`` raises when ineligible.
+
+        A PARTIAL ``columns=[...]`` ANALYZE always full-scans its
+        columns over the current visible rows and stores them WITHOUT a
+        sketch (non-uniform coverage can't merge) — the next whole-table
+        run re-baselines. Returns the number of columns analyzed."""
+        import base64
+
+        if mode not in ("auto", "full", "incremental"):
+            raise EngineError(f"unknown ANALYZE mode {mode!r} (auto|full|incremental)")
         snap = self.current_snapshot()
         if snap is None:
             raise EngineError(f"table {self.table_dir} has no snapshots")
@@ -2751,45 +2772,144 @@ class SnapshotTable:
                     f"ANALYZE: columns {missing} not in {self.table_dir}"
                 )
             cols = [c for c in cols if c["name"] in set(columns)]
-        df = self._read_snapshot(snap)
+
+        prior = self._load_statistics()
+        pcols = (prior or {}).get("columns") or {}
+        covered = (prior or {}).get("covered_files")
+        clean = not (snap.position_deletes or snap.equality_deletes)
+        incremental = (
+            mode != "full"
+            and columns is None
+            and prior is not None
+            and covered is not None
+            and clean
+            and prior.get("clean") is True
+            and set(covered) <= set(snap.files)
+            and all("sketch" in (pcols.get(str(c["id"])) or {}) for c in cols)
+        )
+        if mode == "incremental" and not incremental:
+            raise EngineError(
+                "incremental ANALYZE ineligible: needs a prior whole-table "
+                "ANALYZE with sketches, an append-only file delta, and no "
+                "outstanding delete files (now or then)"
+            )
+        delta = (
+            tuple(f for f in snap.files if f not in set(covered))
+            if incremental
+            else None
+        )
+        if incremental and not delta:
+            # no new files since the last ANALYZE: every stored stat is
+            # still exact — freshen provenance with ZERO scan cost
+            with self._commit_lock():
+                cur = self._load_statistics() or dict(prior)
+                for ent in (cur.get("columns") or {}).values():
+                    ent["analyzed_snapshot_id"] = snap.snapshot_id
+                cur["snapshot_id"] = snap.snapshot_id
+                self._write_statistics(cur)
+            return len(cols)
+
+        if incremental:
+            # group-resolved raw read of ONLY the appended files (clean
+            # table: file contents == visible rows by eligibility)
+            df = self._read_snapshot_files(
+                dataclasses.replace(snap, files=delta)
+            )
+        else:
+            df = self._read_snapshot(snap)
         exprs = [F.count(F.lit(1)).alias("__n")]
         for c in cols:
             name = c["name"]
+            # canonical string encoding: type-evolution-proof (an
+            # int→bigint promotion hashes identically) and uniform
+            # across every column type DataSketches doesn't take natively
             exprs.append(
-                F.approx_count_distinct(F.col(name)).alias(f"__ndv_{name}")
+                F.hll_sketch_agg(F.col(name).cast("string")).alias(f"__sk_{name}")
             )
             exprs.append(
-                F.avg(F.col(name).isNull().cast("double")).alias(
-                    f"__nf_{name}"
-                )
+                F.sum(F.col(name).isNull().cast("long")).alias(f"__nc_{name}")
             )
             if self._STATS_ORDERABLE.match(c["type"].lower()):
                 exprs.append(F.min(F.col(name)).alias(f"__lo_{name}"))
                 exprs.append(F.max(F.col(name)).alias(f"__hi_{name}"))
         row = df.agg(*exprs).first()
+        n_new = int(row["__n"])
+
+        # resolve NDV estimates (and merged sketches) in ONE 1-row select:
+        # sketches are kilobyte literals, union/estimate run JVM-side
+        est_exprs = []
+        for i, c in enumerate(cols):
+            raw = row[f"__sk_{c['name']}"]
+            new_b = bytes(raw) if raw is not None else None
+            comb = None
+            if incremental:
+                pri_b = base64.b64decode(pcols[str(c["id"])]["sketch"])
+                comb = (
+                    F.hll_union(F.lit(pri_b), F.lit(new_b))
+                    if new_b is not None
+                    else F.lit(pri_b)
+                )
+            elif new_b is not None:
+                comb = F.lit(new_b)
+            if comb is not None:
+                est_exprs.append(comb.alias(f"__m_{i}"))
+                est_exprs.append(
+                    F.hll_sketch_estimate(comb).alias(f"__e_{i}")
+                )
+        est = (
+            self.spark.range(1).select(*est_exprs).first() if est_exprs else None
+        )
+
         out_cols: dict[str, dict] = {}
-        for c in cols:
+        for i, c in enumerate(cols):
             name = c["name"]
+            pent = pcols.get(str(c["id"])) or {}
+            nc = int(row[f"__nc_{name}"] or 0)
+            if incremental:
+                nc += int(pent.get("null_count") or 0)
+                rows_cov = n_new + int(pent.get("rows") or 0)
+            else:
+                rows_cov = n_new
             ent: dict = {
-                "ndv": int(row[f"__ndv_{name}"]),
-                "nulls_fraction": float(row[f"__nf_{name}"] or 0.0),
+                "ndv": int(est[f"__e_{i}"]) if est is not None and f"__e_{i}" in est.__fields__ else 0,
+                "null_count": nc,
+                "rows": rows_cov,
+                "nulls_fraction": (nc / rows_cov) if rows_cov else 0.0,
                 # per-column provenance: WHICH snapshot this column's
-                # stats were computed at. A partial ANALYZE after new
-                # commits must not silently drop (or silently freshen)
-                # the other columns' entries — they stay, marked by
-                # their own analyzed snapshot, and stats_df surfaces
-                # the staleness (round-12 judge, residuals #3/#4).
+                # stats were computed at — what stats_df's staleness
+                # flag and partial-ANALYZE retention key on
                 "analyzed_snapshot_id": snap.snapshot_id,
             }
+            # partial runs store no sketch: their coverage is that run's
+            # visible rows, not the whole-table file baseline
+            if columns is None and est is not None and f"__m_{i}" in est.__fields__:
+                ent["sketch"] = base64.b64encode(bytes(est[f"__m_{i}"])).decode()
             if f"__lo_{name}" in row.__fields__:
-                ent["low"] = self._stats_portable(row[f"__lo_{name}"])
-                ent["high"] = self._stats_portable(row[f"__hi_{name}"])
+                lo, hi = row[f"__lo_{name}"], row[f"__hi_{name}"]
+                if incremental:
+                    lo = self._merge_bound(pent.get("low"), lo, min)
+                    hi = self._merge_bound(pent.get("high"), hi, max)
+                else:
+                    lo = self._stats_portable(lo)
+                    hi = self._stats_portable(hi)
+                ent["low"] = lo
+                ent["high"] = hi
             out_cols[str(c["id"])] = ent
         stats = {
             "snapshot_id": snap.snapshot_id,
-            "row_count": int(row["__n"]),
+            "row_count": rows_cov if cols else n_new,
             "columns": out_cols,
         }
+        if columns is None:
+            stats["covered_files"] = list(snap.files)
+            stats["clean"] = clean
+        else:  # partial: the whole-table coverage baseline is unchanged
+            if prior is not None:
+                if "covered_files" in prior:
+                    stats["covered_files"] = prior["covered_files"]
+                if "clean" in prior:
+                    stats["clean"] = prior["clean"]
+            stats["row_count"] = n_new  # partial scans see the full table
         with self._commit_lock():
             # merge per-column at ANY snapshot (a partial-column ANALYZE
             # refreshes only its columns, like Trino's ANALYZE ... WITH
@@ -2806,12 +2926,39 @@ class SnapshotTable:
                     )
                 merged.update(out_cols)
                 stats["columns"] = merged
-            p = os.path.join(self.metadata_dir, "statistics.json")
-            tmp = p + ".tmp"
-            with open(tmp, "w", encoding="utf-8") as fh:
-                json.dump(stats, fh)
-            os.replace(tmp, p)
+            self._write_statistics(stats)
         return len(cols)
+
+    def _merge_bound(self, prior_portable, new_raw, pick):
+        """Merge one min/max bound: ``prior_portable`` is the JSON-stored
+        value from the last ANALYZE, ``new_raw`` the raw Spark value from
+        the delta scan; ``pick`` is min or max. Comparison happens in the
+        value's own domain (Decimal as Decimal, datetimes as ISO strings
+        — lexicographic == chronological), never as raw strings."""
+        import decimal as _dec
+        import datetime as _dt
+
+        if new_raw is None:
+            return prior_portable
+        if prior_portable is None:
+            return self._stats_portable(new_raw)
+        if isinstance(new_raw, _dec.Decimal):
+            win = pick(_dec.Decimal(str(prior_portable)), new_raw)
+            return self._stats_portable(win)
+        if isinstance(new_raw, (_dt.datetime, _dt.date)):
+            return pick(str(prior_portable), self._stats_portable(new_raw))
+        if isinstance(new_raw, bool):
+            return pick(bool(prior_portable), new_raw)
+        if isinstance(new_raw, (int, float)):
+            return pick(prior_portable, new_raw)
+        return pick(str(prior_portable), str(new_raw))
+
+    def _write_statistics(self, stats: dict) -> None:
+        p = os.path.join(self.metadata_dir, "statistics.json")
+        tmp = p + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(stats, fh)
+        os.replace(tmp, p)
 
     def _load_statistics(self) -> dict | None:
         p = os.path.join(self.metadata_dir, "statistics.json")
