@@ -78,13 +78,14 @@ _TUNED_CONFS = {
 # 4. the 42-entry r07 cohort.
 # Everything else was checked r08–r11 and yields after these.
 _FRONT = [
-    # --- tier 1: new this round (never driver-checked) ---
+    # --- tier 1: new this round (never driver-checked). The changed-code
+    # re-verify slot went to tt29 over a tt10 repeat: tt27 itself IS the
+    # rewritten INSERT dispatch, tt29 the new incremental-ANALYZE path,
+    # and tt10 (MERGE) re-verified green in this round's builder sweeps;
+    # it leads the post-front middle tier for any driver budget > 50. ---
     "tt27_sql_insert_coercions",
     "tt28_stats_staleness",
-    # --- tier 2: changed-code re-verify (round-13 rewrote the SQL
-    # INSERT/UPDATE/MERGE dispatch's type handling; tt10 is the DML
-    # representative that routes through all of it) ---
-    "tt10_sql_merge",
+    "tt29_incremental_analyze",
     # --- tier 3: FULL r08 cohort (oldest in the r01–r12 union, 47
     # entries — checking all of them moves the staleness floor to r09) ---
     "a09_unpivot",

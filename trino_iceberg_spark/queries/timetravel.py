@@ -1344,3 +1344,72 @@ def tt28_stats_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "phase string, column_name string, stale boolean, "
         "low_value string, high_value string, recommendation string",
     ).orderBy("phase", "column_name")
+
+
+@register(
+    "tt29_incremental_analyze",
+    oracle="""
+    WITH grown AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                    ELSE o_orderpriority END AS prio
+        FROM orders WHERE o_orderkey <= 6000
+    )
+    SELECT column_name, low_value, high_value,
+           CAST(nulls_fraction AS DOUBLE) AS nulls_fraction, stale
+    FROM (
+        SELECT 'o_custkey' AS column_name,
+               CAST(MIN(o_custkey) AS VARCHAR) AS low_value,
+               CAST(MAX(o_custkey) AS VARCHAR) AS high_value,
+               AVG(CASE WHEN o_custkey IS NULL THEN 1.0 ELSE 0.0 END)
+                   AS nulls_fraction,
+               FALSE AS stale
+        FROM grown
+        UNION ALL
+        SELECT 'o_orderkey', CAST(MIN(o_orderkey) AS VARCHAR),
+               CAST(MAX(o_orderkey) AS VARCHAR),
+               AVG(CASE WHEN o_orderkey IS NULL THEN 1.0 ELSE 0.0 END), FALSE
+        FROM grown
+        UNION ALL
+        SELECT 'prio', CAST(MIN(prio) AS VARCHAR), CAST(MAX(prio) AS VARCHAR),
+               AVG(CASE WHEN prio IS NULL THEN 1.0 ELSE 0.0 END), FALSE
+        FROM grown
+    )
+    ORDER BY column_name
+    """,
+)
+def tt29_incremental_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANALYZE end to end (round 13 —
+    snapshots.py:analyze(mode='incremental'), the O(delta) statistics
+    path): full ANALYZE on the first commit stores per-column HLL
+    sketches; an append-only growth commit lands; the FORCED incremental
+    run scans ONLY the appended files and merges bounds / null counts /
+    sketches — and every EXACT statistic it serves (min/max as Trino's
+    low/high strings, null fractions, freshness) must equal what a scan
+    of the whole grown table computes, which is exactly what the oracle
+    does. NDV is excluded here (HLL estimates aren't oracle-expressible;
+    full-vs-incremental agreement to sketch precision is pinned in
+    tests/test_snapshots.py)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit(None))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("prio"),
+    )
+    tdir = work_dir("tt29_table")
+    table = SnapshotTable(spark, tdir)
+    table.append(o.filter(F.col("o_orderkey") <= 2000))
+    table.analyze()  # baseline: sketches + covered-file set persist
+    table.append(
+        o.filter((F.col("o_orderkey") > 2000) & (F.col("o_orderkey") <= 6000))
+    )
+    table.analyze(mode="incremental")  # raises if the delta path is broken
+    return (
+        table.stats_df()
+        .filter(F.col("column_name").isNotNull())
+        .select(
+            "column_name", "low_value", "high_value", "nulls_fraction", "stale"
+        )
+        .orderBy("column_name")
+    )
