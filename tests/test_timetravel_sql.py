@@ -1092,3 +1092,22 @@ def test_merge_insert_partial_column_list_null_fills(spark, tmp_path):
             "MERGE INTO mp_t t USING (SELECT * FROM mp_src) s ON t.id = s.id "
             "WHEN NOT MATCHED THEN INSERT (nope) VALUES (s.id)"
         )
+
+
+def test_truncate_is_copy_on_write_even_in_mor_mode(spark, tmp_path):
+    """TRUNCATE forces the copy-on-write path: on a merge-on-read table
+    it must NOT write a position-delete row per table row (O(table)
+    delete file for a drop-everything statement) — zero delete files
+    after, empty read, history intact."""
+    tdir = str(tmp_path / "trunc_mor")
+    t = SnapshotTable(spark, tdir)
+    t.append(spark.range(100).selectExpr("id AS k"))
+    t.set_table_property("write.delete.mode", "merge-on-read")
+    client = AthenaSparkClient(spark)
+    client.register_snapshot_table("tm_t", tdir)
+    assert client.execute("TRUNCATE TABLE tm_t") == 0
+    snap = t.current_snapshot()
+    assert not (snap.position_deletes or ())
+    assert not (snap.equality_deletes or ())
+    assert t.read().count() == 0
+    assert t.read_version(1).count() == 100

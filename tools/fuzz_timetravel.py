@@ -20,7 +20,8 @@ then generates queries that exercise every rewrite feature:
 - bare registered-name references (rewritten to a current-snapshot
   view), travel+current self-joins, dimension joins, TWO independent
   travel clauses in one statement (scalar subqueries), metadata
-  relations (``$snapshots/$files/$history/$refs``), and string-literal
+  relations (``$snapshots/$files/$history/$refs/$partitions/
+  $properties/$manifests``), and string-literal
   decoys that contain travel syntax and must come through VERBATIM.
 
 The twin is the same query template with each travel reference replaced
@@ -185,7 +186,10 @@ def gen_query(rng: random.Random) -> tuple[str, int]:
     op = rng.choice(["<", ">", "<=", ">="])
     k = rng.randrange(10, 90)
     g = rng.choice(GROUPS)
-    meta = rng.choice(["snapshots", "files", "history", "refs"])
+    meta = rng.choice(
+        ["snapshots", "files", "history", "refs", "partitions",
+         "properties", "manifests"]
+    )
     decoy = "see fz_tt FOR TIMESTAMP AS OF TIMESTAMP ''2024-01-01'' ok"
     templates = [
         ("SELECT count(*) AS n, sum(val) AS s FROM {T}", 1),
@@ -266,6 +270,9 @@ def run_case(spark, case_no: int, seed: int, workdir: str, n_queries: int = 10):
                 "files": h.table.files_df,
                 "history": h.table.history_df,
                 "refs": h.table.refs_df,
+                "partitions": h.table.partitions_df,
+                "properties": h.table.properties_df,
+                "manifests": h.table.manifests_df,
             }[meta_kind]()
             v = h.twin_view(lambda: meta_df)
             twin_sql = twin_sql.replace(f"fz_tt${meta_kind}", v)

@@ -399,9 +399,15 @@ class AthenaSparkClient:
             table = self.snapshots.resolve(self.spark, tm_.group("tbl"))
             if table is not None:
                 # one full-delete snapshot: rows gone, history intact
-                # (time travel still reads pre-truncate data). Trino's
-                # TRUNCATE reports no row count.
-                table.delete_where(F.lit(True))
+                # (time travel still reads pre-truncate data). Forced
+                # copy-on-write REGARDLESS of write.delete.mode: the
+                # kept-filter is literally false, which Catalyst folds
+                # to an empty relation — a metadata-cheap commit — while
+                # the merge-on-read path would write a position-delete
+                # row PER TABLE ROW (O(table) delete file for a
+                # statement whose whole point is dropping everything).
+                # Trino's TRUNCATE reports no row count.
+                table.delete_where(F.lit(True), mode="copy-on-write")
                 return 0
             # unregistered: Spark's own TRUNCATE TABLE handles catalog tables
         rn = self._SNAP_RENAME_TABLE_RE.match(rendered)
