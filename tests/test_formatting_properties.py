@@ -418,3 +418,70 @@ def test_scanners_track_nested_block_comments():
     # a nested opener inside a comment leaves it open when only one
     # close follows — the trailing ';' is comment content
     assert len(split_statements("SELECT 1 /* /* */ ; still open")) == 1
+
+
+# --- round-13: implicit-coercion lattice properties (pure Python) -----------
+
+_INT_TYPES = ["tinyint", "smallint", "int", "bigint"]
+_INT_MAX = {"tinyint": 2**7 - 1, "smallint": 2**15 - 1, "int": 2**31 - 1,
+            "bigint": 2**63 - 1}
+
+
+@given(
+    src=st.sampled_from(_INT_TYPES + ["float", "double", "string", "date",
+                                      "timestamp", "decimal(10,2)"]),
+    decl=st.sampled_from(_INT_TYPES + ["float", "double", "string", "date",
+                                       "timestamp", "decimal(10,2)",
+                                       "decimal(12,2)", "decimal(10,4)"]),
+)
+def test_insert_coercible_is_superset_of_write_promotable(src, decl):
+    """Every writer-sanctioned widening is also an INSERT coercion, and
+    identity always coerces — the SQL surface may never be STRICTER than
+    the storage layer's own write acceptance."""
+    from trino_iceberg_spark.catalog.snapshots import SnapshotTable as T
+
+    if T._write_promotable(src, decl):
+        assert T._insert_coercible(src, decl)
+    assert T._insert_coercible(src, src)
+
+
+@given(src=st.sampled_from(_INT_TYPES), decl=st.sampled_from(_INT_TYPES))
+def test_integral_coercions_follow_rank(src, decl):
+    from trino_iceberg_spark.catalog.snapshots import SnapshotTable as T
+
+    want = _INT_MAX[src] <= _INT_MAX[decl]
+    assert T._insert_coercible(src, decl) == want
+
+
+def test_lossy_directions_refused():
+    """The exact refusal set Trino enforces on INSERT: fractional →
+    integral, approximate → exact/narrower, string → anything typed,
+    timestamp → date."""
+    from trino_iceberg_spark.catalog.snapshots import SnapshotTable as T
+
+    refused = [
+        ("decimal(2,1)", "bigint"),
+        ("double", "bigint"),
+        ("double", "float"),
+        ("float", "int"),
+        ("string", "int"),
+        ("string", "double"),
+        ("string", "date"),
+        ("timestamp", "date"),
+        ("decimal(12,2)", "decimal(10,2)"),
+        ("decimal(10,4)", "decimal(10,2)"),
+        ("bigint", "int"),
+    ]
+    for src, decl in refused:
+        assert not T._insert_coercible(src, decl), (src, decl)
+    allowed = [
+        ("int", "double"),
+        ("bigint", "float"),
+        ("decimal(10,2)", "double"),
+        ("float", "double"),
+        ("int", "decimal(10,2)"),
+        ("date", "timestamp"),
+        ("void", "bigint"),
+    ]
+    for src, decl in allowed:
+        assert T._insert_coercible(src, decl), (src, decl)
