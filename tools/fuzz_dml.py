@@ -193,6 +193,14 @@ def gen_statement(rng: random.Random, next_id: list[int]) -> dict:
         elif form == "upd_val":
             sql = f"UPDATE fz_fuzz SET val = {frac} WHERE {_cond(rng)}"
         else:
+            # genuinely fractional only: Spark's ANSI arithmetic coerces
+            # a numeric STRING operand to the other side's type, so
+            # `id + '7'` is an exact bigint the engine rightly accepts
+            # (found by fuzz seed 141/142 — a fuzzer-model bug, not an
+            # engine one; the bare-literal forms above still cover the
+            # string→numeric refusal)
+            if frac == "'7'":
+                frac = "3.9"
             sql = f"UPDATE fz_fuzz SET id = id + {frac} WHERE {_cond(rng)}"
         return {"kind": "lossy", "sql": sql}
     if kind == "update":
