@@ -1111,3 +1111,59 @@ def test_truncate_is_copy_on_write_even_in_mor_mode(spark, tmp_path):
     assert not (snap.equality_deletes or ())
     assert t.read().count() == 0
     assert t.read_version(1).count() == 100
+
+
+def test_merge_conditional_clauses_first_match_wins(spark, tmp_path):
+    """Trino's conditional MERGE: WHEN MATCHED AND <cond> THEN ... with
+    multiple ordered branches — the FIRST clause whose condition holds
+    wins per row, rows satisfying no clause stay untouched, and NOT
+    MATCHED clauses gate inserts the same way."""
+    tdir = str(tmp_path / "merge_cond")
+    t = SnapshotTable(spark, tdir)
+    t.append(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+            "id long, name string, v long",
+        )
+    )
+    client = AthenaSparkClient(spark)
+    client.register_snapshot_table("mc_t", tdir)
+    spark.createDataFrame(
+        [(1, 100), (2, 5), (3, 7), (5, 50), (6, 3)], "id long, sv long"
+    ).createOrReplaceTempView("mc_src")
+    n = client.execute(
+        """
+        MERGE INTO mc_t t USING (SELECT * FROM mc_src) s ON t.id = s.id
+        WHEN MATCHED AND s.sv >= 100 THEN DELETE
+        WHEN MATCHED AND s.sv >= 6 THEN UPDATE SET v = s.sv
+        WHEN NOT MATCHED AND s.sv >= 10 THEN INSERT VALUES (s.id, 'new', s.sv)
+        """
+    )
+    # id=1: sv=100 → deleted; id=2: sv=5 → matches no clause, untouched;
+    # id=3: sv=7 → updated; id=4: unmatched target, untouched;
+    # id=5: sv=50 → inserted; id=6: sv=3 → not inserted
+    assert n == 3  # 1 delete + 1 update + 1 insert
+    rows = {r["id"]: (r["name"], r["v"]) for r in client.query("SELECT * FROM mc_t")}
+    assert 1 not in rows and 6 not in rows
+    assert rows[2] == ("b", 20)
+    assert rows[3] == ("c", 7)
+    assert rows[4] == ("d", 40)
+    assert rows[5] == ("new", 50)
+
+    # ordered precedence: an unconditional clause shadows later ones
+    n = client.execute(
+        """
+        MERGE INTO mc_t t USING (SELECT * FROM mc_src) s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET v = 0
+        WHEN MATCHED AND s.sv >= 6 THEN DELETE
+        """
+    )
+    assert n == 3  # ids 2, 3, 5 all matched → all took the first clause
+    rows = {r["id"]: r["v"] for r in client.query("SELECT * FROM mc_t")}
+    assert rows[2] == 0 and rows[3] == 0 and rows[5] == 0 and rows[4] == 40
+    # lossy SET in a conditional clause still refused
+    with pytest.raises(QueryError, match="cannot coerce"):
+        client.execute(
+            "MERGE INTO mc_t t USING (SELECT * FROM mc_src) s ON t.id = s.id "
+            "WHEN MATCHED AND s.sv > 1 THEN UPDATE SET v = 1.5"
+        )

@@ -218,7 +218,8 @@ def gen_statement(rng: random.Random, next_id: list[int]) -> dict:
         sql = f"DELETE FROM fz_fuzz WHERE {cond}"
         return {"kind": kind, "sql": sql, "twin": sql.replace("fz_fuzz", "fz")}
 
-    # merge
+    # merge — clauses carry optional Trino AND-conditions (first match
+    # wins per row; the same route is replayed in the DuckDB twin)
     n = rng.randrange(1, 4)
     base = rng.randrange(0, 14)
     src_ids = sorted({base + 2 * j for j in range(n)})
@@ -230,30 +231,79 @@ def gen_statement(rng: random.Random, next_id: list[int]) -> dict:
         + _values_rows(rng, src_ids)
         + ") AS w(id, grp, val, note)"
     )
-    clause_kind = rng.choice(["upd", "del", "upd_ins", "del_ins", "ins"])
-    clauses, upd_sets, has_del, has_ins = [], None, False, False
-    if clause_kind in ("upd", "upd_ins"):
+
+    def _mcond():  # matched-clause conditions may reference both sides
+        return rng.choice(
+            [
+                "sa.val > 40",
+                "coalesce(sa.val, 0) % 2 = 0",
+                "ta.val < coalesce(sa.val, 50)",
+                "sa.note IS NOT NULL",
+            ]
+        )
+
+    def _icond():  # not-matched conditions see only the source
+        return rng.choice(
+            ["sa.val > 30", "sa.note IS NOT NULL", "coalesce(sa.val, 0) % 2 = 1"]
+        )
+
+    def _sets():
         n_sets = rng.randrange(1, 3)
         targets = rng.sample(["val", "note"], n_sets)
-        upd_sets = {
+        return {
             t: (
                 rng.choice(["sa.val", "ta.val + sa.val", "coalesce(sa.val, 0)"])
                 if t == "val"
-                else rng.choice(["sa.note", "ta.note || ',m(' || sa.grp", "upper(sa.note)"])
+                else rng.choice(
+                    ["sa.note", "ta.note || ',m(' || sa.grp", "upper(sa.note)"]
+                )
             )
             for t in targets
         }
+
+    conditional = rng.random() < 0.45
+    clause_kind = rng.choice(
+        ["upd", "del", "upd_ins", "del_ins", "ins"]
+        + (["multi", "multi"] if conditional else [])
+    )
+    mclauses: list[dict] = []
+    iclauses: list[dict] = []
+    if clause_kind == "multi":
+        # two ordered matched branches — the precedence path
+        first_del = rng.random() < 0.5
+        c1, c2 = _mcond(), (None if rng.random() < 0.3 else _mcond())
+        if first_del:
+            mclauses.append({"cond": c1, "kind": "delete", "sets": None})
+            mclauses.append({"cond": c2, "kind": "update", "sets": _sets()})
+        else:
+            mclauses.append({"cond": c1, "kind": "update", "sets": _sets()})
+            mclauses.append({"cond": c2, "kind": "delete", "sets": None})
+        if rng.random() < 0.6:
+            iclauses.append({"cond": _icond() if rng.random() < 0.7 else None})
+    else:
+        mc = (_mcond() if (conditional and rng.random() < 0.7) else None)
+        if clause_kind in ("upd", "upd_ins"):
+            mclauses.append({"cond": mc, "kind": "update", "sets": _sets()})
+        if clause_kind in ("del", "del_ins"):
+            mclauses.append({"cond": mc, "kind": "delete", "sets": None})
+        if clause_kind in ("upd_ins", "del_ins", "ins"):
+            iclauses.append(
+                {"cond": _icond() if (conditional and rng.random() < 0.7) else None}
+            )
+    clauses = []
+    for cl in mclauses:
+        head = "WHEN MATCHED" + (f" AND {cl['cond']}" if cl["cond"] else "")
+        if cl["kind"] == "update":
+            action = "UPDATE SET " + ", ".join(
+                f"{c} = {e}" for c, e in cl["sets"].items()
+            )
+        else:
+            action = "DELETE"
+        clauses.append(f"{head} THEN {action}")
+    for cl in iclauses:
+        head = "WHEN NOT MATCHED" + (f" AND {cl['cond']}" if cl["cond"] else "")
         clauses.append(
-            "WHEN MATCHED THEN UPDATE SET "
-            + ", ".join(f"{c} = {e}" for c, e in upd_sets.items())
-        )
-    if clause_kind in ("del", "del_ins"):
-        has_del = True
-        clauses.append("WHEN MATCHED THEN DELETE")
-    if clause_kind in ("upd_ins", "del_ins", "ins"):
-        has_ins = True
-        clauses.append(
-            "WHEN NOT MATCHED THEN INSERT VALUES (sa.id, sa.grp, sa.val, sa.note)"
+            f"{head} THEN INSERT VALUES (sa.id, sa.grp, sa.val, sa.note)"
         )
     cond = "ta.id = sa.id"
     if rng.random() < 0.3:
@@ -267,58 +317,85 @@ def gen_statement(rng: random.Random, next_id: list[int]) -> dict:
         "sql": sql,
         "src_sql": src_sql,
         "cond": cond,
-        "upd_sets": upd_sets,
-        "has_del": has_del,
-        "has_ins": has_ins,
+        "mclauses": mclauses,
+        "iclauses": iclauses,
     }
 
 
+def _route_case(cls: list[dict]) -> str:
+    """First-match-wins route as SQL text: 1-based clause index, 0 = no
+    clause applies (the exact construction the client builds with
+    F.when chains — a NULL condition falls through in both engines)."""
+    parts = [
+        f"WHEN ({c['cond']}) THEN {k}" if c["cond"] else f"WHEN TRUE THEN {k}"
+        for k, c in enumerate(cls, 1)
+    ]
+    return "CASE " + " ".join(parts) + " ELSE 0 END"
+
+
 def apply_merge_twin(con: duckdb.DuckDBPyConnection, st: dict) -> tuple[int, bool]:
-    """Replay the client's MERGE construction on DuckDB. Returns
-    (affected, multi_match_fired)."""
+    """Replay the client's MERGE construction on DuckDB — incl. ordered
+    conditional clauses. Returns (affected, multi_match_fired)."""
     src, cond = st["src_sql"], st["cond"]
+    m_cl, i_cl = st["mclauses"], st["iclauses"]
     con.execute("CREATE OR REPLACE TABLE _pre AS SELECT * FROM fz")
     pre_cond = cond  # ta binds to _pre below
     matched = con.execute(
         f"SELECT count(*) FROM _pre ta WHERE EXISTS "
         f"(SELECT 1 FROM ({src}) sa WHERE {pre_cond})"
     ).fetchone()[0]
-    if st["upd_sets"] is not None or st["has_del"]:
+    if m_cl:
         inner = con.execute(
             f"SELECT count(*) FROM _pre ta JOIN ({src}) sa ON {pre_cond}"
         ).fetchone()[0]
         if inner != matched:
             return 0, True
     pieces = []
-    if st["upd_sets"] is not None or st["has_del"]:
+    affected = 0
+    if m_cl:
+        rt = _route_case(m_cl)
         pieces.append(
             f"SELECT ta.* FROM _pre ta WHERE NOT EXISTS "
             f"(SELECT 1 FROM ({src}) sa WHERE {pre_cond})"
         )
-        if st["upd_sets"] is not None:
-            sel = ", ".join(
-                f"({st['upd_sets'][c]}) AS {c}" if c in st["upd_sets"] else f"ta.{c} AS {c}"
-                for c in COLS
+        del_ids = [k for k, c in enumerate(m_cl, 1) if c["kind"] == "delete"]
+        keep = (
+            f"({rt}) NOT IN ({', '.join(map(str, del_ids))})" if del_ids else "TRUE"
+        )
+        col_sel = []
+        for c_name in COLS:
+            whens = [
+                f"WHEN ({rt}) = {k} THEN ({cl['sets'][c_name]})"
+                for k, cl in enumerate(m_cl, 1)
+                if cl["kind"] == "update" and c_name in cl["sets"]
+            ]
+            col_sel.append(
+                f"CASE {' '.join(whens)} ELSE ta.{c_name} END AS {c_name}"
+                if whens
+                else f"ta.{c_name} AS {c_name}"
             )
-            pieces.append(f"SELECT {sel} FROM _pre ta JOIN ({src}) sa ON {pre_cond}")
+        pieces.append(
+            f"SELECT {', '.join(col_sel)} FROM _pre ta JOIN ({src}) sa "
+            f"ON {pre_cond} WHERE {keep}"
+        )
+        affected += con.execute(
+            f"SELECT count(*) FROM _pre ta JOIN ({src}) sa ON {pre_cond} "
+            f"WHERE ({rt}) <> 0"
+        ).fetchone()[0]
     else:
         pieces.append("SELECT ta.* FROM _pre ta")
     inserted = 0
-    if st["has_ins"]:
-        inserted = con.execute(
-            f"SELECT count(*) FROM ({src}) sa WHERE NOT EXISTS "
-            f"(SELECT 1 FROM _pre ta WHERE {pre_cond})"
-        ).fetchone()[0]
-        pieces.append(
-            f"SELECT sa.id, sa.grp, sa.val, sa.note FROM ({src}) sa "
-            f"WHERE NOT EXISTS (SELECT 1 FROM _pre ta WHERE {pre_cond})"
+    if i_cl:
+        irt = _route_case(i_cl)
+        nm = (
+            f"FROM ({src}) sa WHERE NOT EXISTS "
+            f"(SELECT 1 FROM _pre ta WHERE {pre_cond}) AND ({irt}) <> 0"
         )
+        inserted = con.execute(f"SELECT count(*) {nm}").fetchone()[0]
+        pieces.append(f"SELECT sa.id, sa.grp, sa.val, sa.note {nm}")
     con.execute("DELETE FROM fz")
     con.execute("INSERT INTO fz " + " UNION ALL ".join(f"({p})" for p in pieces))
-    affected = (
-        matched if (st["upd_sets"] is not None or st["has_del"]) else 0
-    ) + inserted
-    return affected, False
+    return affected + inserted, False
 
 
 def seed_rows(rng: random.Random) -> list[tuple]:

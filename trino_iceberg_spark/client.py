@@ -680,15 +680,22 @@ class AthenaSparkClient:
         cond_sql = rest[: first_when.start()].strip()
         clauses = rest[first_when.start() :].strip().rstrip(";").strip()
 
-        upd_sets: dict[str, str] | None = None
-        delete_matched = False
-        ins_cols: list[str] | None = None
-        ins_vals: list[str] | None = None
+        # Ordered clause lists, Trino semantics: each clause may carry an
+        # extra ``AND <condition>`` and the FIRST clause whose condition
+        # holds wins per row; a matched row satisfying no clause is left
+        # untouched, an unmatched source row satisfying no NOT MATCHED
+        # clause is not inserted. (Known limit: an AND-condition may not
+        # itself contain the token THEN, e.g. a CASE expression — wrap
+        # that in a source-side column instead.)
+        matched_clauses: list[dict] = []
+        insert_clauses: list[dict] = []
         for cm in re.finditer(
-            r"WHEN\s+(?P<nm>NOT\s+)?MATCHED\s+THEN\s+(?P<action>.*?)(?=\bWHEN\s+(?:NOT\s+)?MATCHED\b|\Z)",
+            r"WHEN\s+(?P<nm>NOT\s+)?MATCHED\s*(?:\bAND\s+(?P<extra>.*?))?\s*"
+            r"THEN\s+(?P<action>.*?)(?=\bWHEN\s+(?:NOT\s+)?MATCHED\b|\Z)",
             clauses,
             re.IGNORECASE | re.DOTALL,
         ):
+            extra = cm.group("extra").strip() if cm.group("extra") else None
             action = cm.group("action").strip()
             if cm.group("nm"):
                 im = re.match(
@@ -698,25 +705,28 @@ class AthenaSparkClient:
                 )
                 if not im:
                     raise QueryError(f"malformed MERGE insert action: {action!r}", sql=rendered)
-                if im.group("cols"):
-                    ins_cols = [c.strip().strip("`") for c in im.group("cols").split(",")]
-                ins_vals = [v.strip() for v in split_top_level_commas(im.group("vals"))]
+                cols_l = (
+                    [c.strip().strip("`") for c in im.group("cols").split(",")]
+                    if im.group("cols")
+                    else None
+                )
+                vals = [v.strip() for v in split_top_level_commas(im.group("vals"))]
+                insert_clauses.append({"cond": extra, "cols": cols_l, "vals": vals})
             elif re.match(r"UPDATE\s+SET\s+", action, re.IGNORECASE):
-                upd_sets = {}
-                sets = re.sub(r"^UPDATE\s+SET\s+", "", action, flags=re.IGNORECASE)
-                for part in split_top_level_commas(sets):
+                sets: dict[str, str] = {}
+                body = re.sub(r"^UPDATE\s+SET\s+", "", action, flags=re.IGNORECASE)
+                for part in split_top_level_commas(body):
                     col, _, expr = part.partition("=")
                     if not expr:
                         raise QueryError(f"malformed MERGE SET clause: {part!r}", sql=rendered)
-                    upd_sets[col.strip().strip("`")] = expr.strip()
+                    sets[col.strip().strip("`")] = expr.strip()
+                matched_clauses.append({"cond": extra, "kind": "update", "sets": sets})
             elif re.fullmatch(r"DELETE", action, re.IGNORECASE):
-                delete_matched = True
+                matched_clauses.append({"cond": extra, "kind": "delete"})
             else:
                 raise QueryError(f"unsupported MERGE action: {action!r}", sql=rendered)
-        if upd_sets is None and not delete_matched and ins_vals is None:
+        if not matched_clauses and not insert_clauses:
             raise QueryError("MERGE needs at least one WHEN clause", sql=rendered)
-        if upd_sets is not None and delete_matched:
-            raise QueryError("MERGE: UPDATE and DELETE matched clauses together unsupported", sql=rendered)
 
         fields = table.read().schema.fields
         names = [f.name for f in fields]
@@ -724,30 +734,41 @@ class AthenaSparkClient:
         src = self.sql_df(src_sql).alias(sa)
         cond = F.expr(cond_sql)
         matched = tgt.join(src, cond, "semi").count()
+
+        def _first_match_route(cls: list[dict]):
+            # 1-based index of the first clause whose AND-condition holds
+            # (clauses without one always hold); 0 = no clause applies
+            route = None
+            for k, cl in enumerate(cls, 1):
+                c = F.expr(cl["cond"]) if cl["cond"] else F.lit(True)
+                route = F.when(c, F.lit(k)) if route is None else route.when(c, F.lit(k))
+            return route.otherwise(F.lit(0))
+
         pieces = []
-        if upd_sets is not None or delete_matched:
+        affected = 0
+        if matched_clauses:
             inner = tgt.join(src, cond, "inner")
             if inner.count() != matched:
                 raise QueryError(
                     "MERGE: a target row matched more than one source row", sql=rendered
                 )
-            pieces.append(
-                tgt.join(src, cond, "left_anti").select(
-                    *[F.col(f"{ta}.{f.name}") for f in fields]
-                )
-            )
-            if upd_sets is not None:
-                unknown = set(upd_sets) - set(names)
+            route = _first_match_route(matched_clauses)
+            # same implicit-coercion validation as INSERT/UPDATE, per
+            # clause — the casts below must never be lossy (schema-only
+            # analysis against the joined frame, no job)
+            for cl in matched_clauses:
+                if cl["kind"] != "update":
+                    continue
+                unknown = set(cl["sets"]) - set(names)
                 if unknown:
-                    raise QueryError(f"MERGE SET of unknown columns: {sorted(unknown)}", sql=rendered)
-                # same implicit-coercion validation as INSERT/UPDATE —
-                # the cast below must never be a lossy one (schema-only
-                # analysis against the joined frame, no job)
+                    raise QueryError(
+                        f"MERGE SET of unknown columns: {sorted(unknown)}", sql=rendered
+                    )
                 for f in fields:
-                    if f.name not in upd_sets:
+                    if f.name not in cl["sets"]:
                         continue
                     st = (
-                        inner.select(F.expr(upd_sets[f.name]))
+                        inner.select(F.expr(cl["sets"][f.name]))
                         .schema.fields[0]
                         .dataType.simpleString()
                     )
@@ -758,77 +779,98 @@ class AthenaSparkClient:
                             f"{f.name!r} — CAST the value explicitly",
                             sql=rendered,
                         )
+            # unmatched target rows survive untouched
+            pieces.append(
+                tgt.join(src, cond, "left_anti").select(
+                    *[F.col(f"{ta}.{f.name}") for f in fields]
+                )
+            )
+            # matched rows: drop the ones routed to a DELETE clause,
+            # project the rest through a first-match CASE per column
+            # (rows routed to no clause keep their target values)
+            delete_ids = [
+                k for k, cl in enumerate(matched_clauses, 1) if cl["kind"] == "delete"
+            ]
+            keep = inner.filter(~route.isin(delete_ids)) if delete_ids else inner
+
+            def field_expr(f):
+                e = None
+                for k, cl in enumerate(matched_clauses, 1):
+                    if cl["kind"] == "update" and f.name in cl["sets"]:
+                        v = F.expr(cl["sets"][f.name]).cast(f.dataType)
+                        e = F.when(route == k, v) if e is None else e.when(route == k, v)
+                base = F.col(f"{ta}.{f.name}")
+                return (e.otherwise(base) if e is not None else base).alias(f.name)
+
+            pieces.append(keep.select(*[field_expr(f) for f in fields]))
+            if all(cl["cond"] is None for cl in matched_clauses[:1]):
+                # an unconditional first clause routes every matched row
+                affected += matched
+            else:
+                affected += inner.filter(route != 0).count()
+        else:
+            pieces.append(tgt.select(*[F.col(f"{ta}.{f.name}") for f in fields]))
+
+        inserted = 0
+        if insert_clauses:
+            nm_src = src.join(tgt, cond, "left_anti")
+            iroute = _first_match_route(insert_clauses)
+            for k, cl in enumerate(insert_clauses, 1):
+                cols_l, vals = cl["cols"], cl["vals"]
+                if cols_l is not None and len(cols_l) != len(vals):
+                    raise QueryError("MERGE INSERT column/value arity mismatch", sql=rendered)
+                if cols_l is None and len(vals) != len(fields):
+                    raise QueryError("MERGE INSERT arity != table arity", sql=rendered)
+                if cols_l is not None:
+                    unknown = set(cols_l) - set(names)
+                    if unknown:
+                        raise QueryError(
+                            f"MERGE INSERT of unknown columns: {sorted(unknown)}",
+                            sql=rendered,
+                        )
+                    if len(set(cols_l)) != len(cols_l):
+                        raise QueryError(
+                            "MERGE INSERT: duplicate column in column list",
+                            sql=rendered,
+                        )
+                rows = nm_src.filter(iroute == k).select(
+                    *[F.expr(v).alias((cols_l or names)[i]) for i, v in enumerate(vals)]
+                )
+                # validate insert-value types before the alignment cast
+                # (lossy coercions refused, same lattice as SQL INSERT);
+                # a PARTIAL column list NULL-fills unlisted columns, as
+                # Trino does for MERGE INSERT
+                rtypes = {f.name: f.dataType.simpleString() for f in rows.schema.fields}
+                for f in fields:
+                    if f.name not in rtypes:
+                        continue  # unlisted → typed NULL below
+                    if not table._insert_coercible(
+                        rtypes[f.name], f.dataType.simpleString()
+                    ):
+                        raise QueryError(
+                            f"MERGE INSERT: cannot coerce {rtypes[f.name]} to "
+                            f"{f.dataType.simpleString()} for column {f.name!r} "
+                            f"— CAST the value explicitly",
+                            sql=rendered,
+                        )
+                inserted += rows.count()
                 pieces.append(
-                    inner.select(
+                    rows.select(
                         *[
                             (
-                                F.expr(upd_sets[f.name]).cast(f.dataType)
-                                if f.name in upd_sets
-                                else F.col(f"{ta}.{f.name}")
+                                F.col(f.name).cast(f.dataType)
+                                if f.name in rtypes
+                                else F.lit(None).cast(f.dataType)
                             ).alias(f.name)
                             for f in fields
                         ]
                     )
                 )
-        else:
-            pieces.append(tgt.select(*[F.col(f"{ta}.{f.name}") for f in fields]))
-        inserted = 0
-        if ins_vals is not None:
-            nm_src = src.join(tgt, cond, "left_anti")
-            if ins_cols is not None and len(ins_cols) != len(ins_vals):
-                raise QueryError("MERGE INSERT column/value arity mismatch", sql=rendered)
-            if len(ins_vals) != len(fields) and ins_cols is None:
-                raise QueryError("MERGE INSERT arity != table arity", sql=rendered)
-            if ins_cols is not None:
-                unknown = set(ins_cols) - set(names)
-                if unknown:
-                    raise QueryError(
-                        f"MERGE INSERT of unknown columns: {sorted(unknown)}",
-                        sql=rendered,
-                    )
-                if len(set(ins_cols)) != len(ins_cols):
-                    raise QueryError(
-                        "MERGE INSERT: duplicate column in column list",
-                        sql=rendered,
-                    )
-            rows = nm_src.select(
-                *[F.expr(v).alias((ins_cols or names)[i]) for i, v in enumerate(ins_vals)]
-            )
-            # validate insert-value types before the alignment cast
-            # (lossy coercions refused, same lattice as SQL INSERT); a
-            # PARTIAL column list NULL-fills unlisted columns, as Trino
-            # does for MERGE INSERT
-            rtypes = {f.name: f.dataType.simpleString() for f in rows.schema.fields}
-            for f in fields:
-                if f.name not in rtypes:
-                    continue  # unlisted → typed NULL below
-                if not table._insert_coercible(
-                    rtypes[f.name], f.dataType.simpleString()
-                ):
-                    raise QueryError(
-                        f"MERGE INSERT: cannot coerce {rtypes[f.name]} to "
-                        f"{f.dataType.simpleString()} for column {f.name!r} "
-                        f"— CAST the value explicitly",
-                        sql=rendered,
-                    )
-            inserted = rows.count()
-            pieces.append(
-                rows.select(
-                    *[
-                        (
-                            F.col(f.name).cast(f.dataType)
-                            if f.name in rtypes
-                            else F.lit(None).cast(f.dataType)
-                        ).alias(f.name)
-                        for f in fields
-                    ]
-                )
-            )
         final = pieces[0]
         for p in pieces[1:]:
             final = final.unionByName(p)
         table.overwrite(final)
-        return (matched if (upd_sets is not None or delete_matched) else 0) + inserted
+        return affected + inserted
 
     def _snapshot_dml(self, rendered: str) -> int | None:
         """Row-level DML in SQL text against REGISTERED snapshot tables —
