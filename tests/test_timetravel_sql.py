@@ -1167,3 +1167,46 @@ def test_merge_conditional_clauses_first_match_wins(spark, tmp_path):
             "MERGE INTO mc_t t USING (SELECT * FROM mc_src) s ON t.id = s.id "
             "WHEN MATCHED AND s.sv > 1 THEN UPDATE SET v = 1.5"
         )
+
+
+def test_create_and_drop_table_using_iceberg(spark, tmp_path):
+    """Full SQL lifecycle for snapshot tables: CREATE TABLE ... USING
+    iceberg (empty, declared schema, one zero-file bootstrap commit),
+    INSERT, DDL, DROP TABLE with managed-table data removal — while
+    every CREATE TABLE WITHOUT the clause still reaches Spark's
+    catalog untouched."""
+    import os
+
+    client = AthenaSparkClient(spark, snapshot_warehouse=str(tmp_path / "wh"))
+    assert client.execute(
+        "CREATE TABLE lake.ev (k bigint, name varchar(64), price double) "
+        "USING iceberg WITH (write.delete.mode = 'merge-on-read')"
+    ) == 0
+    assert client.query_scalar("SELECT COUNT(*) FROM lake.ev") == 0
+    assert client.execute("INSERT INTO lake.ev VALUES (1, 'a', 2.5)") == 1
+    rows = client.query("DESCRIBE lake.ev")
+    assert [(r["Column"], r["Type"]) for r in rows] == [
+        ("k", "bigint"), ("name", "string"), ("price", "double")
+    ]
+    props = {r["key"]: r["value"] for r in client.query("SELECT * FROM `lake.ev$properties`")}
+    assert props["write.delete.mode"] == "merge-on-read"
+    # IF NOT EXISTS no-ops; plain re-create refuses
+    assert client.execute("CREATE TABLE IF NOT EXISTS lake.ev (x int) USING iceberg") == 0
+    with pytest.raises(QueryError, match="already exists"):
+        client.execute("CREATE TABLE lake.ev (x int) USING iceberg")
+    # constraints refused loudly, decimal params survive
+    with pytest.raises(QueryError, match="NOT NULL"):
+        client.execute("CREATE TABLE lake.nn (k bigint NOT NULL) USING iceberg")
+    client.execute("CREATE TABLE lake.dec (d decimal(10,2)) USING iceberg")
+    assert client.query("DESCRIBE lake.dec")[0]["Type"] == "decimal(10,2)"
+    # DROP removes data (managed) and the name stops resolving
+    tdir = str(tmp_path / "wh" / "lake" / "ev")
+    assert os.path.isdir(tdir)
+    assert client.execute("DROP TABLE lake.ev") == 0
+    assert not os.path.isdir(tdir)
+    with pytest.raises(QueryError):
+        client.query("SELECT * FROM lake.ev")
+    # no warehouse configured → clear statement error
+    bare = AthenaSparkClient(spark)
+    with pytest.raises(QueryError, match="snapshot warehouse"):
+        bare.execute("CREATE TABLE t1 (k int) USING iceberg")

@@ -243,6 +243,97 @@ class AthenaSparkClient:
         r"`?(?P<new>[A-Za-z_][\w.]*)`?\s*;?\s*$",
         re.IGNORECASE,
     )
+    # Snapshot-table lifecycle in SQL text: CREATE TABLE ... USING
+    # iceberg makes (and registers) a snapshot table under the client's
+    # snapshot warehouse — every OTHER CREATE TABLE falls through to
+    # Spark's catalog untouched. DROP TABLE removes a REGISTERED
+    # snapshot table with its data (managed-table semantics).
+    _SNAP_CREATE_HEAD_RE = re.compile(
+        r"^\s*CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+        r"`?(?P<tbl>[A-Za-z_][\w.]*)`?\s*(?=\()",
+        re.IGNORECASE,
+    )
+    _SNAP_DROP_TABLE_RE = re.compile(
+        r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?`?(?P<tbl>[A-Za-z_][\w.]*)`?\s*;?\s*$",
+        re.IGNORECASE,
+    )
+
+    def _snapshot_create_table(self, rendered: str) -> int | None:
+        """``CREATE TABLE name (col type, ...) USING iceberg [WITH/
+        TBLPROPERTIES (k = 'v', ...)]`` — an EMPTY snapshot table with a
+        declared schema (one zero-file bootstrap commit), created under
+        the resolver's warehouse and registered for SQL. Returns None
+        (fall through to Spark) for any CREATE TABLE without the USING
+        iceberg clause, so catalog tables and CTAS keep working."""
+        hm = self._SNAP_CREATE_HEAD_RE.match(rendered)
+        if hm is None:
+            return None
+        rest = rendered[hm.end():]
+        end = find_closing_paren(rest)
+        if end < 0:
+            return None  # not a column-list CREATE we understand
+        cols_sql, tail = rest[1:end], rest[end + 1:].strip().rstrip(";").strip()
+        um = re.match(
+            r"USING\s+iceberg\b\s*"
+            r"(?:(?:WITH|TBLPROPERTIES)\s*\((?P<props>.*)\)\s*)?$",
+            tail,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if um is None:
+            return None  # Spark's own CREATE TABLE handles it
+        name = hm.group("tbl")
+        if name.lower() in self.snapshots.registered_names():
+            if hm.group("ine"):
+                return 0  # IF NOT EXISTS: present → no-op
+            raise QueryError(f"snapshot table {name!r} already exists", sql=rendered)
+        wh = self.snapshots.warehouse_dir
+        if not wh:
+            raise QueryError(
+                "CREATE TABLE ... USING iceberg needs a snapshot warehouse "
+                "(pass snapshot_warehouse= to the client)",
+                sql=rendered,
+            )
+        cols = []
+        for part in split_top_level_commas(cols_sql):
+            part = part.strip()
+            cd = re.fullmatch(r"`?([A-Za-z_]\w*)`?\s+(.+)", part, re.DOTALL)
+            if cd is None:
+                raise QueryError(f"malformed column definition: {part!r}", sql=rendered)
+            type_sql = cd.group(2).strip()
+            # refuse constraints LOUDLY instead of recording and not
+            # enforcing them (a silently-dropped NOT NULL is worse than
+            # an error)
+            if re.search(r"\bNOT\s+NULL\b", type_sql, re.IGNORECASE):
+                raise QueryError(
+                    "column constraints (NOT NULL) are not enforced by this "
+                    "engine — declare the column plain and validate on write",
+                    sql=rendered,
+                )
+            cols.append((cd.group(1), self._map_ddl_type(type_sql, rendered)))
+        from .catalog.snapshots import SnapshotTable
+
+        tdir = os.path.join(wh, *name.split("."))
+        if os.path.isdir(os.path.join(tdir, "metadata")):
+            if hm.group("ine"):
+                self.snapshots.register(name, tdir)
+                return 0
+            raise QueryError(
+                f"table directory {tdir!r} already holds a snapshot table",
+                sql=rendered,
+            )
+        table = SnapshotTable(self.spark, tdir)
+        ddl = ", ".join(f"{n} {t}" for n, t in cols)
+        table.append(self.spark.createDataFrame([], ddl))
+        if um.group("props"):
+            for part in split_top_level_commas(um.group("props")):
+                pm = self._PROP_RE.match(part)
+                if pm is None:
+                    raise QueryError(
+                        f"malformed table property: {part!r}", sql=rendered
+                    )
+                table.set_table_property(pm.group("k"), pm.group("v"))
+        self.snapshots.register(name, tdir)
+        return 0
     _SNAP_INSERT_RE = re.compile(
         r"^\s*INSERT\s+INTO\s+(?P<tbl>[A-Za-z_][\w.]*)\s*"
         r"(?:\((?P<cols>[^)]*)\)\s*)?(?P<body>(?:VALUES|SELECT)\b.+?)\s*;?\s*$",
@@ -287,6 +378,36 @@ class AthenaSparkClient:
         "real": "float",
         "varbinary": "binary",
     }
+
+    def _map_ddl_type(self, t: str, rendered: str) -> str:
+        """Trino type spelling → Spark DDL type, parse-probed.
+
+        varchar(n)/char(n)/varbinary(n): the length is a Trino-side
+        constraint Iceberg maps away (both map to string/binary) —
+        carrying it through would mint 'string(255)', an invalid Spark
+        DDL type that bricks every subsequent read of the table
+        (round-12 advisor, medium). The parse probe runs BEFORE any
+        commit: a type string Spark cannot parse must fail the
+        STATEMENT, never the table."""
+        raw = t
+        t = re.sub(r"\s+", "", t.strip().lower())
+        base = t.split("(", 1)[0]
+        mapped = self._TRINO_TYPES.get(base, base)
+        if mapped in ("string", "binary"):
+            parameterized = mapped
+        else:
+            parameterized = mapped + t[len(base):] if "(" in t else mapped
+        from pyspark.sql.types import _parse_datatype_string
+
+        try:
+            _parse_datatype_string(parameterized)
+        except Exception as exc:
+            raise QueryError(
+                f"unsupported column type {raw!r} "
+                f"(mapped to {parameterized!r}): {exc}",
+                sql=rendered,
+            ) from exc
+        return parameterized
 
     # Spark-Iceberg branch/tag DDL: ALTER TABLE t CREATE BRANCH b /
     # CREATE TAG v [AS OF VERSION n] / DROP BRANCH b / DROP TAG v
@@ -394,6 +515,20 @@ class AthenaSparkClient:
                     f"ALTER TABLE {tm.group('t')} EXECUTE {proc}({rest})"
                 )
             # no table arg: not ours (Spark's own CALL support, if any)
+        created = self._snapshot_create_table(rendered)
+        if created is not None:
+            return created
+        dm_ = self._SNAP_DROP_TABLE_RE.match(rendered)
+        if dm_ is not None and dm_.group("tbl").lower() in self.snapshots.registered_names():
+            # DROP TABLE on a REGISTERED snapshot table: Trino's managed-
+            # table semantics — the data goes with the table. Catalog
+            # tables (unregistered names) fall through to Spark's own
+            # DROP TABLE, including its IF EXISTS no-op.
+            table = self.snapshots.resolve(self.spark, dm_.group("tbl"))
+            self.snapshots.unregister(dm_.group("tbl"))
+            if table is not None:
+                shutil.rmtree(table.table_dir, ignore_errors=True)
+            return 0
         tm_ = self._SNAP_TRUNCATE_RE.match(rendered)
         if tm_ is not None:
             table = self.snapshots.resolve(self.spark, tm_.group("tbl"))
@@ -422,34 +557,7 @@ class AthenaSparkClient:
             table = self.snapshots.resolve(self.spark, cm.group("tbl"))
             if table is not None:
                 def _ddl_type(t: str) -> str:
-                    raw = t
-                    t = re.sub(r"\s+", "", t.strip().lower())
-                    base = t.split("(", 1)[0]
-                    mapped = self._TRINO_TYPES.get(base, base)
-                    # varchar(n)/char(n)/varbinary(n): the length is a
-                    # Trino-side constraint Iceberg maps away (both map
-                    # to string/binary) — carrying it through would mint
-                    # 'string(255)', an invalid Spark DDL type that
-                    # bricks every subsequent read of the table
-                    # (round-12 advisor, medium)
-                    if mapped in ("string", "binary"):
-                        parameterized = mapped
-                    else:
-                        parameterized = mapped + t[len(base):] if "(" in t else mapped
-                    # parse-probe BEFORE committing the evolution: a type
-                    # string Spark cannot parse must fail the DDL
-                    # statement, never the table
-                    from pyspark.sql.types import _parse_datatype_string
-
-                    try:
-                        _parse_datatype_string(parameterized)
-                    except Exception as exc:
-                        raise QueryError(
-                            f"unsupported column type {raw!r} "
-                            f"(mapped to {parameterized!r}): {exc}",
-                            sql=rendered,
-                        ) from exc
-                    return parameterized
+                    return self._map_ddl_type(t, rendered)
 
                 names = {c["name"] for c in (table.schema_columns or [])}
                 if cm.group("add"):

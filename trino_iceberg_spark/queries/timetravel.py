@@ -1413,3 +1413,52 @@ def tt29_incremental_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+
+@register(
+    "tt30_sql_create_table_lifecycle",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
+               o_orderpriority AS prio
+        FROM orders WHERE o_orderkey <= 2000
+    ),
+    upd AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey <= 1000 THEN price * 2 ELSE price END
+                   AS price,
+               prio
+        FROM base
+    )
+    SELECT * FROM upd WHERE o_orderkey % 7 <> 0
+    ORDER BY o_orderkey
+    """,
+)
+def tt30_sql_create_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole snapshot-table lifecycle driven from SQL statements
+    alone (round 13 — client.py:_snapshot_create_table): CREATE TABLE
+    ... USING iceberg (empty declared-schema bootstrap, Trino type
+    spellings mapped), INSERT ... SELECT through the coercion-validated
+    dispatch, UPDATE with an arithmetic assignment, DELETE with a
+    predicate — then read back. This is how a reference user would
+    stand a table up without touching the Python API; the oracle
+    restates the three DML steps over the raw source. (DROP TABLE is
+    destructive and pinned in tests/test_timetravel_sql.py instead.)
+    Yields after the 50-entry rotation front: never-driver-checked
+    until round 14's tier 1."""
+    from ..client import AthenaSparkClient
+
+    client = AthenaSparkClient(spark, snapshot_warehouse=work_dir("tt30_wh"))
+    load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000).select(
+        F.col("o_orderkey"),
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_orderpriority").alias("prio"),
+    ).createOrReplaceTempView("tt30_src")
+    client.execute(
+        "CREATE TABLE tt30.orders "
+        "(o_orderkey bigint, price double, prio varchar(20)) USING iceberg"
+    )
+    client.execute("INSERT INTO tt30.orders SELECT * FROM tt30_src")
+    client.execute("UPDATE tt30.orders SET price = price * 2 WHERE o_orderkey <= 1000")
+    client.execute("DELETE FROM tt30.orders WHERE o_orderkey % 7 = 0")
+    return client.sql_df("SELECT * FROM tt30.orders ORDER BY o_orderkey")

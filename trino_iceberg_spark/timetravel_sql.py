@@ -122,6 +122,9 @@ class SnapshotResolver:
             raise EngineError(f"snapshot table {new!r} already registered")
         self._tables[kn] = self._tables.pop(ko)
 
+    def unregister(self, name: str) -> None:
+        self._tables.pop(name.lower(), None)
+
     def registered_names(self) -> list[str]:
         return list(self._tables)
 
