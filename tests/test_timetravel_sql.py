@@ -1169,6 +1169,130 @@ def test_merge_conditional_clauses_first_match_wins(spark, tmp_path):
         )
 
 
+def test_sql_merge_honors_merge_on_read_mode(spark, tmp_path):
+    """SQL MERGE on a table configured write.merge.mode=merge-on-read
+    commits an Iceberg v2 ROW DELTA — position deletes for the routed
+    matched rows plus appended updated images/inserts — in ONE snapshot,
+    and every untouched data file survives by IDENTITY (same path) in
+    the child snapshot. The copy-on-write default keeps the overwrite
+    shape. Round-13 verdict #1: a 0.1% CDC upsert must never rewrite
+    the table."""
+    tdir = str(tmp_path / "merge_mor")
+    t = SnapshotTable(spark, tdir)
+    t.append(
+        spark.createDataFrame(
+            [(i, chr(97 + i % 26), i * 10) for i in range(100)],
+            "id long, name string, v long",
+        ).coalesce(4)
+    )
+    client = AthenaSparkClient(spark)
+    client.register_snapshot_table("mor_m", tdir)
+    client.execute(
+        "ALTER TABLE mor_m SET PROPERTIES 'write.merge.mode' = 'merge-on-read'"
+    )
+    parent = t.current_snapshot()
+    parent_files = set(parent.files)
+    spark.createDataFrame(
+        [(2, "ZZ", 999), (500, "new", 1)], "id long, name string, v long"
+    ).createOrReplaceTempView("mor_m_src")
+    versions_before = len(t.snapshots())
+    n = client.execute(
+        """
+        MERGE INTO mor_m t USING (SELECT * FROM mor_m_src) s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET v = s.v, name = s.name
+        WHEN NOT MATCHED THEN INSERT VALUES (s.id, s.name, s.v)
+        """
+    )
+    assert n == 2 and len(t.snapshots()) == versions_before + 1
+    snap = t.current_snapshot()
+    assert snap.operation == "merge"
+    # the scale contract: NO data-file rewrite — all parent files kept
+    assert parent_files <= set(snap.files)
+    assert snap.position_deletes  # old image of id=2 died by position
+    assert snap.row_count == 101
+    rows = {r["id"]: (r["name"], r["v"]) for r in t.read().collect()}
+    assert rows[2] == ("ZZ", 999) and rows[500] == ("new", 1) and len(rows) == 101
+
+    # conditional routing under MOR: DELETE + UPDATE + gated INSERT
+    spark.createDataFrame(
+        [(3, 0), (4, 5), (600, 7), (601, 1)], "id long, sv long"
+    ).createOrReplaceTempView("mor_m_src2")
+    n = client.execute(
+        """
+        MERGE INTO mor_m t USING (SELECT * FROM mor_m_src2) s ON t.id = s.id
+        WHEN MATCHED AND s.sv = 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = t.v + s.sv
+        WHEN NOT MATCHED AND s.sv > 6 THEN INSERT VALUES (s.id, 'i', s.sv)
+        """
+    )
+    assert n == 3  # delete(3) + update(4) + insert(600); 601 gated out
+    snap2 = t.current_snapshot()
+    assert snap2.row_count == 101  # -1 delete, +1 insert
+    rows = {r["id"]: (r["name"], r["v"]) for r in t.read().collect()}
+    assert 3 not in rows and 601 not in rows
+    assert rows[4] == ("e", 45) and rows[600] == ("i", 7)
+
+    # delete-only routing reuses the parent's segment list (no new data
+    # files at all) — pure O(delete-set) commit
+    spark.createDataFrame([(5,)], "id long").createOrReplaceTempView("mor_m_src3")
+    files_before = set(t.current_snapshot().files)
+    n = client.execute(
+        "MERGE INTO mor_m t USING (SELECT * FROM mor_m_src3) s ON t.id = s.id "
+        "WHEN MATCHED THEN DELETE"
+    )
+    assert n == 1
+    snap3 = t.current_snapshot()
+    assert set(snap3.files) == files_before
+    assert 5 not in {r["id"] for r in t.read().collect()}
+
+    # unknown mode refused with the property named
+    t.set_table_property("write.merge.mode", "bogus")
+    with pytest.raises(QueryError, match="write.merge.mode"):
+        client.execute(
+            "MERGE INTO mor_m t USING (SELECT * FROM mor_m_src3) s ON t.id = s.id "
+            "WHEN MATCHED THEN DELETE"
+        )
+
+
+def test_merge_and_condition_may_contain_case(spark, tmp_path):
+    """A WHEN ... AND condition may itself be a CASE expression — the
+    clause splitter finds the statement-level THEN with a top-level scan
+    (finditer_top_level tracks CASE ... END nesting), removing the
+    round-13 documented limit."""
+    tdir = str(tmp_path / "merge_case")
+    t = SnapshotTable(spark, tdir)
+    t.append(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "id long, name string, v long"
+        )
+    )
+    client = AthenaSparkClient(spark)
+    client.register_snapshot_table("case_m", tdir)
+    spark.createDataFrame(
+        [(1, 5), (2, -5), (9, 1)], "id long, sv long"
+    ).createOrReplaceTempView("case_m_src")
+    n = client.execute(
+        """
+        MERGE INTO case_m t USING (SELECT * FROM case_m_src) s ON t.id = s.id
+        WHEN MATCHED AND CASE WHEN s.sv > 0 THEN true ELSE false END
+            THEN UPDATE SET v = s.sv
+        WHEN NOT MATCHED AND CASE WHEN s.sv > 0 THEN 1 ELSE 0 END = 1
+            THEN INSERT VALUES (s.id, 'case', s.sv)
+        """
+    )
+    assert n == 2  # id=1 updated; id=2 fails the CASE; id=9 inserted
+    rows = {r["id"]: (r["name"], r["v"]) for r in t.read().collect()}
+    assert rows[1] == ("a", 5) and rows[2] == ("b", 20) and rows[9] == ("case", 1)
+    # and a CASE inside the ACTION's value expressions still works
+    n = client.execute(
+        "MERGE INTO case_m t USING (SELECT * FROM case_m_src) s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET v = CASE WHEN s.sv < 0 THEN 0 ELSE s.sv END"
+    )
+    assert n == 3  # ids 1, 2, 9 all match now (9 was inserted above)
+    rows = {r["id"]: r["v"] for r in t.read().collect()}
+    assert rows[1] == 5 and rows[2] == 0 and rows[9] == 1
+
+
 def test_create_and_drop_table_using_iceberg(spark, tmp_path):
     """Full SQL lifecycle for snapshot tables: CREATE TABLE ... USING
     iceberg (empty, declared schema, one zero-file bootstrap commit),

@@ -4300,6 +4300,129 @@ class SnapshotTable:
             f"race {self.commit_attempts} times — giving up"
         ) from last
 
+    def row_delta_commit(
+        self, plan, operation: str = "merge", properties=None
+    ) -> Snapshot:
+        """Iceberg v2 ROW-DELTA commit — the write shape Spark's
+        row-level-operation rewrite and Trino's merge-on-read MERGE both
+        produce: position-delete an arbitrary set of currently-visible
+        rows AND append arbitrary new rows, as ONE snapshot (readers see
+        either every change or none). ``plan(visible_with_pos)`` receives
+        the committing snapshot's visible rows (both outstanding delete
+        kinds applied) carrying the (file, pos) identity columns
+        ``_POS_FILE``/``_POS_IDX`` and returns
+        ``(delete_positions, appended_rows)``:
+
+        - ``delete_positions``: frame with columns (file_path, pos)
+          naming the old images to kill, or None for a pure append;
+        - ``appended_rows``: frame of new rows in table columns (any
+          order — cast here to the DECLARED types so new files share one
+          physical parquet schema with retained files), or None for a
+          pure delete.
+
+        Matching ran against the snapshot the scan read, so the commit
+        validates ``based_on`` and the whole plan re-derives on a
+        concurrent commit — _rewrite_commit's retry economics at
+        O(changed rows) instead of O(table) write cost. This is what the
+        SQL MERGE arm commits under ``write.merge.mode=merge-on-read``:
+        a 0.1% CDC upsert against a 100 TB table writes kilobytes of
+        delete files plus the changed images, never a table rewrite.
+        Untouched data files survive by IDENTITY (same path, same file)
+        in the child snapshot."""
+        last: EngineError | None = None
+        for _ in range(self.commit_attempts):
+            snap = self.current_snapshot()
+            if snap is None:
+                raise EngineError(f"table {self.table_dir} has no snapshots")
+            del_pos, appends = plan(self._visible_rows_with_pos(snap))
+            new_deletes: list[str] = []
+            n_deleted = 0
+            if del_pos is not None:
+                new_deletes = self._stage_delete_files(
+                    del_pos.select("file_path", "pos"), ["file_path", "pos"], "del"
+                )
+                if new_deletes:
+                    n_deleted = self.spark.read.parquet(
+                        *[os.path.join(self.table_dir, f) for f in new_deletes]
+                    ).count()
+                if n_deleted == 0:  # nothing matched: no empty delete file
+                    self._remove_quiet(new_deletes)
+                    new_deletes = []
+            cols = snap.schema_columns
+            new_files: list[str] = []
+            new_parts: dict = {}
+            n_appended = 0
+            stats_new: dict = {}
+            if appends is not None:
+                out = appends
+                if cols is not None:
+                    out = appends.select(
+                        *[
+                            F.col(c["name"]).cast(c["type"]).alias(c["name"])
+                            for c in cols
+                        ]
+                    )
+                prev_specs = dict(snap.partition_specs or {})
+                spec_id = snap.default_spec_id or 0
+                spec = prev_specs.get(str(spec_id)) if spec_id else None
+                new_files, new_parts, n_appended, stats_new = self._stage_data_files(
+                    out, spec, spec_id, cols or []
+                )
+                if n_appended == 0:  # empty append side: no empty files
+                    self._remove_quiet(new_files)
+                    new_files, new_parts, stats_new = [], {}, {}
+
+            def build(prev: Snapshot | None) -> dict:
+                if (prev.snapshot_id if prev else None) != snap.snapshot_id:
+                    raise CommitConflictError(
+                        f"concurrent update on {self.table_dir}: this "
+                        f"row-delta commit matched against snapshot "
+                        f"{snap.snapshot_id} but the table advanced — "
+                        f"re-deriving"
+                    )
+                file_schemas = dict(prev.file_schemas or {})
+                file_schemas.update({f: prev.schema_id for f in new_files})
+                file_stats = dict(prev.file_stats or {})
+                file_stats.update(stats_new)
+                file_partitions = dict(prev.file_partitions or {})
+                file_partitions.update(new_parts)
+                manifest = {
+                    "operation": operation,
+                    "files": list(prev.files) + new_files,
+                    "row_count": prev.row_count - n_deleted + n_appended,
+                    "schema_id": prev.schema_id,
+                    "last_column_id": prev.last_column_id,
+                    "schemas": dict(prev.schemas or {}) or None,
+                    "file_schemas": file_schemas,
+                    "file_stats": file_stats,
+                    "properties": properties or {},
+                    "partition_specs": dict(prev.partition_specs or {}) or None,
+                    "default_spec_id": prev.default_spec_id,
+                    "file_partitions": file_partitions or None,
+                    "position_deletes": (
+                        list(prev.position_deletes or []) + new_deletes
+                    )
+                    or None,
+                    "equality_deletes": list(prev.equality_deletes or [])
+                    or None,
+                }
+                if not new_files and prev.manifest_list is not None:
+                    # pure delete route: file entries untouched — reuse
+                    # the parent's segment list verbatim (O(1) in table
+                    # file count, same as _mor_delete)
+                    manifest["manifest_list"] = list(prev.manifest_list)
+                return manifest
+
+            try:
+                return self._commit_version("main", build, max_attempts=1)
+            except CommitConflictError as exc:
+                self._remove_quiet(new_deletes + new_files)
+                last = exc
+        raise CommitConflictError(
+            f"row-delta commit on {self.table_dir} lost the validation "
+            f"race {self.commit_attempts} times — giving up"
+        ) from last
+
     # -- maintenance -----------------------------------------------------
     def expire_snapshots(self, older_than: dt.datetime | None = None, retain_last: int = 1) -> int:
         """Iceberg ``expire_snapshots`` analog: drop manifests older than

@@ -24,7 +24,12 @@ from pyspark.errors import AnalysisException
 
 from .errors import QueryError, UnloadError
 from .fs import FsClient
-from .formatting import find_closing_paren, format_sql, split_top_level_commas
+from .formatting import (
+    find_closing_paren,
+    finditer_top_level,
+    format_sql,
+    split_top_level_commas,
+)
 from .mapping import bind_rows, coerce_scalar
 from .timetravel_sql import SnapshotResolver, rewrite_qualify, rewrite_time_travel
 
@@ -344,6 +349,10 @@ class AthenaSparkClient:
         r"^\s*MERGE\s+INTO\s+(?P<tbl>[A-Za-z_][\w.]*)\s+(?:AS\s+)?(?P<ta>[A-Za-z_]\w*)\s+USING\s+",
         re.IGNORECASE,
     )
+    # clause tokens are located by finditer_top_level (quote/paren/CASE
+    # aware), so these stay simple word patterns
+    _MERGE_WHEN_RE = re.compile(r"\bWHEN\s+(?P<nm>NOT\s+)?MATCHED\b", re.IGNORECASE)
+    _MERGE_THEN_RE = re.compile(r"\bTHEN\b", re.IGNORECASE)
 
     _SNAP_EXEC_RE = re.compile(
         r"^\s*ALTER\s+TABLE\s+`?(?P<tbl>[A-Za-z_][\w.]*)`?\s+EXECUTE\s+"
@@ -782,30 +791,42 @@ class AthenaSparkClient:
         if not m3:
             raise QueryError("malformed MERGE: missing source alias or ON", sql=rendered)
         sa, rest = m3.group("sa"), rest[m3.end() :]
-        first_when = re.search(r"\bWHEN\s+(?:NOT\s+)?MATCHED\b", rest, re.IGNORECASE)
-        if not first_when:
+        whens_rest = finditer_top_level(self._MERGE_WHEN_RE, rest)
+        if not whens_rest:
             raise QueryError("malformed MERGE: no WHEN clause", sql=rendered)
-        cond_sql = rest[: first_when.start()].strip()
-        clauses = rest[first_when.start() :].strip().rstrip(";").strip()
+        cond_sql = rest[: whens_rest[0].start()].strip()
+        clauses = rest[whens_rest[0].start() :].strip().rstrip(";").strip()
 
         # Ordered clause lists, Trino semantics: each clause may carry an
         # extra ``AND <condition>`` and the FIRST clause whose condition
         # holds wins per row; a matched row satisfying no clause is left
         # untouched, an unmatched source row satisfying no NOT MATCHED
-        # clause is not inserted. (Known limit: an AND-condition may not
-        # itself contain the token THEN, e.g. a CASE expression — wrap
-        # that in a source-side column instead.)
+        # clause is not inserted. Clause boundaries and the AND/THEN
+        # split come from a TOP-LEVEL scan (quote/comment/paren/CASE
+        # aware — finditer_top_level), so an AND-condition may itself be
+        # a CASE expression containing WHEN/THEN/END.
         matched_clauses: list[dict] = []
         insert_clauses: list[dict] = []
-        for cm in re.finditer(
-            r"WHEN\s+(?P<nm>NOT\s+)?MATCHED\s*(?:\bAND\s+(?P<extra>.*?))?\s*"
-            r"THEN\s+(?P<action>.*?)(?=\bWHEN\s+(?:NOT\s+)?MATCHED\b|\Z)",
-            clauses,
-            re.IGNORECASE | re.DOTALL,
-        ):
-            extra = cm.group("extra").strip() if cm.group("extra") else None
-            action = cm.group("action").strip()
-            if cm.group("nm"):
+        whens = finditer_top_level(self._MERGE_WHEN_RE, clauses)
+        for wi, wm in enumerate(whens):
+            seg_end = whens[wi + 1].start() if wi + 1 < len(whens) else len(clauses)
+            seg = clauses[wm.end() : seg_end]
+            thens = finditer_top_level(self._MERGE_THEN_RE, seg)
+            if not thens:
+                raise QueryError(
+                    "malformed MERGE: WHEN clause without THEN", sql=rendered
+                )
+            head = seg[: thens[0].start()].strip()
+            action = seg[thens[0].end() :].strip()
+            extra = None
+            if head:
+                am = re.match(r"AND\s+(?P<extra>.+)$", head, re.IGNORECASE | re.DOTALL)
+                if not am:
+                    raise QueryError(
+                        f"malformed MERGE clause near {head!r}", sql=rendered
+                    )
+                extra = am.group("extra").strip()
+            if wm.group("nm"):
                 im = re.match(
                     r"INSERT\s*(?:\((?P<cols>[^)]*)\)\s*)?VALUES\s*\((?P<vals>.*)\)\s*$",
                     action,
@@ -838,10 +859,8 @@ class AthenaSparkClient:
 
         fields = table.read().schema.fields
         names = [f.name for f in fields]
-        tgt = table.read().alias(ta)
         src = self.sql_df(src_sql).alias(sa)
         cond = F.expr(cond_sql)
-        matched = tgt.join(src, cond, "semi").count()
 
         def _first_match_route(cls: list[dict]):
             # 1-based index of the first clause whose AND-condition holds
@@ -852,133 +871,227 @@ class AthenaSparkClient:
                 route = F.when(c, F.lit(k)) if route is None else route.when(c, F.lit(k))
             return route.otherwise(F.lit(0))
 
-        pieces = []
-        affected = 0
-        if matched_clauses:
-            inner = tgt.join(src, cond, "inner")
-            if inner.count() != matched:
+        # -- static validation: schema-only analysis, zero jobs, shared
+        # by both write modes (same implicit-coercion lattice as SQL
+        # INSERT/UPDATE — the alignment casts below must never be lossy)
+        val_tgt = table.read().alias(ta)
+        val_inner = val_tgt.join(src, cond, "inner") if matched_clauses else None
+        for cl in matched_clauses:
+            if cl["kind"] != "update":
+                continue
+            unknown = set(cl["sets"]) - set(names)
+            if unknown:
                 raise QueryError(
-                    "MERGE: a target row matched more than one source row", sql=rendered
+                    f"MERGE SET of unknown columns: {sorted(unknown)}", sql=rendered
                 )
-            route = _first_match_route(matched_clauses)
-            # same implicit-coercion validation as INSERT/UPDATE, per
-            # clause — the casts below must never be lossy (schema-only
-            # analysis against the joined frame, no job)
-            for cl in matched_clauses:
-                if cl["kind"] != "update":
+            for f in fields:
+                if f.name not in cl["sets"]:
                     continue
-                unknown = set(cl["sets"]) - set(names)
+                st = (
+                    val_inner.select(F.expr(cl["sets"][f.name]))
+                    .schema.fields[0]
+                    .dataType.simpleString()
+                )
+                if not table._insert_coercible(st, f.dataType.simpleString()):
+                    raise QueryError(
+                        f"MERGE UPDATE: cannot coerce {st} to "
+                        f"{f.dataType.simpleString()} for column "
+                        f"{f.name!r} — CAST the value explicitly",
+                        sql=rendered,
+                    )
+        for cl in insert_clauses:
+            cols_l, vals = cl["cols"], cl["vals"]
+            if cols_l is not None and len(cols_l) != len(vals):
+                raise QueryError("MERGE INSERT column/value arity mismatch", sql=rendered)
+            if cols_l is None and len(vals) != len(fields):
+                raise QueryError("MERGE INSERT arity != table arity", sql=rendered)
+            if cols_l is not None:
+                unknown = set(cols_l) - set(names)
                 if unknown:
                     raise QueryError(
-                        f"MERGE SET of unknown columns: {sorted(unknown)}", sql=rendered
+                        f"MERGE INSERT of unknown columns: {sorted(unknown)}",
+                        sql=rendered,
                     )
-                for f in fields:
-                    if f.name not in cl["sets"]:
-                        continue
-                    st = (
-                        inner.select(F.expr(cl["sets"][f.name]))
-                        .schema.fields[0]
-                        .dataType.simpleString()
+                if len(set(cols_l)) != len(cols_l):
+                    raise QueryError(
+                        "MERGE INSERT: duplicate column in column list",
+                        sql=rendered,
                     )
-                    if not table._insert_coercible(st, f.dataType.simpleString()):
-                        raise QueryError(
-                            f"MERGE UPDATE: cannot coerce {st} to "
-                            f"{f.dataType.simpleString()} for column "
-                            f"{f.name!r} — CAST the value explicitly",
-                            sql=rendered,
-                        )
-            # unmatched target rows survive untouched
-            pieces.append(
-                tgt.join(src, cond, "left_anti").select(
-                    *[F.col(f"{ta}.{f.name}") for f in fields]
-                )
-            )
-            # matched rows: drop the ones routed to a DELETE clause,
-            # project the rest through a first-match CASE per column
-            # (rows routed to no clause keep their target values)
-            delete_ids = [
-                k for k, cl in enumerate(matched_clauses, 1) if cl["kind"] == "delete"
-            ]
-            keep = inner.filter(~route.isin(delete_ids)) if delete_ids else inner
-
-            def field_expr(f):
-                e = None
-                for k, cl in enumerate(matched_clauses, 1):
-                    if cl["kind"] == "update" and f.name in cl["sets"]:
-                        v = F.expr(cl["sets"][f.name]).cast(f.dataType)
-                        e = F.when(route == k, v) if e is None else e.when(route == k, v)
-                base = F.col(f"{ta}.{f.name}")
-                return (e.otherwise(base) if e is not None else base).alias(f.name)
-
-            pieces.append(keep.select(*[field_expr(f) for f in fields]))
-            if all(cl["cond"] is None for cl in matched_clauses[:1]):
-                # an unconditional first clause routes every matched row
-                affected += matched
-            else:
-                affected += inner.filter(route != 0).count()
-        else:
-            pieces.append(tgt.select(*[F.col(f"{ta}.{f.name}") for f in fields]))
-
-        inserted = 0
-        if insert_clauses:
-            nm_src = src.join(tgt, cond, "left_anti")
-            iroute = _first_match_route(insert_clauses)
-            for k, cl in enumerate(insert_clauses, 1):
-                cols_l, vals = cl["cols"], cl["vals"]
-                if cols_l is not None and len(cols_l) != len(vals):
-                    raise QueryError("MERGE INSERT column/value arity mismatch", sql=rendered)
-                if cols_l is None and len(vals) != len(fields):
-                    raise QueryError("MERGE INSERT arity != table arity", sql=rendered)
-                if cols_l is not None:
-                    unknown = set(cols_l) - set(names)
-                    if unknown:
-                        raise QueryError(
-                            f"MERGE INSERT of unknown columns: {sorted(unknown)}",
-                            sql=rendered,
-                        )
-                    if len(set(cols_l)) != len(cols_l):
-                        raise QueryError(
-                            "MERGE INSERT: duplicate column in column list",
-                            sql=rendered,
-                        )
-                rows = nm_src.filter(iroute == k).select(
+            # insert VALUES may only reference source columns, so the
+            # value types come from a src-side projection (anti-joining
+            # the target first wouldn't change the schema); a PARTIAL
+            # column list NULL-fills unlisted columns, as Trino does
+            cl["rtypes"] = {
+                f2.name: f2.dataType.simpleString()
+                for f2 in src.select(
                     *[F.expr(v).alias((cols_l or names)[i]) for i, v in enumerate(vals)]
-                )
-                # validate insert-value types before the alignment cast
-                # (lossy coercions refused, same lattice as SQL INSERT);
-                # a PARTIAL column list NULL-fills unlisted columns, as
-                # Trino does for MERGE INSERT
-                rtypes = {f.name: f.dataType.simpleString() for f in rows.schema.fields}
-                for f in fields:
-                    if f.name not in rtypes:
-                        continue  # unlisted → typed NULL below
-                    if not table._insert_coercible(
-                        rtypes[f.name], f.dataType.simpleString()
-                    ):
-                        raise QueryError(
-                            f"MERGE INSERT: cannot coerce {rtypes[f.name]} to "
-                            f"{f.dataType.simpleString()} for column {f.name!r} "
-                            f"— CAST the value explicitly",
-                            sql=rendered,
+                ).schema.fields
+            }
+            for f in fields:
+                if f.name not in cl["rtypes"]:
+                    continue  # unlisted → typed NULL below
+                if not table._insert_coercible(
+                    cl["rtypes"][f.name], f.dataType.simpleString()
+                ):
+                    raise QueryError(
+                        f"MERGE INSERT: cannot coerce {cl['rtypes'][f.name]} to "
+                        f"{f.dataType.simpleString()} for column {f.name!r} "
+                        f"— CAST the value explicitly",
+                        sql=rendered,
+                    )
+
+        def apply_clauses(tgt, pos_cols=None):
+            """Route every (matched, unmatched-source) row through the
+            parsed clause lists against ONE aliased target frame.
+
+            ``pos_cols=None`` (copy-on-write): returns ``(final, affected)``
+            — the full rewritten table. Otherwise (merge-on-read) ``tgt``
+            carries the (file, pos) identity columns and the return is
+            ``(del_pos, appends, affected)`` — the old images to
+            position-delete (matched rows routed to ANY clause; rows
+            routed to no clause stay untouched IN PLACE) and the rows to
+            append (updated images + routed inserts)."""
+            affected = 0
+            pieces = []
+            del_pos = None
+            if matched_clauses:
+                matched = tgt.join(src, cond, "semi").count()
+                inner = tgt.join(src, cond, "inner")
+                if inner.count() != matched:
+                    raise QueryError(
+                        "MERGE: a target row matched more than one source row",
+                        sql=rendered,
+                    )
+                route = _first_match_route(matched_clauses)
+                delete_ids = [
+                    k
+                    for k, cl in enumerate(matched_clauses, 1)
+                    if cl["kind"] == "delete"
+                ]
+                update_ids = [
+                    k
+                    for k, cl in enumerate(matched_clauses, 1)
+                    if cl["kind"] == "update"
+                ]
+
+                def field_expr(f):
+                    e = None
+                    for k, cl in enumerate(matched_clauses, 1):
+                        if cl["kind"] == "update" and f.name in cl["sets"]:
+                            v = F.expr(cl["sets"][f.name]).cast(f.dataType)
+                            e = (
+                                F.when(route == k, v)
+                                if e is None
+                                else e.when(route == k, v)
+                            )
+                    base = F.col(f"{ta}.{f.name}")
+                    return (e.otherwise(base) if e is not None else base).alias(f.name)
+
+                if pos_cols is None:
+                    # unmatched target rows survive untouched; matched
+                    # rows routed to a DELETE clause drop, the rest
+                    # project through a first-match CASE per column
+                    # (rows routed to no clause keep their target values)
+                    pieces.append(
+                        tgt.join(src, cond, "left_anti").select(
+                            *[F.col(f"{ta}.{f.name}") for f in fields]
                         )
-                inserted += rows.count()
-                pieces.append(
-                    rows.select(
+                    )
+                    keep = (
+                        inner.filter(~route.isin(delete_ids)) if delete_ids else inner
+                    )
+                    pieces.append(keep.select(*[field_expr(f) for f in fields]))
+                else:
+                    # merge-on-read: every ROUTED matched row's old image
+                    # dies by position; updated images re-append
+                    del_pos = inner.filter(route != 0).select(
+                        F.col(f"{ta}.{pos_cols[0]}").alias("file_path"),
+                        F.col(f"{ta}.{pos_cols[1]}").alias("pos"),
+                    )
+                    if update_ids:
+                        pieces.append(
+                            inner.filter(route.isin(update_ids)).select(
+                                *[field_expr(f) for f in fields]
+                            )
+                        )
+                if matched_clauses[0]["cond"] is None:
+                    # an unconditional first clause routes every matched row
+                    affected += matched
+                else:
+                    affected += inner.filter(route != 0).count()
+            elif pos_cols is None:
+                pieces.append(tgt.select(*[F.col(f"{ta}.{f.name}") for f in fields]))
+
+            if insert_clauses:
+                nm_src = src.join(tgt, cond, "left_anti")
+                iroute = _first_match_route(insert_clauses)
+                for k, cl in enumerate(insert_clauses, 1):
+                    cols_l, vals, rtypes = cl["cols"], cl["vals"], cl["rtypes"]
+                    rows = nm_src.filter(iroute == k).select(
                         *[
-                            (
-                                F.col(f.name).cast(f.dataType)
-                                if f.name in rtypes
-                                else F.lit(None).cast(f.dataType)
-                            ).alias(f.name)
-                            for f in fields
+                            F.expr(v).alias((cols_l or names)[i])
+                            for i, v in enumerate(vals)
                         ]
                     )
+                    pieces.append(
+                        rows.select(
+                            *[
+                                (
+                                    F.col(f.name).cast(f.dataType)
+                                    if f.name in rtypes
+                                    else F.lit(None).cast(f.dataType)
+                                ).alias(f.name)
+                                for f in fields
+                            ]
+                        )
+                    )
+                affected += nm_src.filter(iroute != 0).count()
+
+            if pos_cols is not None:
+                appends = None
+                # appended pieces all share the aligned table schema
+                for p in pieces:
+                    appends = p if appends is None else appends.unionByName(p)
+                return del_pos, appends, affected
+            final = pieces[0]
+            for p in pieces[1:]:
+                final = final.unionByName(p)
+            return final, affected
+
+        mode = (table.table_properties() or {}).get(
+            "write.merge.mode", "copy-on-write"
+        )
+        if mode == "merge-on-read":
+            # Iceberg v2 row delta (Trino's MERGE on a merge-on-read
+            # table writes exactly this): ONE commit carrying position
+            # deletes for the routed matched rows plus new data files
+            # holding updated images and inserts — O(changed rows), the
+            # untouched data files survive by identity. The plan re-runs
+            # against each retry snapshot (based_on serializable
+            # isolation), so counts reflect the committed attempt.
+            from .catalog.snapshots import SnapshotTable
+
+            cell: dict[str, int] = {}
+
+            def plan(dfpos):
+                d, a, n = apply_clauses(
+                    dfpos.alias(ta),
+                    pos_cols=(SnapshotTable._POS_FILE, SnapshotTable._POS_IDX),
                 )
-        final = pieces[0]
-        for p in pieces[1:]:
-            final = final.unionByName(p)
+                cell["affected"] = n
+                return d, a
+
+            table.row_delta_commit(plan, operation="merge")
+            return cell["affected"]
+        if mode != "copy-on-write":
+            raise QueryError(
+                f"unknown write.merge.mode {mode!r} "
+                "(copy-on-write | merge-on-read)",
+                sql=rendered,
+            )
+        final, affected = apply_clauses(table.read().alias(ta))
         table.overwrite(final)
-        return affected + inserted
+        return affected
 
     def _snapshot_dml(self, rendered: str) -> int | None:
         """Row-level DML in SQL text against REGISTERED snapshot tables —

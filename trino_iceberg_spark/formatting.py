@@ -358,3 +358,84 @@ def find_closing_paren(text: str, open_idx: int = 0) -> int:
                 return i
         i += 1
     return -1
+
+
+def finditer_top_level(pattern: "re.Pattern[str]", text: str) -> list["re.Match[str]"]:
+    """Matches of ``pattern`` that start at TOP LEVEL of a SQL fragment:
+    paren/bracket depth 0, outside string literals and comments, and
+    outside ``CASE ... END`` expressions — CASE tracks as its own nesting
+    level so a CASE-expression's ``WHEN``/``THEN``/``ELSE`` keywords never
+    count as statement-level tokens (the MERGE clause splitter's
+    requirement: ``WHEN MATCHED AND CASE WHEN x THEN y END THEN UPDATE``
+    must split on the SECOND ``THEN``). Shares
+    :func:`find_closing_paren`'s quote/comment contract."""
+    n = len(text)
+    mask = [False] * n
+    upper = text.upper()
+
+    def kw(idx: int, w: str) -> bool:
+        return (
+            upper.startswith(w, idx)
+            and (idx == 0 or not (text[idx - 1].isalnum() or text[idx - 1] == "_"))
+            and (
+                idx + len(w) >= n
+                or not (text[idx + len(w)].isalnum() or text[idx + len(w)] == "_")
+            )
+        )
+
+    depth = 0
+    case_depth = 0
+    in_squote = in_dquote = in_line_comment = False
+    block_depth = 0
+    i = 0
+    while i < n:
+        ch = text[i]
+        nxt = text[i + 1] if i + 1 < n else ""
+        if in_line_comment:
+            if ch == "\n":
+                in_line_comment = False
+        elif block_depth:
+            if ch == "*" and nxt == "/":
+                i += 1
+                block_depth -= 1
+            elif ch == "/" and nxt == "*":
+                i += 1
+                block_depth += 1
+        elif in_squote:
+            if ch == "\\" and nxt:
+                i += 1
+            elif ch == "'":
+                if nxt == "'":
+                    i += 1
+                else:
+                    in_squote = False
+        elif in_dquote:
+            if ch == '"':
+                in_dquote = False
+        elif ch == "-" and nxt == "-":
+            in_line_comment = True
+        elif ch == "/" and nxt == "*":
+            block_depth = 1
+            i += 1
+        elif ch == "'":
+            in_squote = True
+        elif ch == '"':
+            in_dquote = True
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        else:
+            if depth == 0:
+                if kw(i, "CASE"):
+                    case_depth += 1
+                    i += 4
+                    continue
+                if case_depth and kw(i, "END"):
+                    case_depth -= 1
+                    i += 3
+                    continue
+                if case_depth == 0:
+                    mask[i] = True
+        i += 1
+    return [m for m in pattern.finditer(text) if m.start() < n and mask[m.start()]]
