@@ -1275,6 +1275,72 @@ def test_delete_where_does_not_erase_concurrent_append(spark, tmp_path):
     assert snaps[-1].row_count == 2
 
 
+def test_cow_dml_rewrites_only_touched_files(spark, tmp_path):
+    """Copy-on-write row-level DML rewrites ONLY the data files containing
+    matched rows (Iceberg's CoW write shape) — every untouched file
+    survives by IDENTITY in the child snapshot, and (col, op, literal)
+    filters prune candidates at the manifest level before the match scan
+    (round-13 verdict #6: CoW must be O(files touched), not O(table))."""
+    from trino_iceberg_spark.catalog.snapshots import SnapshotTable
+
+    path = str(tmp_path / "cow_touched")
+    t = SnapshotTable(spark, path)
+    # four files with disjoint k ranges → selective zone maps
+    for lo in (0, 100, 200, 300):
+        t.append(
+            spark.createDataFrame(
+                [(i, float(i)) for i in range(lo, lo + 100)], "k long, v double"
+            ).coalesce(1)
+        )
+    snap0 = t.current_snapshot()
+    assert len(snap0.files) == 4
+
+    # DELETE touching one file's range: 3 files survive by identity
+    t.delete_where(
+        (F.col("k") >= 150) & (F.col("k") < 160),
+        filters=[("k", ">=", 150), ("k", "<", 160)],
+    )
+    snap1 = t.current_snapshot()
+    assert len(set(snap0.files) & set(snap1.files)) == 3
+    assert snap1.row_count == 390 and t.read().count() == 390
+    assert {r["k"] for r in t.read().filter("k >= 145 and k < 165").collect()} == (
+        set(range(145, 150)) | set(range(160, 165))
+    )
+
+    # UPDATE touching one row: again 3 untouched files survive
+    t.update_where(
+        F.col("k") == 250, {"v": F.lit(0.5)}, filters=[("k", "=", 250)]
+    )
+    snap2 = t.current_snapshot()
+    assert len(set(snap1.files) & set(snap2.files)) == 3
+    assert snap2.row_count == 390
+    got = {r["k"]: r["v"] for r in t.read().filter("k in (249, 250)").collect()}
+    assert got == {249: 249.0, 250: 0.5}
+
+    # filters are an optimization only: same DML WITHOUT filters still
+    # rewrites only the files that actually CONTAIN matches
+    t.delete_where(F.col("k") == 50)
+    snap3 = t.current_snapshot()
+    assert len(set(snap2.files) & set(snap3.files)) == 3
+    assert snap3.row_count == 389
+
+    # no-match DML: metadata-only commit, every file carried forward
+    t.delete_where(F.col("k") == 10_000, filters=[("k", "=", 10_000)])
+    snap4 = t.current_snapshot()
+    assert set(snap4.files) == set(snap3.files)
+    assert snap4.row_count == 389
+
+    # outstanding EQUALITY deletes pin the manifest-list prefix → the
+    # CoW rewrite falls back to the full rewrite that materializes them
+    t.delete_by_key(spark.createDataFrame([(300,)], "k long"))
+    assert t.current_snapshot().equality_deletes
+    t.delete_where(F.col("k") == 301, filters=[("k", "=", 301)])
+    snap5 = t.current_snapshot()
+    assert not snap5.equality_deletes  # materialized away
+    assert snap5.row_count == 387
+    assert {300, 301} & {r["k"] for r in t.read().collect()} == set()
+
+
 def test_rewrite_commit_gives_up_after_budget(spark, tmp_path):
     """_rewrite_commit's give-up path: a racer advancing the head on
     EVERY attempt exhausts commit_attempts and surfaces the typed
@@ -1630,8 +1696,16 @@ def test_mor_delete_append_carries_deletes_forward(spark, tmp_path):
     assert len(s3.position_deletes) == 1  # carried
     assert sorted(r["k"] for r in t.read().collect()) == [1, 3, 5, 7, 9, 100, 102]
 
+    # a CoW rewrite of the APPENDED file only: the outstanding delete
+    # targets the untouched first file, so its record stays outstanding
+    # and keeps applying (touched-file CoW never pretends to materialize
+    # deletes of files it did not rewrite)
     s4 = t.update_where(F.col("k") == 100, {"price": F.lit(1.0)})
-    assert not s4.position_deletes  # CoW rewrite materialized them
+    assert len(s4.position_deletes) == 1
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 3, 5, 7, 9, 100, 102]
+    # rewriting the TARGETED file materializes its deletes away
+    s5 = t.update_where(F.col("k") == 1, {"price": F.lit(2.0)})
+    assert not s5.position_deletes
     assert sorted(r["k"] for r in t.read().collect()) == [1, 3, 5, 7, 9, 100, 102]
 
 

@@ -3636,6 +3636,163 @@ class SnapshotTable:
             f"race {self.commit_attempts} times — giving up"
         ) from last
 
+    def _cow_touched_rewrite(
+        self, condition, derive, filters=None, properties=None
+    ) -> Snapshot:
+        """Copy-on-write row-level DML that rewrites only the data files
+        actually CONTAINING matched rows — Iceberg's CoW write shape —
+        instead of the whole table:
+
+        1. zone-map prune: ``filters`` (``(col, op, literal)`` conjuncts
+           extracted from the predicate, optional) cut the candidate set
+           at the manifest level without touching data;
+        2. match scan: one pruned read finds the files holding at least
+           one VISIBLE matching row (``touched``) — the same planning
+           scan Iceberg's CoW DELETE/UPDATE runs;
+        3. rewrite: only ``touched`` files re-stage through ``derive``;
+           every other file is carried into the child snapshot BY
+           REFERENCE (same path, same bytes).
+
+        A 0.1% DELETE against a date-clustered 100 TB table rewrites the
+        handful of files whose zone maps admit the predicate — O(files
+        touched), not O(table). Commits validate ``based_on`` like
+        ``_rewrite_commit`` (same serializable isolation and retry
+        economics; the match scan re-derives on conflict).
+
+        Outstanding EQUALITY deletes pin the manifest-list prefix (their
+        horizon rule), which a partial file replacement would violate —
+        that case falls back to the classic full rewrite, which
+        materializes them away (the documented invariant). Outstanding
+        POSITION deletes compose fine: touched files materialize theirs
+        into the rewritten images, untouched files keep theirs applying,
+        and entries naming replaced paths go inert."""
+        last: EngineError | None = None
+        for _ in range(self.commit_attempts):
+            snap = self.current_snapshot()
+            if snap is None:
+                raise EngineError(f"table {self.table_dir} has no snapshots")
+            if snap.equality_deletes:
+                return self._rewrite_commit(derive, properties)
+            candidates = (
+                self.prune_files(snap, filters) if filters else list(snap.files)
+            )
+            touched: list[str] = []
+            if candidates:
+                sub = dataclasses.replace(snap, files=tuple(candidates))
+                probe = self._visible_rows_with_pos(sub)
+                touched = sorted(
+                    r[0]
+                    for r in probe.filter(F.coalesce(condition, F.lit(False)))
+                    .select(self._POS_FILE)
+                    .distinct()
+                    .collect()
+                )
+            new_files: list[str] = []
+            new_parts: dict = {}
+            stats_new: dict = {}
+            n_before = n_new = 0
+            if touched:
+                tsub = dataclasses.replace(snap, files=tuple(touched))
+                vis = self._read_snapshot(tsub).persist()
+                try:
+                    n_before = vis.count()
+                    out = derive(vis)
+                    cols = snap.schema_columns
+                    if cols is not None:
+                        out = out.select(
+                            *[
+                                F.col(c["name"]).cast(c["type"]).alias(c["name"])
+                                for c in cols
+                            ]
+                        )
+                    prev_specs = dict(snap.partition_specs or {})
+                    spec_id = snap.default_spec_id or 0
+                    spec = prev_specs.get(str(spec_id)) if spec_id else None
+                    new_files, new_parts, n_new, stats_new = self._stage_data_files(
+                        out, spec, spec_id, cols or []
+                    )
+                finally:
+                    vis.unpersist()
+                if n_new == 0 and len(touched) < len(snap.files):
+                    # every row in the touched files matched away and other
+                    # files remain: the touched files simply drop. (When the
+                    # whole table empties, the staged zero-row file is KEPT
+                    # so the snapshot stays readable — the same shape the
+                    # full-rewrite overwrite produced.)
+                    self._remove_quiet(new_files)
+                    new_files, new_parts, stats_new = [], {}, {}
+            touched_set = set(touched)
+
+            def build(prev: Snapshot | None) -> dict:
+                if (prev.snapshot_id if prev else None) != snap.snapshot_id:
+                    raise CommitConflictError(
+                        f"concurrent update on {self.table_dir}: this "
+                        f"copy-on-write rewrite matched against snapshot "
+                        f"{snap.snapshot_id} but the table advanced — "
+                        f"re-deriving"
+                    )
+                keep = [f for f in prev.files if f not in touched_set]
+                file_schemas = {
+                    f: s
+                    for f, s in (prev.file_schemas or {}).items()
+                    if f not in touched_set
+                }
+                file_schemas.update({f: prev.schema_id for f in new_files})
+                file_stats = {
+                    f: s
+                    for f, s in (prev.file_stats or {}).items()
+                    if f not in touched_set
+                }
+                file_stats.update(stats_new)
+                file_partitions = {
+                    f: p
+                    for f, p in (prev.file_partitions or {}).items()
+                    if f not in touched_set
+                }
+                file_partitions.update(new_parts)
+                # a rewritten file MATERIALIZES its outstanding position
+                # deletes into the new images — records whose targets are
+                # all gone drop; records still naming a retained file stay
+                # outstanding and keep applying (kilobyte metadata reads,
+                # cached per handle)
+                keep_set = set(keep)
+                pos_keep = [
+                    dfile
+                    for dfile in (prev.position_deletes or ())
+                    if self._pos_delete_targets([dfile]) & keep_set
+                ]
+                manifest = {
+                    "operation": "overwrite",
+                    "files": keep + new_files,
+                    "row_count": prev.row_count - n_before + n_new,
+                    "schema_id": prev.schema_id,
+                    "last_column_id": prev.last_column_id,
+                    "schemas": dict(prev.schemas or {}) or None,
+                    "file_schemas": file_schemas,
+                    "file_stats": file_stats,
+                    "properties": properties or {},
+                    "partition_specs": dict(prev.partition_specs or {}) or None,
+                    "default_spec_id": prev.default_spec_id,
+                    "file_partitions": file_partitions or None,
+                    "position_deletes": pos_keep or None,
+                    "equality_deletes": None,  # none outstanding on this path
+                }
+                if not touched_set and prev.manifest_list is not None:
+                    # nothing matched: metadata-only commit, reuse the
+                    # parent's segment list verbatim
+                    manifest["manifest_list"] = list(prev.manifest_list)
+                return manifest
+
+            try:
+                return self._commit_version("main", build, max_attempts=1)
+            except CommitConflictError as exc:
+                self._remove_quiet(new_files)
+                last = exc
+        raise CommitConflictError(
+            f"copy-on-write rewrite on {self.table_dir} lost the validation "
+            f"race {self.commit_attempts} times — giving up"
+        ) from last
+
     def merge(
         self,
         source: DataFrame,
@@ -3850,17 +4007,19 @@ class SnapshotTable:
         ) from last
 
     def delete_where(
-        self, condition, properties=None, mode: str | None = None
+        self, condition, properties=None, mode: str | None = None, filters=None
     ) -> Snapshot:
         """DELETE WHERE analog, in either Iceberg row-level-delete mode.
         ``mode=None`` resolves the table property ``write.delete.mode``
         (Iceberg's own property name), defaulting to copy-on-write:
 
-        - ``copy-on-write`` (default, Iceberg v1 semantics): rewrite the
-          table without matching rows as one overwrite snapshot,
-          validated against the read snapshot and retried on concurrent
-          commits (_rewrite_commit). Zero-cost reads afterward; the
-          rewrite cost is O(table).
+        - ``copy-on-write`` (default, Iceberg v1 semantics): rewrite only
+          the data files CONTAINING matched rows (zone-map pre-pruned
+          via ``filters``, then a match scan — _cow_touched_rewrite);
+          untouched files carry into the child snapshot by reference.
+          Validated against the read snapshot and retried on concurrent
+          commits. Zero-cost reads afterward; the rewrite cost is
+          O(files touched), not O(table).
         - ``merge-on-read`` (Iceberg v2 position deletes — Trino's
           production default for frequent DML on big tables): write
           small (file_path, pos) DELETE FILES and leave every data file
@@ -3887,8 +4046,13 @@ class SnapshotTable:
             raise EngineError(
                 f"unknown delete mode {mode!r} (copy-on-write | merge-on-read)"
             )
-        return self._rewrite_commit(
+        # copy-on-write rewrites only the files CONTAINING matched rows
+        # (zone-map pre-pruned via ``filters`` when the caller extracted
+        # prunable conjuncts); untouched files carry forward by reference
+        return self._cow_touched_rewrite(
+            condition,
             lambda cur: cur.filter(~F.coalesce(condition, F.lit(False))),
+            filters,
             properties,
         )
 
@@ -4158,15 +4322,18 @@ class SnapshotTable:
         assignments: dict,
         properties=None,
         mode: str | None = None,
+        filters=None,
     ) -> Snapshot:
         """UPDATE WHERE analog: ``assignments`` (col → Column expression)
         applied to matching rows. ``mode=None`` resolves the table
         property ``write.update.mode`` (Iceberg's property), defaulting to
         copy-on-write:
 
-        - ``copy-on-write``: rewrite the whole table as one overwrite
-          snapshot, validated against the read snapshot and retried on
-          concurrent commits (_rewrite_commit);
+        - ``copy-on-write``: rewrite only the data files CONTAINING
+          matched rows as one overwrite snapshot (zone-map pre-pruned
+          via ``filters`` — _cow_touched_rewrite); untouched files carry
+          forward by reference; validated against the read snapshot and
+          retried on concurrent commits;
         - ``merge-on-read`` (Iceberg v2): ONE commit that position-deletes
           the matched rows and appends new data files holding their
           updated images — a 0.1% UPDATE on a 100 TB table touches the
@@ -4185,13 +4352,18 @@ class SnapshotTable:
             raise EngineError(
                 f"unknown update mode {mode!r} (copy-on-write | merge-on-read)"
             )
-        return self._rewrite_commit(
+        # copy-on-write rewrites only the files CONTAINING matched rows
+        # (zone-map pre-pruned via ``filters``); untouched files carry
+        # forward by reference
+        return self._cow_touched_rewrite(
+            condition,
             lambda cur: cur.withColumns(
                 {
                     col: F.when(condition, expr).otherwise(F.col(col))
                     for col, expr in assignments.items()
                 }
             ),
+            filters,
             properties,
         )
 

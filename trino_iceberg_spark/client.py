@@ -753,6 +753,62 @@ class AthenaSparkClient:
             return int((snap.properties or {}).get("added-records", 0))
         return table.remove_orphan_files()
 
+    _PRUNE_AND_RE = re.compile(r"\bAND\b", re.IGNORECASE)
+    _PRUNE_CMP_RE = re.compile(
+        r"^\s*`?(?P<col>[A-Za-z_]\w*)`?\s*(?P<op>>=|<=|=|<|>)\s*(?P<lit>.+?)\s*$",
+        re.DOTALL,
+    )
+    _PRUNE_CMP_REV_RE = re.compile(
+        r"^\s*(?P<lit>.+?)\s*(?P<op>>=|<=|=|<|>)\s*`?(?P<col>[A-Za-z_]\w*)`?\s*$",
+        re.DOTALL,
+    )
+    _PRUNE_OP_FLIP = {">": "<", "<": ">", ">=": "<=", "<=": ">=", "=": "="}
+
+    @classmethod
+    def _extract_prune_filters(
+        cls, cond_text: str | None, columns: set[str]
+    ) -> list[tuple[str, str, object]]:
+        """Prunable ``(column, op, literal)`` conjuncts from a WHERE
+        clause's text, for manifest-level zone-map file pruning
+        (SnapshotTable.prune_files). Deliberately CONSERVATIVE: only
+        top-level AND conjuncts of the shape ``col <cmp> literal`` (or
+        reversed) with an int/float/plain-string literal and a known
+        bare column name qualify; everything else is skipped. A subset
+        of conjuncts is always sound — pruning keeps every file that
+        can possibly satisfy the extracted filters, and the full
+        predicate still runs as the residual Spark filter."""
+        if not cond_text:
+            return []
+        segs: list[str] = []
+        pos = 0
+        for am in finditer_top_level(cls._PRUNE_AND_RE, cond_text):
+            segs.append(cond_text[pos : am.start()])
+            pos = am.end()
+        segs.append(cond_text[pos:])
+        out: list[tuple[str, str, object]] = []
+        for seg in segs:
+            cm = cls._PRUNE_CMP_RE.match(seg)
+            flip = False
+            if cm is None or cm.group("col") not in columns:
+                cm = cls._PRUNE_CMP_REV_RE.match(seg)
+                flip = True
+            if cm is None or cm.group("col") not in columns:
+                continue
+            lit_txt = cm.group("lit").strip()
+            lit: object
+            if re.fullmatch(r"-?\d+", lit_txt):
+                lit = int(lit_txt)
+            elif re.fullmatch(r"-?\d+\.\d+", lit_txt):
+                lit = float(lit_txt)
+            else:
+                sm = re.fullmatch(r"'((?:[^']|'')*)'", lit_txt)
+                if sm is None:
+                    continue  # expression/date/function literal → unprunable
+                lit = sm.group(1).replace("''", "'")
+            op = cls._PRUNE_OP_FLIP[cm.group("op")] if flip else cm.group("op")
+            out.append((cm.group("col"), op, lit))
+        return out
+
     def _snapshot_merge(self, rendered: str) -> int | None:
         """``MERGE INTO`` in SQL text against a registered snapshot table —
         Trino's MERGE on Iceberg (one atomic snapshot commit), supporting
@@ -1186,6 +1242,12 @@ class AthenaSparkClient:
             )
             cur = table.read()
             matched = cur.filter(cond).count()
+            # prunable (col, op, literal) conjuncts from the WHERE text
+            # feed the copy-on-write zone-map file pruning — a subset is
+            # always sound (the residual Spark filter stays exact)
+            filters = self._extract_prune_filters(
+                m.group("cond"), {f.name for f in cur.schema.fields}
+            )
             if is_update:
                 # Assignment types validated against the declared column
                 # types with the same implicit-coercion lattice as INSERT
@@ -1214,9 +1276,9 @@ class AthenaSparkClient:
                             sql=rendered,
                         )
                     assignments[name] = e.cast(decl[name])
-                table.update_where(cond, assignments)
+                table.update_where(cond, assignments, filters=filters or None)
             else:
-                table.delete_where(cond)
+                table.delete_where(cond, filters=filters or None)
             return matched
 
     def execute(self, sql: str, *params: Any) -> int:
