@@ -2778,6 +2778,19 @@ def test_health_thresholds_are_table_properties(spark, tmp_path):
     assert t.health_df().first()["recommendation"] == "ok"
     t.set_table_property("health.max-position-delete-files", "0")
     assert t.health_df().first()["recommendation"] == "compact_small_files"
+    # a malformed operator-set value surfaces as a typed EngineError
+    # NAMING the property — never a bare ValueError out of a read-only
+    # metadata query (round-13 advisor)
+    t.set_table_property("health.dirty-fraction-threshold", "lots")
+    with pytest.raises(EngineError, match="health.dirty-fraction-threshold"):
+        t.health_df()
+    t.set_table_property("health.dirty-fraction-threshold", "0.25")
+    t.set_table_property("health.analyze-growth-threshold", "much")
+    t.set_table_property("health.max-position-delete-files", "10")
+    t.compact_small_files()  # clear delete drift so the growth branch runs
+    t.analyze()
+    with pytest.raises(EngineError, match="health.analyze-growth-threshold"):
+        t.health_df()
 
 
 def test_health_recommends_analyze_on_growth(spark, tmp_path):
@@ -2861,6 +2874,55 @@ def test_incremental_analyze_matches_full(spark, tmp_path):
     # decimal bound merged in the DECIMAL domain (scale-preserving text)
     assert float(si["d"]["high_value"]) == 499 / 4
     assert si["g"]["distinct_values_count"] == 7.0
+
+
+def test_promotion_invalidates_text_changing_sketches(spark, tmp_path):
+    """Round-13 advisor: the ANALYZE sketch hashes canonical strings, so
+    a decimal scale-up (5.00 → 5.000) or float→double promotion must
+    DROP the stored sketch (next incremental run re-baselines) while
+    int→bigint — text-invariant — keeps it, and a post-promotion ANALYZE
+    never double-counts overlapping values."""
+    t = SnapshotTable(spark, str(tmp_path / "promo_sk"))
+    t.append(
+        spark.range(100).selectExpr(
+            "CAST(id AS INT) AS k",
+            "CAST(id AS DECIMAL(10,2)) AS d",
+        )
+    )
+    assert t.analyze() == 2
+    stats = t._load_statistics()
+    ids = {c["name"]: str(c["id"]) for c in t.schema_columns}
+    assert "sketch" in stats["columns"][ids["k"]]
+    assert "sketch" in stats["columns"][ids["d"]]
+
+    # text-invariant promotion keeps the sketch
+    t.promote_column("k", "bigint")
+    stats = t._load_statistics()
+    assert "sketch" in stats["columns"][ids["k"]]
+
+    # scale-changing decimal promotion drops it
+    t.promote_column("d", "decimal(11,3)")
+    stats = t._load_statistics()
+    assert "sketch" not in stats["columns"][ids["d"]]
+    assert "sketch" in stats["columns"][ids["k"]]  # untouched column keeps
+
+    # overlapping values appended after the promotion: a fresh ANALYZE
+    # re-baselines (k merges incrementally; the run stays whole-table
+    # because d's sketch is gone) and the NDV is NOT inflated
+    t.append(
+        spark.range(100).selectExpr(
+            "CAST(id AS BIGINT) AS k",
+            "CAST(id AS DECIMAL(11,3)) AS d",
+        )
+    )
+    assert t.analyze() == 2
+    sm = {
+        r["column_name"]: r
+        for r in t.stats_df().collect()
+        if r["column_name"] is not None
+    }
+    assert sm["d"]["distinct_values_count"] <= 110  # 100 distinct, not ~200
+    assert sm["k"]["distinct_values_count"] <= 110
 
 
 def test_incremental_analyze_zero_delta_freshens(spark, tmp_path):

@@ -1031,8 +1031,9 @@ def test_describe_and_show_create_table(spark, tmp_path):
     client = AthenaSparkClient(spark)
     client.register_snapshot_table("desc_t", tdir)
     rows = client.query("DESCRIBE desc_t")
+    # Trino's type vocabulary, not Spark's (round-13 verdict #3)
     assert [(r["Column"], r["Type"]) for r in rows] == [
-        ("k", "bigint"), ("p", "double"), ("s", "string")
+        ("k", "bigint"), ("p", "double"), ("s", "varchar")
     ]
     # declared types follow evolution, and SHOW COLUMNS FROM is an alias
     client.execute("ALTER TABLE desc_t ALTER COLUMN p TYPE double")
@@ -1041,6 +1042,100 @@ def test_describe_and_show_create_table(spark, tmp_path):
     ddl = client.query_scalar("SHOW CREATE TABLE desc_t")
     assert "CREATE TABLE desc_t" in ddl and "k bigint" in ddl
     assert "write.delete.mode = 'merge-on-read'" in ddl
+
+
+def test_unsupported_statement_guard_and_tblproperties_alias(spark, tmp_path):
+    """Round-13 verdict #2: a DDL-class statement targeting a REGISTERED
+    snapshot table that matches no dispatch arm must raise a QueryError
+    naming the supported surface — never leak Catalyst errors about
+    internal temp-view names. Spark's SET TBLPROPERTIES spelling is
+    supported as an alias of Trino's SET PROPERTIES."""
+    tdir = str(tmp_path / "guard_t")
+    t = SnapshotTable(spark, tdir)
+    t.append(spark.range(3).selectExpr("id AS k"))
+    client = AthenaSparkClient(spark)
+    client.register_snapshot_table("guard_t", tdir)
+
+    # Spark's spelling now routes to the same property commit
+    assert (
+        client.execute(
+            "ALTER TABLE guard_t SET TBLPROPERTIES ("
+            "'write.delete.mode' = 'merge-on-read')"
+        )
+        == 0
+    )
+    assert t.table_properties()["write.delete.mode"] == "merge-on-read"
+
+    # arbitrary unsupported ALTER spellings: clear refusal, no __cur_*
+    # leak, table intact
+    for bad in (
+        "ALTER TABLE guard_t ADD COLUMNS (x int, y int)",
+        "ALTER TABLE guard_t SET LOCATION '/tmp/elsewhere'",
+        "MSCK REPAIR TABLE guard_t",
+        "COMMENT ON TABLE guard_t IS 'hello'",
+    ):
+        with pytest.raises(QueryError) as ei:
+            client.execute(bad)
+        msg = str(ei.value)
+        assert "unsupported statement for snapshot table" in msg
+        assert "__cur" not in msg
+    assert client.query_scalar("SELECT COUNT(*) FROM guard_t") == 3
+    # unregistered tables keep falling through to Spark untouched
+    spark.sql("CREATE TABLE IF NOT EXISTS guard_plain (a INT) USING parquet")
+    try:
+        client.execute("ALTER TABLE guard_plain SET TBLPROPERTIES ('x' = 'y')")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS guard_plain")
+
+
+def test_ddl_types_refuse_constraints_everywhere(spark, tmp_path):
+    """Round-13 advisor (medium): constraint/default tokens after a
+    varchar/char/varbinary type must fail the statement loudly in EVERY
+    arm that parses a column type — previously 'varchar(20) PRIMARY
+    KEY' silently mapped to plain 'string' and ALTER TABLE ADD COLUMN
+    accepted NOT NULL unenforced."""
+    client = AthenaSparkClient(spark, snapshot_warehouse=str(tmp_path / "wh"))
+    for bad_type in (
+        "varchar(20) PRIMARY KEY",
+        "varchar(20) DEFAULT 'x'",
+        "char(3) CHECK (x > 0)",
+        "varchar NOT NULL",
+        "int NOT NULL",
+    ):
+        with pytest.raises(QueryError):
+            client.execute(f"CREATE TABLE lake.cstr (k bigint, v {bad_type}) USING iceberg")
+    # the same policy now covers ALTER TABLE ADD COLUMN
+    client.execute("CREATE TABLE lake.cstr (k bigint) USING iceberg")
+    with pytest.raises(QueryError):
+        client.execute("ALTER TABLE lake.cstr ADD COLUMN v varchar(5) NOT NULL")
+    with pytest.raises(QueryError):
+        client.execute("ALTER TABLE lake.cstr ADD COLUMN v varchar(5) DEFAULT 'z'")
+    # plain parameterized spellings still map fine
+    client.execute("ALTER TABLE lake.cstr ADD COLUMN v varchar(5)")
+    assert client.query("DESCRIBE lake.cstr")[1]["Type"] == "varchar"
+    client.execute("DROP TABLE lake.cstr")
+
+
+def test_show_create_table_roundtrips_quoted_property(spark, tmp_path):
+    """Round-13 advisor (low): SHOW CREATE TABLE ''-escapes property
+    values, and the rendered DDL round-trips through the CREATE TABLE
+    parser even when a value contains an apostrophe."""
+    client = AthenaSparkClient(spark, snapshot_warehouse=str(tmp_path / "wh"))
+    client.execute("CREATE TABLE lake.rt (k bigint) USING iceberg")
+    client.execute("ALTER TABLE lake.rt SET PROPERTIES comment = 'it''s fine'")
+    from trino_iceberg_spark.catalog.snapshots import SnapshotTable as ST
+
+    tdir = str(tmp_path / "wh" / "lake" / "rt")
+    assert ST(spark, tdir).table_properties()["comment"] == "it's fine"
+    ddl = client.query_scalar("SHOW CREATE TABLE lake.rt")
+    assert "comment = 'it''s fine'" in ddl
+    assert "USING iceberg" in ddl  # the engine's round-trippable dialect
+    # round-trip: rename the table in the DDL text and re-run it verbatim
+    client.execute(ddl.replace("CREATE TABLE lake.rt", "CREATE TABLE lake.rt2"))
+    tdir2 = str(tmp_path / "wh" / "lake" / "rt2")
+    assert ST(spark, tdir2).table_properties()["comment"] == "it's fine"
+    client.execute("DROP TABLE lake.rt")
+    client.execute("DROP TABLE lake.rt2")
 
 
 def test_properties_and_manifests_metadata_relations(spark, tmp_path):
@@ -1310,7 +1405,7 @@ def test_create_and_drop_table_using_iceberg(spark, tmp_path):
     assert client.execute("INSERT INTO lake.ev VALUES (1, 'a', 2.5)") == 1
     rows = client.query("DESCRIBE lake.ev")
     assert [(r["Column"], r["Type"]) for r in rows] == [
-        ("k", "bigint"), ("name", "string"), ("price", "double")
+        ("k", "bigint"), ("name", "varchar"), ("price", "double")
     ]
     props = {r["key"]: r["value"] for r in client.query("SELECT * FROM `lake.ev$properties`")}
     assert props["write.delete.mode"] == "merge-on-read"

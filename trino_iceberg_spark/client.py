@@ -119,7 +119,8 @@ class AthenaSparkClient:
             table = self.snapshots.resolve(self.spark, dm.group("tbl"))
             if table is not None:
                 # Trino's DESCRIBE shape (Column|Type|Extra|Comment) from
-                # the current schema — declared types, not file types
+                # the current schema — declared types, not file types,
+                # rendered in Trino's vocabulary (varchar/integer/...)
                 cols = table.schema_columns or []
                 if not cols:  # pre-evolution legacy table: file schema
                     cols = [
@@ -127,7 +128,10 @@ class AthenaSparkClient:
                         for f in table.read().schema.fields
                     ]
                 return self.spark.createDataFrame(
-                    [(c["name"], c["type"], "", "") for c in cols],
+                    [
+                        (c["name"], self._to_trino_type(c["type"]), "", "")
+                        for c in cols
+                    ],
                     "Column string, Type string, Extra string, Comment string",
                 )
             # unregistered → Spark's own DESCRIBE below
@@ -139,12 +143,22 @@ class AthenaSparkClient:
                     {"name": f.name, "type": f.dataType.simpleString()}
                     for f in table.read().schema.fields
                 ]
-                body = ",\n".join(f"   {c['name']} {c['type']}" for c in cols)
-                ddl = f"CREATE TABLE {sc.group('tbl')} (\n{body}\n)"
+                body = ",\n".join(
+                    f"   {c['name']} {self._to_trino_type(c['type'])}"
+                    for c in cols
+                )
+                # USING iceberg is this engine's dialect marker for
+                # snapshot tables — included so the rendered DDL
+                # round-trips through the CREATE TABLE parser verbatim
+                ddl = f"CREATE TABLE {sc.group('tbl')} (\n{body}\n)\nUSING iceberg"
                 props = table.table_properties()
                 if props:
+                    # '' -escape property values so the rendered DDL
+                    # round-trips through the CREATE TABLE parser even
+                    # when a value contains an apostrophe
                     kv = ",\n".join(
-                        f"   {k} = '{v}'" for k, v in sorted(props.items())
+                        "   {} = '{}'".format(k, str(v).replace("'", "''"))
+                        for k, v in sorted(props.items())
                     )
                     ddl += f"\nWITH (\n{kv}\n)"
                 return self.spark.createDataFrame(
@@ -262,6 +276,17 @@ class AthenaSparkClient:
         r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?`?(?P<tbl>[A-Za-z_][\w.]*)`?\s*;?\s*$",
         re.IGNORECASE,
     )
+    # DDL-class statement heads whose first table token identifies the
+    # target — used ONLY by the execute() fall-through guard (a matched
+    # arm has already returned by the time it runs)
+    _SNAP_GUARD_RE = re.compile(
+        r"^\s*(?:ALTER\s+TABLE|ANALYZE(?:\s+TABLE)?|"
+        r"DROP\s+TABLE(?:\s+IF\s+EXISTS)?|TRUNCATE(?:\s+TABLE)?|"
+        r"COMMENT\s+ON\s+TABLE|OPTIMIZE|REFRESH\s+TABLE|"
+        r"MSCK\s+REPAIR\s+TABLE|CACHE\s+TABLE|UNCACHE\s+TABLE)\s+"
+        r"`?(?P<tbl>[A-Za-z_][\w.]*)`?",
+        re.IGNORECASE,
+    )
 
     def _snapshot_create_table(self, rendered: str) -> int | None:
         """``CREATE TABLE name (col type, ...) USING iceberg [WITH/
@@ -305,15 +330,8 @@ class AthenaSparkClient:
             if cd is None:
                 raise QueryError(f"malformed column definition: {part!r}", sql=rendered)
             type_sql = cd.group(2).strip()
-            # refuse constraints LOUDLY instead of recording and not
-            # enforcing them (a silently-dropped NOT NULL is worse than
-            # an error)
-            if re.search(r"\bNOT\s+NULL\b", type_sql, re.IGNORECASE):
-                raise QueryError(
-                    "column constraints (NOT NULL) are not enforced by this "
-                    "engine — declare the column plain and validate on write",
-                    sql=rendered,
-                )
+            # constraints (NOT NULL/DEFAULT/...) are refused inside
+            # _map_ddl_type, shared with ALTER TABLE ADD COLUMN
             cols.append((cd.group(1), self._map_ddl_type(type_sql, rendered)))
         from .catalog.snapshots import SnapshotTable
 
@@ -336,7 +354,7 @@ class AthenaSparkClient:
                     raise QueryError(
                         f"malformed table property: {part!r}", sql=rendered
                     )
-                table.set_table_property(pm.group("k"), pm.group("v"))
+                table.set_table_property(pm.group("k"), self._prop_value(pm))
         self.snapshots.register(name, tdir)
         return 0
     _SNAP_INSERT_RE = re.compile(
@@ -397,12 +415,37 @@ class AthenaSparkClient:
         DDL type that bricks every subsequent read of the table
         (round-12 advisor, medium). The parse probe runs BEFORE any
         commit: a type string Spark cannot parse must fail the
-        STATEMENT, never the table."""
+        STATEMENT, never the table.
+
+        Constraints are refused HERE — not in individual DDL arms — so
+        every path that parses a column type (CREATE TABLE, ALTER TABLE
+        ADD COLUMN, ALTER COLUMN SET DATA TYPE) gets the same
+        refuse-loudly policy: NOT NULL, DEFAULT, PRIMARY KEY, CHECK and
+        any other trailing tokens after a string/binary-mapped type fail
+        the statement instead of being silently dropped (round-13
+        advisor, medium — 'varchar(20) PRIMARY KEY' used to map to plain
+        'string' with the constraint discarded; for other base types the
+        parse probe already caught the leftovers)."""
         raw = t
-        t = re.sub(r"\s+", "", t.strip().lower())
+        if re.search(r"\bNOT\s+NULL\b", raw, re.IGNORECASE):
+            raise QueryError(
+                "column constraints (NOT NULL) are not enforced by this "
+                "engine — declare the column plain and validate on write",
+                sql=rendered,
+            )
+        t = re.sub(r"\s+", "", raw.strip().lower())
         base = t.split("(", 1)[0]
         mapped = self._TRINO_TYPES.get(base, base)
         if mapped in ("string", "binary"):
+            # the ENTIRE type text must be base[(digits)] — anything after
+            # (a DEFAULT, PRIMARY KEY, CHECK, ...) is a constraint the
+            # parse probe below can no longer see once the length maps away
+            if re.fullmatch(r"[a-z_]+(\(\d+\))?", t) is None:
+                raise QueryError(
+                    f"unsupported tokens after column type in {raw!r} — "
+                    "constraints/defaults are not enforced by this engine",
+                    sql=rendered,
+                )
             parameterized = mapped
         else:
             parameterized = mapped + t[len(base):] if "(" in t else mapped
@@ -418,6 +461,22 @@ class AthenaSparkClient:
             ) from exc
         return parameterized
 
+    # Spark scalar type → Trino's DESCRIBE/SHOW CREATE vocabulary (the
+    # inverse of _TRINO_TYPES plus Trino's fixed timestamp precision on
+    # Iceberg); parameterized/nested types pass through unchanged
+    _TRINO_RENDER = {
+        "string": "varchar",
+        "int": "integer",
+        "float": "real",
+        "binary": "varbinary",
+        "timestamp": "timestamp(6)",
+        "timestamp_ntz": "timestamp(6)",
+    }
+
+    @classmethod
+    def _to_trino_type(cls, t: str) -> str:
+        return cls._TRINO_RENDER.get(t.strip().lower(), t)
+
     # Spark-Iceberg branch/tag DDL: ALTER TABLE t CREATE BRANCH b /
     # CREATE TAG v [AS OF VERSION n] / DROP BRANCH b / DROP TAG v
     _SNAP_REF_RE = re.compile(
@@ -431,9 +490,12 @@ class AthenaSparkClient:
     # Trino/Iceberg table-property DDL: ALTER TABLE t SET PROPERTIES
     # k = 'v' [, k2 = 'v2'] — how an operator flips write.delete.mode /
     # write.update.mode / write.merge.mode to merge-on-read in SQL.
+    # Trino spells SET PROPERTIES k = 'v'; Spark spells SET TBLPROPERTIES
+    # ('k' = 'v') — both route to the same property commits (the
+    # parenthesized form is unwrapped in the arm)
     _SNAP_SET_PROPS_RE = re.compile(
-        r"^\s*ALTER\s+TABLE\s+`?(?P<tbl>[A-Za-z_][\w.]*)`?\s+SET\s+PROPERTIES\s+"
-        r"(?P<props>.+?)\s*;?\s*$",
+        r"^\s*ALTER\s+TABLE\s+`?(?P<tbl>[A-Za-z_][\w.]*)`?\s+SET\s+"
+        r"(?P<kw>TBL)?PROPERTIES\s*(?P<props>.+?)\s*;?\s*$",
         re.IGNORECASE | re.DOTALL,
     )
     # Spark-Iceberg's procedure invocation form: CALL cat.system.proc(
@@ -447,7 +509,16 @@ class AthenaSparkClient:
     _CALL_TABLE_ARG_RE = re.compile(
         r"\btable\s*=>\s*'(?P<t>[^']+)'\s*,?\s*", re.IGNORECASE
     )
-    _PROP_RE = re.compile(r"^\s*['\"`]?(?P<k>[\w.\-]+)['\"`]?\s*=\s*'(?P<v>[^']*)'\s*$")
+    # value allows SQL '' doubling so SHOW CREATE TABLE output (which
+    # ''-escapes apostrophes) round-trips; consumers unescape via
+    # _prop_value
+    _PROP_RE = re.compile(
+        r"^\s*['\"`]?(?P<k>[\w.\-]+)['\"`]?\s*=\s*'(?P<v>(?:[^']|'')*)'\s*$"
+    )
+
+    @staticmethod
+    def _prop_value(pm: "re.Match[str]") -> str:
+        return pm.group("v").replace("''", "'")
     _EXEC_ARG_RE = re.compile(r"(\w+)\s*=>\s*(?:'([^']*)'|(\d+))")
     _RETENTION_RE = re.compile(r"^\s*(\d+)\s*([dhms])\s*$", re.IGNORECASE)
 
@@ -645,6 +716,10 @@ class AthenaSparkClient:
         if sp is not None and not self._SNAP_EXEC_RE.match(rendered):
             table = self.snapshots.resolve(self.spark, sp.group("tbl"))
             if table is None:
+                if sp.group("kw"):
+                    # Spark's own SET TBLPROPERTIES spelling on an
+                    # unregistered (catalog) table: Spark handles it
+                    return None
                 raise QueryError(
                     f"SET PROPERTIES on unregistered snapshot table "
                     f"{sp.group('tbl')!r}",
@@ -652,13 +727,22 @@ class AthenaSparkClient:
                 )
             from .formatting import split_top_level_commas
 
-            for part in split_top_level_commas(sp.group("props")):
+            props = sp.group("props").strip()
+            if props.startswith("("):  # Spark's SET TBLPROPERTIES (...)
+                end = find_closing_paren(props)
+                if end < 0 or props[end + 1 :].strip():
+                    raise QueryError(
+                        "malformed SET TBLPROPERTIES parenthesization",
+                        sql=rendered,
+                    )
+                props = props[1:end]
+            for part in split_top_level_commas(props):
                 pm = self._PROP_RE.match(part)
                 if pm is None:
                     raise QueryError(
                         f"malformed SET PROPERTIES item: {part!r}", sql=rendered
                     )
-                table.set_table_property(pm.group("k"), pm.group("v"))
+                table.set_table_property(pm.group("k"), self._prop_value(pm))
             return 0
         m = self._SNAP_EXEC_RE.match(rendered)
         if m is None:
@@ -1311,6 +1395,25 @@ class AthenaSparkClient:
         affected = self._snapshot_dml(rendered)
         if affected is not None:
             return affected
+        # fall-through guard (round-13 verdict #2): a DDL-class statement
+        # whose target IS a registered snapshot table but matched no arm
+        # must fail with the supported surface named — never leak into
+        # Catalyst, which would error with internal temp-view names
+        gm = self._SNAP_GUARD_RE.match(rendered)
+        if gm is not None and self.snapshots.resolve(
+            self.spark, gm.group("tbl")
+        ) is not None:
+            raise QueryError(
+                f"unsupported statement for snapshot table "
+                f"{gm.group('tbl')!r} — supported: SELECT (incl. FOR "
+                f"VERSION/TIMESTAMP AS OF and $metadata relations), "
+                f"INSERT, UPDATE, DELETE, MERGE, TRUNCATE, ANALYZE, "
+                f"DESCRIBE/SHOW COLUMNS, SHOW CREATE TABLE, SHOW STATS, "
+                f"DROP TABLE, ALTER TABLE ... ADD/DROP/RENAME/ALTER "
+                f"COLUMN | SET [TBL]PROPERTIES | RENAME TO | "
+                f"CREATE/DROP BRANCH/TAG | EXECUTE <procedure>",
+                sql=rendered,
+            )
         df = self.sql_df(sql, *params)
         try:
             rows = df.collect()
