@@ -50,91 +50,80 @@ _TUNED_CONFS = {
 # module docstring. Names absent from the registry are ignored (safety
 # against future renames), and every registered query is always yielded.
 #
-# Round-12 ordering (registry: 236 entries, ALL oracle-backed). Per the
-# round-11 VERDICT directive #1, the front is: tt23 FIRST (the one entry
-# no driver CORRECTNESS run has ever checked — it yielded after the r11
-# front by design), then this round's new entries (3, under the ~4 cap),
-# then changed-code re-verifies, then the FULL 42-entry r07 cohort (the
-# oldest in the r01–r11 latest-check union: f-family, 13 tpch, ss01/
-# ss04, cu03/cu08/cu09, dd07/dd08, w07, ev07, mm08, sp10/sp11, tt07,
-# tx09) so the union staleness floor moves r07 → r08 with zero
-# never-checked entries.
-# Tiers (1+3+4+42 = 50, exactly the ~50 driver budget):
-# 1. tt23 (never driver-checked; judge-green twice);
-# 2. new this round: tt24_add_files_hive_partitioned — add_data_files
-#    over a col=value/ hive lake, partition values from the PATHS
-#    recorded as identity-partition manifest values, pruned and
-#    re-attached at read — tt25_table_health — the $health metadata
-#    relation making equality-delete dirty-set drift observable
-#    (recommendation flips to rewrite_delete_files at dirty ≥ 0.25 and
-#    clears after the rewrite) — and tt26_partitions_metadata — the
-#    $partitions relation: per-partition file/record counts from the
-#    manifest's per-file record_count, labels following renames by id;
-# 3. changed-code re-verifies: _commit gained writer-side type
-#    acceptance (every catalog writer) and add_data_files the
-#    fingerprint conflict check — tt17/tt18/tt19 are the MOR-heavy
-#    representatives; operators/timeseries.py's spine went
-#    bigint-quantity — ev06 rides it;
-# 4. the 42-entry r07 cohort.
-# Everything else was checked r08–r11 and yields after these.
+# Round-14 ordering (registry: 242 entries, ALL oracle-backed). Per the
+# round-13 VERDICT directive #2, the front is: tt30 FIRST (the one entry
+# no driver CORRECTNESS run has ever checked — it yielded after the r13
+# front by design), then this round's new entry tt31 (SQL MERGE under
+# write.merge.mode=merge-on-read — the round's headline fix — with
+# conditional clauses incl. a CASE AND-condition, read back through the
+# committed row delta's delete files), then tt10 (the SQL-MERGE arm is
+# this round's most-rewritten code path), then the FULL 47-entry r09
+# cohort (the oldest in the r01–r13 latest-check union) so the union
+# staleness floor moves r09 → r10 with zero never-checked entries.
+# Tiers sum to exactly the ~50 driver budget (1+1+1+47); tt17/tt18 (the
+# other MERGE-adjacent MOR representatives, both r13-green and re-run
+# green in this round's builder sweeps) sit at positions 51–52 for any
+# driver budget beyond 50.
 _FRONT = [
-    # --- tier 1: new this round (never driver-checked). The changed-code
-    # re-verify slot went to tt29 over a tt10 repeat: tt27 itself IS the
-    # rewritten INSERT dispatch, tt29 the new incremental-ANALYZE path,
-    # and tt10 (MERGE) re-verified green in this round's builder sweeps;
-    # it leads the post-front middle tier for any driver budget > 50. ---
-    "tt27_sql_insert_coercions",
-    "tt28_stats_staleness",
-    "tt29_incremental_analyze",
-    # --- tier 3: FULL r08 cohort (oldest in the r01–r12 union, 47
-    # entries — checking all of them moves the staleness floor to r09) ---
-    "a09_unpivot",
-    "a10_grouping_flags",
-    "aj01_asof_join",
-    "c04_recursive_cte",
-    "cu01_curated_documents",
-    "cu02_curation_report",
-    "cu04_length_band_filter",
-    "cu05_contamination_report",
-    "cu07_end_to_end_pipeline",
-    "dd04_ngram_jaccard",
-    "dd12_passage_dedup",
-    "dd15_containment_pairs",
-    "f09_edit_distance",
-    "f10_bitwise_functions",
-    "j10_bucketed_join",
-    "mm01_media_metadata",
-    "mm02_decode_pipeline",
-    "mm04_audio_decode",
-    "pr01_table_profile",
-    "pr02_correlation_matrix",
-    "pr03_quality_expectations",
-    "pr05_calibration_bins",
-    "rag01_retrieval_pipeline",
-    "rj01_bucketized_range_join",
-    "s05_set_ops_all",
-    "sp01_dataset_split",
-    "sp12_curriculum_order",
-    "ss10_margin_mining",
-    "ss11_margin_mining_lsh",
-    "st01_windowed_stream",
-    "st02_session_stream",
-    "st03_sliding_stream",
-    "st04_stream_stream_join",
-    "st05_stateful_running_totals",
-    "tpch_q1_pricing_summary",
-    "tt05_schema_evolution",
-    "tt06_stats_pruned_scan",
-    "tt08_wap_publish",
-    "tt09_catalog_transaction",
-    "tx01_token_counts",
-    "tx02_lang_stats",
-    "tx03_quality_features",
-    "tx06_bpe_token_estimate",
-    "tx07_vocabulary",
-    "tx08_bigram_counts",
-    "tx10_bm25_ranking",
-    "tx17_ngram_novelty",
+    # --- tier 1: never driver-checked ---
+    "tt30_sql_create_table_lifecycle",
+    "tt31_sql_merge_merge_on_read",
+    # --- tier 2: changed-code re-verify (SQL MERGE rework + CoW
+    # touched-file rewrite both sit under this statement) ---
+    "tt10_sql_merge",
+    # --- tier 3: FULL r09 cohort (oldest in the r01–r13 union, 47
+    # entries — checking all of them moves the staleness floor to r10) ---
+    "cu06_boilerplate_removal",
+    "dd03_minhash_lsh_pairs",
+    "dd05_simhash_pairs",
+    "dd06_embedding_dedup",
+    "dd09_fuzzy_linkage",
+    "dd10_incremental_dedup",
+    "dd11_semantic_dedup",
+    "ev08_hypertable_rollup",
+    "ev11_interpolated_gap_fill",
+    "f11_string_functions2",
+    "ir01_retrieval_metrics",
+    "mm03_feature_extraction",
+    "pr04_drift_psi",
+    "sk01_salted_aggregate",
+    "sk02_salted_join",
+    "sp02_stratified_sample",
+    "sp03_global_shuffle",
+    "sp04_sequence_packing",
+    "sp05_epoch_mix",
+    "sp06_temperature_weights",
+    "ss02_lsh_topk",
+    "ss03_ivf_topk",
+    "ss05_quantized_topk",
+    "ss06_embedding_centroids",
+    "ss07_hard_negatives",
+    "ss12_mmr_rerank",
+    "ss13_mmr_rerank_lsh",
+    "ss14_pq_adc_topk",
+    "st07_stream_dedup",
+    "tpch_q15_top_supplier",
+    "tt01_timestamp_as_of",
+    "tt02_version_as_of",
+    "tt04_sql_text_time_travel",
+    "tt11_partition_evolution",
+    "tt12_sorted_compaction",
+    "tt13_sql_maintenance",
+    "tt14_rollback",
+    "tt15_zorder_rewrite",
+    "tx04_language_id",
+    "tx05_fingerprints",
+    "tx11_pii_scrub",
+    "tx12_repetition_stats",
+    "tx13_rarity_scores",
+    "tx14_sliding_chunks",
+    "w03_lag_lead",
+    "w06_sessionize",
+    "w09_time_range_frame",
+    # --- positions 51+: MERGE-adjacent MOR re-verifies for any budget
+    # beyond 50 ---
+    "tt17_merge_on_read_delete",
+    "tt18_equality_delete_cdc",
 ]
 
 # Entries a prior CORRECTNESS run already recorded green (r01–r11 union:

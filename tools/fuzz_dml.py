@@ -239,12 +239,23 @@ def gen_statement(rng: random.Random, next_id: list[int]) -> dict:
                 "coalesce(sa.val, 0) % 2 = 0",
                 "ta.val < coalesce(sa.val, 50)",
                 "sa.note IS NOT NULL",
+                # CASE expressions in AND-conditions (round 14 — the
+                # clause splitter's top-level THEN scan must not split
+                # on the CASE's own THEN tokens); replayed verbatim in
+                # the DuckDB twin's route CASE
+                "CASE WHEN sa.val > 40 THEN true ELSE false END",
+                "CASE WHEN coalesce(sa.val, 0) % 2 = 0 THEN 1 ELSE 0 END = 1",
             ]
         )
 
     def _icond():  # not-matched conditions see only the source
         return rng.choice(
-            ["sa.val > 30", "sa.note IS NOT NULL", "coalesce(sa.val, 0) % 2 = 1"]
+            [
+                "sa.val > 30",
+                "sa.note IS NOT NULL",
+                "coalesce(sa.val, 0) % 2 = 1",
+                "CASE WHEN sa.val > 30 THEN true ELSE false END",
+            ]
         )
 
     def _sets():
@@ -423,6 +434,10 @@ def run_sequence(
     if delete_mode != "copy-on-write":
         table.set_table_property("write.delete.mode", delete_mode)
         table.set_table_property("write.update.mode", delete_mode)
+        # round 14: SQL MERGE honors write.merge.mode, so --mor drives
+        # the row-delta MERGE arm while the DuckDB twin stays unchanged —
+        # the two modes must be observationally identical
+        table.set_table_property("write.merge.mode", delete_mode)
     table.append(spark.createDataFrame(rows, SCHEMA))
     client = AthenaSparkClient(spark)
     client.register_snapshot_table("fz_fuzz", tdir)

@@ -1462,3 +1462,82 @@ def tt30_sql_create_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFra
     client.execute("UPDATE tt30.orders SET price = price * 2 WHERE o_orderkey <= 1000")
     client.execute("DELETE FROM tt30.orders WHERE o_orderkey % 7 = 0")
     return client.sql_df("SELECT * FROM tt30.orders ORDER BY o_orderkey")
+
+
+@register(
+    "tt31_sql_merge_merge_on_read",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey <= 2000
+    ),
+    src AS (
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_orderkey > 1000 AND o_orderkey <= 3000 AND o_orderkey % 2 = 0
+    ),
+    matched AS (
+        SELECT b.o_orderkey, b.o_custkey, b.o_totalprice,
+               s.o_custkey AS s_custkey, s.o_totalprice AS s_price,
+               CASE WHEN s.o_totalprice < 50000 THEN 1
+                    WHEN b.o_custkey % 3 = 0 THEN 2
+                    ELSE 0 END AS route
+        FROM base b JOIN src s ON b.o_orderkey = s.o_orderkey
+    )
+    SELECT b.o_orderkey, b.o_custkey, b.o_totalprice
+    FROM base b LEFT JOIN src s ON b.o_orderkey = s.o_orderkey
+    WHERE s.o_orderkey IS NULL
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice FROM matched WHERE route = 0
+    UNION ALL
+    SELECT o_orderkey, s_custkey + 500000, o_totalprice
+    FROM matched WHERE route = 2
+    UNION ALL
+    SELECT s.o_orderkey, s.o_custkey, s.o_totalprice
+    FROM src s LEFT JOIN base b ON b.o_orderkey = s.o_orderkey
+    WHERE b.o_orderkey IS NULL AND s.o_totalprice >= 100000
+    ORDER BY o_orderkey
+    """,
+)
+def tt31_sql_merge_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 14 — SQL MERGE honoring ``write.merge.mode=merge-on-read``
+    (client._snapshot_merge → SnapshotTable.row_delta_commit): the same
+    conditional-clause statement that would rewrite the table under
+    copy-on-write instead commits ONE Iceberg v2 row delta — position
+    deletes for the routed matched rows plus appended updated images and
+    gated inserts — leaving every untouched data file in place (the 100 TB
+    CDC-upsert write shape; file identity pinned in
+    tests/test_timetravel_sql.py). Clause routing is first-match-wins
+    with a CASE expression in one AND-condition (the top-level THEN scan
+    at work); rows routed to no clause stay untouched. The oracle
+    restates the routing with an explicit route CASE over the raw table.
+    The result reads back THROUGH the outstanding delete files — proof
+    the committed delta composes with the MOR read path."""
+    from ..client import AthenaSparkClient
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tdir = work_dir("tt31_table")
+    table = SnapshotTable(spark, tdir)
+    table.append(o.filter(F.col("o_orderkey") <= 2000).coalesce(4))
+    table.set_table_property("write.merge.mode", "merge-on-read")
+    o.filter(
+        (F.col("o_orderkey") > 1000)
+        & (F.col("o_orderkey") <= 3000)
+        & (F.col("o_orderkey") % 2 == 0)
+    ).createOrReplaceTempView("tt31_src")
+    client = AthenaSparkClient(spark)
+    client.register_snapshot_table("tt31_orders", tdir)
+    client.execute(
+        """
+        MERGE INTO tt31_orders t USING (SELECT * FROM tt31_src) s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND s.o_totalprice < 50000 THEN DELETE
+        WHEN MATCHED AND CASE WHEN t.o_custkey % 3 = 0 THEN true ELSE false END
+            THEN UPDATE SET o_custkey = s.o_custkey + 500000
+        WHEN NOT MATCHED AND s.o_totalprice >= 100000
+            THEN INSERT VALUES (s.o_orderkey, s.o_custkey, s.o_totalprice)
+        """
+    )
+    return table.read().orderBy("o_orderkey")
