@@ -1349,6 +1349,87 @@ def test_sql_merge_honors_merge_on_read_mode(spark, tmp_path):
         )
 
 
+def test_cow_merge_rewrites_only_touched_files(spark, tmp_path):
+    """Copy-on-write SQL MERGE plans like Iceberg's CoW writer (round
+    14): only the files holding MATCHED rows rewrite (inserts ride the
+    same new files), the rest of the table carries forward by identity;
+    an insert-only MERGE is a pure APPEND that rewrites nothing."""
+    tdir = str(tmp_path / "cow_merge")
+    t = SnapshotTable(spark, tdir)
+    for lo in (0, 100, 200, 300):
+        t.append(
+            spark.createDataFrame(
+                [(i, i * 10) for i in range(lo, lo + 100)], "id long, v long"
+            ).coalesce(1)
+        )
+    client = AthenaSparkClient(spark)
+    client.register_snapshot_table("cowm", tdir)
+    snap0 = t.current_snapshot()
+    spark.createDataFrame(
+        [(150, 1), (151, 0), (999, 5)], "id long, sv long"
+    ).createOrReplaceTempView("cowm_src")
+    n = client.execute(
+        """
+        MERGE INTO cowm t USING (SELECT * FROM cowm_src) s ON t.id = s.id
+        WHEN MATCHED AND s.sv = 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = s.sv
+        WHEN NOT MATCHED THEN INSERT VALUES (s.id, s.sv)
+        """
+    )
+    assert n == 3
+    snap1 = t.current_snapshot()
+    # matches live only in the 100-199 file → the other 3 survive by
+    # identity and the inserts land in the new file
+    assert len(set(snap0.files) & set(snap1.files)) == 3
+    rows = {r["id"]: r["v"] for r in t.read().collect()}
+    assert rows[150] == 1 and 151 not in rows and rows[999] == 5
+    assert len(rows) == 400 and snap1.row_count == 400
+
+    # insert-only MERGE: pure append (operation pinned), zero rewrites
+    spark.createDataFrame(
+        [(150, 7), (1000, 8), (1001, 0)], "id long, sv long"
+    ).createOrReplaceTempView("cowm_src2")
+    n = client.execute(
+        "MERGE INTO cowm t USING (SELECT * FROM cowm_src2) s ON t.id = s.id "
+        "WHEN NOT MATCHED AND s.sv > 0 THEN INSERT VALUES (s.id, s.sv)"
+    )
+    assert n == 1
+    snap2 = t.current_snapshot()
+    assert set(snap1.files) <= set(snap2.files)
+    assert snap2.operation == "append"
+    rows = {r["id"]: r["v"] for r in t.read().collect()}
+    assert rows[150] == 1 and rows[1000] == 8 and 1001 not in rows
+
+    # nothing matched, matched clauses present: metadata-only commit
+    spark.createDataFrame([(5000, 1)], "id long, sv long").createOrReplaceTempView(
+        "cowm_src3"
+    )
+    assert (
+        client.execute(
+            "MERGE INTO cowm t USING (SELECT * FROM cowm_src3) s ON t.id = s.id "
+            "WHEN MATCHED THEN DELETE"
+        )
+        == 0
+    )
+    snap3 = t.current_snapshot()
+    assert set(snap3.files) == set(snap2.files)
+
+    # ZERO touched files but routed inserts: the staged insert file must
+    # reach the manifest — found by fuzz_dml seed 7803 (the no-match
+    # metadata-only shortcut used to drop it while still counting its
+    # row into row_count)
+    n = client.execute(
+        "MERGE INTO cowm t USING (SELECT * FROM cowm_src3) s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET v = s.sv "
+        "WHEN NOT MATCHED THEN INSERT VALUES (s.id, s.sv)"
+    )
+    assert n == 1
+    snap4 = t.current_snapshot()
+    assert set(snap3.files) < set(snap4.files)  # old files kept + new file
+    assert snap4.row_count == t.read().count()
+    assert {r["v"] for r in t.read().filter("id = 5000").collect()} == {1}
+
+
 def test_merge_and_condition_may_contain_case(spark, tmp_path):
     """A WHEN ... AND condition may itself be a CASE expression — the
     clause splitter finds the statement-level THEN with a top-level scan

@@ -3684,7 +3684,8 @@ class SnapshotTable:
         ) from last
 
     def _cow_touched_rewrite(
-        self, condition, derive, filters=None, properties=None
+        self, matcher, derive, filters=None, properties=None,
+        always_derive: bool = False,
     ) -> Snapshot:
         """Copy-on-write row-level DML that rewrites only the data files
         actually CONTAINING matched rows — Iceberg's CoW write shape —
@@ -3695,10 +3696,14 @@ class SnapshotTable:
            at the manifest level without touching data;
         2. match scan: one pruned read finds the files holding at least
            one VISIBLE matching row (``touched``) — the same planning
-           scan Iceberg's CoW DELETE/UPDATE runs;
-        3. rewrite: only ``touched`` files re-stage through ``derive``;
-           every other file is carried into the child snapshot BY
-           REFERENCE (same path, same bytes).
+           scan Iceberg's CoW DELETE/UPDATE/MERGE runs. ``matcher`` is
+           either a boolean Column (UPDATE/DELETE predicates) or a
+           callable ``df_with_pos -> matched_rows_with_pos`` (MERGE's
+           semi-join against its source);
+        3. rewrite: only ``touched`` files re-stage through ``derive``
+           (whose output may also CARRY EXTRA ROWS — MERGE's inserts
+           land in the same new files); every other file is carried into
+           the child snapshot BY REFERENCE (same path, same bytes).
 
         A 0.1% DELETE against a date-clustered 100 TB table rewrites the
         handful of files whose zone maps admit the predicate — O(files
@@ -3727,20 +3732,36 @@ class SnapshotTable:
             if candidates:
                 sub = dataclasses.replace(snap, files=tuple(candidates))
                 probe = self._visible_rows_with_pos(sub)
+                hits = (
+                    matcher(probe)
+                    if callable(matcher)
+                    else probe.filter(F.coalesce(matcher, F.lit(False)))
+                )
                 touched = sorted(
                     r[0]
-                    for r in probe.filter(F.coalesce(condition, F.lit(False)))
-                    .select(self._POS_FILE)
-                    .distinct()
-                    .collect()
+                    for r in hits.select(self._POS_FILE).distinct().collect()
                 )
             new_files: list[str] = []
             new_parts: dict = {}
             stats_new: dict = {}
             n_before = n_new = 0
-            if touched:
-                tsub = dataclasses.replace(snap, files=tuple(touched))
-                vis = self._read_snapshot(tsub).persist()
+            if touched or always_derive:
+                # always_derive (MERGE): the derive output may carry rows
+                # with NO matched file behind them (insert-only routes) —
+                # run it against an empty target frame so they still land
+                if touched:
+                    tsub = dataclasses.replace(snap, files=tuple(touched))
+                    vis = self._read_snapshot(tsub).persist()
+                elif snap.schema_columns is not None:
+                    vis = self.spark.createDataFrame(
+                        [],
+                        ", ".join(
+                            f"`{c['name']}` {c['type']}"
+                            for c in snap.schema_columns
+                        ),
+                    ).persist()
+                else:
+                    vis = self._read_snapshot(snap).limit(0).persist()
                 try:
                     n_before = vis.count()
                     out = derive(vis)
@@ -3824,9 +3845,16 @@ class SnapshotTable:
                     "position_deletes": pos_keep or None,
                     "equality_deletes": None,  # none outstanding on this path
                 }
-                if not touched_set and prev.manifest_list is not None:
-                    # nothing matched: metadata-only commit, reuse the
-                    # parent's segment list verbatim
+                if (
+                    not touched_set
+                    and not new_files
+                    and prev.manifest_list is not None
+                ):
+                    # nothing matched AND nothing staged: metadata-only
+                    # commit, reuse the parent's segment list verbatim.
+                    # (always_derive can stage new files — MERGE inserts —
+                    # with zero touched files; those MUST go through
+                    # segment prep or they'd vanish from the manifest.)
                     manifest["manifest_list"] = list(prev.manifest_list)
                 return manifest
 

@@ -1080,17 +1080,21 @@ class AthenaSparkClient:
                         sql=rendered,
                     )
 
-        def apply_clauses(tgt, pos_cols=None):
+        def apply_clauses(tgt, pos_cols=None, insert_only_append=False):
             """Route every (matched, unmatched-source) row through the
             parsed clause lists against ONE aliased target frame.
 
             ``pos_cols=None`` (copy-on-write): returns ``(final, affected)``
-            — the full rewritten table. Otherwise (merge-on-read) ``tgt``
-            carries the (file, pos) identity columns and the return is
+            — the rewritten content of ``tgt``'s files plus routed
+            inserts. Otherwise (merge-on-read) ``tgt`` carries the
+            (file, pos) identity columns and the return is
             ``(del_pos, appends, affected)`` — the old images to
             position-delete (matched rows routed to ANY clause; rows
             routed to no clause stay untouched IN PLACE) and the rows to
-            append (updated images + routed inserts)."""
+            append (updated images + routed inserts).
+            ``insert_only_append`` (valid only with no matched clauses):
+            returns ``(None, appends, affected)`` — just the routed
+            unmatched source rows, for a pure-append commit."""
             affected = 0
             pieces = []
             del_pos = None
@@ -1159,7 +1163,7 @@ class AthenaSparkClient:
                     affected += matched
                 else:
                     affected += inner.filter(route != 0).count()
-            elif pos_cols is None:
+            elif pos_cols is None and not insert_only_append:
                 pieces.append(tgt.select(*[F.col(f"{ta}.{f.name}") for f in fields]))
 
             if insert_clauses:
@@ -1187,7 +1191,7 @@ class AthenaSparkClient:
                     )
                 affected += nm_src.filter(iroute != 0).count()
 
-            if pos_cols is not None:
+            if pos_cols is not None or insert_only_append:
                 appends = None
                 # appended pieces all share the aligned table schema
                 for p in pieces:
@@ -1229,9 +1233,40 @@ class AthenaSparkClient:
                 "(copy-on-write | merge-on-read)",
                 sql=rendered,
             )
-        final, affected = apply_clauses(table.read().alias(ta))
-        table.overwrite(final)
-        return affected
+        if not matched_clauses:
+            # insert-only MERGE: no target row ever changes, so the plan
+            # is a pure APPEND of the routed unmatched source rows — no
+            # file is rewritten at any table size
+            _, appended, affected = apply_clauses(
+                table.read().alias(ta), insert_only_append=True
+            )
+            if appended is not None:
+                table.append(
+                    appended.select(
+                        *[
+                            F.col(f.name).cast(f.dataType).alias(f.name)
+                            for f in fields
+                        ]
+                    )
+                )
+            return affected
+        # copy-on-write with matched routes: rewrite ONLY the files
+        # holding matched rows (Iceberg's CoW MERGE write shape) — the
+        # unmatched remainder of the table carries forward by reference,
+        # and the derive output carries the routed inserts into the same
+        # new files. Retry snapshots re-derive (based_on isolation).
+        cow_cell: dict[str, int] = {}
+
+        def cow_matcher(dfpos):
+            return dfpos.alias(ta).join(src, cond, "left_semi")
+
+        def cow_derive(vis):
+            final, n = apply_clauses(vis.alias(ta))
+            cow_cell["affected"] = n
+            return final
+
+        table._cow_touched_rewrite(cow_matcher, cow_derive, always_derive=True)
+        return cow_cell["affected"]
 
     def _snapshot_dml(self, rendered: str) -> int | None:
         """Row-level DML in SQL text against REGISTERED snapshot tables —
