@@ -1341,6 +1341,49 @@ def test_cow_dml_rewrites_only_touched_files(spark, tmp_path):
     assert {300, 301} & {r["k"] for r in t.read().collect()} == set()
 
 
+def test_cow_merge_api_rewrites_only_touched_files(spark, tmp_path):
+    """The API merge() under copy-on-write also plans touched-file
+    rewrites (round 14): the source's key BOUNDS zone-map-prune the
+    match scan, only files holding matched keys rewrite, untouched
+    files survive by identity, and a pure-insert upsert still appends.
+    NULL source keys disable the bounds prefilter (zone maps cannot see
+    IS NULL matches) but match null-safely through the probe."""
+    from trino_iceberg_spark.catalog.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "cow_m_api"))
+    t.append(
+        spark.range(400).selectExpr("id AS k", "id * 2 AS v"),
+        cluster_by=["k"],
+        cluster_partitions=4,
+    )
+    snap0 = t.current_snapshot()
+    src = spark.createDataFrame(
+        [(k, k * 100) for k in list(range(150, 160)) + [999]], "k long, v long"
+    )
+    t.merge(src, ["k"])  # default copy-on-write
+    snap1 = t.current_snapshot()
+    assert len(set(snap0.files) & set(snap1.files)) == 3  # 1 of 4 rewritten
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    assert rows[150] == 15000 and rows[149] == 298 and rows[999] == 99900
+    assert len(rows) == 401 and snap1.row_count == 401
+
+    # null-safe matching without the bounds prefilter
+    t2 = SnapshotTable(spark, str(tmp_path / "cow_m_null"))
+    t2.append(spark.createDataFrame([(1, 10), (None, 20)], "k long, v long"))
+    t2.merge(spark.createDataFrame([(None, 99)], "k long, v long"), ["k"])
+    assert {(r["k"], r["v"]) for r in t2.read().collect()} == {(1, 10), (None, 99)}
+    # pure-insert upsert: nothing matches, the new row still lands
+    t2.merge(spark.createDataFrame([(7, 70)], "k long, v long"), ["k"])
+    assert {(r["k"], r["v"]) for r in t2.read().collect()} == {
+        (1, 10),
+        (None, 99),
+        (7, 70),
+    }
+    # empty source: a no-op upsert leaves the rows and row_count intact
+    t2.merge(spark.createDataFrame([], "k long, v long"), ["k"])
+    assert t2.read().count() == 3 and t2.current_snapshot().row_count == 3
+
+
 def test_rewrite_commit_gives_up_after_budget(spark, tmp_path):
     """_rewrite_commit's give-up path: a racer advancing the head on
     EVERY attempt exhausts commit_attempts and surfaces the typed

@@ -3883,10 +3883,13 @@ class SnapshotTable:
         property ``write.merge.mode`` (Iceberg's property), defaulting to
         copy-on-write:
 
-        - ``copy-on-write``: the non-matching remainder is rewritten as
-          one overwrite snapshot, validated against the read snapshot and
-          retried on concurrent commits (_rewrite_commit). Zero-cost
-          reads afterward; rewrite cost O(table).
+        - ``copy-on-write``: only the data files CONTAINING matched keys
+          are rewritten (zone-map pre-pruned by the source's key bounds,
+          then a match scan — _cow_touched_rewrite); untouched files and
+          the unmatched source rows' new files make up the rest of the
+          overwrite snapshot, validated against the read snapshot and
+          retried on concurrent commits. Zero-cost reads afterward;
+          rewrite cost O(files touched), not O(table).
         - ``merge-on-read`` (Iceberg v2 — the Flink Iceberg upsert sink's
           exact write shape): ONE commit carrying an EQUALITY DELETE of
           the source's key set plus the source rows as new data files —
@@ -3903,9 +3906,9 @@ class SnapshotTable:
         copy-on-write matches it so flipping ``write.merge.mode`` never
         changes visible results.
 
-        At 100 TB with copy-on-write you'd partition the table and
-        rewrite only touched partitions — same algorithm, narrower
-        remainder; merge-on-read removes the rewrite entirely."""
+        At 100 TB, copy-on-write on a key-clustered table rewrites only
+        the files the upsert batch's key range overlaps; merge-on-read
+        removes the rewrite entirely."""
         want = self.schema_columns
         if want is not None:
             names = {c["name"] for c in want}
@@ -3924,12 +3927,13 @@ class SnapshotTable:
                 f"unknown merge mode {mode!r} (copy-on-write | merge-on-read)"
             )
 
+        src_keys = source.select(*key_cols)
+
         def derive(current: DataFrame) -> DataFrame:
             # null-safe key match so both write modes agree: the
             # merge-on-read path's equality delete matches NULL keys
             # (Iceberg's IS NULL rule), so the copy-on-write anti-join
             # must too
-            src_keys = source.select(*key_cols)
             remainder = current.join(
                 src_keys,
                 self._nullsafe_key_cond(current, src_keys, key_cols),
@@ -3941,7 +3945,38 @@ class SnapshotTable:
             # proceeds under the new schema instead of failing resolution
             return remainder.unionByName(source, allowMissingColumns=True)
 
-        return self._rewrite_commit(derive, properties)
+        def matcher(dfpos: DataFrame) -> DataFrame:
+            return dfpos.join(
+                src_keys,
+                self._nullsafe_key_cond(dfpos, src_keys, key_cols),
+                "left_semi",
+            )
+
+        # zone-map prefilter from the source's key BOUNDS (one tiny agg
+        # over the source): on a key-clustered table the match scan then
+        # reads only the files whose ranges overlap the upsert batch.
+        # Only emitted for a key column with zero NULLs — a NULL source
+        # key matches IS NULL target rows zone maps cannot see — and a
+        # JSON-portable bound type (the same types footer stats record).
+        aggs = []
+        for c in key_cols:
+            aggs += [
+                F.min(c).alias(f"__lo_{c}"),
+                F.max(c).alias(f"__hi_{c}"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"),
+            ]
+        bounds = source.agg(*aggs).first()
+        filters: list[tuple[str, str, object]] = []
+        for c in key_cols:
+            lo, hi = bounds[f"__lo_{c}"], bounds[f"__hi_{c}"]
+            if bounds[f"__nn_{c}"] == 0 and isinstance(lo, (int, float, str)):
+                filters.append((c, ">=", lo))
+                filters.append((c, "<=", hi))
+        # always_derive: unmatched source rows must append even when no
+        # file holds a matching key (the pure-insert upsert)
+        return self._cow_touched_rewrite(
+            matcher, derive, filters or None, properties, always_derive=True
+        )
 
     def _mor_merge(
         self, source: DataFrame, key_cols: list[str], properties=None
