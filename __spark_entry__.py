@@ -50,7 +50,9 @@ _TUNED_CONFS = {
 # module docstring. Names absent from the registry are ignored (safety
 # against future renames), and every registered query is always yielded.
 #
-# Round-14 ordering (registry: 242 entries, ALL oracle-backed). Per the
+# Round-14 ordering (registry: 243 entries, ALL oracle-backed; tt32 —
+# CoW selective DML — was added after the front was sized and yields
+# after it, never-driver-checked until round 15's tier 1). Per the
 # round-13 VERDICT directive #2, the front is: tt30 FIRST (the one entry
 # no driver CORRECTNESS run has ever checked — it yielded after the r13
 # front by design), then this round's new entry tt31 (SQL MERGE under

@@ -1541,3 +1541,56 @@ def tt31_sql_merge_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return table.read().orderBy("o_orderkey")
+
+
+@register(
+    "tt32_cow_selective_dml",
+    oracle="""
+    WITH base AS (
+        SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        FROM lineitem WHERE l_orderkey <= 4000
+    ),
+    after_del AS (
+        SELECT * FROM base
+        WHERE NOT (l_orderkey >= 1000 AND l_orderkey < 1500)
+    )
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_orderkey >= 3000 AND l_returnflag = 'A'
+                THEN l_quantity + 100 ELSE l_quantity END AS l_quantity,
+           l_returnflag
+    FROM after_del
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def tt32_cow_selective_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 14 — copy-on-write UPDATE/DELETE that rewrites only TOUCHED
+    files (catalog.snapshots._cow_touched_rewrite): the table commits
+    key-clustered (tight per-file l_orderkey zone maps), the SQL arm
+    extracts (col, op, literal) conjuncts from each WHERE
+    (client._extract_prune_filters) to prune candidates at the manifest
+    level, a match scan narrows to the files actually holding matches,
+    and every other file carries into the child snapshot by identity —
+    CoW row-level DML at O(files touched), not O(table) (file-identity
+    survival pinned in tests/test_snapshots.py; measured flat across 8×
+    growth in tools/cow_bench.py). The oracle replays the range DELETE
+    and the conjunctive UPDATE over the raw table. Yields after the
+    50-entry rotation front: never-driver-checked until round 15's
+    tier 1."""
+    from ..client import AthenaSparkClient
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    ).filter(F.col("l_orderkey") <= 4000)
+    tdir = work_dir("tt32_table")
+    table = SnapshotTable(spark, tdir)
+    table.append(li, cluster_by=["l_orderkey"], cluster_partitions=8)
+    client = AthenaSparkClient(spark)
+    client.register_snapshot_table("tt32_lineitem", tdir)
+    client.execute(
+        "DELETE FROM tt32_lineitem WHERE l_orderkey >= 1000 AND l_orderkey < 1500"
+    )
+    client.execute(
+        "UPDATE tt32_lineitem SET l_quantity = l_quantity + 100 "
+        "WHERE l_orderkey >= 3000 AND l_returnflag = 'A'"
+    )
+    return table.read().orderBy("l_orderkey", "l_linenumber")
