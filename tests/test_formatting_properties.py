@@ -485,3 +485,64 @@ def test_lossy_directions_refused():
     ]
     for src, decl in allowed:
         assert T._insert_coercible(src, decl), (src, decl)
+
+
+def test_rewrite_trino_limits():
+    """Trino's ANSI row-limiting spellings rewrite to Spark's (round
+    14): FETCH FIRST/NEXT → LIMIT, OFFSET n ROWS → OFFSET n, Trino's
+    OFFSET-before-LIMIT order flips, LIMIT ALL drops — and literals,
+    comments and WITH TIES are never touched."""
+    from trino_iceberg_spark.formatting import rewrite_trino_limits as rw
+
+    assert (
+        rw("SELECT a FROM t ORDER BY a FETCH FIRST 3 ROWS ONLY")
+        == "SELECT a FROM t ORDER BY a LIMIT 3"
+    )
+    assert rw("SELECT a FROM t FETCH NEXT 1 ROW ONLY") == "SELECT a FROM t LIMIT 1"
+    assert rw("SELECT a FROM t OFFSET 2 ROWS") == "SELECT a FROM t OFFSET 2"
+    assert (
+        rw("SELECT a FROM t ORDER BY a OFFSET 2 LIMIT 3")
+        == "SELECT a FROM t ORDER BY a LIMIT 3 OFFSET 2"
+    )
+    # the composed Trino pagination form
+    assert (
+        rw("SELECT a FROM t ORDER BY a OFFSET 10 ROWS FETCH NEXT 20 ROWS ONLY")
+        == "SELECT a FROM t ORDER BY a LIMIT 20 OFFSET 10"
+    )
+    # subqueries rewrite independently; already-Spark forms unchanged
+    assert (
+        rw("SELECT * FROM (SELECT a FROM t FETCH FIRST 5 ROWS ONLY) u LIMIT 2 OFFSET 1")
+        == "SELECT * FROM (SELECT a FROM t LIMIT 5) u LIMIT 2 OFFSET 1"
+    )
+    # literals and comments are opaque
+    assert (
+        rw("SELECT 'FETCH FIRST 3 ROWS ONLY' AS s FROM t")
+        == "SELECT 'FETCH FIRST 3 ROWS ONLY' AS s FROM t"
+    )
+    assert (
+        rw("SELECT a -- OFFSET 2 LIMIT 3\nFROM t")
+        == "SELECT a -- OFFSET 2 LIMIT 3\nFROM t"
+    )
+    assert rw("SELECT a FROM t LIMIT ALL").rstrip() == "SELECT a FROM t"
+    # WITH TIES is NOT rewritten (needs rank semantics)
+    s = "SELECT a FROM t ORDER BY a FETCH FIRST 3 ROWS WITH TIES"
+    assert rw(s) == s
+
+
+def test_trino_limits_end_to_end(spark):
+    """FETCH FIRST/OFFSET pagination runs through the client against a
+    live session and matches the LIMIT/OFFSET equivalent."""
+    from trino_iceberg_spark.client import AthenaSparkClient
+
+    spark.range(100).selectExpr("id AS k").createOrReplaceTempView("rtl_t")
+    client = AthenaSparkClient(spark)
+    got = [
+        r["k"]
+        for r in client.query(
+            "SELECT k FROM rtl_t ORDER BY k OFFSET 10 ROWS FETCH NEXT 5 ROWS ONLY"
+        )
+    ]
+    assert got == [10, 11, 12, 13, 14]
+    assert client.query_scalar(
+        "SELECT COUNT(*) FROM (SELECT k FROM rtl_t FETCH FIRST 7 ROWS ONLY)"
+    ) == 7

@@ -28,6 +28,7 @@ from .formatting import (
     find_closing_paren,
     finditer_top_level,
     format_sql,
+    rewrite_trino_limits,
     split_top_level_commas,
 )
 from .mapping import bind_rows, coerce_scalar
@@ -165,6 +166,12 @@ class AthenaSparkClient:
                     [(ddl,)], "`Create Table` string"
                 )
             # unregistered → Spark's own SHOW CREATE TABLE below
+        if re.search(r"\b(?:FETCH|OFFSET|LIMIT\s+ALL)\b", rendered, re.IGNORECASE):
+            # Trino's ANSI row-limiting dialect (FETCH FIRST n ROWS ONLY,
+            # OFFSET-before-LIMIT clause order, LIMIT ALL) — every
+            # rewritten form is a Spark parse error today, so the rewrite
+            # is purely enabling; gated on a cheap keyword probe
+            rendered = rewrite_trino_limits(rendered)
         rendered = rewrite_time_travel(self.spark, rendered, self.snapshots)
         try:
             return self.spark.sql(rendered)

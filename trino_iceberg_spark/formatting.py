@@ -439,3 +439,108 @@ def finditer_top_level(pattern: "re.Pattern[str]", text: str) -> list["re.Match[
                     mask[i] = True
         i += 1
     return [m for m in pattern.finditer(text) if m.start() < n and mask[m.start()]]
+
+
+def _code_mask(text: str) -> list:
+    """Boolean mask: True where ``text[i]`` is CODE — outside string
+    literals, quoted identifiers and comments (find_closing_paren's
+    quote/comment contract). Helper for dialect rewrites that must not
+    fire inside literals."""
+    n = len(text)
+    mask = [True] * n
+    in_squote = in_dquote = in_line_comment = False
+    block_depth = 0
+    i = 0
+    while i < n:
+        ch = text[i]
+        nxt = text[i + 1] if i + 1 < n else ""
+        if in_line_comment:
+            mask[i] = False
+            if ch == "\n":
+                in_line_comment = False
+        elif block_depth:
+            mask[i] = False
+            if ch == "*" and nxt == "/":
+                mask[i + 1] = False
+                i += 1
+                block_depth -= 1
+            elif ch == "/" and nxt == "*":
+                mask[i + 1] = False
+                i += 1
+                block_depth += 1
+        elif in_squote:
+            mask[i] = False
+            if ch == "\\" and nxt:
+                mask[i + 1] = False
+                i += 1
+            elif ch == "'":
+                if nxt == "'":
+                    mask[i + 1] = False
+                    i += 1
+                else:
+                    in_squote = False
+        elif in_dquote:
+            mask[i] = False
+            if ch == '"':
+                in_dquote = False
+        elif ch == "-" and nxt == "-":
+            in_line_comment = True
+            mask[i] = False
+        elif ch == "/" and nxt == "*":
+            block_depth = 1
+            mask[i] = False
+            mask[i + 1] = False
+            i += 1
+        elif ch == "'":
+            in_squote = True
+            mask[i] = False
+        elif ch == '"':
+            in_dquote = True
+            mask[i] = False
+        i += 1
+    return mask
+
+
+_FETCH_FIRST_RE = re.compile(
+    r"\bFETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY\b", re.IGNORECASE
+)
+_OFFSET_ROWS_RE = re.compile(r"\bOFFSET\s+(\d+)\s+ROWS?\b(?!\s+ONLY)", re.IGNORECASE)
+_OFFSET_LIMIT_RE = re.compile(
+    r"\bOFFSET\s+(\d+)\s+LIMIT\s+(\d+)\b", re.IGNORECASE
+)
+_LIMIT_ALL_RE = re.compile(r"\bLIMIT\s+ALL\b", re.IGNORECASE)
+
+
+def rewrite_trino_limits(sql: str) -> str:
+    """Trino's ANSI row-limiting dialect → Spark's, applied only OUTSIDE
+    string literals and comments:
+
+    - ``FETCH FIRST|NEXT n ROW[S] ONLY`` → ``LIMIT n``;
+    - ``OFFSET n ROW[S]`` → ``OFFSET n`` (Spark takes the bare count);
+    - Trino's clause ORDER ``OFFSET m LIMIT n`` → Spark's
+      ``LIMIT n OFFSET m`` (including the composed
+      ``OFFSET m FETCH FIRST n ROWS ONLY`` via the first rule);
+    - ``LIMIT ALL`` → removed (no limit).
+
+    Purely textual and purely ENABLING: every rewritten form is a parse
+    error in Spark today, so valid Spark SQL can never be altered —
+    ``FETCH``/``ALL`` sequences inside literals are protected by the
+    quote/comment mask. ``FETCH FIRST n ROWS WITH TIES`` is NOT
+    rewritten (it needs the ORDER BY's rank semantics); it surfaces
+    Spark's parse error unchanged."""
+
+    def masked_sub(pattern: "re.Pattern[str]", repl, text: str) -> str:
+        while True:
+            mask = _code_mask(text)
+            for m in pattern.finditer(text):
+                if mask[m.start()]:
+                    text = text[: m.start()] + pattern.sub(repl, m.group(0)) + text[m.end() :]
+                    break
+            else:
+                return text
+
+    sql = masked_sub(_FETCH_FIRST_RE, r"LIMIT \1", sql)
+    sql = masked_sub(_OFFSET_ROWS_RE, r"OFFSET \1", sql)
+    sql = masked_sub(_OFFSET_LIMIT_RE, r"LIMIT \2 OFFSET \1", sql)
+    sql = masked_sub(_LIMIT_ALL_RE, "", sql)
+    return sql

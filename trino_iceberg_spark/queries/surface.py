@@ -616,3 +616,54 @@ def io01_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in pieces[1:]:
         out = out.unionByName(p)
     return out.orderBy("fmt")
+
+
+@register(
+    "b24_fetch_first_offset",
+    oracle="""
+    WITH page AS (
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 20 OFFSET 10
+    ),
+    capped AS (
+        SELECT c_custkey FROM customer ORDER BY c_custkey
+        LIMIT 5
+    )
+    SELECT p.c_custkey, p.c_name, p.c_acctbal,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM capped) AS capped_n
+    FROM page p
+    ORDER BY p.c_acctbal DESC, p.c_custkey
+    """,
+)
+def b24_fetch_first_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trino's ANSI row-limiting dialect (round 14 —
+    formatting.rewrite_trino_limits): ``OFFSET n ROWS FETCH NEXT m ROWS
+    ONLY`` pagination and ``FETCH FIRST n ROWS ONLY``, neither of which
+    Spark parses, rewritten textually (quote/comment-masked, purely
+    enabling) into Spark's ``LIMIT m OFFSET n``. The plan is still
+    Spark's TakeOrderedAndProject — the rewrite changes spelling, never
+    shape. Oracle states the same pagination with DuckDB's LIMIT/OFFSET."""
+    from ..client import AthenaSparkClient
+
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("b24_customer")
+    client = AthenaSparkClient(spark)
+    return client.sql_df(
+        """
+        WITH page AS (
+            SELECT c_custkey, c_name, c_acctbal
+            FROM b24_customer
+            ORDER BY c_acctbal DESC, c_custkey
+            OFFSET 10 ROWS FETCH NEXT 20 ROWS ONLY
+        ),
+        capped AS (
+            SELECT c_custkey FROM b24_customer ORDER BY c_custkey
+            FETCH FIRST 5 ROWS ONLY
+        )
+        SELECT p.c_custkey, p.c_name, p.c_acctbal,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM capped) AS capped_n
+        FROM page p
+        ORDER BY p.c_acctbal DESC, p.c_custkey
+        """
+    )
