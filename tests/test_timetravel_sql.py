@@ -1349,6 +1349,60 @@ def test_sql_merge_honors_merge_on_read_mode(spark, tmp_path):
         )
 
 
+def test_merge_equi_bounds_pruning_stays_exact(spark, tmp_path):
+    """Round 14: the ON condition's equi-conjuncts derive source key
+    BOUNDS that zone-map-prune the match scan in both write modes. The
+    pruning is a pure optimization — these edges must stay exact:
+    source keys entirely OUTSIDE every file's range (plan frame prunes
+    to EMPTY, inserts still land), NULL source keys (= never matches;
+    bounds stay sound), and a non-equi extra conjunct (ignored by the
+    prefilter, enforced by the join)."""
+    for mode in ("copy-on-write", "merge-on-read"):
+        tdir = str(tmp_path / f"bounds_{mode}")
+        t = SnapshotTable(spark, tdir)
+        t.append(
+            spark.range(400).selectExpr("id AS k", "id * 2 AS v"),
+            cluster_by=["k"],
+            cluster_partitions=4,
+        )
+        t.set_table_property("write.merge.mode", mode)
+        client = AthenaSparkClient(spark)
+        name = f"bm_{mode.replace('-', '_')}"
+        client.register_snapshot_table(name, tdir)
+        # all source keys beyond every zone map + one NULL key: nothing
+        # matches, the two non-null rows insert, the NULL-key row takes
+        # the insert route too (= never matches NULL)
+        spark.createDataFrame(
+            [(9000, 1), (9001, 2), (None, 3)], "k long, sv long"
+        ).createOrReplaceTempView(f"{name}_src")
+        snap0 = t.current_snapshot()
+        n = client.execute(
+            f"MERGE INTO {name} t USING (SELECT * FROM {name}_src) s "
+            "ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.sv "
+            "WHEN NOT MATCHED THEN INSERT VALUES (s.k, s.sv)"
+        )
+        assert n == 3
+        assert set(snap0.files) <= set(t.current_snapshot().files)
+        rows = {r["k"]: r["v"] for r in t.read().collect()}
+        assert rows[9000] == 1 and rows[9001] == 2 and rows[None] == 3
+        assert len(rows) == 403 and t.current_snapshot().row_count == 403
+        # in-range batch with an extra non-equi conjunct: only rows
+        # passing BOTH conjuncts route; bounds pruning cannot drop the
+        # in-range non-matching row's file
+        spark.createDataFrame(
+            [(100, 1), (101, 2)], "k long, sv long"
+        ).createOrReplaceTempView(f"{name}_src2")
+        n = client.execute(
+            f"MERGE INTO {name} t USING (SELECT * FROM {name}_src2) s "
+            "ON t.k = s.k AND t.v > 200 "
+            "WHEN MATCHED THEN UPDATE SET v = s.sv"
+        )
+        assert n == 1  # k=101 (v=202) matches; k=100 (v=200) fails t.v > 200
+        rows = {r["k"]: r["v"] for r in t.read().collect()}
+        assert rows[100] == 200 and rows[101] == 2
+
+
 def test_cow_merge_rewrites_only_touched_files(spark, tmp_path):
     """Copy-on-write SQL MERGE plans like Iceberg's CoW writer (round
     14): only the files holding MATCHED rows rewrite (inserts ride the

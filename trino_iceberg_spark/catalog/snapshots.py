@@ -4583,7 +4583,7 @@ class SnapshotTable:
         ) from last
 
     def row_delta_commit(
-        self, plan, operation: str = "merge", properties=None
+        self, plan, operation: str = "merge", properties=None, filters=None
     ) -> Snapshot:
         """Iceberg v2 ROW-DELTA commit — the write shape Spark's
         row-level-operation rewrite and Trino's merge-on-read MERGE both
@@ -4610,13 +4610,41 @@ class SnapshotTable:
         a 0.1% CDC upsert against a 100 TB table writes kilobytes of
         delete files plus the changed images, never a table rewrite.
         Untouched data files survive by IDENTITY (same path, same file)
-        in the child snapshot."""
+        in the child snapshot.
+
+        ``filters`` (``(col, op, literal)`` conjuncts IMPLIED BY the
+        plan's match condition — e.g. the source's equi-join key bounds)
+        zone-map-prune the files the plan frame reads: rows outside the
+        pruned set can never be matched, deleted or consulted, so the
+        match scan costs the key band's worth of data, not the table.
+        The caller owns soundness (a filter must be a necessary
+        condition for a row to MATTER to the plan)."""
         last: EngineError | None = None
         for _ in range(self.commit_attempts):
             snap = self.current_snapshot()
             if snap is None:
                 raise EngineError(f"table {self.table_dir} has no snapshots")
-            del_pos, appends = plan(self._visible_rows_with_pos(snap))
+            if filters and snap.schema_columns is not None:
+                cand = self.prune_files(snap, filters)
+                if cand:
+                    frame = self._visible_rows_with_pos(
+                        dataclasses.replace(snap, files=tuple(cand))
+                    )
+                else:
+                    # no file can hold a matching row: an EMPTY plan
+                    # frame (with the position identity columns) — the
+                    # plan still runs so pure-insert routes land
+                    frame = self.spark.createDataFrame(
+                        [],
+                        ", ".join(
+                            f"`{c['name']}` {c['type']}"
+                            for c in snap.schema_columns
+                        )
+                        + f", `{self._POS_FILE}` string, `{self._POS_IDX}` bigint",
+                    )
+            else:
+                frame = self._visible_rows_with_pos(snap)
+            del_pos, appends = plan(frame)
             new_deletes: list[str] = []
             n_deleted = 0
             if del_pos is not None:

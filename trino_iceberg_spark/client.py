@@ -1209,6 +1209,55 @@ class AthenaSparkClient:
                 final = final.unionByName(p)
             return final, affected
 
+        # -- zone-map prefilter from the ON condition's equi-conjuncts:
+        # for every top-level `ta.X = sa.Y` (either order), the target
+        # rows that can possibly match lie within [min(sa.Y), max(sa.Y)]
+        # (`=` is null-rejecting, so NULL source keys never match and the
+        # non-null bounds stay sound). One tiny agg over the source buys
+        # manifest-level file pruning for the match scan in BOTH write
+        # modes — a CDC batch against a key-clustered 100 TB table scans
+        # the key band, not the table.
+        eq_pairs: list[tuple[str, str]] = []
+        segs = []
+        pos = 0
+        for am in finditer_top_level(self._PRUNE_AND_RE, cond_sql):
+            segs.append(cond_sql[pos : am.start()])
+            pos = am.end()
+        segs.append(cond_sql[pos:])
+        for seg in segs:
+            em = re.match(
+                r"^\s*`?(?P<q1>\w+)`?\.`?(?P<c1>\w+)`?\s*=\s*"
+                r"`?(?P<q2>\w+)`?\.`?(?P<c2>\w+)`?\s*$",
+                seg,
+            )
+            if em is None:
+                continue
+            q1, q2 = em.group("q1").lower(), em.group("q2").lower()
+            if q1 == ta.lower() and q2 == sa.lower():
+                eq_pairs.append((em.group("c1"), em.group("c2")))
+            elif q1 == sa.lower() and q2 == ta.lower():
+                eq_pairs.append((em.group("c2"), em.group("c1")))
+        bounds_filters: list[tuple[str, str, object]] = []
+        if eq_pairs:
+            aggs = []
+            for i, (_tcol, scol) in enumerate(eq_pairs):
+                aggs.append(F.min(F.col(f"{sa}.{scol}")).alias(f"__lo{i}"))
+                aggs.append(F.max(F.col(f"{sa}.{scol}")).alias(f"__hi{i}"))
+            try:
+                b = src.agg(*aggs).first()
+            except AnalysisException:
+                b = None  # non-column source expression: no prefilter
+            if b is not None:
+                for i, (tcol, _scol) in enumerate(eq_pairs):
+                    lo, hi = b[f"__lo{i}"], b[f"__hi{i}"]
+                    if (
+                        tcol in names
+                        and lo is not None
+                        and isinstance(lo, (int, float, str))
+                    ):
+                        bounds_filters.append((tcol, ">=", lo))
+                        bounds_filters.append((tcol, "<=", hi))
+
         mode = (table.table_properties() or {}).get(
             "write.merge.mode", "copy-on-write"
         )
@@ -1232,7 +1281,9 @@ class AthenaSparkClient:
                 cell["affected"] = n
                 return d, a
 
-            table.row_delta_commit(plan, operation="merge")
+            table.row_delta_commit(
+                plan, operation="merge", filters=bounds_filters or None
+            )
             return cell["affected"]
         if mode != "copy-on-write":
             raise QueryError(
@@ -1272,7 +1323,12 @@ class AthenaSparkClient:
             cow_cell["affected"] = n
             return final
 
-        table._cow_touched_rewrite(cow_matcher, cow_derive, always_derive=True)
+        table._cow_touched_rewrite(
+            cow_matcher,
+            cow_derive,
+            filters=bounds_filters or None,
+            always_derive=True,
+        )
         return cow_cell["affected"]
 
     def _snapshot_dml(self, rendered: str) -> int | None:
