@@ -1423,13 +1423,15 @@ class AthenaSparkClient:
                 F.expr(m.group("cond")) if m.group("cond") else F.lit(True)
             )
             cur = table.read()
-            matched = cur.filter(cond).count()
             # prunable (col, op, literal) conjuncts from the WHERE text
-            # feed the copy-on-write zone-map file pruning — a subset is
-            # always sound (the residual Spark filter stays exact)
+            # feed zone-map file pruning — a subset is always sound (the
+            # residual Spark filter stays exact) — for BOTH the
+            # matched-row count below and the copy-on-write rewrite
             filters = self._extract_prune_filters(
                 m.group("cond"), {f.name for f in cur.schema.fields}
             )
+            counted = table.scan(filters).filter(cond) if filters else cur.filter(cond)
+            matched = counted.count()
             if is_update:
                 # Assignment types validated against the declared column
                 # types with the same implicit-coercion lattice as INSERT
