@@ -50,82 +50,81 @@ _TUNED_CONFS = {
 # module docstring. Names absent from the registry are ignored (safety
 # against future renames), and every registered query is always yielded.
 #
-# Round-14 ordering (registry: 243 entries, ALL oracle-backed; tt32 —
-# CoW selective DML — was added after the front was sized and yields
-# after it, never-driver-checked until round 15's tier 1). Per the
-# round-13 VERDICT directive #2, the front is: tt30 FIRST (the one entry
-# no driver CORRECTNESS run has ever checked — it yielded after the r13
-# front by design), then this round's new entry tt31 (SQL MERGE under
-# write.merge.mode=merge-on-read — the round's headline fix — with
-# conditional clauses incl. a CASE AND-condition, read back through the
-# committed row delta's delete files), then tt10 (the SQL-MERGE arm is
-# this round's most-rewritten code path), then the FULL 47-entry r09
-# cohort (the oldest in the r01–r13 latest-check union) so the union
-# staleness floor moves r09 → r10 with zero never-checked entries.
-# Tiers sum to exactly the ~50 driver budget (1+1+1+47); tt17/tt18 (the
-# other MERGE-adjacent MOR representatives, both r13-green and re-run
-# green in this round's builder sweeps) sit at positions 51–52 for any
-# driver budget beyond 50.
+# Round-15 ordering (registry: 246 entries, ALL oracle-backed). Tier 1:
+# the four never-driver-checked entries — tt32 (CoW selective DML) and
+# b24 (Trino ANSI row limiting), both added after round 14's front was
+# sized, plus this round's new tt33 (SQL-text CTAS USING iceberg — the
+# round's headline surface fix) and tt34 (DML with top-level OR
+# predicates — the round's headline correctness fix: unsound AND-split
+# prune extraction disabled under OR). Tier 2: changed-code re-verifies
+# — tt10/tt30/tt31 all sit directly on the rewritten CREATE arm, the
+# prune-filter extraction, and the rebuilt SQL-scanner keyword logic.
+# Tier 3: the first 43 of the 46-entry r10 cohort (the oldest in the
+# r01–r14 latest-check union); tiers sum to exactly the ~50 driver
+# budget (4+3+43). The cohort's last three (tt16/tx15/w10, positions
+# 51–53) stay just past the front and lead round 16's tier 3.
 _FRONT = [
-    # --- tier 1: never driver-checked ---
+    # --- tier 1: never driver-checked (tt32/b24 from round 14; tt33/
+    # tt34 new this round) ---
+    "tt32_cow_selective_dml",
+    "b24_fetch_first_offset",
+    "tt33_sql_ctas",
+    "tt34_dml_or_predicates",
+    # --- tier 2: changed-code re-verify (OR-guarded prune extraction,
+    # rewritten CREATE arm, scanner keyword fixes) ---
+    "tt10_sql_merge",
     "tt30_sql_create_table_lifecycle",
     "tt31_sql_merge_merge_on_read",
-    # --- tier 2: changed-code re-verify (SQL MERGE rework + CoW
-    # touched-file rewrite both sit under this statement) ---
-    "tt10_sql_merge",
-    # --- tier 3: FULL r09 cohort (oldest in the r01–r13 union, 47
-    # entries — checking all of them moves the staleness floor to r10) ---
-    "cu06_boilerplate_removal",
-    "dd03_minhash_lsh_pairs",
-    "dd05_simhash_pairs",
-    "dd06_embedding_dedup",
-    "dd09_fuzzy_linkage",
-    "dd10_incremental_dedup",
-    "dd11_semantic_dedup",
-    "ev08_hypertable_rollup",
-    "ev11_interpolated_gap_fill",
-    "f11_string_functions2",
-    "ir01_retrieval_metrics",
-    "mm03_feature_extraction",
-    "pr04_drift_psi",
-    "sk01_salted_aggregate",
-    "sk02_salted_join",
-    "sp02_stratified_sample",
-    "sp03_global_shuffle",
-    "sp04_sequence_packing",
-    "sp05_epoch_mix",
-    "sp06_temperature_weights",
-    "ss02_lsh_topk",
-    "ss03_ivf_topk",
-    "ss05_quantized_topk",
-    "ss06_embedding_centroids",
-    "ss07_hard_negatives",
-    "ss12_mmr_rerank",
-    "ss13_mmr_rerank_lsh",
-    "ss14_pq_adc_topk",
-    "st07_stream_dedup",
-    "tpch_q15_top_supplier",
-    "tt01_timestamp_as_of",
-    "tt02_version_as_of",
-    "tt04_sql_text_time_travel",
-    "tt11_partition_evolution",
-    "tt12_sorted_compaction",
-    "tt13_sql_maintenance",
-    "tt14_rollback",
-    "tt15_zorder_rewrite",
-    "tx04_language_id",
-    "tx05_fingerprints",
-    "tx11_pii_scrub",
-    "tx12_repetition_stats",
-    "tx13_rarity_scores",
-    "tx14_sliding_chunks",
-    "w03_lag_lead",
-    "w06_sessionize",
-    "w09_time_range_frame",
-    # --- positions 51+: MERGE-adjacent MOR re-verifies for any budget
-    # beyond 50 ---
-    "tt17_merge_on_read_delete",
-    "tt18_equality_delete_cdc",
+    # --- tier 3: first 43 of the r10 cohort (oldest in the r01–r14
+    # union) ---
+    "a11_unload_roundtrip",
+    "aj02_asof_forward_tolerance",
+    "b01_projection",
+    "b02_filter_comparisons",
+    "b03_empty_result",
+    "b04_sort_multi",
+    "b05_count_star",
+    "b06_sum",
+    "b07_avg_cast",
+    "b08_min_max",
+    "b09_groupby_agg_sort",
+    "b10_scalar_literals",
+    "b11_concat",
+    "b12_string_escaping",
+    "b13_case_arithmetic",
+    "b14_cast_matrix",
+    "b15_null_handling",
+    "b16_in_between_like",
+    "b17_distinct",
+    "b18_limit_topk",
+    "b19_json_extraction",
+    "b20_lateral_explode",
+    "b21_variant_extraction",
+    "b22_group_by_all",
+    "b23_qualify",
+    "cu10_domain_curation",
+    "dd13_crossmodal_dedup",
+    "ev13_level_shifts",
+    "ev14_incremental_rollup",
+    "io01_format_roundtrip",
+    "j01_inner_join",
+    "j02_multi_join",
+    "j03_left_join",
+    "mm05_frame_sampling",
+    "mm06_image_resize",
+    "mm07_audio_frame_features",
+    "sp07_kfold",
+    "sp08_fixed_per_group",
+    "sp13_mix_manifest",
+    "ss08_range_search",
+    "st06_stream_snapshot_ingest",
+    "st08_stream_cdc_upsert",
+    "st09_stream_enrich",
+    # --- positions 51–53: the r10 cohort's tail for any budget beyond
+    # 50 (they lead round 16's tier 3 otherwise) ---
+    "tt16_catalog_version_travel",
+    "tx15_bigram_fluency",
+    "w10_value_navigation",
 ]
 
 # Entries a prior CORRECTNESS run already recorded green (r01–r11 union:

@@ -546,3 +546,72 @@ def test_trino_limits_end_to_end(spark):
     assert client.query_scalar(
         "SELECT COUNT(*) FROM (SELECT k FROM rtl_t FETCH FIRST 7 ROWS ONLY)"
     ) == 7
+
+
+def test_qualified_identifiers_are_not_keywords():
+    """Round-14 advisor (low): ``t.end`` inside a CASE must not close
+    the CASE early and ``t.case`` must not open one — a keyword preceded
+    by ``.`` is a qualified identifier. Backtick-quoted identifiers are
+    opaque to every scanner (`` `` `` doubles a literal backtick)."""
+    import re
+
+    from trino_iceberg_spark.formatting import (
+        _code_mask,
+        find_closing_paren,
+        finditer_top_level,
+        split_top_level_commas,
+    )
+
+    THEN = re.compile(r"\bTHEN\b", re.IGNORECASE)
+    AND = re.compile(r"\bAND\b", re.IGNORECASE)
+    # t.end must not decrement case_depth: the CASE's own THEN stays
+    # internal and only the outer THEN is top-level
+    s = "CASE WHEN t.end > 5 THEN 1 ELSE 2 END THEN UPDATE"
+    ms = finditer_top_level(THEN, s)
+    assert len(ms) == 1 and s[ms[0].start() :].startswith("THEN UPDATE")
+    # t.case must not increment case_depth: the THEN stays top-level
+    assert len(finditer_top_level(THEN, "t.case = 3 AND x THEN y")) == 1
+    # backtick identifiers are opaque regions in all four scanners
+    assert len(finditer_top_level(AND, "`weird AND name` = 1 AND b = 2")) == 1
+    assert len(finditer_top_level(AND, "a = `x``AND y` AND b")) == 1
+    assert split_statements("select `a;b` from t; select 1") == [
+        "select `a;b` from t",
+        "select 1",
+    ]
+    assert split_top_level_commas("a = `x,y`, b = 2") == ["a = `x,y`", "b = 2"]
+    assert find_closing_paren("(`a)b` )") == 7
+    mask = _code_mask("select `offset` from t")
+    assert not any(mask[7:15])  # the quoted identifier is not code
+
+
+def test_merge_with_columns_named_end_and_case(spark, tmp_path):
+    """End-to-end pin for the kw() fix: a MERGE whose AND-condition
+    references columns literally named ``end`` (backticked) must split
+    its clauses correctly instead of erroring as malformed."""
+    from trino_iceberg_spark.catalog.snapshots import SnapshotTable
+    from trino_iceberg_spark.client import AthenaSparkClient
+
+    tdir = str(tmp_path / "kwtab")
+    t = SnapshotTable(spark, tdir)
+    t.append(
+        spark.createDataFrame(
+            [(1, 10, 0.0), (2, 3, 0.0), (3, 99, 0.0)],
+            "k bigint, `end` bigint, v double",
+        )
+    )
+    client = AthenaSparkClient(spark)
+    client.register_snapshot_table("kwtab", tdir)
+    spark.createDataFrame([(1,), (2,)], "k bigint").createOrReplaceTempView(
+        "kwtab_src"
+    )
+    n = client.execute(
+        """
+        MERGE INTO kwtab t USING kwtab_src s
+        ON t.k = s.k
+        WHEN MATCHED AND t.`end` > 5 THEN UPDATE SET v = 1.0
+        WHEN MATCHED THEN DELETE
+        """
+    )
+    assert n == 2
+    rows = {r.k: (r["end"], r.v) for r in t.read().collect()}
+    assert rows == {1: (10, 1.0), 3: (99, 0.0)}

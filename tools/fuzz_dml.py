@@ -116,6 +116,12 @@ def _cond(rng: random.Random, prefix: str = "") -> str:
     a = rng.choice(atoms)
     if rng.random() < 0.4:
         return f"({a} {rng.choice(['AND', 'OR'])} {rng.choice(atoms)})"
+    if rng.random() < 0.25:
+        # BARE top-level mix, no parens: AND binds tighter than OR, so
+        # conjunct extraction for zone-map pruning must disable itself
+        # (the round-14 HIGH advisor defect — keep this shape in the
+        # grammar forever)
+        return f"{a} AND {rng.choice(atoms)} OR {rng.choice(atoms)}"
     return a
 
 
@@ -317,8 +323,19 @@ def gen_statement(rng: random.Random, next_id: list[int]) -> dict:
             f"{head} THEN INSERT VALUES (sa.id, sa.grp, sa.val, sa.note)"
         )
     cond = "ta.id = sa.id"
-    if rng.random() < 0.3:
+    r = rng.random()
+    if r < 0.3:
         cond = f"ta.id = sa.id AND ta.val < {rng.randrange(40, 95)}"
+    elif r < 0.45:
+        # top-level OR in the ON condition: equi-bound derivation must
+        # disable (round-14 HIGH) — both disjuncts share the id key so
+        # a target still matches at most one source row, but the
+        # naive AND-split would prune on the first disjunct's band
+        x = rng.randrange(30, 70)
+        cond = (
+            f"ta.id = sa.id AND ta.val < {x} "
+            f"OR ta.id = sa.id AND ta.note IS NOT NULL"
+        )
     sql = (
         f"MERGE INTO fz_fuzz AS ta USING ({src_sql}) AS sa ON {cond} "
         + " ".join(clauses)

@@ -143,7 +143,7 @@ def split_statements(script: str) -> list[str]:
     buf: list[str] = []
     i = 0
     n = len(script)
-    in_squote = in_dquote = in_line_comment = False
+    in_squote = in_dquote = in_backtick = in_line_comment = False
     block_depth = 0  # Spark parses NESTED bracketed comments (SPARK-28880)
     while i < n:
         ch = script[i]
@@ -184,6 +184,14 @@ def split_statements(script: str) -> list[str]:
             buf.append(ch)
             if ch == '"':
                 in_dquote = False
+        elif in_backtick:
+            buf.append(ch)
+            if ch == "`":
+                if nxt == "`":
+                    buf.append(nxt)
+                    i += 1
+                else:
+                    in_backtick = False
         elif ch == "-" and nxt == "-":
             in_line_comment = True
             buf.append(ch)
@@ -200,6 +208,9 @@ def split_statements(script: str) -> list[str]:
             buf.append(ch)
         elif ch == '"':
             in_dquote = True
+            buf.append(ch)
+        elif ch == "`":
+            in_backtick = True
             buf.append(ch)
         elif ch == ";":
             stmt = "".join(buf).strip()
@@ -225,7 +236,7 @@ def split_top_level_commas(text: str) -> list[str]:
     parts: list[str] = []
     buf: list[str] = []
     depth = 0
-    in_squote = in_dquote = in_line_comment = False
+    in_squote = in_dquote = in_backtick = in_line_comment = False
     block_depth = 0  # nested bracketed comments (SPARK-28880)
     i = 0
     n = len(text)
@@ -261,6 +272,14 @@ def split_top_level_commas(text: str) -> list[str]:
             buf.append(ch)
             if ch == '"':
                 in_dquote = False
+        elif in_backtick:
+            buf.append(ch)
+            if ch == "`":
+                if nxt == "`":
+                    buf.append(nxt)
+                    i += 1
+                else:
+                    in_backtick = False
         elif ch == "-" and nxt == "-":
             in_line_comment = True
             buf.append(ch)
@@ -274,6 +293,9 @@ def split_top_level_commas(text: str) -> list[str]:
             buf.append(ch)
         elif ch == '"':
             in_dquote = True
+            buf.append(ch)
+        elif ch == "`":
+            in_backtick = True
             buf.append(ch)
         elif ch in "([":
             depth += 1
@@ -305,6 +327,8 @@ def find_closing_paren(text: str, open_idx: int = 0) -> int:
       ``\\'`` (Spark's default backslash escape — Spark is the engine
       that ultimately parses these statements);
     - double-quoted identifiers may contain anything but ``"``;
+    - backtick-quoted identifiers (Spark's quoting) are opaque, with
+      `` `` `` doubling for a literal backtick inside;
     - ``-- ...`` line comments and ``/* ... */`` block comments
       (nesting, per SPARK-28880) are opaque — quotes and parens inside
       them never affect the scan;
@@ -313,7 +337,7 @@ def find_closing_paren(text: str, open_idx: int = 0) -> int:
     if open_idx >= len(text) or text[open_idx] != "(":
         return -1
     depth = 0
-    in_squote = in_dquote = in_line_comment = False
+    in_squote = in_dquote = in_backtick = in_line_comment = False
     block_depth = 0
     i = open_idx
     n = len(text)
@@ -341,6 +365,12 @@ def find_closing_paren(text: str, open_idx: int = 0) -> int:
         elif in_dquote:
             if ch == '"':
                 in_dquote = False
+        elif in_backtick:
+            if ch == "`":
+                if nxt == "`":
+                    i += 1
+                else:
+                    in_backtick = False
         elif ch == "-" and nxt == "-":
             in_line_comment = True
         elif ch == "/" and nxt == "*":
@@ -350,6 +380,8 @@ def find_closing_paren(text: str, open_idx: int = 0) -> int:
             in_squote = True
         elif ch == '"':
             in_dquote = True
+        elif ch == "`":
+            in_backtick = True
         elif ch == "(":
             depth += 1
         elif ch == ")":
@@ -368,7 +400,14 @@ def finditer_top_level(pattern: "re.Pattern[str]", text: str) -> list["re.Match[
     count as statement-level tokens (the MERGE clause splitter's
     requirement: ``WHEN MATCHED AND CASE WHEN x THEN y END THEN UPDATE``
     must split on the SECOND ``THEN``). Shares
-    :func:`find_closing_paren`'s quote/comment contract."""
+    :func:`find_closing_paren`'s quote/comment contract, plus
+    backtick-quoted identifiers as a fourth opaque region (Spark's
+    identifier quoting; `` `` `` doubles a literal backtick inside).
+
+    A keyword preceded by ``.`` is a QUALIFIED IDENTIFIER, not a keyword
+    (round-14 advisor, low): ``t.end`` inside a CASE must not close the
+    CASE and ``t.case`` must not open one — otherwise MERGE statements
+    referencing columns named end/case misparse their clause splits."""
     n = len(text)
     mask = [False] * n
     upper = text.upper()
@@ -376,7 +415,10 @@ def finditer_top_level(pattern: "re.Pattern[str]", text: str) -> list["re.Match[
     def kw(idx: int, w: str) -> bool:
         return (
             upper.startswith(w, idx)
-            and (idx == 0 or not (text[idx - 1].isalnum() or text[idx - 1] == "_"))
+            and (
+                idx == 0
+                or not (text[idx - 1].isalnum() or text[idx - 1] in "_.")
+            )
             and (
                 idx + len(w) >= n
                 or not (text[idx + len(w)].isalnum() or text[idx + len(w)] == "_")
@@ -385,7 +427,7 @@ def finditer_top_level(pattern: "re.Pattern[str]", text: str) -> list["re.Match[
 
     depth = 0
     case_depth = 0
-    in_squote = in_dquote = in_line_comment = False
+    in_squote = in_dquote = in_backtick = in_line_comment = False
     block_depth = 0
     i = 0
     while i < n:
@@ -412,6 +454,12 @@ def finditer_top_level(pattern: "re.Pattern[str]", text: str) -> list["re.Match[
         elif in_dquote:
             if ch == '"':
                 in_dquote = False
+        elif in_backtick:
+            if ch == "`":
+                if nxt == "`":
+                    i += 1
+                else:
+                    in_backtick = False
         elif ch == "-" and nxt == "-":
             in_line_comment = True
         elif ch == "/" and nxt == "*":
@@ -421,6 +469,8 @@ def finditer_top_level(pattern: "re.Pattern[str]", text: str) -> list["re.Match[
             in_squote = True
         elif ch == '"':
             in_dquote = True
+        elif ch == "`":
+            in_backtick = True
         elif ch in "([":
             depth += 1
         elif ch in ")]":
@@ -444,11 +494,13 @@ def finditer_top_level(pattern: "re.Pattern[str]", text: str) -> list["re.Match[
 def _code_mask(text: str) -> list:
     """Boolean mask: True where ``text[i]`` is CODE — outside string
     literals, quoted identifiers and comments (find_closing_paren's
-    quote/comment contract). Helper for dialect rewrites that must not
-    fire inside literals."""
+    quote/comment contract, plus backtick-quoted identifiers — a LIMIT
+    or OFFSET **column name** written `` `offset` `` is data, not
+    dialect). Helper for dialect rewrites that must not fire inside
+    literals."""
     n = len(text)
     mask = [True] * n
-    in_squote = in_dquote = in_line_comment = False
+    in_squote = in_dquote = in_backtick = in_line_comment = False
     block_depth = 0
     i = 0
     while i < n:
@@ -483,6 +535,14 @@ def _code_mask(text: str) -> list:
             mask[i] = False
             if ch == '"':
                 in_dquote = False
+        elif in_backtick:
+            mask[i] = False
+            if ch == "`":
+                if nxt == "`":
+                    mask[i + 1] = False
+                    i += 1
+                else:
+                    in_backtick = False
         elif ch == "-" and nxt == "-":
             in_line_comment = True
             mask[i] = False
@@ -496,6 +556,9 @@ def _code_mask(text: str) -> list:
             mask[i] = False
         elif ch == '"':
             in_dquote = True
+            mask[i] = False
+        elif ch == "`":
+            in_backtick = True
             mask[i] = False
         i += 1
     return mask

@@ -1594,3 +1594,95 @@ def tt32_cow_selective_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE l_orderkey >= 3000 AND l_returnflag = 'A'"
     )
     return table.read().orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "tt33_sql_ctas",
+    oracle="""
+    SELECT o_orderpriority AS prio, COUNT(*) AS n,
+           CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+    FROM orders
+    WHERE o_orderkey <= 4000 AND o_custkey % 10 <> 3
+    GROUP BY o_orderpriority
+    ORDER BY prio
+    """,
+)
+def tt33_sql_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 15 — SQL-text CTAS into a snapshot table
+    (client._snapshot_create_table): ``CREATE TABLE ... USING iceberg AS
+    <query>`` is Trino's CTAS-on-Iceberg (the reference's UNLOAD is
+    literally this statement, AthenaClient.cs:143-149) — the query seeds
+    the table in ONE observed append commit (row count from the write
+    job itself, no second scan), and the created table is a full
+    snapshot table: the follow-up DELETE commits against it and the
+    final aggregate reads back through the registered SQL name. The
+    oracle restates CTAS-then-DELETE as a filtered aggregate over the
+    raw source."""
+    from ..client import AthenaSparkClient
+
+    client = AthenaSparkClient(spark, snapshot_warehouse=work_dir("tt33_wh"))
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    ).createOrReplaceTempView("tt33_orders")
+    client.execute(
+        "CREATE TABLE tt33.prio USING iceberg AS "
+        "SELECT o_orderpriority AS prio, o_orderkey, o_custkey "
+        "FROM tt33_orders WHERE o_orderkey <= 4000"
+    )
+    client.execute("DELETE FROM tt33.prio WHERE o_custkey % 10 = 3")
+    return client.sql_df(
+        "SELECT prio, COUNT(*) AS n, CAST(SUM(o_custkey) AS BIGINT) AS cust_sum "
+        "FROM tt33.prio GROUP BY prio ORDER BY prio"
+    )
+
+
+@register(
+    "tt34_dml_or_predicates",
+    oracle="""
+    WITH base AS (
+        SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        FROM lineitem WHERE l_orderkey <= 4000
+    ),
+    after_del AS (
+        SELECT * FROM base
+        WHERE NOT (l_orderkey >= 1000 AND l_orderkey < 1500
+                   OR l_returnflag = 'R')
+    )
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_orderkey >= 3000 AND l_orderkey < 3500
+                     OR l_linenumber = 6
+                THEN l_quantity + 100 ELSE l_quantity END AS l_quantity,
+           l_returnflag
+    FROM after_del
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def tt34_dml_or_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 15 — row-level DML whose WHERE mixes AND and a TOP-LEVEL OR
+    (the round-14 HIGH advisor fix, client._extract_prune_filters): AND
+    binds tighter than OR, so extracting the range conjuncts for
+    zone-map pruning would be UNSOUND here — the ``l_returnflag = 'R'``
+    / ``l_linenumber = 6`` disjuncts select rows far outside the key
+    ranges, and pruning on the range would silently lose them. The
+    engine must detect the top-level OR, skip extraction, and fall back
+    to the full match scan — correctness first, pruning only when
+    implied. The oracle replays both statements over the raw table."""
+    from ..client import AthenaSparkClient
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    ).filter(F.col("l_orderkey") <= 4000)
+    tdir = work_dir("tt34_table")
+    table = SnapshotTable(spark, tdir)
+    table.append(li, cluster_by=["l_orderkey"], cluster_partitions=8)
+    client = AthenaSparkClient(spark)
+    client.register_snapshot_table("tt34_lineitem", tdir)
+    client.execute(
+        "DELETE FROM tt34_lineitem WHERE l_orderkey >= 1000 "
+        "AND l_orderkey < 1500 OR l_returnflag = 'R'"
+    )
+    client.execute(
+        "UPDATE tt34_lineitem SET l_quantity = l_quantity + 100 "
+        "WHERE l_orderkey >= 3000 AND l_orderkey < 3500 OR l_linenumber = 6"
+    )
+    return table.read().orderBy("l_orderkey", "l_linenumber")
