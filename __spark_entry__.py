@@ -70,13 +70,10 @@ _FRONT = [
     "b24_fetch_first_offset",
     "tt33_sql_ctas",
     "tt34_dml_or_predicates",
-    # --- tier 2: changed-code re-verify (OR-guarded prune extraction,
-    # rewritten CREATE arm, scanner keyword fixes) ---
-    "tt10_sql_merge",
-    "tt30_sql_create_table_lifecycle",
-    "tt31_sql_merge_merge_on_read",
-    # --- tier 3: first 43 of the r10 cohort (oldest in the r01–r14
-    # union) ---
+    # --- tier 2: the FULL 46-entry r10 cohort (oldest in the r01–r14
+    # union) — 4 + 46 = exactly the ~50 budget, so the union staleness
+    # floor moves r10 → r11 with zero never-checked entries (round-14
+    # directive #2) ---
     "a11_unload_roundtrip",
     "aj02_asof_forward_tolerance",
     "b01_projection",
@@ -120,11 +117,16 @@ _FRONT = [
     "st06_stream_snapshot_ingest",
     "st08_stream_cdc_upsert",
     "st09_stream_enrich",
-    # --- positions 51–53: the r10 cohort's tail for any budget beyond
-    # 50 (they lead round 16's tier 3 otherwise) ---
     "tt16_catalog_version_travel",
     "tx15_bigram_fluency",
     "w10_value_navigation",
+    # --- positions 51–53: changed-code re-verifies for any budget
+    # beyond 50 (all three were r14-green AND are green in this round's
+    # builder 246/246 sweep; the OR-guard/CREATE-arm changes they sit on
+    # are driver-covered by tt33/tt34 above) ---
+    "tt10_sql_merge",
+    "tt30_sql_create_table_lifecycle",
+    "tt31_sql_merge_merge_on_read",
 ]
 
 # Entries a prior CORRECTNESS run already recorded green (r01–r11 union:

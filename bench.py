@@ -86,6 +86,12 @@ AUX_QUERIES = [
     # round 11: merge-on-read read tax under delete-file→data-file
     # pruning, tracked per round (VERDICT r10 directive #4)
     "tt21_mor_pruned_read",
+    # round 15: the write path IS the round-over-round story now — SQL
+    # MERGE under merge-on-read (one v2 row delta) and selective
+    # copy-on-write DML (touched-file rewrite), tracked per round
+    # (VERDICT r14 directive #3)
+    "tt31_sql_merge_merge_on_read",
+    "tt32_cow_selective_dml",
 ]
 
 

@@ -447,3 +447,31 @@ def test_query_pandas_and_arrow(client):
 
     assert isinstance(tbl, pa.Table)
     assert tbl.column("total").to_pylist() == [250, 500]
+
+
+def test_raw_engine_errors_wrap_as_query_errors(client, spark, tmp_path):
+    """Round-14 directive #4: A1's contract is TYPED errors carrying the
+    statement — an unknown USING datasource (raw Py4JJavaError /
+    SparkClassNotFoundException in Spark) and a CTAS location collision
+    must both surface as QueryError, never as raw engine classes."""
+    import uuid
+
+    with pytest.raises(QueryError, match="(?i)data.source|nosuchformat"):
+        client.execute(
+            f"CREATE TABLE badfmt_{uuid.uuid4().hex[:8]} (a int) USING nosuchformat"
+        )
+    # ctas(): second create at the same name/location refuses, typed
+    name = f"ctas_collide_{uuid.uuid4().hex[:8]}"
+    loc = str(tmp_path / "ctas_loc")
+    assert client.ctas(name, "SELECT 1 AS a", location=loc) == 1
+    with pytest.raises(QueryError):
+        client.ctas(name, "SELECT 2 AS a", location=loc)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # SQL-text CTAS into a non-empty directory: Spark refuses with an
+    # AnalysisException the client wraps — statement context intact
+    with pytest.raises(QueryError) as ei:
+        client.execute(
+            f"CREATE TABLE ctas_ne_{uuid.uuid4().hex[:8]} USING parquet "
+            f"LOCATION '{loc}' AS SELECT 3 AS a"
+        )
+    assert ei.value.sql is not None

@@ -1566,21 +1566,29 @@ def test_create_and_drop_table_using_iceberg(spark, tmp_path):
         bare.execute("CREATE TABLE t1 (k int) USING iceberg")
 
 
-def test_or_condition_disables_prune_extraction(spark, tmp_path):
-    """Round-14 advisor (HIGH): AND binds tighter than OR, so splitting
-    ``k >= 150 AND k < 160 OR g = 5`` on top-level AND would extract
-    ``(k, >=, 150)`` — NOT implied by the predicate — and the zone-map
-    prune would silently skip the ``g = 5`` rows living in out-of-range
-    files (lost DELETE/UPDATE rows, wrong affected counts). A top-level
-    OR must disable extraction entirely; a parenthesized OR stays fine
-    because the conjunct simply fails the comparison-shape match."""
-    # unit level: top-level OR → no filters; parenthesized OR → the
-    # clean conjuncts still extract
+def test_or_condition_prunes_as_dnf_never_unsoundly(spark, tmp_path):
+    """Round-14 advisor (HIGH), strengthened in round 15: AND binds
+    tighter than OR, so splitting ``k >= 150 AND k < 160 OR g = 5`` on
+    top-level AND alone would extract ``(k, >=, 150)`` — NOT implied by
+    the predicate — and the zone-map prune would silently skip the
+    ``g = 5`` rows living in out-of-range files (lost DELETE/UPDATE
+    rows, wrong affected counts). The predicate instead extracts in DNF
+    (one conjunct list per top-level-OR disjunct; prune_files unions the
+    per-disjunct candidate sets), so OR-predicates PRUNE SOUNDLY — and
+    any disjunct yielding no prunable conjunct collapses the whole
+    extraction to [] (full scan). A parenthesized OR stays a plain
+    conjunct extraction."""
+    # unit level: top-level OR → DNF; parenthesized OR → conjuncts;
+    # one unprunable disjunct → no filters at all
     ex = AthenaSparkClient._extract_prune_filters
     cols = {"k", "g"}
-    assert ex("k >= 150 AND k < 160 OR g = 5", cols) == []
-    assert ex("k >= 150 OR k < 10", cols) == []
+    assert ex("k >= 150 AND k < 160 OR g = 5", cols) == [
+        [("k", ">=", 150), ("k", "<", 160)],
+        [("g", "=", 5)],
+    ]
+    assert ex("k >= 150 OR k < 10", cols) == [[("k", ">=", 150)], [("k", "<", 10)]]
     assert ex("k >= 150 AND (k < 160 OR g = 5)", cols) == [("k", ">=", 150)]
+    assert ex("k >= 150 OR some_func(k) = 3", cols) == []
 
     def mk(name, mode=None):
         tdir = str(tmp_path / name)
@@ -1752,3 +1760,69 @@ def test_sql_ctas_using_iceberg(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS ctas_plain")
     assert client.execute("CREATE TABLE ctas_plain (a int) USING parquet") == 0
     spark.sql("DROP TABLE ctas_plain")
+
+
+def test_dnf_pruning_skips_gap_files_and_prunes_mor_probe(spark, tmp_path):
+    """Round 15: (a) prune_files accepts DNF (list of conjunct lists)
+    and unions the per-disjunct candidate sets — a range-UNION predicate
+    skips the files in the gap; (b) the merge-on-read DML match scan is
+    zone-map-pruned through the same filters (``_pruned_pos_probe``), so
+    a selective MOR DELETE/UPDATE scans the key band, not the table —
+    and a predicate excluding every file commits nothing at all."""
+    tdir = str(tmp_path / "dnftab")
+    t = SnapshotTable(spark, tdir)
+    df = spark.range(300).selectExpr(
+        "id as k", "id % 10 as g", "cast(id as double) as v"
+    )
+    for lo in (0, 100, 200):
+        t.append(
+            df.filter(f"k >= {lo} AND k < {lo + 100}").coalesce(1),
+            cluster_by=["k"],
+        )
+    snap = t.current_snapshot()
+    assert len(snap.files) == 3
+    # DNF union keeps the edge files, skips the gap file
+    kept = t.prune_files(snap, [[("k", "<", 50)], [("k", ">=", 250)]])
+    assert len(kept) == 2
+    # legacy conjunct shape still works unchanged
+    assert len(t.prune_files(snap, [("k", ">=", 250)])) == 1
+    # empty filters keep everything (no pruning)
+    assert len(t.prune_files(snap, [])) == 3
+    # scan() applies the DNF as the residual filter
+    got = t.scan([[("k", "<", 50)], [("k", ">=", 250)]]).count()
+    assert got == 100
+    # CoW DELETE with a top-level OR rewrites ONLY the admitted files:
+    # the middle file survives by identity
+    client = AthenaSparkClient(spark)
+    client.register_snapshot_table("dnftab_t", tdir)
+    n = client.execute(
+        "DELETE FROM dnftab_t WHERE k < 50 AND g = 5 OR k >= 250"
+    )
+    assert n == 55  # 5 (g=5 under k<50) + 50 (k>=250)
+    child = t.current_snapshot()
+    assert len(set(snap.files) & set(child.files)) == 1
+    assert t.read().count() == 245
+    # MOR: same statement shape, pruned probe, correct results
+    t2dir = str(tmp_path / "dnftab_mor")
+    t2 = SnapshotTable(spark, t2dir)
+    for lo in (0, 100, 200):
+        t2.append(
+            df.filter(f"k >= {lo} AND k < {lo + 100}").coalesce(1),
+            cluster_by=["k"],
+        )
+    for p in ("delete", "update"):
+        t2.set_table_property(f"write.{p}.mode", "merge-on-read")
+    client.register_snapshot_table("dnftab_m", t2dir)
+    assert client.execute(
+        "DELETE FROM dnftab_m WHERE k < 50 AND g = 5 OR k >= 250"
+    ) == 55
+    assert t2.read().count() == 245
+    assert client.execute(
+        "UPDATE dnftab_m SET v = -1 WHERE k >= 120 AND k < 130"
+    ) == 10
+    assert t2.read().filter("v = -1").count() == 10
+    # a predicate no file admits: zero matches, zero delete files staged
+    files_before = set(t2.current_snapshot().files)
+    assert client.execute("DELETE FROM dnftab_m WHERE k >= 1000000") == 0
+    assert set(t2.current_snapshot().files) == files_before
+    assert t2.read().count() == 245

@@ -117,13 +117,18 @@ def _narrowings(t: str) -> list[str]:
 class Model:
     """Pure-Python twin of the table's DDL-visible state."""
 
-    def __init__(self, cols: list[tuple[str, str]]):
+    def __init__(self, cols: list[tuple[str, str]], workdir: str = ""):
         # list of dicts to mirror field-id behavior: rename keeps the
         # entry (and its analyzed flag), drop removes it
         self.cols = [{"name": n, "type": t, "analyzed": False} for n, t in cols]
         self.branches: set[str] = set()
         self.tags: set[str] = set()
         self.props: dict[str, str] = {}
+        # round 15: CREATE TABLE ... USING iceberg arm — name → expected
+        # row count (0 for empty creates, the CTAS source's cardinality
+        # otherwise); verified by COUNT(*) at sequence end
+        self.created: dict[str, int] = {}
+        self.workdir = workdir
 
     def names(self) -> list[str]:
         return [c["name"] for c in self.cols]
@@ -135,16 +140,118 @@ class Model:
         return None
 
 
+def _ctas_source(rng: random.Random) -> tuple[str, int]:
+    """A deterministic-cardinality CTAS source: VALUES rows, a filtered
+    range, or a self-join — the query shapes round-14 directive #7 asks
+    the grammar to draw."""
+    k = rng.randrange(3, 9)
+    pick = rng.random()
+    if pick < 0.35:
+        rows = ", ".join(f"({i}, 'v{i}')" for i in range(k))
+        return f"SELECT * FROM (VALUES {rows}) AS t(a, b)", k
+    if pick < 0.7:
+        return (
+            f"SELECT id AS a, id * 2 AS b FROM range({k * 2}) WHERE id % 2 = 0",
+            k,
+        )
+    return (
+        f"SELECT x.id AS a, CAST(y.id AS STRING) AS b "
+        f"FROM range({k}) x JOIN range({k}) y ON x.id = y.id",
+        k,
+    )
+
+
 def gen_statement(rng: random.Random, m: Model, counter: list[int]) -> dict:
     """One DDL statement + the model's predicted outcome, applied to the
     model eagerly when legal. Returns {sql, ok (expected legality)}."""
     kind = rng.choices(
         ["add", "drop", "rename", "alter_type", "ref", "analyze",
-         "show_stats", "props"],
-        weights=[16, 12, 12, 14, 16, 14, 8, 8],
+         "show_stats", "props", "create", "drop_table"],
+        weights=[14, 10, 10, 12, 14, 12, 7, 7, 14, 5],
     )[0]
     T = _ident(rng, "fz_ddl")
     w = lambda s: _ws(rng).join(s.split(" "))  # noqa: E731
+
+    if kind == "create":
+        # CREATE TABLE ... USING iceberg in every supported shape
+        # (round-14 directive #7): empty with column list, CTAS from
+        # VALUES / filtered range / join sources, WITH vs TBLPROPERTIES
+        # spelling, LOCATION clause, IF NOT EXISTS × existing-name
+        # products, plus deliberately ILLEGAL shapes the arm must refuse
+        # cleanly (cols+AS, unsupported tails, conflicting locations).
+        ine = rng.random() < 0.35
+        dup = rng.random() < 0.3 and bool(m.created)
+        if dup:
+            name = rng.choice(sorted(m.created))
+        else:
+            name = f"ct{counter[0]}"
+            counter[0] += 1
+        ctas = rng.random() < 0.55
+        bad_shape = (not dup) and rng.random() < 0.2
+        props_clause = ""
+        if rng.random() < 0.4:
+            spelling = rng.choice(["WITH", "TBLPROPERTIES"])
+            props_clause = (
+                f"{_kw(rng, spelling)} ( custom.note = 'n{rng.randrange(9)}' ) "
+            )
+        loc_clause = ""
+        if rng.random() < 0.35:
+            loc = os.path.join(m.workdir, f"loc_{name}_{counter[0]}")
+            loc_clause = f"{_kw(rng, 'LOCATION')} '{loc}' "
+        head = (
+            f"{_kw(rng, 'CREATE')} {_kw(rng, 'TABLE')} "
+            + (f"{_kw(rng, 'IF')} {_kw(rng, 'NOT')} {_kw(rng, 'EXISTS')} " if ine else "")
+            + _ident(rng, name)
+        )
+        using = f"{_kw(rng, 'USING')} {_kw(rng, 'iceberg')} "
+        if bad_shape:
+            shape = rng.choice(["cols_as", "bad_tail", "loc_conflict"])
+            if shape == "cols_as":
+                src, _ = _ctas_source(rng)
+                sql = w(f"{head} (a bigint) {using}{_kw(rng, 'AS')} {src}")
+            elif shape == "bad_tail":
+                sql = w(f"{head} (a bigint) {using}CLUSTER BY (a)")
+            else:
+                l1 = os.path.join(m.workdir, "conflict_a")
+                l2 = os.path.join(m.workdir, "conflict_b")
+                sql = w(
+                    f"{head} (a bigint) {using}"
+                    f"{_kw(rng, 'WITH')} ( location = '{l1}' ) "
+                    f"{_kw(rng, 'LOCATION')} '{l2}'"
+                )
+            return {"sql": sql + _semi(rng), "ok": False}
+        if ctas:
+            src, rows = _ctas_source(rng)
+            sql = w(f"{head} {using}{props_clause}{loc_clause}{_kw(rng, 'AS')} {src}")
+        else:
+            rows = 0
+            sql = w(f"{head} (a bigint, b varchar) {using}{props_clause}{loc_clause}")
+        exists = name in m.created
+        if exists:
+            ok = ine  # present: INE no-ops (query not run), else refused
+            expect_rows = 0 if ine else None
+        else:
+            ok = True
+            expect_rows = rows
+            m.created[name] = rows
+        return {"sql": sql + _semi(rng), "ok": ok, "create_rows": expect_rows}
+
+    if kind == "drop_table":
+        ghost = rng.random() < 0.4 or not m.created
+        ie = rng.random() < 0.5
+        if ghost:
+            name = f"ghosttab{rng.randrange(100)}"
+            ok = ie  # Spark's own DROP TABLE [IF EXISTS] on the catalog
+        else:
+            name = rng.choice(sorted(m.created))
+            ok = True
+            del m.created[name]
+        sql = w(
+            f"{_kw(rng, 'DROP')} {_kw(rng, 'TABLE')} "
+            + (f"{_kw(rng, 'IF')} {_kw(rng, 'EXISTS')} " if ie else "")
+            + _ident(rng, name)
+        ) + _semi(rng)
+        return {"sql": sql, "ok": ok}
 
     if kind == "add":
         ine = rng.random() < 0.4
@@ -340,8 +447,10 @@ def run_sequence(spark, seq_no: int, seed: int, workdir: str) -> list[str]:
             "id AS k", "CAST(id AS DOUBLE) AS v", "CAST(id AS STRING) AS s"
         )
     )
-    m = Model([("k", "bigint"), ("v", "double"), ("s", "string")])
-    res = SnapshotResolver()
+    seq_work = os.path.join(workdir, f"ddlw_{seq_no}")
+    os.makedirs(seq_work, exist_ok=True)
+    m = Model([("k", "bigint"), ("v", "double"), ("s", "string")], workdir=seq_work)
+    res = SnapshotResolver(os.path.join(seq_work, "wh"))
     res.register("fz_ddl", tdir)
     client = AthenaSparkClient(spark, snapshot_resolver=res)
 
@@ -353,11 +462,12 @@ def run_sequence(spark, seq_no: int, seed: int, workdir: str) -> list[str]:
         stmts.append(st["sql"])
         raised: Exception | None = None
         result = None
+        affected = None
         try:
             if st.get("show_stats"):
                 result = client.query(st["sql"])
             else:
-                client.execute(st["sql"])
+                affected = client.execute(st["sql"])
         except (QueryError, EngineError) as exc:
             raised = exc
         if st["ok"] and raised is not None:
@@ -365,6 +475,16 @@ def run_sequence(spark, seq_no: int, seed: int, workdir: str) -> list[str]:
             break
         if not st["ok"] and raised is None:
             problems.append(f"expected refusal, got OK\n  sql: {st['sql']}")
+            break
+        if (
+            raised is None
+            and st.get("create_rows") is not None
+            and affected != st["create_rows"]
+        ):
+            problems.append(
+                f"CTAS row count divergence: got {affected} want "
+                f"{st['create_rows']}\n  sql: {st['sql']}"
+            )
             break
         if st.get("show_stats") and raised is None:
             got = {r["column_name"] for r in result if r["column_name"]}
@@ -394,9 +514,23 @@ def run_sequence(spark, seq_no: int, seed: int, workdir: str) -> list[str]:
             if props.get(k) != v:
                 problems.append(f"property divergence on {k}: got {props.get(k)!r} want {v!r}")
                 break
+        # created-table parity: every surviving CREATE ... USING iceberg
+        # reads back through SQL with the model's expected cardinality
+        for name, rows in sorted(m.created.items()):
+            try:
+                got = client.query_scalar(f"SELECT COUNT(*) FROM {name}")
+            except QueryError as exc:
+                problems.append(f"created table {name} unreadable: {exc}")
+                break
+            if got != rows:
+                problems.append(
+                    f"created table {name} row divergence: got {got} want {rows}"
+                )
+                break
     if problems:
         problems.append("sequence:\n  " + ";\n  ".join(stmts))
     shutil.rmtree(tdir, ignore_errors=True)
+    shutil.rmtree(seq_work, ignore_errors=True)
     return problems
 
 

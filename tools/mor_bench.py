@@ -150,6 +150,26 @@ def main() -> int:
             / max(report["read_baseline_sec"], 1e-9),
             2,
         )
+        # round 15: the same contained MOR delete WITH prune filters —
+        # _pruned_pos_probe restricts the match scan to the files the
+        # zone maps admit (the SQL DML arm passes these automatically
+        # from the WHERE text), so the write-side scan reads one file's
+        # band instead of the table
+        tf = SnapshotTable(spark, os.path.join(base, "morf"))
+        tf.append(li, cluster_by=["l_orderkey"], cluster_partitions=16 * replicas)
+        sec, _ = _timed(
+            lambda: tf.delete_where(
+                F.col("l_orderkey") <= bound,
+                mode="merge-on-read",
+                filters=[("l_orderkey", "<=", int(bound))],
+            )
+        )
+        report["contained_delete_pruned_sec"] = round(sec, 2)
+        report["contained_delete_prune_speedup"] = round(
+            report["contained_delete_sec"]
+            / max(report["contained_delete_pruned_sec"], 1e-9),
+            2,
+        )
         # both tables end with identical visible rows for the shared DML
         print(json.dumps(report))
     finally:

@@ -3125,98 +3125,129 @@ class SnapshotTable:
     # -- stats-pruned scans ----------------------------------------------
     _PRUNE_OPS = ("=", "<", "<=", ">", ">=")
 
-    def prune_files(
-        self, snap: Snapshot, filters: list[tuple[str, str, object]]
-    ) -> list[str]:
-        """Manifest-level scan planning: the subset of ``snap.files`` whose
-        footer [min, max] zone maps can possibly satisfy every filter.
-        Filters are ``(column, op, literal)`` with op in =, <, <=, >, >=,
-        resolved against the snapshot's CURRENT column names but matched to
-        stats by field id — so pruning keeps working across renames. Files
-        without stats for a column are kept (prune is an optimization; the
-        residual Spark filter guarantees exactness either way)."""
-        cols = snap.schema_columns
-        name_to_id = {c["name"]: c["id"] for c in cols} if cols else {}
-        for col, op, _ in filters:
-            if op not in self._PRUNE_OPS:
-                raise EngineError(f"unsupported prune op {op!r} (use one of {self._PRUNE_OPS})")
-            if cols is not None and col not in name_to_id:
-                raise EngineError(f"unknown column {col!r} in {self.table_dir}")
-        kept = []
-        for f in snap.files:
-            # Partition pruning first (cheapest metadata): map each
-            # source-column predicate through the file's own spec's
-            # transform and compare against the stored partition value.
-            # Monotonic transforms (identity/year/month/day/hour/
-            # truncate-int) prune ranges; files under other specs (or
-            # with untransformable literals) fall through to zone maps.
-            fp = (snap.file_partitions or {}).get(f)
-            keep = True
-            if fp and snap.partition_specs:
-                spec_fields = snap.partition_specs.get(str(fp.get("spec"))) or []
-                for col, op, v in filters:
-                    # match the predicate column to a spec field by FIELD
-                    # ID when the spec records one (rename-transparent; a
-                    # re-added name can never capture an old spec's
-                    # values); stored source NAME only for legacy specs
-                    fid_ = name_to_id.get(col)
-                    sf = next(
-                        (
-                            s_
-                            for s_ in spec_fields
-                            if (
-                                s_.get("source_id") == fid_
-                                if s_.get("source_id") is not None
-                                else s_["source"] == col
-                            )
-                        ),
-                        None,
-                    )
-                    if sf is None:
-                        continue
-                    tv = self._transform_literal(sf["transform"], v)
-                    raw = (fp.get("values") or {}).get(sf["name"])
-                    if tv is None or raw is None:
-                        continue
-                    pv = self._parse_partition_value(sf["transform"], raw)
-                    if pv is None or type(pv) is not type(tv):
-                        continue
-                    try:
+    @staticmethod
+    def _filters_as_dnf(filters) -> list:
+        """Normalize a prune-filter argument to DNF (a list of DISJUNCTS,
+        each a list of ``(col, op, literal)`` conjuncts). Two accepted
+        shapes everywhere filters travel (scan / prune_files /
+        _cow_touched_rewrite / row_delta_commit / delete_where /
+        update_where):
+
+        - ``[(col, op, lit), ...]`` — a plain conjunct list (every filter
+          must hold): one disjunct;
+        - ``[[...], [...]]`` — OR of conjunct lists (round 15): a file
+          survives pruning if ANY disjunct admits it. This is how a
+          top-level-OR predicate like ``k BETWEEN a AND b OR k BETWEEN c
+          AND d`` prunes to its range UNION (gap files skipped) instead
+          of falling back to a full scan.
+        """
+        if not filters:
+            return []
+        if isinstance(filters[0], (list,)):
+            return [list(d) for d in filters]
+        return [list(filters)]
+
+    def _file_admits(self, snap: Snapshot, f: str, conjuncts, name_to_id) -> bool:
+        """True when file ``f``'s partition values and zone maps can
+        possibly satisfy EVERY conjunct (one DNF disjunct). Missing
+        stats / untransformable literals keep the file — pruning is an
+        optimization; the residual filter guarantees exactness."""
+        # Partition pruning first (cheapest metadata): map each
+        # source-column predicate through the file's own spec's
+        # transform and compare against the stored partition value.
+        # Monotonic transforms (identity/year/month/day/hour/
+        # truncate-int) prune ranges; files under other specs (or
+        # with untransformable literals) fall through to zone maps.
+        fp = (snap.file_partitions or {}).get(f)
+        if fp and snap.partition_specs:
+            spec_fields = snap.partition_specs.get(str(fp.get("spec"))) or []
+            for col, op, v in conjuncts:
+                # match the predicate column to a spec field by FIELD
+                # ID when the spec records one (rename-transparent; a
+                # re-added name can never capture an old spec's
+                # values); stored source NAME only for legacy specs
+                fid_ = name_to_id.get(col)
+                sf = next(
+                    (
+                        s_
+                        for s_ in spec_fields
                         if (
-                            (op == "=" and pv != tv)
-                            or (op == "<" and pv > tv)
-                            or (op == "<=" and pv > tv)
-                            or (op == ">" and pv < tv)
-                            or (op == ">=" and pv < tv)
-                        ):
-                            keep = False
-                            break
-                    except TypeError:
-                        continue
-            if not keep:
-                continue
-            stats = (snap.file_stats or {}).get(f) or {}
-            for col, op, v in filters:
-                fid = name_to_id.get(col)
-                mm = stats.get(str(fid)) if fid is not None else None
-                if mm is None:
-                    continue  # no stats → unprunable for this column
-                lo, hi = mm
+                            s_.get("source_id") == fid_
+                            if s_.get("source_id") is not None
+                            else s_["source"] == col
+                        )
+                    ),
+                    None,
+                )
+                if sf is None:
+                    continue
+                tv = self._transform_literal(sf["transform"], v)
+                raw = (fp.get("values") or {}).get(sf["name"])
+                if tv is None or raw is None:
+                    continue
+                pv = self._parse_partition_value(sf["transform"], raw)
+                if pv is None or type(pv) is not type(tv):
+                    continue
                 try:
                     if (
-                        (op == "=" and (v < lo or v > hi))
-                        or (op == "<" and lo >= v)
-                        or (op == "<=" and lo > v)
-                        or (op == ">" and hi <= v)
-                        or (op == ">=" and hi < v)
+                        (op == "=" and pv != tv)
+                        or (op == "<" and pv > tv)
+                        or (op == "<=" and pv > tv)
+                        or (op == ">" and pv < tv)
+                        or (op == ">=" and pv < tv)
                     ):
-                        keep = False
-                        break
-                except TypeError:  # incomparable literal/stat types → keep
+                        return False
+                except TypeError:
                     continue
-            if keep:
-                kept.append(f)
-        return kept
+        stats = (snap.file_stats or {}).get(f) or {}
+        for col, op, v in conjuncts:
+            fid = name_to_id.get(col)
+            mm = stats.get(str(fid)) if fid is not None else None
+            if mm is None:
+                continue  # no stats → unprunable for this column
+            lo, hi = mm
+            try:
+                if (
+                    (op == "=" and (v < lo or v > hi))
+                    or (op == "<" and lo >= v)
+                    or (op == "<=" and lo > v)
+                    or (op == ">" and hi <= v)
+                    or (op == ">=" and hi < v)
+                ):
+                    return False
+            except TypeError:  # incomparable literal/stat types → keep
+                continue
+        return True
+
+    def prune_files(self, snap: Snapshot, filters) -> list[str]:
+        """Manifest-level scan planning: the subset of ``snap.files`` whose
+        footer [min, max] zone maps can possibly satisfy the filters.
+        ``filters`` is a conjunct list ``[(column, op, literal), ...]``
+        (every filter must hold) or a DNF list of such lists (round 15 —
+        a file survives if ANY disjunct admits it; see _filters_as_dnf).
+        Ops are =, <, <=, >, >=, resolved against the snapshot's CURRENT
+        column names but matched to stats by field id — so pruning keeps
+        working across renames. Files without stats for a column are
+        kept (prune is an optimization; the residual Spark filter
+        guarantees exactness either way)."""
+        cols = snap.schema_columns
+        name_to_id = {c["name"]: c["id"] for c in cols} if cols else {}
+        dnf = self._filters_as_dnf(filters)
+        if not dnf:
+            return list(snap.files)  # no filters: nothing to prune on
+        for disjunct in dnf:
+            for col, op, _ in disjunct:
+                if op not in self._PRUNE_OPS:
+                    raise EngineError(
+                        f"unsupported prune op {op!r} (use one of {self._PRUNE_OPS})"
+                    )
+                if cols is not None and col not in name_to_id:
+                    raise EngineError(f"unknown column {col!r} in {self.table_dir}")
+        return [
+            f
+            for f in snap.files
+            if any(self._file_admits(snap, f, d, name_to_id) for d in dnf)
+        ]
 
     def scan(self, filters: list[tuple[str, str, object]]) -> DataFrame:
         """Filtered read with manifest-level file pruning: plan against the
@@ -3243,8 +3274,17 @@ class SnapshotTable:
             ">": lambda c, v: F.col(c) > v,
             ">=": lambda c, v: F.col(c) >= v,
         }
-        for col, op, v in filters:
-            df = df.filter(ops[op](col, v))
+        # residual filter mirrors the prune shape exactly: AND within a
+        # disjunct, OR across disjuncts (single-disjunct = plain AND)
+        dnf = self._filters_as_dnf(filters)
+        if dnf:
+            pred = None
+            for disjunct in dnf:
+                term = F.lit(True)
+                for col, op, v in disjunct:
+                    term = term & ops[op](col, v)
+                pred = term if pred is None else (pred | term)
+            df = df.filter(pred)
         return df
 
     def main_ancestry(self) -> list[Snapshot]:
@@ -4151,7 +4191,7 @@ class SnapshotTable:
                 "write.delete.mode", "copy-on-write"
             )
         if mode == "merge-on-read":
-            return self._mor_delete(condition, properties)
+            return self._mor_delete(condition, properties, filters=filters)
         if mode != "copy-on-write":
             raise EngineError(
                 f"unknown delete mode {mode!r} (copy-on-write | merge-on-read)"
@@ -4205,20 +4245,27 @@ class SnapshotTable:
             except OSError:
                 pass
 
-    def _mor_delete(self, condition, properties=None) -> Snapshot:
+    def _mor_delete(self, condition, properties=None, filters=None) -> Snapshot:
         """Merge-on-read DELETE: commit position-delete files against the
         snapshot the match scan read (``based_on`` validation — a
         concurrent commit means the positions may be stale, so the whole
         match-and-write re-derives, the same retry economics as
         ``_rewrite_commit``). Matching runs over the VISIBLE rows
         (existing deletes applied), so re-deleting already-dead positions
-        never inflates the delete set."""
+        never inflates the delete set.
+
+        ``filters`` (conjuncts or DNF implied by ``condition`` — the
+        caller owns soundness) zone-map-prune the MATCH SCAN (round 15):
+        files whose stats exclude every disjunct can hold no matching
+        row, so a selective MOR DELETE on a key-clustered 100 TB table
+        scans the key band, not the table — the same pruning the CoW
+        path and SQL MERGE already had."""
         last: EngineError | None = None
         for _ in range(self.commit_attempts):
             snap = self.current_snapshot()
             if snap is None:
                 raise EngineError(f"table {self.table_dir} has no snapshots")
-            df = self._visible_rows_with_pos(snap)
+            df = self._pruned_pos_probe(snap, filters)
             matches = df.filter(F.coalesce(condition, F.lit(False)))
             new_deletes = self._stage_delete_files(
                 matches.select(
@@ -4457,7 +4504,9 @@ class SnapshotTable:
                 "write.update.mode", "copy-on-write"
             )
         if mode == "merge-on-read":
-            return self._mor_update(condition, assignments, properties)
+            return self._mor_update(
+                condition, assignments, properties, filters=filters
+            )
         if mode != "copy-on-write":
             raise EngineError(
                 f"unknown update mode {mode!r} (copy-on-write | merge-on-read)"
@@ -4477,20 +4526,39 @@ class SnapshotTable:
             properties,
         )
 
-    def _mor_update(self, condition, assignments: dict, properties=None) -> Snapshot:
+    def _pruned_pos_probe(self, snap: Snapshot, filters) -> DataFrame:
+        """The MOR match-scan frame: visible rows with position columns,
+        zone-map-pruned to the files ``filters`` admit (round 15 — a
+        selective DML's match scan reads the key band, not the table).
+        No filters → the full visible frame; filters excluding every
+        file → an empty frame with the same schema (limit(0) plan, no
+        file is read)."""
+        if not filters:
+            return self._visible_rows_with_pos(snap)
+        cand = self.prune_files(snap, filters)
+        if not cand:
+            return self._visible_rows_with_pos(snap).limit(0)
+        return self._visible_rows_with_pos(
+            dataclasses.replace(snap, files=tuple(cand))
+        )
+
+    def _mor_update(
+        self, condition, assignments: dict, properties=None, filters=None
+    ) -> Snapshot:
         """Merge-on-read UPDATE: position-delete the matched rows' old
         images and append data files with their new images, committed as
         ONE snapshot (readers see either every update or none). Matching
         runs over the visible rows against the snapshot the scan read
         (``based_on``); a concurrent commit re-derives everything, same
         retry economics as ``_rewrite_commit``. Row count is unchanged by
-        construction."""
+        construction. ``filters`` zone-map-prune the match scan exactly
+        as in :meth:`_mor_delete` (round 15)."""
         last: EngineError | None = None
         for _ in range(self.commit_attempts):
             snap = self.current_snapshot()
             if snap is None:
                 raise EngineError(f"table {self.table_dir} has no snapshots")
-            df = self._visible_rows_with_pos(snap)
+            df = self._pruned_pos_probe(snap, filters)
             # the match scan feeds TWO jobs (delete-file write, new-image
             # staging) — persist it so the snapshot read + delete
             # anti-joins + condition filter run once, not twice per
@@ -4612,7 +4680,8 @@ class SnapshotTable:
         Untouched data files survive by IDENTITY (same path, same file)
         in the child snapshot.
 
-        ``filters`` (``(col, op, literal)`` conjuncts IMPLIED BY the
+        ``filters`` (``(col, op, literal)`` conjuncts — or a DNF list of
+        conjunct lists, see _filters_as_dnf — IMPLIED BY the
         plan's match condition — e.g. the source's equi-join key bounds)
         zone-map-prune the files the plan frame reads: rows outside the
         pruned set can never be matched, deleted or consulted, so the

@@ -20,7 +20,12 @@ from typing import Any, Callable, Iterable, Iterator, Type, TypeVar
 
 from pyspark.sql import DataFrame, Observation, Row, SparkSession
 from pyspark.sql import functions as F
-from pyspark.errors import AnalysisException
+from py4j.protocol import Py4JJavaError
+from pyspark.errors import (
+    AnalysisException,
+    IllegalArgumentException,
+    SparkRuntimeException,
+)
 
 from .errors import QueryError, UnloadError
 from .fs import FsClient
@@ -198,6 +203,17 @@ class AthenaSparkClient:
             # Invalid-relation and analysis errors surface as engine errors
             # (TrinoClientIntegrationTests.cs:126-132).
             raise QueryError(str(exc), sql=rendered) from exc
+        except (SparkRuntimeException, IllegalArgumentException) as exc:
+            # Statement-triggered runtime refusals (LOCATION_ALREADY_EXISTS,
+            # bad conf values) — A1's contract is TYPED errors carrying the
+            # statement, never raw engine classes (round-14 directive #4)
+            raise QueryError(str(exc), sql=rendered) from exc
+        except Py4JJavaError as exc:
+            # Raw JVM escapes that bypass PySpark's exception capture —
+            # e.g. SparkClassNotFoundException for an unknown USING
+            # datasource. First line of the Java message, full statement.
+            msg = str(getattr(exc, "java_exception", exc))
+            raise QueryError(msg.split("\n\tat ")[0], sql=rendered) from exc
 
     def query(self, sql: str, *params: Any) -> list[Row]:
         """A1 minus the DTO step: run SQL, materialize rows."""
@@ -979,31 +995,56 @@ class AthenaSparkClient:
     _PRUNE_OP_FLIP = {">": "<", "<": ">", ">=": "<=", "<=": ">=", "=": "="}
 
     @classmethod
-    def _extract_prune_filters(
-        cls, cond_text: str | None, columns: set[str]
-    ) -> list[tuple[str, str, object]]:
-        """Prunable ``(column, op, literal)`` conjuncts from a WHERE
-        clause's text, for manifest-level zone-map file pruning
-        (SnapshotTable.prune_files). Deliberately CONSERVATIVE: only
-        top-level AND conjuncts of the shape ``col <cmp> literal`` (or
-        reversed) with an int/float/plain-string literal and a known
-        bare column name qualify; everything else is skipped. A subset
-        of conjuncts is always sound — pruning keeps every file that
-        can possibly satisfy the extracted filters, and the full
-        predicate still runs as the residual Spark filter.
+    def _extract_prune_filters(cls, cond_text: str | None, columns: set[str]):
+        """Prunable filters from a WHERE clause's text, for
+        manifest-level zone-map file pruning (SnapshotTable.prune_files).
 
-        A top-level ``OR`` disables extraction entirely (round-14
-        advisor, HIGH): ``AND`` binds tighter than ``OR``, so splitting
-        ``k >= 150 AND k < 160 OR g = 5`` on ``AND`` would extract
-        ``(k, >=, 150)`` — NOT implied by the predicate — and the
-        zone-map prune would silently skip the ``g = 5`` rows living in
-        out-of-range files (lost UPDATE/DELETE rows). An OR inside
-        parens/CASE/quotes is fine: the conjunct containing it simply
-        fails the comparison-shape match below."""
+        Without a top-level ``OR``: a CONJUNCT list ``[(column, op,
+        literal), ...]``. Deliberately CONSERVATIVE: only top-level AND
+        conjuncts of the shape ``col <cmp> literal`` (or reversed) with
+        an int/float/plain-string literal and a known bare column name
+        qualify; everything else is skipped. A subset of conjuncts is
+        always sound — pruning keeps every file that can possibly
+        satisfy the extracted filters, and the full predicate still runs
+        as the residual Spark filter.
+
+        With a top-level ``OR`` (round-14 advisor, HIGH — then
+        strengthened in round 15): ``AND`` binds tighter than ``OR``, so
+        splitting ``k >= 150 AND k < 160 OR g = 5`` on ``AND`` alone
+        would extract ``(k, >=, 150)`` — NOT implied by the predicate —
+        and silently lose the ``g = 5`` rows in out-of-range files.
+        Instead the predicate extracts in DNF: split on top-level OR,
+        extract each disjunct's conjuncts independently, and return a
+        LIST OF LISTS that prune_files unions over — ``k BETWEEN a AND b
+        OR k BETWEEN c AND d`` prunes to the range union (the gap's
+        files skip). Every disjunct must contribute at least one
+        conjunct; one unprunable disjunct admits every file, so the
+        whole extraction returns [] (full scan — always sound)."""
         if not cond_text:
             return []
-        if finditer_top_level(cls._PRUNE_OR_RE, cond_text):
-            return []
+        ors = finditer_top_level(cls._PRUNE_OR_RE, cond_text)
+        if ors:
+            disjuncts: list[str] = []
+            pos = 0
+            for om in ors:
+                disjuncts.append(cond_text[pos : om.start()])
+                pos = om.end()
+            disjuncts.append(cond_text[pos:])
+            dnf: list[list[tuple[str, str, object]]] = []
+            for d in disjuncts:
+                conjs = cls._extract_conjuncts(d, columns)
+                if not conjs:
+                    return []  # an unprunable disjunct admits every file
+                dnf.append(conjs)
+            return dnf
+        return cls._extract_conjuncts(cond_text, columns)
+
+    @classmethod
+    def _extract_conjuncts(
+        cls, cond_text: str, columns: set[str]
+    ) -> list[tuple[str, str, object]]:
+        """The AND-only half of _extract_prune_filters: top-level AND
+        conjuncts of comparison shape over known columns."""
         segs: list[str] = []
         pos = 0
         for am in finditer_top_level(cls._PRUNE_AND_RE, cond_text):
@@ -1675,6 +1716,12 @@ class AthenaSparkClient:
             rows = df.collect()
         except AnalysisException as exc:
             raise QueryError(str(exc), sql=sql) from exc
+        except (SparkRuntimeException, IllegalArgumentException) as exc:
+            # same typed-error contract as sql_df (round-14 directive #4)
+            raise QueryError(str(exc), sql=sql) from exc
+        except Py4JJavaError as exc:
+            msg = str(getattr(exc, "java_exception", exc))
+            raise QueryError(msg.split("\n\tat ")[0], sql=sql) from exc
         if rows and len(rows[0]) == 1 and rows[0][0] is not None and "num_affected_rows" in df.columns:
             return int(rows[0][0])
         return 0
@@ -1716,10 +1763,15 @@ class AthenaSparkClient:
         df = self.sql_df(sql, *params)
         obs = Observation("ctas_rowcount")
         observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
-        if location:
-            observed.write.mode("errorifexists").option("path", location).saveAsTable(table)
-        else:
-            observed.write.mode("errorifexists").saveAsTable(table)
+        try:
+            if location:
+                observed.write.mode("errorifexists").option("path", location).saveAsTable(table)
+            else:
+                observed.write.mode("errorifexists").saveAsTable(table)
+        except (AnalysisException, SparkRuntimeException, IllegalArgumentException) as exc:
+            # table-exists / LOCATION_ALREADY_EXISTS refusals carry the
+            # statement context, typed (round-14 directive #4)
+            raise QueryError(str(exc), sql=sql) from exc
         return int(obs.get["n"])
 
     # -- UNLOAD ----------------------------------------------------------

@@ -1660,13 +1660,15 @@ def tt33_sql_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tt34_dml_or_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 15 — row-level DML whose WHERE mixes AND and a TOP-LEVEL OR
     (the round-14 HIGH advisor fix, client._extract_prune_filters): AND
-    binds tighter than OR, so extracting the range conjuncts for
+    binds tighter than OR, so extracting the range conjuncts alone for
     zone-map pruning would be UNSOUND here — the ``l_returnflag = 'R'``
     / ``l_linenumber = 6`` disjuncts select rows far outside the key
     ranges, and pruning on the range would silently lose them. The
-    engine must detect the top-level OR, skip extraction, and fall back
-    to the full match scan — correctness first, pruning only when
-    implied. The oracle replays both statements over the raw table."""
+    engine extracts the predicate in DNF instead (one conjunct list per
+    top-level-OR disjunct; prune_files unions the per-disjunct candidate
+    sets), pruning soundly where the old AND-split lost rows — and
+    collapsing to a full scan whenever any disjunct is unprunable. The
+    oracle replays both statements over the raw table."""
     from ..client import AthenaSparkClient
 
     li = load_table(spark, sf_dir, "lineitem").select(
