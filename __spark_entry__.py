@@ -50,7 +50,10 @@ _TUNED_CONFS = {
 # module docstring. Names absent from the registry are ignored (safety
 # against future renames), and every registered query is always yielded.
 #
-# Round-15 ordering (registry: 246 entries, ALL oracle-backed). Tier 1:
+# Round-15 ordering (registry: 247 entries, ALL oracle-backed;
+# tt35_sql_partitioned_create — partitioned CREATE/INSERT/partition-
+# pruned DELETE in SQL text — was added after the front was sized and
+# yields after it, never-driver-checked until round 16's tier 1). Tier 1:
 # the four never-driver-checked entries — tt32 (CoW selective DML) and
 # b24 (Trino ANSI row limiting), both added after round 14's front was
 # sized, plus this round's new tt33 (SQL-text CTAS USING iceberg — the

@@ -1826,3 +1826,65 @@ def test_dnf_pruning_skips_gap_files_and_prunes_mor_probe(spark, tmp_path):
     assert client.execute("DELETE FROM dnftab_m WHERE k >= 1000000") == 0
     assert set(t2.current_snapshot().files) == files_before
     assert t2.read().count() == 245
+
+
+def test_sql_create_table_partitioned_by(spark, tmp_path):
+    """Round 15: CREATE TABLE ... USING iceberg accepts a partition spec
+    in BOTH dialects — Spark's ``PARTITIONED BY (days(ts), bucket(4,
+    k))`` and Trino's ``WITH (partitioning = ARRAY['day(ts)',
+    'bucket(k, 4)'])`` — wired to SnapshotTable.set_partition_spec
+    (hidden partitioning: transforms live in the manifest only).
+    SHOW CREATE TABLE renders the spec back in the Trino vocabulary and
+    the DDL re-creates a partitioned table verbatim; $partitions
+    reflects the layout; scans prune through the identity transform;
+    and a zero-row bootstrap never mints a phantom data file."""
+    client = AthenaSparkClient(spark, snapshot_warehouse=str(tmp_path / "wh"))
+    client.execute(
+        "CREATE TABLE pb.a (k bigint, ts timestamp(6), v double) USING iceberg "
+        "PARTITIONED BY (days(ts), bucket(4, k))"
+    )
+    client.execute(
+        "INSERT INTO pb.a SELECT id, timestamp_ntz'2024-03-01 10:00:00' "
+        "+ make_interval(0,0,0,CAST(id % 3 AS INT),0,0,0), id * 1.0 FROM range(30)"
+    )
+    parts = client.query(
+        "SELECT partition, record_count FROM `pb.a$partitions` ORDER BY partition"
+    )
+    assert sum(r["record_count"] for r in parts) == 30
+    assert all(r["record_count"] > 0 for r in parts)  # no phantom files
+    ddl = client.query("SHOW CREATE TABLE pb.a")[0]["Create Table"]
+    assert "partitioning = ARRAY['day(ts)', 'bucket(k, 4)']" in ddl
+    client.execute(ddl.replace("pb.a", "pb.a2"))
+    assert (
+        client.query("SHOW CREATE TABLE pb.a2")[0]["Create Table"].replace(
+            "pb.a2", "pb.a"
+        )
+        == ddl
+    )
+    # Trino spelling + CTAS: spec lands BEFORE the data commit, files
+    # lay out partitioned, identity pruning works, no phantom bootstrap
+    spark.range(50).selectExpr("id as k", "id % 5 as g").createOrReplaceTempView(
+        "pb_src"
+    )
+    assert (
+        client.execute(
+            "CREATE TABLE pb.b USING iceberg "
+            "WITH (partitioning = ARRAY['g']) AS SELECT * FROM pb_src"
+        )
+        == 50
+    )
+    t = client.snapshots.resolve(spark, "pb.b")
+    snap = t.current_snapshot()
+    kept = t.prune_files(snap, [("g", "=", 2)])
+    assert 0 < len(kept) < len(snap.files)
+    assert t.scan([("g", "=", 2)]).count() == 10
+    # refusals: unknown transform, conflicting spellings, unknown column
+    with pytest.raises(QueryError, match="unsupported partition transform"):
+        client.execute(
+            "CREATE TABLE pb.c (a int) USING iceberg PARTITIONED BY (frob(a))"
+        )
+    with pytest.raises(QueryError, match="conflicting PARTITIONED BY"):
+        client.execute(
+            "CREATE TABLE pb.d (a int, b int) USING iceberg "
+            "PARTITIONED BY (a) WITH (partitioning = ARRAY['b'])"
+        )

@@ -194,6 +194,25 @@ def gen_statement(rng: random.Random, m: Model, counter: list[int]) -> dict:
             props_clause = (
                 f"{_kw(rng, spelling)} ( custom.note = 'n{rng.randrange(9)}' ) "
             )
+        # round 15: partition-spec permutations — Spark clause spelling
+        # vs Trino's partitioning property (folded into the WITH list),
+        # identity and parameterized transforms over the always-present
+        # bigint column `a`
+        part_clause = ""
+        pr = rng.random()
+        if pr < 0.2:
+            spec = rng.choice(["a", f"bucket({rng.choice([2, 4])}, a)", "truncate(5, a)"])
+            part_clause = f"{_kw(rng, 'PARTITIONED')} {_kw(rng, 'BY')} ( {spec} ) "
+        elif pr < 0.35:
+            spec = rng.choice(["'a'", "'bucket(a, 4)'", "'truncate(a, 5)'"])
+            if props_clause:
+                props_clause = props_clause.replace(
+                    " ) ", f", partitioning = ARRAY[{spec}] ) ", 1
+                )
+            else:
+                props_clause = (
+                    f"{_kw(rng, 'WITH')} ( partitioning = ARRAY[{spec}] ) "
+                )
         loc_clause = ""
         if rng.random() < 0.35:
             loc = os.path.join(m.workdir, f"loc_{name}_{counter[0]}")
@@ -222,10 +241,10 @@ def gen_statement(rng: random.Random, m: Model, counter: list[int]) -> dict:
             return {"sql": sql + _semi(rng), "ok": False}
         if ctas:
             src, rows = _ctas_source(rng)
-            sql = w(f"{head} {using}{props_clause}{loc_clause}{_kw(rng, 'AS')} {src}")
+            sql = w(f"{head} {using}{part_clause}{props_clause}{loc_clause}{_kw(rng, 'AS')} {src}")
         else:
             rows = 0
-            sql = w(f"{head} (a bigint, b varchar) {using}{props_clause}{loc_clause}")
+            sql = w(f"{head} (a bigint, b varchar) {using}{part_clause}{props_clause}{loc_clause}")
         exists = name in m.created
         if exists:
             ok = ine  # present: INE no-ops (query not run), else refused

@@ -1095,6 +1095,8 @@ class SnapshotTable:
         commit (_commit, merge-on-read update); files are invisible until
         a manifest references them, so a failed commit just orphans them
         for the age-floored sweep."""
+        import pyarrow.parquet as pq
+
         staging = os.path.join(self.table_dir, f"_staging_{uuid.uuid4().hex}")
         new_file_partitions: dict[str, dict] = {}
         if spec:
@@ -1130,15 +1132,25 @@ class SnapshotTable:
                     vals = {k: raw for k, _, raw in parts}
                 for fn in sorted(fns):
                     if fn.endswith(".parquet"):
+                        src = os.path.join(root, fn)
+                        if pq.ParquetFile(src).metadata.num_rows == 0:
+                            continue  # empty task output: never a data file
                         dest = f"data/{commit_uuid}-{len(new_files):05d}.parquet"
-                        shutil.move(os.path.join(root, fn), os.path.join(self.table_dir, dest))
+                        shutil.move(src, os.path.join(self.table_dir, dest))
                         new_files.append(dest)
                         new_file_partitions[dest] = {"spec": spec_id, "values": dict(vals)}
         else:
             for fn in sorted(os.listdir(staging)):
                 if fn.endswith(".parquet"):
+                    src = os.path.join(staging, fn)
+                    if pq.ParquetFile(src).metadata.num_rows == 0:
+                        # empty task output (e.g. a zero-row bootstrap
+                        # frame with live partitions): committing it would
+                        # mint a phantom data file every reader pays for —
+                        # the documented bootstrap contract is ZERO files
+                        continue
                     dest = f"data/{commit_uuid}-{len(new_files):05d}.parquet"
-                    shutil.move(os.path.join(staging, fn), os.path.join(self.table_dir, dest))
+                    shutil.move(src, os.path.join(self.table_dir, dest))
                     new_files.append(dest)
         shutil.rmtree(staging, ignore_errors=True)
         # Row count from the files just written (no second job over the input).
@@ -2014,7 +2026,14 @@ class SnapshotTable:
                 df = df.select("*", *self._pos_identity_cols())
             return df
         if not snap.files:
-            raise EngineError(f"table {self.table_dir} has no data in this snapshot")
+            # declared-schema table with ZERO data files (the bootstrap
+            # contract: an empty CREATE commits no file at all — round 15
+            # made that literal by skipping empty task outputs): an empty
+            # frame with the declared schema, no file IO
+            ddl = ", ".join(f"`{c['name']}` {c['type']}" for c in target)
+            if with_pos:
+                ddl += f", `{self._POS_FILE}` string, `{self._POS_IDX}` bigint"
+            return self.spark.createDataFrame([], ddl)
         reserved = {
             self._POS_FILE,
             self._POS_IDX,
@@ -2507,8 +2526,10 @@ class SnapshotTable:
                 dirty = df
         if not clean_files:
             if dirty is None:
-                raise EngineError(
-                    f"table {self.table_dir} has no data in this snapshot"
+                # zero data files: the declared-schema empty frame (or
+                # the legacy-table raise) from _read_snapshot_files
+                return self._read_snapshot_files(
+                    dataclasses.replace(snap, files=()), target_cols
                 )
             return dirty
         clean = self._read_snapshot_files(

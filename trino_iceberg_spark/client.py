@@ -158,15 +158,32 @@ class AthenaSparkClient:
                 # round-trips through the CREATE TABLE parser verbatim
                 ddl = f"CREATE TABLE {sc.group('tbl')} (\n{body}\n)\nUSING iceberg"
                 props = table.table_properties()
-                if props:
-                    # '' -escape property values so the rendered DDL
-                    # round-trips through the CREATE TABLE parser even
-                    # when a value contains an apostrophe
-                    kv = ",\n".join(
-                        "   {} = '{}'".format(k, str(v).replace("'", "''"))
-                        for k, v in sorted(props.items())
+                # '' -escape property values so the rendered DDL
+                # round-trips through the CREATE TABLE parser even
+                # when a value contains an apostrophe
+                entries = [
+                    "   {} = '{}'".format(k, str(v).replace("'", "''"))
+                    for k, v in sorted((props or {}).items())
+                ]
+                snap_ = table.current_snapshot()
+                spec_fields = (
+                    (snap_.partition_specs or {}).get(
+                        str(snap_.default_spec_id or 0)
                     )
-                    ddl += f"\nWITH (\n{kv}\n)"
+                    if snap_ is not None
+                    else None
+                )
+                if spec_fields:
+                    # Trino's partitioning property (round 15) — parses
+                    # back through the CREATE arm's ARRAY intercept, so
+                    # a partitioned table's DDL re-creates partitioned
+                    items = ", ".join(
+                        f"'{self._render_partition_field(f_)}'"
+                        for f_ in spec_fields
+                    )
+                    entries.append(f"   partitioning = ARRAY[{items}]")
+                if entries:
+                    ddl += "\nWITH (\n" + ",\n".join(sorted(entries)) + "\n)"
                 return self.spark.createDataFrame(
                     [(ddl,)], "`Create Table` string"
                 )
@@ -296,6 +313,58 @@ class AthenaSparkClient:
         re.IGNORECASE,
     )
     _SNAP_CREATE_USING_RE = re.compile(r"USING\s+iceberg\b", re.IGNORECASE)
+
+    @classmethod
+    def _parse_partition_field(cls, txt: str, rendered: str) -> tuple[str, str]:
+        """One partition-field spelling → the catalog's ``(source,
+        transform)`` pair (SnapshotTable.set_partition_spec). Accepts the
+        Spark DDL spellings (``days(ts)``, ``bucket(16, id)``,
+        ``truncate(3, s)``) AND Trino's partitioning-property spellings
+        (``day(ts)``, ``bucket(id, 16)``, ``truncate(s, 3)``) — argument
+        order disambiguates bucket/truncate."""
+        t = txt.strip().strip("'\"")
+        m = re.fullmatch(r"`?([A-Za-z_]\w*)`?", t)
+        if m:
+            return (m.group(1), "identity")
+        m = re.fullmatch(
+            r"(years?|months?|days?|hours?)\s*\(\s*`?([A-Za-z_]\w*)`?\s*\)",
+            t,
+            re.IGNORECASE,
+        )
+        if m:
+            return (m.group(2), m.group(1).lower().rstrip("s"))
+        for fn in ("bucket", "truncate"):
+            m = re.fullmatch(
+                rf"{fn}\s*\(\s*(\d+)\s*,\s*`?([A-Za-z_]\w*)`?\s*\)",
+                t,
+                re.IGNORECASE,
+            )
+            if m:
+                return (m.group(2), f"{fn}[{m.group(1)}]")
+            m = re.fullmatch(
+                rf"{fn}\s*\(\s*`?([A-Za-z_]\w*)`?\s*,\s*(\d+)\s*\)",
+                t,
+                re.IGNORECASE,
+            )
+            if m:
+                return (m.group(1), f"{fn}[{m.group(2)}]")
+        raise QueryError(
+            f"unsupported partition transform {txt!r} — supported: col | "
+            f"year/month/day/hour(col) | bucket(N, col) | truncate(W, col)",
+            sql=rendered,
+        )
+
+    @staticmethod
+    def _render_partition_field(fld: dict) -> str:
+        """Inverse of _parse_partition_field in Trino's partitioning-
+        property vocabulary (what SHOW CREATE TABLE emits)."""
+        source, transform = fld["source"], fld["transform"]
+        if transform == "identity":
+            return source
+        m = re.fullmatch(r"(bucket|truncate)\[(\d+)\]", transform)
+        if m:
+            return f"{m.group(1)}({source}, {m.group(2)})"
+        return f"{transform}({source})"
     _SNAP_DROP_TABLE_RE = re.compile(
         r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?`?(?P<tbl>[A-Za-z_][\w.]*)`?\s*;?\s*$",
         re.IGNORECASE,
@@ -314,9 +383,15 @@ class AthenaSparkClient:
 
     def _snapshot_create_table(self, rendered: str) -> int | None:
         """``CREATE TABLE [IF NOT EXISTS] name [(col type, ...)] USING
-        iceberg [WITH/TBLPROPERTIES (k = 'v', ...)] [LOCATION '<dir>']
-        [AS <query>]`` — a snapshot table created under the resolver's
-        warehouse (or the explicit location) and registered for SQL.
+        iceberg [PARTITIONED BY (spec, ...)] [WITH/TBLPROPERTIES
+        (k = 'v', ...)] [LOCATION '<dir>'] [AS <query>]`` — a snapshot
+        table created under the resolver's warehouse (or the explicit
+        location) and registered for SQL. ``PARTITIONED BY`` (Spark
+        spelling) and ``WITH (partitioning = ARRAY['day(ts)', ...])``
+        (Trino spelling) both declare the Iceberg partition spec —
+        hidden partitioning: transforms live in the layout/manifest
+        only, queries filter on source columns and prune through the
+        transform.
 
         Without ``AS``: an EMPTY table with the declared schema (one
         zero-file bootstrap commit), returning 0. With ``AS``: Trino's
@@ -350,7 +425,22 @@ class AthenaSparkClient:
         props_sql: str | None = None
         location: str | None = None
         select_sql: str | None = None
+        part_sql: str | None = None
         while tail:
+            bm = re.match(r"PARTITIONED\s+BY\s*(?=\()", tail, re.IGNORECASE)
+            if bm is not None:
+                end = find_closing_paren(tail, bm.end())
+                if end < 0:
+                    raise QueryError(
+                        "unclosed PARTITIONED BY clause", sql=rendered
+                    )
+                if part_sql is not None:
+                    raise QueryError(
+                        "duplicate PARTITIONED BY clause", sql=rendered
+                    )
+                part_sql = tail[bm.end() + 1 : end]
+                tail = tail[end + 1:].strip()
+                continue
             pm_ = re.match(r"(?:WITH|TBLPROPERTIES)\s*(?=\()", tail, re.IGNORECASE)
             if pm_ is not None:
                 end = find_closing_paren(tail, pm_.end())
@@ -387,8 +477,9 @@ class AthenaSparkClient:
                 break
             raise QueryError(
                 f"unsupported clause in CREATE TABLE ... USING iceberg: "
-                f"{tail[:60]!r} — supported: [WITH|TBLPROPERTIES (k = 'v', "
-                f"...)] [LOCATION '<dir>'] [AS <query>]",
+                f"{tail[:60]!r} — supported: [PARTITIONED BY (spec, ...)] "
+                f"[WITH|TBLPROPERTIES (k = 'v', ...)] [LOCATION '<dir>'] "
+                f"[AS <query>]",
                 sql=rendered,
             )
         if cols_sql is not None and select_sql is not None:
@@ -407,8 +498,31 @@ class AthenaSparkClient:
         # property must fail the statement, not leave a half-made table.
         # `location` doubles as the Trino property spelling of LOCATION.
         props: list[tuple[str, str]] = []
+        part_fields: list[tuple[str, str]] = []
+        if part_sql is not None:
+            for item in split_top_level_commas(part_sql):
+                part_fields.append(self._parse_partition_field(item, rendered))
         if props_sql:
             for part in split_top_level_commas(props_sql):
+                am2 = re.fullmatch(
+                    r"\s*['\"`]?partitioning['\"`]?\s*=\s*ARRAY\s*\[(?P<items>[^\]]*)\]\s*",
+                    part,
+                    re.IGNORECASE,
+                )
+                if am2 is not None:
+                    # Trino's spelling of the same declaration: WITH
+                    # (partitioning = ARRAY['day(ts)', 'bucket(id, 16)'])
+                    if part_fields:
+                        raise QueryError(
+                            "conflicting PARTITIONED BY clause and "
+                            "partitioning property",
+                            sql=rendered,
+                        )
+                    for item in split_top_level_commas(am2.group("items")):
+                        part_fields.append(
+                            self._parse_partition_field(item, rendered)
+                        )
+                    continue
                 pm = self._PROP_RE.match(part)
                 if pm is None:
                     raise QueryError(
@@ -453,11 +567,17 @@ class AthenaSparkClient:
         if select_sql is not None:
             # CTAS: resolve the query FIRST (analysis errors surface
             # before any directory exists), then one observed append —
-            # row count from the write job itself, single pass
+            # row count from the write job itself, single pass. With a
+            # partition spec, a zero-file schema bootstrap lands first so
+            # the spec exists BEFORE the data commit and the CTAS files
+            # lay out partitioned from the start.
             df = self.sql_df(select_sql)
             obs = Observation("ctas_rowcount")
             observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
             table = SnapshotTable(self.spark, tdir)
+            if part_fields:
+                table.append(self.spark.createDataFrame([], df.schema))
+                table.set_partition_spec(part_fields)
             table.append(observed)
             rowcount = int(obs.get["n"])
         else:
@@ -476,6 +596,11 @@ class AthenaSparkClient:
             table = SnapshotTable(self.spark, tdir)
             ddl = ", ".join(f"{n} {t}" for n, t in cols)
             table.append(self.spark.createDataFrame([], ddl))
+            if part_fields:
+                # hidden partitioning from day one: every later INSERT
+                # lays its files out under this spec and records per-file
+                # partition values for manifest-level pruning
+                table.set_partition_spec(part_fields)
             rowcount = 0
         for k, v in props:
             table.set_table_property(k, v)
@@ -1707,7 +1832,8 @@ class AthenaSparkClient:
             raise QueryError(
                 "unsupported CREATE ... USING iceberg form — supported: "
                 "CREATE TABLE [IF NOT EXISTS] name [(col type, ...)] "
-                "USING iceberg [WITH|TBLPROPERTIES (k = 'v', ...)] "
+                "USING iceberg [PARTITIONED BY (spec, ...)] "
+                "[WITH|TBLPROPERTIES (k = 'v', ...)] "
                 "[LOCATION '<dir>'] [AS <query>]",
                 sql=rendered,
             )

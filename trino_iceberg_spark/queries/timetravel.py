@@ -1688,3 +1688,46 @@ def tt34_dml_or_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE l_orderkey >= 3000 AND l_orderkey < 3500 OR l_linenumber = 6"
     )
     return table.read().orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "tt35_sql_partitioned_create",
+    oracle="""
+    SELECT o_orderpriority AS prio, COUNT(*) AS n,
+           CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+    FROM orders
+    WHERE o_orderkey <= 4000 AND o_orderpriority <> '1-URGENT'
+    GROUP BY o_orderpriority
+    ORDER BY prio
+    """,
+)
+def tt35_sql_partitioned_create(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 15 — partitioned CREATE TABLE in SQL text
+    (client._snapshot_create_table → SnapshotTable.set_partition_spec):
+    ``PARTITIONED BY (prio)`` declares an identity partition spec at
+    create time (Trino's ``WITH (partitioning = ARRAY['prio'])`` is the
+    same arm), the INSERT lays its files out under the spec with
+    per-file partition values in the manifest, and the DELETE's
+    ``prio = '1-URGENT'`` predicate prunes at the PARTITION level before
+    any zone map is consulted — on a 100 TB table the delete plans
+    against one partition's files, the rest carry by identity. The
+    oracle restates insert-then-delete as a filtered aggregate."""
+    from ..client import AthenaSparkClient
+
+    client = AthenaSparkClient(spark, snapshot_warehouse=work_dir("tt35_wh"))
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    ).createOrReplaceTempView("tt35_src")
+    client.execute(
+        "CREATE TABLE tt35.orders (o_orderkey bigint, o_custkey bigint, "
+        "prio varchar(20)) USING iceberg PARTITIONED BY (prio)"
+    )
+    client.execute(
+        "INSERT INTO tt35.orders SELECT o_orderkey, o_custkey, "
+        "o_orderpriority FROM tt35_src WHERE o_orderkey <= 4000"
+    )
+    client.execute("DELETE FROM tt35.orders WHERE prio = '1-URGENT'")
+    return client.sql_df(
+        "SELECT prio, COUNT(*) AS n, CAST(SUM(o_custkey) AS BIGINT) AS cust_sum "
+        "FROM tt35.orders GROUP BY prio ORDER BY prio"
+    )
