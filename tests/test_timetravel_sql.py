@@ -1888,3 +1888,66 @@ def test_sql_create_table_partitioned_by(spark, tmp_path):
             "CREATE TABLE pb.d (a int, b int) USING iceberg "
             "PARTITIONED BY (a) WITH (partitioning = ARRAY['b'])"
         )
+
+
+def test_in_list_and_between_extract_prunable_filters(spark, tmp_path):
+    """Round 15 (second half): ``col IN (v1, v2, ...)`` extracts its
+    [min, max] HULL and ``col BETWEEN lo AND hi`` its two bounds — the
+    conjunct splitter knows BETWEEN owns the next top-level AND. A
+    key-list CDC DELETE against a clustered table now rewrites only the
+    files holding the keys' band instead of scanning everything; NOT
+    IN / NOT BETWEEN / mixed-type lists stay unextracted (sound)."""
+    ex = AthenaSparkClient._extract_prune_filters
+    cols = {"k", "g", "s"}
+    assert ex("k IN (5, 90, 17)", cols) == [("k", ">=", 5), ("k", "<=", 90)]
+    assert ex("k BETWEEN 100 AND 150 AND g = 2", cols) == [
+        ("k", ">=", 100),
+        ("k", "<=", 150),
+        ("g", "=", 2),
+    ]
+    assert ex("g = 2 AND k BETWEEN 100 AND 150", cols) == [
+        ("g", "=", 2),
+        ("k", ">=", 100),
+        ("k", "<=", 150),
+    ]
+    assert ex("s IN ('b', 'a''x', 'c')", cols) == [
+        ("s", ">=", "a'x"),
+        ("s", "<=", "c"),
+    ]
+    assert ex("k BETWEEN 100 AND 150 OR k IN (500, 600)", cols) == [
+        [("k", ">=", 100), ("k", "<=", 150)],
+        [("k", ">=", 500), ("k", "<=", 600)],
+    ]
+    # negative / non-literal shapes never extract
+    assert ex("k NOT BETWEEN 1 AND 5", cols) == []
+    assert ex("NOT k BETWEEN 1 AND 5", cols) == []
+    assert ex("k NOT IN (1, 2)", cols) == []
+    assert ex("k IN (1, 'x')", cols) == []
+    assert ex("k IN (1, g)", cols) == []
+
+    # end-to-end: the key-list DELETE rewrites ONLY the file holding
+    # the keys' band (3-file clustered table, keys all in file 1)
+    tdir = str(tmp_path / "intab")
+    t = SnapshotTable(spark, tdir)
+    df = spark.range(300).selectExpr(
+        "id as k", "id % 10 as g", "cast(id as double) as v"
+    )
+    for lo in (0, 100, 200):
+        t.append(
+            df.filter(f"k >= {lo} AND k < {lo + 100}").coalesce(1),
+            cluster_by=["k"],
+        )
+    client = AthenaSparkClient(spark)
+    client.register_snapshot_table("intab_t", tdir)
+    snap = t.current_snapshot()
+    assert client.execute("DELETE FROM intab_t WHERE k IN (5, 17, 90)") == 3
+    child = t.current_snapshot()
+    assert len(set(snap.files) & set(child.files)) == 2
+    snap2 = child
+    assert (
+        client.execute("DELETE FROM intab_t WHERE k BETWEEN 250 AND 260 AND g = 5")
+        == 1
+    )
+    child2 = t.current_snapshot()
+    assert len(set(snap2.files) & set(child2.files)) == 2
+    assert t.read().count() == 296

@@ -109,6 +109,8 @@ def _cond(rng: random.Random, prefix: str = "") -> str:
         f"{p}val < {rng.randrange(20, 90)}",
         f"{p}grp = {rng.choice(GROUPS)}",
         f"{p}id IN ({rng.randrange(12)}, {rng.randrange(12)}, {rng.randrange(24)})",
+        f"{p}id BETWEEN {rng.randrange(8)} AND {rng.randrange(8, 24)}",
+        f"{p}val NOT BETWEEN {rng.randrange(30)} AND {rng.randrange(30, 80)}",
         f"{p}val IS NULL",
         f"{p}note IS NOT NULL",
         f"substr({p}note, 1, 1) = 'n'",

@@ -1164,20 +1164,94 @@ class AthenaSparkClient:
             return dnf
         return cls._extract_conjuncts(cond_text, columns)
 
+    _PRUNE_BETWEEN_KW_RE = re.compile(r"\bBETWEEN\b", re.IGNORECASE)
+    _PRUNE_BETWEEN_RE = re.compile(
+        r"^\s*`?(?P<col>[A-Za-z_]\w*)`?\s+BETWEEN\s+(?P<lo>.+?)\s+AND\s+"
+        r"(?P<hi>.+?)\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _PRUNE_IN_RE = re.compile(
+        r"^\s*`?(?P<col>[A-Za-z_]\w*)`?\s+IN\s*\((?P<items>.+)\)\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    @staticmethod
+    def _parse_prune_literal(lit_txt: str):
+        """int / float / plain-string SQL literal → Python value, else
+        None (expression/date/function literal — unprunable)."""
+        lit_txt = lit_txt.strip()
+        if re.fullmatch(r"-?\d+", lit_txt):
+            return int(lit_txt)
+        if re.fullmatch(r"-?\d+\.\d+", lit_txt):
+            return float(lit_txt)
+        sm = re.fullmatch(r"'((?:[^']|'')*)'", lit_txt)
+        if sm is not None:
+            return sm.group(1).replace("''", "'")
+        return None
+
     @classmethod
     def _extract_conjuncts(
         cls, cond_text: str, columns: set[str]
     ) -> list[tuple[str, str, object]]:
         """The AND-only half of _extract_prune_filters: top-level AND
-        conjuncts of comparison shape over known columns."""
+        conjuncts over known columns, of comparison shape plus two
+        round-15 additions now that prune_files understands ranges:
+
+        - ``col BETWEEN lo AND hi`` → the two bound conjuncts (the
+          splitter knows BETWEEN owns the next top-level AND, so ``k
+          BETWEEN 1 AND 5 AND g = 2`` splits into exactly two segments);
+        - ``col IN (v1, v2, ...)`` → the [min, max] HULL of the list —
+          sound (every listed value satisfies the hull) and exactly what
+          zone maps can use; a key-list CDC DELETE against a clustered
+          table prunes to the keys' band instead of scanning everything.
+          Any non-literal item or a mixed-type list skips the conjunct.
+        """
+        and_ms = finditer_top_level(cls._PRUNE_AND_RE, cond_text)
+        # an AND directly owned by a BETWEEN is not a conjunction: drop
+        # the FIRST AND match after each top-level BETWEEN keyword
+        between_ms = finditer_top_level(cls._PRUNE_BETWEEN_KW_RE, cond_text)
+        owned: set[int] = set()
+        for bm in between_ms:
+            for am in and_ms:
+                if am.start() > bm.end() and am.start() not in owned:
+                    owned.add(am.start())
+                    break
         segs: list[str] = []
         pos = 0
-        for am in finditer_top_level(cls._PRUNE_AND_RE, cond_text):
+        for am in and_ms:
+            if am.start() in owned:
+                continue
             segs.append(cond_text[pos : am.start()])
             pos = am.end()
         segs.append(cond_text[pos:])
         out: list[tuple[str, str, object]] = []
         for seg in segs:
+            bm = cls._PRUNE_BETWEEN_RE.match(seg)
+            if bm is not None and bm.group("col") in columns:
+                lo = cls._parse_prune_literal(bm.group("lo"))
+                hi = cls._parse_prune_literal(bm.group("hi"))
+                if (
+                    lo is not None
+                    and hi is not None
+                    and type(lo) is type(hi)
+                ):
+                    out.append((bm.group("col"), ">=", lo))
+                    out.append((bm.group("col"), "<=", hi))
+                continue
+            im = cls._PRUNE_IN_RE.match(seg)
+            if im is not None and im.group("col") in columns:
+                vals = [
+                    cls._parse_prune_literal(item)
+                    for item in split_top_level_commas(im.group("items"))
+                ]
+                if (
+                    vals
+                    and all(v is not None for v in vals)
+                    and len({type(v) for v in vals}) == 1
+                ):
+                    out.append((im.group("col"), ">=", min(vals)))
+                    out.append((im.group("col"), "<=", max(vals)))
+                continue
             cm = cls._PRUNE_CMP_RE.match(seg)
             flip = False
             if cm is None or cm.group("col") not in columns:
@@ -1185,17 +1259,9 @@ class AthenaSparkClient:
                 flip = True
             if cm is None or cm.group("col") not in columns:
                 continue
-            lit_txt = cm.group("lit").strip()
-            lit: object
-            if re.fullmatch(r"-?\d+", lit_txt):
-                lit = int(lit_txt)
-            elif re.fullmatch(r"-?\d+\.\d+", lit_txt):
-                lit = float(lit_txt)
-            else:
-                sm = re.fullmatch(r"'((?:[^']|'')*)'", lit_txt)
-                if sm is None:
-                    continue  # expression/date/function literal → unprunable
-                lit = sm.group(1).replace("''", "'")
+            lit = cls._parse_prune_literal(cm.group("lit"))
+            if lit is None:
+                continue  # expression/date/function literal → unprunable
             op = cls._PRUNE_OP_FLIP[cm.group("op")] if flip else cm.group("op")
             out.append((cm.group("col"), op, lit))
         return out
