@@ -1951,3 +1951,41 @@ def test_in_list_and_between_extract_prunable_filters(spark, tmp_path):
     child2 = t.current_snapshot()
     assert len(set(snap2.files) & set(child2.files)) == 2
     assert t.read().count() == 296
+
+
+def test_write_distribution_mode_hash_one_file_per_partition(spark, tmp_path):
+    """Round 15: Iceberg's ``write.distribution-mode`` table property
+    (opt-in; default 'none' keeps the task-local layout). Under 'hash'
+    a partitioned append clusters rows by partition value before the
+    write, so it emits ONE file per partition value instead of
+    (tasks × values) — the small-files lever. Unknown modes refuse."""
+    import pytest as _pytest
+
+    from trino_iceberg_spark.errors import EngineError
+
+    client = AthenaSparkClient(spark, snapshot_warehouse=str(tmp_path / "wh"))
+    client.execute(
+        "CREATE TABLE wd.a (k bigint, g bigint) USING iceberg "
+        "PARTITIONED BY (g) WITH (`write.distribution-mode` = 'hash')"
+    )
+    spark.range(200).selectExpr("id AS k", "id % 5 AS g").repartition(
+        8
+    ).createOrReplaceTempView("wd_src")
+    client.execute("INSERT INTO wd.a SELECT * FROM wd_src")
+    t = client.snapshots.resolve(spark, "wd.a")
+    snap = t.current_snapshot()
+    assert len(snap.files) == 5  # one per partition value, not 8 × 5
+    assert client.query_scalar("SELECT COUNT(*) FROM wd.a") == 200
+    # default 'none': task-local layout (more files)
+    client.execute(
+        "CREATE TABLE wd.b (k bigint, g bigint) USING iceberg PARTITIONED BY (g)"
+    )
+    client.execute("INSERT INTO wd.b SELECT * FROM wd_src")
+    tb = client.snapshots.resolve(spark, "wd.b")
+    assert len(tb.current_snapshot().files) > 5
+    # unknown mode refuses at write time
+    client.execute(
+        "ALTER TABLE wd.a SET PROPERTIES `write.distribution-mode` = 'frob'"
+    )
+    with _pytest.raises((EngineError, QueryError), match="distribution-mode"):
+        client.execute("INSERT INTO wd.a VALUES (999, 1)")

@@ -191,9 +191,11 @@ def gen_statement(rng: random.Random, m: Model, counter: list[int]) -> dict:
         props_clause = ""
         if rng.random() < 0.4:
             spelling = rng.choice(["WITH", "TBLPROPERTIES"])
-            props_clause = (
-                f"{_kw(rng, spelling)} ( custom.note = 'n{rng.randrange(9)}' ) "
+            prop = rng.choice(
+                ["custom.note = 'n%d'" % rng.randrange(9),
+                 "`write.distribution-mode` = 'hash'"]
             )
+            props_clause = f"{_kw(rng, spelling)} ( {prop} ) "
         # round 15: partition-spec permutations — Spark clause spelling
         # vs Trino's partitioning property (folded into the WITH list),
         # identity and parameterized transforms over the always-present
