@@ -1989,3 +1989,19 @@ def test_write_distribution_mode_hash_one_file_per_partition(spark, tmp_path):
     )
     with _pytest.raises((EngineError, QueryError), match="distribution-mode"):
         client.execute("INSERT INTO wd.a VALUES (999, 1)")
+
+
+def test_show_partitions_sql(spark, tmp_path):
+    """Round 15: ``SHOW PARTITIONS t`` on a registered snapshot table
+    serves Spark's one-column shape from the manifest's partition
+    values (no file IO); unregistered names still reach Spark's own
+    statement."""
+    client = AthenaSparkClient(spark, snapshot_warehouse=str(tmp_path / "wh"))
+    client.execute(
+        "CREATE TABLE shp.a (k bigint, g bigint) USING iceberg PARTITIONED BY (g)"
+    )
+    client.execute("INSERT INTO shp.a SELECT id, id % 3 FROM range(30)")
+    rows = client.query("SHOW PARTITIONS shp.a")
+    assert [r["partition"] for r in rows] == ["g=0", "g=1", "g=2"]
+    with pytest.raises(QueryError):
+        client.query("SHOW PARTITIONS no_such_table_anywhere")

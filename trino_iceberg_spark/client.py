@@ -105,6 +105,10 @@ class AthenaSparkClient:
         r"^\s*SHOW\s+CREATE\s+TABLE\s+`?(?P<tbl>[A-Za-z_][\w.]*)`?\s*;?\s*$",
         re.IGNORECASE,
     )
+    _SHOW_PARTITIONS_RE = re.compile(
+        r"^\s*SHOW\s+PARTITIONS\s+`?(?P<tbl>[A-Za-z_][\w.]*)`?\s*;?\s*$",
+        re.IGNORECASE,
+    )
 
     # -- core ------------------------------------------------------------
     def sql_df(self, sql: str, *params: Any) -> DataFrame:
@@ -141,6 +145,22 @@ class AthenaSparkClient:
                     "Column string, Type string, Extra string, Comment string",
                 )
             # unregistered → Spark's own DESCRIBE below
+        sp = self._SHOW_PARTITIONS_RE.match(rendered)
+        if sp is not None:
+            table = self.snapshots.resolve(self.spark, sp.group("tbl"))
+            if table is not None:
+                # Spark's SHOW PARTITIONS shape (one `partition` string
+                # column, `col=value/...` rows) served from the same
+                # manifest data as `t$partitions` — files written under
+                # no spec aggregate under NULL and are omitted here,
+                # matching Spark's output for an unpartitioned prefix
+                return (
+                    table.partitions_df()
+                    .filter(F.col("partition").isNotNull())
+                    .select("partition")
+                    .orderBy("partition")
+                )
+            # unregistered → Spark's own SHOW PARTITIONS below
         sc = self._SHOW_CREATE_RE.match(rendered)
         if sc is not None:
             table = self.snapshots.resolve(self.spark, sc.group("tbl"))
@@ -1882,6 +1902,7 @@ class AthenaSparkClient:
                 f"VERSION/TIMESTAMP AS OF and $metadata relations), "
                 f"INSERT, UPDATE, DELETE, MERGE, TRUNCATE, ANALYZE, "
                 f"DESCRIBE/SHOW COLUMNS, SHOW CREATE TABLE, SHOW STATS, "
+                f"SHOW PARTITIONS, "
                 f"DROP TABLE, ALTER TABLE ... ADD/DROP/RENAME/ALTER "
                 f"COLUMN | SET [TBL]PROPERTIES | RENAME TO | "
                 f"CREATE/DROP BRANCH/TAG | EXECUTE <procedure>",
