@@ -2005,3 +2005,52 @@ def test_show_partitions_sql(spark, tmp_path):
     assert [r["partition"] for r in rows] == ["g=0", "g=1", "g=2"]
     with pytest.raises(QueryError):
         client.query("SHOW PARTITIONS no_such_table_anywhere")
+
+
+def test_partition_spec_evolution_sql_verbs(spark, tmp_path):
+    """Round 15: partition-spec EVOLUTION in SQL text — Trino's
+    ``ALTER TABLE t SET PROPERTIES partitioning = ARRAY[...]`` replaces
+    the default spec (``ARRAY[]`` unpartitions future writes) and
+    Spark-Iceberg's ``ALTER TABLE t ADD/DROP PARTITION FIELD <spec>``
+    edits it incrementally. Old files keep their own spec; SHOW CREATE
+    follows the current default; duplicate adds / missing drops refuse
+    with the current field list named."""
+    client = AthenaSparkClient(spark, snapshot_warehouse=str(tmp_path / "wh"))
+    client.execute(
+        "CREATE TABLE spe.a (k bigint, g bigint, ts timestamp(6)) USING iceberg"
+    )
+    client.execute(
+        "INSERT INTO spe.a SELECT id, id % 3, timestamp_ntz'2024-01-01' "
+        "FROM range(10)"
+    )
+    client.execute("ALTER TABLE spe.a SET PROPERTIES partitioning = ARRAY['g']")
+    client.execute(
+        "INSERT INTO spe.a SELECT id, id % 3, timestamp_ntz'2024-02-01' "
+        "FROM range(10, 40)"
+    )
+    assert [r["partition"] for r in client.query("SHOW PARTITIONS spe.a")] == [
+        "g=0",
+        "g=1",
+        "g=2",
+    ]
+    client.execute("ALTER TABLE spe.a ADD PARTITION FIELD days(ts)")
+    ddl = client.query("SHOW CREATE TABLE spe.a")[0]["Create Table"]
+    assert "partitioning = ARRAY['g', 'day(ts)']" in ddl
+    client.execute("ALTER TABLE spe.a DROP PARTITION FIELD days(ts)")
+    ddl = client.query("SHOW CREATE TABLE spe.a")[0]["Create Table"]
+    assert "partitioning = ARRAY['g']" in ddl
+    with pytest.raises(QueryError, match="not found"):
+        client.execute("ALTER TABLE spe.a DROP PARTITION FIELD month(ts)")
+    with pytest.raises(QueryError, match="already present"):
+        client.execute("ALTER TABLE spe.a ADD PARTITION FIELD g")
+    # dropping the spec's source column refuses (the catalog's typed
+    # EngineError names the spec); unpartitioning clears it
+    from trino_iceberg_spark.errors import EngineError
+
+    with pytest.raises(EngineError, match="partition spec"):
+        client.execute("ALTER TABLE spe.a DROP COLUMN g")
+    client.execute("ALTER TABLE spe.a SET PROPERTIES partitioning = ARRAY[]")
+    assert "partitioning" not in client.query("SHOW CREATE TABLE spe.a")[0][
+        "Create Table"
+    ]
+    assert client.query_scalar("SELECT COUNT(*) FROM spe.a") == 40

@@ -129,6 +129,10 @@ class Model:
         # otherwise); verified by COUNT(*) at sequence end
         self.created: dict[str, int] = {}
         self.workdir = workdir
+        # round 15: fz_ddl's default partition spec as (source name,
+        # transform) pairs — ADD/DROP PARTITION FIELD evolve it, renames
+        # follow the source, drops of a spec source must REFUSE
+        self.part_fields: list[tuple[str, str]] = []
 
     def names(self) -> list[str]:
         return [c["name"] for c in self.cols]
@@ -166,11 +170,35 @@ def gen_statement(rng: random.Random, m: Model, counter: list[int]) -> dict:
     model eagerly when legal. Returns {sql, ok (expected legality)}."""
     kind = rng.choices(
         ["add", "drop", "rename", "alter_type", "ref", "analyze",
-         "show_stats", "props", "create", "drop_table"],
-        weights=[14, 10, 10, 12, 14, 12, 7, 7, 14, 5],
+         "show_stats", "props", "create", "drop_table", "part_field"],
+        weights=[14, 10, 10, 12, 14, 12, 7, 7, 14, 5, 9],
     )[0]
     T = _ident(rng, "fz_ddl")
     w = lambda s: _ws(rng).join(s.split(" "))  # noqa: E731
+
+    if kind == "part_field":
+        # ADD/DROP PARTITION FIELD (round 15): evolve fz_ddl's default
+        # spec; ghost columns and duplicate/missing fields must refuse
+        verb = rng.choice(["ADD", "DROP"])
+        ghost = rng.random() < 0.2
+        col = f"ghost{rng.randrange(100)}" if ghost else rng.choice(m.names())
+        transform = rng.choice(["identity", "bucket[4]"])
+        spelled = col if transform == "identity" else f"bucket(4, {col})"
+        sql = w(
+            f"{_kw(rng, 'ALTER')} {_kw(rng, 'TABLE')} {T} "
+            f"{_kw(rng, verb)} {_kw(rng, 'PARTITION')} {_kw(rng, 'FIELD')} "
+            f"{spelled}"
+        ) + _semi(rng)
+        field = (col, transform)
+        if verb == "ADD":
+            ok = (not ghost) and field not in m.part_fields
+            if ok:
+                m.part_fields.append(field)
+        else:
+            ok = field in m.part_fields
+            if ok:
+                m.part_fields.remove(field)
+        return {"sql": sql, "ok": ok}
 
     if kind == "create":
         # CREATE TABLE ... USING iceberg in every supported shape
@@ -319,6 +347,11 @@ def gen_statement(rng: random.Random, m: Model, counter: list[int]) -> dict:
         c = m.col(name)
         if c is None:
             ok = ie
+        elif any(s == c["name"] for s, _ in m.part_fields):
+            # dropping a CURRENT default-spec source strands the spec —
+            # the engine refuses (_check_spec_sources_survive), with or
+            # without IF EXISTS
+            ok = False
         else:
             ok = True
             m.cols.remove(c)
@@ -344,6 +377,10 @@ def gen_statement(rng: random.Random, m: Model, counter: list[int]) -> dict:
         else:
             ok = True
             c["name"] = new
+            # spec sources follow the rename (field-id resolution)
+            m.part_fields = [
+                (new if s == old else s, t) for s, t in m.part_fields
+            ]
         return {"sql": sql, "ok": ok}
 
     if kind == "alter_type":
@@ -530,6 +567,23 @@ def run_sequence(spark, seq_no: int, seed: int, workdir: str) -> list[str]:
         }
         if refs != want_refs:
             problems.append(f"refs divergence: got {sorted(refs)} want {sorted(want_refs)}")
+        snap_f = table.current_snapshot()
+        cur_ids = {
+            c["id"]: c["name"] for c in (snap_f.schema_columns or [])
+        }
+        got_spec = [
+            (cur_ids.get(f.get("source_id")) or f["source"], f["transform"])
+            for f in (
+                (snap_f.partition_specs or {}).get(
+                    str(snap_f.default_spec_id or 0)
+                )
+                or []
+            )
+        ]
+        if got_spec != m.part_fields:
+            problems.append(
+                f"partition spec divergence: got {got_spec} want {m.part_fields}"
+            )
         props = table.table_properties()
         for k, v in m.props.items():
             if props.get(k) != v:

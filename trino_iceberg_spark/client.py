@@ -788,6 +788,14 @@ class AthenaSparkClient:
         r"(?P<kw>TBL)?PROPERTIES\s*(?P<props>.+?)\s*;?\s*$",
         re.IGNORECASE | re.DOTALL,
     )
+    # Spark-Iceberg's partition-spec evolution DDL: ALTER TABLE t
+    # ADD PARTITION FIELD day(ts) / DROP PARTITION FIELD day(ts) —
+    # metadata-only spec commits; old files keep their own spec
+    _SNAP_PART_FIELD_RE = re.compile(
+        r"^\s*ALTER\s+TABLE\s+`?(?P<tbl>[A-Za-z_][\w.]*)`?\s+"
+        r"(?P<verb>ADD|DROP)\s+PARTITION\s+FIELD\s+(?P<spec>.+?)\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
     # Spark-Iceberg's procedure invocation form: CALL cat.system.proc(
     # table => 'db.t', ...) — same procedures as ALTER TABLE t EXECUTE,
     # so the handler rewrites into that form and dispatches once.
@@ -1002,6 +1010,56 @@ class AthenaSparkClient:
                     return 0  # IF EXISTS: absent → no-op
                 table.drop_ref(name, kind=kind)
             return 0
+        pf = self._SNAP_PART_FIELD_RE.match(rendered)
+        if pf is not None:
+            table = self.snapshots.resolve(self.spark, pf.group("tbl"))
+            if table is not None:
+                # partition-spec EVOLUTION (Spark-Iceberg's DDL): rebuild
+                # the current default spec's (source, transform) pairs —
+                # sources resolved to CURRENT names by field id — then
+                # add/remove the named field and commit the new spec.
+                # Old files keep their own spec; only future writes lay
+                # out under the new one (Iceberg's evolution contract).
+                src, transform = self._parse_partition_field(
+                    pf.group("spec"), rendered
+                )
+                snap = table.current_snapshot()
+                cur_name = {
+                    c["id"]: c["name"]
+                    for c in ((snap.schema_columns if snap else None) or [])
+                }
+                fields: list[tuple[str, str]] = []
+                spec_fields = (
+                    (snap.partition_specs or {}).get(
+                        str(snap.default_spec_id or 0)
+                    )
+                    if snap is not None
+                    else None
+                ) or []
+                for f_ in spec_fields:
+                    nm = cur_name.get(f_.get("source_id")) or f_["source"]
+                    fields.append((nm, f_["transform"]))
+                if pf.group("verb").upper() == "ADD":
+                    if (src, transform) in fields:
+                        raise QueryError(
+                            f"partition field already present: "
+                            f"{pf.group('spec').strip()!r}",
+                            sql=rendered,
+                        )
+                    fields.append((src, transform))
+                else:
+                    if (src, transform) not in fields:
+                        raise QueryError(
+                            f"partition field not found: "
+                            f"{pf.group('spec').strip()!r} (current: "
+                            f"{[f'{t}({s})' if t != 'identity' else s for s, t in fields]})",
+                            sql=rendered,
+                        )
+                    fields.remove((src, transform))
+                table.set_partition_spec(fields)
+                return 0
+            # unregistered: fall through (Spark has no such statement for
+            # catalog tables — the guard/Catalyst reports it)
         sp = self._SNAP_SET_PROPS_RE.match(rendered)
         if sp is not None and not self._SNAP_EXEC_RE.match(rendered):
             table = self.snapshots.resolve(self.spark, sp.group("tbl"))
@@ -1027,6 +1085,26 @@ class AthenaSparkClient:
                     )
                 props = props[1:end]
             for part in split_top_level_commas(props):
+                am2 = re.fullmatch(
+                    r"\s*['\"`]?partitioning['\"`]?\s*=\s*ARRAY\s*"
+                    r"\[(?P<items>[^\]]*)\]\s*",
+                    part,
+                    re.IGNORECASE,
+                )
+                if am2 is not None:
+                    # Trino's spec-evolution verb: SET PROPERTIES
+                    # partitioning = ARRAY[...] REPLACES the default
+                    # spec (ARRAY[] unpartitions future writes); old
+                    # files keep their own spec
+                    table.set_partition_spec(
+                        [
+                            self._parse_partition_field(item, rendered)
+                            for item in split_top_level_commas(
+                                am2.group("items")
+                            )
+                        ]
+                    )
+                    continue
                 pm = self._PROP_RE.match(part)
                 if pm is None:
                     raise QueryError(
@@ -1904,7 +1982,7 @@ class AthenaSparkClient:
                 f"DESCRIBE/SHOW COLUMNS, SHOW CREATE TABLE, SHOW STATS, "
                 f"SHOW PARTITIONS, "
                 f"DROP TABLE, ALTER TABLE ... ADD/DROP/RENAME/ALTER "
-                f"COLUMN | SET [TBL]PROPERTIES | RENAME TO | "
+                f"COLUMN | SET [TBL]PROPERTIES (incl. partitioning = ARRAY[...]) | ADD/DROP PARTITION FIELD | RENAME TO | "
                 f"CREATE/DROP BRANCH/TAG | EXECUTE <procedure>",
                 sql=rendered,
             )
