@@ -148,6 +148,19 @@ def main() -> None:
                     ts.append(round(time.time() - t0, 3))
                 both[name] = ts
                 best[name] = min(ts)
+                # Measurement-isolation fix (round 16, documented in
+                # OPTIMIZATION_r16.md): release the query's pinned
+                # operator caches AFTER both passes. Queries share no
+                # cached fragments (each pins only its own
+                # intermediates), so by mid-run the accumulated pins
+                # were pure storage-memory pressure — later queries
+                # paid GC/eviction thrash for caches nothing would
+                # ever read again (cu06 measured 1.3 s isolated vs
+                # 8.1 s mid-bench). Clearing BETWEEN queries keeps
+                # each query's own pass-2 cache reuse (the timed
+                # passes are untouched) while making its number
+                # independent of what ran before it.
+                spark.catalog.clearCache()
             return best, both
 
         timings, passes = run_list(BENCH_QUERIES)

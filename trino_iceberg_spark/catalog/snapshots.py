@@ -1154,17 +1154,20 @@ class SnapshotTable:
                 for fn in sorted(fns):
                     if fn.endswith(".parquet"):
                         src = os.path.join(root, fn)
-                        if pq.ParquetFile(src).metadata.num_rows == 0:
+                        n_rows = pq.ParquetFile(src).metadata.num_rows
+                        if n_rows == 0:
                             continue  # empty task output: never a data file
                         dest = f"data/{commit_uuid}-{len(new_files):05d}.parquet"
                         shutil.move(src, os.path.join(self.table_dir, dest))
                         new_files.append(dest)
+                        row_count += n_rows
                         new_file_partitions[dest] = {"spec": spec_id, "values": dict(vals)}
         else:
             for fn in sorted(os.listdir(staging)):
                 if fn.endswith(".parquet"):
                     src = os.path.join(staging, fn)
-                    if pq.ParquetFile(src).metadata.num_rows == 0:
+                    n_rows = pq.ParquetFile(src).metadata.num_rows
+                    if n_rows == 0:
                         # empty task output (e.g. a zero-row bootstrap
                         # frame with live partitions): committing it would
                         # mint a phantom data file every reader pays for —
@@ -1173,14 +1176,13 @@ class SnapshotTable:
                     dest = f"data/{commit_uuid}-{len(new_files):05d}.parquet"
                     shutil.move(src, os.path.join(self.table_dir, dest))
                     new_files.append(dest)
+                    row_count += n_rows
         shutil.rmtree(staging, ignore_errors=True)
-        # Row count from the files just written (no second job over the input).
-        if new_files:
-            row_count = (
-                self.spark.read.parquet(
-                    *[os.path.join(self.table_dir, f) for f in new_files]
-                ).count()
-            )
+        # Row count summed from the footers opened for the empty-file check
+        # above (parquet metadata is exact) — the pre-r16 form launched a
+        # whole second Spark job (read.parquet().count()) per commit for a
+        # number the driver already held; at one job per commit that tax
+        # hit every append/DML on every table.
         stats_new = {f: self._collect_file_stats(f, cols) for f in new_files}
         return new_files, new_file_partitions, row_count, stats_new
 

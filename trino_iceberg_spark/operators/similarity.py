@@ -943,6 +943,7 @@ def semantic_dedup_pairs(
     num_cells: int | None = None,
     seed: int = 42,
     max_cell_size: int = 100_000,
+    eager_diagnostics: bool = True,
     caches=None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dedup over an embedding column
@@ -966,7 +967,12 @@ def semantic_dedup_pairs(
     (:func:`_derived_num_cells`), so pair work stays ~``n ×
     max_cell_size/10`` instead of n²/16, and the skew guard below stops
     being the de-facto (silent) recall ceiling. Cells it still drops are
-    logged loudly — recall loss should be visible, never inferred.
+    logged loudly — recall loss should be visible, never inferred;
+    ``eager_diagnostics=False`` keeps the guard's filter (identical
+    output) but skips the logged dropped-cell report, restoring a fully
+    lazy builder with two fewer up-front jobs (the report collect plus
+    the cache materialization it forces) — the same opt-out contract as
+    :func:`~..operators.dedup._capped_inverted_index`.
     """
     import logging
 
@@ -983,23 +989,25 @@ def semantic_dedup_pairs(
     # consumed three times (cell sizing + both self-join sides); persist so
     # the Python routing pass runs once, like dd03's banded signatures.
     # Caller owns the cache: the returned pair lineage pins it (the skew
-    # aggregate below materializes it, but the pair join still reads it);
-    # caches= records the pin for exact release (cachectl).
+    # aggregate below materializes it under eager_diagnostics, but the
+    # pair join still reads it); caches= records the pin for exact
+    # release (cachectl).
     from ..operators.cachectl import pin
 
     routed = pin(routed, caches)
     sizes = routed.groupBy("_cell").agg(F.count(F.lit(1)).alias("_csz"))
-    dropped = sizes.filter(F.col("_csz") > max_cell_size).agg(
-        F.count(F.lit(1)).alias("cells"), F.sum("_csz").alias("rows")
-    ).collect()[0]
-    if dropped["cells"]:
-        # cheap (aggregate over the persisted routing, #cells rows) and
-        # loud: these rows are excluded from dedup entirely
-        logging.getLogger(__name__).warning(
-            "semantic_dedup_pairs: skew guard dropped %d cell(s) / %d row(s) "
-            "over max_cell_size=%d — raise num_cells (have %d) to recover recall",
-            dropped["cells"], dropped["rows"], max_cell_size, num_cells,
-        )
+    if eager_diagnostics:
+        dropped = sizes.filter(F.col("_csz") > max_cell_size).agg(
+            F.count(F.lit(1)).alias("cells"), F.sum("_csz").alias("rows")
+        ).collect()[0]
+        if dropped["cells"]:
+            # cheap (aggregate over the persisted routing, #cells rows) and
+            # loud: these rows are excluded from dedup entirely
+            logging.getLogger(__name__).warning(
+                "semantic_dedup_pairs: skew guard dropped %d cell(s) / %d row(s) "
+                "over max_cell_size=%d — raise num_cells (have %d) to recover recall",
+                dropped["cells"], dropped["rows"], max_cell_size, num_cells,
+            )
     routed = routed.join(
         F.broadcast(sizes.filter(F.col("_csz").between(2, max_cell_size))), "_cell"
     )

@@ -165,11 +165,19 @@ def sample_rollup(
     engine (the ev12 registry entry's DuckDB oracle replays the cascade),
     where t-digest/KLL sketches are library-specific bytes.
 
-    Scale shape: one shuffle of (cell, hash, value) rows, a per-cell rank
-    window bounded to k survivors, and the count rides a standard
-    partial-aggregated groupBy — no cell ever holds more than k samples
-    in memory. NULL values are excluded from both the sample and ``cnt``
-    (the estimate is a quantile of observed values)."""
+    Scale shape (round 16): ONE scan, one shuffle of (cell, hash, value)
+    rows — the per-cell ``cnt`` is an unbounded-frame window count
+    sharing the rank window's partitioning+sort, so both ride the same
+    Window operator; the pre-r16 form scanned raw events a second time
+    for a partial-aggregated count and null-safe-joined it back, i.e.
+    two full passes + a join for a value the window pass already knows.
+    Unlike :func:`kmv_rollup` (whose count is over RAW rows while its
+    sketch is over DISTINCT hashes, so the two aggregates genuinely need
+    different inputs), the sample's count is over exactly the rows the
+    window ranks — the fusion is identity-preserving. NULL values are
+    excluded from both the sample and ``cnt`` (the estimate is a
+    quantile of observed values); NULL-valued dimension cells survive
+    because groupBy keeps NULL keys (no join left to drop them)."""
     bucket = F.date_trunc(granularity, F.col(ts_col)).alias("bucket")
     dim_cols = [F.col(d) for d in dims]
     keys = ["bucket", *dims]
@@ -180,23 +188,20 @@ def sample_rollup(
         portable_hash64(F.col(id_col).cast("string")).alias("_h"),
         F.col(value_col).cast("double").alias("_v"),
     )
-    rn = F.row_number().over(Window.partitionBy(*keys).orderBy("_h"))
-    topk = hashed.withColumn("_rn", rn).filter(F.col("_rn") <= k)
-    sketches = topk.groupBy(*keys).agg(
-        F.array_sort(F.collect_list(F.struct("_h", "_v"))).alias("smp")
+    w = Window.partitionBy(*keys).orderBy("_h")
+    rn = F.row_number().over(w)
+    cnt = F.count(F.lit(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    counts = nn.groupBy(bucket, *dim_cols).agg(F.count(F.lit(1)).alias("cnt"))
-    # Null-safe equi-join, same reason (and same explicit-alias shape) as
-    # kmv_rollup: NULL-valued dimension cells exist on both sides and must
-    # not be dropped, and qualified references keep the self-derived join
-    # unambiguous without the dataframe-id heuristic.
-    cond = None
-    for c in keys:
-        term = F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}"))
-        cond = term if cond is None else (cond & term)
-    return counts.alias("l").join(sketches.alias("r"), cond).select(
-        F.col("l.bucket"), *[F.col(f"l.{d}") for d in dims], "cnt", "smp"
+    topk = (
+        hashed.withColumn("_rn", rn)
+        .withColumn("_cnt", cnt)
+        .filter(F.col("_rn") <= k)
     )
+    return topk.groupBy(*keys).agg(
+        F.first("_cnt").alias("cnt"),
+        F.array_sort(F.collect_list(F.struct("_h", "_v"))).alias("smp"),
+    ).select("bucket", *dims, "cnt", "smp")
 
 
 def sample_merge(

@@ -202,7 +202,7 @@ def dd12_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep rule, order-preserving reassembly. The oracle replays the exact
     rule in SQL, so the hash match pins chunking, canonical-keeper choice,
     and reassembly byte-for-byte."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread=True)
     return D.passage_dedup(d, "text", "doc_id", chunk_tokens=10).orderBy("doc_id")
 
 
@@ -347,7 +347,7 @@ def dd03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle replays the whole pipeline — signatures, band buckets,
     skew guard — bit-for-bit). Recall vs the exact all-pairs baseline is
     separately pinned in tests/test_operators.py."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread=True)
     return (
         D.minhash_dedup_pairs(d, "text", "doc_id", threshold=0.35, portable=True)
         .select("id_a", "id_b", "jaccard")
@@ -489,10 +489,19 @@ def dd11_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The synthetic embeddings are i.i.d. random (max within-cell cosine
     ~0.45, measured), so like dd06 the threshold targets the top tail of
     the actual distribution; the operator's 0.9 default is for real
-    corpora, where semantic duplicates exist by construction."""
-    e = load_table(spark, sf_dir, "embeddings")
+    corpora, where semantic duplicates exist by construction.
+
+    Cell count PINNED to the oracle's 16 (ss09's convention): the oracle
+    CTE hard-codes 16 cells, so deriving it from a ``count()`` job here
+    both paid one extra full pass per run and would diverge from the
+    oracle past 160k vectors; ``eager_diagnostics=False`` keeps the skew
+    guard's filter but drops its up-front report jobs (round 16)."""
+    e = load_table(spark, sf_dir, "embeddings", spread=True)
     return (
-        S.semantic_dedup_pairs(e, "embedding", "vec_id", threshold=0.35)
+        S.semantic_dedup_pairs(
+            e, "embedding", "vec_id", threshold=0.35, num_cells=16,
+            eager_diagnostics=False,
+        )
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
         .orderBy("id_a", "id_b")
     )
@@ -544,7 +553,8 @@ def dd04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     one carries a real oracle for the whole shingle pipeline."""
     d = load_table(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(
-        d, "text", "doc_id", k=3, threshold=0.3, block_col=F.col("lang")
+        d, "text", "doc_id", k=3, threshold=0.3, block_col=F.col("lang"),
+        eager_diagnostics=False,
     )
     return pairs.select(
         "id_a", "id_b", F.col("jaccard").cast("double").alias("jaccard")
@@ -674,9 +684,10 @@ def dd07_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE transitive closure."""
     from ..operators.clustering import connected_components
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread=True)
     pairs = D.ngram_jaccard_pairs(
-        d, "text", "doc_id", k=3, threshold=0.3, block_col=F.col("lang")
+        d, "text", "doc_id", k=3, threshold=0.3, block_col=F.col("lang"),
+        eager_diagnostics=False,
     )
     # The pair graph at any SF is tiny next to the corpus; 8-way rounds
     # keep per-round job overhead flat even under an untuned 200-partition
@@ -704,7 +715,8 @@ def dd08_near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(
-        d, "text", "doc_id", k=3, threshold=0.3, block_col=F.col("lang")
+        d, "text", "doc_id", k=3, threshold=0.3, block_col=F.col("lang"),
+        eager_diagnostics=False,
     )
     return near_dedup_survivors(
         d.select("doc_id", "lang"), pairs, "doc_id", shuffle_partitions=8
@@ -879,7 +891,7 @@ def ss01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor ranking (ids), not the float scores — rankings are stable
     across engines because the double dot products agree to ~1e-15 and
     random embeddings don't tie at that scale."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings", spread=True)
     q = e.filter(F.col("vec_id") % 50 == 0)
     return (
         S.cosine_topk(e, q, "embedding", "vec_id", k=5)
@@ -2399,7 +2411,7 @@ def cu06_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     removals, full survivals, and total-boilerplate dropouts."""
     from ..operators.curation import boilerplate_removal
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread=True)
     return boilerplate_removal(
         d, "text", "doc_id", "source", chunk_tokens=3, min_docs=2
     ).orderBy("doc_id")
@@ -3105,7 +3117,7 @@ def cu07_end_to_end_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization barriers between stages."""
     from ..operators.curation import curate_documents, decontaminate
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread=True)
     curated = curate_documents(d)
     bench = d.filter(F.col("doc_id") % 10 == 0)
     final = decontaminate(curated, bench, "text", "doc_id", k=8)
@@ -4166,7 +4178,7 @@ def ss13_mmr_rerank_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplane buckets (ss11's bit-identical sign tests), the
     bucket-collision ranking, and the unrolled greedy recursion; the
     hash gate covers the full selection order."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings", spread=True)
     q = e.filter(F.col("vec_id") % 50 == 0)
 
     def lshq(cand: DataFrame, qry: DataFrame) -> DataFrame:

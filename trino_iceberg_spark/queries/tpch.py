@@ -43,7 +43,11 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     The scan reads only the 7 needed columns (ReadSchema-pruned); the
     shipdate filter pushes to parquet; partial HashAggregate runs before the
     4-group shuffle — the plan a 100 TB scan needs."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread=True: the single-row-group bench file pins this scan (and the
+    # fused 8-decimal-aggregate partial agg) to one task; hash-spreading
+    # the rows first parallelizes the decimal work (measured 2.4s → 1.1s
+    # at sf0.1/local[32]; no-op when the scan has real splits).
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
     disc_price = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))
     # DECIMAL(12,4) operands keep the triple product within precision 38
     # (12+12+1=25, 25+12+1=38) — no precision-loss rounding, stays exact.

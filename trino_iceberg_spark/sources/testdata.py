@@ -127,7 +127,65 @@ def work_dir(tag: str) -> str:
     return root
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _scan_splits(path: str) -> tuple[int, int] | None:
+    """(row_groups, rows) of a parquet file from its footer — the REAL
+    upper bound on scan parallelism. A parquet row group is decoded by
+    exactly one task (byte-range splits assign each group to the split
+    holding its midpoint), so a single-row-group file pins the whole scan
+    stage — and every map-side projection fused into it — to ONE core no
+    matter what ``spark.sql.files.maxPartitionBytes`` says. Spark cannot
+    see this at planning time (it splits by bytes, not groups); the
+    footer read is a few KB. Returns None for layouts this heuristic does
+    not model (directories, missing file) — callers must then leave the
+    scan alone."""
+    try:
+        import pyarrow.parquet as pq
+
+        if not os.path.isfile(path):
+            return None
+        md = pq.ParquetFile(path).metadata
+        return md.num_row_groups, md.num_rows
+    except Exception:  # noqa: BLE001 — a footer we cannot read never blocks a load
+        return None
+
+
+#: Minimum rows per partition worth scheduling a task for when spreading —
+#: below this, task overhead beats the parallelism (the heavy operators
+#: this serves do ~ms of expression work per row-batch of this size).
+_SPREAD_MIN_ROWS_PER_PART = 64
+
+
+def _spread(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Scale-adaptive fix for unsplittable input (optimization guide §2.5:
+    "one huge unsplittable file … repartition immediately after the
+    read"): when the file's row-group count caps scan parallelism below
+    the cluster's cores, hash-repartition up to ``defaultParallelism`` so
+    downstream map-side work (shingling, MinHash, chunk explodes — orders
+    of magnitude heavier than the shuffle of these small rows) runs on
+    every core instead of one. Self-disabling at scale: a production
+    table has thousands of row groups, so ``splits >= par`` and the scan
+    is untouched; tiny SFs fall below the rows-per-partition floor and
+    are untouched too. Round-robin ``repartition(n)`` is deliberately
+    avoided — it pays a per-partition sort (SPARK-23207); hashing the
+    whole row spreads deterministically without one."""
+    par = spark.sparkContext.defaultParallelism
+    info = _scan_splits(path)
+    if info is None:
+        return df
+    splits, rows = info
+    if splits >= par:
+        return df
+    target = min(par, max(1, rows // _SPREAD_MIN_ROWS_PER_PART))
+    if target <= splits:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.repartition(target, F.col(df.columns[0]))
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, *, spread: bool = False
+) -> DataFrame:
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects outright
         # (PARQUET_TYPE_ILLEGAL) unless nanosAsLong is on.  This must be set on
@@ -163,6 +221,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # wall-clock instant is identical to what DuckDB reads and
             # oracle hashes are unaffected.
             df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    if spread:
+        df = _spread(spark, df, os.path.join(sf_dir, f"{name}.parquet"))
     return df
 
 
