@@ -141,11 +141,16 @@ def main() -> None:
             both: dict[str, list[float]] = {}
             for name in names:
                 ts: list[float] = []
-                for _ in range(2):
+                for i in range(2):
+                    # Label every job with its query (guide §1.5) so an
+                    # event log / UI maps stages back to bench entries;
+                    # descriptions are metadata only, no timing effect.
+                    spark.sparkContext.setJobDescription(f"{name} pass{i}")
                     t0 = time.time()
                     df = QUERIES[name](spark, SF_DIR)
                     df.write.format("noop").mode("overwrite").save()
                     ts.append(round(time.time() - t0, 3))
+                spark.sparkContext.setJobDescription(None)
                 both[name] = ts
                 best[name] = min(ts)
                 # Measurement-isolation fix (round 16, documented in

@@ -1306,10 +1306,12 @@ def test_cache_registry_collects_and_releases_exact_pins(spark, docs, embeddings
     assert all(df.storageLevel.useMemory or df.storageLevel.useDisk for df in reg)
     assert reg.unpersist_all() == 2
     assert len(reg) == 0
-    # curate_documents pins the (md5, id) pair table
+    # curate_documents stopped pinning in round 16 (window-form victim set
+    # needs no second pass over the pair table); caches= is accepted for
+    # API compatibility and records nothing
     reg2 = CacheRegistry()
     curate_documents(small, caches=reg2).count()
-    assert len(reg2) == 1 and reg2.unpersist_all() == 1
+    assert len(reg2) == 0 and reg2.unpersist_all() == 0
     # margin_mining pins fwd + bwd top-k; the context-manager form releases
     a = embeddings.filter(F.col("vec_id") % 20 == 0)
     b = embeddings.filter(F.col("vec_id") % 20 == 10)

@@ -2,10 +2,10 @@
 
 Several operators persist bounded intermediates because their plan
 consumes them more than once (MinHash's shingle + banded tables, the
-inverted-index explode, margin mining's two top-k tables,
-curate_documents' (md5, id) pair table, semantic dedup's routed cells,
-ngram_novelty's gram table). The module contract has always been
-CALLER OWNS THE CACHE:
+inverted-index explode, margin mining's two top-k tables, semantic
+dedup's routed cells, ngram_novelty's gram table; curate_documents
+stopped pinning in round 16 — its victim set became a single window
+pass). The module contract has always been CALLER OWNS THE CACHE:
 the returned DataFrame's lineage pins the persisted table, and the
 operator cannot unpersist without forcing a recompute.
 
@@ -87,7 +87,7 @@ def pin(
     supplied.
 
     Every operator whose persisted intermediate OUTLIVES the call (the
-    caller-owns-the-cache set: curate_documents, ngram_jaccard_pairs,
+    caller-owns-the-cache set: ngram_jaccard_pairs,
     containment_pairs, minhash_dedup_pairs, lsh_candidate_pairs,
     incremental_minhash_pairs, embedding_dedup_pairs,
     semantic_dedup_pairs, margin_mining, ngram_novelty) routes its

@@ -78,45 +78,40 @@ def curate_documents(
 
     Dedup keeps the lowest id per distinct text (deterministic keeper).
     The dedup verdict never shuffles documents: the (md5, id) pair table
-    — 24 bytes/doc — shuffles once to find duplicated-text groups, the
-    non-keeper ids of those groups become the VICTIM set (duplicates
-    only, small in a mostly-unique corpus), and the corpus anti-joins
-    against it — the same corpus-never-shuffled shape as clustering's
-    survivor selection. The old keeper semi-join shuffled every kept
-    document (text included) by id.
+    — 24 bytes/doc — shuffles ONCE into a whole-partition window over
+    the text hash, every id that is not its group's minimum becomes the
+    VICTIM set (duplicates only, small in a mostly-unique corpus), and
+    the corpus anti-joins against it — the same corpus-never-shuffled
+    shape as clustering's survivor selection.
 
-    Scan accounting: the pair table feeds both the duplicated-group
-    aggregate and the victim join, and the final anti-join re-evaluates
-    the quality gates — so without caching the corpus would be scanned
-    (and the quality features + md5 recomputed) three times. The pairs
-    table is therefore persisted: two corpus scans total (build pairs,
-    final anti-join), and the two pair-side consumers read the cached
-    24-byte rows. CALLER OWNS THE CACHE — the returned DataFrame's
-    lineage pins it, so a long-lived session that is done with the
-    result should pass ``caches=CacheRegistry()`` and
-    ``unpersist_all()`` after materializing (releases exactly this pin;
-    see :mod:`.cachectl`), or fall back to
-    ``spark.catalog.clearCache()``; operators here cannot unpersist
-    without recomputing."""
-    from .cachectl import pin
+    Round 16 (optimization guide §2.4 "remove shuffles outright", §3.3
+    "very wide plans"): the victim set used to be a
+    groupBy→filter→self-JOIN back onto a persisted copy of the pair
+    table — two consumers of one pinned cache, a broadcast exchange,
+    and a cache whose plan-matching silently degraded to full
+    recomputes when the surrounding query referenced the curated result
+    several times (sp10's write plan held 8 independent rebuilds of the
+    pair table, 21 corpus scans total — measured via event log). The
+    min-over-window form computes the same set in ONE pass over the
+    pair shuffle with no self-join and NOTHING persisted, so composed
+    pipelines (cu07/sp10/mm08) no longer amplify the corpus lineage
+    through a cache that may miss. ``caches=`` is retained for API
+    compatibility but records nothing — there is no pin left to
+    release."""
+    from pyspark.sql import Window
 
     decided = curation_decisions(df, text_col, id_col, **rules)
     kept = decided.filter(F.col("reject_reason").isNull())
-    pairs = pin(
-        kept.select(
-            F.md5(F.col(text_col).cast("binary")).alias("_h"),
-            F.col(id_col).alias("_vid"),
-        ),
-        caches,
+    pairs = kept.select(
+        F.md5(F.col(text_col).cast("binary")).alias("_h"),
+        F.col(id_col).alias("_vid"),
     )
-    dup_groups = (
-        pairs.groupBy("_h")
-        .agg(F.min("_vid").alias("_keep"), F.count(F.lit(1)).alias("_c"))
-        .filter(F.col("_c") > 1)
-        .select("_h", "_keep")
-    )
+    # Non-keeper members of duplicated-text groups: an id differs from its
+    # group minimum iff the group has >= 2 members, so the single window
+    # aggregate IS the dup-group filter (ids are unique by contract).
+    keep_w = F.min("_vid").over(Window.partitionBy("_h"))
     victims = (
-        pairs.join(dup_groups, "_h")
+        pairs.withColumn("_keep", keep_w)
         .filter(F.col("_vid") != F.col("_keep"))
         .select(F.col("_vid").alias(id_col))
     )
