@@ -1299,12 +1299,13 @@ def test_cache_registry_collects_and_releases_exact_pins(spark, docs, embeddings
 
     small = docs.limit(120)
     reg = CacheRegistry()
-    # ngram_jaccard_pairs pins the exploded index + the df-sizes table
+    # ngram_jaccard_pairs pins the df-sizes table (round 16: the exploded
+    # index moved to a lazy localCheckpoint — identity reuse, no pin)
     pairs = D.ngram_jaccard_pairs(small, "text", "doc_id", caches=reg)
-    assert len(reg) == 2
+    assert len(reg) == 1
     pairs.count()  # materialize while pinned
     assert all(df.storageLevel.useMemory or df.storageLevel.useDisk for df in reg)
-    assert reg.unpersist_all() == 2
+    assert reg.unpersist_all() == 1
     assert len(reg) == 0
     # curate_documents stopped pinning in round 16 (window-form victim set
     # needs no second pass over the pair table); caches= is accepted for
@@ -1619,10 +1620,11 @@ def test_cache_registry_covers_all_caller_owned_operators(spark, docs, embedding
 
     small_docs = docs.limit(60)
     small_emb = embeddings.limit(80)
+    # round 16: minhash_dedup_pairs, ngram_jaccard_pairs and
+    # semantic_dedup_pairs moved their shared intermediates from persist()
+    # to lazy localCheckpoint (identity reuse — no cache to release), so
+    # they left the caller-owned set; caches= stays accepted and records 0.
     cases = [
-        lambda reg: D.minhash_dedup_pairs(
-            small_docs, "text", "doc_id", num_hashes=8, bands=4, caches=reg
-        ),
         lambda reg: D.incremental_minhash_pairs(
             small_docs.filter(F.col("doc_id") % 2 == 0),
             small_docs.filter(F.col("doc_id") % 2 == 1),
@@ -1631,11 +1633,19 @@ def test_cache_registry_covers_all_caller_owned_operators(spark, docs, embedding
         lambda reg: D.embedding_dedup_pairs(
             small_emb, "embedding", "vec_id", caches=reg
         ),
+        lambda reg: TX.ngram_novelty(small_docs, "text", "doc_id", caches=reg),
+    ]
+    for build in (
+        lambda reg: D.minhash_dedup_pairs(
+            small_docs, "text", "doc_id", num_hashes=8, bands=4, caches=reg
+        ),
         lambda reg: S.semantic_dedup_pairs(
             small_emb, "embedding", "vec_id", num_cells=4, caches=reg
         ),
-        lambda reg: TX.ngram_novelty(small_docs, "text", "doc_id", caches=reg),
-    ]
+    ):
+        reg = CacheRegistry()
+        build(reg).count()
+        assert len(reg) == 0
     for build in cases:
         reg = CacheRegistry()
         out = build(reg)

@@ -1,11 +1,13 @@
 """Operator cache accounting — release exactly what an operator pinned.
 
 Several operators persist bounded intermediates because their plan
-consumes them more than once (MinHash's shingle + banded tables, the
-inverted-index explode, margin mining's two top-k tables, semantic
-dedup's routed cells, ngram_novelty's gram table; curate_documents
-stopped pinning in round 16 — its victim set became a single window
-pass). The module contract has always been CALLER OWNS THE CACHE:
+consumes them more than once (margin mining's two top-k tables, the
+inverted-index df-sizes table, ngram_novelty's gram table; round 16
+moved the corpus-sized multi-consumer intermediates — MinHash's shingle
+table, the inverted-index explode, semantic dedup's routed cells — to
+lazy localCheckpoint for identity reuse, and curate_documents' victim
+set became a single window pass, so none of those pin anymore). The
+module contract has always been CALLER OWNS THE CACHE:
 the returned DataFrame's lineage pins the persisted table, and the
 operator cannot unpersist without forcing a recompute.
 
@@ -87,10 +89,9 @@ def pin(
     supplied.
 
     Every operator whose persisted intermediate OUTLIVES the call (the
-    caller-owns-the-cache set: ngram_jaccard_pairs,
-    containment_pairs, minhash_dedup_pairs, lsh_candidate_pairs,
-    incremental_minhash_pairs, embedding_dedup_pairs,
-    semantic_dedup_pairs, margin_mining, ngram_novelty) routes its
+    caller-owns-the-cache set: ngram_jaccard_pairs' df-sizes table,
+    containment_pairs, incremental_minhash_pairs, embedding_dedup_pairs,
+    margin_mining, ngram_novelty) routes its
     persists through here and exposes ``caches=``. Persists that an
     operator RELEASES itself before returning (connected_components'
     per-round labels, dsir's collected weight table) stay direct — they

@@ -263,32 +263,42 @@ def lsh_candidate_pairs(
     caches=None,
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands``, hash each band,
-    self-join on (band, band_hash) → candidate id pairs (a < b).
+    group ids per (band, band_hash) bucket → candidate id pairs (a < b).
 
-    The self-join is the scale-critical step: it shuffles (band_hash → ids)
-    and only materializes pairs within buckets. ``max_bucket_size`` drops
-    pathological buckets (skew guard)."""
+    The bucket grouping is the scale-critical step: it shuffles
+    (band_hash → ids) once and only materializes pairs within buckets.
+    ``max_bucket_size`` drops pathological buckets (skew guard).
+
+    Round 16 (optimization guide §2.4): the pre-r16 form was a sizing
+    aggregate + join-back + SELF-JOIN over a persisted copy of the banded
+    table — four exchanges of the same rows plus a pinned cache. One
+    ``collect_list`` per bucket with an in-bucket combination explode
+    yields the identical pair set from ONE shuffle, nothing persisted.
+    Per-bucket pair arrays are bounded by the skew guard
+    (max_bucket_size² / 2 struct<id,id> rows, ~8 MB at the default
+    1000 — the same Σ|bucket|² work the join materialized, just batched
+    per bucket). ``caches=`` is accepted for API compatibility but
+    records nothing."""
     banded = _banded(df, id_col, signature_col, bands, portable=portable)
-    # The banded table (id, band, band_hash — 24 bytes × bands per doc) is
-    # consumed three times (bucket sizing + both self-join sides); persist it
-    # so the expensive upstream signature projection runs once, not thrice.
-    # MEMORY_AND_DISK spills instead of OOMing at scale. Caller owns the
-    # cache (module note): the returned pair lineage pins it; caches=
-    # records the pin for exact release (cachectl).
-    from .cachectl import pin
-
-    banded = pin(banded, caches)
-    bucket_sizes = banded.groupBy("band", "band_hash").agg(F.count(F.lit(1)).alias("_bsz"))
-    banded = banded.join(
-        bucket_sizes.filter(F.col("_bsz").between(2, max_bucket_size)),
-        ["band", "band_hash"],
+    buckets = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
+        .filter(F.size("_ids").between(2, max_bucket_size))
     )
-    a = banded.select("band", "band_hash", F.col("_id").alias("id_a"))
-    b = banded.select("band", "band_hash", F.col("_id").alias("id_b"))
+    # All a < b combinations of the sorted bucket: for the i-th id, pair it
+    # with every later id. Sorting makes the < ordering positional.
+    combos = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ids"), i + F.lit(2), F.size(F.col("_ids")) - i - F.lit(1)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, ["band", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(combos).alias("_p"))
+        .select("_p.id_a", "_p.id_b")
         .distinct()
     )
 
@@ -319,19 +329,22 @@ def minhash_dedup_pairs(
     value-hash oracle on exactly this path). xxhash64 stays the default:
     it is the cheaper hash and the two variants produce statistically
     identical dedup quality."""
-    # Shingles feed the signature AND both verification joins — persist so
-    # the text is shingled once (the single most expensive projection here).
-    # Caller owns the cache (module note).
-    # At 100 TB this materialization is the "signature table" a production
-    # dedup writes out; MEMORY_AND_DISK gives the same effect in-session.
+    # Shingles feed the signature AND both verification joins — cut the
+    # lineage with a lazy localCheckpoint so the text is shingled once
+    # (the single most expensive projection here) and all three consumers
+    # share the computed RDD by IDENTITY. Round 16: this was a persist();
+    # cache plan-matching re-derived the shingle projection per reference
+    # under composed/AQE plans (measured ~1 s/pass on dd03 at sf0.1), and
+    # a checkpoint cannot miss. Storage is the same MEMORY_AND_DISK
+    # blocks; the trade is lineage-based recovery of that intermediate —
+    # acceptable exactly because at 100 TB this materialization is the
+    # "signature table" a production dedup writes out anyway.
     # Hashed shingles (array<bigint>), not strings: same Jaccard w.h.p.,
-    # ~5× cheaper to build, intersect, and persist.
+    # ~5× cheaper to build, intersect, and store.
     sh_col = portable_shingle_hashes(content_col, k) if portable else shingle_hashes(content_col, k)
-    from .cachectl import pin
-
-    with_shingles = pin(
-        df.select(F.col(id_col).alias("_id"), sh_col.alias("_shingles")), caches
-    )
+    with_shingles = df.select(
+        F.col(id_col).alias("_id"), sh_col.alias("_shingles")
+    ).localCheckpoint(eager=False)
     with_sig = with_shingles.withColumn(
         "minhash_sig",
         minhash_signature(F.col("_shingles"), num_hashes, seed, pre_hashed=True),
@@ -547,8 +560,6 @@ def ngram_jaccard_pairs(
     ``eager_diagnostics=False`` keeps the guard but skips the logged
     count (fully lazy, identical output), and ``max_df=None`` disables
     the guard — see :func:`_capped_inverted_index`."""
-    from .cachectl import pin
-
     cols = [F.col(id_col).alias("_id"), shingle_hashes(content_col, k).alias("_sh")]
     join_keys = ["_s"]
     if block_col is not None:
@@ -556,18 +567,17 @@ def ngram_jaccard_pairs(
         join_keys = ["_blk", "_s"]
     sh = df.select(*cols).withColumn("_n", F.size("_sh"))
     # The exploded index feeds both join sides (plus the max_df sizing
-    # aggregate); persist so shingling runs once (same pattern as the
-    # MinHash signature table). Caller owns the cache (module note;
-    # ``caches`` collects the release handles).
-    ex = pin(
-        sh.select(
-            *(["_blk"] if block_col is not None else []),
-            F.col("_id"),
-            F.col("_n"),
-            F.explode("_sh").alias("_s"),
-        ),
-        caches,
-    )
+    # aggregate); a lazy localCheckpoint computes the shingling once and
+    # shares the RDD by identity across all consumers (round 16 — was a
+    # persist(), whose plan-matching re-derived the explode per reference
+    # in composed plans; same rationale as minhash_dedup_pairs' signature
+    # table).
+    ex = sh.select(
+        *(["_blk"] if block_col is not None else []),
+        F.col("_id"),
+        F.col("_n"),
+        F.explode("_sh").alias("_s"),
+    ).localCheckpoint(eager=False)
     ex = _capped_inverted_index(
         ex, join_keys, max_df, "ngram_jaccard_pairs", eager_diagnostics, caches
     )

@@ -976,8 +976,6 @@ def semantic_dedup_pairs(
     """
     import logging
 
-    from pyspark import StorageLevel
-
     if num_cells is None:
         num_cells = _derived_num_cells(df.count(), max(1, max_cell_size // 10))
     cents = _seeded_centroids(df, embedding_col, id_col, num_cells, seed)
@@ -986,15 +984,13 @@ def semantic_dedup_pairs(
         cents,
         1,
     )
-    # consumed three times (cell sizing + both self-join sides); persist so
-    # the Python routing pass runs once, like dd03's banded signatures.
-    # Caller owns the cache: the returned pair lineage pins it (the skew
-    # aggregate below materializes it under eager_diagnostics, but the
-    # pair join still reads it); caches= records the pin for exact
-    # release (cachectl).
-    from ..operators.cachectl import pin
-
-    routed = pin(routed, caches)
+    # consumed three times (cell sizing + both self-join sides); a lazy
+    # localCheckpoint computes the Python routing pass ONCE and shares the
+    # RDD by identity across all three (round 16 — was a persist(), whose
+    # plan-matching re-derived the Arrow routing stage per reference in
+    # composed/AQE plans; same rationale as dd03's shingle table). caches=
+    # is accepted for API compatibility but records nothing.
+    routed = routed.localCheckpoint(eager=False)
     sizes = routed.groupBy("_cell").agg(F.count(F.lit(1)).alias("_csz"))
     if eager_diagnostics:
         dropped = sizes.filter(F.col("_csz") > max_cell_size).agg(
