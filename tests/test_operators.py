@@ -81,6 +81,87 @@ def test_minhash_pairs_are_verified_no_false_positives(spark, docs):
         assert abs(r["jaccard"] - exact[(r["id_a"], r["id_b"])]) < 1e-9
 
 
+def test_lsh_bucket_size_guard_drops_viral_buckets_sizing_first(spark):
+    """Round 17: the skew guard counts bucket sizes BEFORE collect_list
+    (a viral bucket is never materialized as one aggregation buffer).
+    Semantics pinned: identical texts share every band bucket, so with
+    max_bucket_size below the duplicate-group size the group emits NO
+    pairs, while a smaller duplicate group still pairs normally."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, "spam spam spam wonderful spam and eggs") for i in range(10)]
+    rows += [(100, "a genuinely different sentence here ok"),
+             (101, "a genuinely different sentence here ok")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = df.select(
+        F.col("doc_id").alias("_id"),
+        D.minhash_signature(D.shingle_hashes("text", 3)).alias("minhash_sig"),
+    )
+    guarded = {
+        (r["id_a"], r["id_b"])
+        for r in D.lsh_candidate_pairs(sig, "_id", max_bucket_size=5).collect()
+    }
+    # the 10-member viral group is dropped whole; the pair survives
+    assert guarded == {(100, 101)}
+    unguarded = {
+        (r["id_a"], r["id_b"])
+        for r in D.lsh_candidate_pairs(sig, "_id", max_bucket_size=1000).collect()
+    }
+    assert (0, 1) in unguarded and (100, 101) in unguarded
+    assert len(unguarded) == 45 + 1
+
+
+def test_lazy_skew_report_fires_without_extra_job(spark, caplog):
+    """Round 17 (VERDICT r16 #8): with eager_diagnostics=False the skew
+    guard's recall-loss report rides the caller's own action as a query
+    observation — plan construction runs no report job, and the warning
+    still fires once the plan executes."""
+    import logging as _logging
+    import time as _time
+
+    import trino_iceberg_spark.operators.diagnostics as diag
+    import trino_iceberg_spark.operators.similarity as S
+
+    # ids chosen so the two seeded centroids span both directions
+    # (xxhash64(id+42) ascending picks 157 then 142 from this id set) and
+    # the small cell SURVIVES the guard — a non-empty result keeps AQE
+    # from empty-propagating the plan (which would drop the CollectMetrics
+    # node along with everything else; documented in diagnostics.py).
+    rows = [(i, [1.0, 0.0]) for i in range(20)] + [(142, [1.0, 0.0])] + [
+        (157 + i, [0.0, 1.0]) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    tracker = spark.sparkContext.statusTracker()
+
+    def n_jobs():
+        return len(tracker.getJobIdsForGroup() or [])
+
+    jobs_before = n_jobs()
+    out = S.semantic_dedup_pairs(
+        df, "embedding", "vec_id", threshold=0.9, num_cells=2,
+        max_cell_size=5, eager_diagnostics=False,
+    )
+    build_jobs = n_jobs() - jobs_before
+    # lazy builder: only the inherent centroid collect runs at build time,
+    # no dropped-cell report job (the eager path runs one more)
+    assert build_jobs <= 1
+    pollers = list(diag._LIVE_POLLERS)
+    with caplog.at_level(_logging.WARNING, logger="trino_iceberg_spark.operators"):
+        out.write.format("noop").mode("overwrite").save()
+        for t in pollers:
+            t.join(timeout=30)
+        # backstop for the poller's backoff granularity
+        deadline = _time.time() + 10
+        while _time.time() < deadline and not any(
+            "skew guard dropped" in r.message for r in caplog.records
+        ):
+            _time.sleep(0.2)
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any(
+        "skew guard dropped 1 cell(s) / 21 row(s)" in m for m in msgs
+    ), msgs
+
+
 def test_incremental_minhash_equals_full_run_on_touching_pairs(spark, docs):
     """Ingest-path contract: incremental pairs == full self-join pairs
     restricted to those touching the increment (same hash family → same
@@ -1299,14 +1380,22 @@ def test_cache_registry_collects_and_releases_exact_pins(spark, docs, embeddings
 
     small = docs.limit(120)
     reg = CacheRegistry()
-    # ngram_jaccard_pairs pins the df-sizes table (round 16: the exploded
-    # index moved to a lazy localCheckpoint — identity reuse, no pin)
+    # ngram_jaccard_pairs pins the df-sizes table AND (round 17) records
+    # its exploded-index lazy checkpoint for exact block release
     pairs = D.ngram_jaccard_pairs(small, "text", "doc_id", caches=reg)
-    assert len(reg) == 1
+    assert len(reg) == 2
     pairs.count()  # materialize while pinned
-    assert all(df.storageLevel.useMemory or df.storageLevel.useDisk for df in reg)
-    assert reg.unpersist_all() == 1
+    assert all(
+        df.storageLevel.useMemory or df.storageLevel.useDisk for df in reg._pinned
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    blocks_before = len(jsc.getRDDStorageInfo())
+    assert blocks_before >= 2  # the pin AND the checkpointed index hold blocks
+    assert reg.unpersist_all() == 2
     assert len(reg) == 0
+    # ADVICE r16: checkpoint blocks bypass clearCache — the registry must
+    # actually free them, not just forget them
+    assert len(jsc.getRDDStorageInfo()) < blocks_before
     # curate_documents stopped pinning in round 16 (window-form victim set
     # needs no second pass over the pair table); caches= is accepted for
     # API compatibility and records nothing
@@ -1620,10 +1709,12 @@ def test_cache_registry_covers_all_caller_owned_operators(spark, docs, embedding
 
     small_docs = docs.limit(60)
     small_emb = embeddings.limit(80)
-    # round 16: minhash_dedup_pairs, ngram_jaccard_pairs and
-    # semantic_dedup_pairs moved their shared intermediates from persist()
-    # to lazy localCheckpoint (identity reuse — no cache to release), so
-    # they left the caller-owned set; caches= stays accepted and records 0.
+    # round 16 moved minhash_dedup_pairs / ngram_jaccard_pairs /
+    # semantic_dedup_pairs' shared intermediates from persist() to lazy
+    # localCheckpoint; round 17 records those checkpoints too (ADVICE
+    # r16: checkpoint blocks bypass clearCache, so the registry is their
+    # ONLY exact-release lever) — every operator below must record ≥1
+    # releasable handle.
     cases = [
         lambda reg: D.incremental_minhash_pairs(
             small_docs.filter(F.col("doc_id") % 2 == 0),
@@ -1634,18 +1725,14 @@ def test_cache_registry_covers_all_caller_owned_operators(spark, docs, embedding
             small_emb, "embedding", "vec_id", caches=reg
         ),
         lambda reg: TX.ngram_novelty(small_docs, "text", "doc_id", caches=reg),
-    ]
-    for build in (
         lambda reg: D.minhash_dedup_pairs(
             small_docs, "text", "doc_id", num_hashes=8, bands=4, caches=reg
         ),
         lambda reg: S.semantic_dedup_pairs(
             small_emb, "embedding", "vec_id", num_cells=4, caches=reg
         ),
-    ):
-        reg = CacheRegistry()
-        build(reg).count()
-        assert len(reg) == 0
+        lambda reg: TX.tfidf(small_docs, "text", "doc_id", caches=reg),
+    ]
     for build in cases:
         reg = CacheRegistry()
         out = build(reg)

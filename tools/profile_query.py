@@ -70,9 +70,15 @@ def main() -> int:
         print(f"{name}: passes={ts} best={min(ts)}")
         if args.explain:
             df = QUERIES[name](spark, SF_DIR)
+            os.makedirs(args.explain, exist_ok=True)
             out = os.path.join(args.explain, f"{name}_profile.txt")
+            # explainString takes an ExplainMode JVM object, not a string
+            # (same idiom as client.py's explain plumbing).
+            mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
             with open(out, "w") as fh:
-                fh.write(df._jdf.queryExecution().explainString("formatted"))
+                fh.write(df._jdf.queryExecution().explainString(mode))
             print(f"  plan -> {out}")
     spark.stop()
     return 0

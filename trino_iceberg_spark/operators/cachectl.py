@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
-__all__ = ["CacheRegistry", "pin"]
+__all__ = ["CacheRegistry", "pin", "checkpoint_lazy"]
 
 
 class CacheRegistry:
@@ -49,16 +49,31 @@ class CacheRegistry:
 
     def __init__(self) -> None:
         self._pinned: list[DataFrame] = []
+        self._checkpointed: list[DataFrame] = []
 
     def add(self, df: DataFrame) -> DataFrame:
         self._pinned.append(df)
         return df
 
+    def add_checkpoint(self, df: DataFrame) -> DataFrame:
+        """Record a locally-checkpointed DataFrame for block release.
+
+        ``localCheckpoint`` blocks bypass both ``df.unpersist()`` and
+        ``spark.catalog.clearCache()`` (which only clears the SQL cache
+        manager), so without a handle they linger until nondeterministic
+        ContextCleaner GC (ADVICE r16). ``unpersist_all`` frees them by
+        unpersisting the checkpointed RDD behind the LogicalRDD plan.
+        NOTE: a released checkpoint is unrecoverable — the checkpoint
+        truncated its lineage — so release only after the result is
+        fully materialized, same contract as the pinned tables."""
+        self._checkpointed.append(df)
+        return df
+
     def __len__(self) -> int:
-        return len(self._pinned)
+        return len(self._pinned) + len(self._checkpointed)
 
     def __iter__(self):
-        return iter(self._pinned)
+        return iter(self._pinned + self._checkpointed)
 
     def unpersist_all(self, blocking: bool = False) -> int:
         """Unpersist every recorded table; returns how many were released.
@@ -68,6 +83,13 @@ class CacheRegistry:
             df = self._pinned.pop()
             try:
                 df.unpersist(blocking)
+                released += 1
+            except Exception:  # noqa: BLE001 — a dead session never blocks cleanup
+                pass
+        while self._checkpointed:
+            df = self._checkpointed.pop()
+            try:
+                df._jdf.logicalPlan().rdd().unpersist(blocking)
                 released += 1
             except Exception:  # noqa: BLE001 — a dead session never blocks cleanup
                 pass
@@ -101,3 +123,26 @@ def pin(
     if caches is not None:
         caches.add(df)
     return df
+
+
+def checkpoint_lazy(df: DataFrame, caches: CacheRegistry | None) -> DataFrame:
+    """``df.localCheckpoint(eager=False)`` with an exact-release handle.
+
+    The identity-reuse intermediates (MinHash signature table, the
+    inverted-index explode, semantic dedup's routed cells, tf-idf's
+    posting table) moved from persist() to lazy local checkpoints in
+    rounds 16-17 because cache plan-matching silently recomputed them
+    under composed/AQE plans. Checkpoint blocks, however, have no
+    release lever of their own (ADVICE r16): they bypass CacheRegistry's
+    ``unpersist`` AND ``spark.catalog.clearCache()``. Routing them
+    through here restores the module contract — pass ``caches=`` and
+    ``unpersist_all()`` frees exactly these blocks once the result is
+    materialized. ``caches=None`` keeps the historical behavior (blocks
+    freed by ContextCleaner GC / session stop). On clusters, note the
+    documented trade: a local checkpoint forfeits lineage recovery of
+    that intermediate on executor loss; long-lived pipelines that need
+    that should persist the table to storage instead."""
+    out = df.localCheckpoint(eager=False)
+    if caches is not None:
+        caches.add_checkpoint(out)
+    return out

@@ -77,41 +77,48 @@ def curate_documents(
     """Kept documents after quality+language rules and exact dedup.
 
     Dedup keeps the lowest id per distinct text (deterministic keeper).
-    The dedup verdict never shuffles documents: the (md5, id) pair table
-    — 24 bytes/doc — shuffles ONCE into a whole-partition window over
-    the text hash, every id that is not its group's minimum becomes the
-    VICTIM set (duplicates only, small in a mostly-unique corpus), and
-    the corpus anti-joins against it — the same corpus-never-shuffled
-    shape as clustering's survivor selection.
+    The dedup verdict never shuffles documents: only (md5, id) pairs —
+    24 bytes/doc — ever enter an exchange, every id that is not its
+    group's minimum becomes the VICTIM set (duplicates only, small in a
+    mostly-unique corpus), and the corpus anti-joins against it — the
+    same corpus-never-shuffled shape as clustering's survivor selection.
 
-    Round 16 (optimization guide §2.4 "remove shuffles outright", §3.3
-    "very wide plans"): the victim set used to be a
-    groupBy→filter→self-JOIN back onto a persisted copy of the pair
-    table — two consumers of one pinned cache, a broadcast exchange,
-    and a cache whose plan-matching silently degraded to full
-    recomputes when the surrounding query referenced the curated result
-    several times (sp10's write plan held 8 independent rebuilds of the
-    pair table, 21 corpus scans total — measured via event log). The
-    min-over-window form computes the same set in ONE pass over the
-    pair shuffle with no self-join and NOTHING persisted, so composed
-    pipelines (cu07/sp10/mm08) no longer amplify the corpus lineage
-    through a cache that may miss. ``caches=`` is retained for API
-    compatibility but records nothing — there is no pin left to
-    release."""
-    from pyspark.sql import Window
-
+    Round 17 (optimization guide §2.5 hot keys; VERDICT r16): the victim
+    set is computed with NO window and NOTHING persisted. Round 16's
+    min-over-window form (`Window.partitionBy(_h)`) shipped EVERY (md5,
+    id) row of a duplicated-text group to one task — at 100 TB a viral
+    duplicate (empty string, boilerplate page) makes one window task
+    buffer the whole group, the exact shape :mod:`.dedup` refuses for
+    its cluster sizing. Instead, dup-group minima come from a plain
+    aggregate — ``groupBy(_h).agg(min, count)`` has map-side partial
+    aggregation, so a hot text hash costs one counter per mapper — and
+    the tiny minima table (duplicated texts only) joins back onto a
+    re-derived pair stream (broadcast under AQE at any sane duplicate
+    ratio; a shuffled join would still be skew-splittable, which a
+    window is not). The pair stream is recomputed rather than persisted:
+    round 16 measured cache plan-matching silently degrading to full
+    rebuilds under composed/AQE plans (sp10's write plan held 8
+    independent pair-table rebuilds, 21 corpus scans), so composed
+    pipelines (cu07/sp10/mm08) must not amplify corpus lineage through a
+    cache that may miss. ``caches=`` is retained for API compatibility
+    but records nothing — there is no pin left to release."""
     decided = curation_decisions(df, text_col, id_col, **rules)
     kept = decided.filter(F.col("reject_reason").isNull())
     pairs = kept.select(
         F.md5(F.col(text_col).cast("binary")).alias("_h"),
         F.col(id_col).alias("_vid"),
     )
-    # Non-keeper members of duplicated-text groups: an id differs from its
-    # group minimum iff the group has >= 2 members, so the single window
-    # aggregate IS the dup-group filter (ids are unique by contract).
-    keep_w = F.min("_vid").over(Window.partitionBy("_h"))
+    # One row per DUPLICATED text: its keeper id. Groups of one drop out
+    # here, so the join-back touches only duplicate rows (ids are unique
+    # by contract).
+    minima = (
+        pairs.groupBy("_h")
+        .agg(F.min("_vid").alias("_keep"), F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("_h", "_keep")
+    )
     victims = (
-        pairs.withColumn("_keep", keep_w)
+        pairs.join(minima, "_h")
         .filter(F.col("_vid") != F.col("_keep"))
         .select(F.col("_vid").alias(id_col))
     )

@@ -206,14 +206,21 @@ def minhash_signature(
     re-hash is skipped."""
     col = F.col(shingles_col) if isinstance(shingles_col, str) else shingles_col
     hashes = col if pre_hashed else F.transform(col, lambda s: F.xxhash64(s))
+    # Hoist abs(h) % p out of the permutation family (round 17, guide §1.2
+    # "per-task work"): the reduced hash is identical for every (a_i, b_i),
+    # so computing it once per shingle instead of once per shingle PER HASH
+    # removes num_hashes-1 abs+mod passes per row — value-identical by
+    # algebra ((|h| mod p)·a + b ≡ old expression), measured ~1.15× on the
+    # dd03 signature stage at sf0.1.
+    hm = F.transform(hashes, lambda h: F.abs(h) % _MERSENNE_P)
 
     def perm(a: int, b: int):
         # closure (not lambda default args — Spark reads lambda arity as the
         # higher-order-function argument count)
-        return lambda h: ((F.abs(h) % _MERSENNE_P) * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)
 
     sig = [
-        F.array_min(F.transform(hashes, perm(a, b)))
+        F.array_min(F.transform(hm, perm(a, b)))
         for a, b in _hash_params(num_hashes, seed)
     ]
     return F.array(*sig)
@@ -273,15 +280,32 @@ def lsh_candidate_pairs(
     aggregate + join-back + SELF-JOIN over a persisted copy of the banded
     table — four exchanges of the same rows plus a pinned cache. One
     ``collect_list`` per bucket with an in-bucket combination explode
-    yields the identical pair set from ONE shuffle, nothing persisted.
-    Per-bucket pair arrays are bounded by the skew guard
-    (max_bucket_size² / 2 struct<id,id> rows, ~8 MB at the default
-    1000 — the same Σ|bucket|² work the join materialized, just batched
-    per bucket). ``caches=`` is accepted for API compatibility but
-    records nothing."""
+    yields the identical pair set, nothing persisted. Per-bucket pair
+    arrays are bounded by the skew guard (max_bucket_size² / 2
+    struct<id,id> rows, ~8 MB at the default 1000 — the same Σ|bucket|²
+    work the join materialized, just batched per bucket).
+
+    Round 17 (ADVICE r16, guide §2.5 hot keys): the skew guard runs
+    sizing-FIRST again — a count aggregate (map-side partial agg, so a
+    viral bucket costs one counter per mapper) finds buckets over
+    ``max_bucket_size`` and the banded rows anti-join that tiny set
+    (broadcast under AQE) BEFORE ``collect_list``. The r16 form filtered
+    after aggregating, which materialized a pathological viral bucket —
+    the exact case the guard exists for — as one id array in a single
+    aggregation buffer before dropping it. Bucket membership and the
+    output pair set are unchanged; the cost is one extra exchange of the
+    lightweight (id, band, band_hash) rows. ``caches=`` is accepted for
+    API compatibility but records nothing."""
     banded = _banded(df, id_col, signature_col, bands, portable=portable)
-    buckets = (
+    viral = (
         banded.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .filter(F.col("_bsz") > max_bucket_size)
+        .select("band", "band_hash")
+    )
+    buckets = (
+        banded.join(viral, ["band", "band_hash"], "left_anti")
+        .groupBy("band", "band_hash")
         .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
         .filter(F.size("_ids").between(2, max_bucket_size))
     )
@@ -329,26 +353,33 @@ def minhash_dedup_pairs(
     value-hash oracle on exactly this path). xxhash64 stays the default:
     it is the cheaper hash and the two variants produce statistically
     identical dedup quality."""
-    # Shingles feed the signature AND both verification joins — cut the
-    # lineage with a lazy localCheckpoint so the text is shingled once
-    # (the single most expensive projection here) and all three consumers
-    # share the computed RDD by IDENTITY. Round 16: this was a persist();
-    # cache plan-matching re-derived the shingle projection per reference
-    # under composed/AQE plans (measured ~1 s/pass on dd03 at sf0.1), and
-    # a checkpoint cannot miss. Storage is the same MEMORY_AND_DISK
-    # blocks; the trade is lineage-based recovery of that intermediate —
-    # acceptable exactly because at 100 TB this materialization is the
-    # "signature table" a production dedup writes out anyway.
-    # Hashed shingles (array<bigint>), not strings: same Jaccard w.h.p.,
-    # ~5× cheaper to build, intersect, and store.
+    # Shingles feed the signature AND both verification joins, and (round
+    # 17) the banded table feeds the LSH sizing guard plus the bucket
+    # collect — cut the lineage with ONE lazy localCheckpoint placed
+    # AFTER the signature projection, so the text is shingled once and
+    # the MinHash permutations (the most expensive projection here,
+    # measured ~1.3 s of the dd03 pass at sf0.1) run once, with all four
+    # consumers sharing the computed RDD by IDENTITY. Round 16 placed the
+    # checkpoint below the signature (it had a single consumer then);
+    # round 16 also made this a checkpoint rather than a persist(): cache
+    # plan-matching re-derived the projection per reference under
+    # composed/AQE plans, and a checkpoint cannot miss. Storage is the
+    # same MEMORY_AND_DISK blocks; the trade is lineage-based recovery of
+    # that intermediate — acceptable exactly because at 100 TB this
+    # materialization is the "signature table" a production dedup writes
+    # out anyway. Hashed shingles (array<bigint>), not strings: same
+    # Jaccard w.h.p., ~5× cheaper to build, intersect, and store.
+    from .cachectl import checkpoint_lazy
+
     sh_col = portable_shingle_hashes(content_col, k) if portable else shingle_hashes(content_col, k)
-    with_shingles = df.select(
-        F.col(id_col).alias("_id"), sh_col.alias("_shingles")
-    ).localCheckpoint(eager=False)
-    with_sig = with_shingles.withColumn(
-        "minhash_sig",
-        minhash_signature(F.col("_shingles"), num_hashes, seed, pre_hashed=True),
+    with_sig = checkpoint_lazy(
+        df.select(F.col(id_col).alias("_id"), sh_col.alias("_shingles")).withColumn(
+            "minhash_sig",
+            minhash_signature(F.col("_shingles"), num_hashes, seed, pre_hashed=True),
+        ),
+        caches,
     )
+    with_shingles = with_sig.select("_id", "_shingles")
     candidates = lsh_candidate_pairs(
         with_sig, "_id", "minhash_sig", bands, portable=portable, caches=caches
     )
@@ -489,10 +520,12 @@ def _capped_inverted_index(
     call time even if the caller never executes the returned plan;
     ``eager_diagnostics=False`` keeps the guard's anti-join (so the
     RESULT is identical) but skips the diagnostic, restoring a fully
-    lazy builder. Both the exploded index and the per-shingle df table
-    are persisted, so the pair join reuses rather than recomputes them
-    (caller owns both caches — pass ``caches`` to get release handles,
-    :mod:`.cachectl`); ``max_df=None`` skips everything."""
+    lazy builder. The per-shingle df-sizes table is persisted so the
+    guard reuses rather than recomputes it (caller owns that cache —
+    pass ``caches`` to get a release handle, :mod:`.cachectl`); the
+    exploded index itself is shared via the caller's lazy
+    ``localCheckpoint`` since round 16 and is NOT pinned here.
+    ``max_df=None`` skips everything."""
     if max_df is None:
         return ex
     import logging
@@ -520,7 +553,28 @@ def _capped_inverted_index(
     # index_rows / max_df — usually zero, pathologically still tiny next
     # to the index — so AQE turns this into a broadcast anti-join, where
     # an inner join against the huge ok set would shuffle the full index.
-    viral = sizes.filter(F.col("_df") > max_df).select(*join_keys)
+    viral = sizes.filter(F.col("_df") > max_df)
+    if not eager_diagnostics:
+        # Lazy report (round 17, VERDICT r16 #8): the dropped-shingle
+        # counts ride the caller's action as a query observation — the
+        # warning still fires, with zero extra jobs and a fully lazy
+        # builder. The viral branch executes exactly once (it feeds only
+        # the anti-join), so the metrics are counted once per action.
+        from .diagnostics import lazy_metrics_report, skew_guard_report
+
+        viral = lazy_metrics_report(
+            viral,
+            skew_guard_report(
+                op_name,
+                "max_df guard dropped %d viral shingle(s) / %d index "
+                f"row(s) over max_df={max_df} — similarity is "
+                "underestimated one-sidedly for pairs sharing those "
+                "shingles",
+            ),
+            dropped_shingles=F.count(F.lit(1)),
+            dropped_rows=F.coalesce(F.sum("_df"), F.lit(0)),
+        )
+    viral = viral.select(*join_keys)
     return ex.join(viral, join_keys, "left_anti")
 
 
@@ -571,13 +625,19 @@ def ngram_jaccard_pairs(
     # shares the RDD by identity across all consumers (round 16 — was a
     # persist(), whose plan-matching re-derived the explode per reference
     # in composed plans; same rationale as minhash_dedup_pairs' signature
-    # table).
-    ex = sh.select(
-        *(["_blk"] if block_col is not None else []),
-        F.col("_id"),
-        F.col("_n"),
-        F.explode("_sh").alias("_s"),
-    ).localCheckpoint(eager=False)
+    # table). Routed through checkpoint_lazy (round 17) so callers that
+    # pass ``caches=`` get an exact-release handle for the blocks.
+    from .cachectl import checkpoint_lazy
+
+    ex = checkpoint_lazy(
+        sh.select(
+            *(["_blk"] if block_col is not None else []),
+            F.col("_id"),
+            F.col("_n"),
+            F.explode("_sh").alias("_s"),
+        ),
+        caches,
+    )
     ex = _capped_inverted_index(
         ex, join_keys, max_df, "ngram_jaccard_pairs", eager_diagnostics, caches
     )

@@ -198,19 +198,36 @@ def ngram_counts(df: DataFrame, text_col: str, n: int = 2) -> DataFrame:
     )
 
 
-def tfidf(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def tfidf(df: DataFrame, text_col: str, id_col: str, caches=None) -> DataFrame:
     """Per-document TF-IDF term weights: ``(id, token, tf, df, tfidf)``.
 
     Classic weighting ``tf * ln(N / df)``. Two token-keyed shuffles total:
     one groupBy for term frequencies, one for document frequencies (both
-    with map-side partial aggregation); the corpus size joins in as a
-    broadcast single-row aggregate, so nothing is collected to the driver
-    and the plan scales with the token count, not the document count.
+    with map-side partial aggregation — df stays an AGGREGATE, not a
+    count-over-window, so a viral stopword costs one counter per mapper
+    instead of one task buffering every posting of the hot token); the
+    corpus size joins in as a broadcast single-row aggregate, so nothing
+    is collected to the driver and the plan scales with the token count,
+    not the document count.
+
+    Round 17 (guide §2.4/§5): the tf table feeds BOTH the df aggregate
+    and the join-back, and Catalyst planned the whole
+    scan→tokenize→explode→aggregate subtree TWICE (the tx09 before-plan
+    shows two documents scans). A lazy ``localCheckpoint`` computes it
+    once and shares the RDD by identity — the same posting-table
+    materialization any production tf-idf job writes out. The trade
+    (lineage recovery of that intermediate) matches the dedup operators'
+    round-16 convention; pass ``caches=`` for an exact-release handle
+    (:func:`..operators.cachectl.checkpoint_lazy`).
     """
+    from .cachectl import checkpoint_lazy
+
     toks = df.select(
         F.col(id_col), F.explode(word_tokens_col(F.lower(F.col(text_col)))).alias("token")
     )
-    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    tf = checkpoint_lazy(
+        toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf")), caches
+    )
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = df.select(F.count(F.lit(1)).alias("_n"))
     return (

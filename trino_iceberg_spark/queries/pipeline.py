@@ -495,12 +495,16 @@ def dd11_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE hard-codes 16 cells, so deriving it from a ``count()`` job here
     both paid one extra full pass per run and would diverge from the
     oracle past 160k vectors; ``eager_diagnostics=False`` keeps the skew
-    guard's filter but drops its up-front report jobs (round 16)."""
+    guard's filter but drops its up-front report jobs (round 16).
+    ``centroid_source`` hands the centroid top-k collect the raw scan so
+    it skips the spread repartition built for routing parallelism
+    (round 17 — centroid choice is partitioning-independent)."""
     e = load_table(spark, sf_dir, "embeddings", spread=True)
     return (
         S.semantic_dedup_pairs(
             e, "embedding", "vec_id", threshold=0.35, num_cells=16,
             eager_diagnostics=False,
+            centroid_source=load_table(spark, sf_dir, "embeddings"),
         )
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
         .orderBy("id_a", "id_b")

@@ -136,14 +136,24 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume = _rev_col()
     zero = F.lit(0).cast("decimal(18,4)")
     nation_vol = F.when(F.col("supp_nation") == "NATION_1", volume).otherwise(zero)
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+    # Round 17 join order (guide §3.1/§2.3 "filter before the shuffle";
+    # inner joins commute, so the result is unchanged): the selective
+    # dimension joins run FIRST — PROMO parts cut lineitem and the
+    # ASIA-region customer restriction cuts orders — so the one
+    # unavoidable fact-fact exchange on l_orderkey carries only
+    # surviving rows. The r16 order shuffled ALL of lineitem against the
+    # date-filtered orders and re-shuffled that join's full output by
+    # custkey before any selective dimension was applied.
+    o_asia = (
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .join(o_asia, li.l_orderkey == o.o_orderkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             (
