@@ -113,9 +113,12 @@ def test_lsh_bucket_size_guard_drops_viral_buckets_sizing_first(spark):
 
 def test_lazy_skew_report_fires_without_extra_job(spark, caplog):
     """Round 17 (VERDICT r16 #8): with eager_diagnostics=False the skew
-    guard's recall-loss report rides the caller's own action as a query
-    observation — plan construction runs no report job, and the warning
-    still fires once the plan executes."""
+    guard's recall-loss report runs OFF the query path — plan
+    construction runs no report job, the caller's plan is untouched (a
+    CollectMetrics observation was measured flipping the pair join to
+    sort-merge, diagnostics.py), and the warning fires from an async
+    micro-job over the materialized checkpoint after the caller's own
+    action."""
     import logging as _logging
     import time as _time
 
@@ -124,9 +127,7 @@ def test_lazy_skew_report_fires_without_extra_job(spark, caplog):
 
     # ids chosen so the two seeded centroids span both directions
     # (xxhash64(id+42) ascending picks 157 then 142 from this id set) and
-    # the small cell SURVIVES the guard — a non-empty result keeps AQE
-    # from empty-propagating the plan (which would drop the CollectMetrics
-    # node along with everything else; documented in diagnostics.py).
+    # the small cell survives the guard while the viral one is dropped
     rows = [(i, [1.0, 0.0]) for i in range(20)] + [(142, [1.0, 0.0])] + [
         (157 + i, [0.0, 1.0]) for i in range(3)
     ]

@@ -556,14 +556,15 @@ def _capped_inverted_index(
     viral = sizes.filter(F.col("_df") > max_df)
     if not eager_diagnostics:
         # Lazy report (round 17, VERDICT r16 #8): the dropped-shingle
-        # counts ride the caller's action as a query observation — the
-        # warning still fires, with zero extra jobs and a fully lazy
-        # builder. The viral branch executes exactly once (it feeds only
-        # the anti-join), so the metrics are counted once per action.
-        from .diagnostics import lazy_metrics_report, skew_guard_report
+        # counts still surface, but off the query path — an async
+        # micro-job over the materialized index checkpoint, fired by the
+        # caller's own action (see diagnostics.py for why NOT a query
+        # observation). The builder stays fully lazy.
+        from .diagnostics import async_skew_report, skew_guard_report
 
-        viral = lazy_metrics_report(
-            viral,
+        async_skew_report(
+            ex,
+            viral.agg(F.count(F.lit(1)), F.coalesce(F.sum("_df"), F.lit(0))),
             skew_guard_report(
                 op_name,
                 "max_df guard dropped %d viral shingle(s) / %d index "
@@ -571,8 +572,6 @@ def _capped_inverted_index(
                 "underestimated one-sidedly for pairs sharing those "
                 "shingles",
             ),
-            dropped_shingles=F.count(F.lit(1)),
-            dropped_rows=F.coalesce(F.sum("_df"), F.lit(0)),
         )
     viral = viral.select(*join_keys)
     return ex.join(viral, join_keys, "left_anti")
@@ -725,10 +724,14 @@ def containment_pairs(
     if block_col is not None:
         cols.append(block_col.alias("_blk"))
         join_keys = ["_blk", "_s"]
-    from .cachectl import pin
+    # Same dual-consumer shape as ngram_jaccard_pairs — share the exploded
+    # index by identity (round 17; was a persist(), subject to the same
+    # plan-matching misses measured in round 16, and the checkpoint handle
+    # is what the lazy max_df report watches).
+    from .cachectl import checkpoint_lazy
 
     sh = df.select(*cols).withColumn("_n", F.size("_sh"))
-    ex = pin(
+    ex = checkpoint_lazy(
         sh.select(
             *(["_blk"] if block_col is not None else []),
             F.col("_id"),

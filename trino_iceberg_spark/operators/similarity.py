@@ -1018,22 +1018,23 @@ def semantic_dedup_pairs(
                 dropped["cells"], dropped["rows"], max_cell_size, num_cells,
             )
     else:
-        # Lazy report (round 17, VERDICT r16 #8): piggyback the dropped
-        # counts on the caller's own action via a query observation —
-        # recall loss surfaces once per execution, still zero extra jobs.
-        from .diagnostics import lazy_metrics_report, skew_guard_report
+        # Lazy report (round 17, VERDICT r16 #8): recall loss still
+        # surfaces, but off the query path — an async micro-job over the
+        # materialized routing checkpoint, fired by the caller's own
+        # action (see diagnostics.py for why NOT a query observation).
+        from .diagnostics import async_skew_report, skew_guard_report
 
-        over = F.col("_csz") > max_cell_size
-        sizes = lazy_metrics_report(
-            sizes,
+        async_skew_report(
+            routed,
+            sizes.filter(F.col("_csz") > max_cell_size).agg(
+                F.count(F.lit(1)), F.coalesce(F.sum("_csz"), F.lit(0))
+            ),
             skew_guard_report(
                 "semantic_dedup_pairs",
                 "skew guard dropped %d cell(s) / %d row(s) over "
                 f"max_cell_size={max_cell_size} — raise num_cells "
                 f"(have {num_cells}) to recover recall",
             ),
-            dropped_cells=F.count(F.when(over, F.lit(1))),
-            dropped_rows=F.coalesce(F.sum(F.when(over, F.col("_csz"))), F.lit(0)),
         )
     routed = routed.join(
         F.broadcast(sizes.filter(F.col("_csz").between(2, max_cell_size))), "_cell"
