@@ -1397,12 +1397,12 @@ def test_cache_registry_collects_and_releases_exact_pins(spark, docs, embeddings
     # ADVICE r16: checkpoint blocks bypass clearCache — the registry must
     # actually free them, not just forget them
     assert len(jsc.getRDDStorageInfo()) < blocks_before
-    # curate_documents stopped pinning in round 16 (window-form victim set
-    # needs no second pass over the pair table); caches= is accepted for
-    # API compatibility and records nothing
+    # curate_documents records its (md5, id) pair-table checkpoint
+    # (round 17: the victim set is minima-agg + join-back over a shared
+    # lazy checkpoint — skew-safe, and the registry can free the blocks)
     reg2 = CacheRegistry()
     curate_documents(small, caches=reg2).count()
-    assert len(reg2) == 0 and reg2.unpersist_all() == 0
+    assert len(reg2) == 1 and reg2.unpersist_all() == 1
     # margin_mining pins fwd + bwd top-k; the context-manager form releases
     a = embeddings.filter(F.col("vec_id") % 20 == 0)
     b = embeddings.filter(F.col("vec_id") % 20 == 10)

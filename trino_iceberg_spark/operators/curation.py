@@ -92,21 +92,29 @@ def curate_documents(
     its cluster sizing. Instead, dup-group minima come from a plain
     aggregate — ``groupBy(_h).agg(min, count)`` has map-side partial
     aggregation, so a hot text hash costs one counter per mapper — and
-    the tiny minima table (duplicated texts only) joins back onto a
-    re-derived pair stream (broadcast under AQE at any sane duplicate
-    ratio; a shuffled join would still be skew-splittable, which a
-    window is not). The pair stream is recomputed rather than persisted:
-    round 16 measured cache plan-matching silently degrading to full
-    rebuilds under composed/AQE plans (sp10's write plan held 8
-    independent pair-table rebuilds, 21 corpus scans), so composed
-    pipelines (cu07/sp10/mm08) must not amplify corpus lineage through a
-    cache that may miss. ``caches=`` is retained for API compatibility
-    but records nothing — there is no pin left to release."""
+    the tiny minima table (duplicated texts only) joins back onto the
+    pair stream (broadcast under AQE at any sane duplicate ratio; a
+    shuffled join would still be skew-splittable, which a window is
+    not). The pair stream feeds both the aggregate and the join-back, so
+    it is shared via a lazy localCheckpoint — IDENTITY reuse, immune to
+    the cache plan-matching misses round 16 measured (sp10's write plan
+    held 8 independent pair-table rebuilds, 21 corpus scans, through a
+    persist() that matched at planning time and missed at runtime); the
+    checkpointed rows are 24 bytes/doc, the cheapest materialization in
+    the pipeline, and a naive un-checkpointed join-back was measured
+    re-running the quality-feature pass (+0.5 s/call at sf0.1).
+    ``caches=`` callers get an exact-release handle for the checkpoint
+    blocks (:func:`..operators.cachectl.checkpoint_lazy`)."""
+    from .cachectl import checkpoint_lazy
+
     decided = curation_decisions(df, text_col, id_col, **rules)
     kept = decided.filter(F.col("reject_reason").isNull())
-    pairs = kept.select(
-        F.md5(F.col(text_col).cast("binary")).alias("_h"),
-        F.col(id_col).alias("_vid"),
+    pairs = checkpoint_lazy(
+        kept.select(
+            F.md5(F.col(text_col).cast("binary")).alias("_h"),
+            F.col(id_col).alias("_vid"),
+        ),
+        caches,
     )
     # One row per DUPLICATED text: its keeper id. Groups of one drop out
     # here, so the join-back touches only duplicate rows (ids are unique
